@@ -1,9 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.io.Tables
-import graft.ops.{Aggs, Joins}
+import graft.queries.RelationalQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,16 +12,32 @@ import graft.ops.{Aggs, Joins}
   * CAST to BIGINT in DuckDB (its SUM(BIGINT) returns HUGEINT).
   */
 object SparkEntry {
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.table(s, dir, name)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.pricingSummary(spark, "/root/testdata/sf0.001")
+    RelationalQueries.pricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> Queries.pricingSummary,
-    "q02_earliest_order" -> Queries.earliestOrder,
+    "q01_pricing_summary" -> RelationalQueries.pricingSummary,
+    "q02_earliest_order" -> RelationalQueries.earliestOrder,
+    "q03_partsupp_join" -> RelationalQueries.partSuppJoin,
+    "q04_semi_join" -> RelationalQueries.semiJoinCustomers,
+    "q05_anti_join" -> RelationalQueries.antiJoinCustomers,
+    "q06_full_outer_profile" -> RelationalQueries.fullOuterProfile,
+    "q07_recent_window_agg" -> RelationalQueries.recentWindowAgg,
+    "q08_topk_per_key" -> RelationalQueries.topOrdersPerCustomer,
+    "q09_mode_priority" -> RelationalQueries.modePriority,
+    "q10_event_funnel" -> RelationalQueries.eventFunnel,
+    "q11_distinct" -> RelationalQueries.distinctSegments,
+    "q12_set_ops" -> RelationalQueries.setOps,
+    "q13_json_shred" -> RelationalQueries.jsonShred,
+    "q14_string_funcs" -> RelationalQueries.stringFuncs,
+    "q15_date_funcs" -> RelationalQueries.dateFuncs,
+    "q16_try_cast" -> RelationalQueries.tryCastCleaning,
+    "q17_type_count_map" -> RelationalQueries.typeCountMap,
+    "q19_pivot" -> RelationalQueries.pivotEventCounts,
+    "q20_rollup" -> RelationalQueries.rollupNation,
+    "q21_cube" -> RelationalQueries.cubeReturnStatus,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -45,43 +59,143 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY c_custkey""".stripMargin,
+    "q03_partsupp_join" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, round(sum(l_quantity), 2) AS ps_qty,
+        |         CAST(count(*) AS BIGINT) AS ps_lines
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+        |       ps.ps_qty, ps.ps_lines
+        |FROM lineitem l JOIN ps USING (l_partkey, l_suppkey)
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_full_outer_profile" ->
+      """WITH oa AS (
+        |  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS total_spend
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT c_custkey AS custkey, c_name, c_acctbal FROM customer)
+        |SELECT COALESCE(oa.custkey, c.custkey) AS custkey,
+        |       COALESCE(c_name, '<none>') AS name,
+        |       COALESCE(n_orders, 0) AS n_orders,
+        |       COALESCE(total_spend, 0.0) AS total_spend
+        |FROM oa FULL OUTER JOIN c ON oa.custkey = c.custkey
+        |ORDER BY custkey""".stripMargin,
+    "q07_recent_window_agg" ->
+      """WITH m AS (SELECT user_id, min(ts) AS min_ts FROM events GROUP BY 1)
+        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN m USING (user_id)
+        |WHERE e.ts <= m.min_ts + INTERVAL 14 DAY
+        |GROUP BY e.user_id
+        |ORDER BY e.user_id""".stripMargin,
+    "q08_topk_per_key" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q09_mode_priority" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_custkey, o_orderpriority, cnt FROM r WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q10_event_funnel" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q11_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q12_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        |SELECT k, 'in_both' AS op FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT k, 'orders_only' AS op FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        |UNION ALL
+        |SELECT k, 'rich_only' AS op FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+        |ORDER BY k, op""".stripMargin,
+    "q13_json_shred" ->
+      """SELECT event_id, event_type,
+        |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q14_string_funcs" ->
+      """SELECT c_custkey,
+        |  string_split(c_name, '#')[2] AS name_num,
+        |  substring(c_name, 1, 8) AS name_head,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  concat_ws('-', c_mktsegment, c_custkey) AS seg_key,
+        |  reverse(c_name) AS name_rev,
+        |  regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q15_date_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  epoch_us(o_orderdate) AS epoch_us
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q16_try_cast" ->
+      """SELECT event_id,
+        |  TRY_CAST(event_type AS BIGINT) AS bad_long,
+        |  TRY_CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k,
+        |  CAST(NULL AS DOUBLE) AS div0,
+        |  CAST(TRY_CAST(event_type AS DATE) AS VARCHAR) AS bad_date
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q17_type_count_map" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS type_counts
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q19_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q20_rollup" ->
+      """SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nationkey,
+        |  CAST(GROUPING(c_nationkey) AS BIGINT) AS is_total,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY ROLLUP(c_nationkey)
+        |ORDER BY nationkey, is_total""".stripMargin,
+    "q21_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus, g_rf, g_ls""".stripMargin,
   )
-}
-
-/** Query implementations, one per SURVEY.md §2 operator (grown per round). */
-object Queries {
-  import Tables.table
-
-  /** A1+A4-style pricing summary (TPC-H Q1 shape): scan → hash agg with
-    * partial/final combine → sort. Exercises S2, A1, A3-sums, C11.
-    * Scale: one shuffle on the (tiny-cardinality) group key; partial agg
-    * means the shuffle carries ~6 rows per map task regardless of input
-    * size. */
-  def pricingSummary(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "lineitem")
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
-
-  /** Minimum end-to-end slice (SURVEY.md §7.2): "earliest ping per client"
-    * (reference A1+J1, profile_daily.py:16-22) transplanted to testdata:
-    * orders ⋈ customer → groupBy(min). The customer side is a dimension →
-    * broadcast join; the agg shuffles on c_custkey once. */
-  def earliestOrder(s: SparkSession, dir: String): DataFrame =
-    Joins.dimJoinOn(
-        table(s, dir, "orders"),
-        table(s, dir, "customer").select("c_custkey", "c_name"),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy("c_custkey", "c_name")
-      .agg(
-        date_format(min("o_orderdate"), "yyyy-MM-dd").as("first_order"),
-        count(lit(1)).as("n_orders"))
-      .orderBy("c_custkey")
 }

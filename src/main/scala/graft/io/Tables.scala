@@ -22,9 +22,21 @@ object Tables {
 
   /** Parquet scan. Column pruning + filter pushdown are automatic once the
     * downstream plan is pure-Column (verify with `.explain`: PushedFilters,
-    * ReadSchema). */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    * ReadSchema).
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects by default; we read it as raw nanos
+    * (legacy.parquet.nanosAsLong) and truncate to a micros timestamp —
+    * the same ns→us truncation DuckDB applies, so oracles agree. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(path)
+  }
 
   /** CSV read with header + explicit nullability (reference S3:
     * testpilot_data.py:172-173 — but kept as DataFrame, no `.rdd` detour). */

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables.table
+import graft.ops.{Aggs, Joins, Windows}
+
+/** Relational operator surface (SURVEY.md §2.1-§2.5): one named query per
+  * operator, each with a DuckDB oracle twin in [[graft.SparkEntry.oracleSql]].
+  *
+  * Determinism: every query ends in ORDER BY over a unique key; doubles are
+  * rounded; counts stay BIGINT on both engines.
+  *
+  * Scale stance (100 TB): fact-fact joins shuffle on join keys with partial
+  * aggregation pushed below the shuffle; dimension joins broadcast; windows
+  * partition on high-cardinality keys only.
+  */
+object RelationalQueries {
+
+  /** A1+A3/A4 sums: TPC-H Q1-shaped pricing summary. One narrow shuffle
+    * (6 groups), partial+final hash agg. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** §7.2 minimum slice — A1+J1 "earliest ping per client" on testdata:
+    * orders ⋈ broadcast(customer) → groupBy min. */
+  def earliestOrder(s: SparkSession, dir: String): DataFrame =
+    Joins.dimJoinOn(
+        table(s, dir, "orders"),
+        table(s, dir, "customer").select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        date_format(min("o_orderdate"), "yyyy-MM-dd").as("first_order"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** J2: multi-key equi join (reference joins on client_id AND submission,
+    * profile_daily.py:24-39) — aggregate per (partkey, suppkey), join back
+    * to the fact on both keys. Self-join on the same source lets Spark
+    * reuse the scan (exchange reuse). */
+  def partSuppJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = table(s, dir, "lineitem")
+    val ps = li.groupBy("l_partkey", "l_suppkey")
+      .agg(round(sum("l_quantity"), 2).as("ps_qty"),
+           count(lit(1)).as("ps_lines"))
+    li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .join(ps, Seq("l_partkey", "l_suppkey"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+              "ps_qty", "ps_lines")
+      // (orderkey, linenumber) is not unique in the synthetic data — order
+      // by all keys so ties are between fully identical rows.
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  }
+
+  /** J1 intended semantics: LEFT SEMI cohort restriction (SURVEY.md §2.3). */
+  def semiJoinCustomers(s: SparkSession, dir: String): DataFrame =
+    Joins.semi(
+        table(s, dir, "customer"),
+        table(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** Anti join — customers with no orders. */
+  def antiJoinCustomers(s: SparkSession, dir: String): DataFrame =
+    Joins.anti(
+        table(s, dir, "customer"),
+        table(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** J4: full outer join of a keyed aggregate against a dimension with
+    * null-side coalescing — the reference's profile assembly
+    * (profile_daily.py:58,209-221) without the `option()` dance. */
+  def fullOuterProfile(s: SparkSession, dir: String): DataFrame = {
+    val ordAgg = table(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("total_spend"))
+    val cust = table(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_name"), col("c_acctbal"))
+    Joins.fullOuter(ordAgg, cust, Seq("custkey"))
+      .select(
+        col("custkey"),
+        coalesce(col("c_name"), lit("<none>")).as("name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"))
+      .orderBy("custkey")
+  }
+
+  /** J3+F5: equi join then range predicate — "history within 14 days of
+    * each key's min date" (profile_daily.py:118-139). Stays one shuffled
+    * equi join; the range filter is evaluated inside it. */
+  def recentWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val minTs = ev.groupBy("user_id").agg(min("ts").as("min_ts"))
+    Joins.equiRangeJoin(ev, minTs, Seq("user_id"),
+        col("ts") <= col("min_ts") + expr("INTERVAL 14 DAYS"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** W1: per-key top-k with deterministic tie-break (unique o_orderkey). */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame =
+    Windows.topKPerKey(
+        table(s, dir, "orders"),
+        partitionBy = Seq(col("o_custkey")),
+        orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"),
+              col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+
+  /** A5/A6: deterministic mode — most frequent order priority per customer,
+    * ties to the smallest string (the reference's `most_common()[0][0]` is
+    * tie-unstable; SURVEY.md §3.1). */
+  def modePriority(s: SparkSession, dir: String): DataFrame =
+    Aggs.modePerGroup(table(s, dir, "orders"), Seq("o_custkey"),
+                      "o_orderpriority")
+      .select("o_custkey", "o_orderpriority", "cnt")
+      .orderBy("o_custkey")
+
+  /** A4: conditional-count funnel (`sum(int(event == X))`,
+    * profile_daily.py:176-197). */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    ev.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Aggs.countIf(col("event_type") === "signup").as("signups"),
+        Aggs.countIf(col("event_type") === "click").as("clicks"),
+        Aggs.countIf(col("event_type") === "view").as("views"),
+        Aggs.countIf(col("event_type") === "purchase").as("purchases"),
+        Aggs.countIf(col("event_type") === "error").as("errors"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** A2: distinct over a projection. */
+  def distinctSegments(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .select("c_nationkey", "c_mktsegment")
+      .distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** U1: union / intersect / except in one labeled result. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val a = table(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+    val b = table(s, dir, "customer").where(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k")).distinct()
+    a.intersect(b).withColumn("op", lit("in_both"))
+      .union(a.except(b).withColumn("op", lit("orders_only")))
+      .union(b.except(a).withColumn("op", lit("rich_only")))
+      .orderBy("k", "op")
+  }
+
+  /** §2.7 JSON shredding of the events.props string column. */
+  def jsonShred(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(
+        col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .orderBy("event_id")
+
+  /** C1/C5/C12 string functions (split/substr/concat_ws/regexp/…). */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        split(col("c_name"), "#").getItem(1).as("name_num"),
+        substring(col("c_name"), 1, 8).as("name_head"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+        reverse(col("c_name")).as("name_rev"),
+        regexp_replace(col("c_name"), "[0-9]", "x").as("name_masked"))
+      .orderBy("c_custkey")
+
+  /** C9/C10 date functions (parse/format/diff/trunc/epoch). */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        // o_orderdate reads as TIMESTAMP_NTZ; session tz is UTC, so casting
+        // to LTZ yields the same instant DuckDB's epoch_us reports.
+        unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"))
+      .orderBy("o_orderkey")
+
+  /** P3: null-on-error via try_cast / try_divide — the reference's
+    * `try/except → None` cell contract (testpilot_data.py:57-61). */
+  def tryCastCleaning(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("event_type").try_cast("long").as("bad_long"),
+        regexp_extract(col("props"), "[0-9]+", 0).try_cast("long").as("k"),
+        try_divide(col("value"), lit(0)).as("div0"),
+        col("event_type").try_cast("date").cast("string").as("bad_date"))
+      .orderBy("event_id")
+
+  /** A3 (map-monoid, relational form): per-user event-type counter rendered
+    * as a deterministically sorted "k:v" string — byte-stable across
+    * engines. */
+  def typeCountMap(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(array_join(
+             array_sort(collect_list(concat_ws(":", col("event_type"),
+                                               col("cnt")))), ",")
+           .as("type_counts"))
+      .orderBy("user_id")
+
+  /** Pivot: event_type → one count column per type (reference A4 is a
+    * hand-rolled pivot). */
+  def pivotEventCounts(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Rollup with grouping flag (engine-surface extension; DuckDB ROLLUP
+    * oracle). */
+  def rollupNation(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .rollup(col("c_nationkey"))
+      .agg(grouping(col("c_nationkey")).cast("long").as("is_total"),
+           count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .select(
+        coalesce(col("c_nationkey"), lit(-1)).cast("long").as("nationkey"),
+        col("is_total"), col("n"), col("bal"))
+      .orderBy("nationkey", "is_total")
+
+  /** Cube over two keys with grouping flags. */
+  def cubeReturnStatus(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+           grouping(col("l_linestatus")).cast("long").as("g_ls"),
+           count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_rf"), col("g_ls"), col("n"), col("qty"))
+      .orderBy("returnflag", "linestatus", "g_rf", "g_ls")
+}
