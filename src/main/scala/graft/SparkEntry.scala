@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RelationalQueries
+import graft.queries.{PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,9 +35,14 @@ object SparkEntry {
     "q15_date_funcs" -> RelationalQueries.dateFuncs,
     "q16_try_cast" -> RelationalQueries.tryCastCleaning,
     "q17_type_count_map" -> RelationalQueries.typeCountMap,
+    "q18_map_monoid_udaf" -> PipelineQueries.mapMonoidUdaf,
     "q19_pivot" -> RelationalQueries.pivotEventCounts,
     "q20_rollup" -> RelationalQueries.rollupNation,
     "q21_cube" -> RelationalQueries.cubeReturnStatus,
+    "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
+    "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
+    "q24_aes_roundtrip" -> PipelineQueries.aesRoundtrip,
+    "q25_fingerprints" -> PipelineQueries.fingerprints,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -197,5 +202,82 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus, g_rf, g_ls""".stripMargin,
+    "q18_map_monoid_udaf" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS type_counts
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22_e1_config_extract" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, user_id, event_type,
+        |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k,
+        |  round(value, 2) AS value_r
+        |FROM events
+        |WHERE event_type <> 'error'
+        |  AND CAST(regexp_extract(props, '[0-9]+') AS BIGINT) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q23_e2_profile_daily" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS custkey, o_orderkey,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         o_orderstatus, o_totalprice
+        |  FROM orders),
+        |min_day AS (SELECT custkey, min(day) AS min_day FROM ord GROUP BY 1),
+        |li AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         strftime(l_shipdate, '%Y-%m-%d') AS day,
+        |         l_quantity, l_returnflag
+        |  FROM lineitem),
+        |hist AS (
+        |  SELECT o.custkey, li.day, li.l_quantity, li.l_returnflag
+        |  FROM li
+        |  JOIN (SELECT custkey, o_orderkey FROM ord) o USING (o_orderkey)
+        |  JOIN min_day USING (custkey)
+        |  WHERE date_diff('day', CAST(min_day AS DATE), CAST(li.day AS DATE))
+        |        BETWEEN 0 AND 14),
+        |hist_agg AS (
+        |  SELECT custkey, day, round(sum(l_quantity), 2) AS qty,
+        |         CAST(count(*) AS BIGINT) AS n_lines,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+        |  FROM hist GROUP BY 1, 2),
+        |txp_agg AS (
+        |  SELECT custkey, day,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS done_orders,
+        |         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_orders,
+        |         round(sum(o_totalprice), 2) AS spend
+        |  FROM ord GROUP BY 1, 2),
+        |profile AS (
+        |  SELECT COALESCE(h.custkey, t.custkey) AS custkey,
+        |         COALESCE(h.day, t.day) AS day,
+        |         COALESCE(qty, 0.0) AS qty,
+        |         COALESCE(n_lines, 0) AS n_lines,
+        |         COALESCE(n_returns, 0) AS n_returns,
+        |         COALESCE(open_orders, 0) AS open_orders,
+        |         COALESCE(done_orders, 0) AS done_orders,
+        |         COALESCE(pending_orders, 0) AS pending_orders,
+        |         COALESCE(spend, 0.0) AS spend
+        |  FROM hist_agg h
+        |  FULL OUTER JOIN txp_agg t ON h.custkey = t.custkey AND h.day = t.day)
+        |SELECT p.custkey, p.day, p.qty, p.n_lines, p.n_returns,
+        |       p.open_orders, p.done_orders, p.pending_orders, p.spend,
+        |       c.c_name, CAST(c.c_nationkey AS BIGINT) AS nationkey
+        |FROM profile p JOIN customer c ON p.custkey = c.c_custkey
+        |ORDER BY p.custkey, p.day""".stripMargin,
+    "q24_aes_roundtrip" ->
+      """SELECT c_custkey, c_name AS decrypted FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q25_fingerprints" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+        |  list_reduce(
+        |    list_transform(string_split(text, ''),
+        |                   x -> CAST(unicode(x) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp,
+        |  list_reduce(
+        |    list_transform(string_split(text, ''),
+        |                   x -> CAST(unicode(x) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp_native
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
