@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{PipelineQueries, RelationalQueries}
+import graft.queries.{LlmQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,16 @@ object SparkEntry {
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
     "q24_aes_roundtrip" -> PipelineQueries.aesRoundtrip,
     "q25_fingerprints" -> PipelineQueries.fingerprints,
+    "q30_exact_dedup" -> LlmQueries.exactDedup,
+    "q31_ngram_jaccard" -> LlmQueries.ngramJaccard,
+    "q32_minhash_lsh" -> LlmQueries.minhashLsh,
+    "q33_simhash_pairs" -> LlmQueries.simhashPairs,
+    "q34_cosine_topk" -> LlmQueries.cosineTopK,
+    "q35_ann_lsh" -> LlmQueries.annLsh,
+    "q36_lang_id" -> LlmQueries.langId,
+    "q37_quality_score" -> LlmQueries.qualityScore,
+    "q38_token_count" -> LlmQueries.tokenCount,
+    "q39_multimodal_decode" -> LlmQueries.multimodalDecode,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -268,6 +278,80 @@ object SparkEntry {
     "q24_aes_roundtrip" ->
       """SELECT c_custkey, c_name AS decrypted FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q30_exact_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count, md5(text) AS fp
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q31_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q34_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |        list_cosine_similarity(q_emb, embedding) AS sim
+        |      FROM q, embeddings WHERE vec_id <> query_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+        |SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q36_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled_lang,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','is','in','a'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est','un'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','es','una','que'))) AS BIGINT) AS s_es
+        |FROM documents)
+        |SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS predicted
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q37_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','and','of','is','in','a'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |    / length(text), 4) AS punct_ratio,
+        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (CAST(len(list_filter(string_split(text,' '),
+        |         x -> x IN ('the','and','of','is','in','a'))) AS DOUBLE)
+        |       / len(string_split(text, ' '))) * 0.3
+        |    + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |       / length(text)) * 0.3, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_multimodal_decode" ->
+      """WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  list_aggregate(list_transform(string_split(text, ''),
+        |    x -> unicode(x)), 'sum') % 65536 AS checksum
+        |FROM documents)
+        |SELECT doc_id, n_bytes, n_bytes % 64 + 1 AS width,
+        |  CAST(ceil(CAST(n_bytes AS DOUBLE) / (n_bytes % 64 + 1)) AS BIGINT) AS height,
+        |  CAST(checksum AS BIGINT) AS checksum
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q25_fingerprints" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
         |  list_reduce(

@@ -1,0 +1,134 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication at training-data scale (SURVEY.md §7.3 step 6 /
+  * north star): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is a hash-groupBy — one shuffle of (fingerprint, id);
+  *  - naive pairwise Jaccard is O(n²) and exists as the *oracle-checkable*
+  *    ground truth; the scale paths are MinHash-LSH (band-bucket equi-join,
+  *    near-linear) and SimHash (bit-band equi-join);
+  *  - candidate verification re-joins shingle sets only for candidate
+  *    pairs, never all pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: content fingerprint → keep smallest id, count copies.
+    * One hash-shuffle on md5(text); at 100 TB use the fingerprint (not the
+    * text) as the shuffle key so shuffled rows stay ~48 bytes. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count", "fp")
+
+  /** Exact pairwise n-gram Jaccard above `threshold` — ground truth for
+    * near-dup detection (oracle-checkable). Cost: |shingle postings|²
+    * grouped per pair; use only at verification scale, LSH at corpus
+    * scale. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      TextAnalysis.shingles(col("text"), n).as("sh"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("sz_a") + col("sz_b") - col("inter")).cast("double")
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .where(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** MinHash signature columns: k independent permutations approximated by
+    * seeded xxhash64 over each shingle; signature_i = min hash under seed i.
+    * Computed in ONE aggregation pass over the exploded shingles (k agg
+    * columns, map-side combined). */
+  def minHashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"), n)).as("sg"))
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sg"))).as(s"mh$i"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: k signatures in `bands` bands of k/bands rows;
+    * docs agreeing on ALL rows of any band become candidate pairs; then the
+    * candidate's true Jaccard is estimated by signature agreement. At scale
+    * this is `bands` equi-join-keyed shuffles — no O(n²) anywhere.
+    * Returns (doc_a, doc_b, est_jaccard, n_bands_hit). */
+  def minHashLsh(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                 estThreshold: Double = 0.3): DataFrame = {
+    val sig = minHashSignatures(docs, n, k).cache()
+    val rowsPerBand = k / bands
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i"))
+      sig.select(col("doc_id"),
+        lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ union _)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands_hit"))
+    // estimate jaccard = fraction of agreeing signature rows
+    val sigA = sig.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("est_jaccard", agree.cast("double") / k)
+      .where(col("est_jaccard") >= estThreshold)
+      .select(col("doc_a"), col("doc_b"),
+              round(col("est_jaccard"), 4).as("est_jaccard"),
+              col("n_bands_hit"))
+  }
+
+  /** 64-bit SimHash per document: per token-hash bit j, sum ±1 across
+    * tokens; bit j of the signature is the sign. One aggregation with 64
+    * conditional-sum columns — no row explosion beyond the token explode. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band LSH over the signature, then
+    * exact Hamming distance (bit_count of xor) ≤ maxHamming. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sig = simHash(docs).cache()
+    val banded = (0 until 4).map { b =>
+      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+          .as("bucket"))
+    }.reduce(_ union _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, batch-decoded per partition.
+  *
+  * The Spark-side mechanics are real — schema, partition-wise batch
+  * processing (`mapPartitions` over a typed Dataset, the Scala analog of
+  * `mapInPandas` batch UDFs), deterministic output — while the actual
+  * media codec is STUBBED (this container has no image/audio libraries):
+  * [[FakeCodec.decode]] derives metadata purely from the bytes, so results
+  * are deterministic and oracle-checkable.
+  *
+  * At 100 TB: media bytes dominate row size — keep them in their own
+  * column (parquet stores them contiguously), never shuffle them (derive
+  * metadata first, shuffle the metadata), and size
+  * `spark.sql.files.maxPartitionBytes` so a task's batch of blobs fits in
+  * memory.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class DecodedRow(doc_id: Long, n_bytes: Long, width: Long,
+                        height: Long, checksum: Long)
+
+  /** The stubbed codec — a real implementation would decode image headers;
+    * this derives the same *shape* of metadata deterministically from the
+    * raw bytes. */
+  object FakeCodec {
+    def decode(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+      val n = bytes.length.toLong
+      val width = n % 64 + 1
+      val height = (n + width - 1) / width
+      var checksum = 0L
+      var i = 0
+      while (i < bytes.length) { checksum = (checksum + (bytes(i) & 0xff)) % 65536; i += 1 }
+      (n, width, height, checksum)
+    }
+  }
+
+  /** Attach a synthetic binary media column (UTF-8 bytes of the text —
+    * stand-in for image/audio payloads in this container). */
+  def withFakeMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+
+  /** Partition-wise batch decode: one codec invocation per row, iterator →
+    * iterator, no per-row task overhead, no driver involvement. This is
+    * the seam where a Pandas-UDF / JNI decoder would plug in. */
+  def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { row =>
+        val (n, w, h, c) = FakeCodec.decode(row.media)
+        DecodedRow(row.doc_id, n, w, h, c)
+      }
+    }
+  }
+}

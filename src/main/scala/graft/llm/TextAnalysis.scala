@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline surface:
+  * tokenization, shingling, language-ID heuristic, quality scoring, token
+  * counting. All pure Column expressions (codegen'd, no UDFs) so they fuse
+  * into whole-stage codegen with the surrounding scan/filter — at 100 TB
+  * these run at parquet-scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (1-based element_at), distinct, empty when the
+    * document is shorter than n words. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array()))
+  }
+
+  /** Language-marker score: how many tokens fall in the marker set. */
+  def markerScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
+      .cast("long")
+
+  val EnMarkers = Seq("the", "and", "of", "is", "in", "a")
+  val DeMarkers = Seq("der", "die", "das", "und", "ist", "ein")
+  val FrMarkers = Seq("le", "la", "les", "et", "est", "un")
+  val EsMarkers = Seq("el", "los", "y", "es", "una", "que")
+
+  /** Deterministic n-gram-marker language ID: argmax over marker scores
+    * with a fixed priority order (en > de > fr > es), 'und' (undetermined)
+    * when no marker hits. The heuristic is engine-portable (same CASE
+    * chain in the DuckDB oracle). */
+  def langId(text: Column): (Seq[(String, Column)], Column) = {
+    val scores = Seq(
+      "s_en" -> markerScore(text, EnMarkers),
+      "s_de" -> markerScore(text, DeMarkers),
+      "s_fr" -> markerScore(text, FrMarkers),
+      "s_es" -> markerScore(text, EsMarkers))
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val predicted =
+      when(greatest(en, de, fr, es) === 0, "und")
+        .when(en >= greatest(de, fr, es), "en")
+        .when(de >= greatest(fr, es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    (scores, predicted)
+  }
+
+  /** Quality-score components (length / punctuation / stopword ratios) and
+    * the combined score in [0,1]. All arithmetic in double with explicit
+    * casts so the oracle agrees bit-for-bit after rounding. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nTok = size(tokens(text)).cast("double")
+    val nChars = length(text).cast("double")
+    val punct = regexp_count(text, lit("[.,!?;:]")).cast("double")
+    val stop = markerScore(text, EnMarkers).cast("double")
+    val stopRatio = stop / nTok
+    val punctRatio = punct / nChars
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val score = lenScore * 0.4 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
+    Seq(
+      "n_tokens" -> size(tokens(text)).cast("long"),
+      "stop_ratio" -> round(stopRatio, 4),
+      "punct_ratio" -> round(punctRatio, 4),
+      "quality" -> round(score, 4))
+  }
+
+  /** Token counting three ways: whitespace, BPE-ish regex pieces, and the
+    * chars/4 heuristic. */
+  def tokenCounts(text: Column, nChars: Column): Seq[(String, Column)] = Seq(
+    "ws_tokens" -> size(tokens(text)).cast("long"),
+    "bpe_ish_tokens" ->
+      regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"),
+    "est_tokens" -> ceil(nChars.cast("double") / 4.0).cast("long"))
+}
