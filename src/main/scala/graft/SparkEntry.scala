@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{LlmQueries, PipelineQueries, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,9 @@ object SparkEntry {
     "q37_quality_score" -> LlmQueries.qualityScore,
     "q38_token_count" -> LlmQueries.tokenCount,
     "q39_multimodal_decode" -> LlmQueries.multimodalDecode,
+    "q40_tumbling_window" -> StreamingQueries.tumblingWindow,
+    "q41_sessionize" -> StreamingQueries.sessionize,
+    "q42_session_window" -> StreamingQueries.sessionWindowBatch,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,6 +355,40 @@ object SparkEntry {
         |  CAST(ceil(CAST(n_bytes AS DOUBLE) / (n_bytes % 64 + 1)) AS BIGINT) AS height,
         |  CAST(checksum AS BIGINT) AS checksum
         |FROM b ORDER BY doc_id""".stripMargin,
+    "q40_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q41_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_part('epoch', ts - lag(ts) OVER w) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q42_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_part('epoch', ts - lag(ts) OVER w) >= 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin,
     "q25_fingerprints" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
         |  list_reduce(

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables.table
+import graft.ops.Windows
+import graft.streaming.EventsStream
+
+/** Batch executions of the streaming pipeline (same Column pipeline runs in
+  * both modes — the streaming replay equivalence is asserted in
+  * StreamingSpec; the batch form is oracle-checked here).
+  */
+object StreamingQueries {
+
+  /** Tumbling 1-hour window counts (q40). Epoch-aligned hourly windows ==
+    * date_trunc('hour') in the oracle. */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    EventsStream.tumblingCounts(table(s, dir, "events"))
+      .orderBy("hour_start", "event_type")
+
+  /** Lag-based batch sessionization (q41): session = gap > 30 min. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    Windows.sessionize(ev, col("user_id"), col("ts"), col("event_id"),
+        gapSec = 1800.0)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min("ts")).as("start_us"),
+        unix_micros(max("ts")).as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Native session_window in batch mode (q42): start = first event,
+    * end = last event + gap. Must agree with the lag-based formulation —
+    * the oracle encodes the gap-merge independently. */
+  def sessionWindowBatch(s: SparkSession, dir: String): DataFrame =
+    EventsStream.sessionWindows(table(s, dir, "events"))
+      .orderBy("user_id", "start_us")
+}

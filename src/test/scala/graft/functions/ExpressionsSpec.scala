@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.SparkSpec
+import graft.llm.Similarity
+
+/** Native codegen expressions vs reference implementations. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PolyHash matches a plain Scala fold for arbitrary strings") {
+    def ref(s: String): Long = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) 0L
+      else cps.tail.foldLeft(cps.head.toLong)((a, c) => (a * 31 + c) % 2147483647L)
+    }
+    graft.GraftFunctions.register(spark)
+    val gen = Gen.listOf(Gen.asciiPrintableChar).map(_.mkString)
+    val inputs = Iterator.continually(gen.sample).flatten.take(30).toSeq
+      .map(_.take(200)) :+ "" :+ "a" :+ "héllo ☃ unicode"
+    val got = inputs.toDF("t").select(expr("poly_hash(t)")).as[Long].collect()
+    got.zip(inputs).foreach { case (g, s) =>
+      assert(g == ref(s), s"for input '$s'")
+    }
+  }
+
+  test("poly_hash SQL function registered via extensions config") {
+    // SparkSpec sets spark.sql.extensions=graft.GraftExtensions
+    val got = spark.sql("SELECT poly_hash('abc')").as[Long].head()
+    assert(got == ((97L * 31 + 98) % 2147483647L * 31 + 99) % 2147483647L)
+  }
+
+  test("CosineSim native == higher-order-function formulation") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.5f), Array(0.5f, -0.5f))).toDF("a", "b")
+    val rows = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, h) => assert(math.abs(n - h) < 1e-12) }
+  }
+
+  test("CosineSim nulls: length mismatch and zero norm -> null") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+}

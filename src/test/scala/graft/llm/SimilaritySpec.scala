@@ -1,0 +1,38 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ANN quality: LSH-bucketed search vs the exact brute-force baseline. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+
+  test("brute-force top-k is exact and deterministic") {
+    val q = emb.where(col("vec_id") < 5)
+    val a = Similarity.bruteForceTopK(q, emb, 3)
+      .select("query_id", "rn", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    val b = Similarity.bruteForceTopK(q, emb, 3)
+      .select("query_id", "rn", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    assert(a == b)
+    assert(a.size == 15) // 5 queries x top-3
+  }
+
+  test("LSH candidates score identically to brute force for same pairs") {
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val lsh = Similarity.lshTopK(q, emb, 5)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    // any LSH hit that brute force also ranked must agree on the score
+    lsh.foreach { case (a, b, s) =>
+      brute.get((a, b)).foreach(bs => assert(math.abs(bs - s) < 1e-12))
+    }
+  }
+}

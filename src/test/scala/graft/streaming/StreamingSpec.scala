@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.io.Tables
+
+/** Streaming/batch equivalence: the same Column pipeline replayed through
+  * Structured Streaming (file source, multiple micro-batches) must land on
+  * the batch answer once all input is processed. */
+class StreamingSpec extends SparkSpec {
+
+  /** Events re-written as plain-micros parquet split into several files, so
+    * the file source produces multiple micro-batches. */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    // Replay must be (roughly) in event-time order: the 2h watermark drops
+    // events that arrive after it has passed them, so a random file order
+    // would legitimately lose sessions. Range-partition by ts so file N
+    // holds the N-th time slice (file source reads part files in order).
+    Tables.table(spark, Sf0001, "events")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def runToMemory(df: DataFrame, name: String,
+                          mode: String = "complete"): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window streaming == batch") {
+    val stream = EventsStream.fromDirectory(spark, streamDir)
+    val got = runToMemory(EventsStream.tumblingCounts(stream), "t_tumble")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val want = EventsStream.tumblingCounts(
+        spark.read.parquet(streamDir))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("session_window streaming == batch (unbounded state)") {
+    // The watermark legitimately evicts closed sessions from state (they
+    // are emitted downstream in append mode) — for an exact complete-mode
+    // equivalence check, run without it.
+    val stream = EventsStream.fromDirectory(spark, streamDir)
+    val got = runToMemory(
+        EventsStream.sessionWindows(stream, watermark = None), "t_sess")
+      .orderBy("user_id", "start_us").collect().toSeq
+    val want = EventsStream.sessionWindows(
+        spark.read.parquet(streamDir), watermark = None)
+      .orderBy("user_id", "start_us").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("session_window append mode emits only watermark-closed sessions") {
+    val stream = EventsStream.fromDirectory(spark, streamDir)
+    val got = runToMemory(EventsStream.sessionWindows(stream), "t_sess_app",
+        mode = "append")
+      .orderBy("user_id", "start_us").collect().toSeq
+    val all = EventsStream.sessionWindows(
+        spark.read.parquet(streamDir), watermark = None)
+      .orderBy("user_id", "start_us").collect().toSeq
+    assert(got.nonEmpty && got.size <= all.size)
+    assert(got.toSet.subsetOf(all.toSet))
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event_ids") {
+    // duplicate the input: same events twice -> dedup must halve it
+    val dupDir = Files.createTempDirectory("graft-stream-dup").toString
+    val base = spark.read.parquet(streamDir)
+    base.union(base).repartition(4).write.mode("overwrite").parquet(dupDir)
+    val stream = EventsStream.fromDirectory(spark, dupDir,
+      maxFilesPerTrigger = 8) // one batch: watermark dedup is within-batch+state
+    val got = runToMemory(
+      EventsStream.dedupWithinWatermark(stream)
+        .groupBy().count(), "t_dedup")
+    assert(got.collect().head.getLong(0) == base.count())
+  }
+
+  test("mapGroupsWithState running counters match batch aggregation") {
+    val stream = EventsStream.fromDirectory(spark, streamDir,
+      maxFilesPerTrigger = 8)
+    val got = runToMemory(
+        EventsStream.runningUserCounters(spark, stream).toDF(), "t_state",
+        mode = "update")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+      .orderBy("user_id").collect().toSeq
+    val want = spark.read.parquet(streamDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect().toSeq
+    assert(got == want)
+  }
+}
