@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: dump `.explain("formatted")` for every registered
+  * query so pushdown / broadcast / whole-stage-codegen properties can be
+  * reviewed (and diffed across rounds). Usage:
+  * `runMain graft.Plans <sfDir> <outFile>`.
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "PLANS.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    val sb = new StringBuilder
+    sb.append("# Physical plans (explain formatted)\n\n")
+    sb.append(s"Source: `$sfDir`, AQE on, shuffle.partitions=4.\n")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        sb.append(s"\n## $name\n\n```\n$plan```\n")
+      } catch { case e: Throwable =>
+        sb.append(s"\n## $name\n\nFAILED: ${e.getMessage}\n")
+      }
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

@@ -32,7 +32,13 @@ object Dedup {
     val sh = docs.select(col("doc_id"),
       TextAnalysis.shingles(col("text"), n).as("sh"))
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
+    // Join on the 64-bit hash of the shingle, not the shingle string: the
+    // shuffled rows shrink to (id, 8 bytes) and the join key compare is a
+    // long compare. A 64-bit collision would merge two shingles (~1e-11
+    // for corpus-sized vocabularies) — acceptable for near-dup detection.
+    val ex = sh.select(col("doc_id"),
+      explode(col("sh")).as("sg0"))
+      .select(col("doc_id"), xxhash64(col("sg0")).as("sg"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
