@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmQueries, PipelineQueries, RelationalQueries, StreamingQueries}
+import graft.queries.{IoQueries, LlmQueries, PipelineQueries, RelationalQueries, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,13 @@ object SparkEntry {
     "q40_tumbling_window" -> StreamingQueries.tumblingWindow,
     "q41_sessionize" -> StreamingQueries.sessionize,
     "q42_session_window" -> StreamingQueries.sessionWindowBatch,
+    "q43_csv_roundtrip" -> IoQueries.csvRoundtrip,
+    "q44_partitioned_write" -> IoQueries.partitionedWriteRead,
+    "q45_history_scan" -> IoQueries.historyScan,
+    "q46_approx_distinct" -> IoQueries.approxDistinct,
+    "q47_embedding_neardup" -> LlmQueries.embeddingNearDup,
+    "q48_tfidf_top_terms" -> LlmQueries.tfidfTopTerms,
+    "q49_repetition_ratio" -> LlmQueries.repetitionRatio,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -389,6 +396,65 @@ object SparkEntry {
         |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM y GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin,
+    "q43_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q44_partitioned_write" ->
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_history_scan" ->
+      """SELECT user_id, rn, event_id, epoch_us(ts) AS ts_us FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts DESC, event_id) AS BIGINT) AS rn
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20')
+        |WHERE rn <= 20 ORDER BY user_id, rn""".stripMargin,
+    "q46_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cnt,
+        |  abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+        |    <= count(DISTINCT o_custkey) * 0.15 AS approx_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q47_embedding_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q48_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS BIGINT) AS rk FROM scored)
+        |SELECT doc_id, rk, term, tf, score FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "q49_repetition_ratio" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(string_split(text,' ')) - 1),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2]) AS grams
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS total_3grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_3grams,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |    / len(grams), 4) AS repetition
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q25_fingerprints" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
         |  list_reduce(

@@ -14,15 +14,19 @@ object TextAnalysis {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (1-based element_at), distinct, empty when the
+  /** Word n-gram shingles in document order (with repeats); empty when the
     * document is shorter than n words. */
-  def shingles(text: Column, n: Int): Column = {
+  def shinglesAll(text: Column, n: Int): Column = {
     val w = tokens(text)
     val grams = transform(
       sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
-    array_distinct(when(size(w) >= n, grams).otherwise(array()))
+    when(size(w) >= n, grams).otherwise(array())
   }
+
+  /** Distinct word n-gram shingles (the set used for Jaccard/MinHash). */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(shinglesAll(text, n))
 
   /** Language-marker score: how many tokens fall in the marker set. */
   def markerScore(text: Column, markers: Seq[String]): Column =

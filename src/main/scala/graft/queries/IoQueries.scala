@@ -1,0 +1,76 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{PartitionedWriter, Tables}
+import graft.io.Tables.table
+import graft.ops.Windows
+
+/** Source/sink coverage (SURVEY.md §2.1): CSV with header (S3), partitioned
+  * parquet write with partition-column-as-data read-back (K1 + §3.1 bullet
+  * 4), keyed+bounded history scan (S5), approximate distinct (§2.4 note).
+  * The write queries round-trip through a temp directory — the sink is part
+  * of the measured operator.
+  */
+object IoQueries {
+
+  /** S3 + K-side: write customer as header CSV, read it back with the
+    * original schema (no `.rdd` detour; header on both sides). Oracle is
+    * the identity — proving the CSV codec round-trips values exactly. */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = table(s, dir, "customer")
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    src.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.schema(src.schema).option("header", "true").csv(tmp)
+      .orderBy("c_custkey")
+  }
+
+  /** K1/K2 + §3.1(4): date-partitioned parquet write via partitionBy, then
+    * read back and aggregate ON the partition column — the partition value
+    * must surface as a readable column exactly like the reference's
+    * `submission=<day>` path partitioning did (testpilot_data.py:72-82,
+    * profile_daily.py:28,38). */
+  def partitionedWriteRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-part").toString
+    val withDay = table(s, dir, "orders")
+      .withColumn("day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    PartitionedWriter.write(withDay, tmp, partitionCols = Seq("day"))
+    s.read.parquet(tmp)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("spend"))
+      .orderBy("day")
+  }
+
+  /** S5: the HBase-range-scan semantics modeled relationally — per-key
+    * history bounded by a date range AND a per-key row limit (reference:
+    * get_range(ids, start, end, limit=1000), profile_daily.py:107-113).
+    * Limit = most recent 20 events per user via a ranking window. */
+  def historyScan(s: SparkSession, dir: String): DataFrame =
+    Windows.topKPerKey(
+        table(s, dir, "events")
+          .where(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+                 col("ts") < lit("2024-01-20").cast("timestamp")),
+        partitionBy = Seq(col("user_id")),
+        orderBy = Seq(col("ts").desc, col("event_id")),
+        k = 20)
+      .select(col("user_id"), col("rn").cast("long").as("rn"),
+        col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id", "rn")
+
+  /** approx_count_distinct (HLL++) sanity-checked against the exact count:
+    * the estimate must land within 15% (both engines' sketches differ in
+    * implementation, so the oracle checks its own estimate the same way —
+    * the *flag* is the comparable output). */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_cnt"),
+        approx_count_distinct(col("o_custkey")).as("approx"))
+      .select(col("o_orderpriority"), col("exact_cnt"),
+        (abs(col("approx") - col("exact_cnt")) <=
+          col("exact_cnt") * 0.15).as("approx_ok"))
+      .orderBy("o_orderpriority")
+}

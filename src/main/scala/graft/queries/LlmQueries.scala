@@ -79,6 +79,58 @@ object LlmQueries {
           .map { case (n, c) => c.as(n) }: _*)
       .orderBy("doc_id")
 
+  /** Embedding-cosine near-dup pairs: exact all-pairs ground truth at
+    * threshold 0.4 (oracle via list_cosine_similarity); the scale path is
+    * the LSH-bucketed variant (q35) whose candidates are verified the same
+    * way. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val sim = Similarity.cosine(col("emb_a"), col("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .where(sim >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(sim, 4).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** TF-IDF top-3 terms per document. Scores are rounded to 6 decimals
+    * BEFORE ranking so the ordering is identical across engines despite
+    * last-ulp log() differences; ties break on the term. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Repetition ratio — a standard training-data quality signal:
+    * 1 - distinct_ngrams/total_ngrams. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.shinglesAll(col("text"), 3)).cast("long")
+          .as("total_3grams"),
+        size(TextAnalysis.shingles(col("text"), 3)).cast("long")
+          .as("distinct_3grams"))
+      .withColumn("repetition",
+        round(lit(1.0) - col("distinct_3grams").cast("double") /
+          col("total_3grams").cast("double"), 4))
+      .orderBy("doc_id")
+
   /** Multimodal plumbing: synth binary column → partition-wise batch
     * "decode" (stub codec, deterministic — oracle re-derives the metadata
     * arithmetically from the text). */
