@@ -25,6 +25,10 @@ object Bench {
     GraftFunctions.register(spark)
 
     def runOne(name: String): Double = {
+      // drop any cached blocks a previous query left behind — caches are
+      // per-query working state, not cross-query amortization, and letting
+      // them linger perturbs later measurements (GC/storage pressure)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -400,7 +400,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q44_partitioned_write" ->
-      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  round(sum(o_totalprice), 2) AS spend
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

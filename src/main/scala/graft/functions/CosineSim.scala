@@ -44,15 +44,16 @@ object CosineSim {
   def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
-    val af = a.toFloatArray()
-    val bf = b.toFloatArray()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = af(i).toDouble
-      val y = bf(i).toDouble
+      // element access without materializing float arrays: this runs once
+      // per candidate PAIR (O(n^2) call sites), so per-call allocation
+      // would dominate the runtime
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
       dot += x * y
       na += x * x
       nb += y * y

@@ -19,8 +19,17 @@ object PartitionedWriter {
       partitionCols: Seq[String] = Nil,
       numFiles: Option[Int] = None): Unit = {
     // Control output file count like the reference's repartition(1|80)
-    // (testpilot_data.py:82,198-200); when unset, let AQE coalesce.
-    val sized = numFiles.fold(df)(n => df.repartition(n))
+    // (testpilot_data.py:82,198-200). With partition columns and no
+    // explicit file count, shuffle BY the partition columns first:
+    // otherwise every input task writes a file into every partition
+    // directory (tasks x partitions small files — at 100 TB that is
+    // millions of tiny objects and a crushed namenode/object store).
+    val sized = numFiles match {
+      case Some(n) => df.repartition(n)
+      case None if partitionCols.nonEmpty =>
+        df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      case None => df
+    }
     val writer = sized.write.mode("overwrite")
     val parted =
       if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)

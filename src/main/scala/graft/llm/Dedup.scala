@@ -25,31 +25,50 @@ object Dedup {
       .select("keep_id", "dup_count", "fp")
 
   /** Exact pairwise n-gram Jaccard above `threshold` — ground truth for
-    * near-dup detection (oracle-checkable). Cost: |shingle postings|²
-    * grouped per pair; use only at verification scale, LSH at corpus
-    * scale. */
+    * near-dup detection (oracle-checkable, results identical to the naive
+    * all-pairs formulation).
+    *
+    * Scaled with PPJoin-style prefix filtering: order each document's
+    * shingles by ascending global document-frequency (rare first); any
+    * pair with Jaccard ≥ J must share a shingle inside both docs'
+    * prefixes of length |d| - floor(J·|d|) + 1 (prefix-filter theorem,
+    * floor kept conservative against fp error). Because the canonical
+    * order is rare-first, the pair-explosive frequent shingles live in the
+    * suffixes and never generate candidates; candidates are then verified
+    * exactly on the full (hashed) shingle sets via array_intersect.
+    *
+    * Shingles are compared by xxhash64 — a 64-bit collision (~1e-11 at
+    * corpus vocabulary sizes) could merge two shingles; acceptable for
+    * near-dup detection. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      TextAnalysis.shingles(col("text"), n).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
-    // Join on the 64-bit hash of the shingle, not the shingle string: the
-    // shuffled rows shrink to (id, 8 bytes) and the join key compare is a
-    // long compare. A 64-bit collision would merge two shingles (~1e-11
-    // for corpus-sized vocabularies) — acceptable for near-dup detection.
-    val ex = sh.select(col("doc_id"),
-      explode(col("sh")).as("sg0"))
-      .select(col("doc_id"), xxhash64(col("sg0")).as("sg"))
-    val pairs = ex.as("a").join(ex.as("b"),
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(TextAnalysis.distinctShinglesFromTokens(col("toks"), n),
+          s => xxhash64(s)).as("sh"))
+      .cache() // consumed by candidate generation AND both verify joins
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+    val ranked = ex.join(freq, "sg")
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sg"))))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+    val prefix = ranked.where(
+      col("rn") <= col("sz") - floor(col("sz") * threshold).cast("long") + 1)
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val jac = col("inter").cast("double") /
-      (col("sz_a") + col("sz_b") - col("inter")).cast("double")
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .where(jac >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+    verified.where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
   /** MinHash signature columns: k independent permutations approximated by
@@ -57,8 +76,10 @@ object Dedup {
     * Computed in ONE aggregation pass over the exploded shingles (k agg
     * columns, map-side combined). */
   def minHashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val ex = docs.select(col("doc_id"),
-        explode(TextAnalysis.shingles(col("text"), n)).as("sg"))
+    val ex = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.distinctShinglesFromTokens(col("toks"), n)).as("sg"))
     val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sg"))).as(s"mh$i"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -134,7 +155,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: the dedup shuffle then carries only
+      // pairs that already pass the Hamming bound
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -66,7 +66,10 @@ object Similarity {
     * vs brute force is asserted in tests. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 12): DataFrame = {
+    // cache: the signed corpus is consumed twice (query lookup + candidate
+    // scan) — without this the 12-plane projection is computed twice
     val sigd = corpus.withColumn("sig", lshSignature(col("embedding"), planes))
+      .cache()
     val q = sigd.join(
         broadcast(queries.select(col("vec_id").as("query_id"))),
         col("vec_id") === col("query_id"))

@@ -14,17 +14,30 @@ object TextAnalysis {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles in document order (with repeats); empty when the
-    * document is shorter than n words. */
-  def shinglesAll(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  /** Word n-gram shingles from an ALREADY-PROJECTED token-array column, in
+    * document order (with repeats); empty when shorter than n words.
+    *
+    * Callers must bind the token array to its own column first
+    * (`withColumn("toks", tokens(text))`): inlining `split()` here would
+    * embed the whole split subtree into every `element_at` inside the
+    * lambda, and common-subexpression elimination does not reach inside
+    * higher-order-function lambdas — the shingle build would degrade to
+    * O(words²) per document. */
+  def shinglesFromTokens(w: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
     when(size(w) >= n, grams).otherwise(array())
   }
 
-  /** Distinct word n-gram shingles (the set used for Jaccard/MinHash). */
+  /** Distinct shingles from a projected token-array column. */
+  def distinctShinglesFromTokens(w: Column, n: Int): Column =
+    array_distinct(shinglesFromTokens(w, n))
+
+  /** Convenience one-shot forms — only for small inputs / tests; hot paths
+    * must use the FromTokens variants on a projected column (see above). */
+  def shinglesAll(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
   def shingles(text: Column, n: Int): Column =
     array_distinct(shinglesAll(text, n))
 

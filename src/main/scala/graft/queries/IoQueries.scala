@@ -33,14 +33,18 @@ object IoQueries {
     * profile_daily.py:28,38). */
   def partitionedWriteRead(s: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-part").toString
-    val withDay = table(s, dir, "orders")
-      .withColumn("day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
-    PartitionedWriter.write(withDay, tmp, partitionCols = Seq("day"))
+    // Partition granularity is a sizing decision: month here — daily
+    // partitions of this table would be ~60 rows each (thousands of tiny
+    // files); at 100 TB the same judgment applies in reverse (day beats
+    // month once a day is tens of GB).
+    val withMonth = table(s, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    PartitionedWriter.write(withMonth, tmp, partitionCols = Seq("month"))
     s.read.parquet(tmp)
-      .groupBy(col("day").cast("string").as("day"))
+      .groupBy(col("month").cast("string").as("month"))
       .agg(count(lit(1)).as("n_orders"),
            round(sum("o_totalprice"), 2).as("spend"))
-      .orderBy("day")
+      .orderBy("month")
   }
 
   /** S5: the HBase-range-scan semantics modeled relationally — per-key

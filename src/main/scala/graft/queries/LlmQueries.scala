@@ -87,10 +87,14 @@ object LlmQueries {
     val e = table(s, dir, "embeddings")
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    val sim = Similarity.cosine(col("emb_a"), col("emb_b"))
+    // bind sim to a column before filtering so the O(n²) cosine is
+    // evaluated once per pair, not once in the filter and again in the
+    // projection
     a.join(b, col("vec_a") < col("vec_b"))
-      .where(sim >= 0.4)
-      .select(col("vec_a"), col("vec_b"), round(sim, 4).as("sim"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosine(col("emb_a"), col("emb_b")).as("sim_raw"))
+      .where(col("sim_raw") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 4).as("sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -121,11 +125,12 @@ object LlmQueries {
     * 1 - distinct_ngrams/total_ngrams. */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        size(TextAnalysis.shinglesAll(col("text"), 3)).cast("long")
-          .as("total_3grams"),
-        size(TextAnalysis.shingles(col("text"), 3)).cast("long")
-          .as("distinct_3grams"))
+        TextAnalysis.shinglesFromTokens(col("toks"), 3).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("total_3grams"),
+        size(array_distinct(col("grams"))).cast("long").as("distinct_3grams"))
       .withColumn("repetition",
         round(lit(1.0) - col("distinct_3grams").cast("double") /
           col("total_3grams").cast("double"), 4))

@@ -220,7 +220,11 @@ object RelationalQueries {
         col("event_type").try_cast("long").as("bad_long"),
         regexp_extract(col("props"), "[0-9]+", 0).try_cast("long").as("k"),
         try_divide(col("value"), lit(0)).as("div0"),
-        col("event_type").try_cast("date").cast("string").as("bad_date"))
+        // regex gate before the date parse: try_cast's failure path is
+        // exception-based (~50x slower per cell than the gate), so garbage
+        // short-circuits to null without entering the parser
+        when(col("event_type").rlike("^[0-9]{4}"),
+          col("event_type").try_cast("date")).cast("string").as("bad_date"))
       .orderBy("event_id")
 
   /** A3 (map-monoid, relational form): per-user event-type counter rendered
