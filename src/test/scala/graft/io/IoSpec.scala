@@ -1,0 +1,60 @@
+package graft.io
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The small source/sink operators (SURVEY.md §2.1 S4/S6/K3, §2.5 L1/L2)
+  * that don't warrant driver-gate queries. */
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S4/L1: single-value config load via textFile head") {
+    val f = Files.createTempFile("graft-key", ".txt")
+    Files.writeString(f, "secret-key-line\nrest\n")
+    val key = spark.read.textFile(f.toString).head()
+    assert(key == "secret-key-line")
+  }
+
+  test("S6: parallelize driver collection as Dataset") {
+    val ds = spark.createDataset(Seq((1L, "a"), (2L, "b")))
+    assert(ds.toDF("k", "v").orderBy("k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("K3: registerAll exposes every table to SQL") {
+    Tables.registerAll(spark, Sf0001)
+    val n = spark.sql("SELECT count(*) FROM lineitem").as[Long].head()
+    assert(n == 6000L)
+    val joined = spark.sql(
+      """SELECT count(*) FROM orders o JOIN customer c
+        |ON o.o_custkey = c.c_custkey""".stripMargin).as[Long].head()
+    assert(joined == 1500L)
+  }
+
+  test("L2: limit + collect") {
+    val rows = Tables.table(spark, Sf0001, "customer")
+      .orderBy("c_custkey").limit(10).collect()
+    assert(rows.length == 10)
+  }
+
+  test("K1/K2: numFiles controls output file count") {
+    val dir = Files.createTempDirectory("graft-k2").toString
+    PartitionedWriter.write(
+      Tables.table(spark, Sf0001, "nation"), dir, numFiles = Some(1))
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+  }
+
+  test("K1: partition column surfaces as readable column after write") {
+    val dir = Files.createTempDirectory("graft-k1").toString
+    val df = Seq((1L, "2024-01", "x"), (2L, "2024-02", "y"))
+      .toDF("id", "month", "v")
+    PartitionedWriter.write(df, dir, partitionCols = Seq("month"))
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet == Set("id", "month", "v"))
+    assert(back.select(col("month").cast("string")).distinct()
+      .as[String].collect().toSet == Set("2024-01", "2024-02"))
+  }
+}
