@@ -26,6 +26,7 @@ object SparkEntry {
     "q06_full_outer_profile" -> RelationalQueries.fullOuterProfile,
     "q07_recent_window_agg" -> RelationalQueries.recentWindowAgg,
     "q08_topk_per_key" -> RelationalQueries.topOrdersPerCustomer,
+    "q08b_topk_native" -> RelationalQueries.topOrdersNative,
     "q09_mode_priority" -> RelationalQueries.modePriority,
     "q10_event_funnel" -> RelationalQueries.eventFunnel,
     "q11_distinct" -> RelationalQueries.distinctSegments,
@@ -122,6 +123,14 @@ object SparkEntry {
         |GROUP BY e.user_id
         |ORDER BY e.user_id""".stripMargin,
     "q08_topk_per_key" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q08b_topk_native" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         CAST(row_number() OVER (PARTITION BY o_custkey

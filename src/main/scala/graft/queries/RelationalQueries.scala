@@ -126,6 +126,21 @@ object RelationalQueries {
               col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_custkey", "rn")
 
+  /** W1 via the engine's native bounded-heap top-k operator
+    * ([[graft.plans.TopKPerKey]]): same semantics and oracle as
+    * [[topOrdersPerCustomer]], but k rows per key cross the shuffle
+    * instead of the whole table being sorted. */
+  def topOrdersNative(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey(
+        table(s, dir, "orders"),
+        keyNames = Seq("o_custkey"),
+        orderBy = Seq(graft.plans.TopKPerKey.SortKey("o_totalprice", asc = false),
+                      graft.plans.TopKPerKey.SortKey("o_orderkey")),
+        k = 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+              col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+
   /** A5/A6: deterministic mode — most frequent order priority per customer,
     * ties to the smallest string (the reference's `most_common()[0][0]` is
     * tie-unstable; SURVEY.md §3.1). */
