@@ -23,6 +23,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
+    graft.plans.GraftRules.register(spark)
 
     def runOne(name: String): Double = {
       // drop any cached blocks a previous query left behind — caches are

@@ -21,6 +21,7 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
+    graft.plans.GraftRules.register(spark)
     val sb = new StringBuilder
     sb.append("# Physical plans (explain formatted)\n\n")
     sb.append(s"Source: `$sfDir`, AQE on, shuffle.partitions=4.\n")

@@ -109,13 +109,18 @@ case class TopKPerKeyExec(
       if (!emitRank) heaps.valuesIterator.flatMap(_.iterator)
       else {
         // downstream operators (exchanges, sorts) require UnsafeRow —
-        // flatten the (row, rank) JoinedRow through an unsafe projection
+        // flatten the (row, rank) JoinedRow through an unsafe projection.
+        // Rank type follows the rn attribute: IntegerType when the node
+        // came from a row_number() rewrite, LongType from the direct API.
         val outAttrs = childOutput ++ rnOut
         val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val rankIsLong = rnOut.head.dataType == LongType
         heaps.valuesIterator.flatMap { heap =>
           val sorted = heap.dequeueAll.reverse // ascending under `order`
           sorted.iterator.zipWithIndex.map { case (row, i) =>
-            outProj(new JoinedRow(row, InternalRow(i + 1L))): InternalRow
+            val rank = if (rankIsLong) InternalRow((i + 1).toLong)
+                       else InternalRow(i + 1)
+            outProj(new JoinedRow(row, rank)): InternalRow
           }
         }
       }
