@@ -58,6 +58,26 @@ object EventsStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream self-join: pair each purchase with the same user's
+    * signups within the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event time on both ends, so state is
+    * evictable — the canonical interval-join shape. */
+  def purchaseAfterSignup(events: DataFrame): DataFrame = {
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.as("p").join(signups.as("s"),
+      expr("""p.user_id = s.user_id AND
+              purchase_ts >= signup_ts AND
+              purchase_ts <= signup_ts + INTERVAL 1 HOUR"""))
+      .select(col("p.user_id").as("user_id"), col("signup_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   // ---- custom state: running per-user counters via mapGroupsWithState ----
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)

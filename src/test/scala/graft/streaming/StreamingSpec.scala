@@ -86,6 +86,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().head.getLong(0) == base.count())
   }
 
+  test("stream-stream interval join == batch join") {
+    val stream = EventsStream.fromDirectory(spark, streamDir,
+      maxFilesPerTrigger = 2)
+    val got = runToMemory(
+        EventsStream.purchaseAfterSignup(stream), "t_ssjoin",
+        mode = "append")
+      .orderBy("user_id", "purchase_ts", "signup_ts").collect().toSeq
+    val want = EventsStream.purchaseAfterSignup(spark.read.parquet(streamDir))
+      .orderBy("user_id", "purchase_ts", "signup_ts").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("foreachBatch sink lands every micro-batch exactly once") {
+    val outDir = Files.createTempDirectory("graft-feb").toString
+    val stream = EventsStream.fromDirectory(spark, streamDir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       id: Long) =>
+        batch.groupBy("event_type").count()
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(outDir)
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    val total = spark.read.parquet(outDir)
+      .agg(org.apache.spark.sql.functions.sum("count")).collect()(0).getLong(0)
+    assert(total == spark.read.parquet(streamDir).count())
+  }
+
   test("mapGroupsWithState running counters match batch aggregation") {
     val stream = EventsStream.fromDirectory(spark, streamDir,
       maxFilesPerTrigger = 8)
