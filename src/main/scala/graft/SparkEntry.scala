@@ -62,6 +62,11 @@ object SparkEntry {
     "q45_history_scan" -> IoQueries.historyScan,
     "q46_approx_distinct" -> IoQueries.approxDistinct,
     "q47_embedding_neardup" -> LlmQueries.embeddingNearDup,
+    "q50_from_json" -> RelationalQueries.fromJsonShred,
+    "q54_dsv2_range_scan" -> IoQueries.dsv2RangeScan,
+    "q51_percentiles" -> RelationalQueries.percentiles,
+    "q52_stats_agg" -> RelationalQueries.statsAgg,
+    "q53_array_funcs" -> RelationalQueries.arrayFuncs,
     "q48_tfidf_top_terms" -> LlmQueries.tfidfTopTerms,
     "q49_repetition_ratio" -> LlmQueries.repetitionRatio,
   )
@@ -434,6 +439,42 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q50_from_json" ->
+      """SELECT event_id, event_type,
+        |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q51_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q54_dsv2_range_scan" ->
+      """SELECT CAST(range % 10 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(range) AS BIGINT) AS id_sum
+        |FROM range(25000, 75000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q53_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)), 'sum'), 4) AS sum_all,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v,
+        |  round(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sum_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q48_tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -63,6 +63,19 @@ object IoQueries {
         col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .orderBy("user_id", "rn")
 
+  /** S5 as a true DataSourceV2: keyed range scan with pushed-down id
+    * bounds ([[graft.sources.RangeSource]]) — the filter narrows the scan
+    * itself (HBase start/stop-key semantics), then a normal aggregation
+    * runs on top. Oracle re-derives the same rows from DuckDB's range(). */
+  def dsv2RangeScan(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.RangeSource")
+      .option("start", "0").option("end", "100000").option("slices", "8")
+      .load()
+      .where(col("id") >= 25000L && col("id") < 75000L)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
+      .orderBy("bucket")
+
   /** approx_count_distinct (HLL++) sanity-checked against the exact count:
     * the estimate must land within 15% (both engines' sketches differ in
     * implementation, so the oracle checks its own estimate the same way —

@@ -256,6 +256,63 @@ object RelationalQueries {
            .as("type_counts"))
       .orderBy("user_id")
 
+  /** §2.7 JSON shredding via from_json with an explicit schema (the
+    * schema-declared variant of q13's get_json_object path extraction —
+    * at scale, one parse per row instead of one per path). */
+  def fromJsonShred(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    table(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"), schema).as("p"))
+      .select(col("event_id"), col("event_type"),
+        col("p").getField("k").as("prop_k"))
+      .orderBy("event_id")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy("o_orderpriority")
+
+  /** Statistical aggregates: correlation, sample stddev/variance,
+    * covariance. */
+  def statsAgg(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+          .as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
+  /** Higher-order array functions over the embedding column: aggregate
+    * (fold), filter, transform, array_max/min — the composable surface the
+    * custom expressions specialize. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("sum_all"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_v"),
+        round(array_min(col("embedding")).cast("double"), 6).as("min_v"),
+        round(aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("sum_sq"))
+      .orderBy("vec_id")
+
   /** Pivot: event_type → one count column per type (reference A4 is a
     * hand-rolled pivot). */
   def pivotEventCounts(s: SparkSession, dir: String): DataFrame =
