@@ -47,6 +47,31 @@ class IoSpec extends SparkSpec {
     assert(files == 1)
   }
 
+  test("K1: dynamic partition overwrite rewrites only the touched day") {
+    // the reference's daily cadence: each run overwrites ONLY its
+    // submission=<day> partition (testpilot_data.py:72-82); with static
+    // overwrite the whole table would vanish on every daily run
+    val dir = Files.createTempDirectory("graft-dyn").toString
+    val day1 = Seq((1L, "2024-01-01"), (2L, "2024-01-01")).toDF("id", "day")
+    val day2 = Seq((3L, "2024-01-02")).toDF("id", "day")
+    day1.union(day2).write.partitionBy("day").mode("overwrite").parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // re-run "day 2" with corrected data
+      Seq((30L, "2024-01-02"), (31L, "2024-01-02")).toDF("id", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val back = spark.read.parquet(dir)
+      .select(col("id"), col("day").cast("string"))
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "2024-01-01"), (2L, "2024-01-01"),
+      (30L, "2024-01-02"), (31L, "2024-01-02")))
+  }
+
   test("K1: partition column surfaces as readable column after write") {
     val dir = Files.createTempDirectory("graft-k1").toString
     val df = Seq((1L, "2024-01", "x"), (2L, "2024-02", "y"))
