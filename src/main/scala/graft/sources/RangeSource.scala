@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,15 +47,17 @@ class RangeTable(props: Map[String, String]) extends Table with SupportsRead {
   private val start = props.getOrElse("start", "0").toLong
   private val end = props.getOrElse("end", "1000").toLong
   private val slices = props.getOrElse("slices", "4").toInt
+  private val rowsPerBatch = props.getOrElse("rowsPerBatch", "0").toLong
   override def name(): String = s"graft_range($start,$end)"
   override def schema(): StructType = RangeSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(start, end, slices)
+    new RangeScanBuilder(start, end, slices, rowsPerBatch)
 }
 
-class RangeScanBuilder(start: Long, end: Long, slices: Int)
+class RangeScanBuilder(start: Long, end: Long, slices: Int,
+                       rowsPerBatch: Long = 0)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -90,13 +93,17 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = RangeScan(lo, hi, slices, required)
+  override def build(): Scan = RangeScan(lo, hi, slices, required, rowsPerBatch)
 }
 
-case class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType)
+case class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
+                     rowsPerBatch: Long = 0)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi,
+      if (rowsPerBatch > 0) rowsPerBatch else hi - lo, slices, required)
   override def description(): String =
     s"graft_range lo=$lo hi=$hi cols=${required.fieldNames.mkString(",")}"
 
@@ -114,6 +121,44 @@ case class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType)
 }
 
 case class RangePartition(from: Long, until: Long) extends InputPartition
+
+case class RangeOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** Streaming face of the range source: the offset is simply the next
+  * unread id; each trigger admits `rowsPerBatch` more rows until the end
+  * of the (possibly filter-narrowed) range — a deterministic replay
+  * source, the DSv2-streaming analog of the file-source replay used in
+  * StreamingSpec. Predicate pushdown applies to the stream exactly as to
+  * the batch (lo/hi arrive already narrowed). */
+class RangeMicroBatchStream(lo: Long, hi: Long, rowsPerBatch: Long,
+                            slices: Int, required: StructType)
+    extends MicroBatchStream {
+  private var available = lo
+
+  override def initialOffset(): Offset = RangeOffset(lo)
+
+  override def latestOffset(): Offset = {
+    available = math.min(hi, available + rowsPerBatch)
+    RangeOffset(available)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    RangeOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[RangeOffset].v
+    val until = end.asInstanceOf[RangeOffset].v
+    RangeScan(from, until, slices, required).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class RangeReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

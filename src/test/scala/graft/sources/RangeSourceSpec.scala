@@ -35,6 +35,21 @@ class RangeSourceSpec extends SparkSpec {
     assert(df.select("id").as[Long].collect().toSeq == Seq(95L))
   }
 
+  test("micro-batch streaming read delivers the full range across batches") {
+    val stream = spark.readStream.format("graft.sources.RangeSource")
+      .option("start", "0").option("end", "1000")
+      .option("rowsPerBatch", "100").option("slices", "2")
+      .load()
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("t_rangestream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val batches = q.lastProgress.batchId
+    q.stop()
+    assert(spark.table("t_rangestream").collect().head.getLong(0) == 1000L)
+    assert(batches >= 9, s"expected ~10 micro-batches, got $batches")
+  }
+
   test("column pruning reaches the reader") {
     val df = range("end" -> "50").select("bucket")
     assert(df.distinct().as[Int].collect().toSet == (0 to 9).toSet)
