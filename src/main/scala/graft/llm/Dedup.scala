@@ -45,8 +45,7 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        transform(TextAnalysis.distinctShinglesFromTokens(col("toks"), n),
-          s => xxhash64(s)).as("sh"))
+        TextAnalysis.hashedShinglesFromTokens(col("toks"), n).as("sh"))
       .cache() // consumed by candidate generation AND both verify joins
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
@@ -63,8 +62,11 @@ object Dedup {
     val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b")))
-        .cast("long"))
+      // arrays are sorted+distinct → linear merge, no per-pair allocation
+      .withColumn("inter", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.SortedIntersectCount(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_a")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_b")))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
     verified.where(col("jac") >= threshold)
@@ -79,7 +81,7 @@ object Dedup {
     val ex = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextAnalysis.distinctShinglesFromTokens(col("toks"), n)).as("sg"))
+        explode(TextAnalysis.hashedShinglesFromTokens(col("toks"), n)).as("sg"))
     val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sg"))).as(s"mh$i"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }

@@ -34,6 +34,21 @@ object TextAnalysis {
   def distinctShinglesFromTokens(w: Column, n: Int): Column =
     array_distinct(shinglesFromTokens(w, n))
 
+  /** 64-bit n-gram hashes computed from per-token xxhash64 values — the
+    * n-gram STRING is never materialized (no concat/allocation in the
+    * O(words) lambda); the n token hashes feed xxhash64 again for mixing.
+    * Sorted ascending so set operations can run as linear merges.
+    * Hash-space collisions (~2^-64 per pair) are the standard near-dup
+    * trade-off. */
+  def hashedShinglesFromTokens(w: Column, n: Int): Column = {
+    val hs = transform(w, t => xxhash64(t))
+    val grams = transform(
+      sequence(lit(1), size(hs) - (n - 1)),
+      i => xxhash64((0 until n).map(j => element_at(hs, i + j)): _*))
+    sort_array(array_distinct(
+      when(size(hs) >= n, grams).otherwise(array())))
+  }
+
   /** Convenience one-shot forms — only for small inputs / tests; hot paths
     * must use the FromTokens variants on a projected column (see above). */
   def shinglesAll(text: Column, n: Int): Column =
