@@ -64,6 +64,10 @@ object SparkEntry {
     "q47_embedding_neardup" -> LlmQueries.embeddingNearDup,
     "q50_from_json" -> RelationalQueries.fromJsonShred,
     "q54_dsv2_range_scan" -> IoQueries.dsv2RangeScan,
+    "q57_sql_surface" -> RelationalQueries.sqlSurface,
+    "q58_null_semantics" -> RelationalQueries.nullSemantics,
+    "q59_multimodal_resize" -> LlmQueries.multimodalResizeFrames,
+    "q60_multimodal_features" -> LlmQueries.multimodalFeatures,
     "q51_percentiles" -> RelationalQueries.percentiles,
     "q52_stats_agg" -> RelationalQueries.statsAgg,
     "q53_array_funcs" -> RelationalQueries.arrayFuncs,
@@ -456,6 +460,43 @@ object SparkEntry {
         |  CAST(sum(range) AS BIGINT) AS id_sum
         |FROM range(25000, 75000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_sql_surface" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q58_null_semantics" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v,
+        |  (CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END)
+        |    IS NULL AS is_null,
+        |  (CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END)
+        |    IS NOT DISTINCT FROM NULL AS eq_null,
+        |  COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |                ELSE o_totalprice END, -1.0) AS v_or_default
+        |FROM orders
+        |ORDER BY v NULLS FIRST, o_orderkey""".stripMargin,
+    "q59_multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST((length(text) + 2) // 3 AS BIGINT) AS resized_bytes,
+        |  CAST(list_aggregate(list_transform(range(1, length(text) + 1, 3),
+        |    i -> unicode(text[i])), 'sum') % 65536 AS BIGINT) AS resized_checksum,
+        |  CAST((length(text) + 63) // 64 AS BIGINT) AS n_frames,
+        |  CAST(((length(text) + 63) // 64 + 1) // 2 AS BIGINT) AS sampled_frames,
+        |  CAST(64 * (((length(text) + 63) // 64 + 1) // 2)
+        |    - CASE WHEN ((length(text) + 63) // 64 - 1) % 2 = 0
+        |           THEN 64 - (length(text) - ((length(text) + 63) // 64 - 1) * 64)
+        |           ELSE 0 END AS BIGINT) AS sampled_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q60_multimodal_features" ->
+      """SELECT doc_id, CAST(b AS BIGINT) AS bucket,
+        |  CAST(len(list_filter(string_split(text, ''),
+        |    c -> unicode(c) // 16 = b)) AS BIGINT) AS cnt
+        |FROM documents, range(0, 16) t(b)
+        |ORDER BY doc_id, bucket""".stripMargin,
     "q52_stats_agg" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

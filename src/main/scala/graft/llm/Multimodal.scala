@@ -57,4 +57,60 @@ object Multimodal {
       }
     }
   }
+
+  case class ResizedRow(doc_id: Long, n_bytes: Long, resized_bytes: Long,
+                        resized_checksum: Long)
+  case class FrameStats(doc_id: Long, n_frames: Long, sampled_frames: Long,
+                        sampled_bytes: Long)
+  case class Features(doc_id: Long, histogram: Array[Long])
+
+  /** "Resize": keep every `stride`-th byte — the stub stand-in for image
+    * downscaling; output metadata is deterministic from the input bytes. */
+  def resizeMedia(spark: SparkSession, media: DataFrame,
+                  stride: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { row =>
+        val resized = row.media.indices.collect {
+          case i if i % stride == 0 => row.media(i)
+        }
+        var checksum = 0L
+        resized.foreach(b => checksum = (checksum + (b & 0xff)) % 65536)
+        ResizedRow(row.doc_id, row.media.length.toLong,
+          resized.length.toLong, checksum)
+      }
+    }
+  }
+
+  /** "Frame sampling": treat the payload as fixed-size frames (video
+    * stand-in), keep every `every`-th frame. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, frameSize: Int,
+                   every: Int): Dataset[FrameStats] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { row =>
+        val nFrames = (row.media.length + frameSize - 1) / frameSize
+        val sampled = (0 until nFrames).count(_ % every == 0)
+        val sampledBytes = (0 until nFrames).collect {
+          case f if f % every == 0 =>
+            math.min(frameSize, row.media.length - f * frameSize).toLong
+        }.sum
+        FrameStats(row.doc_id, nFrames.toLong, sampled.toLong, sampledBytes)
+      }
+    }
+  }
+
+  /** "Feature extraction": 16-bucket byte-value histogram per payload —
+    * the deterministic stand-in for an embedding/feature model, with the
+    * real Spark-side shape (fixed-length vector column out of binary). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[Features] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { row =>
+        val hist = new Array[Long](16)
+        row.media.foreach(b => hist((b & 0xff) / 16) += 1)
+        Features(row.doc_id, hist)
+      }
+    }
+  }
 }

@@ -144,4 +144,26 @@ object LlmQueries {
         Multimodal.withFakeMedia(table(s, dir, "documents")))
       .toDF()
       .orderBy("doc_id")
+
+  /** Multimodal resize (byte-stride) + frame sampling stubs, joined per
+    * doc — the remaining media ops of the pipeline (decode is q39). */
+  def multimodalResizeFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withFakeMedia(table(s, dir, "documents"))
+    val resized = Multimodal.resizeMedia(s, media, stride = 3).toDF()
+    val frames = Multimodal.sampleFrames(s, media, frameSize = 64, every = 2)
+      .toDF().drop("n_bytes")
+    resized.join(frames, "doc_id").orderBy("doc_id")
+  }
+
+  /** Multimodal feature extraction stub: 16-bucket byte histogram per
+    * payload, exploded positionally (posexplode → generator surface). */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s,
+        Multimodal.withFakeMedia(table(s, dir, "documents")))
+      .toDF()
+      .select(col("doc_id"),
+        posexplode(col("histogram")).as(Seq("bucket", "cnt")))
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+        col("cnt"))
+      .orderBy("doc_id", "bucket")
 }

@@ -313,6 +313,36 @@ object RelationalQueries {
           lit(0.0), (acc, x) => acc + x), 4).as("sum_sq"))
       .orderBy("vec_id")
 
+  /** K3 + SQL-string surface parity (the reference drives everything
+    * through SQL strings, profile_daily.py:16-39): raw spark.sql with a
+    * correlated scalar subquery and EXISTS — identical text runs on the
+    * oracle. */
+  def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    graft.io.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Null semantics: null-safe equality (<=>), IS NULL, coalesce, and
+    * NULLS FIRST ordering over an injected-null column. */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val v = when(col("o_orderkey") % 3 === 0, lit(null))
+      .otherwise(col("o_totalprice"))
+    table(s, dir, "orders")
+      .select(col("o_orderkey"), v.as("v"))
+      .select(
+        col("o_orderkey"), col("v"),
+        col("v").isNull.as("is_null"),
+        (col("v") <=> lit(null)).as("eq_null"),
+        coalesce(col("v"), lit(-1.0)).as("v_or_default"))
+      .orderBy(col("v").asc_nulls_first, col("o_orderkey"))
+  }
+
   /** Pivot: event_type → one count column per type (reference A4 is a
     * hand-rolled pivot). */
   def pivotEventCounts(s: SparkSession, dir: String): DataFrame =
