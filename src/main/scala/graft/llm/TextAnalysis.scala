@@ -56,50 +56,60 @@ object TextAnalysis {
   def shingles(text: Column, n: Int): Column =
     array_distinct(shinglesAll(text, n))
 
-  /** Language-marker score: how many tokens fall in the marker set. */
+  /** Language-marker score: how many tokens fall in the marker set.
+    * NOTE: `filter` is a higher-order function and its lambda runs
+    * interpreted — callers must bind each score to its own column ONCE
+    * and derive everything downstream from the columns, or the score
+    * subtree gets re-evaluated inside every referencing expression. */
+  def markerScoreFromTokens(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*))).cast("long")
+
   def markerScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(markers.map(lit): _*)))
-      .cast("long")
+    markerScoreFromTokens(tokens(text), markers)
 
   val EnMarkers = Seq("the", "and", "of", "is", "in", "a")
   val DeMarkers = Seq("der", "die", "das", "und", "ist", "ein")
   val FrMarkers = Seq("le", "la", "les", "et", "est", "un")
   val EsMarkers = Seq("el", "los", "y", "es", "una", "que")
 
-  /** Deterministic n-gram-marker language ID: argmax over marker scores
-    * with a fixed priority order (en > de > fr > es), 'und' (undetermined)
-    * when no marker hits. The heuristic is engine-portable (same CASE
-    * chain in the DuckDB oracle). */
-  def langId(text: Column): (Seq[(String, Column)], Column) = {
-    val scores = Seq(
-      "s_en" -> markerScore(text, EnMarkers),
-      "s_de" -> markerScore(text, DeMarkers),
-      "s_fr" -> markerScore(text, FrMarkers),
-      "s_es" -> markerScore(text, EsMarkers))
-    val Seq(en, de, fr, es) = scores.map(_._2)
-    val predicted =
-      when(greatest(en, de, fr, es) === 0, "und")
-        .when(en >= greatest(de, fr, es), "en")
-        .when(de >= greatest(fr, es), "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
-    (scores, predicted)
-  }
+  /** Marker scores for the four detector languages, from a projected
+    * token-array column. */
+  def langScoresFromTokens(toks: Column): Seq[(String, Column)] = Seq(
+    "s_en" -> markerScoreFromTokens(toks, EnMarkers),
+    "s_de" -> markerScoreFromTokens(toks, DeMarkers),
+    "s_fr" -> markerScoreFromTokens(toks, FrMarkers),
+    "s_es" -> markerScoreFromTokens(toks, EsMarkers))
 
-  /** Quality-score components (length / punctuation / stopword ratios) and
-    * the combined score in [0,1]. All arithmetic in double with explicit
-    * casts so the oracle agrees bit-for-bit after rounding. */
-  def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val nTok = size(tokens(text)).cast("double")
-    val nChars = length(text).cast("double")
-    val punct = regexp_count(text, lit("[.,!?;:]")).cast("double")
-    val stop = markerScore(text, EnMarkers).cast("double")
+  /** Deterministic argmax over ALREADY-MATERIALIZED score columns with a
+    * fixed priority order (en > de > fr > es), 'und' when no marker hits.
+    * Taking columns (not score expressions) keeps each score evaluated
+    * once — embedding the score subtrees here would re-run their
+    * interpreted lambdas inside every CASE branch. */
+  def langIdFromScores(en: Column, de: Column, fr: Column, es: Column): Column =
+    when(greatest(en, de, fr, es) === 0, "und")
+      .when(en >= greatest(de, fr, es), "en")
+      .when(de >= greatest(fr, es), "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+
+  /** Quality-score RAW components from a projected token column — bind
+    * these once, then combine with [[qualityFromComponents]]. */
+  def qualityComponentsFromTokens(text: Column, toks: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> size(toks).cast("long"),
+    "n_chars_d" -> length(text).cast("double"),
+    "punct" -> regexp_count(text, lit("[.,!?;:]")).cast("double"),
+    "stop" -> markerScoreFromTokens(toks, EnMarkers).cast("double"))
+
+  /** Combined quality score in [0,1] plus the ratio columns, computed from
+    * materialized component columns. */
+  def qualityFromComponents(nTokens: Column, nCharsD: Column, punct: Column,
+                            stop: Column): Seq[(String, Column)] = {
+    val nTok = nTokens.cast("double")
     val stopRatio = stop / nTok
-    val punctRatio = punct / nChars
+    val punctRatio = punct / nCharsD
     val lenScore = least(nTok / 100.0, lit(1.0))
     val score = lenScore * 0.4 + stopRatio * 0.3 + (lit(1.0) - punctRatio) * 0.3
     Seq(
-      "n_tokens" -> size(tokens(text)).cast("long"),
       "stop_ratio" -> round(stopRatio, 4),
       "punct_ratio" -> round(punctRatio, 4),
       "quality" -> round(score, 4))

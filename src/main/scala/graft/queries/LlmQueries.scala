@@ -53,22 +53,32 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
-  /** Marker-based language ID with per-language scores. */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val (scores, predicted) = TextAnalysis.langId(col("text"))
+  /** Marker-based language ID with per-language scores. Two-step select:
+    * scores materialize once, the argmax CASE reads the columns (not the
+    * score subtrees — see TextAnalysis note on interpreted lambdas). */
+  def langId(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .select(col("doc_id") +: col("lang").as("labeled_lang") +:
-        scores.map { case (n, c) => c.as(n) } :+
-        predicted.as("predicted"): _*)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: col("labeled_lang") +:
+        TextAnalysis.langScoresFromTokens(col("toks"))
+          .map { case (n, c) => c.as(n) }: _*)
+      .withColumn("predicted", TextAnalysis.langIdFromScores(
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
       .orderBy("doc_id")
-  }
 
-  /** Quality scoring (length/punct/stopword ratios). */
+  /** Quality scoring (length/punct/stopword ratios); components bound
+    * once, ratios derived from the columns. */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id") +:
-        TextAnalysis.qualityColumns(col("text"))
+        TextAnalysis.qualityComponentsFromTokens(col("text"), col("toks"))
           .map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id") +: col("n_tokens") +:
+        TextAnalysis.qualityFromComponents(col("n_tokens"), col("n_chars_d"),
+          col("punct"), col("stop")).map { case (n, c) => c.as(n) }: _*)
       .orderBy("doc_id")
 
   /** Token counting (whitespace / BPE-ish regex / chars-per-token). */
