@@ -55,8 +55,13 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wDoc))
     val prefix = ranked.where(
       col("rn") <= col("sz") - floor(col("sz") * threshold).cast("long") + 1)
+    // length filter inside the candidate join: jaccard >= J implies
+    // min(|A|,|B|) >= J * max(|A|,|B|) — prunes size-mismatched pairs
+    // before they reach the distinct
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") >= col("b.sz") * threshold &&
+        col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val verified = cand

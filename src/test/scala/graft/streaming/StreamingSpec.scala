@@ -116,6 +116,27 @@ class StreamingSpec extends SparkSpec {
     assert(total == spark.read.parquet(streamDir).count())
   }
 
+  test("session windows on the RocksDB state store match batch") {
+    // production state-store backend (spillable, not heap-bound)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventsStream.fromDirectory(spark, streamDir)
+      val got = runToMemory(
+          EventsStream.sessionWindows(stream, watermark = None), "t_rocks")
+        .orderBy("user_id", "start_us").collect().toSeq
+      val want = EventsStream.sessionWindows(
+          spark.read.parquet(streamDir), watermark = None)
+        .orderBy("user_id", "start_us").collect().toSeq
+      assert(got == want)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mapGroupsWithState running counters match batch aggregation") {
     val stream = EventsStream.fromDirectory(spark, streamDir,
       maxFilesPerTrigger = 8)
