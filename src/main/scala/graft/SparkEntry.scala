@@ -58,6 +58,7 @@ object SparkEntry {
     "q41_sessionize" -> StreamingQueries.sessionize,
     "q42_session_window" -> StreamingQueries.sessionWindowBatch,
     "q43_csv_roundtrip" -> IoQueries.csvRoundtrip,
+    "q61_interval_join" -> StreamingQueries.intervalJoinBatch,
     "q44_partitioned_write" -> IoQueries.partitionedWriteRead,
     "q45_history_scan" -> IoQueries.historyScan,
     "q46_approx_distinct" -> IoQueries.approxDistinct,
@@ -417,6 +418,16 @@ object SparkEntry {
     "q43_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q61_interval_join" ->
+      """SELECT p.user_id,
+        |  epoch_us(s.ts) AS signup_us,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  round(p.value, 2) AS purchase_value
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        |ORDER BY p.user_id, purchase_us, signup_us""".stripMargin,
     "q44_partitioned_write" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  CAST(count(*) AS BIGINT) AS n_orders,

@@ -30,7 +30,9 @@ object PartitionedWriter {
         df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       case None => df
     }
-    val writer = sized.write.mode("overwrite")
+    // zstd: ~30% smaller than snappy at comparable scan speed — at 100 TB
+    // the storage + IO saving dominates the extra encode CPU
+    val writer = sized.write.mode("overwrite").option("compression", "zstd")
     val parted =
       if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
       else writer

@@ -36,4 +36,15 @@ object StreamingQueries {
   def sessionWindowBatch(s: SparkSession, dir: String): DataFrame =
     EventsStream.sessionWindows(table(s, dir, "events"))
       .orderBy("user_id", "start_us")
+
+  /** The stream-stream interval join executed in batch mode (q61): same
+    * Column pipeline as the streaming form (watermarks are no-ops in
+    * batch); the streaming replay equivalence is in StreamingSpec. */
+  def intervalJoinBatch(s: SparkSession, dir: String): DataFrame =
+    EventsStream.purchaseAfterSignup(table(s, dir, "events"))
+      .select(col("user_id"),
+        unix_micros(col("signup_ts")).as("signup_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy("user_id", "purchase_us", "signup_us")
 }
