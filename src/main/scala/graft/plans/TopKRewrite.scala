@@ -16,7 +16,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * formulations are nondeterministic in the same way).
   *
   * Guarded: single window expression, row_number only, k ≤ maxK (the heap
-  * holds k rows per key per task), bound strictly positive. Registered via
+  * holds k rows per key per task), bound strictly positive, and at least one
+  * PARTITION BY key — a global (unpartitioned) top-k stays on Spark's window
+  * path, since TopKPerKeyExec requires a ClusteredDistribution over the keys
+  * and ClusteredDistribution(Nil) is rejected at planning. Registered via
   * [[GraftRules.register]] (`spark.experimental.extraOptimizations`) or
   * `spark.sql.extensions` ([[graft.GraftExtensions]]).
   */
@@ -28,7 +31,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
           WindowExpression(_: RowNumber,
             WindowSpecDefinition(partitionSpec, orderSpec, _)), _)),
           _, _, child, _))
-        if orderSpec.nonEmpty && partitionSpec.forall(_.isInstanceOf[Attribute]) =>
+        if orderSpec.nonEmpty && partitionSpec.nonEmpty &&
+          partitionSpec.forall(_.isInstanceOf[Attribute]) =>
       val rn = alias.toAttribute
       // Spark's own InferWindowGroupLimit may already have inserted a
       // WindowGroupLimit below the window — our operator subsumes it

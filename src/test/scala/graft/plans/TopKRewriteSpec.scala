@@ -52,6 +52,22 @@ class TopKRewriteSpec extends SparkSpec {
     assert(out.nonEmpty && out.forall(_._2 == 2L))
   }
 
+  test("global (unpartitioned) top-k does not rewrite and still plans") {
+    GraftRules.register(spark)
+    // empty PARTITION BY: ClusteredDistribution(Nil) is rejected by Spark —
+    // the rule must leave this on the window path
+    val df = orders.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rn") <= 5)
+    assert(df.queryExecution.optimizedPlan
+      .collect { case n: TopKPerKeyNode => n }.isEmpty)
+    val top = df.select("o_orderkey").as[Long].collect()
+    val want = orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).select("o_orderkey").as[Long].collect()
+    assert(top.sorted.toSeq == want.sorted.toSeq)
+  }
+
   test("rank=1 equality rewrites (argmax pattern)") {
     GraftRules.register(spark)
     val df = orders.withColumn("rn",
