@@ -327,6 +327,9 @@ object SparkEntry {
         |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_minhash_lsh" -> q32MinhashOracle,
+    "q33_simhash_pairs" -> q33SimhashOracle,
+    "q35_ann_lsh" -> q35AnnLshOracle,
     "q34_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
@@ -569,4 +572,109 @@ object SparkEntry {
         |    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_fp_native
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  // ---- generated oracle SQL for the portable-hash LSH family ----------
+  // The Spark side runs graft.llm.PortableSeededHash (60-bit md5 prefix);
+  // `h(x, seed)` below is its exact DuckDB spelling, so signatures, band
+  // buckets, SimHash bits and hyperplane signs replay byte-for-byte.
+
+  private def h(x: String, seed: Int): String =
+    graft.llm.PortableSeededHash.sql(x, seed)
+
+  /** MinHash+LSH oracle: n=3 shingles, k=16 seeded min-hashes, 4 bands of
+    * 4 rows, est_jaccard = signature-agreement/16 ≥ 0.3 (mirrors
+    * [[graft.llm.Dedup.minHashLsh]] with the portable hasher). */
+  private def q32MinhashOracle: String = {
+    val k = 16; val bands = 4; val rpb = k / bands
+    val mins = (0 until k)
+      .map(i => s"min(${h("sg", i)}) AS mh$i").mkString(",\n    ")
+    val banded = (0 until bands).map { b =>
+      val cat = (b * rpb until (b + 1) * rpb)
+        .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $cat AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sg
+       FROM w WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+    $mins
+  FROM sh GROUP BY doc_id),
+banded AS (
+  $banded),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_hit
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+est AS (SELECT c.doc_a, c.doc_b, c.n_bands_hit,
+          CAST($agree AS DOUBLE) / $k AS ej
+        FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id
+                    JOIN sig sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, round(ej, 4) AS est_jaccard, n_bands_hit
+FROM est WHERE ej >= 0.3 ORDER BY doc_a, doc_b"""
+  }
+
+  /** SimHash oracle: 60-bit portable token hash, ±1 bit sums, 4×15-bit
+    * band LSH, Hamming ≤ 6 (mirrors [[graft.llm.Dedup.simHashPairs]]). */
+  private def q33SimhashOracle: String = {
+    val bits = 60; val bandWidth = bits / 4
+    val sums = (0 until bits)
+      .map(j => s"sum(CASE WHEN (th.h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n    ")
+    val sigExpr = (0 until bits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString("\n    + ")
+    val banded = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash >> ${b * bandWidth}) & ${(1L << bandWidth) - 1} AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+th AS (SELECT doc_id, ${h("t", 0)} AS h FROM tok),
+sums AS (SELECT doc_id,
+    $sums
+  FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, $sigExpr AS simhash FROM sums),
+banded AS (
+  $banded)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY doc_a, doc_b"""
+  }
+
+  /** LSH-ANN oracle: integer hyperplane weights hash("p:d")%1000-500,
+    * fixed-point projections round(x·1000)·w summed as integers (sign bits
+    * therefore exactly reproducible), bucket = 12-bit signature equality,
+    * cosine ranked on the 4-dp rounded score (mirrors
+    * [[graft.llm.Similarity.lshTopK]] with the portable hasher). */
+  private def q35AnnLshOracle: String =
+    s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
+             d1 - 1 AS d
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
+w AS (SELECT p, d, ${h("p::VARCHAR || ':' || d::VARCHAR", 7)} % 1000 - 500 AS w
+      FROM range(0, 12) tp(p), (SELECT DISTINCT d FROM ex) td),
+proj AS (SELECT vec_id, p, sum(xi * w) AS proj
+         FROM ex JOIN w USING (d) GROUP BY 1, 2),
+sig AS (SELECT vec_id,
+          sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS sg
+        FROM proj GROUP BY 1),
+sigd AS (SELECT e.vec_id, e.embedding, s.sg FROM embeddings e
+         JOIN sig s USING (vec_id)),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb, sg AS q_sig
+      FROM sigd WHERE vec_id < 10),
+cand AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.q_emb, c.embedding) AS sim
+         FROM sigd c JOIN q ON c.sg = q.q_sig AND c.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY round(sim, 4) DESC, neighbor_id) AS BIGINT) AS rn
+      FROM cand)
+SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
+FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
 }

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication at training-data scale (SURVEY.md §7.3 step 6 /
   * north star): exact, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -40,13 +41,17 @@ object Dedup {
     * Shingles are compared by xxhash64 — a 64-bit collision (~1e-11 at
     * corpus vocabulary sizes) could merge two shingles; acceptable for
     * near-dup detection. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        storageLevel: StorageLevel =
+                          StorageLevel.MEMORY_AND_DISK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs
+    val sh0 = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextAnalysis.hashedShinglesFromTokens(col("toks"), n).as("sh"))
-      .cache() // consumed by candidate generation AND both verify joins
+    // consumed by candidate generation AND both verify joins
+    val sh = if (storageLevel == StorageLevel.NONE) sh0
+             else sh0.persist(storageLevel)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id")
@@ -79,19 +84,24 @@ object Dedup {
   }
 
   /** MinHash signature columns: k independent permutations approximated by
-    * seeded xxhash64 over each shingle; signature_i = min hash under seed i.
-    * One explode + one aggregation with k min columns: the k×|shingles|
-    * hash evaluations run inside whole-stage codegen. (A shuffle-free
-    * array_min(transform(...)) formulation was measured 3× SLOWER —
-    * higher-order-function lambdas are interpreted per element, and at
-    * this fan-out the interpreter overhead dwarfs the narrow partial-agg
-    * shuffle it saves.) */
-  def minHashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    * a seeded hash over each distinct n-gram shingle; signature_i = min
+    * hash under seed i. One explode + one aggregation with k min columns:
+    * the k×|shingles| hash evaluations run inside whole-stage codegen.
+    * (A shuffle-free array_min(transform(...)) formulation was measured 3×
+    * SLOWER — higher-order-function lambdas are interpreted per element,
+    * and at this fan-out the interpreter overhead dwarfs the narrow
+    * partial-agg shuffle it saves.)
+    *
+    * `hasher` picks the hash family — [[XxSeededHash]] (fast, default) or
+    * [[PortableSeededHash]] (cross-engine, oracle-checkable). */
+  def minHashSignatures(docs: DataFrame, n: Int, k: Int,
+                        hasher: SeededHash = XxSeededHash): DataFrame = {
     val ex = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(TextAnalysis.hashedShinglesFromTokens(col("toks"), n)).as("sg"))
-    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sg"))).as(s"mh$i"))
+        explode(TextAnalysis.distinctShinglesFromTokens(col("toks"), n))
+          .as("sg"))
+    val aggs = (0 until k).map(i => min(hasher.hash(col("sg"), i)).as(s"mh$i"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -99,16 +109,29 @@ object Dedup {
     * docs agreeing on ALL rows of any band become candidate pairs; then the
     * candidate's true Jaccard is estimated by signature agreement. At scale
     * this is `bands` equi-join-keyed shuffles — no O(n²) anywhere.
-    * Returns (doc_a, doc_b, est_jaccard, n_bands_hit). */
+    * Band buckets are the concatenated signature rows (exact equality, no
+    * re-hash collisions; at 100 TB swap in a hash of the concat if the
+    * ~40-byte string keys matter). Returns
+    * (doc_a, doc_b, est_jaccard, n_bands_hit).
+    *
+    * The signature frame is persisted at `storageLevel` (it feeds the
+    * banding union AND both sides of the agreement join);
+    * `StorageLevel.NONE` disables persistence for callers composing
+    * several pipelines that manage memory themselves. */
   def minHashLsh(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
-                 estThreshold: Double = 0.3): DataFrame = {
-    val sig = minHashSignatures(docs, n, k).cache()
+                 estThreshold: Double = 0.3,
+                 hasher: SeededHash = XxSeededHash,
+                 storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    val sig0 = minHashSignatures(docs, n, k, hasher)
+    val sig = if (storageLevel == StorageLevel.NONE) sig0
+              else sig0.persist(storageLevel)
     val rowsPerBand = k / bands
     val banded = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh$i"))
+        .map(i => col(s"mh$i").cast("string"))
       sig.select(col("doc_id"),
-        lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+        lit(b).as("band"), concat_ws(",", cols: _*).as("bucket"))
     }.reduce(_ union _)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -132,32 +155,44 @@ object Dedup {
               col("n_bands_hit"))
   }
 
-  /** 64-bit SimHash per document: per token-hash bit j, sum ±1 across
-    * tokens; bit j of the signature is the sign. One aggregation with 64
-    * conditional-sum columns — no row explosion beyond the token explode. */
-  def simHash(docs: DataFrame): DataFrame = {
+  /** SimHash per document: per token-hash bit j, sum ±1 across tokens;
+    * bit j of the signature is the sign. One aggregation with `bits`
+    * conditional-sum columns — no row explosion beyond the token explode.
+    * `bits` is 64 for the xx64 family, 60 for the portable md5 family
+    * (which only yields 60 uniform bits). */
+  def simHash(docs: DataFrame, hasher: SeededHash = XxSeededHash,
+              bits: Int = 64): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h", hasher.hash(col("t"), 0))
+    val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$j")
     }
     val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
+    val sig = (0 until bits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band LSH over the signature, then
-    * exact Hamming distance (bit_count of xor) ≤ maxHamming. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val sig = simHash(docs).cache()
+  /** SimHash near-dup pairs: 4-band LSH over the signature (bits/4 bits
+    * per band), then exact Hamming distance (bit_count of xor) ≤
+    * maxHamming. Signature frame persisted at `storageLevel` (NONE to
+    * disable). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 6,
+                   hasher: SeededHash = XxSeededHash, bits: Int = 64,
+                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    val sig0 = simHash(docs, hasher, bits)
+    val sig = if (storageLevel == StorageLevel.NONE) sig0
+              else sig0.persist(storageLevel)
+    val bandWidth = bits / 4
+    val bandMask = (1L << bandWidth) - 1
     val banded = (0 until 4).map { b =>
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
-          .as("bucket"))
+        shiftrightunsigned(col("simhash"), b * bandWidth)
+          .bitwiseAND(bandMask).as("bucket"))
     }.reduce(_ union _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.CosineSim
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -46,30 +47,56 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
-  /** Random-hyperplane LSH signature: `planes` sign bits, plane weights
-    * derived deterministically from xxhash64(plane, dim) — reproducible
-    * across runs/executors with no driver-side randomness. */
-  def lshSignature(emb: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, d) => x.cast("double") *
-            ((xxhash64(lit(p), d) % 1000L).cast("double") / 500.0 - 1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
+  /** Random-hyperplane LSH signatures as a (vec_id, sig) frame.
+    *
+    * Plane weights are INTEGERS in [-500, 499] derived deterministically
+    * from a seeded hash of "plane:dim" — reproducible across
+    * runs/executors with no driver-side randomness — and the projection is
+    * computed in fixed point (`round(x·1000)·w` summed as longs), so the
+    * sign bits are bit-identical in any engine that replicates the hash:
+    * no float-sum order sensitivity anywhere. The whole computation is
+    * explode → broadcast-join(planes×dims weight table) → two partial
+    * aggregations: fully codegen'd (the previous zip_with/aggregate
+    * formulation ran its lambdas interpreted per element).
+    *
+    * At scale: the weight table is planes×dims rows (broadcast); the
+    * explode is dims× the corpus rows but carries only (vec_id, d, xi) —
+    * map-side partial aggregation collapses it back to planes× before the
+    * exchange. */
+  def lshSignatures(corpus: DataFrame, planes: Int,
+                    hasher: SeededHash = XxSeededHash): DataFrame = {
+    val ex = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+    val planesDf = corpus.sparkSession.range(planes)
+      .select(col("id").cast("int").as("p"))
+    val weights = ex.select(col("d")).distinct()
+      .crossJoin(planesDf)
+      .select(col("p"), col("d"),
+        (hasher.hash(concat_ws(":", col("p"), col("d")), 7) % 1000 - 500)
+          .as("w"))
+    val proj = ex.join(broadcast(weights), "d")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("xi") * col("w")).as("proj"))
+    proj.groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0,
+        pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("sig"))
   }
 
   /** ANN via LSH bucketing: exact cosine only within matching signature
-    * buckets, then per-query top-k. Recall < 1 by construction; the recall
-    * vs brute force is asserted in tests. */
+    * buckets, then per-query top-k ranked on the ROUNDED score (4 dp,
+    * ties on neighbor_id) so rankings are stable across engines. Recall
+    * < 1 by construction; the recall vs brute force is asserted in tests.
+    * The signed corpus is persisted at `storageLevel` (NONE to disable) —
+    * it feeds both the query lookup and the candidate scan. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              planes: Int = 12): DataFrame = {
-    // cache: the signed corpus is consumed twice (query lookup + candidate
-    // scan) — without this the 12-plane projection is computed twice
-    val sigd = corpus.withColumn("sig", lshSignature(col("embedding"), planes))
-      .cache()
+              planes: Int = 12, hasher: SeededHash = XxSeededHash,
+              storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    val sigd0 = corpus.join(lshSignatures(corpus, planes, hasher), "vec_id")
+    val sigd = if (storageLevel == StorageLevel.NONE) sigd0
+               else sigd0.persist(storageLevel)
     val q = sigd.join(
         broadcast(queries.select(col("vec_id").as("query_id"))),
         col("vec_id") === col("query_id"))
@@ -77,8 +104,10 @@ object Similarity {
         col("sig").as("q_sig"))
     val cand = sigd.join(broadcast(q),
       col("sig") === col("q_sig") && col("vec_id") =!= col("query_id"))
+    // rank on the ROUNDED score (ties on neighbor_id): engines agree on
+    // 4-dp values where last-ulp raw doubles could flip adjacent ranks
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
+      .orderBy(round(col("sim"), 4).desc, col("neighbor_id"))
     cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_emb"), col("embedding")).as("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -22,15 +22,20 @@ object LlmQueries {
         threshold = 0.1)
       .orderBy("doc_a", "doc_b")
 
-  /** MinHash+LSH near-dup candidates (scale path; engine-specific hashes →
-    * rows-only check). */
+  /** MinHash+LSH near-dup candidates. The gate runs the portable md5-based
+    * hash family so DuckDB replays signatures, band buckets and the
+    * agreement estimate byte-for-byte; production defaults to the xx64
+    * family (same operator, faster leaf hash). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLsh(table(s, dir, "documents"))
+    Dedup.minHashLsh(table(s, dir, "documents"),
+        hasher = graft.llm.PortableSeededHash)
       .orderBy("doc_a", "doc_b")
 
-  /** SimHash near-dup pairs (scale path; rows-only check). */
+  /** SimHash near-dup pairs — portable 60-bit hash family for the oracle
+    * (see [[minhashLsh]]). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(table(s, dir, "documents"))
+    Dedup.simHashPairs(table(s, dir, "documents"),
+        hasher = graft.llm.PortableSeededHash, bits = 60)
       .orderBy("doc_a", "doc_b")
 
   /** Brute-force cosine top-5 for the first 10 vectors (exact ANN
@@ -43,11 +48,13 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
-  /** LSH-bucketed ANN (scale path; recall asserted in unit tests —
-    * rows-only check here). */
+  /** LSH-bucketed ANN — portable hash family + fixed-point projections
+    * make the plane signs, buckets and ranking oracle-checkable (recall vs
+    * brute force additionally asserted in unit tests). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, k = 5)
+    Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, k = 5,
+        hasher = graft.llm.PortableSeededHash)
       .select(col("query_id"), col("rn"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"))
       .orderBy("query_id", "rn")
