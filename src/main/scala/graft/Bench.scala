@@ -9,11 +9,17 @@ import org.apache.spark.sql.SparkSession
   * every row produced (a bare `count()` would let Catalyst prune most of
   * the work). One untimed warmup query absorbs JVM/codegen/session
   * startup so per-query numbers measure the queries.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * reported number is the MEDIAN — the host shows ±50% ambient wall-clock
+  * variance (BASELINE.md), and a single sample cannot distinguish a plan
+  * regression from a noisy neighbor.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,10 +47,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0
+      else ok.sorted.apply(ok.size / 2)
+    }
+
     // untimed warmup: parquet reader + shuffle + codegen paths
     runOne("q01_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOne(n))
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .map(n => n -> median((0 until runs).map(_ => runOne(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
