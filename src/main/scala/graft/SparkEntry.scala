@@ -44,6 +44,7 @@ object SparkEntry {
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
     "q24_aes_roundtrip" -> PipelineQueries.aesRoundtrip,
     "q25_fingerprints" -> PipelineQueries.fingerprints,
+    "q26_e1_multi_sink" -> PipelineQueries.e1MultiSink,
     "q30_exact_dedup" -> LlmQueries.exactDedup,
     "q31_ngram_jaccard" -> LlmQueries.ngramJaccard,
     "q32_minhash_lsh" -> LlmQueries.minhashLsh,
@@ -307,6 +308,29 @@ object SparkEntry {
     "q24_aes_roundtrip" ->
       """SELECT c_custkey, c_name AS decrypted FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q26_e1_multi_sink" ->
+      """WITH a AS (
+        |  SELECT 'testpilot' AS src, event_id AS key,
+        |         strftime(ts, '%Y-%m-%d') AS day, event_type AS attr,
+        |         CAST(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+        |              AS VARCHAR) AS val
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND CAST(regexp_extract(props, '[0-9]+') AS BIGINT) IS NOT NULL),
+        |b AS (
+        |  SELECT 'testpilottest' AS src, event_id AS key,
+        |         strftime(ts, '%Y-%m-%d') AS day, event_type AS attr,
+        |         CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS val
+        |  FROM events WHERE event_type NOT IN ('click', 'view')),
+        |c AS (
+        |  SELECT 'search' AS src, c_custkey AS key, '' AS day,
+        |         string_split(c_name, '#')[1] AS attr,
+        |         CAST(c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') AS VARCHAR)
+        |           || ':' ||
+        |           CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS val
+        |  FROM customer)
+        |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+        |ORDER BY src, key""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dup_count, md5(text) AS fp

@@ -36,6 +36,91 @@ object PipelineQueries {
     cfg(table(s, dir, "events")).orderBy("event_id")
   }
 
+  /** E1 multi-source/multi-sink — the ACTUAL daily-job shape of
+    * testpilot_data.main (testpilot_data.py:118-202): ONE run builds THREE
+    * tables — two doc-types projected from the same telemetry scan through
+    * their own [[FrameConfig]]s (testpilot_data.py:118-167) plus a CSV
+    * source with per-cell cleaning funcs (:170-195) — and writes all three
+    * as parquet sinks in one job (`save_df` ×3, :197-200).
+    *
+    * Mapping: events = the telemetry store; doc-types are disjoint
+    * event_type classes (the reference's docType predicate); the CSV source
+    * round-trips customer through a real header CSV like the reference's
+    * testpilot-cliqz-telemetry.csv. Sinks: two day-partitioned tables
+    * (reference `submission=<day>`) and one single-file table
+    * (`partitions=1`). The returned frame reads all three sinks BACK and
+    * unions them under a `src` tag — so the oracle checks the full
+    * write→read round trip of every branch, partition columns included. */
+  def e1MultiSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e1multi").toString
+    val events = table(s, dir, "events") // shared scan, two projections
+
+    // doc-type "testpilot": interaction events, JSON prop extraction
+    val cfgA = FrameConfig(
+      columns = Seq(
+        ColumnSpec("event_id", col("event_id")),
+        ColumnSpec("day", date_format(col("ts"), "yyyy-MM-dd")),
+        ColumnSpec("user_id", col("user_id")),
+        ColumnSpec("event", col("event_type")),
+        ColumnSpec("prop_k", get_json_object(col("props"), "$.k"),
+          castTo = Some(LongType))),
+      preFilter = Some(col("event_type").isin("click", "view")),
+      postFilter = Some(col("prop_k").isNotNull))
+
+    // doc-type "testpilottest": the rest, with a fixed-point money cast
+    // (round BEFORE the long cast — Spark truncates, DuckDB rounds)
+    val cfgB = FrameConfig(
+      columns = Seq(
+        ColumnSpec("event_id", col("event_id")),
+        ColumnSpec("day", date_format(col("ts"), "yyyy-MM-dd")),
+        ColumnSpec("user_id", col("user_id")),
+        ColumnSpec("event", col("event_type")),
+        ColumnSpec("value_cents", round(col("value") * 100),
+          castTo = Some(LongType))),
+      preFilter = Some(!col("event_type").isin("click", "view")))
+
+    // CSV source "search": header CSV (all strings) + cleaning funcs
+    val csvDir = s"$tmp/search_csv"
+    table(s, dir, "customer").write.mode("overwrite")
+      .option("header", "true").csv(csvDir)
+    val cfgC = FrameConfig(
+      columns = Seq(
+        ColumnSpec("cust_id", col("c_custkey"), castTo = Some(LongType)),
+        ColumnSpec("name_prefix", col("c_name"),
+          clean = graft.etl.Clean.splitHead("#")),
+        ColumnSpec("is_auto", col("c_mktsegment"),
+          clean = graft.etl.Clean.memberOf("AUTOMOBILE", "MACHINERY")),
+        ColumnSpec("balance_cents", col("c_acctbal"),
+          clean = c => round(c.cast("double") * 100),
+          castTo = Some(LongType))))
+
+    // three sinks, one job (testpilot_data.py:197-200)
+    graft.io.PartitionedWriter.write(cfgA(events), s"$tmp/testpilot",
+      partitionCols = Seq("day"))
+    graft.io.PartitionedWriter.write(cfgB(events), s"$tmp/testpilottest",
+      partitionCols = Seq("day"))
+    graft.io.PartitionedWriter.write(cfgC(graft.io.Tables.csv(s, csvDir)),
+      s"$tmp/search", numFiles = Some(1))
+
+    // read-back union under a src tag: one frame, common (src, key, day,
+    // attr, val) schema — value-level comparison of every branch
+    val a = s.read.parquet(s"$tmp/testpilot").select(
+      lit("testpilot").as("src"), col("event_id").as("key"),
+      col("day").cast("string").as("day"), col("event").as("attr"),
+      col("prop_k").cast("string").as("val"))
+    val b = s.read.parquet(s"$tmp/testpilottest").select(
+      lit("testpilottest").as("src"), col("event_id").as("key"),
+      col("day").cast("string").as("day"), col("event").as("attr"),
+      col("value_cents").cast("string").as("val"))
+    val c = s.read.parquet(s"$tmp/search").select(
+      lit("search").as("src"), col("cust_id").as("key"),
+      lit("").as("day"), col("name_prefix").as("attr"),
+      concat_ws(":", col("is_auto").cast("string"),
+        col("balance_cents").cast("string")).as("val"))
+    a.unionByName(b).unionByName(c).orderBy("src", "key")
+  }
+
   /** E2 — profile_daily.main re-created (profile_daily.py:9-67) on testdata
     * roles: orders = testpilot pings, lineitem-via-orders = main_summary
     * history, customer = profile dimension.
