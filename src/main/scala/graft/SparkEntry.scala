@@ -45,6 +45,7 @@ object SparkEntry {
     "q24_aes_roundtrip" -> PipelineQueries.aesRoundtrip,
     "q25_fingerprints" -> PipelineQueries.fingerprints,
     "q26_e1_multi_sink" -> PipelineQueries.e1MultiSink,
+    "q27_nested_shred" -> PipelineQueries.nestedShred,
     "q30_exact_dedup" -> LlmQueries.exactDedup,
     "q31_ngram_jaccard" -> LlmQueries.ngramJaccard,
     "q32_minhash_lsh" -> LlmQueries.minhashLsh,
@@ -331,6 +332,21 @@ object SparkEntry {
         |  FROM customer)
         |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
         |ORDER BY src, key""".stripMargin,
+    "q27_nested_shred" ->
+      """WITH agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         first(event_type ORDER BY epoch_us(ts), event_id)
+        |           AS first_event
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  ['en-US','de-DE','fr-FR','es-ES','pt-BR'][(user_id % 5 + 1)]
+        |    AS locale,
+        |  (user_id % 2 = 0) AS telemetry,
+        |  (user_id % 3 = 0) AS has_addon,
+        |  CASE WHEN user_id % 3 = 0
+        |       THEN '1.' || (user_id % 10)::VARCHAR END AS cliqz_version,
+        |  first_event, CAST(n_events AS BIGINT) AS n_events
+        |FROM agg ORDER BY user_id""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dup_count, md5(text) AS fp

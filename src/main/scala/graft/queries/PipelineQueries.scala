@@ -121,6 +121,67 @@ object PipelineQueries {
     a.unionByName(b).unionByName(c).orderBy("src", "key")
   }
 
+  /** P1/C5/C6/F3 against REAL nested parquet — the reference's core
+    * extraction is nested-dict access over telemetry pings
+    * (`x["testpilot@cliqz.com"]["version"]`, `x[0]["event"]`,
+    * "environment/settings/locale": testpilot_data.py:113-116,123-134).
+    * The testdata has no nested tables, so this query first BUILDS one —
+    * a deterministic ping-shaped parquet (struct environment/settings,
+    * map-of-struct active_addons, array-of-struct payload.events) derived
+    * from the events table — writes it, reads it back, and shreds it with
+    * `ColumnSpec.path` chains + map/array access. The oracle recomputes
+    * the same flat rows from the base table, so struct/array/map columns
+    * round-trip through parquet AND the path-shredding surface under the
+    * value-level gate. */
+  def nestedShred(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nested").toString
+    val ev = table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    // sort_array over struct(ts_us, event_id, ...) orders by field position
+    // — deterministic event order (micros ties broken by event_id)
+    val nested = ev.groupBy("user_id").agg(
+        sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type").as("event")))).as("events_arr"))
+      .select(col("user_id"),
+        struct(
+          struct(
+            element_at(array(lit("en-US"), lit("de-DE"), lit("fr-FR"),
+              lit("es-ES"), lit("pt-BR")),
+              (col("user_id") % 5).cast("int") + 1).as("locale"),
+            (col("user_id") % 2 === 0).as("telemetry_enabled"))
+            .as("settings"),
+          struct(
+            map(concat(lit("addon@"), col("user_id") % 3),
+              struct(concat(lit("1."), col("user_id") % 10).as("version")))
+              .as("active_addons")).as("addons")).as("environment"),
+        struct(col("events_arr").as("events")).as("payload"),
+        struct(lit("DE").as("geo")).as("meta"))
+    nested.write.mode("overwrite").parquet(s"$tmp/pings")
+
+    val pings = s.read.parquet(s"$tmp/pings")
+    import graft.etl.ColumnSpec.path
+    val cfg = FrameConfig(
+      columns = Seq(
+        ColumnSpec("user_id", col("user_id")),
+        // P1: reference-style '/'-separated path chains
+        ColumnSpec("locale", path("environment/settings/locale")),
+        ColumnSpec("telemetry", path("environment/settings/telemetry_enabled")),
+        // F3: key-membership over the addon map (`has_addon`,
+        // testpilot_data.py:114)
+        ColumnSpec("has_addon", map_contains_key(
+          path("environment/addons/active_addons"), "addon@0")),
+        // C5: map value → struct field (`get_cliqz_version`, :113)
+        ColumnSpec("cliqz_version", path("environment/addons/active_addons")
+          .getItem("addon@0").getField("version")),
+        // C6: array head + field (`get_event`, :115)
+        ColumnSpec("first_event",
+          element_at(path("payload/events"), 1).getField("event")),
+        ColumnSpec("n_events", size(path("payload/events")).cast("long"))),
+      preFilter = Some(path("meta/geo").isNotNull))
+    cfg(pings).orderBy("user_id")
+  }
+
   /** E2 — profile_daily.main re-created (profile_daily.py:9-67) on testdata
     * roles: orders = testpilot pings, lineitem-via-orders = main_summary
     * history, customer = profile dimension.
