@@ -184,7 +184,13 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k
         |FROM events ORDER BY event_id""".stripMargin,
     "q14_string_funcs" ->
-      """SELECT c_custkey,
+      """WITH t AS (
+        |  SELECT *,
+        |    regexp_replace(c_name || chr(0) || chr(0) || chr(0),
+        |                   '\x00+$', '', 'g') AS stripped,
+        |    md5(c_name) AS h
+        |  FROM customer)
+        |SELECT c_custkey,
         |  string_split(c_name, '#')[2] AS name_num,
         |  substring(c_name, 1, 8) AS name_head,
         |  upper(c_mktsegment) AS seg_upper,
@@ -192,8 +198,19 @@ object SparkEntry {
         |  CAST(length(c_name) AS BIGINT) AS name_len,
         |  concat_ws('-', c_mktsegment, c_custkey) AS seg_key,
         |  reverse(c_name) AS name_rev,
-        |  regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_masked
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+        |  regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_masked,
+        |  CASE WHEN length(stripped) > 8
+        |       THEN substr(stripped, 5, length(stripped) - 8) END AS trimmed,
+        |  substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4)
+        |    || '-' || substr(h,17,4) || '-' || substr(h,21,12) AS uuid_str,
+        |  regexp_matches(c_name,
+        |    '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+        |    AS name_is_uuid
+        |FROM t
+        |WHERE regexp_matches(substr(h,1,8) || '-' || substr(h,9,4) || '-'
+        |  || substr(h,13,4) || '-' || substr(h,17,4) || '-' || substr(h,21,12),
+        |  '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+        |ORDER BY c_custkey""".stripMargin,
     "q15_date_funcs" ->
       """SELECT o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS d,
@@ -482,7 +499,9 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY user_id
         |         ORDER BY ts DESC, event_id) AS BIGINT) AS rn
         |  FROM events
-        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20')
+        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+        |    AND user_id IN (SELECT DISTINCT user_id FROM events
+        |                    ORDER BY user_id LIMIT 5))
         |WHERE rn <= 20 ORDER BY user_id, rn""".stripMargin,
     "q46_approx_distinct" ->
       """SELECT o_orderpriority,

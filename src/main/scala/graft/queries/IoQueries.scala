@@ -50,18 +50,31 @@ object IoQueries {
   /** S5: the HBase-range-scan semantics modeled relationally — per-key
     * history bounded by a date range AND a per-key row limit (reference:
     * get_range(ids, start, end, limit=1000), profile_daily.py:107-113).
-    * Limit = most recent 20 events per user via a ranking window. */
-  def historyScan(s: SparkSession, dir: String): DataFrame =
+    * Limit = most recent 20 events per user via a ranking window.
+    *
+    * The key set comes the reference's way (profile_daily.py:115,
+    * `sc.parallelize(client_ids)`): a small id list is collected
+    * driver-side (L2 `limit(n).collect()`), re-parallelized as a Dataset
+    * (S6) and semi-joined as the cohort. Config-scale lists only — the
+    * collect is bounded by the limit. */
+  def historyScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seedIds = table(s, dir, "events").select(col("user_id"))
+      .distinct().orderBy("user_id").limit(5)
+      .as[Long].collect().toSeq
+    val cohort = s.createDataset(seedIds).toDF("user_id")
     Windows.topKPerKey(
         table(s, dir, "events")
           .where(col("ts") >= lit("2024-01-05").cast("timestamp") &&
-                 col("ts") < lit("2024-01-20").cast("timestamp")),
+                 col("ts") < lit("2024-01-20").cast("timestamp"))
+          .join(cohort, Seq("user_id"), "left_semi"),
         partitionBy = Seq(col("user_id")),
         orderBy = Seq(col("ts").desc, col("event_id")),
         k = 20)
       .select(col("user_id"), col("rn").cast("long").as("rn"),
         col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .orderBy("user_id", "rn")
+  }
 
   /** S5 as a true DataSourceV2: keyed range scan with pushed-down id
     * bounds ([[graft.sources.RangeSource]]) — the filter narrows the scan

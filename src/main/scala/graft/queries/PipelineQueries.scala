@@ -292,7 +292,15 @@ object PipelineQueries {
     * ECB with a fixed key is deterministic, so decrypt(unbase64(base64(
     * encrypt(x)))) == x and the oracle is the identity projection. */
   def aesRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val key = lit("0123456789abcdef").cast("binary")
+    // S4+L1: the key ships as a one-line text file loaded driver-side via
+    // textFile().first() — the reference's exact config-read idiom
+    // (`sc.textFile(...).take(1)[0]`, testpilot_data.py:97)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-key")
+    java.nio.file.Files.writeString(tmp.resolve("cliqz_key"),
+      "0123456789abcdef\n")
+    val keyStr = s.sparkContext.textFile(tmp.resolve("cliqz_key").toString)
+      .first()
+    val key = lit(keyStr).cast("binary")
     val ct = aes_encrypt(col("c_name").cast("binary"), key, lit("ECB"))
     val roundtrip = aes_decrypt(unbase64(base64(ct)), key, lit("ECB"))
     table(s, dir, "customer")

@@ -193,7 +193,16 @@ object RelationalQueries {
       .orderBy("event_id")
 
   /** C1/C5/C12 string functions (split/substr/concat_ws/regexp/…). */
-  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+  def stringFuncs(s: SparkSession, dir: String): DataFrame = {
+    // C4: the reference's `.rstrip("\0")[4:-4]` decrypt post-processing
+    // (testpilot_data.py:102) — applied to a NUL-padded value built
+    // in-plan so the strip itself is value-checked
+    val padded = concat(col("c_name"), lit("\u0000\u0000\u0000"))
+    // C13/F4: deterministic uuid-shaped string (md5 hex in 8-4-4-4-12
+    // grouping) + the regex validity predicate (profile_daily.py:70-77)
+    val h = md5(col("c_name"))
+    val uuidStr = concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+      substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
     table(s, dir, "customer")
       .select(
         col("c_custkey"),
@@ -204,8 +213,15 @@ object RelationalQueries {
         length(col("c_name")).cast("long").as("name_len"),
         concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
         reverse(col("c_name")).as("name_rev"),
-        regexp_replace(col("c_name"), "[0-9]", "x").as("name_masked"))
+        regexp_replace(col("c_name"), "[0-9]", "x").as("name_masked"),
+        graft.etl.Clean.stripPadAndTrim(padded).as("trimmed"),
+        uuidStr.as("uuid_str"),
+        graft.etl.Clean.isValidUuid(col("c_name")).as("name_is_uuid"))
+      // F4: UUID-validity as a row filter (keeps all rows here — every
+      // generated uuid_str is valid — but the predicate runs in-plan)
+      .where(graft.etl.Clean.isValidUuid(uuidStr))
       .orderBy("c_custkey")
+  }
 
   /** C9/C10 date functions (parse/format/diff/trunc/epoch). */
   def dateFuncs(s: SparkSession, dir: String): DataFrame =
