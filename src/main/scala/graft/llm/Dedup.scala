@@ -121,18 +121,19 @@ object Dedup {
   def minHashLsh(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                  estThreshold: Double = 0.3,
                  hasher: SeededHash = XxSeededHash,
-                 storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
-      : DataFrame = {
+                 storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                 maxBucket: Int = 1 << 16): DataFrame = {
     val sig0 = minHashSignatures(docs, n, k, hasher)
     val sig = if (storageLevel == StorageLevel.NONE) sig0
               else sig0.persist(storageLevel)
     val rowsPerBand = k / bands
-    val banded = (0 until bands).map { b =>
+    val banded0 = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"mh$i").cast("string"))
       sig.select(col("doc_id"),
         lit(b).as("band"), concat_ws(",", cols: _*).as("bucket"))
     }.reduce(_ union _)
+    val banded = dropHotBuckets(banded0, maxBucket)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -182,18 +183,19 @@ object Dedup {
     * disable). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 6,
                    hasher: SeededHash = XxSeededHash, bits: Int = 64,
-                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
-      : DataFrame = {
+                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                   maxBucket: Int = 1 << 16): DataFrame = {
     val sig0 = simHash(docs, hasher, bits)
     val sig = if (storageLevel == StorageLevel.NONE) sig0
               else sig0.persist(storageLevel)
     val bandWidth = bits / 4
     val bandMask = (1L << bandWidth) - 1
-    val banded = (0 until 4).map { b =>
+    val banded0 = (0 until 4).map { b =>
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * bandWidth)
           .bitwiseAND(bandMask).as("bucket"))
     }.reduce(_ union _)
+    val banded = dropHotBuckets(banded0, maxBucket)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -206,4 +208,23 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Skew guard for the LSH band self-joins: a bucket of size s generates
+    * s·(s-1)/2 candidate pairs ON ONE REDUCER — a single degenerate
+    * signature band (boilerplate template, empty-ish documents) turns the
+    * equi-join quadratic at 100 TB. Buckets larger than `maxBucket` are
+    * dropped via an anti-join against the (tiny, broadcast) hot-bucket
+    * list. Dropping is the standard LSH trade: an over-cap bucket means ≥
+    * maxBucket documents share a whole signature band — template floods
+    * that exact dedup (q30) should collapse first; below the cap the
+    * output is IDENTICAL to the uncapped join (asserted in DedupSpec). */
+  private def dropHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val hot = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("_bsz"))
+        .where(col("_bsz") > maxBucket)
+        .select("band", "bucket")
+      banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    }
 }

@@ -41,6 +41,34 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} pairs")
   }
 
+  test("hot-bucket cap drops degenerate LSH buckets but is lossless below it") {
+    // adversarial corpus: 40 copies of one template doc (identical shingle
+    // sets -> identical signatures -> one bucket of size 40 in EVERY band)
+    // plus one planted normal near-dup pair
+    val template = (0 until 40).map(i =>
+      (100L + i, "shared boilerplate template text repeated across the corpus"))
+    val planted = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bend"))
+    val docs = (template ++ planted).toDF("doc_id", "text")
+
+    // cap smaller than the template flood: its buckets are pruned, the
+    // planted pair (bucket size 2) survives, and the join stays bounded
+    val capped = Dedup.minHashLsh(docs, estThreshold = 0.3, maxBucket = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((0L, 1L)))
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L))
+
+    // below the cap the output is identical to the uncapped join
+    val normal = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val withCap = Dedup.minHashLsh(normal, estThreshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val noCap = Dedup.minHashLsh(normal, estThreshold = 0.3,
+        maxBucket = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(withCap == noCap)
+  }
+
   test("simhash: identical docs have distance 0, near dups small distance") {
     val sig = Dedup.simHash(corpus).orderBy("doc_id")
       .select("simhash").as[Long].collect()
