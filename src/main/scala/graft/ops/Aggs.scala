@@ -16,10 +16,11 @@ object Aggs {
     * profile_daily.py:176-197). */
   def countIf(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
 
-  /** A3 (map half): per-group `Map[key -> count]` rendered as a
-    * deterministically ordered "k:v,k:v" string — the Counter-of
-    * -search-counts monoid (profile_daily.py:157-159) in a form that is
-    * byte-stable across engines (map iteration order is not). */
+  /** A3 (map half): per-group key OCCURRENCES as a sorted comma-joined
+    * string (repeats preserved — "a,a,b" for Counter(a→2, b→1)). A
+    * byte-stable group summary (map iteration order is not); the rendered
+    * `k:v` count-map form lives in q17
+    * ([[graft.queries.RelationalQueries.typeCountMap]], oracle-gated). */
   def sortedCountMap(key: Column): Column =
     array_join(array_sort(collect_list(key)), ",")
 

@@ -38,14 +38,29 @@ class AuditSink extends TableProvider {
 
 object AuditSink {
   private val results = new ConcurrentHashMap[String, (Long, Long)]()
+  private val lastEpoch = new ConcurrentHashMap[String, Long]()
 
   def result(name: String): Option[(Long, Long)] = Option(results.get(name))
 
-  def clear(name: String): Unit = results.remove(name)
+  def clear(name: String): Unit = { results.remove(name); lastEpoch.remove(name) }
 
   private[sources] def accumulate(name: String, rows: Long, checksum: Long): Unit =
     results.merge(name, (rows, checksum),
       (a, b) => (a._1 + b._1, (a._2 + b._2) % 1000000007L))
+
+  /** Epoch-idempotent streaming accumulate: after a failure between sink
+    * commit and offset-log commit, Structured Streaming REPLAYS the epoch
+    * — the sink sees the same epochId twice and must not double-count
+    * (exactly-once sinks key their commit on epochId; this is the
+    * in-memory analog). Task-retry dedup is separate: uncommitted writer
+    * messages never reach commit at all. */
+  private[sources] def accumulateEpoch(name: String, epochId: Long,
+                                       rows: Long, checksum: Long): Unit = {
+    val prev = lastEpoch.get(name)
+    if (lastEpoch.containsKey(name) && epochId <= prev) return
+    lastEpoch.put(name, epochId)
+    accumulate(name, rows, checksum)
+  }
 }
 
 class AuditTable(name: String, schema: StructType) extends Table with SupportsWrite {
@@ -76,10 +91,12 @@ class AuditWrite(name: String, schema: StructType) extends Write {
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
       new AuditStreamingWriterFactory(schema)
-    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-      messages.foreach { case AuditCommit(r, c) =>
-        AuditSink.accumulate(name, r, c)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val (rows, ck) = messages.foldLeft((0L, 0L)) {
+        case ((r, c), AuditCommit(mr, mc)) => (r + mr, (c + mc) % 1000000007L)
       }
+      AuditSink.accumulateEpoch(name, epochId, rows, ck)
+    }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
 }

@@ -144,8 +144,15 @@ class RangeMicroBatchStream(lo: Long, hi: Long, rowsPerBatch: Long,
     RangeOffset(available)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    RangeOffset(json.toLong)
+  /** Called with offsets restored from the checkpoint log on restart: the
+    * in-memory cursor must catch up to the committed position, or
+    * latestOffset would regress below it and the stream would emit empty
+    * (or negative-range) batches until the cursor walked back up. */
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    if (v > available) available = v
+    RangeOffset(v)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[RangeOffset].v

@@ -6,6 +6,17 @@ import graft.io.Tables
 
 class AuditSinkSpec extends SparkSpec {
 
+  test("streaming commit is epoch-idempotent: a replayed epoch is skipped") {
+    AuditSink.clear("t_epoch")
+    AuditSink.accumulateEpoch("t_epoch", 0L, 10L, 7L)
+    AuditSink.accumulateEpoch("t_epoch", 1L, 5L, 3L)
+    // failure between sink commit and offset-log commit => epoch 1 replays
+    AuditSink.accumulateEpoch("t_epoch", 1L, 5L, 3L)
+    assert(AuditSink.result("t_epoch").contains((15L, 10L)))
+    AuditSink.accumulateEpoch("t_epoch", 2L, 1L, 1L)
+    assert(AuditSink.result("t_epoch").contains((16L, 11L)))
+  }
+
   test("batch write: commit aggregation counts every row exactly once") {
     AuditSink.clear("t_batch")
     val df = Tables.table(spark, Sf0001, "customer").repartition(4)
