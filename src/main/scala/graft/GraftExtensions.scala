@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, PolyHash}
+import graft.functions.{CosineSim, MapCountAgg, PolyHash}
 
 /** Registration of the engine's native Catalyst expressions.
   *
@@ -34,7 +34,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => PolyHash(children.head)),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))),
+    (FunctionIdentifier("map_count"),
+      new ExpressionInfo(classOf[MapCountAgg].getName, "map_count"),
+      (children: Seq[Expression]) => MapCountAgg(children.head)))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -37,6 +37,7 @@ object SparkEntry {
     "q16_try_cast" -> RelationalQueries.tryCastCleaning,
     "q17_type_count_map" -> RelationalQueries.typeCountMap,
     "q18_map_monoid_udaf" -> PipelineQueries.mapMonoidUdaf,
+    "q18b_map_monoid_native" -> PipelineQueries.mapMonoidNative,
     "q19_pivot" -> RelationalQueries.pivotEventCounts,
     "q20_rollup" -> RelationalQueries.rollupNation,
     "q21_cube" -> RelationalQueries.cubeReturnStatus,
@@ -261,6 +262,13 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus, g_rf, g_ls""".stripMargin,
     "q18_map_monoid_udaf" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS type_counts
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q18b_map_monoid_native" ->
       """WITH c AS (
         |  SELECT user_id, event_type, count(*) AS cnt
         |  FROM events GROUP BY 1, 2)

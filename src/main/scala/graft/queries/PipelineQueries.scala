@@ -269,6 +269,24 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** A3/A6 at scale: the SAME counter monoid as a native
+    * [[graft.functions.MapCountAgg]] `TypedImperativeAggregate` — mutable
+    * map buffer updated in place (no per-row allocation), compact byte
+    * serialization for shuffle/spill, map-side partial aggregation. Same
+    * oracle as q17/q18, proving all three formulations agree. */
+  def mapMonoidNative(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    table(s, dir, "events")
+      .groupBy("user_id")
+      .agg(expr("map_count(event_type)").as("m"))
+      // eval emits binary-sorted keys, so map_entries is already ordered
+      .select(col("user_id"),
+        array_join(transform(map_entries(col("m")),
+          e => concat_ws(":", e.getField("key"), e.getField("value"))), ",")
+          .as("type_counts"))
+      .orderBy("user_id")
+  }
+
   private[queries] val typeCounter: Aggregator[(Long, String), Map[String, Long], Map[String, Long]] =
     new Aggregator[(Long, String), Map[String, Long], Map[String, Long]] {
       def zero: Map[String, Long] = Map.empty

@@ -24,6 +24,23 @@ class AggsSpec extends SparkSpec {
     }
   }
 
+  test("MapCountAgg (native) == typed Aggregator result across a shuffle") {
+    graft.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "z"), (2L, "z"), (2L, "z"), (2L, "a"),
+      (3L, "solo"))
+      .toDF("user_id", "event_type")
+      .repartition(4) // forces partial buffers + serialize/merge
+    val native = df.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr("map_count(event_type)").as("m"))
+      .as[(Long, Map[String, Long])].collect().toMap
+    assert(native == Map(
+      1L -> Map("x" -> 2L, "y" -> 1L),
+      2L -> Map("z" -> 3L, "a" -> 1L),
+      3L -> Map("solo" -> 1L)))
+  }
+
   test("modePerGroup: most frequent wins, ties to smallest value") {
     val df = Seq(
       (1, "b"), (1, "b"), (1, "a"),          // b wins on count
