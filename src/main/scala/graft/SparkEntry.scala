@@ -53,6 +53,7 @@ object SparkEntry {
     "q33_simhash_pairs" -> LlmQueries.simhashPairs,
     "q34_cosine_topk" -> LlmQueries.cosineTopK,
     "q35_ann_lsh" -> LlmQueries.annLsh,
+    "q35b_ann_ivf" -> LlmQueries.ivfAnn,
     "q36_lang_id" -> LlmQueries.langId,
     "q37_quality_score" -> LlmQueries.qualityScore,
     "q38_token_count" -> LlmQueries.tokenCount,
@@ -395,6 +396,31 @@ object SparkEntry {
     "q32_minhash_lsh" -> q32MinhashOracle,
     "q33_simhash_pairs" -> q33SimhashOracle,
     "q35_ann_lsh" -> q35AnnLshOracle,
+    "q35b_ann_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
+        |              FROM embeddings WHERE vec_id % 37 = 0),
+        |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(e.embedding, c.c_emb), 4)
+        |             DESC, c.cid) AS crn
+        |       FROM embeddings e, cent c),
+        |assigned AS (SELECT vec_id, embedding, cid FROM a0 WHERE crn = 1),
+        |q0 AS (SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cid,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(e.embedding, c.c_emb), 4)
+        |             DESC, c.cid) AS qrn
+        |       FROM embeddings e, cent c WHERE e.vec_id < 10),
+        |probes AS (SELECT query_id, q_emb, cid FROM q0 WHERE qrn <= 2),
+        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+        |           list_cosine_similarity(p.q_emb, a.embedding) AS sim
+        |         FROM assigned a JOIN probes p USING (cid)
+        |         WHERE a.vec_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY round(sim, 4) DESC, neighbor_id) AS BIGINT) AS rn
+        |      FROM cand)
+        |SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "q34_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

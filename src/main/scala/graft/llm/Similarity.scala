@@ -84,6 +84,56 @@ object Similarity {
         pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("sig"))
   }
 
+  /** ANN via IVF (inverted-file) cells: a small coarse-quantizer centroid
+    * set partitions the corpus into cells (each vector assigned to its
+    * nearest centroid); queries probe only their `nprobe` nearest cells,
+    * so comparisons ~ nprobe·cell-size instead of corpus size — the
+    * standard complement to LSH bucketing when recall needs tuning by a
+    * knob (nprobe) rather than by plane count.
+    *
+    * Centroids here are a deterministic stride-sample of the corpus
+    * (`vec_id % centroidStride == 0`) so the whole operator — assignment
+    * argmax, probe lists, in-cell ranking — is exactly reproducible (and
+    * oracle-checkable); in production the centroid frame would come from
+    * k-means over a sample, and everything downstream is unchanged.
+    *
+    * Scale shape: centroids BROADCAST to both the assignment join (corpus
+    * streams once) and the probe join; per-vector argmax and per-query
+    * top-k go through ranking windows that [[graft.plans.TopKRewrite]]
+    * replaces with bounded-heap TopKPerKey operators. All ranking is on
+    * the 4-dp-rounded score with id tie-breaks (cross-engine stable). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroidStride: Int = 37, nprobe: Int = 2): DataFrame = {
+    val cent = corpus.where(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(round(col("csim"), 4).desc, col("cid"))
+    val assigned = corpus.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cosine(col("embedding"), col("c_emb")).as("csim"))
+      .withColumn("crn", row_number().over(wAssign))
+      .where(col("crn") === 1)
+      .select("vec_id", "embedding", "cid")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("qsim"), 4).desc, col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id"), col("q_emb"), col("cid"),
+        cosine(col("q_emb"), col("c_emb")).as("qsim"))
+      .withColumn("qrn", row_number().over(wProbe))
+      .where(col("qrn") <= nprobe)
+      .select("query_id", "q_emb", "cid")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("sim"), 4).desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** ANN via LSH bucketing: exact cosine only within matching signature
     * buckets, then per-query top-k ranked on the ROUNDED score (4 dp,
     * ties on neighbor_id) so rankings are stable across engines. Recall

@@ -60,6 +60,17 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF-cell ANN: deterministic stride-sampled coarse quantizer,
+    * nprobe=2 probe lists, exact in-cell cosine top-5 (the second ANN
+    * scale path next to LSH bucketing; recall tuned by nprobe). */
+  def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Marker-based language ID with per-language scores. Two-step select:
     * scores materialize once, the argmax CASE reads the columns (not the
     * score subtrees — see TextAnalysis note on interpreted lambdas). */

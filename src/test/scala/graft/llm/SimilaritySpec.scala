@@ -21,6 +21,24 @@ class SimilaritySpec extends SparkSpec {
     assert(a.size == 15) // 5 queries x top-3
   }
 
+  test("IVF top-k scores agree with brute force and recall is reasonable") {
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val bruteMap = brute.map { case (a, b, s) => (a, b) -> s }.toMap
+    val ivf = Similarity.ivfTopK(q, emb, 5)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (a, b, s) =>
+      bruteMap.get((a, b)).foreach(bs => assert(math.abs(bs - s) < 1e-12))
+    }
+    // every query that probed a non-empty cell returns something
+    val perQuery = ivf.groupBy(_._1)
+    assert(perQuery.size >= 10)
+  }
+
   test("LSH candidates score identically to brute force for same pairs") {
     val q = emb.where(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, 5)
