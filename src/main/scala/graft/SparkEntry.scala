@@ -69,6 +69,8 @@ object SparkEntry {
     "q47_embedding_neardup" -> LlmQueries.embeddingNearDup,
     "q50_from_json" -> RelationalQueries.fromJsonShred,
     "q54_dsv2_range_scan" -> IoQueries.dsv2RangeScan,
+    "q55_window_suite" -> RelationalQueries.windowSuite,
+    "q56_pii_scrub" -> LlmQueries.piiScrub,
     "q57_sql_surface" -> RelationalQueries.sqlSurface,
     "q58_null_semantics" -> RelationalQueries.nullSemantics,
     "q59_multimodal_resize" -> LlmQueries.multimodalResizeFrames,
@@ -431,6 +433,40 @@ object SparkEntry {
         |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q55_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(rank() OVER wp AS BIGINT) AS price_rank,
+        |  CAST(dense_rank() OVER wp AS BIGINT) AS price_dense_rank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(cume_dist() OVER w, 4) AS cume,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wp AS (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q56_pii_scrub" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    'contact user' || doc_id || '@example.com or https://site'
+        |      || doc_id || '.example.org ' || text AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, 'https?://[^ ]+')) AS BIGINT)
+        |    AS n_urls,
+        |  substring(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'), 1, 80) AS scrubbed_head
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q36_lang_id" ->
       """WITH t AS (SELECT doc_id, lang AS labeled_lang,
         |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','is','in','a'))) AS BIGINT) AS s_en,

@@ -149,6 +149,30 @@ object LlmQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before tokenization: emails and URLs replaced by placeholder tokens,
+    * with per-document match counts for filtering/audit. Applied to a
+    * deterministic synthetic prefix (doc_id-derived email + URL) + the
+    * real text, so the patterns provably fire on every row and the oracle
+    * value-checks both the counts and the rewritten text. Pure codegen'd
+    * regex expressions — runs at scan speed. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlRe = "https?://[^ ]+"
+    val synth = concat(lit("contact user"), col("doc_id"),
+      lit("@example.com or https://site"), col("doc_id"),
+      lit(".example.org "), col("text"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), synth.as("raw"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(urlRe)).cast("long").as("n_urls"),
+        substring(regexp_replace(regexp_replace(col("raw"), emailRe,
+          "<EMAIL>"), urlRe, "<URL>"), 1, 80).as("scrubbed_head"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition ratio — a standard training-data quality signal:
     * 1 - distinct_ngrams/total_ngrams. */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame =

@@ -287,6 +287,36 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** The general window-function surface beyond top-k ranking: lag/lead
+    * offsets, rank/dense_rank (tie-stable by definition — equal inputs get
+    * equal ranks), ntile bucketing, cume_dist, and a cumulative sum over
+    * an exact DECIMAL (float accumulation order inside a window frame is
+    * engine-private — DuckDB uses a segment tree — so cross-engine
+    * determinism requires an associative-exact type, not rounding). The
+    * window order (o_orderdate, o_orderkey) is unique per partition. */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(s, dir, "orders")
+      .withColumn("price_dec", col("o_totalprice").cast("decimal(18,2)"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        lag("o_orderkey", 1).over(w).as("prev_key"),
+        lead("o_orderkey", 1).over(w).as("next_key"),
+        rank().over(wPrice).cast("long").as("price_rank"),
+        dense_rank().over(wPrice).cast("long").as("price_dense_rank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(cume_dist().over(w), 4).as("cume"),
+        sum(col("price_dec")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` ==
     * DuckDB `quantile_cont`). */
   def percentiles(s: SparkSession, dir: String): DataFrame =
