@@ -47,6 +47,8 @@ object SparkEntry {
     "q25_fingerprints" -> PipelineQueries.fingerprints,
     "q26_e1_multi_sink" -> PipelineQueries.e1MultiSink,
     "q27_nested_shred" -> PipelineQueries.nestedShred,
+    "q28_chunking" -> LlmQueries.chunkDocs,
+    "q29_hash_split" -> LlmQueries.hashSplit,
     "q30_exact_dedup" -> LlmQueries.exactDedup,
     "q31_ngram_jaccard" -> LlmQueries.ngramJaccard,
     "q32_minhash_lsh" -> LlmQueries.minhashLsh,
@@ -375,6 +377,26 @@ object SparkEntry {
         |       THEN '1.' || (user_id % 10)::VARCHAR END AS cliqz_version,
         |  first_event, CAST(n_events AS BIGINT) AS n_events
         |FROM agg ORDER BY user_id""".stripMargin,
+    "q28_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_transform(range(0, CAST(ceil(len(ws) / 32.0) AS INT)),
+        |          i -> array_to_string(ws[i*32+1 : i*32+32], ' ')) AS chunks
+        |      FROM w)
+        |SELECT doc_id,
+        |  CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_id,
+        |  CAST(len(string_split(unnest(chunks), ' ')) AS BIGINT)
+        |    AS chunk_tokens,
+        |  unnest(chunks) AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q29_hash_split" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100
+        |    AS bucket,
+        |  CASE WHEN ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dup_count, md5(text) AS fp

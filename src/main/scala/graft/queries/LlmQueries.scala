@@ -149,6 +149,41 @@ object LlmQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** Document chunking — fixed-size token windows (sequence packing for
+    * training): each document explodes into ceil(n_tokens/32) chunks of up
+    * to 32 tokens, positionally indexed. Generator + array-slice surface;
+    * at scale this is the map-side explode that feeds tokenization, no
+    * shuffle at all. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val sz = 32
+    table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        ceil(size(col("toks")) / lit(sz.toDouble)).cast("int").as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * sz + 1, lit(sz)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(split(col("chunk_text"), " ")).cast("long").as("chunk_tokens"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic hash-based dataset split — reproducible train/val/test
+    * assignment by a seeded portable hash of the stable document id (NO
+    * rand(): retries, re-runs and other engines all agree). The standard
+    * leakage-safe alternative to random sampling at 100 TB. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    table(s, dir, "documents")
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing — the redaction pass every training-data pipeline runs
     * before tokenization: emails and URLs replaced by placeholder tokens,
     * with per-document match counts for filtering/audit. Applied to a
