@@ -117,7 +117,7 @@ case class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeReaderFactory(required)
+    new RangeReaderFactory(required, columnar = true)
 }
 
 case class RangePartition(from: Long, until: Long) extends InputPartition
@@ -167,7 +167,8 @@ class RangeMicroBatchStream(lo: Long, hi: Long, rowsPerBatch: Long,
   override def stop(): Unit = ()
 }
 
-class RangeReaderFactory(required: StructType) extends PartitionReaderFactory {
+class RangeReaderFactory(required: StructType, columnar: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RangePartition]
     // bind the projection once per partition, not per row
@@ -183,6 +184,53 @@ class RangeReaderFactory(required: StructType) extends PartitionReaderFactory {
       override def get(): InternalRow =
         new GenericInternalRow(fieldGens.map(_(cur)).asInstanceOf[Array[Any]])
       override def close(): Unit = ()
+    }
+  }
+
+  /** Vectorized path: the batch scan emits [[ColumnarBatch]]es of 4096
+    * rows into reused on-heap vectors, so downstream whole-stage codegen
+    * consumes columns without per-row object allocation — the same shape
+    * as Spark's vectorized parquet reader (`Batched: true` in explain).
+    * The streaming face keeps the row reader (micro-batches are small). */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val p = partition.asInstanceOf[RangePartition]
+    val capacity = 4096
+    new PartitionReader[ColumnarBatch] {
+      private val vectors = OnHeapColumnVector.allocateColumns(capacity, required)
+      private val batch = new ColumnarBatch(
+        vectors.map(_.asInstanceOf[org.apache.spark.sql.vectorized.ColumnVector]))
+      private var cur = p.from
+
+      override def next(): Boolean = {
+        if (cur >= p.until) return false
+        val n = math.min(capacity.toLong, p.until - cur).toInt
+        var c = 0
+        while (c < required.length) {
+          val v = vectors(c)
+          v.reset()
+          required(c).name match {
+            case "id" =>
+              var i = 0
+              while (i < n) { v.putLong(i, cur + i); i += 1 }
+            case "bucket" =>
+              var i = 0
+              while (i < n) { v.putInt(i, ((cur + i) % 10).toInt); i += 1 }
+          }
+          c += 1
+        }
+        batch.setNumRows(n)
+        cur += n
+        true
+      }
+
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }

@@ -19,6 +19,17 @@ class RangeSourceSpec extends SparkSpec {
     assert(df.agg(min("id"), max("id")).as[(Long, Long)].head() == ((10L, 109L)))
   }
 
+  test("batch scan is vectorized: ColumnarToRow in plan, values exact") {
+    val df = range("start" -> "0", "end" -> "10000", "slices" -> "3")
+    df.collect() // force execution so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
+    // values cross the 4096-row batch boundary correctly
+    val sums = df.agg(sum("id"), count(lit(1)), sum("bucket"))
+      .as[(Long, Long, Long)].head()
+    assert(sums == ((9999L * 10000 / 2, 10000L, (0 until 10000).map(_ % 10).sum.toLong)))
+  }
+
   test("id predicates are pushed: scan range narrows") {
     val df = range("end" -> "1000000")
       .where(col("id") >= 999990L && col("id") < 999995L)
