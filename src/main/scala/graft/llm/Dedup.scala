@@ -60,13 +60,22 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wDoc))
     val prefix = ranked.where(
       col("rn") <= col("sz") - floor(col("sz") * threshold).cast("long") + 1)
-    // length filter inside the candidate join: jaccard >= J implies
-    // min(|A|,|B|) >= J * max(|A|,|B|) — prunes size-mismatched pairs
-    // before they reach the distinct
+    // two filters inside the candidate join, both BEFORE the distinct:
+    //  - length: jaccard >= J implies min(|A|,|B|) >= J * max(|A|,|B|)
+    //  - positional (PPJoin): a shared shingle at ranks (rn_a, rn_b) of
+    //    the same global rare-first order bounds the intersection by
+    //    1 + min(sz_a - rn_a, sz_b - rn_b); jaccard >= J needs
+    //    inter >= J/(1+J) * (sz_a + sz_b). The earliest shared occurrence
+    //    of a true pair always passes (no shared shingles precede it), so
+    //    no true pair is lost; pairs sharing only late-prefix shingles
+    //    are pruned before they cost a shuffle row.
+    val jf = threshold / (1.0 + threshold)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") >= col("b.sz") * threshold &&
-        col("b.sz") >= col("a.sz") * threshold)
+        col("b.sz") >= col("a.sz") * threshold &&
+        lit(1) + least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) >=
+          ceil((col("a.sz") + col("b.sz")) * jf))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val verified = cand
