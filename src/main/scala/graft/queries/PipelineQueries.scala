@@ -52,56 +52,18 @@ object PipelineQueries {
     * unions them under a `src` tag — so the oracle checks the full
     * write→read round trip of every branch, partition columns included. */
   def e1MultiSink(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
     val tmp = java.nio.file.Files.createTempDirectory("graft-e1multi").toString
     val events = table(s, dir, "events") // shared scan, two projections
 
-    // doc-type "testpilot": interaction events, JSON prop extraction
-    val cfgA = FrameConfig(
-      columns = Seq(
-        ColumnSpec("event_id", col("event_id")),
-        ColumnSpec("day", date_format(col("ts"), "yyyy-MM-dd")),
-        ColumnSpec("user_id", col("user_id")),
-        ColumnSpec("event", col("event_type")),
-        ColumnSpec("prop_k", get_json_object(col("props"), "$.k"),
-          castTo = Some(LongType))),
-      preFilter = Some(col("event_type").isin("click", "view")),
-      postFilter = Some(col("prop_k").isNotNull))
-
-    // doc-type "testpilottest": the rest, with a fixed-point money cast
-    // (round BEFORE the long cast — Spark truncates, DuckDB rounds)
-    val cfgB = FrameConfig(
-      columns = Seq(
-        ColumnSpec("event_id", col("event_id")),
-        ColumnSpec("day", date_format(col("ts"), "yyyy-MM-dd")),
-        ColumnSpec("user_id", col("user_id")),
-        ColumnSpec("event", col("event_type")),
-        ColumnSpec("value_cents", round(col("value") * 100),
-          castTo = Some(LongType))),
-      preFilter = Some(!col("event_type").isin("click", "view")))
-
-    // CSV source "search": header CSV (all strings) + cleaning funcs
+    // CSV source "search": the reference reads a real header CSV
     val csvDir = s"$tmp/search_csv"
     table(s, dir, "customer").write.mode("overwrite")
       .option("header", "true").csv(csvDir)
-    val cfgC = FrameConfig(
-      columns = Seq(
-        ColumnSpec("cust_id", col("c_custkey"), castTo = Some(LongType)),
-        ColumnSpec("name_prefix", col("c_name"),
-          clean = graft.etl.Clean.splitHead("#")),
-        ColumnSpec("is_auto", col("c_mktsegment"),
-          clean = graft.etl.Clean.memberOf("AUTOMOBILE", "MACHINERY")),
-        ColumnSpec("balance_cents", col("c_acctbal"),
-          clean = c => round(c.cast("double") * 100),
-          castTo = Some(LongType))))
 
-    // three sinks, one job (testpilot_data.py:197-200)
-    graft.io.PartitionedWriter.write(cfgA(events), s"$tmp/testpilot",
-      partitionCols = Seq("day"))
-    graft.io.PartitionedWriter.write(cfgB(events), s"$tmp/testpilottest",
-      partitionCols = Seq("day"))
-    graft.io.PartitionedWriter.write(cfgC(graft.io.Tables.csv(s, csvDir)),
-      s"$tmp/search", numFiles = Some(1))
+    // the job itself is the library API (configs + three sinks, one run)
+    graft.jobs.TestpilotDaily.run(s, events, graft.io.Tables.csv(s, csvDir),
+      graft.jobs.TestpilotDaily.Sinks(
+        s"$tmp/testpilot", s"$tmp/testpilottest", s"$tmp/search"))
 
     // read-back union under a src tag: one frame, common (src, key, day,
     // attr, val) schema — value-level comparison of every branch
