@@ -737,8 +737,10 @@ object SparkEntry {
     * [[graft.llm.Dedup.minHashLsh]] with the portable hasher). */
   private def q32MinhashOracle: String = {
     val k = 16; val bands = 4; val rpb = k / bands
+    val p = graft.llm.Dedup.P31
     val mins = (0 until k)
-      .map(i => s"min(${h("sg", i)}) AS mh$i").mkString(",\n    ")
+      .map(i => s"min((hb * ${2 * i + 1} + ${graft.llm.Dedup.bSeed(i)}) % $p) AS mh$i")
+      .mkString(",\n    ")
     val banded = (0 until bands).map { b =>
       val cat = (b * rpb until (b + 1) * rpb)
         .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
@@ -748,9 +750,10 @@ object SparkEntry {
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sg
-       FROM w WHERE len(ws) >= 3),
+sh AS (SELECT doc_id, ${h("sg", 0)} % $p AS hb FROM (
+         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sg
+         FROM w WHERE len(ws) >= 3)),
 sig AS (SELECT doc_id,
     $mins
   FROM sh GROUP BY doc_id),

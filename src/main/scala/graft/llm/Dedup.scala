@@ -105,12 +105,22 @@ object Dedup {
     * [[PortableSeededHash]] (cross-engine, oracle-checkable). */
   def minHashSignatures(docs: DataFrame, n: Int, k: Int,
                         hasher: SeededHash = XxSeededHash): DataFrame = {
+    // ONE base hash per shingle, then k universal hashes derived
+    // arithmetically: h_i = ((2i+1)·base + b_i) mod (2^31-1). 16× fewer
+    // md5/xxhash evaluations than hashing per seed; the derivation is
+    // plain integer arithmetic in any engine (ANSI-safe: 33·2^31 < 2^63).
+    // Base-space collisions (~|shingles|²/2^32) merge a handful of
+    // shingle pairs corpus-wide — the standard near-dup trade-off.
     val ex = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextAnalysis.distinctShinglesFromTokens(col("toks"), n))
           .as("sg"))
-    val aggs = (0 until k).map(i => min(hasher.hash(col("sg"), i)).as(s"mh$i"))
+      .select(col("doc_id"),
+        pmod(hasher.hash(col("sg"), 0), lit(Dedup.P31)).as("hb"))
+    val aggs = (0 until k).map { i =>
+      min((col("hb") * (2 * i + 1) + Dedup.bSeed(i)) % Dedup.P31).as(s"mh$i")
+    }
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -217,6 +227,10 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Universal-hash family parameters shared with the oracle SQL. */
+  final val P31 = 2147483647L // 2^31 - 1
+  def bSeed(i: Int): Long = (i.toLong * 12582917L) % P31
 
   /** Skew guard for the LSH band self-joins: a bucket of size s generates
     * s·(s-1)/2 candidate pairs ON ONE REDUCER — a single degenerate
