@@ -70,12 +70,17 @@ object TopKRewrite extends Rule[LogicalPlan] {
 }
 
 object GraftRules {
-  /** Register the rewrite + its strategy on an existing session via the
-    * public experimental hooks (idempotent). */
+  /** Register the rewrites + strategy on an existing session via the
+    * public experimental hooks (idempotent). AnnJoinRewrite is inert until
+    * its conf flag is set — registering it is always safe. */
   def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(TopKRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKRewrite
+    }
+    if (!spark.experimental.extraOptimizations.contains(AnnJoinRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnJoinRewrite
     }
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
