@@ -53,10 +53,28 @@ final case class FrameConfig(
     preFilter: Option[Column] = None,
     postFilter: Option[Column] = None) {
 
-  /** Apply as one Catalyst plan: filter → select → filter. */
+  /** Apply as one Catalyst plan: filter → select → filter.
+    *
+    * Missing-path semantics follow the reference: `get_pings_properties`
+    * fills paths absent from a ping with None rather than failing
+    * (moztelemetry path extraction; consumed at testpilot_data.py:41,56),
+    * so a [[ColumnSpec]] whose source does not resolve against THIS
+    * frame's schema compiles to a typed NULL column instead of an
+    * AnalysisException — one schema probe per column at plan-build time,
+    * nothing at run time. */
   def apply(df: DataFrame): DataFrame = {
     val pre = preFilter.fold(df)(df.filter)
-    val projected = pre.select(columns.map(_.compile): _*)
+    val compiled = columns.map { c =>
+      val resolves =
+        try { pre.select(c.compile); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (resolves) c.compile
+      else {
+        val nul = org.apache.spark.sql.functions.lit(null)
+        c.castTo.fold(nul)(nul.cast).as(c.name)
+      }
+    }
+    val projected = pre.select(compiled: _*)
     postFilter.fold(projected)(projected.filter)
   }
 }

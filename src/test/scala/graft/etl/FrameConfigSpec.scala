@@ -24,6 +24,19 @@ class FrameConfigSpec extends SparkSpec {
     assert(out == 3L)
   }
 
+  test("missing paths extract as typed NULL, not AnalysisException") {
+    // reference: get_pings_properties fills absent paths with None
+    val df = Seq(("a", 1L)).toDF("x", "n")
+    val cfg = FrameConfig(Seq(
+      ColumnSpec("x", col("x")),
+      ColumnSpec("gone", ColumnSpec.path("meta/geo")),
+      ColumnSpec("gone_typed", col("absent"), castTo = Some(LongType))))
+    val out = cfg(df)
+    assert(out.schema("gone_typed").dataType == LongType)
+    val row = out.head()
+    assert(row.getString(0) == "a" && row.isNullAt(1) && row.isNullAt(2))
+  }
+
   test("pre/post filters apply around the projection") {
     val df = Seq(("keep", "1"), ("drop", "2"), ("keep", "x")).toDF("tag", "v")
     val cfg = FrameConfig(
