@@ -175,24 +175,37 @@ object Dedup {
               col("n_bands_hit"))
   }
 
-  /** SimHash per document: per token-hash bit j, sum ±1 across tokens;
-    * bit j of the signature is the sign. One aggregation with `bits`
-    * conditional-sum columns — no row explosion beyond the token explode.
+  /** SimHash per document: per token-hash bit j, the signature bit is the
+    * sign of Σ±1 across tokens — equivalently `2·ones_j > n_tokens`.
     * `bits` is 64 for the xx64 family, 60 for the portable md5 family
-    * (which only yields 60 uniform bits). */
+    * (which only yields 60 uniform bits).
+    *
+    * The per-bit counters are PACKED three to a long (20-bit lanes), so
+    * the aggregation carries ceil(bits/3)+1 buffer columns instead of
+    * `bits` — a 3× narrower hash-agg row and shuffle row for the
+    * token-explode aggregation that dominates this operator. Lane safety:
+    * each lane counts ≤ n_tokens, so docs up to 2^20 (~1M) tokens sum
+    * without ANSI overflow (the long tail of real corpora; chunk first
+    * beyond that). */
   def simHash(docs: DataFrame, hasher: SeededHash = XxSeededHash,
               bits: Int = 64): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("t"))
       .withColumn("h", hasher.hash(col("t"), 0))
-    val bitSums = (0 until bits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j")
+    val groups = (bits + 2) / 3
+    val packed = (0 until groups).map { g =>
+      val lanes = (0 until 3).filter(l => g * 3 + l < bits).map { l =>
+        shiftright(col("h"), g * 3 + l).bitwiseAND(1) * lit(1L << (20 * l))
+      }
+      sum(lanes.reduce(_ + _)).as(s"p$g")
     }
-    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until bits)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
+    val aggs = packed :+ count(lit(1)).as("n")
+    val sums = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sig = (0 until bits).map { j =>
+      val ones = shiftrightunsigned(col(s"p${j / 3}"), 20 * (j % 3))
+        .bitwiseAND((1L << 20) - 1)
+      when(ones * 2 > col("n"), lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
