@@ -72,6 +72,7 @@ object SparkEntry {
     "q50_from_json" -> RelationalQueries.fromJsonShred,
     "q54_dsv2_range_scan" -> IoQueries.dsv2RangeScan,
     "q55_window_suite" -> RelationalQueries.windowSuite,
+    "q62_stateful_counters" -> StreamingQueries.statefulCountersBatch,
     "q56_pii_scrub" -> LlmQueries.piiScrub,
     "q57_sql_surface" -> RelationalQueries.sqlSurface,
     "q58_null_semantics" -> RelationalQueries.nullSemantics,
@@ -455,6 +456,10 @@ object SparkEntry {
         |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q62_stateful_counters" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q55_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS day,

@@ -37,6 +37,18 @@ object StreamingQueries {
     EventsStream.sessionWindows(table(s, dir, "events"))
       .orderBy("user_id", "start_us")
 
+  /** The mapGroupsWithState custom-state aggregation executed in batch
+    * mode (q62): each group is processed once against empty state — the
+    * well-defined batch semantics of arbitrary stateful ops — so the
+    * per-user running counters must equal a plain count/sum, which the
+    * oracle computes independently. The incremental (multi-batch) replay
+    * equivalence is in StreamingSpec. */
+  def statefulCountersBatch(s: SparkSession, dir: String): DataFrame =
+    EventsStream.runningUserCounters(s, table(s, dir, "events")).toDF()
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id")
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */
