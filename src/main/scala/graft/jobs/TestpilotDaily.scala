@@ -22,6 +22,24 @@ import graft.io.PartitionedWriter
   */
 object TestpilotDaily {
 
+  /** spark-submit entry — the analog of the reference's notebook
+    * orchestration (clone → build egg → addPyFile → main(sc, sqlContext),
+    * scheduling/cliqz_load_and_run.ipynb): here it is one submitted jar.
+    * `args`: telemetryParquetPath searchCsvPath outBaseDir */
+  def main(args: Array[String]): Unit = {
+    val Array(telemetryPath, csvPath, outBase) = args.take(3)
+    val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    run(spark,
+      spark.read.parquet(telemetryPath),
+      graft.io.Tables.csv(spark, csvPath),
+      Sinks(s"$outBase/testpilot", s"$outBase/testpilottest",
+        s"$outBase/search"))
+    spark.stop()
+  }
+
   /** Output locations: two day-partitioned tables and one single-file
     * table (testpilot_data.py:197-200 — `partitions=16*5` there is a
     * file-count choice; partition-by-day is the idiomatic upgrade that
