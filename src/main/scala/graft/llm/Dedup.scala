@@ -52,12 +52,15 @@ object Dedup {
     // consumed by candidate generation AND both verify joins
     val sh = if (storageLevel == StorageLevel.NONE) sh0
              else sh0.persist(storageLevel)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
+    // carry |doc| through the explode — a count() window would cost a
+    // second full sort of the postings (different window spec than the
+    // ranking window below)
+    val ex = sh.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
+      explode(col("sh")).as("sg"))
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id")
     val ranked = ex.join(freq, "sg")
       .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sg"))))
-      .withColumn("sz", count(lit(1)).over(wDoc))
     val prefix = ranked.where(
       col("rn") <= col("sz") - floor(col("sz") * threshold).cast("long") + 1)
     // two filters inside the candidate join, both BEFORE the distinct:
