@@ -72,6 +72,7 @@ object SparkEntry {
     "q50_from_json" -> RelationalQueries.fromJsonShred,
     "q54_dsv2_range_scan" -> IoQueries.dsv2RangeScan,
     "q55_window_suite" -> RelationalQueries.windowSuite,
+    "q51b_approx_percentiles" -> RelationalQueries.approxPercentiles,
     "q62_stateful_counters" -> StreamingQueries.statefulCountersBatch,
     "q56_pii_scrub" -> LlmQueries.piiScrub,
     "q57_sql_surface" -> RelationalQueries.sqlSurface,
@@ -456,6 +457,17 @@ object SparkEntry {
         |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
         |SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q51b_approx_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        |  abs(approx_quantile(o_totalprice, 0.5)
+        |      - quantile_cont(o_totalprice, 0.5))
+        |    <= quantile_cont(o_totalprice, 0.5) * 0.02 AS p50_ok,
+        |  abs(approx_quantile(o_totalprice, 0.9)
+        |      - quantile_cont(o_totalprice, 0.9))
+        |    <= quantile_cont(o_totalprice, 0.9) * 0.02 AS p90_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q62_stateful_counters" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(value), 2) AS sum_value

@@ -328,6 +328,25 @@ object RelationalQueries {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
       .orderBy("o_orderpriority")
 
+  /** Approximate percentiles (mergeable quantile sketch) sanity-checked
+    * against the exact interpolated percentile: engines' sketches differ
+    * in implementation, so — like q46's HLL check — the comparable output
+    * is the accuracy FLAG (estimate within 2% of exact), not the
+    * estimate. At 100 TB the sketch is the only option: it merges
+    * map-side, while exact percentile materializes every group's values. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+        (abs(expr("percentile_approx(o_totalprice, 0.5, 1000)") -
+             expr("percentile(o_totalprice, 0.5)")) <=
+          expr("percentile(o_totalprice, 0.5)") * 0.02).as("p50_ok"),
+        (abs(expr("percentile_approx(o_totalprice, 0.9, 1000)") -
+             expr("percentile(o_totalprice, 0.9)")) <=
+          expr("percentile(o_totalprice, 0.9)") * 0.02).as("p90_ok"))
+      .orderBy("o_orderpriority")
+
   /** Statistical aggregates: correlation, sample stddev/variance,
     * covariance. */
   def statsAgg(s: SparkSession, dir: String): DataFrame =
