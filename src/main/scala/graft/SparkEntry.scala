@@ -53,6 +53,7 @@ object SparkEntry {
     "q31_ngram_jaccard" -> LlmQueries.ngramJaccard,
     "q32_minhash_lsh" -> LlmQueries.minhashLsh,
     "q33_simhash_pairs" -> LlmQueries.simhashPairs,
+    "q63_neardup_clusters" -> LlmQueries.neardupClusters,
     "q34_cosine_topk" -> LlmQueries.cosineTopK,
     "q35_ann_lsh" -> LlmQueries.annLsh,
     "q35b_ann_ivf" -> LlmQueries.ivfAnn,
@@ -421,6 +422,7 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q32_minhash_lsh" -> q32MinhashOracle,
     "q33_simhash_pairs" -> q33SimhashOracle,
+    "q63_neardup_clusters" -> q63ClustersOracle,
     "q35_ann_lsh" -> q35AnnLshOracle,
     "q35b_ann_ivf" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
@@ -787,6 +789,26 @@ est AS (SELECT c.doc_a, c.doc_b, c.n_bands_hit,
 SELECT doc_a, doc_b, round(ej, 4) AS est_jaccard, n_bands_hit
 FROM est WHERE ej >= 0.3 ORDER BY doc_a, doc_b"""
   }
+
+  /** Cluster-resolution oracle: the q32 candidate pairs (same generated
+    * portable-hash SQL, embedded as a subquery) resolved into connected
+    * components by a recursive transitive-closure CTE; component id =
+    * least reachable doc_id (mirrors
+    * [[graft.llm.Dedup.connectedComponents]]). The recursive closure is
+    * O(pairs²) — fine for the oracle's sf0.01 pair count; the Spark side
+    * is the scalable label-propagation loop. */
+  private def q63ClustersOracle: String =
+    s"""WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ($q32MinhashOracle)),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+reach(n, m) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+comp AS (SELECT n AS doc_id, least(n, min(m)) AS component
+         FROM reach GROUP BY n)
+SELECT doc_id, component, (component = doc_id) AS is_keeper
+FROM comp ORDER BY doc_id"""
 
   /** SimHash oracle: 60-bit portable token hash, ±1 bit sums, 4×15-bit
     * band LSH, Hamming ≤ 6 (mirrors [[graft.llm.Dedup.simHashPairs]]). */

@@ -244,6 +244,83 @@ object Dedup {
       .distinct()
   }
 
+  /** Resolve near-dup candidate pairs into connected components and a
+    * canonical keep-list — the step that turns pair detection (q31/q32/q33)
+    * into actual deduplication. Matches the exact-dedup convention
+    * (reference-style `min(doc_id)` keeper, see [[exact]]): every document
+    * in a component is labeled with the smallest doc_id reachable from it,
+    * and that smallest id is the component's keeper.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping, as
+    * pure DataFrame self-joins. Each round does two things: (1)
+    * neighbor-min — every node takes the min of its own label and its
+    * neighbors' labels (one hop of propagation); (2) pointer jump —
+    * l(v) := l(l(v)), which halves the remaining label-chain depth, so a
+    * component of diameter D converges in O(log D) rounds, not D (a plain
+    * propagation loop would need diameter rounds — a long chain of
+    * pairwise near-dups, e.g. drifting boilerplate, would blow any fixed
+    * bound). Labels only decrease and stay within the component (labels
+    * are node ids reachable via edges or label references), so the
+    * per-round sum(label) is monotone non-increasing and an unchanged sum
+    * is a convergence proof (no separate changed-row count needed).
+    * `maxIter` bounds the work regardless — 25 jumps cover diameters up to
+    * 2^25.
+    *
+    * Scale shape: each round is one equi-join (edges ⋈ labels on src), one
+    * groupBy-min, and one labels self-join — narrow (long, long) shuffles
+    * over edge count, never materializing components or all-pairs
+    * closures. Edges and the current labels are persisted (iterative
+    * reuse), previous iterations are unpersisted as soon as superseded,
+    * and the convergence check is a single scalar aggregate (DECIMAL sum —
+    * no ANSI overflow at any id range).
+    *
+    * Input: (doc_a, doc_b) candidate pairs. Output: one row per document
+    * that appears in any pair — (doc_id, component, is_keeper). Documents
+    * with no near-dup pair are absent (they are their own keepers by
+    * definition). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          storageLevel: StorageLevel =
+                            StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"),
+        col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .persist(storageLevel)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val nbrMin = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+      // pointer jump: l(v) <- min(l(v), l(l(v))). Every label IS a node id
+      // present in nbrMin (labels start as node ids and min-merge), so the
+      // inner self-join is total.
+      val next = nbrMin.as("x")
+        .join(nbrMin.select(col("node").as("ln"), col("label").as("ll")),
+          col("x.label") === col("ln"))
+        .select(col("x.node").as("node"),
+          least(col("x.label"), col("ll")).as("label"))
+        .persist(storageLevel)
+      // materializes `next` into the cache AND yields the convergence scalar
+      val s = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .head.getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist(blocking = false)
+      labels = next
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("node").as("doc_id"), col("label").as("component"),
+      (col("label") === col("node")).as("is_keeper"))
+  }
+
   /** Universal-hash family parameters shared with the oracle SQL. */
   final val P31 = 2147483647L // 2^31 - 1
   def bSeed(i: Int): Long = (i.toLong * 12582917L) % P31

@@ -31,6 +31,18 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash)
       .orderBy("doc_a", "doc_b")
 
+  /** Near-dup cluster resolution: the MinHash-LSH candidate pairs (q32)
+    * resolved into connected components by iterative min-label propagation,
+    * with the component's min doc_id as the canonical keeper — the
+    * keep-list a dedup pipeline actually consumes (same `min(doc_id)`
+    * convention as exact dedup, q30). */
+  def neardupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minHashLsh(table(s, dir, "documents"),
+            hasher = graft.llm.PortableSeededHash)
+          .select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
   /** SimHash near-dup pairs — portable 60-bit hash family for the oracle
     * (see [[minhashLsh]]). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =

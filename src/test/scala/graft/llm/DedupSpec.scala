@@ -69,6 +69,49 @@ class DedupSpec extends SparkSpec {
     assert(withCap == noCap)
   }
 
+  test("connected components match brute-force transitive closure") {
+    // chain 1-2-3-4 (tests multi-hop propagation), triangle 10-11-12,
+    // isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+
+    // brute-force closure: repeatedly merge components sharing a node
+    val edges = pairs.as[(Long, Long)].collect()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    edges.foreach { case (a, b) =>
+      comp.getOrElseUpdate(a, a); comp.getOrElseUpdate(b, b)
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (a, b) =>
+        val m = math.min(comp(a), comp(b))
+        if (comp(a) != m || comp(b) != m) {
+          comp(a) = m; comp(b) = m; changed = true
+        }
+      }
+    }
+
+    val got = Dedup.connectedComponents(pairs)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(got == comp.toMap)
+    val keepers = Dedup.connectedComponents(pairs)
+      .where(col("is_keeper")).select("doc_id").as[Long].collect().toSet
+    assert(keepers == Set(1L, 10L, 20L))
+  }
+
+  test("connected components: long chain converges via pointer jumping") {
+    // a 30-node chain has diameter 29 — plain propagation would need 29
+    // rounds; pointer jumping converges well inside the default maxIter
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain)
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    assert(got.size == 30 && got.values.forall(_ == 0L))
+  }
+
   test("simhash: identical docs have distance 0, near dups small distance") {
     val sig = Dedup.simHash(corpus).orderBy("doc_id")
       .select("simhash").as[Long].collect()
