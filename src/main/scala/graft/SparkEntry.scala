@@ -426,7 +426,10 @@ object SparkEntry {
     "q35_ann_lsh" -> q35AnnLshOracle,
     "q35b_ann_ivf" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
-        |              FROM embeddings WHERE vec_id % 37 = 0),
+        |              FROM embeddings
+        |              ORDER BY ('0x' || substr(md5('5:' || vec_id), 1, 15))::BIGINT,
+        |                       vec_id
+        |              LIMIT 16),
         |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
         |         row_number() OVER (PARTITION BY e.vec_id
         |           ORDER BY round(list_cosine_similarity(e.embedding, c.c_emb), 4)

@@ -91,11 +91,17 @@ object Similarity {
     * standard complement to LSH bucketing when recall needs tuning by a
     * knob (nprobe) rather than by plane count.
     *
-    * Centroids here are a deterministic stride-sample of the corpus
-    * (`vec_id % centroidStride == 0`) so the whole operator — assignment
-    * argmax, probe lists, in-cell ranking — is exactly reproducible (and
-    * oracle-checkable); in production the centroid frame would come from
-    * k-means over a sample, and everything downstream is unchanged.
+    * Centroids are a deterministic FIXED-SIZE sample of the corpus: the
+    * `numCentroids` vectors with the smallest seeded hash of vec_id
+    * (hash-order top-N — a uniform sample that every engine reproduces, so
+    * the whole operator stays oracle-checkable). Fixed size is the scale
+    * contract: centroid count — and with it the assignment fan-out and the
+    * broadcast — is INDEPENDENT of corpus size (a corpus-proportional rule
+    * like `vec_id % stride` makes assignment O(n²/stride) and the
+    * broadcast unbounded at 100 TB). The top-N itself is
+    * TakeOrderedAndProject: per-partition bounded heaps, no full sort. In
+    * production the centroid frame would come from k-means over a sample
+    * at the same `numCentroids`; everything downstream is unchanged.
     *
     * Scale shape: centroids BROADCAST to both the assignment join (corpus
     * streams once) and the probe join; per-vector argmax and per-query
@@ -103,9 +109,12 @@ object Similarity {
     * replaces with bounded-heap TopKPerKey operators. All ranking is on
     * the 4-dp-rounded score with id tie-breaks (cross-engine stable). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              centroidStride: Int = 37, nprobe: Int = 2): DataFrame = {
-    val cent = corpus.where(col("vec_id") % centroidStride === 0)
+              numCentroids: Int = 16, nprobe: Int = 2,
+              hasher: SeededHash = XxSeededHash): DataFrame = {
+    val cent = corpus
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+      .orderBy(hasher.hash(col("cid"), 5).asc, col("cid").asc)
+      .limit(numCentroids)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(round(col("csim"), 4).desc, col("cid"))
     val assigned = corpus.crossJoin(broadcast(cent))

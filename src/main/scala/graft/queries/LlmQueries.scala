@@ -72,12 +72,16 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
-  /** IVF-cell ANN: deterministic stride-sampled coarse quantizer,
-    * nprobe=2 probe lists, exact in-cell cosine top-5 (the second ANN
-    * scale path next to LSH bucketing; recall tuned by nprobe). */
+  /** IVF-cell ANN: fixed-cardinality coarse quantizer (16 hash-sampled
+    * centroids — corpus-size independent), nprobe=2 probe lists, exact
+    * in-cell cosine top-5 (the second ANN scale path next to LSH
+    * bucketing; recall tuned by nprobe). Portable hash family so the
+    * centroid sample — and with it every cell and ranking — replays in
+    * DuckDB. */
   def ivfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5)
+    Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, k = 5,
+        hasher = graft.llm.PortableSeededHash)
       .select(col("query_id"), col("rn"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"))
       .orderBy("query_id", "rn")
