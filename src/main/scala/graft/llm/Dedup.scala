@@ -269,35 +269,49 @@ object Dedup {
     * Scale shape: each round is one equi-join (edges ⋈ labels on src), one
     * groupBy-min, and one labels self-join — narrow (long, long) shuffles
     * over edge count, never materializing components or all-pairs
-    * closures. Edges and the current labels are persisted (iterative
-    * reuse), previous iterations are unpersisted as soon as superseded,
-    * and the convergence check is a single scalar aggregate (DECIMAL sum —
-    * no ANSI overflow at any id range).
+    * closures. Iteration state is `localCheckpoint`ed, not persisted:
+    * checkpointing truncates the lineage to a LogicalRDD, so (a) the
+    * (possibly very expensive — LSH!) pair source is computed exactly
+    * once, (b) per-round plans stay constant-size instead of growing with
+    * the iteration count, and (c) there is no cache-invalidation cascade
+    * from releasing a superseded round (Dataset.unpersist recompiles and
+    * lazily recomputes dependent cache entries — measured as every round
+    * re-running the whole LSH pipeline). On a real cluster prefer reliable
+    * `checkpoint()` (localCheckpoint blocks die with an executor); the
+    * convergence check is a single scalar aggregate (DECIMAL sum — no ANSI
+    * overflow at any id range).
     *
     * Input: (doc_a, doc_b) candidate pairs. Output: one row per document
     * that appears in any pair — (doc_id, component, is_keeper). Documents
     * with no near-dup pair are absent (they are their own keepers by
     * definition). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
-                          storageLevel: StorageLevel =
-                            StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val edges = pairs
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val pr = pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst"))
-      .union(pairs.select(col("doc_b").cast("long").as("src"),
-        col("doc_a").cast("long").as("dst")))
+      .localCheckpoint()
+    val edges = pr
+      .union(pr.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(storageLevel)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    // self-loops make "min over self + neighbors" a single join+groupBy
+    // per round instead of a join+union (fewer ops, and a per-round union
+    // whose children share attribute ids trips Union constraint rewriting)
+    val edgesSelf = edges
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = edges.join(labels, col("src") === col("node"))
+      val nbrMin = edgesSelf.join(labels, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(min("label").as("label"))
         .select(col("dst").as("node"), col("label"))
-      val nbrMin = labels.union(prop)
-        .groupBy("node").agg(min("label").as("label"))
       // pointer jump: l(v) <- min(l(v), l(l(v))). Every label IS a node id
       // present in nbrMin (labels start as node ids and min-merge), so the
       // inner self-join is total.
@@ -306,17 +320,14 @@ object Dedup {
           col("x.label") === col("ln"))
         .select(col("x.node").as("node"),
           least(col("x.label"), col("ll")).as("label"))
-        .persist(storageLevel)
-      // materializes `next` into the cache AND yields the convergence scalar
+        .localCheckpoint() // eager: materializes this round, truncates lineage
       val s = next.agg(sum(col("label").cast("decimal(38,0)")))
         .head.getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist(blocking = false)
       labels = next
       i += 1
     }
-    edges.unpersist(blocking = false)
     labels.select(col("node").as("doc_id"), col("label").as("component"),
       (col("label") === col("node")).as("is_keeper"))
   }
