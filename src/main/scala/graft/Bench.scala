@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
   * the work). One untimed warmup query absorbs JVM/codegen/session
   * startup so per-query numbers measure the queries.
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
-  * reported number is the MEDIAN — the host shows ±50% ambient wall-clock
-  * variance (BASELINE.md), and a single sample cannot distinguish a plan
-  * regression from a noisy neighbor.
+  * Rounds are INTERLEAVED: the full sorted query list runs once per round
+  * (SPARK_GRAFT_BENCH_RUNS rounds, default 3) and the reported per-query
+  * number is the median ACROSS rounds. Back-to-back samples would let one
+  * sustained ambient-load spike poison every sample of whichever queries
+  * happened to run during it (the BENCH_r02 artifact); interleaving
+  * spreads a spike across at most one sample of each query, and the
+  * per-round totals printed to stderr make any load skew visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +29,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,8 +60,14 @@ object Bench {
     // untimed warmup: parquet reader + shuffle + codegen paths
     runOne("q01_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .map(n => n -> median((0 until runs).map(_ => runOne(n))))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rounds: Seq[Map[String, Double]] = (1 to runs).map { r =>
+      val t = names.map(n => n -> runOne(n)).toMap
+      val tot = t.values.filter(_ >= 0).sum
+      System.err.println(f"[bench] round $r/$runs total=$tot%.1f s")
+      t
+    }
+    val results = names.map(n => n -> median(rounds.map(_(n))))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

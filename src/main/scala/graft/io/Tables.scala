@@ -27,11 +27,18 @@ object Tables {
     * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects by default; we read it as raw nanos
     * (legacy.parquet.nanosAsLong) and truncate to a micros timestamp —
-    * the same ns→us truncation DuckDB applies, so oracles agree. */
+    * the same ns→us truncation DuckDB applies, so oracles agree. The conf
+    * must be set AT SESSION BUILD (as Verify/Bench/tests do) — a read
+    * helper silently mutating session state was a hidden global side
+    * effect, so this now asserts instead. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"),
+        "events.ts is parquet TIMESTAMP(NANOS): build the session with " +
+          "spark.sql.legacy.parquet.nanosAsLong=true")
       spark.read.parquet(path)
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))

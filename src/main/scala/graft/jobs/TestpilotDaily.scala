@@ -30,6 +30,7 @@ object TestpilotDaily {
     val Array(telemetryPath, csvPath, outBase) = args.take(3)
     val spark = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     run(spark,
