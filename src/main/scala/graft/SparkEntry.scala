@@ -41,6 +41,7 @@ object SparkEntry {
     "q19_pivot" -> RelationalQueries.pivotEventCounts,
     "q20_rollup" -> RelationalQueries.rollupNation,
     "q21_cube" -> RelationalQueries.cubeReturnStatus,
+    "q64_grouping_sets" -> RelationalQueries.groupingSetsMultiDistinct,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
     "q24_aes_roundtrip" -> PipelineQueries.aesRoundtrip,
@@ -283,6 +284,18 @@ object SparkEntry {
         |SELECT user_id,
         |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS type_counts
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q64_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS spend
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority, g_status, g_prio""".stripMargin,
     "q22_e1_config_extract" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, user_id, event_type,
         |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k,

@@ -430,6 +430,32 @@ object RelationalQueries {
         col("is_total"), col("n"), col("bal"))
       .orderBy("nationkey", "is_total")
 
+  /** Explicit GROUPING SETS with MULTIPLE DISTINCT aggregates in one
+    * aggregation — the two Expand-operator paths of Spark's aggregation
+    * surface in a single plan. `count(DISTINCT x), count(DISTINCT y)`
+    * plans as ONE Expand (inputs replicated per distinct group, null-
+    * padded, then two-phase aggregated) — NOT two self-joined aggregates;
+    * the grouping-sets list plans as a second Expand over the grouping
+    * keys. At 100 TB both stay two-shuffle plans with map-side partials
+    * regardless of how many distinct columns or grouping sets ride along. */
+  def groupingSetsMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+           grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+           countDistinct(col("o_custkey")).as("n_cust"),
+           countDistinct(col("o_orderpriority")).as("n_prio"),
+           count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 2).as("spend"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_prio"), col("n_cust"), col("n_prio"),
+        col("n_orders"), col("spend"))
+      .orderBy("status", "priority", "g_status", "g_prio")
+
   /** Cube over two keys with grouping flags. */
   def cubeReturnStatus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")
