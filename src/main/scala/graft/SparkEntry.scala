@@ -42,6 +42,7 @@ object SparkEntry {
     "q20_rollup" -> RelationalQueries.rollupNation,
     "q21_cube" -> RelationalQueries.cubeReturnStatus,
     "q64_grouping_sets" -> RelationalQueries.groupingSetsMultiDistinct,
+    "q65_asof_join" -> RelationalQueries.asofJoin,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
     "q24_aes_roundtrip" -> PipelineQueries.aesRoundtrip,
@@ -296,6 +297,15 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority, g_status, g_prio""".stripMargin,
+    "q65_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  round(p.value, 2) AS purchase_value, epoch_us(s.ts) AS signup_us
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q22_e1_config_extract" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, user_id, event_type,
         |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join builders covering the reference's join surface (SURVEY.md §2.3
@@ -53,6 +54,53 @@ object Joins {
   def equiRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                     range: Column): DataFrame =
     left.join(right, keys).where(range)
+
+  /** As-of join: for each left row, the single right row with the largest
+    * `rightTime <= leftTime` for the same key (the nearest-predecessor
+    * join ubiquitous in telemetry/feature pipelines — "state as of this
+    * event"). Unmatched left rows survive with nulls (left-outer
+    * semantics).
+    *
+    * Implemented as union + running `last(_, ignoreNulls)` window rather
+    * than a range join: both sides shuffle ONCE on the key and sort once
+    * by time — O((|L|+|R|) log) per key partition — where a range join is
+    * a per-key cross product filtered after the fact (quadratic in key
+    * cardinality hot spots, and Spark plans non-equi conditions as the
+    * dreaded nested loop when the equi key is skewed/absent). At 100 TB
+    * the window form also needs no broadcast and inherits AQE skew
+    * handling on the single exchange.
+    *
+    * Tie rules: a right row at exactly `leftTime` matches ("at or
+    * before"); among right rows with equal time the one with the largest
+    * `payload` struct wins (deterministic — payload fields compare
+    * lexicographically).
+    *
+    * Output: ALL left columns plus each requested right payload column as
+    * `asof_<name>` plus the matched right time as `asof_<rightTime>`. */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String,
+           rightPayload: Seq[String] = Seq.empty): DataFrame = {
+    val keyCols = keys.map(col)
+    val payload = struct(col(rightTime).as("t") +: rightPayload.map(col): _*)
+    val r = right.select(keyCols :+ col(rightTime).as("_t") :+
+      lit(0).as("_side") :+ payload.as("_r"): _*)
+    val l = left.withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+    // left rows carry a null payload slot; unionByName aligns the schemas
+    val u = l.withColumn("_r", lit(null).cast(r.schema("_r").dataType))
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols: _*)
+      // right rows sort before left rows at equal times (at-or-before);
+      // _r as the final key makes equal-time right rows deterministic
+      .orderBy(col("_t").asc, col("_side").asc, col("_r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+    matched.where(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        (s"asof_$rightTime" +: rightPayload.map(p => s"asof_$p"))
+          .zip("t" +: rightPayload)
+          .map { case (out, in) => col("_m").getField(in).as(out) }: _*)
+  }
 
   /** J4: full outer join of two keyed aggregates with coalesced keys
     * (profile_daily.py:58). Using-columns full outer already coalesces the

@@ -430,6 +430,25 @@ object RelationalQueries {
         col("is_total"), col("n"), col("bal"))
       .orderBy("nationkey", "is_total")
 
+  /** As-of join: for every purchase, the latest signup at-or-before it by
+    * the same user (nearest-predecessor semantics — the feature-join
+    * staple). Union+window implementation: one shuffle, no range join —
+    * see [[graft.ops.Joins.asOf]]. Left-outer: purchases with no prior
+    * signup keep a null signup time. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    graft.ops.Joins.asOf(purchases, signups, Seq("user_id"), "ts", "ts")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        round(col("value"), 2).as("purchase_value"),
+        unix_micros(col("asof_ts")).as("signup_us"))
+      .orderBy("event_id")
+  }
+
   /** Explicit GROUPING SETS with MULTIPLE DISTINCT aggregates in one
     * aggregation — the two Expand-operator paths of Spark's aggregation
     * surface in a single plan. `count(DISTINCT x), count(DISTINCT y)`
