@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, MapCountAgg, PolyHash}
+import graft.functions.{CosineSim, MapCountAgg, MisraGriesAgg, PolyHash}
 
 /** Registration of the engine's native Catalyst expressions.
   *
@@ -38,7 +38,11 @@ object GraftFunctions {
       (children: Seq[Expression]) => CosineSim(children(0), children(1))),
     (FunctionIdentifier("map_count"),
       new ExpressionInfo(classOf[MapCountAgg].getName, "map_count"),
-      (children: Seq[Expression]) => MapCountAgg(children.head)))
+      (children: Seq[Expression]) => MapCountAgg(children.head)),
+    (FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (children: Seq[Expression]) => MisraGriesAgg(children.head,
+        children(1).eval().asInstanceOf[Number].intValue)))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

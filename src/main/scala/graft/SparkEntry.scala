@@ -43,6 +43,7 @@ object SparkEntry {
     "q21_cube" -> RelationalQueries.cubeReturnStatus,
     "q64_grouping_sets" -> RelationalQueries.groupingSetsMultiDistinct,
     "q65_asof_join" -> RelationalQueries.asofJoin,
+    "q66_heavy_hitters" -> LlmQueries.heavyHitters,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
     "q24_aes_roundtrip" -> PipelineQueries.aesRoundtrip,
@@ -306,6 +307,13 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q66_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+        |       FROM tok GROUP BY term)
+        |SELECT term, exact_cnt, TRUE AS within_bound
+        |FROM ex ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin,
     "q22_e1_config_extract" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, user_id, event_type,
         |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k,

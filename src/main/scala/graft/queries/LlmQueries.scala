@@ -142,6 +142,36 @@ object LlmQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Heavy-hitters: Misra-Gries sketch (k=64 counters, bounded memory at
+    * any cardinality) over the document token stream, checked against the
+    * exact top-10 token counts. Accuracy-flag oracle in the q46/q51b
+    * style: the sketch itself is engine-specific, so the gate value-checks
+    * the exact counts and asserts the MG guarantee — estimate in
+    * [exact - n/(k+1), exact] — which a correct sketch satisfies
+    * unconditionally (the flag is provably TRUE, so DuckDB emits literal
+    * TRUE). */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val tok = table(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val sketch = tok.agg(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.MisraGriesAgg(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("term")),
+          k)).as("sk"),
+      count(lit(1)).as("n"))
+    val top = tok.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(10)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est", coalesce(try_element_at(col("sk"), col("term")),
+        lit(0L)))
+      .select(col("term"), col("exact_cnt"),
+        (col("est") <= col("exact_cnt") &&
+          col("est") >= col("exact_cnt") - floor(col("n") / (k + 1)))
+          .as("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
   /** TF-IDF top-3 terms per document. Scores are rounded to 6 decimals
     * BEFORE ranking so the ordering is identical across engines despite
     * last-ulp log() differences; ties break on the term. */
