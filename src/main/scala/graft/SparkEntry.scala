@@ -57,6 +57,7 @@ object SparkEntry {
     "q32_minhash_lsh" -> LlmQueries.minhashLsh,
     "q33_simhash_pairs" -> LlmQueries.simhashPairs,
     "q63_neardup_clusters" -> LlmQueries.neardupClusters,
+    "q67_deduped_corpus" -> LlmQueries.dedupedCorpus,
     "q34_cosine_topk" -> LlmQueries.cosineTopK,
     "q35_ann_lsh" -> LlmQueries.annLsh,
     "q35b_ann_ivf" -> LlmQueries.ivfAnn,
@@ -454,6 +455,11 @@ object SparkEntry {
     "q32_minhash_lsh" -> q32MinhashOracle,
     "q33_simhash_pairs" -> q33SimhashOracle,
     "q63_neardup_clusters" -> q63ClustersOracle,
+    "q67_deduped_corpus" ->
+      s"""SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ($q63ClustersOracle) WHERE NOT is_keeper)
+ORDER BY d.doc_id""",
     "q35_ann_lsh" -> q35AnnLshOracle,
     "q35b_ann_ivf" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb

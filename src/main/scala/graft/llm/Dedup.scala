@@ -332,6 +332,17 @@ object Dedup {
       (col("label") === col("node")).as("is_keeper"))
   }
 
+  /** End of the near-dup pipeline: keep only cluster keepers. `clusters`
+    * is [[connectedComponents]] output; every document labeled with a
+    * component whose keeper is a DIFFERENT document is dropped, everything
+    * else (keepers and never-paired documents) survives. One left-anti
+    * equi-join on doc_id — the loser list is a projection of the cluster
+    * frame, no recomputation of pairs. */
+  def dropNearDups(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.where(!col("is_keeper")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Universal-hash family parameters shared with the oracle SQL. */
   final val P31 = 2147483647L // 2^31 - 1
   def bSeed(i: Int): Long = (i.toLong * 12582917L) % P31

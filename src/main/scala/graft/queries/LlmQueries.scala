@@ -43,6 +43,19 @@ object LlmQueries {
           .select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
+  /** The deduplicated corpus itself — q63's keep-list applied: losers
+    * anti-joined away, keepers and never-paired documents survive. This is
+    * the frame a training pipeline feeds downstream. */
+  def dedupedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Dedup.dropNearDups(docs,
+        Dedup.connectedComponents(
+          Dedup.minHashLsh(docs, hasher = graft.llm.PortableSeededHash)
+            .select("doc_a", "doc_b")))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs — portable 60-bit hash family for the oracle
     * (see [[minhashLsh]]). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =

@@ -103,6 +103,13 @@ class DedupSpec extends SparkSpec {
     assert(keepers == Set(1L, 10L, 20L))
   }
 
+  test("dropNearDups keeps exactly the keepers plus unpaired docs") {
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dropNearDups(corpus, Dedup.connectedComponents(pairs))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(0L, 3L, 4L)) // component {0,1,2} -> keeper 0
+  }
+
   test("connected components: long chain converges via pointer jumping") {
     // a 30-node chain has diameter 29 — plain propagation would need 29
     // rounds; pointer jumping converges well inside the default maxIter
