@@ -44,6 +44,10 @@ object SparkEntry {
     "q64_grouping_sets" -> RelationalQueries.groupingSetsMultiDistinct,
     "q65_asof_join" -> RelationalQueries.asofJoin,
     "q66_heavy_hitters" -> LlmQueries.heavyHitters,
+    "q68_bucketed_join" -> IoQueries.bucketedJoin,
+    "q69_salted_skew_join" -> RelationalQueries.saltedSkewJoin,
+    "q70_snapshot_upsert" -> RelationalQueries.snapshotUpsert,
+    "q71_column_profile" -> RelationalQueries.columnProfile,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
     "q24_aes_roundtrip" -> PipelineQueries.aesRoundtrip,
@@ -315,6 +319,65 @@ object SparkEntry {
         |       FROM tok GROUP BY term)
         |SELECT term, exact_cnt, TRUE AS within_bound
         |FROM ex ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin,
+    "q68_bucketed_join" ->
+      """SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q69_salted_skew_join" ->
+      """WITH dim AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+        |             FROM events GROUP BY 1)
+        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(e.value), 2) AS sum_value,
+        |  max(d.user_events) AS user_events
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "q70_snapshot_upsert" ->
+      """WITH base AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS spend,
+        |         strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1),
+        |delta AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS spend,
+        |         strftime(max(o_orderdate), '%Y-%m-%d') AS last_day
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY 1)
+        |SELECT COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+        |  COALESCE(u.n_orders, b.n_orders) AS n_orders,
+        |  COALESCE(u.spend, b.spend) AS spend,
+        |  COALESCE(u.last_day, b.last_day) AS last_day
+        |FROM base b FULL OUTER JOIN delta u ON b.o_custkey = u.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+    "q71_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |    CAST(min(event_id) AS VARCHAR) AS min_value,
+        |    CAST(max(event_id) AS VARCHAR) AS max_value FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(user_id) AS BIGINT),
+        |    CAST(count(DISTINCT user_id) AS BIGINT),
+        |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(event_type) AS BIGINT),
+        |    CAST(count(DISTINCT event_type) AS BIGINT),
+        |    CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'props', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(props) AS BIGINT),
+        |    CAST(count(DISTINCT props) AS BIGINT),
+        |    CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR)
+        |  FROM events)
+        |ORDER BY col_name""".stripMargin,
     "q22_e1_config_extract" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, user_id, event_type,
         |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k,

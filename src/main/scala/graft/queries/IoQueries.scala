@@ -15,6 +15,41 @@ import graft.ops.Windows
   */
 object IoQueries {
 
+  /** Bucketed-table co-located join: both sides written `bucketBy` on the
+    * join key through the catalog, read back and joined. Bucketing is the
+    * 100 TB shuffle eliminator — a fact⋈fact equi-join on the bucket key
+    * needs NO exchange (proven plan-level in SkewAndBucketSpec, where
+    * auto-broadcast is disabled and the executed plan contains no
+    * Exchange); this gated query proves the bucketed write→catalog→read→
+    * join path is value-exact. Tables land in the session's warehouse dir;
+    * stale dirs from previous JVMs are cleared first (the in-memory
+    * catalog forgets tables across runs, the directories persist). */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    def clear(t: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val d = new java.io.File(s"$wh/$t")
+      if (d.exists()) rm(d)
+    }
+    Seq("g_bkt_orders", "g_bkt_customer").foreach(clear)
+    table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("g_bkt_orders")
+    table(s, dir, "customer").select("c_custkey", "c_name")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("g_bkt_customer")
+    s.table("g_bkt_orders")
+      .join(s.table("g_bkt_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+      .orderBy("c_custkey")
+  }
+
   /** S3 + K-side: write customer as header CSV, read it back with the
     * original schema (no `.rdd` detour; header on both sides). Oracle is
     * the identity — proving the CSV codec round-trips values exactly. */

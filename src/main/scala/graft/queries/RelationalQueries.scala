@@ -430,6 +430,52 @@ object RelationalQueries {
         col("is_total"), col("n"), col("bal"))
       .orderBy("nationkey", "is_total")
 
+  /** Salted skew join, oracle-proven result-identical to the plain join:
+    * the hot-key side gets a deterministic hash salt, the dim side is
+    * replicated saltFactor times, so one hot key spreads over saltFactor
+    * reducers instead of melting one ([[graft.ops.Skew.saltedJoin]]).
+    * events.user_id has exactly the heavy-per-key shape that motivates
+    * salting (~4k events/user at sf0.1). */
+  def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events").select("user_id", "event_id", "value")
+    val dim = table(s, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("user_events"))
+    graft.ops.Skew.saltedJoin(ev, dim, "user_id",
+        saltSource = Seq("event_id"), saltFactor = 8)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+        max("user_events").as("user_events"))
+      .orderBy("user_id")
+  }
+
+  /** Snapshot upsert (MERGE semantics): a pre-1996 per-customer snapshot
+    * merged with the 1996+ delta — matched keys take the delta row,
+    * unmatched base rows survive, delta-only keys insert
+    * ([[graft.ops.Merge.upsert]]: one full-outer shuffle). */
+  def snapshotUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    def agg(part: DataFrame): DataFrame = part
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("spend"),
+        date_format(max("o_orderdate"), "yyyy-MM-dd").as("last_day"))
+    val base = agg(o.where(col("o_orderdate") < lit("1996-01-01")))
+    val delta = agg(o.where(col("o_orderdate") >= lit("1996-01-01")))
+    graft.ops.Merge.upsert(base, delta, Seq("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** Single-pass column profiling ([[graft.ops.Profile.profile]]): one
+    * aggregation (multi-distinct Expand) computes rows/nulls/distincts/
+    * min/max for every profiled column, then unpivots — the input scans
+    * once no matter how many columns are profiled. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profile(
+        table(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "props"),
+        Seq("event_id", "user_id", "event_type", "props"))
+      .orderBy("col_name")
+
   /** As-of join: for every purchase, the latest signup at-or-before it by
     * the same user (nearest-predecessor semantics — the feature-join
     * staple). Union+window implementation: one shuffle, no range join —

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Merge-upsert semantics and single-pass profiling. */
+class MergeProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: matched updates, unmatched survives, new inserts, null keeps base") {
+    val base = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("b"), Some(20L)),
+      (3L, Some("c"), Some(30L))
+    ).toDF("k", "name", "v")
+    val delta = Seq(
+      (2L, Some("B"), None: Option[Long]), // partial row: v stays 20
+      (4L, Some("d"), Some(40L)) // insert
+    ).toDF("k", "name", "v")
+    val got = Merge.upsert(base, delta, Seq("k"))
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, Some("a"), Some(10L)), // untouched base row
+      (2L, Some("B"), Some(20L)), // updated name, null delta col kept base
+      (3L, Some("c"), Some(30L)),
+      (4L, Some("d"), Some(40L)))) // inserted
+  }
+
+  test("profile counts rows, nulls, distincts, min/max in one pass") {
+    val df = Seq(
+      (Some(1L), Some("x")),
+      (Some(2L), None),
+      (None, Some("y")),
+      (Some(2L), Some("x"))
+    ).toDF("num", "str")
+    val got = Profile.profile(df, Seq("num", "str"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("num") == ("num", 4L, 1L, 2L, Some("1"), Some("2")))
+    assert(got("str") == ("str", 4L, 1L, 2L, Some("x"), Some("y")))
+  }
+}
