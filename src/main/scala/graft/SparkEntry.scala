@@ -48,6 +48,8 @@ object SparkEntry {
     "q69_salted_skew_join" -> RelationalQueries.saltedSkewJoin,
     "q70_snapshot_upsert" -> RelationalQueries.snapshotUpsert,
     "q71_column_profile" -> RelationalQueries.columnProfile,
+    "q72_containment" -> LlmQueries.containment,
+    "q73_label_centroids" -> LlmQueries.labelCentroids,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
     "q24_aes_roundtrip" -> PipelineQueries.aesRoundtrip,
@@ -378,6 +380,42 @@ object SparkEntry {
         |    CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR)
         |  FROM events)
         |ORDER BY col_name""".stripMargin,
+    "q72_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+        |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q73_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, d1 - 1 AS d,
+        |         CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |               generate_subscripts(embedding, 1) AS d1
+        |        FROM embeddings)),
+        |cent AS (SELECT label, d, CAST(sum(xi) AS BIGINT) AS m
+        |         FROM ex GROUP BY 1, 2),
+        |nm AS (SELECT label, CAST(sum(m * m) AS BIGINT) AS nm
+        |       FROM cent GROUP BY 1),
+        |per AS (SELECT e.vec_id, e.label,
+        |          CAST(sum(e.xi * c.m) AS BIGINT) AS dot,
+        |          CAST(sum(e.xi * e.xi) AS BIGINT) AS nx
+        |        FROM ex e JOIN cent c USING (label, d) GROUP BY 1, 2)
+        |SELECT p.vec_id, p.label,
+        |  round(p.dot / (sqrt(CAST(p.nx AS DOUBLE)) * sqrt(CAST(n.nm AS DOUBLE))), 4)
+        |    AS centroid_sim
+        |FROM per p JOIN nm n USING (label)
+        |ORDER BY p.vec_id""".stripMargin,
     "q22_e1_config_extract" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, user_id, event_type,
         |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k,

@@ -95,6 +95,57 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** Exact pairwise n-gram CONTAINMENT above `threshold`:
+    * |A∩B| / min(|A|,|B|) — the asymmetric overlap measure that catches a
+    * short document embedded in a long one, which Jaccard structurally
+    * misses (the union term dilutes any size-mismatched pair below
+    * threshold, and [[ngramJaccardPairs]]' size-ratio prune explicitly
+    * discards them).
+    *
+    * One-sided prefix filtering: shingles are ranked rare-first per doc;
+    * if c(A,B) ≥ t then fewer than t·|S| shingles of the SMALLER doc S are
+    * unshared, so S's prefix of length |S| - ceil(t·|S|) + 1 must contain
+    * a shared shingle. Candidates are therefore prefix(x) ⋈ all-postings
+    * (probing from both sides covers whichever is smaller; no size-ratio
+    * prune exists for containment by construction). Verification is the
+    * same zero-allocation sorted-merge intersect as the Jaccard path. */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
+                       storageLevel: StorageLevel =
+                         StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh0 = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextAnalysis.hashedShinglesFromTokens(col("toks"), n).as("sh"))
+    val sh = if (storageLevel == StorageLevel.NONE) sh0
+             else sh0.persist(storageLevel)
+    val ex = sh.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
+      explode(col("sh")).as("sg"))
+    val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+    val prefix = ex.join(freq, "sg")
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sg"))))
+      .where(col("rn") <=
+        col("sz") - ceil(col("sz") * threshold).cast("long") + 1)
+    val cand = prefix.as("a").join(ex.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.SortedIntersectCount(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_a")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_b")))))
+      .withColumn("containment", col("inter").cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+    verified.where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** MinHash signature columns: k independent permutations approximated by
     * a seeded hash over each distinct n-gram shingle; signature_i = min
     * hash under seed i. One explode + one aggregation with k min columns:

@@ -143,6 +143,41 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
+  /** Cosine of every vector to its label's centroid — the standard
+    * label-noise / outlier-mining signal over an embedded corpus (a vector
+    * far from its own class centroid is a mislabel candidate).
+    *
+    * Cosine is scale-invariant, so the centroid is kept UNNORMALIZED as
+    * per-dimension integer SUMS of fixed-point components (round(x·1000)):
+    * cos(v, mean) == cos(v, sum), and every aggregation is exact integer
+    * arithmetic — no float-sum order sensitivity anywhere, so the 4-dp
+    * result is bit-identical in any engine (the [[lshSignatures]] trick
+    * applied to centroids). Lane math: |xi| ≤ ~1e3·|x|, so groups up to
+    * ~1e6 members and 1e3 dims stay far from ANSI overflow; beyond that
+    * switch the centroid to a double mean (order sensitivity returns, but
+    * only in the last ulp).
+    *
+    * Shape: one narrow explode, two partial-agg shuffles (label×dim
+    * centroid, per-vector dot/norm), centroid + norm frames broadcast. */
+  def labelCentroidSim(corpus: DataFrame): DataFrame = {
+    val ex = corpus
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("label"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+    val cent = ex.groupBy("label", "d").agg(sum("xi").as("m"))
+    val nm = cent.groupBy("label").agg(sum(col("m") * col("m")).as("nm"))
+    ex.join(broadcast(cent), Seq("label", "d"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("xi") * col("m")).as("dot"),
+        sum(col("xi") * col("xi")).as("nx"))
+      .join(broadcast(nm), "label")
+      .select(col("vec_id"), col("label"),
+        round(col("dot").cast("double") /
+          (sqrt(col("nx").cast("double")) * sqrt(col("nm").cast("double"))), 4)
+          .as("centroid_sim"))
+  }
+
   /** ANN via LSH bucketing: exact cosine only within matching signature
     * buckets, then per-query top-k ranked on the ROUNDED score (4 dp,
     * ties on neighbor_id) so rankings are stable across engines. Recall

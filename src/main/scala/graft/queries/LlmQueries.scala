@@ -63,6 +63,21 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash, bits = 60)
       .orderBy("doc_a", "doc_b")
 
+  /** Containment near-dup pairs at 0.5 — the doc-inside-doc overlap that
+    * Jaccard structurally misses (see [[graft.llm.Dedup.containmentPairs]]:
+    * one-sided prefix filtering, no size-ratio prune). */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(table(s, dir, "documents"), n = 3,
+        threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  /** Per-vector cosine to its label centroid (label-noise mining). All
+    * arithmetic is exact fixed-point integers, so the 4-dp similarity is
+    * engine-independent. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidSim(table(s, dir, "embeddings"))
+      .orderBy("vec_id")
+
   /** Brute-force cosine top-5 for the first 10 vectors (exact ANN
     * baseline; oracle via DuckDB list_cosine_similarity). */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {

@@ -103,6 +103,21 @@ class DedupSpec extends SparkSpec {
     assert(keepers == Set(1L, 10L, 20L))
   }
 
+  test("containment catches doc-inside-doc pairs that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = ("unrelated filler words begin here and continue onward " +
+      short + " more filler text keeps going with many extra tokens " +
+      "that dilute the union far beyond any jaccard threshold level now")
+    val docs = Seq((0L, short), (1L, long), (2L, "totally different text"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, n = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cont.contains((0L, 1L))) // every short-doc shingle is in long
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((0L, 1L))) // union dilution hides it from jaccard
+  }
+
   test("dropNearDups keeps exactly the keepers plus unpaired docs") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
     val out = Dedup.dropNearDups(corpus, Dedup.connectedComponents(pairs))
