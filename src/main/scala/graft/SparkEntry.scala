@@ -49,6 +49,7 @@ object SparkEntry {
     "q70_snapshot_upsert" -> RelationalQueries.snapshotUpsert,
     "q71_column_profile" -> RelationalQueries.columnProfile,
     "q72_containment" -> LlmQueries.containment,
+    "q74_streaming_asof_batch" -> StreamingQueries.streamingAsOfBatch,
     "q73_label_centroids" -> LlmQueries.labelCentroids,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
@@ -380,6 +381,15 @@ object SparkEntry {
         |    CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR)
         |  FROM events)
         |ORDER BY col_name""".stripMargin,
+    "q74_streaming_asof_batch" ->
+      """WITH p AS (SELECT user_id, event_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  round(p.value, 2) AS purchase_value, epoch_us(s.ts) AS signup_us
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q72_containment" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id,

@@ -49,6 +49,18 @@ object StreamingQueries {
         round(col("sum_value"), 2).as("sum_value"))
       .orderBy("user_id")
 
+  /** The streaming as-of join executed in batch mode (q74): each group
+    * sees all its rows at once, so the single-value "latest signup" state
+    * yields exact nearest-predecessor semantics — the same answer as the
+    * relational as-of join (q65), and the oracle (DuckDB ASOF LEFT JOIN)
+    * is shared. Multi-batch replay equivalence is in StreamingSpec. */
+  def streamingAsOfBatch(s: SparkSession, dir: String): DataFrame =
+    EventsStream.streamingAsOf(s, table(s, dir, "events")).toDF()
+      .select(col("user_id"), col("event_id"), col("purchase_us"),
+        round(col("purchase_value"), 2).as("purchase_value"),
+        col("signup_us"))
+      .orderBy("event_id")
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */

@@ -102,4 +102,57 @@ object EventsStream {
           merged
       }
   }
+
+  // ---- streaming as-of join: temporal state join via flatMapGroupsWithState
+
+  case class TsEvent(user_id: Long, event_type: String,
+                     ts: java.sql.Timestamp, event_id: Long, value: Double)
+  case class AsOfMatch(user_id: Long, event_id: Long, purchase_us: Long,
+                       purchase_value: Double, signup_us: Option[Long])
+
+  /** Streaming twin of [[graft.ops.Joins.asOf]]: every purchase emitted
+    * with the user's latest signup at-or-before it. Spark has no built-in
+    * stream-stream as-of join (the interval join needs BOTH time bounds);
+    * the custom-state form keeps exactly ONE long per user — the latest
+    * signup time seen — because with per-batch event-time ordering the
+    * nearest predecessor is just the running max. Rows are processed in
+    * (ts, signup-before-purchase, event_id) order inside each batch, so
+    * an equal-timestamp signup matches its purchase ("at or before").
+    *
+    * Out-of-order caveat (inherent to single-value state): a signup
+    * arriving in a LATER micro-batch than a purchase it should have
+    * matched is missed — the same contract as watermark-late data in the
+    * built-in joins; replay in event-time order (as the specs do) and the
+    * output equals the batch as-of join exactly. In batch execution each
+    * group sees all rows at once, so the semantics are exact — that twin
+    * is oracle-gated (q74). */
+  def streamingAsOf(spark: SparkSession, events: DataFrame): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events
+      .where(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TsEvent], state: GroupState[Long]) =>
+          val sorted = rows.toIndexedSeq.sortBy(e =>
+            (us(e.ts), if (e.event_type == "signup") 0 else 1, e.event_id))
+          val out = Seq.newBuilder[AsOfMatch]
+          var latest: Option[Long] = state.getOption
+          sorted.foreach { e =>
+            if (e.event_type == "signup")
+              latest = Some(latest.fold(us(e.ts))(math.max(_, us(e.ts))))
+            else
+              out += AsOfMatch(uid, e.event_id, us(e.ts), e.value, latest)
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
+  }
 }

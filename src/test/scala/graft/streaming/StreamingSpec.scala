@@ -23,6 +23,17 @@ class StreamingSpec extends SparkSpec {
       .repartitionByRange(4, org.apache.spark.sql.functions.col("ts"))
       .sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir)
+    // FileStreamSource feeds new files in MODIFICATION-TIME order, and the
+    // four concurrently-written parts get near-identical mtimes — replay
+    // order was luck. Pin strictly increasing mtimes in part-name order
+    // (part-N holds time slice N) so replay is deterministically in event
+    // time, which the state-carrying tests (as-of) require exactly.
+    val base = System.currentTimeMillis()
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 60000L)
+      }
     dir
   }
 
@@ -135,6 +146,30 @@ class StreamingSpec extends SparkSpec {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  test("streaming as-of join replay matches the batch as-of join") {
+    val stream = EventsStream.fromDirectory(spark, streamDir,
+      maxFilesPerTrigger = 1) // several micro-batches: state must carry over
+    val got = runToMemory(
+        EventsStream.streamingAsOf(spark, stream).toDF(), "t_asof",
+        mode = "append")
+      .orderBy("event_id")
+      .select("user_id", "event_id", "purchase_us", "signup_us")
+      .collect().toSeq
+    val ev = spark.read.parquet(streamDir)
+    val want = graft.ops.Joins.asOf(
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        ev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts")),
+        Seq("user_id"), "ts", "ts")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("asof_ts")).as("signup_us"))
+      .orderBy("event_id").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 
   test("mapGroupsWithState running counters match batch aggregation") {
