@@ -50,6 +50,8 @@ object SparkEntry {
     "q71_column_profile" -> RelationalQueries.columnProfile,
     "q72_containment" -> LlmQueries.containment,
     "q74_streaming_asof_batch" -> StreamingQueries.streamingAsOfBatch,
+    "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
+    "q76_zorder_layout" -> IoQueries.zorderLayout,
     "q73_label_centroids" -> LlmQueries.labelCentroids,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
@@ -390,6 +392,18 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q75_json_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value, props,
+        |  epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q76_zorder_layout" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 20
+        |  AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      BETWEEN 5 AND 15
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q72_containment" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id,

@@ -50,6 +50,43 @@ object IoQueries {
       .orderBy("c_custkey")
   }
 
+  /** JSON-lines sink/source roundtrip (the third text format next to
+    * parquet and CSV): events written as json-lines, read back with the
+    * original schema. Oracle is the identity — the JSON codec must
+    * round-trip longs, doubles (shortest-representation print) and
+    * strings exactly. */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), unix_micros(col("ts")).as("ts_us"))
+    val tmp = Files.createTempDirectory("graft-json").toString
+    src.write.mode("overwrite").json(tmp)
+    s.read.schema(src.schema).json(tmp).orderBy("event_id")
+  }
+
+  /** Z-order layout: events written clustered by the Morton interleave of
+    * (user_id, day) — [[graft.io.ZOrder.zValue2]] — then scanned with a
+    * predicate on BOTH dimensions. Result parity is the gate; the layout
+    * property (row groups tight in both dims → footer min/max prunes for
+    * either predicate) is what the sort buys at 100 TB, where "this
+    * user's events this week" would otherwise read the whole table. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-zorder").toString
+    val ev = table(s, dir, "events")
+      .withColumn("day_num",
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"))
+      .select(col("event_id"), col("user_id"), col("value"), col("day_num"))
+    ev.withColumn("z", graft.io.ZOrder.zValue2(col("user_id"), col("day_num")))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .where(col("user_id").between(10, 20) && col("day_num").between(5, 15))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** S3 + K-side: write customer as header CSV, read it back with the
     * original schema (no `.rdd` detour; header on both sides). Oracle is
     * the identity — proving the CSV codec round-trips values exactly. */
