@@ -51,6 +51,7 @@ object SparkEntry {
     "q72_containment" -> LlmQueries.containment,
     "q74_streaming_asof_batch" -> StreamingQueries.streamingAsOfBatch,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
+    "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q76_zorder_layout" -> IoQueries.zorderLayout,
     "q73_label_centroids" -> LlmQueries.labelCentroids,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
@@ -586,6 +587,7 @@ WHERE d.doc_id NOT IN (
   SELECT doc_id FROM ($q63ClustersOracle) WHERE NOT is_keeper)
 ORDER BY d.doc_id""",
     "q35_ann_lsh" -> q35AnnLshOracle,
+    "q77_kmeans_clusters" -> q77KmeansOracle,
     "q35b_ann_ivf" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
         |              FROM embeddings
@@ -1003,6 +1005,46 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 ORDER BY doc_a, doc_b"""
+  }
+
+  /** k-means oracle: the exact Lloyd rounds of
+    * [[graft.llm.Similarity.kmeansAssign]] (k=8, iters=2) unrolled as
+    * chained CTEs — integer fixed-point components, unnormalized integer
+    * centroid sums, 4-dp-rounded ranking with cid tie-breaks, so DuckDB
+    * replays the training bit-for-bit. */
+  private def q77KmeansOracle: String = {
+    val k = 8; val iters = 2
+    def round(i: Int, centName: String): String =
+      s"""nm$i AS (SELECT cid, CAST(sum(m*m) AS BIGINT) AS nm
+  FROM $centName GROUP BY 1),
+sc$i AS (SELECT e.vec_id, c.cid, CAST(sum(e.xi * c.m) AS BIGINT) AS dot
+  FROM ex e JOIN $centName c USING (d) GROUP BY 1, 2),
+a$i AS (SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid, row_number() OVER (PARTITION BY s.vec_id
+      ORDER BY round(s.dot / (sqrt(CAST(x.nx AS DOUBLE)) * sqrt(CAST(n.nm AS DOUBLE))), 4)
+        DESC, s.cid) AS rn
+    FROM sc$i s JOIN nm$i n USING (cid) JOIN nx x USING (vec_id))
+  WHERE rn = 1)"""
+    val rounds = (0 until iters).map { i =>
+      val cent =
+        if (i == 0) ""
+        else s"""cent$i AS (SELECT a.cid, e.d, CAST(sum(e.xi) AS BIGINT) AS m
+  FROM ex e JOIN a${i - 1} a USING (vec_id) GROUP BY 1, 2),
+"""
+      cent + round(i, s"cent$i")
+    }.mkString(",\n")
+    s"""WITH ex AS (
+  SELECT vec_id, d1 - 1 AS d,
+         CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
+nx AS (SELECT vec_id, CAST(sum(xi*xi) AS BIGINT) AS nx FROM ex GROUP BY 1),
+seeds AS (SELECT vec_id AS cid FROM embeddings
+          ORDER BY ${graft.llm.PortableSeededHash.sql("vec_id", 5)}, vec_id
+          LIMIT $k),
+cent0 AS (SELECT s.cid, e.d, e.xi AS m FROM ex e JOIN seeds s ON e.vec_id = s.cid),
+$rounds
+SELECT vec_id, cid FROM a${iters - 1} ORDER BY vec_id"""
   }
 
   /** LSH-ANN oracle: integer hyperplane weights hash("p:d")%1000-500,

@@ -143,6 +143,69 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
+  /** Lloyd's k-means in cosine geometry — the production coarse-quantizer
+    * trainer for [[ivfTopK]] (whose hash-order sample is the zero-training
+    * stand-in). Returns the final (vec_id, cid) assignment after `iters`
+    * refinement rounds from a deterministic hash-order seed sample.
+    *
+    * Engine-exact by construction: vectors are fixed-point integers
+    * (round(x·1000)), centroids are kept UNNORMALIZED as per-dimension
+    * integer SUMS over their members (cosine is scale-invariant, so
+    * sum ≡ mean — the [[labelCentroidSim]] trick), and assignment ranks
+    * the 4-dp-rounded similarity with cid tie-breaks. Every quantity in
+    * the iteration is exact integer arithmetic or a deterministic IEEE op
+    * on exact integers, so the whole training loop replays bit-for-bit in
+    * any engine — the q77 oracle unrolls these same rounds in DuckDB CTEs.
+    *
+    * Scale shape per round: centroids (k×dims sums) and their norms
+    * BROADCAST; the corpus explode joins them and partial-aggregates
+    * map-side; per-vector argmax is a ranking window that TopKRewrite
+    * lowers to a bounded heap. Round state is `localCheckpoint`ed (the
+    * connected-components lesson: unpersist-based loops recompute their
+    * whole lineage). Empty clusters drop out (their sums have no rows) —
+    * both engines agree by join semantics. */
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+                   hasher: SeededHash = XxSeededHash): DataFrame = {
+    val ex = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+      .localCheckpoint()
+    val nx = ex.groupBy("vec_id")
+      .agg(sum(col("xi") * col("xi")).as("nx"))
+      .localCheckpoint()
+    val seeds = corpus
+      .select(col("vec_id").as("cid"))
+      .orderBy(hasher.hash(col("cid"), 5).asc, col("cid").asc)
+      .limit(k)
+    // a seed's initial "cluster" is itself: centroid sums = its components
+    var cent = ex.join(seeds, col("vec_id") === col("cid"))
+      .select(col("cid"), col("d"), col("xi").as("m"))
+      .localCheckpoint()
+    require(iters >= 1, "kmeansAssign needs at least one round")
+    var assign: DataFrame = null
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cid"))
+    for (i <- 0 until iters) {
+      val nm = cent.groupBy("cid").agg(sum(col("m") * col("m")).as("nm"))
+      assign = ex.join(broadcast(cent), "d")
+        .groupBy("vec_id", "cid").agg(sum(col("xi") * col("m")).as("dot"))
+        .join(broadcast(nm), "cid")
+        .join(nx, "vec_id")
+        .withColumn("sim", round(col("dot").cast("double") /
+          (sqrt(col("nx").cast("double")) * sqrt(col("nm").cast("double"))), 4))
+        .withColumn("rn", row_number().over(wA))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+        .localCheckpoint()
+      if (i < iters - 1)
+        cent = ex.join(assign, "vec_id")
+          .groupBy("cid", "d").agg(sum(col("xi")).as("m"))
+          .localCheckpoint()
+    }
+    assign
+  }
+
   /** Cosine of every vector to its label's centroid — the standard
     * label-noise / outlier-mining signal over an embedded corpus (a vector
     * far from its own class centroid is a mislabel candidate).

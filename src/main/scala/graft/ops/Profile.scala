@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * single stats row into one row per column. The input is scanned once
   * regardless of how many columns are profiled; only the ~columns-wide
   * stats row ever shuffles.
+  *
+  * Plan note: min/max over STRING columns have immutable aggregation
+  * buffers, so Spark plans SortAggregate (not HashAggregate) — partial
+  * aggregation still applies, but each partition sorts its expanded rows.
+  * At extreme scale, drop string min/max (or truncate to a fixed-width
+  * prefix) to get the hash path back.
   */
 object Profile {
 

@@ -71,6 +71,15 @@ object LlmQueries {
         threshold = 0.5)
       .orderBy("doc_a", "doc_b")
 
+  /** k-means-trained coarse quantizer (2 Lloyd rounds, k=8, integer-exact
+    * cosine geometry): the production IVF trainer whose hash-order sample
+    * (q35b) is the zero-training stand-in. The full training loop replays
+    * in DuckDB — the oracle unrolls the same rounds as CTEs. */
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(table(s, dir, "embeddings"), k = 8, iters = 2,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("vec_id")
+
   /** Per-vector cosine to its label centroid (label-noise mining). All
     * arithmetic is exact fixed-point integers, so the 4-dp similarity is
     * engine-independent. */

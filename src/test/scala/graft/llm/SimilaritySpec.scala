@@ -39,6 +39,19 @@ class SimilaritySpec extends SparkSpec {
     assert(perQuery.size >= 10)
   }
 
+  test("kmeans assignment is total, bounded by k, and deterministic") {
+    val a = Similarity.kmeansAssign(emb, k = 4, iters = 2)
+      .select("vec_id", "cid").as[(Long, Long)].collect().sorted.toSeq
+    val b = Similarity.kmeansAssign(emb, k = 4, iters = 2)
+      .select("vec_id", "cid").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b) // deterministic across runs (no rand, hash seeds)
+    assert(a.map(_._1).distinct.size == emb.count()) // one row per vector
+    val cids = a.map(_._2).toSet
+    assert(cids.size <= 4 && cids.size >= 2)
+    val corpusIds = emb.select("vec_id").as[Long].collect().toSet
+    assert(cids.subsetOf(corpusIds)) // cids are seed vec_ids
+  }
+
   test("LSH candidates score identically to brute force for same pairs") {
     val q = emb.where(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, 5)

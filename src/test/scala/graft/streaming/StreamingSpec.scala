@@ -172,6 +172,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("misra_gries runs as streaming aggregation state") {
+    // custom TypedImperativeAggregate buffers serialize into the state
+    // store like any built-in agg; 5 distinct event types < 8 counters
+    // means the sketch must be exact once the replay completes
+    graft.GraftFunctions.register(spark)
+    val stream = EventsStream.fromDirectory(spark, streamDir)
+    val got = runToMemory(
+        stream.groupBy("user_id")
+          .agg(expr("misra_gries(event_type, 8)").as("m")),
+        "t_mg", mode = "complete")
+      .select(col("user_id"), explode(map_entries(col("m"))).as("kv"))
+      .select(col("user_id"), col("kv.key"), col("kv.value"))
+      .orderBy("user_id", "key").collect().toSeq
+    val want = spark.read.parquet(streamDir)
+      .groupBy("user_id", "event_type").count()
+      .select(col("user_id"), col("event_type").as("key"),
+        col("count").as("value"))
+      .orderBy("user_id", "key").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState running counters match batch aggregation") {
     val stream = EventsStream.fromDirectory(spark, streamDir,
       maxFilesPerTrigger = 8)
