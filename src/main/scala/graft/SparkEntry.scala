@@ -52,6 +52,7 @@ object SparkEntry {
     "q74_streaming_asof_batch" -> StreamingQueries.streamingAsOfBatch,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
+    "q78_string_distance" -> RelationalQueries.stringDistance,
     "q76_zorder_layout" -> IoQueries.zorderLayout,
     "q73_label_centroids" -> LlmQueries.labelCentroids,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
@@ -393,6 +394,15 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q78_string_distance" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS lev_rev,
+        |  CAST(levenshtein(c_name,
+        |    translate(c_name, '0123456789', 'XXXXXXXXXX')) AS BIGINT)
+        |    AS lev_mask,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS segment_t
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q75_json_roundtrip" ->
       """SELECT event_id, user_id, event_type, value, props,
         |  epoch_us(ts) AS ts_us

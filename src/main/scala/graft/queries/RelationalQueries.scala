@@ -430,6 +430,21 @@ object RelationalQueries {
         col("is_total"), col("n"), col("bal"))
       .orderBy("nationkey", "is_total")
 
+  /** Fuzzy string matching surface: edit distance (the blocking-free
+    * fallback of entity resolution), character translation masking, and
+    * padding — all codegen'd builtins in both engines. */
+  def stringDistance(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).cast("long")
+          .as("lev_rev"),
+        levenshtein(col("c_name"),
+          translate(col("c_name"), "0123456789", "XXXXXXXXXX")).cast("long")
+          .as("lev_mask"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("segment_t"))
+      .orderBy("c_custkey")
+
   /** Salted skew join, oracle-proven result-identical to the plain join:
     * the hot-key side gets a deterministic hash salt, the dim side is
     * replicated saltFactor times, so one hot key spreads over saltFactor

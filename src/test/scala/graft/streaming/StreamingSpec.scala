@@ -172,6 +172,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch + Merge.upsert maintains an incremental snapshot") {
+    // the incremental-materialized-view pattern: each micro-batch's
+    // "latest event per user" upserts (replaces) into a versioned parquet
+    // snapshot; with event-time-ordered replay the final snapshot must
+    // equal the batch-wide latest-per-user
+    import org.apache.spark.sql.expressions.Window
+    val outBase = Files.createTempDirectory("graft-mv").toString
+    var snap: Option[String] = None
+    def latestPerUser(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+    }
+    val stream = EventsStream.fromDirectory(spark, streamDir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val delta = latestPerUser(batch)
+        val merged = snap match {
+          case None => delta
+          case Some(prev) =>
+            graft.ops.Merge.upsert(spark.read.parquet(prev), delta,
+              Seq("user_id"))
+        }
+        val next = s"$outBase/v$id"
+        merged.write.mode("overwrite").parquet(next)
+        snap = Some(next)
+    }.start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(snap.get)
+      .orderBy("user_id").collect().toSeq
+    val want = latestPerUser(spark.read.parquet(streamDir))
+      .orderBy("user_id").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("misra_gries runs as streaming aggregation state") {
     // custom TypedImperativeAggregate buffers serialize into the state
     // store like any built-in agg; 5 distinct event types < 8 counters
