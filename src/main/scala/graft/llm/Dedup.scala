@@ -356,7 +356,9 @@ object Dedup {
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     var prevSum: java.math.BigDecimal = null
-    var converged = false
+    // no edges: skip the loop (the sum-based check can't converge on an
+    // empty frame — its scalar is NULL every round)
+    var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edgesSelf.join(labels, col("src") === col("node"))

@@ -80,6 +80,9 @@ object Joins {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
            rightPayload: Seq[String] = Seq.empty): DataFrame = {
+    val reserved = Seq("_t", "_side", "_r", "_m")
+    require(!left.columns.exists(reserved.contains),
+      s"asOf uses ${reserved.mkString("/")} internally; rename those left columns")
     val keyCols = keys.map(col)
     val payload = struct(col(rightTime).as("t") +: rightPayload.map(col): _*)
     val r = right.select(keyCols :+ col(rightTime).as("_t") :+
