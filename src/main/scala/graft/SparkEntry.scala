@@ -53,6 +53,7 @@ object SparkEntry {
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q78_string_distance" -> RelationalQueries.stringDistance,
+    "q79_corpus_pipeline" -> LlmQueries.corpusPipeline,
     "q76_zorder_layout" -> IoQueries.zorderLayout,
     "q73_label_centroids" -> LlmQueries.labelCentroids,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
@@ -588,16 +589,17 @@ object SparkEntry {
         |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "q32_minhash_lsh" -> q32MinhashOracle,
+    "q32_minhash_lsh" -> q32MinhashOracle(),
     "q33_simhash_pairs" -> q33SimhashOracle,
-    "q63_neardup_clusters" -> q63ClustersOracle,
+    "q63_neardup_clusters" -> q63ClustersOracle(),
     "q67_deduped_corpus" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars FROM documents d
 WHERE d.doc_id NOT IN (
-  SELECT doc_id FROM ($q63ClustersOracle) WHERE NOT is_keeper)
+  SELECT doc_id FROM (${q63ClustersOracle()}) WHERE NOT is_keeper)
 ORDER BY d.doc_id""",
     "q35_ann_lsh" -> q35AnnLshOracle,
     "q77_kmeans_clusters" -> q77KmeansOracle,
+    "q79_corpus_pipeline" -> q79PipelineOracle,
     "q35b_ann_ivf" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
         |              FROM embeddings
@@ -930,8 +932,10 @@ ORDER BY d.doc_id""",
 
   /** MinHash+LSH oracle: n=3 shingles, k=16 seeded min-hashes, 4 bands of
     * 4 rows, est_jaccard = signature-agreement/16 ≥ 0.3 (mirrors
-    * [[graft.llm.Dedup.minHashLsh]] with the portable hasher). */
-  private def q32MinhashOracle: String = {
+    * [[graft.llm.Dedup.minHashLsh]] with the portable hasher). `src` is
+    * the (doc_id, text) relation to mine — `documents`, or an upstream
+    * CTE when composed into a pipeline oracle (q79). */
+  private def q32MinhashOracle(src: String = "documents"): String = {
     val k = 16; val bands = 4; val rpb = k / bands
     val p = graft.llm.Dedup.P31
     val mins = (0 until k)
@@ -945,7 +949,7 @@ ORDER BY d.doc_id""",
     val agree = (0 until k)
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
 sh AS (SELECT doc_id, ${h("sg", 0)} % $p AS hb FROM (
          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sg
@@ -974,8 +978,8 @@ FROM est WHERE ej >= 0.3 ORDER BY doc_a, doc_b"""
     * [[graft.llm.Dedup.connectedComponents]]). The recursive closure is
     * O(pairs²) — fine for the oracle's sf0.01 pair count; the Spark side
     * is the scalable label-propagation loop. */
-  private def q63ClustersOracle: String =
-    s"""WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ($q32MinhashOracle)),
+  private def q63ClustersOracle(src: String = "documents"): String =
+    s"""WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM (${q32MinhashOracle(src)})),
 edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
           UNION SELECT doc_b, doc_a FROM pr),
 reach(n, m) AS (
@@ -986,6 +990,36 @@ comp AS (SELECT n AS doc_id, least(n, min(m)) AS component
          FROM reach GROUP BY n)
 SELECT doc_id, component, (component = doc_id) AS is_keeper
 FROM comp ORDER BY doc_id"""
+
+  /** Pipeline oracle (q79): all five [[graft.jobs.CorpusPipeline]] stages
+    * recomputed in DuckDB — exact dedup, the q63 cluster resolution over
+    * the DEDUPED corpus (the parameterized q32/q63 generators pointed at
+    * the `d0` CTE), loser drop, the q37 quality formula, the q29 split. */
+  private def q79PipelineOracle: String =
+    s"""WITH
+keep0 AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+          FROM documents GROUP BY text),
+d0 AS (SELECT d.doc_id, d.text, d.lang, d.n_chars
+       FROM documents d JOIN keep0 USING (doc_id)),
+losers AS (SELECT doc_id FROM (${q63ClustersOracle("d0")})
+           WHERE NOT is_keeper),
+clean AS (SELECT * FROM d0
+          WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+scored AS (
+  SELECT doc_id, lang, n_chars,
+    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+      + (CAST(len(list_filter(string_split(text,' '),
+           x -> x IN ('the','and','of','is','in','a'))) AS DOUBLE)
+         / len(string_split(text, ' '))) * 0.3
+      + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         / length(text)) * 0.3, 4) AS quality
+  FROM clean)
+SELECT doc_id, lang, n_chars, quality,
+  CASE WHEN ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100 < 80
+       THEN 'train'
+       WHEN ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100 < 90
+       THEN 'val' ELSE 'test' END AS split
+FROM scored WHERE quality >= 0.4 ORDER BY doc_id"""
 
   /** SimHash oracle: 60-bit portable token hash, ±1 bit sums, 4×15-bit
     * band LSH, Hamming ≤ 6 (mirrors [[graft.llm.Dedup.simHashPairs]]). */

@@ -87,6 +87,14 @@ object LlmQueries {
     Similarity.labelCentroidSim(table(s, dir, "embeddings"))
       .orderBy("vec_id")
 
+  /** The full corpus-preparation pipeline (q79): exact dedup → near-dup
+    * cluster drop → quality filter → deterministic split, end to end in
+    * one composite ([[graft.jobs.CorpusPipeline]]). */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.jobs.CorpusPipeline.run(table(s, dir, "documents"),
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("doc_id")
+
   /** Brute-force cosine top-5 for the first 10 vectors (exact ANN
     * baseline; oracle via DuckDB list_cosine_similarity). */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
