@@ -54,6 +54,7 @@ object SparkEntry {
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q78_string_distance" -> RelationalQueries.stringDistance,
     "q79_corpus_pipeline" -> LlmQueries.corpusPipeline,
+    "q80_hll_sketch_union" -> RelationalQueries.hllSketchUnion,
     "q76_zorder_layout" -> IoQueries.zorderLayout,
     "q73_label_centroids" -> LlmQueries.labelCentroids,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
@@ -395,6 +396,11 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q80_hll_sketch_union" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS union_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q78_string_distance" ->
       """SELECT c_custkey, c_name,
         |  CAST(levenshtein(c_name, reverse(c_name)) AS BIGINT) AS lev_rev,

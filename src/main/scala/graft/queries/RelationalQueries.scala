@@ -430,6 +430,31 @@ object RelationalQueries {
         col("is_total"), col("n"), col("bal"))
       .orderBy("nationkey", "is_total")
 
+  /** Mergeable HLL sketches (DataSketches `hll_sketch_agg`): per-day
+    * sketches of distinct users built independently, then UNIONED per
+    * event type (`hll_union_agg`) — the incremental distinct-count
+    * pattern at 100 TB, where daily sketch partials persist and any
+    * date-range distinct is a cheap union instead of a re-scan. Gate in
+    * the q46 accuracy-flag style: the union's estimate must sit within
+    * 5% of the exact distinct (sketch internals are engine-specific; the
+    * exact count and the flag are the oracle-checked values). */
+  def hllSketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("day"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val unioned = daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(unioned, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("union_ok"))
+      .orderBy("event_type")
+  }
+
   /** Fuzzy string matching surface: edit distance (the blocking-free
     * fallback of entity resolution), character translation masking, and
     * padding — all codegen'd builtins in both engines. */
