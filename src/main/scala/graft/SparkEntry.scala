@@ -55,6 +55,7 @@ object SparkEntry {
     "q78_string_distance" -> RelationalQueries.stringDistance,
     "q79_corpus_pipeline" -> LlmQueries.corpusPipeline,
     "q80_hll_sketch_union" -> RelationalQueries.hllSketchUnion,
+    "q81_scd_type2" -> RelationalQueries.scdType2,
     "q76_zorder_layout" -> IoQueries.zorderLayout,
     "q73_label_centroids" -> LlmQueries.labelCentroids,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
@@ -396,6 +397,35 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q81_scd_type2" ->
+      """WITH b0 AS (
+        |  SELECT o_custkey, o_orderpriority AS priority,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |base AS (SELECT o_custkey, priority FROM b0 WHERE rn = 1),
+        |d0 AS (
+        |  SELECT o_custkey, o_orderpriority AS priority,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+        |delta AS (SELECT o_custkey, priority FROM d0 WHERE rn = 1),
+        |j AS (SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+        |        b.priority AS bp, d.priority AS dp,
+        |        (b.o_custkey IS NOT NULL) AS inb,
+        |        (d.o_custkey IS NOT NULL) AS ind
+        |      FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey)
+        |SELECT * FROM (
+        |  SELECT o_custkey, bp AS priority, '1995-01-01' AS valid_from,
+        |         CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM j WHERE inb AND (NOT ind OR bp IS NOT DISTINCT FROM dp)
+        |  UNION ALL
+        |  SELECT o_custkey, bp, '1995-01-01', '1996-01-01'
+        |  FROM j WHERE inb AND ind AND bp IS DISTINCT FROM dp
+        |  UNION ALL
+        |  SELECT o_custkey, dp, '1996-01-01', CAST(NULL AS VARCHAR)
+        |  FROM j WHERE ind AND (NOT inb OR bp IS DISTINCT FROM dp))
+        |ORDER BY o_custkey, valid_from""".stripMargin,
     "q80_hll_sketch_union" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -505,6 +505,31 @@ object RelationalQueries {
       .orderBy("o_custkey")
   }
 
+  /** Type-2 SCD merge ([[graft.ops.Scd.applyType2]]): each customer's
+    * latest order priority pre-1996 is the base dimension; the 1996+
+    * latest is the delta. Changed keys get their old version closed and a
+    * new current one opened; unchanged keys keep one row; new keys
+    * insert. The versioned-history warehouse staple next to the Type-1
+    * upsert (q70). */
+  def scdType2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = table(s, dir, "orders")
+    def latest(part: DataFrame): DataFrame = {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      part.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("o_custkey"), col("o_orderpriority").as("priority"))
+    }
+    val base = latest(o.where(col("o_orderdate") < lit("1996-01-01")))
+      .withColumn("valid_from", lit("1995-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+    val delta = latest(o.where(col("o_orderdate") >= lit("1996-01-01")))
+      .withColumn("eff", lit("1996-01-01"))
+    graft.ops.Scd.applyType2(base, delta, Seq("o_custkey"),
+        Seq("priority"), "eff")
+      .orderBy("o_custkey", "valid_from")
+  }
+
   /** Single-pass column profiling ([[graft.ops.Profile.profile]]): one
     * aggregation (multi-distinct Expand) computes rows/nulls/distincts/
     * min/max for every profiled column, then unpivots — the input scans

@@ -25,6 +25,29 @@ class MergeProfileSpec extends SparkSpec {
       (4L, Some("d"), Some(40L)))) // inserted
   }
 
+  test("SCD type-2: close-and-open, keep, insert, history passthrough") {
+    val base = Seq(
+      (1L, "gold", "d1", Some("d2")), // history row: untouched
+      (1L, "plat", "d2", None), // current, delta changes it
+      (2L, "silver", "d1", None), // current, delta identical -> kept
+      (3L, "bronze", "d1", None) // current, no delta -> kept
+    ).toDF("k", "tier", "valid_from", "valid_to")
+    val delta = Seq(
+      (1L, "diamond", "d3"),
+      (2L, "silver", "d3"),
+      (4L, "new", "d3") // unseen key -> first version
+    ).toDF("k", "tier", "eff")
+    val got = Scd.applyType2(base, delta, Seq("k"), Seq("tier"), "eff")
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, "gold", "d1", Some("d2")),
+      (1L, "plat", "d2", Some("d3")), // closed by the change
+      (1L, "diamond", "d3", None), // opened
+      (2L, "silver", "d1", None), // unchanged delta -> kept as-is
+      (3L, "bronze", "d1", None), // no delta -> kept
+      (4L, "new", "d3", None))) // inserted
+  }
+
   test("profile counts rows, nulls, distincts, min/max in one pass") {
     val df = Seq(
       (Some(1L), Some("x")),
