@@ -34,6 +34,16 @@ class JoinsSpec extends SparkSpec {
     assert(out("p3").isEmpty) // left-outer: no predecessor -> null
   }
 
+  test("asOf with an empty right side keeps all left rows with nulls") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p1")).toDF("user_id", "ts", "tag")
+    val right = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "name")
+    val out = Joins.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("name"))
+      .select(col("tag"), col("asof_name")).as[(String, Option[String])]
+      .collect().toSeq
+    assert(out == Seq(("p1", None)))
+  }
+
   test("asOf is deterministic on equal right timestamps") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("user_id", "ts", "tag")
     val right = Seq(

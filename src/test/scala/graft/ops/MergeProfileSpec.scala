@@ -48,6 +48,29 @@ class MergeProfileSpec extends SparkSpec {
       (4L, "new", "d3", None))) // inserted
   }
 
+  test("SCD type-2 compares multiple attrs null-safely") {
+    val base = Seq((1L, Some("a"), Some(10L), "d1", None: Option[String]))
+      .toDF("k", "x", "y", "valid_from", "valid_to")
+    // y flips 10 -> null: a change under null-safe comparison
+    val delta = Seq((1L, Some("a"), None: Option[Long], "d2"))
+      .toDF("k", "x", "y", "eff")
+    val got = Scd.applyType2(base, delta, Seq("k"), Seq("x", "y"), "eff")
+      .as[(Long, Option[String], Option[Long], String, Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some("a"), Some(10L), "d1", Some("d2")),
+      (1L, Some("a"), None, "d2", None)))
+  }
+
+  test("profile handles an all-null column") {
+    val df = Seq((1L, None: Option[String]), (2L, None))
+      .toDF("id", "dead")
+    val got = Profile.profile(df, Seq("dead"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().head
+    assert(got == ("dead", 2L, 2L, 0L, None, None))
+  }
+
   test("profile counts rows, nulls, distincts, min/max in one pass") {
     val df = Seq(
       (Some(1L), Some("x")),
