@@ -375,7 +375,7 @@ object Dedup {
           least(col("x.label"), col("ll")).as("label"))
         .localCheckpoint() // eager: materializes this round, truncates lineage
       val s = next.agg(sum(col("label").cast("decimal(38,0)")))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

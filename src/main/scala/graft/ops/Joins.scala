@@ -99,7 +99,7 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u.withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
     matched.where(col("_side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         (s"asof_$rightTime" +: rightPayload.map(p => s"asof_$p"))
           .zip("t" +: rightPayload)
           .map { case (out, in) => col("_m").getField(in).as(out) }: _*)
