@@ -108,10 +108,26 @@ object Dedup {
     * a shared shingle. Candidates are therefore prefix(x) ⋈ all-postings
     * (probing from both sides covers whichever is smaller; no size-ratio
     * prune exists for containment by construction). Verification is the
-    * same zero-allocation sorted-merge intersect as the Jaccard path. */
+    * same zero-allocation sorted-merge intersect as the Jaccard path.
+    *
+    * Skew guard (`maxDf`, mirroring [[dropHotBuckets]]): a shingle with
+    * document frequency df puts df posting rows on one join key and emits
+    * (prefix-occurrences × df) candidate pairs — a single boilerplate
+    * shingle with df ≈ corpus size turns the candidate join quadratic ON
+    * ONE REDUCER. Shingles with df > maxDf are excluded from candidate
+    * generation (both the prefix side and the posting side) via an
+    * anti-join against the tiny broadcast hot list. The trade is the same
+    * one the LSH cap documents: a pair whose ONLY shared prefix shingle is
+    * hot can be missed, but an over-cap shingle is shared by > maxDf
+    * documents — template boilerplate that exact dedup (q30) should
+    * collapse first, and that certifies nothing about any one pair.
+    * Verification still runs on the FULL shingle sets, so every emitted
+    * pair's containment is exact; below the cap the output is IDENTICAL
+    * to the unguarded join (asserted in DedupSpec). */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
                        storageLevel: StorageLevel =
-                         StorageLevel.MEMORY_AND_DISK): DataFrame = {
+                         StorageLevel.MEMORY_AND_DISK,
+                       maxDf: Int = 1 << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh0 = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -122,12 +138,18 @@ object Dedup {
     val ex = sh.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
       explode(col("sh")).as("sg"))
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    // hot-shingle cap: df > maxDf shingles leave candidate generation on
+    // BOTH sides (prefix ranks are computed first, over the full rare-first
+    // order, so surviving ranks are unchanged — below-cap output identity)
+    val hot = freq.where(col("df") > maxDf).select("sg")
     val wDoc = Window.partitionBy("doc_id")
     val prefix = ex.join(freq, "sg")
       .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sg"))))
       .where(col("rn") <=
         col("sz") - ceil(col("sz") * threshold).cast("long") + 1)
-    val cand = prefix.as("a").join(ex.as("b"),
+      .join(broadcast(hot), Seq("sg"), "left_anti")
+    val postings = ex.join(broadcast(hot), Seq("sg"), "left_anti")
+    val cand = prefix.as("a").join(postings.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))

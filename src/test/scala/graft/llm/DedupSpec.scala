@@ -118,6 +118,43 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((0L, 1L))) // union dilution hides it from jaccard
   }
 
+  test("containment df-cap: below the cap, output identical to unguarded") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def pairs(maxDf: Int) =
+      Dedup.containmentPairs(docs, n = 3, threshold = 0.5, maxDf = maxDf)
+        .select("doc_a", "doc_b", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    val unguarded = pairs(Int.MaxValue)
+    assert(unguarded.nonEmpty, "testdata should contain containment pairs")
+    // sf0.001 dfs are far below the default cap: identical output
+    assert(pairs(1 << 16) == unguarded)
+  }
+
+  test("containment df-cap prunes a template-shingle flood") {
+    // 40 boilerplate docs whose shingles are ALL shared (df = 40) except
+    // one unique trailer: every cross pair has containment 5/6 ≈ 0.83 and
+    // would emit 780 pairs through one reducer. With the cap below 40 the
+    // hot shingles leave candidate generation, so the flood vanishes (the
+    // documented recall trade), while a genuinely contained pair built
+    // from rare shingles (df = 2) must survive unchanged.
+    val flood = (0L until 40L).map(i =>
+      (i, s"common footer text over and over again token$i"))
+    val contained = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "prefix words alpha beta gamma delta epsilon zeta suffix words"))
+    val docs = (flood ++ contained).toDF("doc_id", "text")
+    def pairs(maxDf: Int) =
+      Dedup.containmentPairs(docs, n = 3, threshold = 0.8, maxDf = maxDf)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val unguarded = pairs(Int.MaxValue)
+    assert(unguarded.contains((0L, 1L)), "flood pairs verify unguarded")
+    assert(unguarded.contains((100L, 101L)))
+    val capped = pairs(10)
+    assert(capped.contains((100L, 101L))) // rare-shingle pair survives
+    assert(!capped.exists(p => p._1 < 100L || p._2 < 100L),
+      s"flood pairs must be pruned by the cap: $capped")
+  }
+
   test("dropNearDups keeps exactly the keepers plus unpaired docs") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
     val out = Dedup.dropNearDups(corpus, Dedup.connectedComponents(pairs))
