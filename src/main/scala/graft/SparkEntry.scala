@@ -52,6 +52,7 @@ object SparkEntry {
     "q74_streaming_asof_batch" -> StreamingQueries.streamingAsOfBatch,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
+    "q82_ivf_trained" -> LlmQueries.ivfTrained,
     "q78_string_distance" -> RelationalQueries.stringDistance,
     "q79_corpus_pipeline" -> LlmQueries.corpusPipeline,
     "q80_hll_sketch_union" -> RelationalQueries.hllSketchUnion,
@@ -635,6 +636,7 @@ WHERE d.doc_id NOT IN (
 ORDER BY d.doc_id""",
     "q35_ann_lsh" -> q35AnnLshOracle,
     "q77_kmeans_clusters" -> q77KmeansOracle,
+    "q82_ivf_trained" -> q82IvfTrainedOracle,
     "q79_corpus_pipeline" -> q79PipelineOracle,
     "q35b_ann_ivf" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
@@ -1092,8 +1094,53 @@ ORDER BY doc_a, doc_b"""
     * chained CTEs — integer fixed-point components, unnormalized integer
     * centroid sums, 4-dp-rounded ranking with cid tie-breaks, so DuckDB
     * replays the training bit-for-bit. */
-  private def q77KmeansOracle: String = {
-    val k = 8; val iters = 2
+  private def q77KmeansOracle: String =
+    s"""WITH ${kmeansCtes(8, 2)}
+SELECT vec_id, cid FROM a1 ORDER BY vec_id"""
+
+  /** Trained-IVF oracle (q82): the q77 training CTEs, then the probe —
+    * per-query cell ranking on the exact-integer centroid cosine (top
+    * nprobe=2), candidates from the final assignment, pair similarity as
+    * the exact-integer fixed-point cosine, top k=5 ranked on the
+    * 4-dp-rounded score (mirrors
+    * [[graft.llm.Similarity.ivfTopKTrained]]). */
+  private def q82IvfTrainedOracle: String =
+    s"""WITH ${kmeansCtes(8, 2)},
+pq AS (SELECT e.vec_id AS query_id, c.cid,
+         CAST(sum(e.xi * c.m) AS BIGINT) AS dot
+       FROM ex e JOIN cent1 c USING (d)
+       WHERE e.vec_id < 10 GROUP BY 1, 2),
+pr AS (SELECT pq.query_id, pq.cid,
+         row_number() OVER (PARTITION BY pq.query_id
+           ORDER BY round(pq.dot / (sqrt(CAST(x.nx AS DOUBLE))
+             * sqrt(CAST(n.nm AS DOUBLE))), 4) DESC, pq.cid) AS qrn
+       FROM pq JOIN nm1 n USING (cid) JOIN nx x ON pq.query_id = x.vec_id),
+probes AS (SELECT query_id, cid FROM pr WHERE qrn <= 2),
+cp AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       FROM a1 a JOIN probes p USING (cid) WHERE a.vec_id <> p.query_id),
+cs AS (SELECT c.query_id, c.neighbor_id,
+         CAST(sum(eq.xi * ec.xi) AS BIGINT) AS dot
+       FROM cp c
+       JOIN ex eq ON eq.vec_id = c.query_id
+       JOIN ex ec ON ec.vec_id = c.neighbor_id AND ec.d = eq.d
+       GROUP BY 1, 2),
+r AS (SELECT c.query_id, c.neighbor_id,
+        round(c.dot / (sqrt(CAST(xq.nx AS DOUBLE))
+          * sqrt(CAST(xc.nx AS DOUBLE))), 4) AS sim
+      FROM cs c JOIN nx xq ON xq.vec_id = c.query_id
+                JOIN nx xc ON xc.vec_id = c.neighbor_id),
+rr AS (SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+       FROM r)
+SELECT query_id, rn, neighbor_id, sim FROM rr WHERE rn <= 5
+ORDER BY query_id, rn"""
+
+  /** The shared k-means training CTE chain (ex/nx/seeds/cent0 …
+    * a{iters-1}): every quantity exact integer or deterministic IEEE, so
+    * both the q77 assignment oracle and the q82 probe oracle replay the
+    * same training. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def round(i: Int, centName: String): String =
       s"""nm$i AS (SELECT cid, CAST(sum(m*m) AS BIGINT) AS nm
   FROM $centName GROUP BY 1),
@@ -1113,7 +1160,7 @@ a$i AS (SELECT vec_id, cid FROM (
 """
       cent + round(i, s"cent$i")
     }.mkString(",\n")
-    s"""WITH ex AS (
+    s"""ex AS (
   SELECT vec_id, d1 - 1 AS d,
          CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi
   FROM (SELECT vec_id, unnest(embedding) AS x,
@@ -1123,8 +1170,7 @@ seeds AS (SELECT vec_id AS cid FROM embeddings
           ORDER BY ${graft.llm.PortableSeededHash.sql("vec_id", 5)}, vec_id
           LIMIT $k),
 cent0 AS (SELECT s.cid, e.d, e.xi AS m FROM ex e JOIN seeds s ON e.vec_id = s.cid),
-$rounds
-SELECT vec_id, cid FROM a${iters - 1} ORDER BY vec_id"""
+$rounds"""
   }
 
   /** LSH-ANN oracle: integer hyperplane weights hash("p:d")%1000-500,

@@ -165,7 +165,17 @@ object Similarity {
     * whole lineage). Empty clusters drop out (their sums have no rows) —
     * both engines agree by join semantics. */
   def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2,
-                   hasher: SeededHash = XxSeededHash): DataFrame = {
+                   hasher: SeededHash = XxSeededHash): DataFrame =
+    kmeansTrain(corpus, k, iters, hasher)._1
+
+  /** [[kmeansAssign]] returning BOTH halves of the trained quantizer: the
+    * final (vec_id, cid) assignment and the centroid-sum frame
+    * (cid, d, m) that PRODUCED it — exactly the coarse quantizer
+    * [[ivfTopKTrained]] probes, so index build and query see the same
+    * cells. */
+  def kmeansTrain(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+                  hasher: SeededHash = XxSeededHash)
+      : (DataFrame, DataFrame) = {
     val ex = corpus
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"),
@@ -203,7 +213,71 @@ object Similarity {
           .groupBy("cid", "d").agg(sum(col("xi")).as("m"))
           .localCheckpoint()
     }
-    assign
+    // cent is the frame the LAST assignment round ranked against
+    (assign, cent)
+  }
+
+  /** IVF probe over a TRAINED quantizer — [[kmeansTrain]] feeding
+    * [[ivfTopK]]'s probe shape, closing the train → index → query loop
+    * (the hash-sample `ivfTopK` is the zero-training stand-in; fitted
+    * centroids track the corpus density, so cells are balanced and a
+    * probe budget of `nprobe` cells recalls more true neighbors).
+    *
+    * All scoring is in the fixed-point cosine geometry of the trainer
+    * (round(x·1000) integer components): probe similarity is the exact
+    * integer dot / norms formula, candidate similarity is [[cosine]] over
+    * the fixed-point component arrays — sums of exact small integers in
+    * IEEE doubles, so both are bit-reproducible in any engine and the q82
+    * oracle replays training AND probing in DuckDB CTEs. Ranking is on
+    * the 4-dp-rounded score with id tie-breaks throughout.
+    *
+    * Scale shape: centroid sums (k×dims) and query-side frames broadcast;
+    * the corpus streams once through assignment (inside [[kmeansTrain]])
+    * and once through the candidate join; per-key ranking windows lower
+    * to bounded heaps via [[graft.plans.TopKRewrite]]. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                     numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
+                     hasher: SeededHash = XxSeededHash): DataFrame = {
+    val (assign, cent) = kmeansTrain(corpus, numCentroids, iters, hasher)
+    val nm = cent.groupBy("cid").agg(sum(col("m") * col("m")).as("nm"))
+    // probe: rank cells per query by exact-integer cosine to the centroid
+    val exq = queries
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("query_id"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+    val nxq = exq.groupBy("query_id").agg(sum(col("xi") * col("xi")).as("nx"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cid"))
+    val probes = exq.join(broadcast(cent), "d")
+      .groupBy("query_id", "cid").agg(sum(col("xi") * col("m")).as("dot"))
+      .join(broadcast(nm), "cid")
+      .join(broadcast(nxq), "query_id")
+      .withColumn("qsim", round(col("dot").cast("double") /
+        (sqrt(col("nx").cast("double")) * sqrt(col("nm").cast("double"))), 4))
+      .withColumn("qrn", row_number().over(wProbe))
+      .where(col("qrn") <= nprobe)
+      .select("query_id", "cid")
+    // fixed-point component arrays, bound ONCE per side (HOF lambdas run
+    // interpreted — never re-embed the transform in downstream exprs)
+    def fixedPoint(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("float")).as(s"f_$idAs"))
+    val corpusF = fixedPoint(corpus, "neighbor_id")
+    val queriesF = fixedPoint(queries, "query_id")
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    assign.join(broadcast(probes), Seq("cid"))
+      .select(col("vec_id").as("neighbor_id"), col("query_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(corpusF, "neighbor_id")
+      .join(broadcast(queriesF), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("f_query_id"), col("f_neighbor_id")), 4).as("sim"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .where(col("rn") <= k)
+      .select("query_id", "rn", "neighbor_id", "sim")
   }
 
   /** Cosine of every vector to its label's centroid — the standard

@@ -132,6 +132,17 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** IVF ANN over the TRAINED k-means quantizer (q82): the q77 trainer's
+    * centroids feed the q35b probe shape end-to-end — train → assign →
+    * probe in one engine-exact fixed-point geometry. */
+  def ivfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.ivfTopKTrained(emb.where(col("vec_id") < 10), emb, k = 5,
+        numCentroids = 8, iters = 2, nprobe = 2,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("query_id", "rn")
+  }
+
   /** Marker-based language ID with per-language scores. Two-step select:
     * scores materialize once, the argmax CASE reads the columns (not the
     * score subtrees — see TextAnalysis note on interpreted lambdas). */

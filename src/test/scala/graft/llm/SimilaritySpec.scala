@@ -52,6 +52,24 @@ class SimilaritySpec extends SparkSpec {
     assert(cids.subsetOf(corpusIds)) // cids are seed vec_ids
   }
 
+  test("trained-IVF recall >= hash-sample-IVF recall vs brute force") {
+    val q = emb.where(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(ann: Set[(Long, Long)]): Double =
+      brute.count(ann.contains).toDouble / brute.size
+    val hashSample = Similarity.ivfTopK(q, emb, 5, numCentroids = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val trained = Similarity.ivfTopKTrained(q, emb, 5, numCentroids = 8,
+        iters = 2, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(trained.nonEmpty)
+    // fitted centroids track corpus density: same probe budget, at least
+    // as many true neighbors recovered as the zero-training hash sample
+    assert(recall(trained) >= recall(hashSample),
+      s"trained=${recall(trained)} hash=${recall(hashSample)}")
+  }
+
   test("LSH candidates score identically to brute force for same pairs") {
     val q = emb.where(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, 5)
