@@ -50,6 +50,7 @@ object SparkEntry {
     "q71_column_profile" -> RelationalQueries.columnProfile,
     "q72_containment" -> LlmQueries.containment,
     "q74_streaming_asof_batch" -> StreamingQueries.streamingAsOfBatch,
+    "q83_streaming_dedup_batch" -> StreamingQueries.dedupBatch,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q82_ivf_trained" -> LlmQueries.ivfTrained,
@@ -427,6 +428,10 @@ object SparkEntry {
         |  SELECT o_custkey, dp, '1996-01-01', CAST(NULL AS VARCHAR)
         |  FROM j WHERE ind AND (NOT inb OR bp IS DISTINCT FROM dp))
         |ORDER BY o_custkey, valid_from""".stripMargin,
+    "q83_streaming_dedup_batch" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value,
+        |  epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
     "q80_hll_sketch_union" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -61,6 +61,41 @@ object StreamingQueries {
         col("signup_us"))
       .orderBy("event_id")
 
+  /** Streaming dedup, gated end-to-end (q83): the corpus exact-dedup story
+    * (q30) on the streaming surface. `dropDuplicatesWithinWatermark` has
+    * no batch execution by Spark design, so this query RUNS the stream: a
+    * self-union of the events file source (both branches read the same
+    * files, so every micro-batch carries each row exactly twice), deduped
+    * on event_id within a 2h watermark, into a foreachBatch parquet sink
+    * (data never collects to the driver). The duplicates are always
+    * in-batch by construction, so the result is exactly the original
+    * events — which the oracle reads straight off the table. Watermark
+    * state EVICTION (the streaming-only contract) is replay-tested in
+    * StreamingSpec: a within-watermark duplicate collapses across
+    * micro-batches, a past-watermark duplicate survives. */
+  def dedupBatch(s: SparkSession, dir: String): DataFrame = {
+    // the file stream source requires a DIRECTORY; the testdata table is a
+    // single file — stage a link/copy of it in a temp dir
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q83-src")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val staged = srcDir.resolve("events.parquet")
+    try java.nio.file.Files.createSymbolicLink(staged, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
+    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // see Tables
+    val out = java.nio.file.Files.createTempDirectory("graft-q83").toString
+    val q = EventsStream.dedupWithinWatermark(stream.union(stream))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) => batch.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).orderBy("event_id")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */

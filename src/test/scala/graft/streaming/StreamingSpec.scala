@@ -97,6 +97,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().head.getLong(0) == base.count())
   }
 
+  test("dedup state: cross-batch duplicate collapses, past-watermark survives") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val dedup = EventsStream.dedupWithinWatermark(
+      mem.toDF().toDF("event_id", "ts"))
+    val q = dedup.writeStream.format("memory").queryName("t_dedup_state")
+      .outputMode("append").start()
+    mem.addData((1L, ts(0)), (2L, ts(10)))
+    q.processAllAvailable()
+    // duplicate in a LATER micro-batch, within the 2h watermark: state
+    // for event 1 is still live, so the row is dropped
+    mem.addData((1L, ts(20)))
+    q.processAllAvailable()
+    // advance event time far enough that the watermark (max ts - 2h)
+    // passes event 1's expiry (ts + 2h) and its state is evicted
+    mem.addData((3L, ts(300)))
+    q.processAllAvailable()
+    // same key again, PAST the watermark: no state left — it survives
+    // (the documented contract: dedup is only guaranteed within the delay)
+    mem.addData((1L, ts(310)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup_state").select("event_id")
+      .as[Long].collect().toSeq
+    assert(ids.count(_ == 1L) == 2, s"got $ids") // original + late re-emit
+    assert(ids.count(_ == 2L) == 1)
+    assert(ids.count(_ == 3L) == 1)
+  }
+
   test("stream-stream interval join == batch join") {
     val stream = EventsStream.fromDirectory(spark, streamDir,
       maxFilesPerTrigger = 2)
