@@ -59,6 +59,7 @@ object SparkEntry {
     "q80_hll_sketch_union" -> RelationalQueries.hllSketchUnion,
     "q81_scd_type2" -> RelationalQueries.scdType2,
     "q76_zorder_layout" -> IoQueries.zorderLayout,
+    "q84_zorder_nd" -> IoQueries.zorderLayout3,
     "q73_label_centroids" -> LlmQueries.labelCentroids,
     "q22_e1_config_extract" -> PipelineQueries.e1ConfigExtract,
     "q23_e2_profile_daily" -> PipelineQueries.e2ProfileDaily,
@@ -458,6 +459,19 @@ object SparkEntry {
         |  AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
         |      BETWEEN 5 AND 15
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q84_zorder_nd" ->
+      """SELECT user_id, etype_code, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM (SELECT user_id, value,
+        |        date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num,
+        |        CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |             WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+        |             ELSE 4 END AS BIGINT) AS etype_code
+        |      FROM events)
+        |WHERE user_id BETWEEN 10 AND 20 AND day_num BETWEEN 5 AND 15
+        |  AND etype_code <= 2
+        |GROUP BY user_id, etype_code
+        |ORDER BY user_id, etype_code""".stripMargin,
     "q72_containment" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id,

@@ -87,6 +87,37 @@ object IoQueries {
       .orderBy("user_id")
   }
 
+  /** N-dimensional Z-order layout (q84): the q76 story in 3 dimensions —
+    * events clustered by the round-robin Morton interleave of
+    * (user_id, day, event-class code) via [[graft.io.ZOrder.zValueN]],
+    * then scanned with predicates on ALL THREE dimensions. Result parity
+    * is the gate; the 3-D interleave property is in ZOrderSpec. */
+  def zorderLayout3(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-zorder3").toString
+    val ev = table(s, dir, "events")
+      .withColumn("day_num",
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long"))
+      .withColumn("etype_code",
+        when(col("event_type") === "click", 0L)
+          .when(col("event_type") === "error", 1L)
+          .when(col("event_type") === "purchase", 2L)
+          .when(col("event_type") === "signup", 3L)
+          .otherwise(4L))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("day_num"), col("etype_code"))
+    ev.withColumn("z", graft.io.ZOrder.zValueN(
+        Seq(col("user_id"), col("day_num"), col("etype_code"))))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .where(col("user_id").between(10, 20) &&
+        col("day_num").between(5, 15) && col("etype_code") <= 2)
+      .groupBy("user_id", "etype_code")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "etype_code")
+  }
+
   /** S3 + K-side: write customer as header CSV, read it back with the
     * original schema (no `.rdd` detour; header on both sides). Oracle is
     * the identity — proving the CSV codec round-trips values exactly. */
