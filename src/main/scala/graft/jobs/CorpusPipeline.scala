@@ -24,6 +24,39 @@ import graft.llm.{Dedup, PortableSeededHash, SeededHash, TextAnalysis, XxSeededH
   */
 object CorpusPipeline {
 
+  /** The near-dup resolution artifacts, computed from ONE pass over the
+    * LSH pipeline: candidate pairs, their connected-component clusters,
+    * and the keep-list. Handed out because a library user almost always
+    * wants more than one of them (pairs for auditing, clusters for
+    * reporting, the keep-list to filter the corpus) — and the LSH pass
+    * that produces the pairs is by far the most expensive stage, so
+    * computing each view standalone re-runs it per view (the gated
+    * q63/q67/q79 queries each do exactly that, deliberately, to stay
+    * independently checkable).
+    *
+    * `pairs` is `localCheckpoint`ed at construction: the minhash/banding
+    * pipeline executes exactly once, and both `clusters` (which iterates)
+    * and `keepList` derive from the materialized pair set — their plans
+    * contain no trace of the LSH lineage (asserted in
+    * CorpusPipelineSpec). */
+  final case class NearDupArtifacts(pairs: DataFrame, clusters: DataFrame,
+                                    keepList: DataFrame)
+
+  /** Compute [[NearDupArtifacts]] over `docs` (needs doc_id, text) with
+    * one LSH pass. `keepList` is one row per doc_id that SURVIVES near-dup
+    * resolution among the paired documents — i.e. cluster keepers;
+    * never-paired documents are absent (they survive by definition, as in
+    * [[graft.llm.Dedup.dropNearDups]]). */
+  def nearDupArtifacts(docs: DataFrame,
+                       hasher: SeededHash = XxSeededHash): NearDupArtifacts = {
+    val pairs = Dedup.minHashLsh(docs, hasher = hasher)
+      .select("doc_a", "doc_b")
+      .localCheckpoint() // the ONE materialization of the LSH pass
+    val clusters = Dedup.connectedComponents(pairs)
+    val keepList = clusters.where(col("is_keeper")).select("doc_id")
+    NearDupArtifacts(pairs, clusters, keepList)
+  }
+
   /** `docs` needs (doc_id, text, lang, n_chars). Returns one row per
     * surviving document: (doc_id, lang, n_chars, quality, split). */
   def run(docs: DataFrame, minQuality: Double = 0.4, splitSeed: Int = 42,

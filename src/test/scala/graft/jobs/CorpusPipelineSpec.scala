@@ -25,6 +25,37 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.contains(4L))
   }
 
+  test("nearDupArtifacts: one LSH pass, three consistent views") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val art = CorpusPipeline.nearDupArtifacts(docs)
+    // single computation: pairs is checkpointed, so its plan is a bare
+    // LogicalRDD — the LSH lineage (window ranks, explodes, self-joins)
+    // ran exactly once at construction and is gone from the plan
+    assert(art.pairs.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.execution.LogicalRDD])
+    // clusters/keepList build on the materialized pairs, not the LSH:
+    // neither plan may contain a Window (the LSH rank) or a Generate
+    // (the shingle explode)
+    Seq(art.clusters, art.keepList).foreach { df =>
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.isEmpty, plan.toString)
+    }
+    // view consistency: same answers as the standalone operators
+    val standalonePairs = graft.llm.Dedup.minHashLsh(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(art.pairs.as[(Long, Long)].collect().toSet == standalonePairs)
+    val clusters = art.clusters
+      .select("doc_id", "component").as[(Long, Long)].collect().toMap
+    val keep = art.keepList.as[Long].collect().toSet
+    assert(keep == clusters.collect {
+      case (id, comp) if id == comp => id
+    }.toSet)
+    assert(keep.nonEmpty && clusters.nonEmpty)
+  }
+
   test("split assignment is deterministic and complete") {
     val docs = (0L until 50L)
       .map(i => (i, s"document number $i with some plain text", "en", 40L))
