@@ -10,6 +10,15 @@ import graft.queries.{IoQueries, LlmQueries, PipelineQueries, RelationalQueries,
   * explicit ORDER BY on a unique key in both engines, doubles rounded,
   * timestamps emitted as formatted strings or epoch integers, integer sums
   * CAST to BIGINT in DuckDB (its SUM(BIGINT) returns HUGEINT).
+  *
+  * Naming: a `b`-suffixed id (q08b, q18b, q35b, q51b) is a VARIANT query —
+  * an alternate formulation of the same operator as its base id, gated
+  * against the same (or an equivalence-flag) oracle so the two
+  * implementations stay provably value-equal while their plans/costs are
+  * compared: q08 window top-k vs q08b native bounded-heap operator; q18
+  * typed Aggregator vs q18b TypedImperativeAggregate; q35 hyperplane-LSH
+  * ANN vs q35b IVF-cell ANN (q82 = q35b's quantizer trained by q77's
+  * k-means); q51 exact percentiles vs q51b approx-sketch percentiles.
   */
 object SparkEntry {
 
