@@ -60,6 +60,7 @@ object SparkEntry {
     "q72_containment" -> LlmQueries.containment,
     "q74_streaming_asof_batch" -> StreamingQueries.streamingAsOfBatch,
     "q83_streaming_dedup_batch" -> StreamingQueries.dedupBatch,
+    "q85_streaming_asof_buffered" -> StreamingQueries.streamingAsOfBuffered,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q82_ivf_trained" -> LlmQueries.ivfTrained,
@@ -442,6 +443,15 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, round(value, 2) AS value,
         |  epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "q85_streaming_asof_buffered" ->
+      """WITH p AS (SELECT user_id, event_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  round(p.value, 2) AS purchase_value, epoch_us(s.ts) AS signup_us
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q80_hll_sketch_union" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

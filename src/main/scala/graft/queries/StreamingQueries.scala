@@ -96,6 +96,41 @@ object StreamingQueries {
     s.read.parquet(out).orderBy("event_id")
   }
 
+  /** Watermark-buffered streaming as-of, gated end-to-end (q85): like q83
+    * this RUNS the stream (the buffered operator's flush condition is the
+    * watermark, which batch execution pins to 0 — there is no batch
+    * execution of "wait until the watermark passes"). Events replay
+    * through the file source with a 0-second delay: the data batch
+    * ingests everything into group state (watermark still 0 — nothing
+    * flushes), then Spark's no-data micro-batch advances the watermark to
+    * max event time and the armed event-time timeouts flush every
+    * purchase with its final nearest-predecessor signup. Output must
+    * equal the relational as-of join — the oracle is the same DuckDB
+    * ASOF LEFT JOIN as q65/q74. Out-of-order exactness (the point of the
+    * buffering) is pinned in StreamingSpec with a shuffled MemoryStream
+    * replay. */
+  def streamingAsOfBuffered(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q85-src")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val staged = srcDir.resolve("events.parquet")
+    try java.nio.file.Files.createSymbolicLink(staged, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
+    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // see Tables
+    val out = java.nio.file.Files.createTempDirectory("graft-q85").toString
+    val q = EventsStream.streamingAsOfBuffered(s, stream, delay = "0 seconds")
+      .toDF()
+      .select(col("user_id"), col("event_id"), col("purchase_us"),
+        round(col("purchase_value"), 2).as("purchase_value"),
+        col("signup_us"))
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) => batch.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).orderBy("event_id")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */

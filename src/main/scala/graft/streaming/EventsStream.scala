@@ -126,6 +126,82 @@ object EventsStream {
     * output equals the batch as-of join exactly. In batch execution each
     * group sees all rows at once, so the semantics are exact — that twin
     * is oracle-gated (q74). */
+  /** Watermark-buffered out-of-order streaming as-of — the exactness
+    * upgrade over [[streamingAsOf]]'s single-value state. Purchases are
+    * BUFFERED in group state and a purchase is emitted only once the
+    * event-time watermark has passed its timestamp: at that point no
+    * signup at-or-before it can still arrive (the watermark contract), so
+    * the match is final — the output equals the batch as-of join under
+    * ANY micro-batch arrival order within the watermark delay, where the
+    * single-value form silently misses late signups (both behaviors are
+    * pinned in StreamingSpec).
+    *
+    * State is bounded: pending purchases leave as the watermark passes
+    * them, and the signup list is compacted to the newest signup that can
+    * still win for any future purchase (all future purchases arrive with
+    * ts above the watermark, so among signups at-or-below the compaction
+    * bound only the LATEST can ever be the nearest predecessor) plus the
+    * ones above the bound. Flushing does not wait for new input: when
+    * pending purchases exist, an event-time timeout is armed just past
+    * the earliest one, and Spark's no-data micro-batches fire the group
+    * as the watermark advances.
+    *
+    * Boundary: flush uses `watermark >= ts` — the complement of the
+    * source dropping late rows at `ts < watermark` — so an equal-ts
+    * signup must arrive in the same batch as its purchase (in-batch rows
+    * are processed signup-first at equal ts, as in [[streamingAsOf]]). */
+  def streamingAsOfBuffered(spark: SparkSession, events: DataFrame,
+                            delay: String = "2 hours"): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events
+      .where(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .withWatermark("ts", delay)
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBufState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[TsEvent], state: GroupState[AsOfBufState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(AsOfBufState(Vector.empty, Vector.empty))
+          // ingest this batch (rows is empty on a pure timeout firing)
+          val (sig, pur) = rows.toVector.partition(_.event_type == "signup")
+          if (sig.nonEmpty || pur.nonEmpty)
+            st = AsOfBufState(
+              (st.signups ++ sig.map(e => us(e.ts))).sorted,
+              st.pending ++ pur.map(e => PendingPurchase(e.event_id, us(e.ts), e.value)))
+          // finalize purchases the watermark has passed, oldest first so
+          // equal-ts purchases emit deterministically
+          val (ripe, wait) = st.pending.partition(_.ts_us <= wmUs)
+          val out = ripe.sortBy(p => (p.ts_us, p.event_id)).map { p =>
+            val m = st.signups.takeWhile(_ <= p.ts_us)
+            AsOfMatch(uid, p.event_id, p.ts_us, p.value,
+              if (m.isEmpty) None else Some(m.last))
+          }
+          // compact: below bound keep only the newest signup (it dominates
+          // older ones for every future purchase), above it keep all
+          val bound = (wmUs +: wait.map(_.ts_us)).min
+          val (below, above) = st.signups.partition(_ <= bound)
+          st = AsOfBufState(below.takeRight(1) ++ above, wait)
+          if (st.signups.isEmpty && st.pending.isEmpty) state.remove()
+          else {
+            state.update(st)
+            if (wait.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(wait.map(_.ts_us).min / 1000L + 1, wmUs / 1000L + 1))
+          }
+          out.iterator
+      }
+  }
+
+  case class PendingPurchase(event_id: Long, ts_us: Long, value: Double)
+  case class AsOfBufState(signups: Vector[Long], pending: Vector[PendingPurchase])
+
   def streamingAsOf(spark: SparkSession, events: DataFrame): Dataset[AsOfMatch] = {
     import spark.implicits._
     def us(t: java.sql.Timestamp): Long = {

@@ -204,6 +204,77 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("buffered as-of is exact under out-of-order replay; single-value is not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // purchase at t=100 arrives BEFORE its signup at t=50 (out of order,
+    // within the 2h watermark); a second user's events advance the
+    // watermark so the purchase flushes; user 1 gets NO further events —
+    // the flush must come from the event-time timeout via no-data batches
+    def play(mkQuery: org.apache.spark.sql.DataFrame
+               => org.apache.spark.sql.Dataset[EventsStream.AsOfMatch],
+             name: String): Map[Long, Option[Long]] = {
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp, Long, Double)]
+      val df = mem.toDF()
+        .toDF("user_id", "event_type", "ts", "event_id", "value")
+      val q = mkQuery(df).toDF().writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      mem.addData((1L, "purchase", ts(100), 10L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, "signup", ts(50), 11L, 0.0)) // late-arriving signup
+      q.processAllAvailable()
+      mem.addData((2L, "purchase", ts(500), 20L, 7.0)) // watermark driver
+      q.processAllAvailable()
+      q.processAllAvailable() // drain no-data batches (timeout flushes)
+      q.stop()
+      spark.table(name).as[EventsStream.AsOfMatch].collect()
+        .map(m => m.event_id -> m.signup_us).toMap
+    }
+    val buffered = play(
+      EventsStream.streamingAsOfBuffered(spark, _, delay = "2 hours"),
+      "t_asof_buf")
+    // exact: the purchase waited for the watermark and saw the late signup
+    assert(buffered.get(10L).contains(Some(ts(50).getTime * 1000L)),
+      s"buffered=$buffered")
+    val single = play(EventsStream.streamingAsOf(spark, _), "t_asof_single")
+    // the single-value form emitted at arrival and missed it (documented)
+    assert(single.get(10L).contains(None), s"single=$single")
+  }
+
+  test("buffered as-of replay over the events table matches batch as-of") {
+    val stream = EventsStream.fromDirectory(spark, streamDir,
+      maxFilesPerTrigger = 1)
+    val got = runToMemory(
+        EventsStream.streamingAsOfBuffered(spark, stream).toDF(),
+        "t_asof_buf_full", mode = "append")
+      .orderBy("event_id")
+      .select("user_id", "event_id", "purchase_us", "signup_us")
+      .collect().toSeq
+    val ev = spark.read.parquet(streamDir)
+    val want = graft.ops.Joins.asOf(
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        ev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts")),
+        Seq("user_id"), "ts", "ts")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("asof_ts")).as("signup_us"))
+      .orderBy("event_id").collect().toSeq
+    // purchases in the final watermark window never flush (correct
+    // streaming semantics) — compare the flushed prefix exactly
+    val gotKeys = got.map(_.getLong(1)).toSet
+    assert(got.nonEmpty && got == want.filter(r => gotKeys(r.getLong(1))))
+    // and nothing before the final watermark is missing: every batch
+    // purchase older than (max ts - 2h) must have been emitted
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val missing = want.filter(r => r.getLong(2) <= maxUs - 7200L * 1000000L)
+      .filterNot(r => gotKeys(r.getLong(1)))
+    assert(missing.isEmpty, s"unflushed ripe purchases: $missing")
+  }
+
   test("foreachBatch + Merge.upsert maintains an incremental snapshot") {
     // the incremental-materialized-view pattern: each micro-batch's
     // "latest event per user" upserts (replaces) into a versioned parquet
