@@ -61,6 +61,7 @@ object SparkEntry {
     "q74_streaming_asof_batch" -> StreamingQueries.streamingAsOfBatch,
     "q83_streaming_dedup_batch" -> StreamingQueries.dedupBatch,
     "q85_streaming_asof_buffered" -> StreamingQueries.streamingAsOfBuffered,
+    "q86_streaming_heavy_hitters" -> StreamingQueries.heavyHittersStream,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q82_ivf_trained" -> LlmQueries.ivfTrained,
@@ -452,6 +453,10 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q86_streaming_heavy_hitters" ->
+      """SELECT user_id, event_type AS term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, term""".stripMargin,
     "q80_hll_sketch_union" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

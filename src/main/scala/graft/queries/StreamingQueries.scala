@@ -131,6 +131,38 @@ object StreamingQueries {
     s.read.parquet(out).orderBy("event_id")
   }
 
+  /** Streaming heavy hitters, gated end-to-end (q86): the custom
+    * Misra-Gries TypedImperativeAggregate running as STREAMING aggregation
+    * state — sketch buffers serialize into the state store and merge
+    * across micro-batches like any built-in agg. Complete output mode
+    * through foreachBatch (overwrite per batch; the last batch carries
+    * the full aggregate). The events table has 5 distinct event types,
+    * under the k=8 counter budget, so the sketch is EXACT and the oracle
+    * is a plain per-user count — the ε·n approximation bound for k <
+    * cardinality is property-tested in MisraGriesSpec. */
+  def heavyHittersStream(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q86-src")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val staged = srcDir.resolve("events.parquet")
+    try java.nio.file.Files.createSymbolicLink(staged, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
+    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft-q86").toString
+    val q = stream.groupBy("user_id")
+      .agg(expr("misra_gries(event_type, 8)").as("m"))
+      .writeStream.outputMode("complete").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) => batch.write.mode("overwrite").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .select(col("user_id"), explode(map_entries(col("m"))).as("kv"))
+      .select(col("user_id"), col("kv.key").as("term"),
+        col("kv.value").as("cnt"))
+      .orderBy("user_id", "term")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */
