@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Automated plan-shape regression guard over EVERY registered query —
+  * the audit a scale review does by hand, encoded as assertions:
+  *
+  *  - no `CartesianProduct` anywhere (an unconstrained all-pairs join is
+  *    always a scale bug in this engine);
+  *  - `BroadcastNestedLoopJoin` only where it is the DESIGNED shape: the
+  *    labeled O(n²) ground-truth twins (q34/q47) and the
+  *    broadcast-small-side weight/centroid/scalar joins (q35/q35b/q48/
+  *    q66/q82) — a new one appearing in any other query means a join lost
+  *    its equi-keys and must be caught before it ships.
+  *
+  * Runs on sf0.001 so the full 90-query plan sweep stays cheap; plan
+  * SHAPE does not depend on the scale factor (verified across
+  * sf0.001/0.01/0.1 in BASELINE.md round-4 notes).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries where a BroadcastNestedLoopJoin is the intended plan. */
+  private val allowedBnlj = Set(
+    "q34_cosine_topk",       // exact brute-force ground truth (broadcast queries)
+    "q47_embedding_neardup", // exact all-pairs ground truth twin of q35
+    "q35_ann_lsh",           // broadcast plane-weight table
+    "q35b_ann_ivf",          // broadcast centroid table
+    "q82_ivf_trained",       // broadcast trained-centroid table
+    "q48_tfidf_top_terms",   // broadcast scalar n_docs
+    "q66_heavy_hitters"      // broadcast scalar total
+  )
+
+  // Queries that RUN streams or write multi-second sinks when invoked —
+  // their returned frame is a plain sink read-back (audited trivially) and
+  // invoking them here would re-run the stream; the expensive part's shape
+  // is covered by their operator specs.
+  private val skip = Set(
+    "q83_streaming_dedup_batch",
+    "q85_streaming_asof_buffered",
+    "q86_streaming_heavy_hitters")
+
+  test("no CartesianProduct; BroadcastNestedLoopJoin only where designed") {
+    GraftFunctions.register(spark)
+    graft.plans.GraftRules.register(spark)
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }
+      .foreach { case (name, fn) =>
+        val plan = fn(spark, Sf0001).queryExecution
+          .explainString(FormattedMode)
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !allowedBnlj(name))
+          offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
