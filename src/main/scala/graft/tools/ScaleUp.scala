@@ -54,6 +54,21 @@ object ScaleUp {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     println(s"[scaleup] wrote ${copies}x ${docs.count()} docs to $dst")
+    // embeddings scale the same way: copy 0 verbatim, copy k perturbed by
+    // a deterministic per-(copy, dim) offset — copies are NEAR (not
+    // identical) vectors, the realistic shape for an ANN corpus 10× the
+    // size (identical vectors would make bucketing degenerate-trivial)
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.crossJoin(c)
+      .select(
+        (col("vec_id") + col("copy") * 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + ((col("copy") * (i + 3)) % 11 - 5).cast("float") * lit(0.01f))
+            .cast("float")).as("embedding"),
+        col("label"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"[scaleup] wrote ${copies}x ${emb.count()} embeddings to $dst")
     spark.stop()
   }
 }
