@@ -62,6 +62,8 @@ object SparkEntry {
     "q83_streaming_dedup_batch" -> StreamingQueries.dedupBatch,
     "q85_streaming_asof_buffered" -> StreamingQueries.streamingAsOfBuffered,
     "q86_streaming_heavy_hitters" -> StreamingQueries.heavyHittersStream,
+    "q87_stratified_sample" -> LlmQueries.stratifiedSample,
+    "q88_expectations" -> RelationalQueries.expectations,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q82_ivf_trained" -> LlmQueries.ivfTrained,
@@ -457,6 +459,36 @@ object SparkEntry {
       """SELECT user_id, event_type AS term, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, term""".stripMargin,
+    "q87_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+WHERE ${graft.llm.PortableSeededHash.sql("doc_id", 17)} % 10000 <
+  CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
+            WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END
+ORDER BY doc_id""",
+    "q88_expectations" ->
+      """SELECT check_name, violations, violations = 0 AS pass FROM (
+        |  SELECT 'discount_in_range' AS check_name,
+        |    CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL SELECT 'orderkey_not_null',
+        |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'quantity_in_range',
+        |    CAST(sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'quantity_under_25',
+        |    CAST(sum(CASE WHEN l_quantity < 25.0 THEN 0 ELSE 1 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'lineitem_key_unique',
+        |    CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+        |  WHERE n > 1
+        |  UNION ALL SELECT 'orderkey_unique',
+        |    CAST(COALESCE(sum(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey)
+        |  WHERE n > 1)
+        |ORDER BY check_name""".stripMargin,
     "q80_hll_sketch_union" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -143,6 +143,19 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Deterministic stratified sample (q87): per-language keep rates via a
+    * seeded portable-hash coin — the training-mix knob, reproducible
+    * across runs/engines/partitionings (no rand()). Pure scan-level
+    * filter, no shuffle. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.stratified(table(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        Map("en" -> 0.8, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1),
+        default = 0.05, seed = 17,
+        hasher = graft.llm.PortableSeededHash)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** Marker-based language ID with per-language scores. Two-step select:
     * scores materialize once, the argmax CASE reads the columns (not the
     * score subtrees — see TextAnalysis note on interpreted lambdas). */

@@ -586,6 +586,28 @@ object RelationalQueries {
         col("n_orders"), col("spend"))
       .orderBy("status", "priority", "g_status", "g_prio")
 
+  /** Data-quality expectations (q88): declarative null/range/uniqueness
+    * checks over lineitem — the validation gate an ingest pipeline runs
+    * before promoting a partition. All four row checks share ONE scan
+    * (one conditional-count aggregation); each uniqueness check is one
+    * hash aggregation on its keys. Two checks are designed to FAIL
+    * (quantity_under_25, orderkey_unique) so violation counting is
+    * exercised, not just the all-green path. */
+  def expectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations.{RowCheck, UniqueCheck}
+    graft.ops.Expectations.check(table(s, dir, "lineitem"),
+      rows = Seq(
+        RowCheck("discount_in_range", col("l_discount").between(0.0, 0.1)),
+        RowCheck("orderkey_not_null", col("l_orderkey").isNotNull),
+        RowCheck("quantity_in_range", col("l_quantity").between(1.0, 50.0)),
+        RowCheck("quantity_under_25", col("l_quantity") < 25.0)),
+      uniques = Seq(
+        UniqueCheck("lineitem_key_unique",
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+        UniqueCheck("orderkey_unique", Seq("l_orderkey"))))
+      .orderBy("check_name")
+  }
+
   /** Cube over two keys with grouping flags. */
   def cubeReturnStatus(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "lineitem")

@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Stratified sampling: determinism, rate accuracy, stratum isolation. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+
+  test("sample is deterministic and respects per-stratum rates") {
+    def run() = Sampling.stratified(docs, col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.1), default = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    val a = run(); val b = run()
+    assert(a == b) // seeded hash: no RNG state anywhere
+    val byLang = Sampling.stratified(docs, col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.1), default = 0.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // default 0.0: no stratum outside the rate map survives
+    assert(byLang.keySet.subsetOf(Set("en", "de")))
+    // measured fraction within a loose tolerance of the configured rate
+    val enFrac = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(math.abs(enFrac - 0.5) < 0.25, s"en fraction $enFrac")
+    assert(byLang.getOrElse("de", 0L) <= totals("de"))
+  }
+
+  test("rate 1.0 keeps every row; rate 0.0 keeps none") {
+    val all = Sampling.stratified(docs, col("doc_id"), col("lang"),
+      Map.empty, default = 1.0).count()
+    assert(all == docs.count())
+    val none = Sampling.stratified(docs, col("doc_id"), col("lang"),
+      Map.empty, default = 0.0).count()
+    assert(none == 0L)
+  }
+
+  test("sample plan is a pure scan-level filter (no shuffle)") {
+    val df = Sampling.stratified(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.5), default = 0.1)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty)
+  }
+}
