@@ -64,6 +64,8 @@ object SparkEntry {
     "q86_streaming_heavy_hitters" -> StreamingQueries.heavyHittersStream,
     "q87_stratified_sample" -> LlmQueries.stratifiedSample,
     "q88_expectations" -> RelationalQueries.expectations,
+    "q89_sequence_packing" -> LlmQueries.packSequences,
+    "q90_weighted_upsample" -> LlmQueries.upsample,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q82_ivf_trained" -> LlmQueries.ivfTrained,
@@ -465,6 +467,37 @@ WHERE ${graft.llm.PortableSeededHash.sql("doc_id", 17)} % 10000 <
   CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
             WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END
 ORDER BY doc_id""",
+    "q89_sequence_packing" ->
+      s"""WITH b AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ${graft.llm.PortableSeededHash.sql("doc_id", 29)} AS h
+  FROM documents),
+p AS (SELECT doc_id, n_tokens, h, h % 8 AS bucket,
+        CAST(sum(n_tokens) OVER (PARTITION BY h % 8
+          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM b),
+o AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS bucket_offset
+      FROM (SELECT bucket, max(cum) AS total FROM p GROUP BY bucket))
+SELECT p.doc_id, p.n_tokens,
+  (o.bucket_offset + p.cum - p.n_tokens) // 512 AS seq_id,
+  (o.bucket_offset + p.cum - p.n_tokens) % 512 AS seq_offset
+FROM p JOIN o USING (bucket) ORDER BY p.doc_id""",
+    "q90_weighted_upsample" ->
+      s"""WITH w AS (
+  SELECT doc_id, lang,
+    CASE lang WHEN 'de' THEN 2 WHEN 'fr' THEN 1 WHEN 'es' THEN 0
+              WHEN 'zh' THEN 0 ELSE 1 END AS base,
+    CASE lang WHEN 'de' THEN 5000 WHEN 'fr' THEN 2500 WHEN 'es' THEN 7500
+              WHEN 'zh' THEN 3000 ELSE 0 END AS thresh
+  FROM documents),
+c AS (SELECT doc_id, lang,
+        base + CASE WHEN ${graft.llm.PortableSeededHash.sql("doc_id", 23)}
+          % 10000 < thresh THEN 1 ELSE 0 END AS copies
+      FROM w)
+SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS copy_idx
+FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
     "q88_expectations" ->
       """SELECT check_name, violations, violations = 0 AS pass FROM (
         |  SELECT 'discount_in_range' AS check_name,

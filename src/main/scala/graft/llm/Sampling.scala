@@ -30,6 +30,78 @@ object Sampling {
     val rate = rates.foldLeft(lit(default)) { case (acc, (s, r)) =>
       when(stratumCol === s, lit(r)).otherwise(acc)
     }
-    df.where(bucket < (rate * 10000.0).cast("long"))
+    // round BEFORE the cast: 0.3*10000 is 2999.999… in doubles and a raw
+    // cast truncates, shifting the threshold by one hash bucket
+    df.where(bucket < round(rate * 10000.0).cast("long"))
+  }
+
+  /** Weighted per-stratum UP/DOWN-sampling — the other half of the
+    * training-mix knob: weight 2.5 repeats a row 2 times plus a 50%
+    * deterministic coin for a 3rd; weight 0.3 keeps the row with
+    * probability 0.3. Emits a `copy_idx` column (0-based) so downstream
+    * shuffles can decorrelate the copies. Same scan-level shape as
+    * [[stratified]] — the explode is map-side, no shuffle, no RNG
+    * state. */
+  def upsampleByStratum(df: DataFrame, idCol: Column, stratumCol: Column,
+                        weights: Map[String, Double], default: Double = 1.0,
+                        seed: Int = 23,
+                        hasher: SeededHash = XxSeededHash): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(_ >= 0),
+      "weights must be non-negative")
+    val w = weights.foldLeft(lit(default)) { case (acc, (s, r)) =>
+      when(stratumCol === s, lit(r)).otherwise(acc)
+    }
+    val base = floor(w).cast("long")
+    val coin = pmod(hasher.hash(idCol, seed), lit(10000L)) <
+      round((w - floor(w)) * 10000.0).cast("long")
+    val copies = base + when(coin, 1L).otherwise(0L)
+    df.withColumn("copy_idx",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /** GPT-style sequence packing: documents concatenated in a
+    * deterministic seeded-hash order and split into fixed `budget`-token
+    * training sequences; each document reports the sequence containing
+    * its first token and its offset within it ("concatenate then split" —
+    * the standard pre-training packing; a straddling document simply
+    * continues into the next sequence).
+    *
+    * Scale shape — a two-phase distributed prefix sum, NOT a global
+    * window (a partition-less window funnels the corpus through one
+    * task):
+    *   1. each document lands in one of `numBuckets` hash buckets; the
+    *      canonical concatenation order is (bucket, hash, doc_id);
+    *   2. within-bucket running totals are a window partitioned BY BUCKET
+    *      (parallel across buckets);
+    *   3. bucket token totals (one tiny numBuckets-row aggregate) prefix-
+    *      sum into global bucket offsets, broadcast back.
+    * Everything is integer arithmetic on a portable hash order, so the
+    * q89 oracle replays the packing exactly. */
+  def packSequences(docs: DataFrame, budget: Int, numBuckets: Int = 8,
+                    seed: Int = 29,
+                    hasher: SeededHash = XxSeededHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && numBuckets > 0)
+    val h = hasher.hash(col("doc_id"), seed)
+    val toks = size(split(col("text"), " ")).cast("long")
+    val base = docs.select(col("doc_id"), toks.as("n_tokens"), h.as("h"),
+      pmod(h, lit(numBuckets.toLong)).as("bucket"))
+    val wB = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+    val partial = base.withColumn("cum",
+      sum(col("n_tokens")).over(wB)) // running total INCLUDING this doc
+    val offsets = partial.groupBy("bucket")
+      .agg(max(col("cum")).as("total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("total")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bucket_offset")
+    partial.join(broadcast(offsets), "bucket")
+      .withColumn("start", col("bucket_offset") + col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        // integer division end-to-end — no float in the bucketing math
+        expr(s"start div $budget").as("seq_id"),
+        pmod(col("start"), lit(budget.toLong)).as("seq_offset"))
   }
 }

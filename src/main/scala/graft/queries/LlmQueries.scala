@@ -156,6 +156,28 @@ object LlmQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** GPT-style sequence packing (q89): concatenate-then-split assignment
+    * of documents to 512-token training sequences over the portable-hash
+    * canonical order, two-phase distributed prefix sum (no global
+    * window). */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.packSequences(table(s, dir, "documents"),
+        budget = 512, numBuckets = 8, seed = 29,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("doc_id")
+
+  /** Weighted stratum up/down-sampling (q90): language weights > 1 repeat
+    * documents, < 1 thin them, with a deterministic portable-hash coin
+    * for the fractional part. */
+  def upsample(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.upsampleByStratum(table(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        Map("en" -> 1.0, "de" -> 2.5, "fr" -> 1.25, "es" -> 0.75,
+          "zh" -> 0.3),
+        default = 1.0, seed = 23, hasher = graft.llm.PortableSeededHash)
+      .select("doc_id", "lang", "copy_idx")
+      .orderBy("doc_id", "copy_idx")
+
   /** Marker-based language ID with per-language scores. Two-step select:
     * scores materialize once, the argmax CASE reads the columns (not the
     * score subtrees — see TextAnalysis note on interpreted lambdas). */

@@ -37,6 +37,45 @@ class SamplingSpec extends SparkSpec {
     assert(none == 0L)
   }
 
+  test("upsample: weights repeat, thin, and stay deterministic") {
+    val up = Sampling.upsampleByStratum(docs, col("doc_id"), col("lang"),
+        Map("en" -> 2.0, "de" -> 0.5), default = 1.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(up("en") == totals("en") * 2) // integer weight: exact repeat
+    assert(up("de") <= totals("de"))     // fractional: thinned
+    // every kept row carries a dense 0-based copy_idx
+    val idx = Sampling.upsampleByStratum(docs, col("doc_id"), col("lang"),
+        Map("en" -> 2.0), default = 1.0)
+      .where(col("lang") === "en")
+      .groupBy("doc_id").agg(collect_set("copy_idx").as("s"))
+      .select(col("s")).as[Seq[Long]].collect()
+    assert(idx.forall(_.sorted == Seq(0L, 1L)))
+  }
+
+  test("sequence packing tiles the token stream exactly") {
+    val packed = Sampling.packSequences(docs, budget = 128, numBuckets = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._2, r._3)) // by (seq_id, seq_offset) -- wrong order fields
+    val byStart = Sampling.packSequences(docs, budget = 128, numBuckets = 4)
+      .select(col("doc_id"), col("n_tokens"),
+        col("seq_id") * 128 + col("seq_offset"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // starts form a contiguous token stream: each doc starts where the
+    // previous one ended
+    byStart.foldLeft(0L) { case (expected, (_, n, start)) =>
+      assert(start == expected, s"gap at $start (expected $expected)")
+      start + n
+    }
+    // determinism
+    val again = Sampling.packSequences(docs, budget = 128, numBuckets = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(packed.toSet == again)
+    // offsets always inside the budget
+    assert(packed.forall(r => r._4 >= 0 && r._4 < 128))
+  }
+
   test("sample plan is a pure scan-level filter (no shuffle)") {
     val df = Sampling.stratified(docs, col("doc_id"), col("lang"),
       Map("en" -> 0.5), default = 0.1)
