@@ -66,6 +66,7 @@ object SparkEntry {
     "q88_expectations" -> RelationalQueries.expectations,
     "q89_sequence_packing" -> LlmQueries.packSequences,
     "q90_weighted_upsample" -> LlmQueries.upsample,
+    "q91_decontamination" -> LlmQueries.decontamination,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q82_ivf_trained" -> LlmQueries.ivfTrained,
@@ -467,6 +468,33 @@ WHERE ${graft.llm.PortableSeededHash.sql("doc_id", 17)} % 10000 <
   CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
             WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END
 ORDER BY doc_id""",
+    "q91_decontamination" ->
+      """WITH split AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents),
+        |tagged AS (
+        |  SELECT doc_id, text, 'C' AS side FROM split WHERE bucket < 80
+        |  UNION ALL
+        |  SELECT doc_id, text, 'B' FROM split WHERE bucket >= 90),
+        |w AS (SELECT doc_id, side, string_split(text, ' ') AS ws FROM tagged),
+        |sh AS (SELECT doc_id, side,
+        |         list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |sz AS (SELECT doc_id, side, len(s) AS sz FROM sh),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT CASE WHEN sa.side = 'C' THEN p.da ELSE p.db END AS corpus_doc,
+        |  CASE WHEN sa.side = 'B' THEN p.da ELSE p.db END AS benchmark_doc,
+        |  round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+        |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
+        |WHERE sa.side <> sb.side
+        |  AND CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5
+        |ORDER BY corpus_doc, benchmark_doc""".stripMargin,
     "q89_sequence_packing" ->
       s"""WITH b AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -168,6 +168,40 @@ object Dedup {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** Benchmark decontamination: which `corpus` documents share ≥
+    * `threshold` n-gram containment with ANY `benchmark` document — the
+    * check a training pipeline runs before shipping a corpus that might
+    * swallow its own eval set. Both frames need (doc_id, text) with
+    * globally distinct ids (a hash split guarantees this).
+    *
+    * Implementation: one side-tagged union through [[containmentPairs]]
+    * (inheriting its one-sided prefix filter and `maxDf` hot-shingle
+    * guard), then cross-side pairs only — corpus-internal and
+    * benchmark-internal near-dups are not contamination. Output:
+    * (corpus_doc, benchmark_doc, containment). */
+  def crossContamination(corpus: DataFrame, benchmark: DataFrame, n: Int,
+                         threshold: Double, maxDf: Int = 1 << 16): DataFrame = {
+    val tagged = corpus.select(col("doc_id"), col("text"))
+      .withColumn("side", lit("C"))
+      .unionByName(benchmark.select(col("doc_id"), col("text"))
+        .withColumn("side", lit("B")))
+    val sides = tagged.select("doc_id", "side")
+    val pairs = containmentPairs(tagged.select("doc_id", "text"), n,
+      threshold, maxDf = maxDf)
+    pairs
+      .join(sides.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("side", "side_a"), "doc_a")
+      .join(sides.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("side", "side_b"), "doc_b")
+      .where(col("side_a") =!= col("side_b"))
+      .select(
+        when(col("side_a") === "C", col("doc_a")).otherwise(col("doc_b"))
+          .as("corpus_doc"),
+        when(col("side_a") === "B", col("doc_a")).otherwise(col("doc_b"))
+          .as("benchmark_doc"),
+        col("containment"))
+  }
+
   /** MinHash signature columns: k independent permutations approximated by
     * a seeded hash over each distinct n-gram shingle; signature_i = min
     * hash under seed i. One explode + one aggregation with k min columns:

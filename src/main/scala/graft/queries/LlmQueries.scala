@@ -156,6 +156,18 @@ object LlmQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Benchmark decontamination (q91): the q29 hash split's train bucket
+    * checked for n-gram containment against its test bucket — the
+    * "did the corpus swallow the eval set" gate, cross-side only. */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val bucket = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    Dedup.crossContamination(
+        docs.where(bucket < 80), docs.where(bucket >= 90),
+        n = 3, threshold = 0.5)
+      .orderBy("corpus_doc", "benchmark_doc")
+  }
+
   /** GPT-style sequence packing (q89): concatenate-then-split assignment
     * of documents to 512-token training sequences over the portable-hash
     * canonical order, two-phase distributed prefix sum (no global

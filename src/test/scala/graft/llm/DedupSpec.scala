@@ -155,6 +155,25 @@ class DedupSpec extends SparkSpec {
       s"flood pairs must be pruned by the cap: $capped")
   }
 
+  test("cross-contamination reports only cross-side pairs, oriented") {
+    val corpusDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),            // contaminated
+      (1L, "totally unrelated corpus text about query plans"),
+      (2L, "alpha beta gamma delta epsilon zeta"))            // also contaminated
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon zeta suffix"),
+      (101L, "benchmark only content nothing shared here today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossContamination(corpusDocs, bench, n = 3,
+        threshold = 0.8)
+      .select("corpus_doc", "benchmark_doc").as[(Long, Long)]
+      .collect().toSet
+    assert(out == Set((0L, 100L), (2L, 100L))) // oriented corpus->benchmark
+    // corpus-internal near-dup (0,2) must NOT appear as contamination
+    assert(!out.exists(p => p._1 < 100L && p._2 < 100L))
+  }
+
   test("dropNearDups keeps exactly the keepers plus unpaired docs") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
     val out = Dedup.dropNearDups(corpus, Dedup.connectedComponents(pairs))
