@@ -67,6 +67,7 @@ object SparkEntry {
     "q89_sequence_packing" -> LlmQueries.packSequences,
     "q90_weighted_upsample" -> LlmQueries.upsample,
     "q91_decontamination" -> LlmQueries.decontamination,
+    "q92_normalized_dedup" -> LlmQueries.normalizedDedup,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q82_ivf_trained" -> LlmQueries.ivfTrained,
@@ -468,6 +469,18 @@ WHERE ${graft.llm.PortableSeededHash.sql("doc_id", 17)} % 10000 <
   CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
             WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END
 ORDER BY doc_id""",
+    "q92_normalized_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || ' !!' FROM documents),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[.,!?;:]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |      FROM all_docs)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count, md5(nt) AS fp
+        |FROM n GROUP BY nt ORDER BY keep_id""".stripMargin,
     "q91_decontamination" ->
       """WITH split AS (
         |  SELECT doc_id, text,

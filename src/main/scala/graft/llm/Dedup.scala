@@ -168,6 +168,16 @@ object Dedup {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** [[exact]] over [[TextAnalysis.normalizeForDedup]]ed text: collapses
+    * case / punctuation / whitespace variants of the same content into
+    * one group — the standard normalization pass in front of exact dedup
+    * (raw fingerprints treat "Hello, world" and "hello world" as
+    * distinct). Same one-shuffle shape; `fp` is the md5 of the NORMALIZED
+    * text. */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    exact(docs.withColumn("text",
+      TextAnalysis.normalizeForDedup(col("text"))))
+
   /** Benchmark decontamination: which `corpus` documents share ≥
     * `threshold` n-gram containment with ANY `benchmark` document — the
     * check a training pipeline runs before shipping a corpus that might

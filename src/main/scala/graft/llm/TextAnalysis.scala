@@ -14,6 +14,17 @@ object TextAnalysis {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical normalization for dedup: lowercase, strip sentence
+    * punctuation, collapse runs of whitespace, trim — so case / trailing
+    * punctuation / spacing variants of the same content fingerprint
+    * identically (the preprocessing step in front of
+    * [[Dedup.exactNormalized]]). Pure codegen'd string functions; the
+    * byte-level output is engine-identical for the ASCII transformations
+    * used, which keeps md5 fingerprints oracle-comparable. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[.,!?;:]", ""), "\\s+", " "))
+
   /** Word n-gram shingles from an ALREADY-PROJECTED token-array column, in
     * document order (with repeats); empty when shorter than n words.
     *

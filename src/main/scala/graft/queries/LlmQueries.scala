@@ -156,6 +156,17 @@ object LlmQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Normalization-aware exact dedup (q92): the corpus unioned with a
+    * per-document case+punctuation variant; normalized fingerprinting
+    * must collapse every variant pair back onto its original (dup_count
+    * 2 everywhere unless two originals already normalize together). */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select("doc_id", "text")
+    val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(upper(col("text")), lit(" !!")).as("text"))
+    Dedup.exactNormalized(docs.union(variants)).orderBy("keep_id")
+  }
+
   /** Benchmark decontamination (q91): the q29 hash split's train bucket
     * checked for n-gram containment against its test bucket — the
     * "did the corpus swallow the eval set" gate, cross-side only. */

@@ -155,6 +155,20 @@ class DedupSpec extends SparkSpec {
       s"flood pairs must be pruned by the cap: $capped")
   }
 
+  test("normalized dedup collapses case/punct/whitespace variants") {
+    val docs = Seq(
+      (0L, "Hello, world! This is   fine."),
+      (1L, "hello world this is fine"),        // normalizes to the same
+      (2L, "HELLO WORLD  this is fine ;"),     // ditto
+      (3L, "a genuinely different document"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(docs).orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L), (3L, 1L)))
+    // raw exact dedup would keep all four distinct
+    assert(Dedup.exact(docs).count() == 4)
+  }
+
   test("cross-contamination reports only cross-side pairs, oriented") {
     val corpusDocs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),            // contaminated
