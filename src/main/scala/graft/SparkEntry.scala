@@ -68,6 +68,7 @@ object SparkEntry {
     "q90_weighted_upsample" -> LlmQueries.upsample,
     "q91_decontamination" -> LlmQueries.decontamination,
     "q92_normalized_dedup" -> LlmQueries.normalizedDedup,
+    "q93_streaming_ingest" -> StreamingQueries.streamingIngest,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q82_ivf_trained" -> LlmQueries.ivfTrained,
@@ -469,6 +470,17 @@ WHERE ${graft.llm.PortableSeededHash.sql("doc_id", 17)} % 10000 <
   CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
             WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END
 ORDER BY doc_id""",
+    "q93_streaming_ingest" ->
+      """WITH n AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT fp,
+        |  CASE WHEN ('0x' || substr(md5('42:' || fp), 1, 15))::BIGINT % 100 < 80
+        |       THEN 'train'
+        |       WHEN ('0x' || substr(md5('42:' || fp), 1, 15))::BIGINT % 100 < 90
+        |       THEN 'val' ELSE 'test' END AS split
+        |FROM n ORDER BY fp""".stripMargin,
     "q92_normalized_dedup" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -28,7 +28,8 @@ object Expectations {
     * is one groupBy counting keys seen more than once. */
   def check(df: DataFrame, rows: Seq[RowCheck],
             uniques: Seq[UniqueCheck] = Nil): DataFrame = {
-    val spark = df.sparkSession
+    require(rows.nonEmpty || uniques.nonEmpty,
+      "at least one expectation required")
     val rowResults: Option[DataFrame] =
       if (rows.isEmpty) None
       else {

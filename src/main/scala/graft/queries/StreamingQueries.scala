@@ -163,6 +163,45 @@ object StreamingQueries {
       .orderBy("user_id", "term")
   }
 
+  /** Streaming corpus ingest, gated end-to-end (q93): the incremental
+    * version of the corpus-preparation front half — documents replayed
+    * through the file source, normalization-aware content fingerprinting
+    * ([[graft.llm.TextAnalysis.normalizeForDedup]]), streaming
+    * `dropDuplicates` on the fingerprint, and a deterministic
+    * CONTENT-ADDRESSED train/val/test split (keyed on the fingerprint,
+    * not the doc_id — which physical row wins the streaming dedup is
+    * arrival-order dependent, so only content-derived columns are
+    * emitted; that is also the right production contract: the split of a
+    * piece of content must not depend on which duplicate arrived first).
+    * foreachBatch parquet sink; the oracle recomputes the distinct
+    * fingerprint set and split in DuckDB. Dedup state here is unbounded
+    * (no event-time column on documents) — the watermarked variant is
+    * q83 over events. */
+  def streamingIngest(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q93-src")
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val staged = srcDir.resolve("documents.parquet")
+    try java.nio.file.Files.createSymbolicLink(staged, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
+    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft-q93").toString
+    val bucket =
+      graft.llm.PortableSeededHash.hash(col("fp"), 42) % 100
+    val q = stream
+      .select(md5(graft.llm.TextAnalysis.normalizeForDedup(col("text")))
+        .as("fp"))
+      .dropDuplicates("fp")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test"))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) => batch.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).orderBy("fp")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */

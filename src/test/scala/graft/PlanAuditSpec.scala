@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
   private val skip = Set(
     "q83_streaming_dedup_batch",
     "q85_streaming_asof_buffered",
-    "q86_streaming_heavy_hitters")
+    "q86_streaming_heavy_hitters",
+    "q93_streaming_ingest")
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only where designed") {
     GraftFunctions.register(spark)
