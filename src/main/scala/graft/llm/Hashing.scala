@@ -35,11 +35,16 @@ object XxSeededHash extends SeededHash {
 }
 
 /** Cross-engine seeded hash: first 15 hex chars of md5 → 60-bit long.
-  * Always non-negative (< 2^60). */
+  * Always non-negative (< 2^60). Computed by the native
+  * [[graft.functions.Md5Prefix60]] expression — same value as the
+  * `conv(substring(md5(...), 1, 15), 16, 10)` SQL spelling (property-
+  * tested), without the per-row hex-string round-trip. */
 object PortableSeededHash extends SeededHash {
   override def hash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c.cast("string"))), 1, 15),
-      16, 10).cast("long")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          concat(lit(s"$seed:"), c.cast("string")))))
   override def name: String = "md5"
 
   /** The DuckDB spelling of [[hash]] for oracle-SQL generation. `x` must be

@@ -9,6 +9,22 @@ import graft.llm.Similarity
 class ExpressionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Md5Prefix60 equals the conv(substring(md5)) SQL formulation") {
+    val inputs = (0 until 500).map(i => s"seed:$i some text $i payload") ++
+      Seq("", "a", "é中文 unicode", "42:12345", " spaces  ")
+    val df = inputs.toDF("s")
+    val native = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("s"))))
+    val viaSql = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+    val mismatches = df.select(col("s"), native.as("n"), viaSql.as("q"))
+      .where(col("n") =!= col("q")).collect()
+    assert(mismatches.isEmpty, mismatches.mkString(", "))
+    // non-negative 60-bit range
+    val vals = df.select(native).as[Long].collect()
+    assert(vals.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
   test("PolyHash matches a plain Scala fold for arbitrary strings") {
     def ref(s: String): Long = {
       val cps = s.codePoints().toArray
