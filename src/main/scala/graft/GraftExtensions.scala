@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, MapCountAgg, MisraGriesAgg, PolyHash}
+import graft.functions.{CosineSim, MapCountAgg, Md5Prefix60, MisraGriesAgg, PolyHash}
 
 /** Registration of the engine's native Catalyst expressions.
   *
@@ -14,7 +14,7 @@ import graft.functions.{CosineSim, MapCountAgg, MisraGriesAgg, PolyHash}
   *    driver-contract mains, tests).
   *
   * After registration the functions are usable from SQL and `expr(...)`:
-  * `poly_hash(text)`, `cosine_sim(vec_a, vec_b)`.
+  * `poly_hash(text)`, `cosine_sim(vec_a, vec_b)`, `md5_prefix60(text)`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
@@ -39,6 +39,9 @@ object GraftFunctions {
     (FunctionIdentifier("map_count"),
       new ExpressionInfo(classOf[MapCountAgg].getName, "map_count"),
       (children: Seq[Expression]) => MapCountAgg(children.head)),
+    (FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (children: Seq[Expression]) => Md5Prefix60(children.head)),
     (FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
       (children: Seq[Expression]) => MisraGriesAgg(children.head,

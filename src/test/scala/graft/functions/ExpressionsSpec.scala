@@ -25,6 +25,16 @@ class ExpressionsSpec extends SparkSpec {
     assert(vals.forall(v => v >= 0 && v < (1L << 60)))
   }
 
+  test("md5_prefix60 SQL function matches the Column API") {
+    graft.GraftFunctions.register(spark)
+    val got = spark.sql("SELECT md5_prefix60('42:99') AS h")
+      .as[Long].head()
+    val want = Seq("x").toDF("s")
+      .select(graft.llm.PortableSeededHash.hash(lit(99L), 42).as("h"))
+      .as[Long].head()
+    assert(got == want)
+  }
+
   test("PolyHash matches a plain Scala fold for arbitrary strings") {
     def ref(s: String): Long = {
       val cps = s.codePoints().toArray
