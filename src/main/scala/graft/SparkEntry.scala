@@ -69,6 +69,7 @@ object SparkEntry {
     "q91_decontamination" -> LlmQueries.decontamination,
     "q92_normalized_dedup" -> LlmQueries.normalizedDedup,
     "q93_streaming_ingest" -> StreamingQueries.streamingIngest,
+    "q94_best_per_source" -> LlmQueries.bestPerSource,
     "q75_json_roundtrip" -> IoQueries.jsonRoundtrip,
     "q77_kmeans_clusters" -> LlmQueries.kmeansClusters,
     "q82_ivf_trained" -> LlmQueries.ivfTrained,
@@ -470,6 +471,22 @@ WHERE ${graft.llm.PortableSeededHash.sql("doc_id", 17)} % 10000 <
   CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000
             WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END
 ORDER BY doc_id""",
+    "q94_best_per_source" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (CAST(len(list_filter(string_split(text,' '),
+        |           x -> x IN ('the','and','of','is','in','a'))) AS DOUBLE)
+        |         / len(string_split(text, ' '))) * 0.3
+        |      + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |         / length(text)) * 0.3, 4) AS quality
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, quality,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY quality DESC, doc_id) AS BIGINT) AS rn
+        |      FROM scored)
+        |SELECT source, rn, doc_id, quality FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
     "q93_streaming_ingest" ->
       """WITH n AS (
         |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(

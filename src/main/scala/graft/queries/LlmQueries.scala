@@ -156,6 +156,30 @@ object LlmQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Per-source best-document selection (q94): the "keep the N best
+    * documents per domain" curation step — the q37 quality score ranked
+    * per source with [[graft.plans.TopKRewrite]] lowering the window to
+    * the bounded-heap TopKPerKey operator (only N rows per source cross
+    * the shuffle). Ranking is on the ROUNDED score with doc_id
+    * tie-breaks (cross-engine stable). */
+  def bestPerSource(s: SparkSession, dir: String): DataFrame = {
+    val scored = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: col("source") +: col("n_chars") +:
+        TextAnalysis.qualityComponentsFromTokens(col("text"), col("toks"))
+          .map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id") +: col("source") +: col("n_chars") +:
+        TextAnalysis.qualityFromComponents(col("n_tokens"), col("n_chars_d"),
+          col("punct"), col("stop")).map { case (n, c) => c.as(n) }: _*)
+    graft.ops.Windows.topKPerKey(scored.select("doc_id", "source", "quality"),
+        Seq(col("source")),
+        Seq(col("quality").desc, col("doc_id").asc), k = 5)
+      .select(col("source"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("quality"))
+      .orderBy("source", "rn")
+  }
+
   /** Normalization-aware exact dedup (q92): the corpus unioned with a
     * per-document case+punctuation variant; normalized fingerprinting
     * must collapse every variant pair back onto its original (dup_count
