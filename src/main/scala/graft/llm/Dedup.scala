@@ -102,58 +102,72 @@ object Dedup {
     * threshold, and [[ngramJaccardPairs]]' size-ratio prune explicitly
     * discards them).
     *
-    * One-sided prefix filtering: shingles are ranked rare-first per doc;
-    * if c(A,B) ≥ t then fewer than t·|S| shingles of the SMALLER doc S are
-    * unshared, so S's prefix of length |S| - ceil(t·|S|) + 1 must contain
-    * a shared shingle. Candidates are therefore prefix(x) ⋈ all-postings
-    * (probing from both sides covers whichever is smaller; no size-ratio
-    * prune exists for containment by construction). Verification is the
-    * same zero-allocation sorted-merge intersect as the Jaccard path.
+    * Candidate generation is COUNT FILTERING (the SSJoin family's count
+    * filter, Arasu/Ganti/Kaushik VLDB'06): self-join the postings on the
+    * shingle and aggregate the match count per (doc_a, doc_b) — that count
+    * IS |A∩B| (shingle sets are distinct per doc), so the containment
+    * predicate `inter ≥ t·min(|A|,|B|)` is applied exactly, before any
+    * per-pair array work. This replaced a PPJoin-style prefix×postings
+    * join + distinct: at containment t the smaller doc's prefix is
+    * (1-t)·|S|+1 long — for t=0.5 HALF the postings — so prefix filtering
+    * barely prunes, while the distinct materialized every ≥1-shared-shingle
+    * pair (~1.1M at sf0.1 for ~10k true candidates) and two full-array
+    * verify joins followed. Count filtering shuffles the same
+    * postings-squared join rows but collapses them map-side into one row
+    * per co-shingling pair, and the threshold then kills 99% of pairs
+    * before the verify join. (A MinHash bottom-k sketch prefilter was
+    * considered — it cuts the posting join to k rows/doc but its recall is
+    * probabilistic, which the exact oracle can't tolerate; it exists as
+    * the opt-in scale path [[containmentPairsSketch]].)
     *
     * Skew guard (`maxDf`, mirroring [[dropHotBuckets]]): a shingle with
-    * document frequency df puts df posting rows on one join key and emits
-    * (prefix-occurrences × df) candidate pairs — a single boilerplate
-    * shingle with df ≈ corpus size turns the candidate join quadratic ON
-    * ONE REDUCER. Shingles with df > maxDf are excluded from candidate
-    * generation (both the prefix side and the posting side) via an
-    * anti-join against the tiny broadcast hot list. The trade is the same
-    * one the LSH cap documents: a pair whose ONLY shared prefix shingle is
-    * hot can be missed, but an over-cap shingle is shared by > maxDf
-    * documents — template boilerplate that exact dedup (q30) should
-    * collapse first, and that certifies nothing about any one pair.
-    * Verification still runs on the FULL shingle sets, so every emitted
-    * pair's containment is exact; below the cap the output is IDENTICAL
-    * to the unguarded join (asserted in DedupSpec). */
+    * document frequency df contributes df² join rows ON ONE KEY — a single
+    * boilerplate shingle with df ≈ corpus size turns the candidate join
+    * quadratic on one reducer. Shingles with df > maxDf are excluded from
+    * the count join via an anti-join against the tiny broadcast hot list,
+    * and each doc's hot-shingle count is folded back as a per-pair
+    * ALLOWANCE: true inter ≤ visible inter + min(hot_a, hot_b), so the
+    * prefilter keeps every pair the relaxed bound admits and the verify
+    * stage (FULL shingle sets, hot included) restores exact values. The
+    * only pairs an active cap can lose are those sharing ZERO below-cap
+    * shingles — pure template boilerplate that exact dedup (q30) should
+    * collapse first. Below the cap the output is IDENTICAL to the
+    * unguarded join (asserted in DedupSpec). */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
                        storageLevel: StorageLevel =
                          StorageLevel.MEMORY_AND_DISK,
                        maxDf: Int = 1 << 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh0 = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextAnalysis.hashedShinglesFromTokens(col("toks"), n).as("sh"))
     val sh = if (storageLevel == StorageLevel.NONE) sh0
              else sh0.persist(storageLevel)
-    val ex = sh.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
-      explode(col("sh")).as("sg"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
-    // hot-shingle cap: df > maxDf shingles leave candidate generation on
-    // BOTH sides (prefix ranks are computed first, over the full rare-first
-    // order, so surviving ranks are unchanged — below-cap output identity)
     val hot = freq.where(col("df") > maxDf).select("sg")
-    val wDoc = Window.partitionBy("doc_id")
-    val prefix = ex.join(freq, "sg")
-      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sg"))))
-      .where(col("rn") <=
-        col("sz") - ceil(col("sz") * threshold).cast("long") + 1)
-      .join(broadcast(hot), Seq("sg"), "left_anti")
-    val postings = ex.join(broadcast(hot), Seq("sg"), "left_anti")
-    val cand = prefix.as("a").join(postings.as("b"),
-        col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+    val cold = ex.join(broadcast(hot), Seq("sg"), "left_anti")
+    // per-doc size and hot-shingle count: one narrow row per doc (NOT
+    // force-broadcast — at corpus scale it's |docs| rows; AQE broadcasts
+    // it when it fits)
+    val hotCnt = ex.join(broadcast(hot), "sg")
+      .groupBy("doc_id").agg(count(lit(1)).as("hot_cnt"))
+    val meta = sh.select(col("doc_id"), size(col("sh")).cast("long").as("sz"))
+      .join(hotCnt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"),
+        coalesce(col("hot_cnt"), lit(0L)).as("hot_cnt"))
+    val inter = cold.as("a").join(cold.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_lb"))
+    val cand = inter
+      .join(meta.select(col("doc_id").as("doc_a"),
+        col("sz").as("sz_a"), col("hot_cnt").as("hot_a")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"),
+        col("sz").as("sz_b"), col("hot_cnt").as("hot_b")), "doc_b")
+      .where((col("inter_lb") + least(col("hot_a"), col("hot_b")))
+        .cast("double") >= least(col("sz_a"), col("sz_b")) * threshold)
+      .select("doc_a", "doc_b")
     val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -45,13 +45,26 @@ object TextAnalysis {
   def distinctShinglesFromTokens(w: Column, n: Int): Column =
     array_distinct(shinglesFromTokens(w, n))
 
-  /** 64-bit n-gram hashes computed from per-token xxhash64 values — the
-    * n-gram STRING is never materialized (no concat/allocation in the
-    * O(words) lambda); the n token hashes feed xxhash64 again for mixing.
-    * Sorted ascending so set operations can run as linear merges.
+  /** 64-bit n-gram shingle hashes — the n-gram STRING is never
+    * materialized; per-token xxhash64 values feed xxhash64 again for
+    * mixing. Sorted ascending so set operations can run as linear merges.
     * Hash-space collisions (~2^-64 per pair) are the standard near-dup
-    * trade-off. */
-  def hashedShinglesFromTokens(w: Column, n: Int): Column = {
+    * trade-off.
+    *
+    * Implemented as the compiled [[graft.functions.HashedShingles]]
+    * expression (one O(tokens) pass). The equivalent HOF formulation
+    * ([[hashedShinglesFromTokensHof]], kept as the parity witness) is
+    * O(tokens²) interpreted — CSE cannot reach inside lambda bodies, so
+    * each `element_at(hs, ·)` re-evaluated the inner per-token transform;
+    * it alone cost ~4.5 s of q72's ~5 s at sf0.1. */
+  def hashedShinglesFromTokens(w: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HashedShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(w), n))
+
+  /** Reference HOF formulation of [[hashedShinglesFromTokens]] — value
+    * parity is asserted in ExpressionsSpec; not for hot paths. */
+  private[graft] def hashedShinglesFromTokensHof(w: Column, n: Int): Column = {
     val hs = transform(w, t => xxhash64(t))
     val grams = transform(
       sequence(lit(1), size(hs) - (n - 1)),

@@ -75,4 +75,26 @@ class ExpressionsSpec extends SparkSpec {
     val out = df.select(Similarity.cosine(col("a"), col("b"))).collect()
     assert(out.forall(_.isNullAt(0)))
   }
+
+  test("HashedShingles native == HOF xxhash64 formulation") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",      // repeats -> duplicate shingles collapse
+      "one two three",  // exactly n tokens -> one shingle
+      "one two",        // shorter than n -> empty
+      "",               // empty split -> [""] single token
+      "é中文 unicode tokens mixed 中 bytes") ++
+      (0 until 200).map(i => s"doc $i token${i % 7} shared text body $i end")
+    val df = texts.toDF("text")
+      .withColumn("toks", graft.llm.TextAnalysis.tokens(col("text")))
+    for (n <- Seq(2, 3, 5)) {
+      val rows = df.select(
+        graft.llm.TextAnalysis.hashedShinglesFromTokens(col("toks"), n)
+          .as("native"),
+        graft.llm.TextAnalysis.hashedShinglesFromTokensHof(col("toks"), n)
+          .as("hof"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (nat, hof) => assert(nat == hof, s"n=$n") }
+    }
+  }
 }
