@@ -125,6 +125,8 @@ object SparkEntry {
     "q53_array_funcs" -> RelationalQueries.arrayFuncs,
     "q48_tfidf_top_terms" -> LlmQueries.tfidfTopTerms,
     "q49_repetition_ratio" -> LlmQueries.repetitionRatio,
+    "q95_ann_rewrite" -> LlmQueries.annRewrite,
+    "q96_containment_sketch" -> LlmQueries.containmentSketch,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -647,6 +649,36 @@ FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
         |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q96: the exact containment pairs (same computation as q72) each
+    // flagged TRUE — the Spark side sets the flag from the sketch path
+    // finding the pair with an identical value, so a recall/value
+    // regression hash-mismatches.
+    "q96_containment_sketch" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |       FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment,
+        |  true AS found_by_sketch
+        |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q95: DuckDB pins the exact cosine-threshold pair count; the flags
+    // assert the bucket join emitted a ≥20%-recall subset of those pairs.
+    "q95_ann_rewrite" ->
+      """WITH p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS subset_ok, true AS recall_ok
+        |FROM p""".stripMargin,
     "q73_label_centroids" ->
       """WITH ex AS (
         |  SELECT vec_id, label, d1 - 1 AS d,

@@ -49,7 +49,12 @@ object HashedShingles {
     var i = 0
     while (i < m) {
       val s = toks.getUTF8String(i)
-      th(i) = XXH64.hashUnsafeBytes(
+      // null element: hash stays at the seed — exactly Spark's xxhash64
+      // null-skip semantics, keeping the documented HOF value parity for
+      // token arrays that carry nulls (unreachable from split(), but the
+      // expression is public)
+      th(i) = if (s == null) Seed
+      else XXH64.hashUnsafeBytes(
         s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
       i += 1
     }

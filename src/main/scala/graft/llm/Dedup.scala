@@ -115,10 +115,11 @@ object Dedup {
     * verify joins followed. Count filtering shuffles the same
     * postings-squared join rows but collapses them map-side into one row
     * per co-shingling pair, and the threshold then kills 99% of pairs
-    * before the verify join. (A MinHash bottom-k sketch prefilter was
-    * considered — it cuts the posting join to k rows/doc but its recall is
-    * probabilistic, which the exact oracle can't tolerate; it exists as
-    * the opt-in scale path [[containmentPairsSketch]].)
+    * before the verify join. (A bottom-k sketch prefilter cuts one side
+    * of the postings join to k rows/doc at the price of probabilistic
+    * recall — it exists as the opt-in scale path
+    * [[containmentPairsSketch]]; this exact path stays the default
+    * because the oracle tolerates no recall loss.)
     *
     * Skew guard (`maxDf`, mirroring [[dropHotBuckets]]): a shingle with
     * document frequency df contributes df² join rows ON ONE KEY — a single
@@ -165,9 +166,86 @@ object Dedup {
         col("sz").as("sz_a"), col("hot_cnt").as("hot_a")), "doc_a")
       .join(meta.select(col("doc_id").as("doc_b"),
         col("sz").as("sz_b"), col("hot_cnt").as("hot_b")), "doc_b")
+      // fp-conservative: LHS is integral, so relaxing the double RHS by
+      // 0.5 admits any pair an ulp from the boundary (a non-dyadic
+      // threshold, e.g. 0.8, can make sz*threshold land an ulp ABOVE the
+      // exact integer product and drop a boundary pair the divided-form
+      // verify would keep); the exact verify below restores the threshold.
       .where((col("inter_lb") + least(col("hot_a"), col("hot_b")))
-        .cast("double") >= least(col("sz_a"), col("sz_b")) * threshold)
+        .cast("double") >= least(col("sz_a"), col("sz_b")) * threshold - 0.5)
       .select("doc_a", "doc_b")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.SortedIntersectCount(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_a")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("sh_b")))))
+      .withColumn("containment", col("inter").cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+    verified.where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  /** Opt-in SCALE PATH for [[containmentPairs]]: a bottom-k sketch
+    * prefilter (Broder's bottom-k / KMV family) that cuts one side of the
+    * candidate join from |shingles| rows/doc to `k` rows/doc.
+    *
+    * Each document's sketch is its k smallest shingle hashes (the shingle
+    * arrays are already ascending, so the sketch is a prefix slice — no
+    * extra sort). Candidate generation joins SKETCH postings (k rows/doc)
+    * against FULL postings: pair (a,b) becomes a candidate iff some
+    * bottom-k shingle of either doc occurs anywhere in the other. The
+    * verify stage is UNCHANGED — full shingle sets, exact containment —
+    * so every emitted pair carries its exact value and satisfies the
+    * threshold; what is probabilistic is RECALL only. For a true pair
+    * with containment c, the smaller doc's bottom-k misses the
+    * intersection with probability ~(1-c)^k (hash order is uniform, so
+    * the intersection is a uniformly-ranked subset): at c=0.5, k=32
+    * that is ~2^-32 per pair — and the hash family is fixed, so a given
+    * corpus either finds a pair or not, deterministically.
+    *
+    * Why this scales where the exact count filter eventually doesn't: the
+    * count filter shuffles df² join rows per shingle (every co-occurrence
+    * of every shingle); the sketch join shuffles df·min(df,·) rows only
+    * for shingles that are in SOME doc's bottom-k — total join input is
+    * k·|docs| sketch rows against the postings, linear in the corpus for
+    * fixed k. The same `maxDf` hot-shingle guard applies (hot shingles
+    * are excluded from both sketch and postings before the join — a hot
+    * shingle in a bottom-k would re-create the df² blowup).
+    *
+    * Gated as q96 with an accuracy-flag oracle (q46 pattern): the gate
+    * recomputes the EXACT pairs and asserts the sketch found every one. */
+  def containmentPairsSketch(docs: DataFrame, n: Int, threshold: Double,
+                             k: Int = 32,
+                             storageLevel: StorageLevel =
+                               StorageLevel.MEMORY_AND_DISK,
+                             maxDf: Int = 1 << 16): DataFrame = {
+    val sh0 = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextAnalysis.hashedShinglesFromTokens(col("toks"), n).as("sh"))
+    val sh = if (storageLevel == StorageLevel.NONE) sh0
+             else sh0.persist(storageLevel)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
+    val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    val hot = freq.where(col("df") > maxDf).select("sg")
+    val cold = ex.join(broadcast(hot), Seq("sg"), "left_anti")
+    // bottom-k of the COLD shingles per doc: the shingle array is sorted
+    // ascending, so rank-by-value == array position; a per-doc ranking
+    // window (narrow (doc_id, sg) rows) keeps this shuffle-light
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("sg")
+    val sketch = cold
+      .withColumn("rn", row_number().over(wDoc))
+      .where(col("rn") <= k)
+      .select("doc_id", "sg")
+    val cand = sketch.as("a").join(cold.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
     val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -199,8 +277,8 @@ object Dedup {
     * globally distinct ids (a hash split guarantees this).
     *
     * Implementation: one side-tagged union through [[containmentPairs]]
-    * (inheriting its one-sided prefix filter and `maxDf` hot-shingle
-    * guard), then cross-side pairs only — corpus-internal and
+    * (inheriting its count-filter candidate generation, hot-shingle
+    * allowance and `maxDf` guard), then cross-side pairs only — corpus-internal and
     * benchmark-internal near-dups are not contamination. Output:
     * (corpus_doc, benchmark_doc, containment). */
   def crossContamination(corpus: DataFrame, benchmark: DataFrame, n: Int,

@@ -65,11 +65,80 @@ object LlmQueries {
 
   /** Containment near-dup pairs at 0.5 — the doc-inside-doc overlap that
     * Jaccard structurally misses (see [[graft.llm.Dedup.containmentPairs]]:
-    * one-sided prefix filtering, no size-ratio prune). */
+    * exact count-filter candidate generation — Arasu/Ganti/Kaushik
+    * VLDB'06 — with a hot-shingle allowance; no size-ratio prune is
+    * possible for containment). */
   def containment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(table(s, dir, "documents"), n = 3,
         threshold = 0.5)
       .orderBy("doc_a", "doc_b")
+
+  /** The bottom-k sketch SCALE PATH for containment (q96,
+    * [[graft.llm.Dedup.containmentPairsSketch]]): recall is
+    * probabilistic-by-design (miss probability ~(1-c)^k per true pair),
+    * so the gate recomputes the EXACT pairs and flags each with whether
+    * the sketch found it and agreed on the (exact-by-construction) value
+    * — the q46/q51b/q66 accuracy-flag oracle pattern. A missed pair or a
+    * value drift turns a TRUE false; a sketch-only extra pair (impossible
+    * while the verify stage holds) surfaces as a full-outer row with a
+    * null exact side, which the oracle cannot produce. */
+  def containmentSketch(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val exact = Dedup.containmentPairs(docs, n = 3, threshold = 0.5)
+      .withColumnRenamed("containment", "c_exact")
+    val sketch = Dedup.containmentPairsSketch(docs, n = 3, threshold = 0.5)
+      .withColumnRenamed("containment", "c_sketch")
+    exact.join(sketch, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("c_exact"), col("c_sketch")).as("containment"),
+        (col("c_exact").isNotNull && col("c_sketch").isNotNull &&
+          col("c_exact") === col("c_sketch")).as("found_by_sketch"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The [[graft.plans.AnnJoinRewrite]] bucket join IN THE GATE (q95):
+    * the cosine-threshold join runs twice — once with the rewrite flag on
+    * (planned as an LshSig equi join; `localCheckpoint` is eager, so the
+    * bucket join executes while the flag is set and its result never
+    * touches the driver) and once exact (the designed BNLJ ground truth,
+    * same shape as q47). The rewrite's contract is high-precision subset:
+    * every emitted pair satisfies the original predicate (precision 1),
+    * recall is the per-plane-agreement product — the rewrite is ONE LSH
+    * band, so the gate sets planes=2 (measured sf0.01 recall 0.37 vs
+    * 0.08 at the 8-plane default, whose per-pair agreement ~0.63² suits
+    * much higher cosine thresholds than 0.4). Accuracy-flag oracle:
+    * DuckDB pins the exact pair count and expects subset_ok ∧ recall_ok
+    * (floor 0.2); both sides are deterministic (fixed-point plane
+    * weights), so the recall floor is a stable property of the corpus,
+    * not a flake. */
+  def annRewrite(s: SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings")
+    def pairs(): DataFrame = {
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      a.join(b, col("vec_a") < col("vec_b") &&
+          Similarity.cosine(col("emb_a"), col("emb_b")) >= 0.4)
+        .select("vec_a", "vec_b")
+    }
+    val key = "spark.graft.ann.bucketJoin"
+    val planesKey = "spark.graft.ann.bucketJoin.planes"
+    s.conf.set(key, "true")
+    s.conf.set(planesKey, "2")
+    val ann = try pairs().localCheckpoint()
+      finally { s.conf.unset(key); s.conf.unset(planesKey) }
+    val exact = pairs()
+    val annStats = ann
+      .join(exact.withColumn("in_exact", lit(true)),
+        Seq("vec_a", "vec_b"), "left")
+      .agg(count(lit(1)).as("n_ann"),
+        count(when(col("in_exact").isNull, 1)).as("n_extra"))
+    val exStats = exact.agg(count(lit(1)).as("n_exact"))
+    exStats.crossJoin(annStats).select(
+      col("n_exact"),
+      (col("n_extra") === 0).as("subset_ok"),
+      ((col("n_ann") - col("n_extra")).cast("double") >=
+        col("n_exact").cast("double") * 0.2).as("recall_ok"))
+  }
 
   /** k-means-trained coarse quantizer (2 Lloyd rounds, k=8, integer-exact
     * cosine geometry): the production IVF trainer whose hash-order sample

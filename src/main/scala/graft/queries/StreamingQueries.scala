@@ -12,6 +12,28 @@ import graft.streaming.EventsStream
   */
 object StreamingQueries {
 
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the RocksDB state store provider — the provider a
+    * production cluster runs (state spills to local disk instead of
+    * growing the executor heap; bounded memory at any key cardinality).
+    * The gated stream queries q83/q85 run under it so the gate exercises
+    * the production state backend, not just the in-memory default; the
+    * provider/batch equivalence for the other stateful ops is in
+    * StreamingSpec. Conf is restored afterwards — provider choice is
+    * per-query state, not ambient session state. */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.getOption(ProviderKey)
+    s.conf.set(ProviderKey, RocksDb)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(ProviderKey, v)
+      case None => s.conf.unset(ProviderKey)
+    }
+  }
+
   /** Tumbling 1-hour window counts (q40). Epoch-aligned hourly windows ==
     * date_trunc('hour') in the oracle. */
   def tumblingWindow(s: SparkSession, dir: String): DataFrame =
@@ -84,15 +106,17 @@ object StreamingQueries {
     val stream = EventsStream.fromDirectory(s, srcDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // see Tables
     val out = java.nio.file.Files.createTempDirectory("graft-q83").toString
-    val q = EventsStream.dedupWithinWatermark(stream.union(stream))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        round(col("value"), 2).as("value"),
-        unix_micros(col("ts")).as("ts_us"))
-      .writeStream.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) => batch.write.mode("append").parquet(out)
-      }.start()
-    try q.processAllAvailable() finally q.stop()
+    withRocksDb(s) {
+      val q = EventsStream.dedupWithinWatermark(stream.union(stream))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => batch.write.mode("append").parquet(out)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.read.parquet(out).orderBy("event_id")
   }
 
@@ -118,16 +142,18 @@ object StreamingQueries {
     val stream = EventsStream.fromDirectory(s, srcDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // see Tables
     val out = java.nio.file.Files.createTempDirectory("graft-q85").toString
-    val q = EventsStream.streamingAsOfBuffered(s, stream, delay = "0 seconds")
-      .toDF()
-      .select(col("user_id"), col("event_id"), col("purchase_us"),
-        round(col("purchase_value"), 2).as("purchase_value"),
-        col("signup_us"))
-      .writeStream.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) => batch.write.mode("append").parquet(out)
-      }.start()
-    try q.processAllAvailable() finally q.stop()
+    withRocksDb(s) {
+      val q = EventsStream.streamingAsOfBuffered(s, stream, delay = "0 seconds")
+        .toDF()
+        .select(col("user_id"), col("event_id"), col("purchase_us"),
+          round(col("purchase_value"), 2).as("purchase_value"),
+          col("signup_us"))
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => batch.write.mode("append").parquet(out)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.read.parquet(out).orderBy("event_id")
   }
 

@@ -13,9 +13,10 @@ import org.apache.spark.sql.execution.FormattedMode
   *    q66/q82) — a new one appearing in any other query means a join lost
   *    its equi-keys and must be caught before it ships.
   *
-  * Runs on sf0.001 so the full 90-query plan sweep stays cheap; plan
-  * SHAPE does not depend on the scale factor (verified across
-  * sf0.001/0.01/0.1 in BASELINE.md round-4 notes).
+  * Runs on sf0.001 so sweeping every registered query's plan stays cheap
+  * (the stream-running queries are skipped, see below); plan SHAPE does
+  * not depend on the scale factor (verified across sf0.001/0.01/0.1 in
+  * BASELINE.md round-4 notes).
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -27,7 +28,11 @@ class PlanAuditSpec extends SparkSpec {
     "q35b_ann_ivf",          // broadcast centroid table
     "q82_ivf_trained",       // broadcast trained-centroid table
     "q48_tfidf_top_terms",   // broadcast scalar n_docs
-    "q66_heavy_hitters"      // broadcast scalar total
+    "q66_heavy_hitters",     // broadcast scalar total
+    "q95_ann_rewrite"        // exact ground-truth side (q47 shape) + the
+                             // 1-row×1-row stats crossJoin; the bucket
+                             // join itself is equi — asserted in
+                             // AnnJoinRewriteSpec
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

@@ -97,4 +97,22 @@ class ExpressionsSpec extends SparkSpec {
       rows.foreach { case (nat, hof) => assert(nat == hof, s"n=$n") }
     }
   }
+
+  test("HashedShingles null token elements keep HOF null-skip parity") {
+    // unreachable from split()-produced arrays, but the expression is a
+    // public case class: a null element must hash as Spark's xxhash64
+    // does (hash unchanged == seed), not NPE
+    val df = spark.sql(
+      """SELECT array('a', CAST(NULL AS STRING), 'b', 'c', NULL, 'd')
+        |AS toks""".stripMargin)
+    for (n <- Seq(2, 3)) {
+      val (nat, hof) = df.select(
+        graft.llm.TextAnalysis.hashedShinglesFromTokens(col("toks"), n)
+          .as("native"),
+        graft.llm.TextAnalysis.hashedShinglesFromTokensHof(col("toks"), n)
+          .as("hof"))
+        .as[(Seq[Long], Seq[Long])].head()
+      assert(nat == hof, s"n=$n")
+    }
+  }
 }

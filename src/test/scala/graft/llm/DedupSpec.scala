@@ -155,6 +155,47 @@ class DedupSpec extends SparkSpec {
       s"flood pairs must be pruned by the cap: $capped")
   }
 
+  test("containment sketch: k=32 output identical to the exact path") {
+    // fixed hash family -> recall is a deterministic property of the
+    // corpus; at k=32 the per-pair miss probability is ~(1-c)^32 ≈ 2^-32,
+    // so on real testdata the sketch path must reproduce the exact pairs
+    // bit-for-bit (values are exact by construction — shared verify stage)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = collect(Dedup.containmentPairs(docs, n = 3, threshold = 0.5))
+    assert(exact.nonEmpty)
+    val sketch =
+      collect(Dedup.containmentPairsSketch(docs, n = 3, threshold = 0.5))
+    assert(sketch == exact)
+  }
+
+  test("containment sketch: degenerate k degrades recall, never precision") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = collect(Dedup.containmentPairs(docs, n = 3, threshold = 0.5))
+    val k1 = collect(
+      Dedup.containmentPairsSketch(docs, n = 3, threshold = 0.5, k = 1))
+    // k=1: only the single smallest shingle generates candidates — a
+    // subset of the exact pairs with IDENTICAL values on every pair found
+    assert(k1.subsetOf(exact))
+  }
+
+  test("containment sketch finds the planted doc-inside-doc pair") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = ("unrelated filler words begin here and continue onward " +
+      short + " more filler text keeps going with many extra tokens " +
+      "that dilute the union far beyond any jaccard threshold level now")
+    val docs = Seq((0L, short), (1L, long), (2L, "totally different text"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairsSketch(docs, n = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cont == Set((0L, 1L)))
+  }
+
   test("normalized dedup collapses case/punct/whitespace variants") {
     val docs = Seq(
       (0L, "Hello, world! This is   fine."),
