@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * profile_daily.py:142-197) as a native `TypedImperativeAggregate`: one
   * MUTABLE hash map per partial-aggregation buffer, updated in place per
   * input row — no per-row allocation, unlike the immutable-`Map.updated`
-  * typed `Aggregator` twin ([[graft.queries.PipelineQueries.typeCounter]],
+  * typed `Aggregator` twin (`graft.queries.PipelineQueries.typeCounter`,
   * kept as the API-surface demonstration and property-law testbed).
   *
   * The buffer serializes to a compact length-prefixed byte stream for

@@ -121,7 +121,7 @@ object Dedup {
     * [[containmentPairsSketch]]; this exact path stays the default
     * because the oracle tolerates no recall loss.)
     *
-    * Skew guard (`maxDf`, mirroring [[dropHotBuckets]]): a shingle with
+    * Skew guard (`maxDf`, mirroring `dropHotBuckets`): a shingle with
     * document frequency df contributes df² join rows ON ONE KEY — a single
     * boilerplate shingle with df ≈ corpus size turns the candidate join
     * quadratic on one reducer. Shingles with df > maxDf are excluded from
@@ -133,11 +133,21 @@ object Dedup {
     * only pairs an active cap can lose are those sharing ZERO below-cap
     * shingles — pure template boilerplate that exact dedup (q30) should
     * collapse first. Below the cap the output is IDENTICAL to the
-    * unguarded join (asserted in DedupSpec). */
+    * unguarded join (asserted in DedupSpec).
+    *
+    * Default `maxDf` = 4096 is MEASURED, not guessed
+    * ([[graft.tools.CapFlood]], 500k-doc corpus, BASELINE.md round 6):
+    * a shingle at df generates df²/2 rows through one join key AND one
+    * partial-agg hash map — df=4096 cost ~12 s of single-key work
+    * (8.4M rows), df=16384 ~255 s (134M rows), and the old 65536 default
+    * extrapolates to ~70 MINUTES on one reducer (2.1B rows) — a stalled
+    * stage, not a tuning knob. Real-corpus dfs sit orders of magnitude
+    * below the cap (max trigram df at sf0.1 is 25); raise it only with
+    * AQE skew-join verified to split the key, and never near 2^16. */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
                        storageLevel: StorageLevel =
                          StorageLevel.MEMORY_AND_DISK,
-                       maxDf: Int = 1 << 16): DataFrame = {
+                       maxDf: Int = 1 << 12): DataFrame = {
     val sh0 = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -221,7 +231,7 @@ object Dedup {
                              k: Int = 32,
                              storageLevel: StorageLevel =
                                StorageLevel.MEMORY_AND_DISK,
-                             maxDf: Int = 1 << 16): DataFrame = {
+                             maxDf: Int = 1 << 12): DataFrame = {
     val sh0 = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -282,7 +292,7 @@ object Dedup {
     * benchmark-internal near-dups are not contamination. Output:
     * (corpus_doc, benchmark_doc, containment). */
   def crossContamination(corpus: DataFrame, benchmark: DataFrame, n: Int,
-                         threshold: Double, maxDf: Int = 1 << 16): DataFrame = {
+                         threshold: Double, maxDf: Int = 1 << 12): DataFrame = {
     val tagged = corpus.select(col("doc_id"), col("text"))
       .withColumn("side", lit("C"))
       .unionByName(benchmark.select(col("doc_id"), col("text"))
@@ -353,7 +363,7 @@ object Dedup {
                  estThreshold: Double = 0.3,
                  hasher: SeededHash = XxSeededHash,
                  storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-                 maxBucket: Int = 1 << 16): DataFrame = {
+                 maxBucket: Int = 1 << 12): DataFrame = {
     val sig0 = minHashSignatures(docs, n, k, hasher)
     val sig = if (storageLevel == StorageLevel.NONE) sig0
               else sig0.persist(storageLevel)
@@ -428,7 +438,7 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int = 6,
                    hasher: SeededHash = XxSeededHash, bits: Int = 64,
                    storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-                   maxBucket: Int = 1 << 16): DataFrame = {
+                   maxBucket: Int = 1 << 12): DataFrame = {
     val sig0 = simHash(docs, hasher, bits)
     val sig = if (storageLevel == StorageLevel.NONE) sig0
               else sig0.persist(storageLevel)
@@ -566,7 +576,10 @@ object Dedup {
     * list. Dropping is the standard LSH trade: an over-cap bucket means ≥
     * maxBucket documents share a whole signature band — template floods
     * that exact dedup (q30) should collapse first; below the cap the
-    * output is IDENTICAL to the uncapped join (asserted in DedupSpec). */
+    * output is IDENTICAL to the uncapped join (asserted in DedupSpec).
+    * The 4096 default follows the same single-key measurement as
+    * [[containmentPairs]]' `maxDf` (identical s² equi-join shape —
+    * [[graft.tools.CapFlood]], BASELINE.md round 6). */
   private def dropHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded
     else {

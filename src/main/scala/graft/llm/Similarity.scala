@@ -17,7 +17,7 @@ import graft.functions.CosineSim
   */
 object Similarity {
 
-  /** Cosine via the codegen'd native expression ([[CosineSim]]). */
+  /** Cosine via the codegen'd native expression ([[graft.functions.CosineSim]]). */
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

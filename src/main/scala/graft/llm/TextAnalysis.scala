@@ -53,7 +53,7 @@ object TextAnalysis {
     *
     * Implemented as the compiled [[graft.functions.HashedShingles]]
     * expression (one O(tokens) pass). The equivalent HOF formulation
-    * ([[hashedShinglesFromTokensHof]], kept as the parity witness) is
+    * (`hashedShinglesFromTokensHof`, kept as the parity witness) is
     * O(tokens²) interpreted — CSE cannot reach inside lambda bodies, so
     * each `element_at(hs, ·)` re-evaluated the inner per-token transform;
     * it alone cost ~4.5 s of q72's ~5 s at sf0.1. */

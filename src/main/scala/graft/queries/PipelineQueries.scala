@@ -16,7 +16,7 @@ object PipelineQueries {
   /** E1 — testpilot_data.main re-created (testpilot_data.py:84-202): the
     * whole config→extract→clean→filter chain as ONE Catalyst plan over the
     * events table. The reference's per-row Python `ping_to_row` becomes a
-    * declarative [[FrameConfig]] projection; null-on-error comes from
+    * declarative [[graft.etl.FrameConfig]] projection; null-on-error comes from
     * try_cast, not per-cell try/except. */
   def e1ConfigExtract(s: SparkSession, dir: String): DataFrame = {
     val cfg = FrameConfig(
@@ -39,7 +39,7 @@ object PipelineQueries {
   /** E1 multi-source/multi-sink — the ACTUAL daily-job shape of
     * testpilot_data.main (testpilot_data.py:118-202): ONE run builds THREE
     * tables — two doc-types projected from the same telemetry scan through
-    * their own [[FrameConfig]]s (testpilot_data.py:118-167) plus a CSV
+    * their own [[graft.etl.FrameConfig]]s (testpilot_data.py:118-167) plus a CSV
     * source with per-cell cleaning funcs (:170-195) — and writes all three
     * as parquet sinks in one job (`save_df` ×3, :197-200).
     *

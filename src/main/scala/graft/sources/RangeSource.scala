@@ -187,7 +187,7 @@ class RangeReaderFactory(required: StructType, columnar: Boolean = false)
     }
   }
 
-  /** Vectorized path: the batch scan emits [[ColumnarBatch]]es of 4096
+  /** Vectorized path: the batch scan emits `ColumnarBatch`es of 4096
     * rows into reused on-heap vectors, so downstream whole-stage codegen
     * consumes columns without per-row object allocation — the same shape
     * as Spark's vectorized parquet reader (`Batched: true` in explain).
