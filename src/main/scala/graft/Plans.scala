@@ -25,7 +25,13 @@ object Plans {
     graft.plans.GraftRules.register(spark)
     val sb = new StringBuilder
     sb.append("# Physical plans (explain formatted)\n\n")
-    sb.append(s"Source: `$sfDir`, AQE on, shuffle.partitions=4.\n")
+    sb.append(s"Source: `$sfDir`, AQE on, shuffle.partitions=4.\n\n")
+    sb.append("Stream-running queries (q83/q85/q86/q93) execute their " +
+      "stream when invoked, so their plan below is the sink read-back; " +
+      "q83/q85 run on the RocksDB state store provider " +
+      "(`StreamingQueries.withRocksDb`). q95 materializes the ANN bucket " +
+      "join eagerly (rewrite flag on) — its plan below is the exact-side " +
+      "comparison that follows.\n")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.explainString(
