@@ -155,6 +155,43 @@ class DedupSpec extends SparkSpec {
       s"flood pairs must be pruned by the cap: $capped")
   }
 
+  test("jaccard strategies: count filter == prefix filter, bit for bit") {
+    import org.apache.spark.storage.StorageLevel
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    for (t <- Seq(0.1, 0.3)) {
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      val pf = collect(
+        Dedup.jaccardPrefixFilter(docs, 3, t, StorageLevel.MEMORY_AND_DISK))
+      val cf = collect(
+        Dedup.jaccardCountFilter(docs, 3, t, StorageLevel.MEMORY_AND_DISK))
+      assert(pf.nonEmpty && cf == pf, s"t=$t")
+    }
+  }
+
+  test("jaccard count-filter cap: flood pruned, rare pair exact") {
+    import org.apache.spark.storage.StorageLevel
+    // same corpus shape as the containment flood test: 40 boilerplate
+    // docs sharing 5 of their 6 shingles (df=40), one genuinely similar
+    // rare-shingle pair (dfs=2). maxDf=10 removes the hot shingles from
+    // candidate generation entirely — flood pairs share zero cold
+    // shingles and vanish; the rare pair flows through the allowance
+    // bound and the verify stage emits its exact jaccard (4 shared of
+    // 8 union = 0.5).
+    val flood = (0L until 40L).map(i =>
+      (i, s"common footer text over and over again token$i"))
+    val contained = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "prefix words alpha beta gamma delta epsilon zeta suffix words"))
+    val docs = (flood ++ contained).toDF("doc_id", "text")
+    val capped = Dedup.jaccardCountFilter(docs, 3, 0.3, StorageLevel.NONE,
+        maxDf = 10)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == Set((100L, 101L, 0.5)))
+  }
+
   test("containment sketch: k=32 output identical to the exact path") {
     // fixed hash family -> recall is a deterministic property of the
     // corpus; at k=32 the per-pair miss probability is ~(1-c)^32 ≈ 2^-32,
