@@ -127,6 +127,7 @@ object SparkEntry {
     "q49_repetition_ratio" -> LlmQueries.repetitionRatio,
     "q95_ann_rewrite" -> LlmQueries.annRewrite,
     "q96_containment_sketch" -> LlmQueries.containmentSketch,
+    "q97_line_dedup" -> LlmQueries.lineDedup,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -670,6 +671,26 @@ FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
         |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q97: the oracle replays the 15-token segmentation, resolves first
+    // occurrences with a (doc_id, pos)-ordered window, and reassembles —
+    // independent formulation of the same line-dedup contract.
+    "q97_line_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+        |          array_to_string(ws[(t.i*15+1):(t.i*15+15)], ' ') AS line
+        |        FROM w, LATERAL unnest(range(CAST(ceil(len(ws)/15.0) AS BIGINT))) AS t(i)),
+        |rk AS (SELECT doc_id, pos, line,
+        |         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |       FROM seg),
+        |agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text,
+        |          CAST(count(*) AS BIGINT) AS n_kept
+        |        FROM rk WHERE rn = 1 GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(ceil(len(ws)/15.0) AS BIGINT) AS n_lines
+        |         FROM w)
+        |SELECT b.doc_id, coalesce(a.text, '') AS text, b.n_lines,
+        |  coalesce(a.n_kept, 0) AS n_kept
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q95: DuckDB pins the exact cosine-threshold pair count; the flags
     // assert the bucket join emitted a ≥20%-recall subset of those pairs.
     "q95_ann_rewrite" ->

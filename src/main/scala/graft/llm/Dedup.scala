@@ -372,6 +372,53 @@ object Dedup {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** C4-style LINE-level deduplication: across the whole corpus, keep
+    * only the FIRST occurrence of every distinct line (first = smallest
+    * (doc_id, position) lexicographically — deterministic and
+    * engine-independent), then reassemble each document from its
+    * surviving lines in original order. This is the pass that strips
+    * boilerplate repeated across pages (nav bars, license headers,
+    * cookie banners) that document-level dedup cannot touch — the C4
+    * "three-sentence span" / RefinedWeb line-dedup family, modeled at
+    * line granularity.
+    *
+    * `lines` is an array-of-string column (real corpora:
+    * `split(col("text"), "\n")`; corpora without line structure can
+    * manufacture deterministic fixed-width segments — see q97).
+    *
+    * Scale shape: one posexplode, one groupBy-min on the line hash (the
+    * shuffle carries (md5, doc_id, pos) — the line TEXT shuffles only in
+    * the reassembly groupBy, which is corpus-linear), one equi-join, one
+    * per-doc reassembly aggregation. No self-joins, no windows over the
+    * corpus; skew on a mega-duplicated line is absorbed by the partial
+    * min (map-side combine leaves one row per line per partition).
+    *
+    * Output: (doc_id, text, n_lines, n_kept) — documents whose every
+    * line was seen earlier come back with empty text, which a downstream
+    * quality filter drops. */
+  def dedupLines(docs: DataFrame, lines: Column,
+                 delim: String = "\n"): DataFrame = {
+    val ex = docs.select(col("doc_id"), posexplode(lines).as(Seq("pos", "line")))
+    // first occurrence per distinct line content, keyed by md5 so the
+    // wide line string stays OUT of the first-occurrence shuffle
+    val first = ex
+      .groupBy(md5(col("line")).as("lh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"), col("first.pos").as("pos"))
+    val kept = ex.join(first, Seq("doc_id", "pos"), "left_semi")
+    docs.select(col("doc_id"), size(lines).cast("long").as("n_lines"))
+      .join(kept.groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("pos"), col("line"))))
+            .as("ps")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(
+          array_join(transform(col("ps"), p => p.getField("line")), delim),
+          lit("")).as("text"),
+        col("n_lines"),
+        coalesce(size(col("ps")), lit(0)).cast("long").as("n_kept"))
+  }
+
   /** [[exact]] over [[TextAnalysis.normalizeForDedup]]ed text: collapses
     * case / punctuation / whitespace variants of the same content into
     * one group — the standard normalization pass in front of exact dedup

@@ -96,6 +96,24 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** C4-style line-level dedup across the corpus (q97,
+    * [[graft.llm.Dedup.dedupLines]]): keep the first occurrence of every
+    * distinct line, reassemble documents from their surviving lines. The
+    * testdata corpus has no newline structure, so the query manufactures
+    * deterministic 15-token segments as "lines" — the operator is
+    * exercised end-to-end (first-occurrence resolution, cross-doc and
+    * in-doc duplicate collapse, ordered reassembly) and the oracle
+    * replays the identical segmentation in DuckDB. Real corpora pass
+    * `split(col("text"), "\n")`. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val segs = transform(
+      sequence(lit(0), ceil(size(toks) / lit(15.0)).cast("int") - 1),
+      i => array_join(slice(toks, i * 15 + 1, lit(15)), " "))
+    Dedup.dedupLines(docs, segs, " ").orderBy("doc_id")
+  }
+
   /** The [[graft.plans.AnnJoinRewrite]] bucket join IN THE GATE (q95):
     * the cosine-threshold join runs twice — once with the rewrite flag on
     * (planned as an LshSig equi join; `localCheckpoint` is eager, so the

@@ -233,6 +233,22 @@ class DedupSpec extends SparkSpec {
     assert(cont == Set((0L, 1L)))
   }
 
+  test("line dedup keeps first occurrence, reassembles in order") {
+    val docs = Seq(
+      (0L, "header\nalpha\nbeta\nheader"),   // in-doc dup of "header"
+      (1L, "header\ngamma\nalpha"),           // cross-doc dups
+      (2L, "header\nalpha")                   // everything seen before
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, split(col("text"), "\n"))
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, "header\nalpha\nbeta", 4L, 3L),
+      (1L, "gamma", 3L, 1L),
+      (2L, "", 2L, 0L)))
+  }
+
   test("normalized dedup collapses case/punct/whitespace variants") {
     val docs = Seq(
       (0L, "Hello, world! This is   fine."),
