@@ -128,6 +128,7 @@ object SparkEntry {
     "q95_ann_rewrite" -> LlmQueries.annRewrite,
     "q96_containment_sketch" -> LlmQueries.containmentSketch,
     "q97_line_dedup" -> LlmQueries.lineDedup,
+    "q98_image_roundtrip" -> LlmQueries.imageRoundtrip,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -690,6 +691,22 @@ FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
         |SELECT b.doc_id, coalesce(a.text, '') AS text, b.n_lines,
         |  coalesce(a.n_kept, 0) AS n_kept
         |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q98: the oracle predicts the decoded image metadata analytically
+    // (dimensions + band-0 pixel sum are pure integer formulas of
+    // doc_id) — the Spark side must produce them through a REAL PNG
+    // encode + decode (JDK ImageIO), so codec faults hash-mismatch.
+    "q98_image_roundtrip" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |                  8 + (doc_id * 7) % 25 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |         CAST((x.i + y.i + doc_id) % 256 AS BIGINT) AS g
+        |       FROM d, LATERAL unnest(range(w)) AS x(i),
+        |            LATERAL unnest(range(h)) AS y(i))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(g) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY doc_id, w, h
         |ORDER BY doc_id""".stripMargin,
     // q95: DuckDB pins the exact cosine-threshold pair count; the flags
     // assert the bucket join emitted a ≥20%-recall subset of those pairs.

@@ -6,12 +6,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, batch-decoded per partition.
   *
-  * The Spark-side mechanics are real — schema, partition-wise batch
-  * processing (`mapPartitions` over a typed Dataset, the Scala analog of
-  * `mapInPandas` batch UDFs), deterministic output — while the actual
-  * media codec is STUBBED (this container has no image/audio libraries):
-  * [[FakeCodec.decode]] derives metadata purely from the bytes, so results
-  * are deterministic and oracle-checkable.
+  * Two codec tiers share the same partition-wise batch seam
+  * (`mapPartitions` over a typed Dataset, the Scala analog of
+  * `mapInPandas` batch UDFs):
+  *
+  *  - **REAL image codec** ([[encodePng]]/[[decodeImages]]): JDK
+  *    `javax.imageio` — PNG/JPEG/BMP/GIF decode ships with every JVM, no
+  *    external libraries — exercised end-to-end by q98 (deterministic
+  *    synthetic images → real PNG bytes → real decode; the oracle
+  *    recomputes the expected dimensions and integer pixel sums
+  *    analytically, so a header misread or pixel corruption
+  *    hash-mismatches).
+  *  - **Stub codec** ([[FakeCodec]]) for the audio/video-shaped paths
+  *    (resize stride, frame sampling, feature histograms) whose real
+  *    codecs (ffmpeg-class) are NOT in this container: byte-level
+  *    deterministic stand-ins keep the schema, batching and oracle
+  *    checkable while documenting exactly where a JNI/Pandas-UDF codec
+  *    plugs in.
   *
   * At 100 TB: media bytes dominate row size — keep them in their own
   * column (parquet stores them contiguously), never shuffle them (derive
@@ -54,6 +65,71 @@ object Multimodal {
       it.map { row =>
         val (n, w, h, c) = FakeCodec.decode(row.media)
         DecodedRow(row.doc_id, n, w, h, c)
+      }
+    }
+  }
+
+  case class ImageMeta(doc_id: Long, width: Long, height: Long,
+                       n_pixels: Long, sum_gray: Long)
+
+  /** Deterministic synthetic grayscale image per doc, encoded as REAL PNG
+    * bytes via JDK ImageIO: dimensions (8 + id%25) × (8 + 7·id%25),
+    * pixel (x,y) = (x + y + id) mod 256 on all three channels. Everything
+    * is integer arithmetic, so an oracle can predict the decoded metadata
+    * without touching a codec. */
+  def encodePng(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + id % 25).toInt
+        val h = (8 + (id * 7) % 25).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((x + y + id) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL image decode through the batch seam: JDK ImageIO sniffs the
+    * container format from the bytes (PNG/JPEG/BMP/GIF — whatever
+    * readers the JVM ships). Undecodable payloads are DROPPED (flatMap
+    * None — the null-on-error contract a cleaning pipeline wants; count
+    * input vs output to monitor). `sum_gray` sums band 0 — integer-exact,
+    * no fp anywhere. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.media))
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Some(ImageMeta(row.doc_id, w.toLong, h.toLong,
+              w.toLong * h, sum))
+          }
+        } catch { case _: Exception => None }
       }
     }
   }

@@ -96,6 +96,21 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** REAL image codec roundtrip (q98): deterministic synthetic images →
+    * real PNG encode (JDK ImageIO) → real PNG decode → integer metadata.
+    * The oracle never touches a codec: dimensions and the band-0 pixel
+    * sum are recomputed analytically from the same integer formulas, so
+    * any header misread, pixel corruption, or row drop in the
+    * encode/decode path hash-mismatches. This retires the "codec is a
+    * stub" caveat for images — audio/video stay stubbed
+    * ([[graft.llm.Multimodal.FakeCodec]]) because their codecs are not
+    * in the container. */
+  def imageRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(s,
+        Multimodal.encodePng(s, table(s, dir, "documents")).toDF())
+      .toDF()
+      .orderBy("doc_id")
+
   /** C4-style line-level dedup across the corpus (q97,
     * [[graft.llm.Dedup.dedupLines]]): keep the first occurrence of every
     * distinct line, reassemble documents from their surviving lines. The
