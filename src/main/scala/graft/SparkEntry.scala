@@ -129,6 +129,7 @@ object SparkEntry {
     "q96_containment_sketch" -> LlmQueries.containmentSketch,
     "q97_line_dedup" -> LlmQueries.lineDedup,
     "q98_image_roundtrip" -> LlmQueries.imageRoundtrip,
+    "q99_semantic_dedup" -> LlmQueries.semanticDedup,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -885,6 +886,7 @@ ORDER BY d.doc_id""",
     "q35_ann_lsh" -> q35AnnLshOracle,
     "q77_kmeans_clusters" -> q77KmeansOracle,
     "q82_ivf_trained" -> q82IvfTrainedOracle,
+    "q99_semantic_dedup" -> q99SemanticDedupOracle,
     "q79_corpus_pipeline" -> q79PipelineOracle,
     "q35b_ann_ivf" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
@@ -1345,6 +1347,27 @@ ORDER BY doc_a, doc_b"""
   private def q77KmeansOracle: String =
     s"""WITH ${kmeansCtes(8, 2)}
 SELECT vec_id, cid FROM a1 ORDER BY vec_id"""
+
+  /** SemDeDup oracle (q99): the q77 training CTEs, within-cluster cosine
+    * pairs via list_cosine_similarity (the q47-proven float comparison
+    * at the same 0.4 threshold on the same vectors), then a q63-style
+    * recursive transitive closure with min-id keepers. */
+  private def q99SemanticDedupOracle: String =
+    s"""WITH RECURSIVE ${kmeansCtes(8, 2)},
+prs AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4),
+edges AS (SELECT pa AS x, pb AS y FROM prs UNION SELECT pb, pa FROM prs),
+reach(n, m) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.n, e.y FROM reach r JOIN edges e ON r.m = e.x),
+comp AS (SELECT n AS vec_id, least(n, min(m)) AS component
+         FROM reach GROUP BY n)
+SELECT vec_id, component, (component = vec_id) AS is_keeper
+FROM comp ORDER BY vec_id"""
 
   /** Trained-IVF oracle (q82): the q77 training CTEs, then the probe —
     * per-query cell ranking on the exact-integer centroid cosine (top

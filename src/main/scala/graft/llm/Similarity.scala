@@ -168,6 +168,43 @@ object Similarity {
                    hasher: SeededHash = XxSeededHash): DataFrame =
     kmeansTrain(corpus, k, iters, hasher)._1
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with [[kmeansAssign]],
+    * compare vectors pairwise ONLY within their cluster (cosine ≥
+    * `threshold` ⇒ semantic duplicates — paraphrases, re-renders,
+    * translations that no lexical dedup can see), resolve the duplicate
+    * pairs into connected components and keep one representative per
+    * component (min vec_id, [[graft.llm.Dedup.connectedComponents]]'
+    * convention).
+    *
+    * Scale shape — the reason SemDeDup clusters first: all-pairs cosine
+    * is O(n²); within-cluster pairing is O(Σ cᵢ²), controlled by `k`.
+    * Grow k with the corpus (k ≈ n/target_cluster_size keeps per-cluster
+    * work bounded; the paper uses k in the tens of thousands at
+    * billion-scale). The pair join is an equi-join on cid — with small k
+    * the cid key is deliberately coarse, so at production scale raise k
+    * rather than relying on AQE to split cluster-sized join partitions.
+    *
+    * Output: (vec_id, component, is_keeper) for every vector in ≥1
+    * duplicate pair — [[graft.llm.Dedup.dropNearDups]] applies it. */
+  def semanticDedup(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+                    threshold: Double = 0.4,
+                    hasher: SeededHash = XxSeededHash): DataFrame = {
+    val withCid = corpus.join(kmeansAssign(corpus, k, iters, hasher), "vec_id")
+    val a = withCid.select(col("cid"), col("vec_id").as("doc_a"),
+      col("embedding").as("ea"))
+    val b = withCid.select(col("cid"), col("vec_id").as("doc_b"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cid"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        cosine(col("ea"), col("eb")).as("sim"))
+      .where(col("sim") >= threshold)
+      .select("doc_a", "doc_b")
+    Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("component"), col("is_keeper"))
+  }
+
   /** [[kmeansAssign]] returning BOTH halves of the trained quantizer: the
     * final (vec_id, cid) assignment and the centroid-sum frame
     * (cid, d, m) that PRODUCED it — exactly the coarse quantizer

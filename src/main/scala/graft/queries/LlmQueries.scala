@@ -96,6 +96,17 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SemDeDup-style semantic dedup in the gate (q99,
+    * [[graft.llm.Similarity.semanticDedup]]): portable hash family so
+    * DuckDB independently replays the k-means training (the q77 oracle's
+    * CTE chain), the within-cluster cosine pairs
+    * (list_cosine_similarity — the q47-proven comparison at 0.4) and the
+    * transitive closure (q63-style recursive CTE). */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(table(s, dir, "embeddings"),
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("vec_id")
+
   /** REAL image codec roundtrip (q98): deterministic synthetic images →
     * real PNG encode (JDK ImageIO) → real PNG decode → integer metadata.
     * The oracle never touches a codec: dimensions and the band-0 pixel

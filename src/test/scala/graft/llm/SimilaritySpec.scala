@@ -84,4 +84,23 @@ class SimilaritySpec extends SparkSpec {
       brute.get((a, b)).foreach(bs => assert(math.abs(bs - s) < 1e-12))
     }
   }
+
+  test("semantic dedup resolves planted paraphrase pairs to min-id keepers") {
+    // two tight semantic pairs on orthogonal axes: whatever the k=2
+    // clustering does, each pair lands in ONE cluster (near-identical
+    // vectors), the cross pairs score ~0 < threshold, so the components
+    // are exactly {0,1} and {2,3} with min-id keepers
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.98f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, k = 2, iters = 2,
+        threshold = 0.95)
+      .select("vec_id", "component", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((0L, 0L, true), (1L, 0L, false),
+      (2L, 2L, true), (3L, 2L, false)))
+  }
 }
