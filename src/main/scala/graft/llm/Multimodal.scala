@@ -83,14 +83,18 @@ object Multimodal {
       it.map { id =>
         val w = (8 + id % 25).toInt
         val h = (8 + (id * 7) % 25).toInt
+        // 8-bit grayscale raster written directly (setRGB on a gray
+        // image would round-trip through sRGB luminance and change the
+        // samples; setSample stores g verbatim, and PNG gray8 is
+        // lossless, so decode returns exactly g)
         val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val g = ((x + y + id) % 256).toInt
-            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            raster.setSample(x, y, 0, ((x + y + id) % 256).toInt)
             x += 1
           }
           y += 1
