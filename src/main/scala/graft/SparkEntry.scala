@@ -130,6 +130,7 @@ object SparkEntry {
     "q97_line_dedup" -> LlmQueries.lineDedup,
     "q98_image_roundtrip" -> LlmQueries.imageRoundtrip,
     "q99_semantic_dedup" -> LlmQueries.semanticDedup,
+    "q100_neardup_artifacts" -> LlmQueries.neardupArtifacts,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -878,6 +879,9 @@ FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
     "q32_minhash_lsh" -> q32MinhashOracle(),
     "q33_simhash_pairs" -> q33SimhashOracle,
     "q63_neardup_clusters" -> q63ClustersOracle(),
+    // q100: the single-pass artifact bundle's clusters must satisfy the
+    // SAME independent closure oracle as the standalone q63
+    "q100_neardup_artifacts" -> q63ClustersOracle(),
     "q67_deduped_corpus" ->
       s"""SELECT d.doc_id, d.lang, d.n_chars FROM documents d
 WHERE d.doc_id NOT IN (

@@ -32,7 +32,7 @@ object Dedup {
     * TWO exact strategies, dispatched on the threshold (both produce
     * identical output — asserted in DedupSpec):
     *
-    *  - `threshold < 0.35` → COUNT FILTERING ([[jaccardCountFilter]]):
+    *  - `threshold < 0.35` → COUNT FILTERING (`jaccardCountFilter`):
     *    at low thresholds the prefix-filter theorem keeps
     *    (1-J)·|d|+1 ≈ 90% of every document's postings (J=0.1), so
     *    prefix filtering pays the ranking window, the candidate

@@ -96,6 +96,20 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The single-pass near-dup artifacts in the gate (q100,
+    * [[graft.jobs.CorpusPipeline.nearDupArtifacts]]): pairs, clusters
+    * and keep-list all derive from ONE localCheckpoint'ed LSH pass; the
+    * emitted clusters frame must equal the independently-computed q63
+    * result, and the oracle is the same recursive-closure SQL — so the
+    * artifact bundle is held to the same contract as the standalone
+    * queries it amortizes. */
+  def neardupArtifacts(s: SparkSession, dir: String): DataFrame =
+    graft.jobs.CorpusPipeline
+      .nearDupArtifacts(table(s, dir, "documents"),
+        hasher = graft.llm.PortableSeededHash)
+      .clusters
+      .orderBy("doc_id")
+
   /** SemDeDup-style semantic dedup in the gate (q99,
     * [[graft.llm.Similarity.semanticDedup]]): portable hash family so
     * DuckDB independently replays the k-means training (the q77 oracle's

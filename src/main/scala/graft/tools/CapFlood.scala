@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.Dedup
 
-/** The cap-validation experiment for [[Dedup.containmentPairs]]'
+/** The cap-validation experiment for `Dedup.containmentPairs`'s
   * count-filter candidate join (VERDICT r5 ask #1): a shingle with
   * document frequency df contributes df² join rows ON ONE KEY, so the
   * `maxDf` default is a claim about how much single-key work a reducer
