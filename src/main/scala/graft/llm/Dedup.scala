@@ -241,9 +241,10 @@ object Dedup {
     * ([[graft.tools.CapFlood]], 500k-doc corpus, BASELINE.md round 6):
     * a shingle at df generates df²/2 rows through one join key AND one
     * partial-agg hash map — df=4096 cost ~12 s of single-key work
-    * (8.4M rows), df=16384 ~255 s (134M rows), and the old 65536 default
-    * extrapolates to ~70 MINUTES on one reducer (2.1B rows) — a stalled
-    * stage, not a tuning knob. Real-corpus dfs sit orders of magnitude
+    * (8.4M rows), df=16384 ~255 s (134M rows), df=32768 ~969 s (537M
+    * rows, MEASURED under the old 65536 default, which admits it), and
+    * a shingle at that old cap itself (2.1B rows) extrapolates to ~70
+    * MINUTES on one reducer — a stalled stage, not a tuning knob. Real-corpus dfs sit orders of magnitude
     * below the cap (max trigram df at sf0.1 is 25); raise it only with
     * AQE skew-join verified to split the key, and never near 2^16. */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double,
