@@ -442,14 +442,22 @@ object Dedup {
     * benchmark-internal near-dups are not contamination. Output:
     * (corpus_doc, benchmark_doc, containment). */
   def crossContamination(corpus: DataFrame, benchmark: DataFrame, n: Int,
-                         threshold: Double, maxDf: Int = 1 << 12): DataFrame = {
+                         threshold: Double, maxDf: Int = 1 << 12,
+                         useSketch: Boolean = false): DataFrame = {
     val tagged = corpus.select(col("doc_id"), col("text"))
       .withColumn("side", lit("C"))
       .unionByName(benchmark.select(col("doc_id"), col("text"))
         .withColumn("side", lit("B")))
     val sides = tagged.select("doc_id", "side")
-    val pairs = containmentPairs(tagged.select("doc_id", "text"), n,
-      threshold, maxDf = maxDf)
+    // useSketch routes through the bottom-k prefilter
+    // ([[containmentPairsSketch]]) — the opt-in scale path for high-df
+    // corpora; emitted values stay exact, recall becomes probabilistic
+    val pairs =
+      if (useSketch)
+        containmentPairsSketch(tagged.select("doc_id", "text"), n,
+          threshold, maxDf = maxDf)
+      else containmentPairs(tagged.select("doc_id", "text"), n,
+        threshold, maxDf = maxDf)
     pairs
       .join(sides.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("side", "side_a"), "doc_a")

@@ -280,6 +280,12 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((0L, 100L), (2L, 100L))) // oriented corpus->benchmark
     // corpus-internal near-dup (0,2) must NOT appear as contamination
     assert(!out.exists(p => p._1 < 100L && p._2 < 100L))
+    // the sketch scale path reports the same contamination here
+    val sk = Dedup.crossContamination(corpusDocs, bench, n = 3,
+        threshold = 0.8, useSketch = true)
+      .select("corpus_doc", "benchmark_doc").as[(Long, Long)]
+      .collect().toSet
+    assert(sk == out)
   }
 
   test("dropNearDups keeps exactly the keepers plus unpaired docs") {
