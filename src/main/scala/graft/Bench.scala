@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   * per-round totals printed to stderr make any load skew visible.
   *
   * STREAM LANE: the queries that RUN a Structured Streaming query
-  * end-to-end (q83/q85/q86/q93) are latency-bound, not throughput-bound —
+  * end-to-end (q83/q85/q86/q93/q101) are latency-bound, not throughput-bound —
   * `processAllAvailable` waits on micro-batch scheduling, so host-load
   * jitter inflates them ×5-7 where a batch query moves ~1.2× (BASELINE.md
   * round-4 q94 note). Their reported number is the MIN across rounds (the
@@ -69,7 +69,7 @@ object Bench {
     // queries that run a real stream (see STREAM LANE above)
     val streamLane = Set("q83_streaming_dedup_batch",
       "q85_streaming_asof_buffered", "q86_streaming_heavy_hitters",
-      "q93_streaming_ingest")
+      "q93_streaming_ingest", "q101_streaming_neardup")
 
     def report(name: String, xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)

@@ -131,6 +131,7 @@ object SparkEntry {
     "q98_image_roundtrip" -> LlmQueries.imageRoundtrip,
     "q99_semantic_dedup" -> LlmQueries.semanticDedup,
     "q100_neardup_artifacts" -> LlmQueries.neardupArtifacts,
+    "q101_streaming_neardup" -> StreamingQueries.streamingNearDup,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -891,6 +892,7 @@ ORDER BY d.doc_id""",
     "q77_kmeans_clusters" -> q77KmeansOracle,
     "q82_ivf_trained" -> q82IvfTrainedOracle,
     "q99_semantic_dedup" -> q99SemanticDedupOracle,
+    "q101_streaming_neardup" -> q101StreamNearDupOracle,
     "q79_corpus_pipeline" -> q79PipelineOracle,
     "q35b_ann_ivf" ->
       """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
@@ -1261,6 +1263,42 @@ est AS (SELECT c.doc_a, c.doc_b, c.n_bands_hit,
                     JOIN sig sb ON c.doc_b = sb.doc_id)
 SELECT doc_a, doc_b, round(ej, 4) AS est_jaccard, n_bands_hit
 FROM est WHERE ej >= 0.3 ORDER BY doc_a, doc_b"""
+  }
+
+  /** Online near-dup oracle (q101): the q32 signature/banding CTEs, then
+    * the RELATIONAL restatement of the streaming min-keeper state — each
+    * (band, bucket)'s minimum doc_id — and per-document count of bands
+    * where a smaller doc_id shares the bucket. Valid because the gate
+    * replay is one micro-batch and the operator's min-keeper fold is
+    * row-order-independent within a batch (the cross-batch contract is
+    * spec-pinned, see [[graft.streaming.StreamingNearDup]]). */
+  private def q101StreamNearDupOracle: String = {
+    val k = 16; val bands = 4; val rpb = k / bands
+    val p = graft.llm.Dedup.P31
+    val mins = (0 until k)
+      .map(i => s"min((hb * ${2 * i + 1} + ${graft.llm.Dedup.bSeed(i)}) % $p) AS mh$i")
+      .mkString(",\n    ")
+    val banded = (0 until bands).map { b =>
+      val cat = (b * rpb until (b + 1) * rpb)
+        .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $cat AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, ${h("sg", 0)} % $p AS hb FROM (
+         SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sg
+         FROM w WHERE len(ws) >= 3)),
+sig AS (SELECT doc_id,
+    $mins
+  FROM sh GROUP BY doc_id),
+banded AS (
+  $banded),
+m AS (SELECT band, bucket, min(doc_id) AS mn FROM banded GROUP BY 1, 2)
+SELECT b.doc_id,
+  CAST(sum(CASE WHEN b.doc_id > m.mn THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_bands
+FROM banded b JOIN m USING (band, bucket)
+GROUP BY b.doc_id ORDER BY doc_id"""
   }
 
   /** Cluster-resolution oracle: the q32 candidate pairs (same generated

@@ -228,6 +228,41 @@ object StreamingQueries {
     s.read.parquet(out).orderBy("fp")
   }
 
+  /** ONLINE near-dup detection, gated end-to-end (q101,
+    * [[graft.streaming.StreamingNearDup]]): documents replay through the
+    * file source; per-row MinHash band buckets feed a
+    * flatMapGroupsWithState keeper (per-bucket min doc_id) on the
+    * RocksDB state store; output is each document's count of
+    * duplicate-flagged bands. The replay is a single micro-batch (one
+    * staged file), where min-keeper semantics are exactly the relational
+    * "exists a smaller doc_id in the bucket" — so the oracle recomputes
+    * buckets and bucket minima in DuckDB (portable hash family); the
+    * cross-batch contract (flag iff the smaller id arrived no later) is
+    * pinned in StreamingNearDupSpec. */
+  def streamingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-q101-src")
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val staged = srcDir.resolve("documents.parquet")
+    try java.nio.file.Files.createSymbolicLink(staged, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
+    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+    val out = java.nio.file.Files.createTempDirectory("graft-q101").toString
+    withRocksDb(s) {
+      val q = graft.streaming.StreamingNearDup
+        .detect(s, stream, hasher = graft.llm.PortableSeededHash)
+        .toDF()
+        .writeStream.outputMode("append").foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => batch.write.mode("append").parquet(out)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.read.parquet(out)
+      .groupBy("doc_id")
+      .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_bands"))
+      .orderBy("doc_id")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.llm.{Dedup, SeededHash, TextAnalysis, XxSeededHash}
+
+/** ONLINE near-duplicate detection: MinHash-LSH bucket state maintained
+  * inside a Structured Streaming query, so a corpus INGEST pipeline can
+  * flag probable near-dups of anything seen before — without waiting for
+  * the batch dedup pass (q32/q63) to re-mine the whole corpus.
+  *
+  * Design points:
+  *
+  *  - **Per-row signatures, no pre-shuffle.** The MinHash signature is
+  *    computed per document with higher-order functions
+  *    (`array_min(transform(...))` over the shingle-hash array) instead
+  *    of the batch path's explode + groupBy-min — value-identical (min
+  *    over the same multiset; asserted in StreamingNearDupSpec), and it
+  *    keeps the stream stateless until the single keyed stateful
+  *    operator. (The batch path avoids HOFs for THROUGHPUT — interpreted
+  *    lambdas, see `HashedShingles` — but a streaming ingest is
+  *    latency-bound and the per-row cost is what buys shuffle-freedom.)
+  *
+  *  - **Min-keeper semantics, precisely stated.** Bucket state is the
+  *    MINIMUM doc_id ever seen in that (band, bucket); a document "hits"
+  *    in a band iff a smaller doc_id shares the bucket in the SAME or an
+  *    EARLIER micro-batch. Within a micro-batch the outcome is
+  *    independent of row order and task scheduling (the whole group
+  *    folds to one min — an "arrival-first" rule would not be testable).
+  *    Across batches the flag equals the relational restatement
+  *    ("exists a smaller doc_id in the bucket") whenever ids are
+  *    non-decreasing in arrival order — the natural ingest case, ids
+  *    assigned at arrival — and in the single-batch file replay the gate
+  *    runs; a pair whose LARGER id arrived in a strictly earlier batch
+  *    degrades to a MISS (append mode cannot retract the already-emitted
+  *    row), never to a false flag. Asserted in StreamingNearDupSpec.
+  *
+  *  - **Scale shape.** One shuffle per micro-batch on (band, bucket) —
+  *    the LSH equi-join key — and O(1) state (one long) per distinct
+  *    bucket. A degenerate bucket concentrates its documents in one
+  *    group per batch; the `maxBucket`-style cap is not needed for the
+  *    state (which stays one long regardless) but a flood still skews
+  *    the group — collapse exact duplicates upstream first
+  *    (`EventsStream.dedupWithinWatermark` / q93), mirroring the batch
+  *    pipeline contract.
+  *
+  * Output: one row per (doc_id, band) with the hit flag; aggregate
+  * `sum(dup)` per doc for a per-document candidate score (0..bands).
+  * Bucket-collision candidates are PROBABLE near-dups (same trade as
+  * q32's bands); verify exactly downstream where it matters.
+  */
+object StreamingNearDup {
+
+  case class BandRow(doc_id: Long, band: Int, bucket: String)
+  case class BandHit(doc_id: Long, band: Int, dup: Boolean)
+
+  /** Per-document LSH band buckets, computed per row (see scaladoc).
+    * Documents with fewer than `n` tokens carry no shingles and are
+    * dropped — the batch family's `len(ws) >= n` contract. */
+  def bandBuckets(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                  hasher: SeededHash = XxSeededHash): DataFrame = {
+    require(k % bands == 0, "k must split evenly into bands")
+    val hb = transform(
+      TextAnalysis.distinctShinglesFromTokens(
+        TextAnalysis.tokens(col("text")), n),
+      s => pmod(hasher.hash(s, 0), lit(Dedup.P31)))
+    val withHb = docs.select(col("doc_id"), hb.as("hb"))
+      .where(size(col("hb")) >= 1)
+    val sigs = (0 until k).map { i =>
+      array_min(transform(col("hb"),
+        x => (x * (2 * i + 1) + Dedup.bSeed(i)) % Dedup.P31)).as(s"mh$i")
+    }
+    val sig = withHb.select(col("doc_id") +: sigs: _*)
+    val rpb = k / bands
+    (0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb)
+        .map(i => col(s"mh$i").cast("string"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws(",", cols: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The stateful detector: works on a STREAMING frame (state persists
+    * across micro-batches in the state store) and, with identical
+    * results, on a batch frame (every group sees all its rows against
+    * empty state — the min-keeper outcome is the same by design). */
+  def detect(spark: SparkSession, docs: DataFrame, n: Int = 3, k: Int = 16,
+             bands: Int = 4,
+             hasher: SeededHash = XxSeededHash): Dataset[BandHit] = {
+    import spark.implicits._
+    bandBuckets(docs, n, k, bands, hasher).as[BandRow]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[Long, BandHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[BandRow],
+         state: GroupState[Long]) =>
+          val ids = rows.map(_.doc_id).toArray
+          var mn = state.getOption.getOrElse(Long.MaxValue)
+          var i = 0
+          while (i < ids.length) { if (ids(i) < mn) mn = ids(i); i += 1 }
+          state.update(mn)
+          val keeper = mn
+          ids.iterator.map(id => BandHit(id, key._1, id > keeper))
+      }
+  }
+}

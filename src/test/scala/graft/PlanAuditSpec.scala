@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "q83_streaming_dedup_batch",
     "q85_streaming_asof_buffered",
     "q86_streaming_heavy_hitters",
-    "q93_streaming_ingest")
+    "q93_streaming_ingest",
+    "q101_streaming_neardup")
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only where designed") {
     GraftFunctions.register(spark)
