@@ -58,28 +58,57 @@ object StreamingNearDup {
 
   /** Per-document LSH band buckets, computed per row (see scaladoc).
     * Documents with fewer than `n` tokens carry no shingles and are
-    * dropped — the batch family's `len(ws) >= n` contract. */
+    * dropped — the batch family's `len(ws) >= n` contract.
+    *
+    * The signature is ONE compiled pass per row
+    * ([[graft.functions.ShingleMinHash]] — tokens → k seeded mins,
+    * shingle strings never materialized for the md5 family). The HOF
+    * spelling it replaced (`array_min(transform(...))` over interpreted
+    * per-shingle hash lambdas) measured ~7 s of the detector's ~10 s at
+    * sf0.1 and survives only as [[bandBucketsHof]], the parity witness. */
   def bandBuckets(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                   hasher: SeededHash = XxSeededHash): DataFrame = {
     require(k % bands == 0, "k must split evenly into bands")
+    val md5Family = hasher eq graft.llm.PortableSeededHash
+    val sigArr = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.ShingleMinHash(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          TextAnalysis.tokens(col("text"))), n, k, md5Family))
+    val sig = docs.select(col("doc_id"), sigArr.as("mhs"))
+      .where(col("mhs").isNotNull)
+      .select(col("doc_id") +:
+        (0 until k).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+    val rpb = k / bands
+    // one pass: explode an array of (band, bucket) structs instead of a
+    // bands-way self-union — a streaming union re-executes the source
+    // (and the interpreted per-row signatures) once per branch, which
+    // measured ~4× the whole query's cost
+    val bb = array((0 until bands).map { b =>
+      val cols = (b * rpb until (b + 1) * rpb)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bucket"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bb).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** The higher-order-function formulation of the per-row signature —
+    * kept ONLY as the parity witness for [[graft.functions.ShingleMinHash]]
+    * (asserted per hash family in StreamingNearDupSpec); interpreted
+    * lambdas make it several times slower than the compiled pass. */
+  private[graft] def sigHof(docs: DataFrame, n: Int, k: Int,
+                            hasher: SeededHash): DataFrame = {
     val hb = transform(
       TextAnalysis.distinctShinglesFromTokens(
         TextAnalysis.tokens(col("text")), n),
       s => pmod(hasher.hash(s, 0), lit(Dedup.P31)))
-    val withHb = docs.select(col("doc_id"), hb.as("hb"))
+    docs.select(col("doc_id"), hb.as("hb"))
       .where(size(col("hb")) >= 1)
-    val sigs = (0 until k).map { i =>
-      array_min(transform(col("hb"),
-        x => (x * (2 * i + 1) + Dedup.bSeed(i)) % Dedup.P31)).as(s"mh$i")
-    }
-    val sig = withHb.select(col("doc_id") +: sigs: _*)
-    val rpb = k / bands
-    (0 until bands).map { b =>
-      val cols = (b * rpb until (b + 1) * rpb)
-        .map(i => col(s"mh$i").cast("string"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws(",", cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+      .select(col("doc_id"), array((0 until k).map { i =>
+        array_min(transform(col("hb"),
+          x => (x * (2 * i + 1) + Dedup.bSeed(i)) % Dedup.P31))
+      }: _*).as("mhs"))
   }
 
   /** The stateful detector: works on a STREAMING frame (state persists

@@ -57,6 +57,30 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(out(10L) == 0L)
   }
 
+  test("ShingleMinHash == the HOF formulation, both hash families") {
+    import graft.llm.{PortableSeededHash, TextAnalysis, XxSeededHash}
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq(9001L -> "one two", 9002L -> "exactly three tokens",
+        9003L -> "é中文 unicode token bytes here")
+        .toDF("doc_id", "text"))
+    for (hasher <- Seq(PortableSeededHash, XxSeededHash)) {
+      val native = docs.select(col("doc_id"),
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.ShingleMinHash(
+              org.apache.spark.sql.graft.ColumnBridge.expression(
+                TextAnalysis.tokens(col("text"))), 3, 16,
+              hasher eq PortableSeededHash)).as("mhs"))
+        .where(col("mhs").isNotNull)
+        .as[(Long, Seq[Long])].collect().toMap
+      val hof = StreamingNearDup.sigHof(docs, 3, 16, hasher)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native.keySet == hof.keySet, hasher.name) // 9001 dropped: < 3 tokens
+      assert(!native.contains(9001L))
+      native.foreach { case (id, a) => assert(a == hof(id), s"${hasher.name} doc $id") }
+    }
+  }
+
   test("batch-mode execution matches the relational restatement") {
     // flatMapGroupsWithState in batch mode: one group pass, empty state —
     // min-keeper outcome identical to the oracle's formulation
