@@ -14,14 +14,12 @@ import graft.llm.{Dedup, SeededHash, TextAnalysis, XxSeededHash}
   * Design points:
   *
   *  - **Per-row signatures, no pre-shuffle.** The MinHash signature is
-  *    computed per document with higher-order functions
-  *    (`array_min(transform(...))` over the shingle-hash array) instead
-  *    of the batch path's explode + groupBy-min — value-identical (min
-  *    over the same multiset; asserted in StreamingNearDupSpec), and it
-  *    keeps the stream stateless until the single keyed stateful
-  *    operator. (The batch path avoids HOFs for THROUGHPUT — interpreted
-  *    lambdas, see `HashedShingles` — but a streaming ingest is
-  *    latency-bound and the per-row cost is what buys shuffle-freedom.)
+  *    computed per document in ONE compiled pass
+  *    ([[graft.functions.ShingleMinHash]]: tokens → k seeded mins)
+  *    instead of the batch path's explode + groupBy-min — value-identical
+  *    (min over the same multiset; HOF-parity asserted per hash family in
+  *    StreamingNearDupSpec), and it keeps the stream stateless until the
+  *    single keyed stateful operator.
   *
   *  - **Min-keeper semantics, precisely stated.** Bucket state is the
   *    MINIMUM doc_id ever seen in that (band, bucket); a document "hits"
@@ -65,7 +63,7 @@ object StreamingNearDup {
     * shingle strings never materialized for the md5 family). The HOF
     * spelling it replaced (`array_min(transform(...))` over interpreted
     * per-shingle hash lambdas) measured ~7 s of the detector's ~10 s at
-    * sf0.1 and survives only as [[bandBucketsHof]], the parity witness. */
+    * sf0.1 and survives only as `sigHof`, the parity witness. */
   def bandBuckets(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                   hasher: SeededHash = XxSeededHash): DataFrame = {
     require(k % bands == 0, "k must split evenly into bands")

@@ -21,7 +21,7 @@ import graft.llm.Dedup
   *  - 2 planted rare-shingle docs where the short one is fully contained
   *    in the long one (the pair every run must emit exactly).
   *
-  * Per hotDf, the tool times [[Dedup.containmentPairs]] twice:
+  * Per hotDf, the tool times `Dedup.containmentPairs` twice:
   *  1. cap ABOVE hotDf (hot shingle participates): measures the df² join
   *     honestly — candidate-pair row count printed is hotDf·(hotDf-1)/2;
   *  2. cap BELOW hotDf (cap active): the hot shingle leaves candidate
