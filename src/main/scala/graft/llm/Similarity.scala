@@ -185,12 +185,34 @@ object Similarity {
     * the cid key is deliberately coarse, so at production scale raise k
     * rather than relying on AQE to split cluster-sized join partitions.
     *
+    * Skew guard (`maxCluster`, the [[Dedup]] family's `maxDf`/`maxBucket`
+    * contract): the O(Σ cᵢ²) bound assumes k-means balance, but k-means
+    * over near-duplicate-heavy embeddings collapses easily — a degenerate
+    * mega-cluster puts cᵢ² join rows through ONE cid key, the exact
+    * single-key s² shape [[graft.tools.CapFlood]] measured (~16 min for
+    * 537M rows on one reducer). Cells above `maxCluster` are recursively
+    * RE-CLUSTERED ([[clusterCapped]]): their members get a fresh k-means
+    * split (geometry-aware — true semantic pairs stay co-celled where the
+    * embedding space separates at all), up to `maxDepth` levels; cells
+    * k-means cannot split (an identical-vector flood — every seed ties)
+    * are DROPPED, mirroring `dropHotBuckets`: such a flood is exact-dup
+    * territory that q30/q92 should collapse first. Every emitted pair
+    * still carries its exact verified cosine — only recall is traded, and
+    * only while the cap is tripping; below the cap the output is
+    * IDENTICAL to the unguarded join (asserted in SimilaritySpec). The
+    * 4096 default inherits CapFlood's measured single-key curve
+    * (identical s² equi-join shape; BASELINE.md round 6). Like the Lloyd
+    * rounds it guards, the cluster-size probe is an eager action per
+    * level — this operator is iterative/action-driven by construction
+    * (kmeansTrain materializes and sums every round).
+    *
     * Output: (vec_id, component, is_keeper) for every vector in ≥1
     * duplicate pair — [[graft.llm.Dedup.dropNearDups]] applies it. */
   def semanticDedup(corpus: DataFrame, k: Int = 8, iters: Int = 2,
                     threshold: Double = 0.4,
-                    hasher: SeededHash = XxSeededHash): DataFrame = {
-    val withCid = corpus.join(kmeansAssign(corpus, k, iters, hasher), "vec_id")
+                    hasher: SeededHash = XxSeededHash,
+                    maxCluster: Int = 1 << 12): DataFrame = {
+    val withCid = clusterCapped(corpus, k, iters, hasher, maxCluster)
     val a = withCid.select(col("cid"), col("vec_id").as("doc_a"),
       col("embedding").as("ea"))
     val b = withCid.select(col("cid"), col("vec_id").as("doc_b"),
@@ -203,6 +225,59 @@ object Similarity {
       .select("doc_a", "doc_b")
     Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("component"), col("is_keeper"))
+  }
+
+  /** [[kmeansAssign]] cells with the `maxCluster` skew guard (see
+    * [[semanticDedup]]'s scaladoc for the full contract). Returns
+    * (vec_id, embedding, cid) with every surviving cell ≤ `maxCluster`
+    * rows; cid is a STRING (depth-prefixed on refined cells, so refined
+    * ids can never collide with first-level seed ids).
+    *
+    * Per level: one count-per-cid aggregate finds over-cap cells (tiny
+    * frame, broadcast); under-cap rows are final; over-cap rows are
+    * jointly re-clustered with a fresh k-means (subK = max(2, k) — a
+    * k=1 caller still gets an actual split attempt). Joint re-clustering
+    * across hot cells can only co-cell MORE true pairs (every emitted
+    * pair is exact-cosine-verified downstream, so extra candidates are
+    * harmless). After `maxDepth` levels, still-over-cap cells are
+    * dropped — by then every level has failed to split them, which means
+    * seeds tie (near-identical flood). `maxCluster = Int.MaxValue`
+    * returns the unguarded assignment with zero extra work. */
+  private[llm] def clusterCapped(corpus: DataFrame, k: Int, iters: Int,
+                                 hasher: SeededHash, maxCluster: Int,
+                                 maxDepth: Int = 2): DataFrame = {
+    val base = corpus.join(kmeansAssign(corpus, k, iters, hasher), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cid").cast("string").as("cid"))
+    if (maxCluster == Int.MaxValue) return base
+    var acc: DataFrame = null
+    def add(df: DataFrame): Unit =
+      acc = if (acc == null) df else acc.unionByName(df)
+    var pending = base.localCheckpoint()
+    var depth = 0
+    var done = false
+    while (!done) {
+      val hot = pending.groupBy("cid").agg(count(lit(1)).as("_csz"))
+        .where(col("_csz") > maxCluster).select("cid")
+      if (hot.isEmpty) { add(pending); done = true }
+      else if (depth == maxDepth) {
+        // every refinement level failed to split these cells — identical-
+        // vector flood; drop them (the dropHotBuckets trade)
+        add(pending.join(broadcast(hot), Seq("cid"), "left_anti"))
+        done = true
+      } else {
+        add(pending.join(broadcast(hot), Seq("cid"), "left_anti"))
+        val hotRows = pending.join(broadcast(hot), Seq("cid"), "left_semi")
+          .select("vec_id", "embedding")
+          .localCheckpoint()
+        val sub = kmeansAssign(hotRows, math.max(2, k), iters, hasher)
+        pending = hotRows.join(sub, "vec_id")
+          .select(col("vec_id"), col("embedding"),
+            concat_ws("|", lit(depth.toString), col("cid")).as("cid"))
+          .localCheckpoint()
+        depth += 1
+      }
+    }
+    acc
   }
 
   /** [[kmeansAssign]] returning BOTH halves of the trained quantizer: the

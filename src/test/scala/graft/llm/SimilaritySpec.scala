@@ -103,4 +103,48 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 0L, true), (1L, 0L, false),
       (2L, 2L, true), (3L, 2L, false)))
   }
+
+  test("maxCluster guard is identity below the cap") {
+    def run(cap: Int) = Similarity.semanticDedup(emb, k = 4, iters = 2,
+        threshold = 0.4, maxCluster = cap)
+      .select("vec_id", "component", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // sf0.001 cluster sizes are far below the default cap: guarded ==
+    // unguarded, and the guard's size probe is the only extra work
+    assert(run(1 << 12) == run(Int.MaxValue))
+  }
+
+  test("maxCluster guard drops an unsplittable identical-vector flood") {
+    // 40 identical vectors: every k-means seed ties, so no refinement
+    // level can split the cell — after maxDepth the flood is DROPPED
+    // (the dropHotBuckets trade; exact dedup is the right tool for it)
+    val flood = (0L until 40L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cells = Similarity.clusterCapped(flood, k = 2, iters = 2,
+      XxSeededHash, maxCluster = 8)
+    assert(cells.isEmpty)
+    assert(Similarity.semanticDedup(flood, k = 2, iters = 2,
+      threshold = 0.9, maxCluster = 8).isEmpty)
+  }
+
+  test("maxCluster guard: every surviving cell is at or below the cap") {
+    // three orthogonal identical-vector blobs; k=2 must co-cell at least
+    // two of them, tripping the cap; refinement either splits the merged
+    // cell along the blob boundary or (same-blob seeds tie) drops it —
+    // both outcomes satisfy the invariant the pair join depends on
+    val blobs =
+      (0L until 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f))) ++
+      (30L until 60L).map(i => (i, Array(0.0f, 1.0f, 0.0f))) ++
+      (60L until 65L).map(i => (i, Array(0.0f, 0.0f, 1.0f)))
+    val corpus = blobs.toDF("vec_id", "embedding")
+    val cells = Similarity.clusterCapped(corpus, k = 2, iters = 2,
+      XxSeededHash, maxCluster = 32)
+    val sizes = cells.groupBy("cid").count()
+      .select("count").as[Long].collect()
+    assert(sizes.forall(_ <= 32), s"over-cap cell survived: ${sizes.toSeq}")
+    // survivors are a subset of the corpus, each exactly once
+    val ids = cells.select("vec_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length)
+    assert(ids.toSet.subsetOf(blobs.map(_._1).toSet))
+  }
 }
