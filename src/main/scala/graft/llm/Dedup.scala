@@ -69,10 +69,23 @@ object Dedup {
     * [[containmentPairs]]; the difference is that with no hot shingle in
     * the corpus (the overwhelmingly common case — the cap exists for
     * template floods) the aggregated match count is EXACTLY |A∩B|, so
-    * the Jaccard is computed from the count and no verify join exists
-    * in the plan at all. Whether a hot shingle exists is one tiny
-    * driver-side aggregate on the (already-shuffled) df frame — a plan
-    * choice, not a data collect. */
+    * the Jaccard is computed from the count and the plan runs ZERO
+    * doc-level joins: sz_a/sz_b ride through the pair groupBy, so the
+    * (largest-in-the-query) pair frame is never shuffled again.
+    *
+    * EAGER ACTION AT CONSTRUCTION (deliberate, measured): whether a hot
+    * shingle exists is probed with one df-aggregation job when the
+    * DataFrame is BUILT — merely constructing this plan (e.g. the
+    * Plans.scala explain sweep) runs that job. The lazy alternative —
+    * one unconditional plan joining a per-doc hot-shingle allowance onto
+    * the pair frame, [[containmentPairs]]-style — was built and measured
+    * in round 7: +10% at sf0.1 and 2.2× SLOWER at 100× (50 → 112 s),
+    * because the no-hot fast path's zero-join property is exactly what
+    * the allowance joins destroy (two extra shuffles of the pair frame,
+    * paid always, needed only when the cap trips). The df frame is
+    * persisted so the probe's aggregation is REUSED by the hot branch
+    * (the old double postings pass is gone) and released immediately on
+    * the cold branch. */
   private[llm] def jaccardCountFilter(docs: DataFrame, n: Int,
                                       threshold: Double,
                                       storageLevel: StorageLevel,
@@ -86,9 +99,13 @@ object Dedup {
     // sz = |FULL shingle set| (hot included), carried through the explode
     val ex = sh.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
       explode(col("sh")).as("sg"))
+    // persisted so the eager hot probe below and the hot branch share ONE
+    // postings aggregation
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hot = freq.where(col("df") > maxDf).select("sg")
-    val hotEmpty = hot.isEmpty
+    val hotEmpty = hot.isEmpty // the documented eager probe
+    if (hotEmpty) freq.unpersist()
     val cold =
       if (hotEmpty) ex else ex.join(broadcast(hot), Seq("sg"), "left_anti")
     // sz functionally depends on doc_id — grouping by it rides along free
@@ -251,6 +268,17 @@ object Dedup {
                        storageLevel: StorageLevel =
                          StorageLevel.MEMORY_AND_DISK,
                        maxDf: Int = 1 << 12): DataFrame = {
+    val (sh, ex, freq) = shingleFrames(docs, n, storageLevel)
+    containmentPairsCore(sh, ex, freq, threshold, maxDf)
+  }
+
+  /** Shared front half of the containment family: persisted per-doc
+    * shingle sets, exploded postings, and the global df frame — built
+    * once so [[crossContamination]]'s routing probe and whichever
+    * candidate path it picks reuse the same frames. */
+  private def shingleFrames(docs: DataFrame, n: Int,
+                            storageLevel: StorageLevel)
+      : (DataFrame, DataFrame, DataFrame) = {
     val sh0 = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -259,6 +287,12 @@ object Dedup {
              else sh0.persist(storageLevel)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    (sh, ex, freq)
+  }
+
+  private def containmentPairsCore(sh: DataFrame, ex: DataFrame,
+                                   freq: DataFrame, threshold: Double,
+                                   maxDf: Int): DataFrame = {
     val hot = freq.where(col("df") > maxDf).select("sg")
     val cold = ex.join(broadcast(hot), Seq("sg"), "left_anti")
     // per-doc size and hot-shingle count: one narrow row per doc (NOT
@@ -335,14 +369,13 @@ object Dedup {
                              storageLevel: StorageLevel =
                                StorageLevel.MEMORY_AND_DISK,
                              maxDf: Int = 1 << 12): DataFrame = {
-    val sh0 = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        TextAnalysis.hashedShinglesFromTokens(col("toks"), n).as("sh"))
-    val sh = if (storageLevel == StorageLevel.NONE) sh0
-             else sh0.persist(storageLevel)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
-    val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    val (sh, ex, freq) = shingleFrames(docs, n, storageLevel)
+    containmentPairsSketchCore(sh, ex, freq, threshold, k, maxDf)
+  }
+
+  private def containmentPairsSketchCore(sh: DataFrame, ex: DataFrame,
+                                         freq: DataFrame, threshold: Double,
+                                         k: Int, maxDf: Int): DataFrame = {
     val hot = freq.where(col("df") > maxDf).select("sg")
     val cold = ex.join(broadcast(hot), Seq("sg"), "left_anti")
     // bottom-k of the COLD shingles per doc: the shingle array is sorted
@@ -430,34 +463,83 @@ object Dedup {
     exact(docs.withColumn("text",
       TextAnalysis.normalizeForDedup(col("text"))))
 
+  /** Candidate-path routing for [[crossContamination]]. */
+  sealed trait Route
+  /** Always the exact count-filter path ([[containmentPairs]]). */
+  case object ExactRoute extends Route
+  /** Always the bottom-k sketch path ([[containmentPairsSketch]]) —
+    * recall becomes probabilistic, emitted values stay exact. */
+  case object SketchRoute extends Route
+  /** Probe the measured df distribution and pick the cheaper path —
+    * see [[postingsMeanDf]] for the statistic and its calibration. */
+  case object AutoRoute extends Route
+
+  /** The [[AutoRoute]] statistic: the postings-weighted mean document
+    * frequency Σdf²/Σdf over below-cap shingles — the expected df of the
+    * shingle under a random posting, i.e. the expected number of join
+    * rows each posting generates in the exact count-filter candidate
+    * join. The sketch path replaces that per-posting fan-out with k
+    * rows/doc, so it pays when this statistic is large. Calibrated with
+    * [[graft.tools.DfStat]] on the round-6 BASELINE.md corpora (where
+    * the exact-vs-sketch crossover was measured directly): the 10×/100×
+    * disjoint corpora (exact faster) measure 10.7; the 10×
+    * duplication-flood corpus (sketch faster) measures 107.2 — the
+    * default threshold 32 is the geometric mean of the two regimes. */
+  private[graft] def postingsMeanDf(freq: DataFrame, maxDf: Int): Double = {
+    val r = freq.where(col("df") <= maxDf)
+      .agg(sum(col("df") * col("df")).cast("double"),
+        sum(col("df")).cast("double"))
+      .head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
   /** Benchmark decontamination: which `corpus` documents share ≥
     * `threshold` n-gram containment with ANY `benchmark` document — the
     * check a training pipeline runs before shipping a corpus that might
     * swallow its own eval set. Both frames need (doc_id, text) with
     * globally distinct ids (a hash split guarantees this).
     *
-    * Implementation: one side-tagged union through [[containmentPairs]]
-    * (inheriting its count-filter candidate generation, hot-shingle
+    * Implementation: one side-tagged union through the containment
+    * candidate machinery (count-filter candidate generation, hot-shingle
     * allowance and `maxDf` guard), then cross-side pairs only — corpus-internal and
     * benchmark-internal near-dups are not contamination. Output:
-    * (corpus_doc, benchmark_doc, containment). */
+    * (corpus_doc, benchmark_doc, containment).
+    *
+    * `route` picks the candidate path. The default [[AutoRoute]]
+    * dispatches on the MEASURED df statistic ([[postingsMeanDf]]) rather
+    * than a caller guess — round 6 measured that the bottom-k sketch
+    * pays only in high-df regimes, so the engine now routes on the
+    * number it measured. The probe is one narrow aggregate over the df
+    * frame (persisted, shared with the chosen path's hot-shingle guard)
+    * — an eager action by necessity: two physically different plans
+    * cannot be chosen without looking at the data. Callers that know
+    * their regime pin [[ExactRoute]] (oracle-exact recall, the gate
+    * default via auto on low-df corpora) or [[SketchRoute]]. */
   def crossContamination(corpus: DataFrame, benchmark: DataFrame, n: Int,
                          threshold: Double, maxDf: Int = 1 << 12,
-                         useSketch: Boolean = false): DataFrame = {
+                         route: Route = AutoRoute,
+                         sketchMeanDf: Double = 32.0): DataFrame = {
     val tagged = corpus.select(col("doc_id"), col("text"))
       .withColumn("side", lit("C"))
       .unionByName(benchmark.select(col("doc_id"), col("text"))
         .withColumn("side", lit("B")))
     val sides = tagged.select("doc_id", "side")
-    // useSketch routes through the bottom-k prefilter
-    // ([[containmentPairsSketch]]) — the opt-in scale path for high-df
-    // corpora; emitted values stay exact, recall becomes probabilistic
-    val pairs =
-      if (useSketch)
-        containmentPairsSketch(tagged.select("doc_id", "text"), n,
-          threshold, maxDf = maxDf)
-      else containmentPairs(tagged.select("doc_id", "text"), n,
-        threshold, maxDf = maxDf)
+    val (sh, ex, freq0) = shingleFrames(tagged.select("doc_id", "text"), n,
+      StorageLevel.MEMORY_AND_DISK)
+    val pairs = route match {
+      case ExactRoute =>
+        containmentPairsCore(sh, ex, freq0, threshold, maxDf)
+      case SketchRoute =>
+        containmentPairsSketchCore(sh, ex, freq0, threshold, 32, maxDf)
+      case AutoRoute =>
+        // persist: the probe aggregate and the chosen path's hot-shingle
+        // guard both consume the df frame
+        val freq = freq0.persist(StorageLevel.MEMORY_AND_DISK)
+        if (postingsMeanDf(freq, maxDf) > sketchMeanDf)
+          containmentPairsSketchCore(sh, ex, freq, threshold, 32, maxDf)
+        else containmentPairsCore(sh, ex, freq, threshold, maxDf)
+    }
     pairs
       .join(sides.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("side", "side_a"), "doc_a")
@@ -653,8 +735,15 @@ object Dedup {
     * the iteration count, and (c) there is no cache-invalidation cascade
     * from releasing a superseded round (Dataset.unpersist recompiles and
     * lazily recomputes dependent cache entries — measured as every round
-    * re-running the whole LSH pipeline). On a real cluster prefer reliable
-    * `checkpoint()` (localCheckpoint blocks die with an executor); the
+    * re-running the whole LSH pipeline). On a real cluster pass
+    * `reliable = true` for reliable `checkpoint()` (localCheckpoint
+    * blocks die with an executor, and losing one mid-iteration loses the
+    * truncated lineage — there is nothing to recompute from); it writes
+    * each round to `spark.sparkContext.getCheckpointDir`, WHICH MUST BE
+    * SET (to cluster-durable storage — HDFS/object store) before the
+    * call. The default stays localCheckpoint: right for local mode and
+    * for callers preferring retry-the-stage over per-round remote
+    * writes. Both modes are value-identical (asserted in DedupSpec). The
     * convergence check is a single scalar aggregate (DECIMAL sum — no ANSI
     * overflow at any id range).
     *
@@ -662,25 +751,23 @@ object Dedup {
     * that appears in any pair — (doc_id, component, is_keeper). Documents
     * with no near-dup pair are absent (they are their own keepers by
     * definition). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val pr = pairs
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          reliable: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val pr = ckpt(pairs
       .select(col("doc_a").cast("long").as("src"),
-        col("doc_b").cast("long").as("dst"))
-      .localCheckpoint()
-    val edges = pr
+        col("doc_b").cast("long").as("dst")))
+    val edges = ckpt(pr
       .union(pr.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+      .distinct())
+    val nodes = ckpt(edges.select(col("src").as("node")).distinct())
     // self-loops make "min over self + neighbors" a single join+groupBy
     // per round instead of a join+union (fewer ops, and a per-round union
     // whose children share attribute ids trips Union constraint rewriting)
-    val edgesSelf = edges
-      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+    val edgesSelf = ckpt(edges
+      .union(nodes.select(col("node").as("src"), col("node").as("dst"))))
+    var labels = ckpt(nodes.select(col("node"), col("node").as("label")))
     var prevSum: java.math.BigDecimal = null
     // no edges: skip the loop (the sum-based check can't converge on an
     // empty frame — its scalar is NULL every round)
@@ -694,12 +781,12 @@ object Dedup {
       // pointer jump: l(v) <- min(l(v), l(l(v))). Every label IS a node id
       // present in nbrMin (labels start as node ids and min-merge), so the
       // inner self-join is total.
-      val next = nbrMin.as("x")
+      // eager checkpoint: materializes this round, truncates lineage
+      val next = ckpt(nbrMin.as("x")
         .join(nbrMin.select(col("node").as("ln"), col("label").as("ll")),
           col("x.label") === col("ln"))
         .select(col("x.node").as("node"),
-          least(col("x.label"), col("ll")).as("label"))
-        .localCheckpoint() // eager: materializes this round, truncates lineage
+          least(col("x.label"), col("ll")).as("label")))
       val s = next.agg(sum(col("label").cast("decimal(38,0)")))
         .head().getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0

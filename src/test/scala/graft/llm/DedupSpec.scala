@@ -282,10 +282,50 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 < 100L && p._2 < 100L))
     // the sketch scale path reports the same contamination here
     val sk = Dedup.crossContamination(corpusDocs, bench, n = 3,
-        threshold = 0.8, useSketch = true)
+        threshold = 0.8, route = Dedup.SketchRoute)
       .select("corpus_doc", "benchmark_doc").as[(Long, Long)]
       .collect().toSet
     assert(sk == out)
+    // auto-routing measures a low-df corpus and picks the exact path:
+    // same answer, no caller flag needed
+    val auto = Dedup.crossContamination(corpusDocs, bench, n = 3,
+        threshold = 0.8, route = Dedup.AutoRoute)
+      .select("corpus_doc", "benchmark_doc").as[(Long, Long)]
+      .collect().toSet
+    assert(auto == out)
+  }
+
+  test("auto-route statistic separates high-df floods from normal corpora") {
+    def meanDf(docs: org.apache.spark.sql.DataFrame): Double = {
+      val sg = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.hashedShinglesFromTokens(
+            TextAnalysis.tokens(col("text")), 3)).as("sg"))
+      Dedup.postingsMeanDf(
+        sg.groupBy("sg").agg(count(lit(1)).as("df")), maxDf = 1 << 12)
+    }
+    val normal = meanDf(spark.read.parquet(s"$Sf0001/documents.parquet"))
+    // 60 docs sharing one boilerplate phrase: dfs ~60 on most postings
+    val flood = meanDf((0L until 60L).map(i =>
+        (i, s"common footer text over and over again token$i"))
+      .toDF("doc_id", "text"))
+    // 32 = the calibrated default (DfStat: disjoint corpora 10.7, the
+    // round-6 duplication flood 107.2 — this corpus sits in between
+    // the flood and the geometric-mean threshold)
+    assert(normal < 32.0, s"normal corpus statistic $normal routes exact")
+    assert(flood > 32.0, s"flood statistic $flood routes to the sketch")
+  }
+
+  test("connected components: reliable checkpoint mode is value-identical") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    def run(reliable: Boolean) =
+      Dedup.connectedComponents(pairs, reliable = reliable)
+        .select("doc_id", "component", "is_keeper")
+        .as[(Long, Long, Boolean)].collect().toSet
+    assert(run(reliable = true) == run(reliable = false))
   }
 
   test("dropNearDups keeps exactly the keepers plus unpaired docs") {
