@@ -34,6 +34,31 @@ object StreamingQueries {
     }
   }
 
+  /** Stage a parquet table for file-stream replay: the file stream source
+    * requires a DIRECTORY it can list for new files, so the table is
+    * linked (copy fallback for filesystems without symlinks) into a fresh
+    * temp dir. Handles both layouts: a single-file table (the testdata
+    * `<table>.parquet` files) links as one file; a parquet DIRECTORY (any
+    * real `df.write.parquet` output — e.g. the 100× scale corpora) links
+    * each part file, so the stream replays one micro-batch per part with
+    * `maxFilesPerTrigger = 1` — a genuine multi-batch ingest replay, not
+    * a single-batch degenerate. */
+  private def stageForStream(dir: String, table: String, tag: String): String = {
+    val srcDir = java.nio.file.Files.createTempDirectory(s"graft-$tag-src")
+    val src = java.nio.file.Paths.get(s"$dir/$table")
+    def link(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+      try java.nio.file.Files.createSymbolicLink(to, from)
+      catch { case _: Exception => java.nio.file.Files.copy(from, to) }
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = java.nio.file.Files.list(src)
+      try parts.iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.endsWith(".parquet")) link(p, srcDir.resolve(name))
+      } finally parts.close()
+    } else link(src, srcDir.resolve(table))
+    srcDir.toString
+  }
+
   /** Tumbling 1-hour window counts (q40). Epoch-aligned hourly windows ==
     * date_trunc('hour') in the oracle. */
   def tumblingWindow(s: SparkSession, dir: String): DataFrame =
@@ -96,14 +121,8 @@ object StreamingQueries {
     * StreamingSpec: a within-watermark duplicate collapses across
     * micro-batches, a past-watermark duplicate survives. */
   def dedupBatch(s: SparkSession, dir: String): DataFrame = {
-    // the file stream source requires a DIRECTORY; the testdata table is a
-    // single file — stage a link/copy of it in a temp dir
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-q83-src")
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val staged = srcDir.resolve("events.parquet")
-    try java.nio.file.Files.createSymbolicLink(staged, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
-    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+    val srcDir = stageForStream(dir, "events.parquet", "q83")
+    val stream = EventsStream.fromDirectory(s, srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // see Tables
     val out = java.nio.file.Files.createTempDirectory("graft-q83").toString
     withRocksDb(s) {
@@ -134,12 +153,8 @@ object StreamingQueries {
     * buffering) is pinned in StreamingSpec with a shuffled MemoryStream
     * replay. */
   def streamingAsOfBuffered(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-q85-src")
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val staged = srcDir.resolve("events.parquet")
-    try java.nio.file.Files.createSymbolicLink(staged, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
-    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+    val srcDir = stageForStream(dir, "events.parquet", "q85")
+    val stream = EventsStream.fromDirectory(s, srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // see Tables
     val out = java.nio.file.Files.createTempDirectory("graft-q85").toString
     withRocksDb(s) {
@@ -168,12 +183,8 @@ object StreamingQueries {
     * cardinality is property-tested in MisraGriesSpec. */
   def heavyHittersStream(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-q86-src")
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val staged = srcDir.resolve("events.parquet")
-    try java.nio.file.Files.createSymbolicLink(staged, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
-    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+    val srcDir = stageForStream(dir, "events.parquet", "q86")
+    val stream = EventsStream.fromDirectory(s, srcDir)
     val out = java.nio.file.Files.createTempDirectory("graft-q86").toString
     val q = stream.groupBy("user_id")
       .agg(expr("misra_gries(event_type, 8)").as("m"))
@@ -204,12 +215,8 @@ object StreamingQueries {
     * (no event-time column on documents) — the watermarked variant is
     * q83 over events. */
   def streamingIngest(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-q93-src")
-    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val staged = srcDir.resolve("documents.parquet")
-    try java.nio.file.Files.createSymbolicLink(staged, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
-    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+    val srcDir = stageForStream(dir, "documents.parquet", "q93")
+    val stream = EventsStream.fromDirectory(s, srcDir)
     val out = java.nio.file.Files.createTempDirectory("graft-q93").toString
     val bucket =
       graft.llm.PortableSeededHash.hash(col("fp"), 42) % 100
@@ -240,12 +247,8 @@ object StreamingQueries {
     * cross-batch contract (flag iff the smaller id arrived no later) is
     * pinned in StreamingNearDupSpec. */
   def streamingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-q101-src")
-    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
-    val staged = srcDir.resolve("documents.parquet")
-    try java.nio.file.Files.createSymbolicLink(staged, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, staged) }
-    val stream = EventsStream.fromDirectory(s, srcDir.toString)
+    val srcDir = stageForStream(dir, "documents.parquet", "q101")
+    val stream = EventsStream.fromDirectory(s, srcDir)
     val out = java.nio.file.Files.createTempDirectory("graft-q101").toString
     withRocksDb(s) {
       val q = graft.streaming.StreamingNearDup
