@@ -92,8 +92,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // BOTH totals: "value" mixes stream-lane mins with batch medians (the
+    // honest per-query figures — see STREAM LANE above), which makes it
+    // incomparable across rounds whenever stream-lane jitter differs;
+    // "total_all_median" is the uniform median-of-rounds sum, the number
+    // to diff round-over-round.
+    val allMedian = names.map(n => median(rounds.map(_(n))))
+      .filter(_ >= 0).sum
+    System.err.println(
+      f"[bench] total (stream-min + batch-median)=$total%.1f s; all-median=$allMedian%.1f s")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_all_median":$allMedian,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout capture can truncate (BENCH_r03 lost a third of its queries
     // to a tail cut) — the artifact also lands in a file

@@ -26,12 +26,15 @@ object Plans {
     val sb = new StringBuilder
     sb.append("# Physical plans (explain formatted)\n\n")
     sb.append(s"Source: `$sfDir`, AQE on, shuffle.partitions=4.\n\n")
-    sb.append("Stream-running queries (q83/q85/q86/q93) execute their " +
-      "stream when invoked, so their plan below is the sink read-back; " +
-      "q83/q85 run on the RocksDB state store provider " +
+    sb.append("Stream-running queries (q83/q85/q86/q93/q101) execute " +
+      "their stream when invoked, so their plan below is the sink " +
+      "read-back; q83/q85/q101 run on the RocksDB state store provider " +
       "(`StreamingQueries.withRocksDb`). q95 materializes the ANN bucket " +
       "join eagerly (rewrite flag on) — its plan below is the exact-side " +
-      "comparison that follows.\n")
+      "comparison that follows. Plan CONSTRUCTION itself runs a narrow " +
+      "aggregate job for the documented eager probes: q31's hot-shingle " +
+      "probe, q91's AutoRoute statistic, q99's per-level cluster-size " +
+      "check.\n")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.explainString(

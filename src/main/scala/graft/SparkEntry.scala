@@ -132,6 +132,7 @@ object SparkEntry {
     "q99_semantic_dedup" -> LlmQueries.semanticDedup,
     "q100_neardup_artifacts" -> LlmQueries.neardupArtifacts,
     "q101_streaming_neardup" -> StreamingQueries.streamingNearDup,
+    "q102_audio_roundtrip" -> LlmQueries.audioRoundtrip,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -710,6 +711,21 @@ FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(g) AS BIGINT) AS sum_gray
         |FROM px GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
+    // q102: like q98, the oracle predicts the decoded audio metadata
+    // analytically (sample count + signed-sample sum are pure integer
+    // formulas of doc_id) — the Spark side must produce them through a
+    // REAL WAV encode + decode (javax.sound.sampled), so a header
+    // misread or sample corruption hash-mismatches.
+    "q102_audio_roundtrip" ->
+      """WITH d AS (SELECT doc_id, 32 + doc_id % 97 AS ns FROM documents),
+        |s AS (SELECT doc_id, ns,
+        |        CAST((doc_id * 31 + t.i * 17) % 4001 - 2000 AS BIGINT) AS v
+        |      FROM d, LATERAL unnest(range(ns)) AS t(i))
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_val
+        |FROM s GROUP BY doc_id, ns
         |ORDER BY doc_id""".stripMargin,
     // q95: DuckDB pins the exact cosine-threshold pair count; the flags
     // assert the bucket join emitted a ≥20%-recall subset of those pairs.

@@ -60,12 +60,17 @@ object ShingleMinHash {
               md5Family: Boolean): ArrayData = {
     val m = toks.numElements()
     if (m < n) return null
-    // token bytes fetched once; shingle windows reuse them
+    // token bytes fetched once; shingle windows reuse them. A null token
+    // stays null: concat_ws (the HOF/batch shingle spelling) SKIPS nulls —
+    // no bytes, no separator — so the window loops below must too, or the
+    // two formulations hash different strings (split() never yields
+    // nulls, but hand-built token arrays can; parity pinned in
+    // StreamingNearDupSpec).
     val tb = new Array[Array[Byte]](m)
     var i = 0
     while (i < m) {
       val s = toks.getUTF8String(i)
-      tb(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      tb(i) = if (s == null) null else s.getBytes
       i += 1
     }
     val out = new Array[Long](k)
@@ -82,9 +87,14 @@ object ShingleMinHash {
         md.reset()
         md.update(MdPrefix)
         var j = 0
+        var first = true
         while (j < n) {
-          if (j > 0) md.update(Space)
-          md.update(tb(i + j))
+          val t = tb(i + j)
+          if (t != null) {
+            if (!first) md.update(Space)
+            md.update(t)
+            first = false
+          }
           j += 1
         }
         val b = md.digest()
@@ -95,19 +105,32 @@ object ShingleMinHash {
           ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
         hb = (hi >>> 4) % P31 // top-60-bit value is non-negative
       } else {
-        // shingle bytes = tokens joined by ' '; xxhash64 folds them as
-        // ONE string argument, so materialize the window's bytes once
-        var len = n - 1
+        // shingle bytes = non-null tokens joined by ' ' (concat_ws
+        // semantics); xxhash64 folds them as ONE string argument, so
+        // materialize the window's bytes once
+        var len = 0
+        var nn = 0
         var j = 0
-        while (j < n) { len += tb(i + j).length; j += 1 }
+        while (j < n) {
+          val t = tb(i + j)
+          if (t != null) { len += t.length; nn += 1 }
+          j += 1
+        }
+        if (nn > 1) len += nn - 1
         val buf = new Array[Byte](len)
         var p = 0
+        var first = true
         j = 0
         while (j < n) {
-          if (j > 0) { buf(p) = Space; p += 1 }
           val t = tb(i + j)
-          System.arraycopy(t, 0, buf, p, t.length)
-          p += t.length
+          if (t != null) {
+            // `first`, not `p > 0`: an empty first token is still a
+            // joined value and the next token gets its separator
+            if (!first) { buf(p) = Space; p += 1 }
+            System.arraycopy(t, 0, buf, p, t.length)
+            p += t.length
+            first = false
+          }
           j += 1
         }
         val h = XXH64.hashUnsafeBytes(buf,

@@ -100,12 +100,19 @@ object Dedup {
     val ex = sh.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
       explode(col("sh")).as("sg"))
     // persisted so the eager hot probe below and the hot branch share ONE
-    // postings aggregation
-    val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // postings aggregation. StorageLevel.NONE opts out of ALL persistence
+    // in this operator (callers managing memory themselves) — the hot
+    // branch then recomputes the df frame, the documented price of the
+    // opt-out. On the hot branch the persisted frame stays cached until
+    // the returned query consumes it (the hot-list broadcasts); that
+    // retained cache is part of the contract, same as `sh`'s persist.
+    val doPersist = storageLevel != StorageLevel.NONE
+    val freq0 = ex.groupBy("sg").agg(count(lit(1)).as("df"))
+    val freq = if (doPersist) freq0.persist(StorageLevel.MEMORY_AND_DISK)
+               else freq0
     val hot = freq.where(col("df") > maxDf).select("sg")
     val hotEmpty = hot.isEmpty // the documented eager probe
-    if (hotEmpty) freq.unpersist()
+    if (hotEmpty && doPersist) freq.unpersist()
     val cold =
       if (hotEmpty) ex else ex.join(broadcast(hot), Seq("sg"), "left_anti")
     // sz functionally depends on doc_id — grouping by it rides along free
@@ -486,8 +493,13 @@ object Dedup {
     * duplication-flood corpus (sketch faster) measures 107.2 — the
     * default threshold 32 is the geometric mean of the two regimes. */
   private[graft] def postingsMeanDf(freq: DataFrame, maxDf: Int): Double = {
+    // df cast to double BEFORE the multiply: Σdf² in LongType can exceed
+    // Long.MaxValue at the 100 TB design point (up to maxDf²·|shingles|),
+    // silently wrapping (non-ANSI) or throwing (ANSI) — either corrupts
+    // the routing decision; fp accumulation error is irrelevant at the
+    // threshold's granularity
     val r = freq.where(col("df") <= maxDf)
-      .agg(sum(col("df") * col("df")).cast("double"),
+      .agg(sum(col("df").cast("double") * col("df")),
         sum(col("df")).cast("double"))
       .head()
     if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
@@ -534,7 +546,10 @@ object Dedup {
         containmentPairsSketchCore(sh, ex, freq0, threshold, 32, maxDf)
       case AutoRoute =>
         // persist: the probe aggregate and the chosen path's hot-shingle
-        // guard both consume the df frame
+        // guard both consume the df frame; it stays cached until the
+        // returned query runs the hot-list broadcast (part of the API
+        // contract, like `sh`'s persist — unpersisting earlier would make
+        // the chosen path recompute the postings aggregation)
         val freq = freq0.persist(StorageLevel.MEMORY_AND_DISK)
         if (postingsMeanDf(freq, maxDf) > sketchMeanDf)
           containmentPairsSketchCore(sh, ex, freq, threshold, 32, maxDf)
@@ -753,8 +768,23 @@ object Dedup {
     * definition). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           reliable: Boolean = false): DataFrame = {
+    // reliable RDD checkpoint runs a SECOND job to write the files and
+    // recomputes the lineage for it unless the blocks are cached — which
+    // would compute the (possibly very expensive LSH) pair source twice
+    // per call and every round's `next` twice. Persist around the
+    // checkpoint so the write job reads cached blocks, then release them
+    // (the checkpoint files are the durable source from here on). Old
+    // rounds' checkpoint files accumulate under the checkpoint dir for
+    // the app's lifetime unless
+    // spark.cleaner.referenceTracking.cleanCheckpoints is set.
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+      if (!reliable) df.localCheckpoint()
+      else {
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        val out = df.checkpoint() // eager: caches, then writes from cache
+        df.unpersist(blocking = false)
+        out
+      }
     val pr = ckpt(pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst")))

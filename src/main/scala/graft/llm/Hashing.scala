@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
   *
   * Both produce values deterministic across runs, partitions and
   * executors (no driver-side randomness to ship).
+  *
+  * SEALED: the compiled per-row signature path
+  * ([[graft.functions.ShingleMinHash]]) replicates each family's exact
+  * byte-level hash fold — a third family would need its own compiled
+  * replica, so adding one is a compile-time decision (the dispatch in
+  * [[graft.streaming.StreamingNearDup.bandBuckets]] is an exhaustive
+  * match), never a silent fallback.
   */
-trait SeededHash {
+sealed trait SeededHash {
   /** Non-negative-or-full-range 64-bit hash of `c` under `seed`. Values for
     * different seeds are independent; equal inputs hash equal. */
   def hash(c: Column, seed: Int): Column

@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   *    recomputes the expected dimensions and integer pixel sums
   *    analytically, so a header misread or pixel corruption
   *    hash-mismatches).
-  *  - **Stub codec** ([[FakeCodec]]) for the audio/video-shaped paths
+  *  - **REAL audio codec** ([[encodeWav]]/[[decodeWav]]): JDK
+  *    `javax.sound.sampled` — WAV container + PCM16 decode ship with
+  *    every JVM — exercised end-to-end by q102 on the q98 playbook
+  *    (deterministic synthetic signals → real WAV bytes → real decode;
+  *    analytic oracle).
+  *  - **Stub codec** ([[FakeCodec]]) for the VIDEO-shaped paths
   *    (resize stride, frame sampling, feature histograms) whose real
   *    codecs (ffmpeg-class) are NOT in this container: byte-level
   *    deterministic stand-ins keep the schema, batching and oracle
@@ -132,6 +137,78 @@ object Multimodal {
             }
             Some(ImageMeta(row.doc_id, w.toLong, h.toLong,
               w.toLong * h, sum))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+                       n_samples: Long, sum_val: Long)
+
+  /** Deterministic synthetic PCM16 mono signal per doc, encoded as REAL
+    * WAV bytes via JDK `javax.sound.sampled` (`AudioSystem.write`, WAVE
+    * container): 8 kHz, n_samples = 32 + id%97,
+    * sample(i) = ((id·31 + i·17) mod 4001) − 2000. All integer
+    * arithmetic — the oracle predicts the decoded sample count and sum
+    * without touching a codec (the q98 image playbook, audio edition). */
+  def encodeWav(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val ns = (32 + id % 97).toInt
+        val pcm = new Array[Byte](ns * 2)
+        var i = 0
+        while (i < ns) {
+          val v = ((id * 31 + i.toLong * 17) % 4001 - 2000).toInt
+          pcm(2 * i) = (v & 0xff).toByte          // little-endian PCM16
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL audio decode through the batch seam: `javax.sound.sampled`
+    * parses the WAV/AIFF/AU header (format, channels, rate, frame count)
+    * and streams the PCM frames; samples are reassembled at the declared
+    * endianness and summed — integer-exact, so a header misread, sample
+    * corruption or row drop hash-mismatches against the analytic oracle.
+    * Undecodable payloads and non-16-bit encodings are DROPPED (flatMap
+    * None — the same null-on-error contract as [[decodeImages]]). */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.media))
+          val fmt = ais.getFormat
+          if (fmt.getSampleSizeInBits != 16) None
+          else {
+            val ch = fmt.getChannels
+            val bytes = ais.readAllBytes()
+            val nSamples = bytes.length / 2 // 16-bit samples across channels
+            var sum = 0L
+            var i = 0
+            while (i < nSamples) {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1)
+              val v = if (fmt.isBigEndian) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+                      else ((hi << 8) | lo).toShort
+              sum += v
+              i += 1
+            }
+            Some(AudioMeta(row.doc_id, fmt.getSampleRate.toLong, ch.toLong,
+              nSamples.toLong / ch, sum))
           }
         } catch { case _: Exception => None }
       }

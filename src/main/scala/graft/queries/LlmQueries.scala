@@ -127,12 +127,24 @@ object LlmQueries {
     * sum are recomputed analytically from the same integer formulas, so
     * any header misread, pixel corruption, or row drop in the
     * encode/decode path hash-mismatches. This retires the "codec is a
-    * stub" caveat for images — audio/video stay stubbed
-    * ([[graft.llm.Multimodal.FakeCodec]]) because their codecs are not
-    * in the container. */
+    * stub" caveat for images — video stays stubbed
+    * ([[graft.llm.Multimodal.FakeCodec]]) because its codecs are not
+    * in the container; audio is real via q102. */
   def imageRoundtrip(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeImages(s,
         Multimodal.encodePng(s, table(s, dir, "documents")).toDF())
+      .toDF()
+      .orderBy("doc_id")
+
+  /** REAL audio codec roundtrip (q102): deterministic synthetic PCM16
+    * signals → real WAV encode (`javax.sound.sampled`) → real WAV decode
+    * → integer metadata; the oracle recomputes the sample count and sum
+    * analytically from the same integer formulas (the q98 playbook).
+    * This retires the audio-stub caveat — video is now the one
+    * documented stub. */
+  def audioRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWav(s,
+        Multimodal.encodeWav(s, table(s, dir, "documents")).toDF())
       .toDF()
       .orderBy("doc_id")
 

@@ -44,17 +44,30 @@ object StreamingQueries {
     * `maxFilesPerTrigger = 1` — a genuine multi-batch ingest replay, not
     * a single-batch degenerate. */
   private def stageForStream(dir: String, table: String, tag: String): String = {
-    val srcDir = java.nio.file.Files.createTempDirectory(s"graft-$tag-src")
-    val src = java.nio.file.Paths.get(s"$dir/$table")
-    def link(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
-      try java.nio.file.Files.createSymbolicLink(to, from)
-      catch { case _: Exception => java.nio.file.Files.copy(from, to) }
-    if (java.nio.file.Files.isDirectory(src)) {
-      val parts = java.nio.file.Files.list(src)
-      try parts.iterator().forEachRemaining { p =>
-        val name = p.getFileName.toString
-        if (name.endsWith(".parquet")) link(p, srcDir.resolve(name))
-      } finally parts.close()
+    import java.nio.file.{Files, Path, Paths}
+    val srcDir = Files.createTempDirectory(s"graft-$tag-src")
+    val src = Paths.get(s"$dir/$table")
+    def link(from: Path, to: Path): Unit =
+      try Files.createSymbolicLink(to, from)
+      catch { case _: Exception => Files.copy(from, to) }
+    if (Files.isDirectory(src)) {
+      // WALK, not list: partitionBy output nests part files under
+      // partition-value subdirs — mirror the relative layout so partition
+      // columns survive the stream source's discovery. Zero staged files
+      // must fail loudly: a silently empty staging dir replays an empty
+      // source and the query "succeeds" with no rows.
+      var staged = 0
+      val walk = Files.walk(src)
+      try walk.iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet")) {
+          val to = srcDir.resolve(src.relativize(p).toString)
+          Files.createDirectories(to.getParent)
+          link(p, to)
+          staged += 1
+        }
+      } finally walk.close()
+      require(staged > 0, s"stageForStream: no .parquet files under $src")
     } else link(src, srcDir.resolve(table))
     srcDir.toString
   }

@@ -37,7 +37,10 @@ import graft.llm.{Dedup, SeededHash, TextAnalysis, XxSeededHash}
   *
   *  - **Scale shape.** One shuffle per micro-batch on (band, bucket) —
   *    the LSH equi-join key — and O(1) state (one long) per distinct
-  *    bucket. A degenerate bucket concentrates its documents in one
+  *    bucket; the NUMBER of distinct buckets grows with corpus history,
+  *    so a long-running ingest passes `stateTtl` to [[detect]] to evict
+  *    idle buckets and bound total state (see its scaladoc for the
+  *    recall trade). A degenerate bucket concentrates its documents in one
   *    group per batch; the `maxBucket`-style cap is not needed for the
   *    state (which stays one long regardless) but a flood still skews
   *    the group — collapse exact duplicates upstream first
@@ -67,7 +70,13 @@ object StreamingNearDup {
   def bandBuckets(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                   hasher: SeededHash = XxSeededHash): DataFrame = {
     require(k % bands == 0, "k must split evenly into bands")
-    val md5Family = hasher eq graft.llm.PortableSeededHash
+    // exhaustive over the sealed family — a third SeededHash would need
+    // its own compiled replica in ShingleMinHash, and this match makes
+    // that a compile error, not a silent xx64 fallback
+    val md5Family = hasher match {
+      case graft.llm.PortableSeededHash => true
+      case graft.llm.XxSeededHash => false
+    }
     val sigArr = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.ShingleMinHash(
         org.apache.spark.sql.graft.ColumnBridge.expression(
@@ -112,24 +121,56 @@ object StreamingNearDup {
   /** The stateful detector: works on a STREAMING frame (state persists
     * across micro-batches in the state store) and, with identical
     * results, on a batch frame (every group sees all its rows against
-    * empty state — the min-keeper outcome is the same by design). */
+    * empty state — the min-keeper outcome is the same by design).
+    *
+    * `stateTtl` bounds state for a LONG-RUNNING ingest: without it, one
+    * state entry per distinct (band, bucket) accumulates forever — at
+    * 100 TB that is effectively one entry per distinct document region,
+    * unbounded. With a TTL, a bucket idle for the duration is evicted
+    * (processing-time timeout), so state size tracks the ACTIVE working
+    * set instead of history. The trade is recall, stated precisely: a
+    * near-dup arriving more than `stateTtl` after the last activity in
+    * its bucket is scored against a fresh bucket — a MISS, never a false
+    * flag (identical to the cross-batch larger-id-first degradation
+    * already documented above). Each batch's activity re-arms the
+    * bucket's timer. Batch execution ignores timeouts (no clock), so
+    * TTL-on and TTL-off are identical in batch mode — the gate's
+    * single-replay oracle stays exact; eviction itself is a wall-clock
+    * behavior exercised only by a genuinely idle stream.
+    *
+    * Caller contract with TTL set: `ProcessingTimeTimeout` makes
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` return true
+    * after EVERY batch (the engine keeps waking to evaluate timeouts),
+    * so `StreamingQuery.processAllAvailable()` NEVER returns — its
+    * `noNewData` latch can't set. A long-running ingest (the TTL's
+    * audience) lives on `awaitTermination`; tests poll the sink. */
   def detect(spark: SparkSession, docs: DataFrame, n: Int = 3, k: Int = 16,
              bands: Int = 4,
-             hasher: SeededHash = XxSeededHash): Dataset[BandHit] = {
+             hasher: SeededHash = XxSeededHash,
+             stateTtl: Option[java.time.Duration] = None): Dataset[BandHit] = {
     import spark.implicits._
+    val timeout = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     bandBuckets(docs, n, k, bands, hasher).as[BandRow]
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState[Long, BandHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeout) {
         (key: (Int, String), rows: Iterator[BandRow],
          state: GroupState[Long]) =>
-          val ids = rows.map(_.doc_id).toArray
-          var mn = state.getOption.getOrElse(Long.MaxValue)
-          var i = 0
-          while (i < ids.length) { if (ids(i) < mn) mn = ids(i); i += 1 }
-          state.update(mn)
-          val keeper = mn
-          ids.iterator.map(id => BandHit(id, key._1, id > keeper))
+          if (state.hasTimedOut) {
+            // idle bucket: evict. rows is empty on a timeout invocation.
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_.doc_id).toArray
+            var mn = state.getOption.getOrElse(Long.MaxValue)
+            var i = 0
+            while (i < ids.length) { if (ids(i) < mn) mn = ids(i); i += 1 }
+            state.update(mn)
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            val keeper = mn
+            ids.iterator.map(id => BandHit(id, key._1, id > keeper))
+          }
       }
   }
 }

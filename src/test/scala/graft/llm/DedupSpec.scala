@@ -316,6 +316,44 @@ class DedupSpec extends SparkSpec {
     assert(flood > 32.0, s"flood statistic $flood routes to the sketch")
   }
 
+  test("auto-route boundary: corpora near the threshold route deterministically") {
+    // corpora engineered just either side of the calibrated default (32):
+    // D docs sharing one 8-token phrase plus 1 unique token each, probed
+    // in union with a benchmark doc carrying the bare phrase — 6 shared
+    // trigrams at df = D+1 and D singletons, so the probe statistic is
+    // (6(D+1)² + D) / (6(D+1) + D): ≈27.0 at D=30, ≈44.0 at D=50. Pins
+    // the boundary: a recalibration of sketchMeanDf or a change to the
+    // statistic flips one of these asserts instead of silently flipping
+    // which path the gate corpus takes.
+    def corpus(d: Int) = (0 until d).map(i =>
+      (i.toLong, s"c1 c2 c3 c4 c5 c6 c7 c8 unique$i")).toDF("doc_id", "text")
+    val bench = Seq((1000L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    def probeStat(docs: org.apache.spark.sql.DataFrame): Double = {
+      val sg = docs.unionByName(bench)
+        .select(explode(TextAnalysis.hashedShinglesFromTokens(
+          TextAnalysis.tokens(col("text")), 3)).as("sg"))
+      Dedup.postingsMeanDf(
+        sg.groupBy("sg").agg(count(lit(1)).as("df")), maxDf = 1 << 12)
+    }
+    val below = probeStat(corpus(30))
+    val above = probeStat(corpus(50))
+    assert(below < 32.0 && above > 32.0,
+      s"boundary moved ($below / $above vs 32) — recalibrate the pin")
+    // and VALUES are route-independent on both corpora, so wherever a
+    // future recalibration lands, the answer cannot change
+    for (d <- Seq(30, 50)) {
+      def run(route: Dedup.Route) =
+        Dedup.crossContamination(corpus(d), bench, n = 3, threshold = 0.5,
+            route = route)
+          .select("corpus_doc", "benchmark_doc").as[(Long, Long)]
+          .collect().toSet
+      val exact = run(Dedup.ExactRoute)
+      assert(exact == (0 until d).map(i => (i.toLong, 1000L)).toSet)
+      assert(run(Dedup.SketchRoute) == exact, s"d=$d")
+      assert(run(Dedup.AutoRoute) == exact, s"d=$d")
+    }
+  }
+
   test("connected components: reliable checkpoint mode is value-identical") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-cc-ckpt").toString
