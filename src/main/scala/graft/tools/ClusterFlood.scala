@@ -19,9 +19,17 @@ import graft.llm.Similarity
   *    identical-vector cell (all seeds tie), so every refinement level
   *    fails and the guard's terminal drop is exercised — the exact
   *    degenerate `clusterCapped`'s maxDepth drop exists for;
-  *  - 2 planted near-identical vectors in a distinct direction (cosine
-  *    ≈ 1 with each other, unaligned with flood or filler) — the pair
-  *    every capped run must still resolve into one component.
+  *  - 2 planted DUPLICATES of filler id 7's exact vector: identical
+  *    vectors take identical nearest-centroid assignments, so the pair
+  *    provably co-cells in filler 7's under-cap cell and every capped
+  *    run must resolve {7, pa, pb} into one component. Two rejected
+  *    constructions measured real sensitivities instead of the guard:
+  *    a direction unaligned with everything was assigned to the FLOOD's
+  *    cell — re-seeding cannot split an identical-vector cell, and the
+  *    maxDepth drop took the planted pair with it (the cell-granular
+  *    recall trade `semanticDedup`'s scaladoc prices; recorded in
+  *    BASELINE.md) — and filler 7 ± 0.001/dim straddled a cell boundary,
+  *    its two halves landing in different cells.
   *
   * Per floodSize, times `semanticDedup` (k chosen so FILLER cells sit
   * well under the cap) twice:
@@ -72,12 +80,16 @@ object ClusterFlood {
         (col("id") + nFiller).as("vec_id"),
         array((0 until dims).map(d => lit(0.1f * (d + 1))): _*)
           .as("embedding"))
-      // planted pair: near-identical, distinct direction (alternating sign)
+      // planted pair: BOTH copies of filler id 7's exact vector — identical
+      // vectors take identical nearest-centroid assignments, so the pair
+      // provably co-cells in an under-cap filler cell (a ±0.001 offset
+      // version straddled a cell boundary and the two halves landed in
+      // different cells — cell-boundary sensitivity, not a guard effect)
       val planted = spark.range(2).select(
         (col("id") + nFiller + floodSize).as("vec_id"),
         array((0 until dims).map(d =>
-          lit((if (d % 2 == 0) 1f else -1f) * (1f + d)) +
-            col("id").cast("float") * 0.001f): _*).as("embedding"))
+          pmod(xxhash64(lit(7L), lit(d)), lit(1000L)).cast("float") / 500f
+            - 1f): _*).as("embedding"))
       filler.unionByName(flood).unionByName(planted)
     }
 
