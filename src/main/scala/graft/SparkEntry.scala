@@ -133,6 +133,7 @@ object SparkEntry {
     "q100_neardup_artifacts" -> LlmQueries.neardupArtifacts,
     "q101_streaming_neardup" -> StreamingQueries.streamingNearDup,
     "q102_audio_roundtrip" -> LlmQueries.audioRoundtrip,
+    "q103_video_roundtrip" -> LlmQueries.videoRoundtrip,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -726,6 +727,25 @@ FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
         |  CAST(1 AS BIGINT) AS channels, CAST(ns AS BIGINT) AS n_samples,
         |  CAST(sum(v) AS BIGINT) AS sum_val
         |FROM s GROUP BY doc_id, ns
+        |ORDER BY doc_id""".stripMargin,
+    // q103: like q98/q102, the oracle predicts the decoded video
+    // metadata analytically (dimensions, frame count and the pixel sum
+    // are pure integer formulas of doc_id) — the Spark side must
+    // produce them through a REAL RIFF-AVI container encode + chunk-walk
+    // decode, so a header misread or frame drop hash-mismatches.
+    "q103_video_roundtrip" ->
+      """WITH d AS (SELECT doc_id, 8 + 4 * (doc_id % 12) AS w,
+        |                  8 + (doc_id * 3) % 17 AS h,
+        |                  2 + doc_id % 7 AS nf
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h, nf,
+        |         CAST((x.i + 2 * y.i + 3 * f.i + doc_id) % 256 AS BIGINT) AS g
+        |       FROM d, LATERAL unnest(range(w)) AS x(i),
+        |            LATERAL unnest(range(h)) AS y(i),
+        |            LATERAL unnest(range(nf)) AS f(i))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(sum(g) AS BIGINT) AS sum_px
+        |FROM px GROUP BY doc_id, w, h, nf
         |ORDER BY doc_id""".stripMargin,
     // q95: DuckDB pins the exact cosine-threshold pair count; the flags
     // assert the bucket join emitted a ≥20%-recall subset of those pairs.

@@ -22,12 +22,20 @@ import org.apache.spark.sql.functions._
   *    every JVM — exercised end-to-end by q102 on the q98 playbook
   *    (deterministic synthetic signals → real WAV bytes → real decode;
   *    analytic oracle).
-  *  - **Stub codec** ([[FakeCodec]]) for the VIDEO-shaped paths
-  *    (resize stride, frame sampling, feature histograms) whose real
-  *    codecs (ffmpeg-class) are NOT in this container: byte-level
-  *    deterministic stand-ins keep the schema, batching and oracle
-  *    checkable while documenting exactly where a JNI/Pandas-UDF codec
-  *    plugs in.
+  *  - **REAL video container** ([[encodeAvi]]/[[decodeAvi]]): no JVM
+  *    video codec exists, so this is a spec-compliant RIFF-AVI writer
+  *    and parser built from the published container format (RIFF chunk
+  *    grammar; `avih`/`strh`/`strf` headers; `movi` frame chunks) over
+  *    UNCOMPRESSED 8-bit DIB frames — container-level real (a header
+  *    misread, chunk-walk bug, or frame drop breaks the analytic
+  *    oracle, q103), codec-level raw by necessity: an entropy-coded
+  *    codec (H.264-class) needs ffmpeg/JNI, which is exactly where
+  *    this seam plugs it in.
+  *  - **Stub codec** ([[FakeCodec]]) for the remaining byte-level
+  *    stand-ins (resize stride, fixed-size frame sampling, feature
+  *    histograms): deterministic shapes that keep the schema, batching
+  *    and oracle checkable while documenting where a JNI/Pandas-UDF
+  *    model plugs in.
   *
   * At 100 TB: media bytes dominate row size — keep them in their own
   * column (parquet stores them contiguously), never shuffle them (derive
@@ -210,6 +218,49 @@ object Multimodal {
             Some(AudioMeta(row.doc_id, fmt.getSampleRate.toLong, ch.toLong,
               nSamples.toLong / ch, sum))
           }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  case class VideoMeta(doc_id: Long, width: Long, height: Long,
+                       n_frames: Long, sum_px: Long)
+
+  /** Deterministic synthetic video per doc, encoded as a REAL RIFF-AVI
+    * container (the published format: RIFF('AVI ' LIST('hdrl' avih
+    * LIST('strl' strh strf)) LIST('movi' 00db...))) with uncompressed
+    * 8-bit-palette DIB frames: w = 8 + 4·(id%12) (multiple of 4, so DIB
+    * rows need no stride padding), h = 8 + 3·id%17, n_frames = 2 + id%7,
+    * pixel (x,y,f) = (x + 2y + 3f + id) mod 256, rows stored bottom-up
+    * per DIB convention. All integer arithmetic — the oracle (q103)
+    * predicts the decoded metadata without touching the container. */
+  def encodeAvi(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (8 + 4 * (id % 12)).toInt
+        val h = (8 + (id * 3) % 17).toInt
+        val nf = (2 + id % 7).toInt
+        MediaRow(id, AviCodec.write(w, h, nf, fps = 10,
+          (x, y, f) => ((x + 2 * y + 3 * f + id) % 256).toInt))
+      }
+    }
+  }
+
+  /** REAL video decode through the batch seam: a spec-compliant RIFF
+    * chunk walk (fourcc + little-endian size, even-byte chunk padding,
+    * LIST recursion) — width/height from `avih`, bit depth validated via
+    * `strf`'s BITMAPINFOHEADER, frames counted and pixel bytes summed
+    * from the `movi` `00db`/`00dc` chunks (the sum is row-order
+    * invariant, so bottom-up DIB storage needs no re-flip). Undecodable
+    * payloads and non-8-bit frames are DROPPED (flatMap None — the same
+    * null-on-error contract as [[decodeImages]]). */
+  def decodeAvi(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        try AviCodec.parse(row.media).map { m =>
+          VideoMeta(row.doc_id, m.width, m.height, m.nFrames, m.sumPx)
         } catch { case _: Exception => None }
       }
     }

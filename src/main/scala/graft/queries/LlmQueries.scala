@@ -127,9 +127,9 @@ object LlmQueries {
     * sum are recomputed analytically from the same integer formulas, so
     * any header misread, pixel corruption, or row drop in the
     * encode/decode path hash-mismatches. This retires the "codec is a
-    * stub" caveat for images — video stays stubbed
-    * ([[graft.llm.Multimodal.FakeCodec]]) because its codecs are not
-    * in the container; audio is real via q102. */
+    * stub" caveat for images; audio is real via q102, the video
+    * CONTAINER via q103 (frame payloads stay raw — no JVM video codec
+    * exists). */
   def imageRoundtrip(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeImages(s,
         Multimodal.encodePng(s, table(s, dir, "documents")).toDF())
@@ -145,6 +145,21 @@ object LlmQueries {
   def audioRoundtrip(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeWav(s,
         Multimodal.encodeWav(s, table(s, dir, "documents")).toDF())
+      .toDF()
+      .orderBy("doc_id")
+
+  /** REAL video container roundtrip (q103): deterministic synthetic
+    * frames → spec-compliant RIFF-AVI encode
+    * ([[graft.llm.AviCodec]] — uncompressed 8-bit DIB, the published
+    * container grammar) → generic RIFF chunk-walk decode → integer
+    * metadata; the oracle recomputes dimensions, frame count and the
+    * pixel sum analytically (the q98 playbook). Container-level real —
+    * a header misread, chunk-walk bug or frame drop hash-mismatches;
+    * frame payloads stay raw because no JVM video codec exists (the
+    * batch seam is where an ffmpeg/JNI decoder plugs in). */
+  def videoRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAvi(s,
+        Multimodal.encodeAvi(s, table(s, dir, "documents")).toDF())
       .toDF()
       .orderBy("doc_id")
 

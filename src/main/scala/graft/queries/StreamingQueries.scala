@@ -46,7 +46,11 @@ object StreamingQueries {
   private def stageForStream(dir: String, table: String, tag: String): String = {
     import java.nio.file.{Files, Path, Paths}
     val srcDir = Files.createTempDirectory(s"graft-$tag-src")
-    val src = Paths.get(s"$dir/$table")
+    // absolutize: a symlink created from a relative Path resolves
+    // relative to the LINK's directory (the temp dir), not the caller's
+    // cwd — a relative sfDir would stage 16 dangling links and fail
+    // schema inference
+    val src = Paths.get(s"$dir/$table").toAbsolutePath.normalize()
     def link(from: Path, to: Path): Unit =
       try Files.createSymbolicLink(to, from)
       catch { case _: Exception => Files.copy(from, to) }

@@ -3,7 +3,8 @@ package graft.llm
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
-/** The real-codec image path (q98) and its failure contract. */
+/** The real-codec image (q98), audio (q102) and video-container (q103)
+  * paths and their failure contracts. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -53,5 +54,67 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodeWav(spark, good.unionByName(bad))
       .collect().map(_.doc_id).toSet
     assert(out == Set(5L))
+  }
+
+  test("AVI roundtrip recovers exact dimensions, frame counts and pixel sums") {
+    val ids = Seq(0L, 1L, 17L, 123L).toDF("doc_id")
+    val out = Multimodal.decodeAvi(spark,
+        Multimodal.encodeAvi(spark, ids).toDF())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out.keySet == Set(0L, 1L, 17L, 123L))
+    out.foreach { case (id, m) =>
+      val w = 8 + 4 * (id % 12)
+      val h = 8 + (id * 3) % 17
+      val nf = 2 + id % 7
+      assert(m.width == w && m.height == h && m.n_frames == nf, s"doc $id")
+      val expected = (for (f <- 0L until nf; y <- 0L until h; x <- 0L until w)
+        yield (x + 2 * y + 3 * f + id) % 256).sum
+      assert(m.sum_px == expected, s"doc $id")
+    }
+  }
+
+  test("AVI parser: truncated, non-AVI and non-8-bit payloads are dropped") {
+    val good = Multimodal.encodeAvi(spark, Seq(5L).toDF("doc_id")).toDF()
+    val goodBytes = good.select("media").as[Array[Byte]].head()
+    val bad = Seq(
+      99L -> Array[Byte](82, 73, 70, 70),      // bare "RIFF"
+      98L -> goodBytes.take(40),               // truncated mid-header
+      97L -> Array.fill[Byte](64)(0)           // zeros: no magic
+    ).toDF("doc_id", "media")
+    val out = Multimodal.decodeAvi(spark, good.unionByName(bad))
+      .collect().map(_.doc_id).toSet
+    assert(out == Set(5L))
+  }
+
+  test("AVI parser is a generic chunk walk, not an offset replay") {
+    // insert a foreign chunk ("JUNK", the canonical RIFF padding chunk)
+    // between hdrl and movi: a conforming parser skips it by size and
+    // still finds every frame; an offset-replay parser breaks
+    val bytes = AviCodec.write(8, 4, 2, fps = 10, (x, y, f) => x + y + f)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // locate the movi LIST by walking top-level chunks
+    var pos = 12
+    var moviPos = -1
+    while (moviPos < 0) {
+      val size = buf.getInt(pos + 4)
+      if (buf.getInt(pos) == 0x5453494c /* LIST */ &&
+          buf.getInt(pos + 8) == 0x69766f6d /* movi */) moviPos = pos
+      else pos += 8 + size + (size & 1)
+    }
+    val junk = new Array[Byte](8 + 6) // odd body size: exercises padding
+    val jb = java.nio.ByteBuffer.wrap(junk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    jb.putInt(0x4b4e554a /* JUNK */); jb.putInt(5)
+    val patched = bytes.take(moviPos) ++ junk ++ bytes.drop(moviPos)
+    // RIFF form size grew
+    val pb = java.nio.ByteBuffer.wrap(patched)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pb.putInt(4, patched.length - 8)
+    val parsed = AviCodec.parse(patched)
+    assert(parsed.isDefined)
+    assert(parsed.get.width == 8 && parsed.get.height == 4 &&
+      parsed.get.nFrames == 2)
+    assert(parsed.get.sumPx == AviCodec.parse(bytes).get.sumPx)
   }
 }
