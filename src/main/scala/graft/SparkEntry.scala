@@ -134,6 +134,7 @@ object SparkEntry {
     "q101_streaming_neardup" -> StreamingQueries.streamingNearDup,
     "q102_audio_roundtrip" -> LlmQueries.audioRoundtrip,
     "q103_video_roundtrip" -> LlmQueries.videoRoundtrip,
+    "q104_video_frame_sample" -> LlmQueries.videoFrameSample,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -746,6 +747,26 @@ FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(nf AS BIGINT) AS n_frames, CAST(sum(g) AS BIGINT) AS sum_px
         |FROM px GROUP BY doc_id, w, h, nf
+        |ORDER BY doc_id""".stripMargin,
+    // q104: frame sampling (keep every 3rd frame) over the q103
+    // container — the oracle filters the same analytic pixel grid to
+    // the sampled frames, so a stream-order or modulo fault in the
+    // chunk-walk frame indexing hash-mismatches.
+    "q104_video_frame_sample" ->
+      """WITH d AS (SELECT doc_id, 8 + 4 * (doc_id % 12) AS w,
+        |                  8 + (doc_id * 3) % 17 AS h,
+        |                  2 + doc_id % 7 AS nf
+        |           FROM documents),
+        |px AS (SELECT doc_id, nf, f.i AS f,
+        |         CAST((x.i + 2 * y.i + 3 * f.i + doc_id) % 256 AS BIGINT) AS g
+        |       FROM d, LATERAL unnest(range(w)) AS x(i),
+        |            LATERAL unnest(range(h)) AS y(i),
+        |            LATERAL unnest(range(nf)) AS f(i))
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(count(DISTINCT f) AS BIGINT) AS sampled_frames,
+        |  CAST(sum(g) AS BIGINT) AS sampled_px
+        |FROM px WHERE f % 3 = 0
+        |GROUP BY doc_id, nf
         |ORDER BY doc_id""".stripMargin,
     // q95: DuckDB pins the exact cosine-threshold pair count; the flags
     // assert the bucket join emitted a ≥20%-recall subset of those pairs.

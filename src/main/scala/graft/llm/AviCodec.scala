@@ -23,7 +23,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 private[llm] object AviCodec {
 
-  case class Parsed(width: Int, height: Int, nFrames: Long, sumPx: Long)
+  /** `frameSums(f)` = unsigned byte sum of frame f's pixel payload, in
+    * stream order — the total is `frameSums.sum`; frame-sampling ops
+    * index into it. */
+  case class Parsed(width: Int, height: Int, frameSums: Array[Long]) {
+    def nFrames: Long = frameSums.length.toLong
+    def sumPx: Long = { var s = 0L; var i = 0
+      while (i < frameSums.length) { s += frameSums(i); i += 1 }; s }
+  }
 
   private def fourcc(s: String): Int =
     (s.charAt(0) & 0xff) | ((s.charAt(1) & 0xff) << 8) |
@@ -145,8 +152,7 @@ private[llm] object AviCodec {
     var width = -1
     var height = -1
     var bitCount = -1
-    var nFrames = 0L
-    var sumPx = 0L
+    val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
 
     // walk chunks in [pos, end); descend into hdrl/strl/movi lists
     def walk(start: Long, end: Long): Unit = {
@@ -167,16 +173,17 @@ private[llm] object AviCodec {
         } else if (cc == STRF && size >= 16) {
           bitCount = buf.getShort(dataStart.toInt + 14).toInt
         } else if (cc == DB00 || cc == DC00) {
-          nFrames += 1
+          var s = 0L
           var i = dataStart.toInt
-          while (i < dataEnd.toInt) { sumPx += bytes(i) & 0xff; i += 1 }
+          while (i < dataEnd.toInt) { s += bytes(i) & 0xff; i += 1 }
+          frameSums += s
         }
         pos = dataEnd + (size & 1) // chunks pad to even boundaries
       }
     }
     walk(12L, riffEnd)
 
-    if (width <= 0 || height <= 0 || bitCount != 8 || nFrames == 0L) None
-    else Some(Parsed(width, height, nFrames, sumPx))
+    if (width <= 0 || height <= 0 || bitCount != 8 || frameSums.isEmpty) None
+    else Some(Parsed(width, height, frameSums.toArray))
   }
 }

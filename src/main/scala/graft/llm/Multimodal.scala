@@ -266,6 +266,36 @@ object Multimodal {
     }
   }
 
+  case class SampledVideo(doc_id: Long, n_frames: Long, sampled_frames: Long,
+                          sampled_px: Long)
+
+  /** REAL video frame sampling — the training-pipeline op (keep every
+    * `every`-th frame of each video) over the actual container: the
+    * RIFF chunk walk yields per-frame pixel sums in stream order, the
+    * sample keeps frames 0, every, 2·every, … Metadata out, payloads
+    * dropped — at 100 TB the sampled frames would be re-encoded inside
+    * the same mapPartitions batch rather than collected. Undecodable
+    * payloads are DROPPED per the [[decodeImages]] contract. */
+  def sampleFramesAvi(spark: SparkSession, media: DataFrame,
+                      every: Int): Dataset[SampledVideo] = {
+    require(every > 0, s"every=$every must be positive")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        try AviCodec.parse(row.media).map { m =>
+          var kept = 0L
+          var sum = 0L
+          var f = 0
+          while (f < m.frameSums.length) {
+            if (f % every == 0) { kept += 1; sum += m.frameSums(f) }
+            f += 1
+          }
+          SampledVideo(row.doc_id, m.nFrames, kept, sum)
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   case class ResizedRow(doc_id: Long, n_bytes: Long, resized_bytes: Long,
                         resized_checksum: Long)
   case class FrameStats(doc_id: Long, n_frames: Long, sampled_frames: Long,

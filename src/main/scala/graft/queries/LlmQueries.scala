@@ -163,6 +163,19 @@ object LlmQueries {
       .toDF()
       .orderBy("doc_id")
 
+  /** REAL video frame sampling (q104): keep every 3rd frame of each
+    * container-encoded video ([[graft.llm.Multimodal.sampleFramesAvi]]
+    * — per-frame sums off the q103 chunk walk); the oracle recomputes
+    * the sampled frame count and pixel sum analytically. The
+    * fixed-size-byte-frame stub (q60) stays as the shape test for
+    * payloads with no container. */
+  def videoFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFramesAvi(s,
+        Multimodal.encodeAvi(s, table(s, dir, "documents")).toDF(),
+        every = 3)
+      .toDF()
+      .orderBy("doc_id")
+
   /** C4-style line-level dedup across the corpus (q97,
     * [[graft.llm.Dedup.dedupLines]]): keep the first occurrence of every
     * distinct line, reassemble documents from their surviving lines. The

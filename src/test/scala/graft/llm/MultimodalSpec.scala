@@ -86,6 +86,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set(5L))
   }
 
+  test("AVI frame sampling keeps every k-th frame in stream order") {
+    val ids = Seq(0L, 6L, 123L).toDF("doc_id") // nf = 2, 8, 6
+    val out = Multimodal.sampleFramesAvi(spark,
+        Multimodal.encodeAvi(spark, ids).toDF(), every = 3)
+      .collect().map(m => m.doc_id -> m).toMap
+    out.foreach { case (id, m) =>
+      val w = 8 + 4 * (id % 12)
+      val h = 8 + (id * 3) % 17
+      val nf = 2 + id % 7
+      assert(m.n_frames == nf, s"doc $id")
+      assert(m.sampled_frames == (nf + 2) / 3, s"doc $id")
+      val expected = (for (f <- 0L until nf if f % 3 == 0;
+                           y <- 0L until h; x <- 0L until w)
+        yield (x + 2 * y + 3 * f + id) % 256).sum
+      assert(m.sampled_px == expected, s"doc $id")
+    }
+  }
+
   test("AVI parser is a generic chunk walk, not an offset replay") {
     // insert a foreign chunk ("JUNK", the canonical RIFF padding chunk)
     // between hdrl and movi: a conforming parser skips it by size and
