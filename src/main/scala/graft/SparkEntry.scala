@@ -135,6 +135,7 @@ object SparkEntry {
     "q102_audio_roundtrip" -> LlmQueries.audioRoundtrip,
     "q103_video_roundtrip" -> LlmQueries.videoRoundtrip,
     "q104_video_frame_sample" -> LlmQueries.videoFrameSample,
+    "q105_bloom_decontamination" -> LlmQueries.bloomDecontamination,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -520,33 +521,10 @@ ORDER BY doc_id""",
         |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS dup_count, md5(nt) AS fp
         |FROM n GROUP BY nt ORDER BY keep_id""".stripMargin,
-    "q91_decontamination" ->
-      """WITH split AS (
-        |  SELECT doc_id, text,
-        |    ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100
-        |      AS bucket
-        |  FROM documents),
-        |tagged AS (
-        |  SELECT doc_id, text, 'C' AS side FROM split WHERE bucket < 80
-        |  UNION ALL
-        |  SELECT doc_id, text, 'B' FROM split WHERE bucket >= 90),
-        |w AS (SELECT doc_id, side, string_split(text, ' ') AS ws FROM tagged),
-        |sh AS (SELECT doc_id, side,
-        |         list_distinct(list_transform(range(1, len(ws) - 1),
-        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
-        |       FROM w WHERE len(ws) >= 3),
-        |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-        |sz AS (SELECT doc_id, side, len(s) AS sz FROM sh),
-        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-        |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT CASE WHEN sa.side = 'C' THEN p.da ELSE p.db END AS corpus_doc,
-        |  CASE WHEN sa.side = 'B' THEN p.da ELSE p.db END AS benchmark_doc,
-        |  round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
-        |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
-        |WHERE sa.side <> sb.side
-        |  AND CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5
-        |ORDER BY corpus_doc, benchmark_doc""".stripMargin,
+    "q91_decontamination" -> decontaminationOracle,
+    // q105: the Bloom-prefiltered path must be invisible in the answer —
+    // same split, same exact containment semantics, SAME oracle as q91.
+    "q105_bloom_decontamination" -> decontaminationOracle,
     "q89_sequence_packing" ->
       s"""WITH b AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1277,6 +1255,38 @@ ORDER BY d.doc_id""",
   // The Spark side runs graft.llm.PortableSeededHash (60-bit md5 prefix);
   // `h(x, seed)` below is its exact DuckDB spelling, so signatures, band
   // buckets, SimHash bits and hyperplane signs replay byte-for-byte.
+
+  /** q91/q105 shared oracle: the hash split's train bucket checked for
+    * cross-side n-gram containment against its test bucket — q105's
+    * Bloom prefilter must be invisible in the answer, so both queries
+    * compare against the identical SQL. */
+  private def decontaminationOracle: String =
+    """WITH split AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100
+      |      AS bucket
+      |  FROM documents),
+      |tagged AS (
+      |  SELECT doc_id, text, 'C' AS side FROM split WHERE bucket < 80
+      |  UNION ALL
+      |  SELECT doc_id, text, 'B' FROM split WHERE bucket >= 90),
+      |w AS (SELECT doc_id, side, string_split(text, ' ') AS ws FROM tagged),
+      |sh AS (SELECT doc_id, side,
+      |         list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |sz AS (SELECT doc_id, side, len(s) AS sz FROM sh),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT CASE WHEN sa.side = 'C' THEN p.da ELSE p.db END AS corpus_doc,
+      |  CASE WHEN sa.side = 'B' THEN p.da ELSE p.db END AS benchmark_doc,
+      |  round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+      |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
+      |WHERE sa.side <> sb.side
+      |  AND CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.5
+      |ORDER BY corpus_doc, benchmark_doc""".stripMargin
 
   private def h(x: String, seed: Int): String =
     graft.llm.PortableSeededHash.sql(x, seed)

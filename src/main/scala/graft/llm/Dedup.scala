@@ -569,6 +569,61 @@ object Dedup {
         col("containment"))
   }
 
+  /** Bloom-prefiltered decontamination: EXACTLY [[crossContamination]]'s
+    * output (pinned in DedupSpec), reshaped for the 100 TB asymmetry —
+    * the corpus is enormous, the benchmark (eval sets) is not. The exact
+    * containment path shuffles every corpus posting into the df
+    * aggregation and candidate join; this path never shuffles the corpus
+    * at all for candidate generation:
+    *
+    *  1. build a Bloom filter over the benchmark's distinct hashed
+    *     shingles (`df.stat.bloomFilter` — a distributed aggregate over
+    *     the SMALL side; the preceding distinct-count probe sizes it and
+    *     is also small-side-only);
+    *  2. prune the corpus MAP-SIDE: keep docs where `exists` finds ≥ 1
+    *     shingle the filter might contain (`might_contain` — the same
+    *     expression Spark's runtime bloom join filters use; the filter
+    *     rides into the plan as a binary literal, ~1.2 MB per million
+    *     shingles at 1% fpp). A scan + filter, no shuffle, no join;
+    *     `exists` short-circuits on the first hit;
+    *  3. run the exact count-filter containment machinery on the
+    *     surviving candidates only.
+    *
+    * Exactness: Bloom filters have no false negatives, and any doc with
+    * containment ≥ threshold > 0 shares ≥ 1 shingle with the benchmark,
+    * so every true contamination survives the prune; false positives
+    * only admit extra candidates, which step 3 rejects exactly. The
+    * prune rate is the fraction of corpus docs sharing no shingle with
+    * any benchmark doc — at decontamination's design point (a web-scale
+    * corpus vs a few eval suites) that is nearly all of them. */
+  def bloomDecontamination(corpus: DataFrame, benchmark: DataFrame, n: Int,
+                           threshold: Double, fpp: Double = 0.01,
+                           maxDf: Int = 1 << 12): DataFrame = {
+    require(threshold > 0.0,
+      "bloom prune keeps only shingle-sharing docs: threshold must be > 0")
+    val bsh = benchmark
+      .select(explode(TextAnalysis.hashedShinglesFromTokens(
+        TextAnalysis.tokens(col("text")), n)).as("sg"))
+      .distinct()
+    val nShingles = math.max(1L, bsh.count()) // small-side-only probe
+    val bf = bsh.stat.bloomFilter("sg", nShingles, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bfLit = lit(bos.toByteArray)
+    // might_contain is not in the public registry (Spark injects it for
+    // its runtime bloom joins), so build the same expression directly
+    import org.apache.spark.sql.graft.ColumnBridge
+    def mightContain(v: Column): Column = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bfLit), ColumnBridge.expression(v)))
+    val candidates = corpus.where(exists(
+      TextAnalysis.hashedShinglesFromTokens(
+        TextAnalysis.tokens(col("text")), n),
+      s => mightContain(s)))
+    crossContamination(candidates, benchmark, n, threshold, maxDf,
+      ExactRoute)
+  }
+
   /** MinHash signature columns: k independent permutations approximated by
     * a seeded hash over each distinct n-gram shingle; signature_i = min
     * hash under seed i. One explode + one aggregation with k min columns:

@@ -370,6 +370,22 @@ object LlmQueries {
       .orderBy("corpus_doc", "benchmark_doc")
   }
 
+  /** Bloom-prefiltered decontamination (q105,
+    * [[graft.llm.Dedup.bloomDecontamination]]): the q91 check reshaped
+    * for the 100 TB corpus-vs-eval-set asymmetry — benchmark-shingle
+    * Bloom broadcast, corpus pruned map-side (scan + `might_contain`,
+    * no shuffle), exact containment on the survivors. Same split, same
+    * output, same oracle as q91: the Bloom path must be invisible in
+    * the answer. */
+  def bloomDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val bucket = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    Dedup.bloomDecontamination(
+        docs.where(bucket < 80), docs.where(bucket >= 90),
+        n = 3, threshold = 0.5)
+      .orderBy("corpus_doc", "benchmark_doc")
+  }
+
   /** GPT-style sequence packing (q89): concatenate-then-split assignment
     * of documents to 512-token training sequences over the portable-hash
     * canonical order, two-phase distributed prefix sum (no global

@@ -354,6 +354,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefiltered decontamination is value-identical to the exact path") {
+    val corpusDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),   // contaminated
+      (1L, "totally different words nothing shared here at all"),
+      (2L, "alpha beta gamma delta epsilon zeta"))             // contaminated
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon zeta suffix"),
+      (101L, "benchmark only content nothing much common today"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("corpus_doc", "benchmark_doc", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    // threshold 0.8: doc 0 SURVIVES the bloom prune (4 shared trigrams)
+    // but fails exact verify at 4/6 containment — the bloom-admitted
+    // candidate must be rejected downstream, not emitted
+    val exact = rows(Dedup.crossContamination(corpusDocs, bench, n = 3,
+      threshold = 0.8, route = Dedup.ExactRoute))
+    val bloom = rows(Dedup.bloomDecontamination(corpusDocs, bench, n = 3,
+      threshold = 0.8))
+    assert(bloom == exact)
+    assert(exact.map(p => (p._1, p._2)) == Set((2L, 100L)))
+    // threshold 0.5: doc 0 (0.667) qualifies too — parity again
+    val exact5 = rows(Dedup.crossContamination(corpusDocs, bench, n = 3,
+      threshold = 0.5, route = Dedup.ExactRoute))
+    val bloom5 = rows(Dedup.bloomDecontamination(corpusDocs, bench, n = 3,
+      threshold = 0.5))
+    assert(bloom5 == exact5)
+    assert(exact5.map(p => (p._1, p._2)) == Set((0L, 100L), (2L, 100L)))
+    // disjoint corpora: the prune leaves no candidates and the result
+    // is empty rather than an error
+    val disjoint = Seq((7L, "utterly unrelated vocabulary entirely"))
+      .toDF("doc_id", "text")
+    assert(rows(Dedup.bloomDecontamination(disjoint, bench, n = 3,
+      threshold = 0.5)).isEmpty)
+  }
+
   test("connected components: reliable checkpoint mode is value-identical") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-cc-ckpt").toString
