@@ -136,6 +136,8 @@ object SparkEntry {
     "q103_video_roundtrip" -> LlmQueries.videoRoundtrip,
     "q104_video_frame_sample" -> LlmQueries.videoFrameSample,
     "q105_bloom_decontamination" -> LlmQueries.bloomDecontamination,
+    "q106_duplicate_spans" -> LlmQueries.duplicateSpans,
+    "q107_strip_dup_spans" -> LlmQueries.stripDupSpans,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -525,6 +527,74 @@ ORDER BY doc_id""",
     // q105: the Bloom-prefiltered path must be invisible in the answer —
     // same split, same exact containment semantics, SAME oracle as q91.
     "q105_bloom_decontamination" -> decontaminationOracle,
+    // q106/q107: the oracle works on gram STRINGS where the engine uses
+    // compiled 64-bit gram hashes — identical output absent a 64-bit
+    // collision (none at this scale; documented on duplicateSpans).
+    "q106_duplicate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+14], ' ') AS g
+        |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 14))
+        |    AS u(i)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM grams
+        |  WHERE g IN (SELECT g FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos)
+        |        OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM flagged),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 14 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 15 - min(pos) AS BIGINT) AS span_tokens
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "q107_strip_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+14], ' ') AS g
+        |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 14))
+        |    AS u(i)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |flagged AS (
+        |  SELECT doc_id, pos FROM grams
+        |  WHERE g IN (SELECT g FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos)
+        |        OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 14 AS e
+        |  FROM (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+        |            AS island
+        |        FROM isl)
+        |  GROUP BY doc_id, island),
+        |tok1 AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tok
+        |  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM tok1 k
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = k.doc_id AND k.pos BETWEEN s.s AND s.e))
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text,
+        |  CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(count(k.pos) AS BIGINT) AS n_kept
+        |FROM toks d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id, d.t
+        |ORDER BY doc_id""".stripMargin,
     "q89_sequence_packing" ->
       s"""WITH b AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -460,6 +460,110 @@ object Dedup {
         coalesce(size(col("ps")), lit(0)).cast("long").as("n_kept"))
   }
 
+  /** Exact duplicate-SUBSTRING span detection (the ExactSubstr family of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): find, for every document, the maximal token spans that are
+    * part of some substring of >= `l` tokens occurring at least
+    * `minCount` times corpus-wide (within-document repeats count —
+    * a doc that repeats its own boilerplate twice is a duplicate).
+    *
+    * Characterization that makes this distributable: token t lies inside
+    * a duplicated substring of length >= l  <=>  t is covered by an
+    * l-gram whose corpus occurrence count is >= 2. So the suffix array
+    * of the single-node reference algorithm is re-expressed as l-gram
+    * POSTINGS — (gram hash, doc, start position) — one compiled pass per
+    * document ([[graft.functions.PositionalShingles]]), then:
+    *
+    *  1. occurrence count per gram hash (one shuffle of 24-byte rows,
+    *     map-side partial agg absorbs hot grams — a boilerplate sentence
+    *     duplicated a million times costs ONE row per partition, never a
+    *     df² self-join; this family needs no hot-key cap at all);
+    *  2. left-semi join postings against duplicated hashes (runtime
+    *     bloom-filter prunes the probe side map-side);
+    *  3. per-document island merge of the flagged starts: starts s1 < s2
+    *     with s2 - s1 <= l have overlapping-or-adjacent windows
+    *     [s, s+l), so a lag/cumsum window PARTITIONED BY doc (bounded by
+    *     document length, never corpus-wide) yields maximal merged spans.
+    *
+    * Positions are 1-based token indices; `span_end` is inclusive.
+    * Gram identity is the 64-bit compiled shingle hash — two distinct
+    * grams collide with probability ~G²/2^65 corpus-wide (the same
+    * standard trade-off documented on [[minHashSignatures]]); the
+    * [[ngramJaccardPairs]]/[[crossContamination]] exact family runs on
+    * the identical keys.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens). */
+  def duplicateSpans(docs: DataFrame, l: Int,
+                     minCount: Long = 2): DataFrame = {
+    require(l >= 1, "span gram width must be >= 1")
+    require(minCount >= 2, "a substring is duplicated at count >= 2")
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.PositionalShingles(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              TextAnalysis.tokens(col("text"))), l)))
+          .as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("g"))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("g")
+    val flagged = grams.join(dup, Seq("g"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) <= l, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (l - 1)).as("span_end"),
+        (max("pos") + l - min("pos")).as("span_tokens"))
+      .drop("island")
+  }
+
+  /** Remove every duplicated span found by [[duplicateSpans]] from every
+    * document — the aggressive all-occurrence variant of substring dedup
+    * (Lee et al. 2022 §4 cut duplicated spans out of training sequences;
+    * which single occurrence, if any, to spare is a policy layered on
+    * the same span set, and sparing none is the conservative choice for
+    * contamination-sensitive corpora). Documents reassemble from their
+    * surviving tokens in order; fully-duplicated documents come back
+    * with empty text for a downstream quality filter to drop, mirroring
+    * [[dedupLines]].
+    *
+    * Scale shape: [[duplicateSpans]] + one per-doc span aggregation
+    * (span count per doc is bounded by len/l) + one equi-join back to
+    * the corpus + a compiled-free per-row token filter. No new shuffles
+    * beyond the span pass except the final doc_id join.
+    *
+    * Output: (doc_id, text, n_tokens, n_kept). */
+  def stripDuplicateSpans(docs: DataFrame, l: Int,
+                          minCount: Long = 2): DataFrame = {
+    val spans = duplicateSpans(docs, l, minCount)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("sp"))
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("sp"),
+          array().cast("array<struct<span_start:long,span_end:long>>"))
+          .as("sp"))
+      .select(col("doc_id"),
+        filter(col("t"), (_, i) => !exists(col("sp"),
+          s => (i + 1).between(
+            s.getField("span_start"), s.getField("span_end"))))
+          .as("kept"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("text"),
+        col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"))
+  }
+
   /** [[exact]] over [[TextAnalysis.normalizeForDedup]]ed text: collapses
     * case / punctuation / whitespace variants of the same content into
     * one group — the standard normalization pass in front of exact dedup

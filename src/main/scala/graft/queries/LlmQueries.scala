@@ -386,6 +386,22 @@ object LlmQueries {
       .orderBy("corpus_doc", "benchmark_doc")
   }
 
+  /** Exact duplicate-substring spans (q106,
+    * [[graft.llm.Dedup.duplicateSpans]]): maximal token spans covered by
+    * a 15-gram occurring >= 2 times corpus-wide — the ExactSubstr /
+    * Lee et al. 2022 training-data pass, re-expressed as positional
+    * l-gram postings + per-doc island merge. */
+  def duplicateSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(table(s, dir, "documents"), l = 15)
+      .orderBy("doc_id", "span_start")
+
+  /** Duplicate-substring removal (q107,
+    * [[graft.llm.Dedup.stripDuplicateSpans]]): every q106 span cut out
+    * of every document, documents reassembled from surviving tokens. */
+  def stripDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicateSpans(table(s, dir, "documents"), l = 15)
+      .orderBy("doc_id")
+
   /** GPT-style sequence packing (q89): concatenate-then-split assignment
     * of documents to 512-token training sequences over the portable-hash
     * canonical order, two-phase distributed prefix sum (no global

@@ -98,6 +98,41 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("PositionalShingles: sorted distinct == HashedShingles; positions align") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a",      // within-doc repeats PRESERVED positionally
+      "one two three",
+      "one two",        // shorter than n -> empty
+      "") ++
+      (0 until 100).map(i => s"doc $i token${i % 7} shared text body $i end")
+    val df = texts.toDF("text")
+      .withColumn("toks", graft.llm.TextAnalysis.tokens(col("text")))
+    def pos(c: org.apache.spark.sql.Column, n: Int) =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        PositionalShingles(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c), n))
+    for (n <- Seq(2, 3, 5)) {
+      val rows = df.select(
+        sort_array(array_distinct(pos(col("toks"), n))).as("viaPos"),
+        graft.llm.TextAnalysis.hashedShinglesFromTokens(col("toks"), n)
+          .as("sortedDistinct"),
+        pos(col("toks"), n).as("raw"),
+        size(col("toks")).as("m"))
+        .as[(Seq[Long], Seq[Long], Seq[Long], Int)].collect()
+      rows.foreach { case (viaPos, sd, raw, m) =>
+        assert(viaPos == sd, s"n=$n")
+        assert(raw.size == math.max(0, m - n + 1),
+          s"n=$n: one gram per start position")
+      }
+    }
+    // "a a a a a" with n=2: four IDENTICAL gram hashes, kept
+    val rep = Seq("a a a a a").toDF("text")
+      .withColumn("toks", graft.llm.TextAnalysis.tokens(col("text")))
+      .select(pos(col("toks"), 2)).as[Seq[Long]].head()
+    assert(rep.size == 4 && rep.distinct.size == 1)
+  }
+
   test("HashedShingles null token elements keep HOF null-skip parity") {
     // unreachable from split()-produced arrays, but the expression is a
     // public case class: a null element must hash as Spark's xxhash64

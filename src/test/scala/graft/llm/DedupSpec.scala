@@ -419,6 +419,55 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 30 && got.values.forall(_ == 0L))
   }
 
+  test("duplicate spans: cross-doc run, within-doc repeat, short docs") {
+    // A and B share exactly the 6-token run "c d e f g h" (positions 3-8
+    // in both); C repeats its own 4-gram "p q r s" at starts 1 and 6 —
+    // gap 5 > l=4, so the two islands must NOT merge; D is shorter than
+    // l; E shares nothing.
+    val docs = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "x1 x2 c d e f g h y1 y2"),
+      (12L, "p q r s z p q r s w"),
+      (13L, "u v w"),
+      (14L, "m1 m2 m3 m4 m5 m6")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, l = 4)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq(
+      (10L, 3L, 8L, 6L),
+      (11L, 3L, 8L, 6L),
+      (12L, 1L, 4L, 4L), (12L, 6L, 9L, 4L)))
+  }
+
+  test("strip duplicate spans: removal exact, untouched docs identity") {
+    val docs = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "x1 x2 c d e f g h y1 y2"),
+      (12L, "p q r s z p q r s w"),
+      (13L, "u v w"),
+      (14L, "m1 m2 m3 m4 m5 m6")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, l = 4).orderBy("doc_id")
+      .select("doc_id", "text", "n_tokens", "n_kept")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (10L, "a b i j", 10L, 4L),
+      (11L, "x1 x2 y1 y2", 10L, 4L),
+      (12L, "z w", 10L, 2L),
+      (13L, "u v w", 3L, 3L),
+      (14L, "m1 m2 m3 m4 m5 m6", 6L, 6L)))
+    // coverage parity with the span report: dropped tokens per doc ==
+    // sum of its span_tokens
+    val spanSum = Dedup.duplicateSpans(docs, l = 4)
+      .groupBy("doc_id").agg(sum("span_tokens").as("st"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, _, n, kept) =>
+      assert(n - kept == spanSum.getOrElse(id, 0L), s"doc $id")
+    }
+  }
+
   test("simhash: identical docs have distance 0, near dups small distance") {
     val sig = Dedup.simHash(corpus).orderBy("doc_id")
       .select("simhash").as[Long].collect()
