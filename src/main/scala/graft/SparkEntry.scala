@@ -138,6 +138,7 @@ object SparkEntry {
     "q105_bloom_decontamination" -> LlmQueries.bloomDecontamination,
     "q106_duplicate_spans" -> LlmQueries.duplicateSpans,
     "q107_strip_dup_spans" -> LlmQueries.stripDupSpans,
+    "q108_prototype_prune" -> LlmQueries.prototypePrune,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -995,6 +996,7 @@ WHERE d.doc_id NOT IN (
 ORDER BY d.doc_id""",
     "q35_ann_lsh" -> q35AnnLshOracle,
     "q77_kmeans_clusters" -> q77KmeansOracle,
+    "q108_prototype_prune" -> q108PrototypePruneOracle,
     "q82_ivf_trained" -> q82IvfTrainedOracle,
     "q99_semantic_dedup" -> q99SemanticDedupOracle,
     "q101_streaming_neardup" -> q101StreamNearDupOracle,
@@ -1547,6 +1549,28 @@ comp AS (SELECT n AS vec_id, least(n, min(m)) AS component
          FROM reach GROUP BY n)
 SELECT vec_id, component, (component = vec_id) AS is_keeper
 FROM comp ORDER BY vec_id"""
+
+  /** SSL-prototypes oracle (q108): the q77 training CTEs, then each
+    * vector's 4-dp fixed-point cosine to its ASSIGNED centroid (sc1
+    * already holds the integer dot for every (vec, cid) — the a1 join
+    * picks the assigned one), per-cluster prototypicality rank, kept =
+    * rank beyond ceil(0.25·|cluster|) (mirrors
+    * [[graft.llm.Similarity.prototypicalityPrune]]). */
+  private def q108PrototypePruneOracle: String =
+    s"""WITH ${kmeansCtes(8, 2)},
+pr AS (SELECT s.vec_id, s.cid,
+         round(s.dot / (sqrt(CAST(x.nx AS DOUBLE))
+           * sqrt(CAST(n.nm AS DOUBLE))), 4) AS centroid_sim
+       FROM sc1 s JOIN nm1 n USING (cid) JOIN nx x USING (vec_id)
+       JOIN a1 a ON a.vec_id = s.vec_id AND a.cid = s.cid),
+rk AS (SELECT vec_id, cid, centroid_sim,
+         row_number() OVER (PARTITION BY cid
+           ORDER BY centroid_sim DESC, vec_id) AS rk,
+         count(*) OVER (PARTITION BY cid) AS csz
+       FROM pr)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cid,
+       centroid_sim, (rk > ceil(csz * 0.25)) AS kept
+FROM rk ORDER BY vec_id"""
 
   /** Trained-IVF oracle (q82): the q77 training CTEs, then the probe —
     * per-query cell ranking on the exact-integer centroid cosine (top

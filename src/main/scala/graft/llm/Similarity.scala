@@ -285,6 +285,62 @@ object Similarity {
     * (cid, d, m) that PRODUCED it — exactly the coarse quantizer
     * [[ivfTopKTrained]] probes, so index build and query see the same
     * cells. */
+  /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning",
+    * arXiv:2206.14486): cluster the embedding space with [[kmeansTrain]],
+    * score every vector by cosine to its OWN cluster centroid
+    * ("prototypicality"), and mark the most prototypical `pruneFrac` of
+    * each cluster for pruning — in the data-abundant regime, dropping
+    * the easiest (most typical) examples beats random pruning. Composed
+    * after [[semanticDedup]] this is the D4 pipeline of Tirumala et al.
+    * 2023 (arXiv:2308.12284): SemDeDup removes near-copies, this pass
+    * then thins dense prototypical cores.
+    *
+    * All arithmetic is the engine-exact fixed-point spelling shared with
+    * [[kmeansTrain]]/[[labelCentroidSim]] (integer dot products, 4-dp
+    * rounded cosine, vec_id tie-break), so an external engine replays
+    * bit-identically.
+    *
+    * Scale shape: one broadcast join against k×dims centroid rows, one
+    * integer-dot aggregation (corpus-linear), then a PER-CLUSTER rank
+    * window — O(cᵢ log cᵢ) sort per cluster, a far gentler skew shape
+    * than [[semanticDedup]]'s O(cᵢ²) pair join, so no `maxCluster`
+    * analogue is needed here; like SemDeDup, grow k with the corpus so
+    * single-cluster sorts stay in one task's memory.
+    *
+    * Output: (vec_id, cid, centroid_sim, kept) — `kept = false` for the
+    * ceil(pruneFrac·|cluster|) most prototypical members (ties broken by
+    * vec_id), ALL rows returned so callers can audit or re-threshold. */
+  def prototypicalityPrune(corpus: DataFrame, pruneFrac: Double = 0.25,
+                           k: Int = 8, iters: Int = 2,
+                           hasher: SeededHash = XxSeededHash): DataFrame = {
+    require(pruneFrac >= 0.0 && pruneFrac < 1.0,
+      "pruneFrac is the dropped fraction per cluster, in [0, 1)")
+    val (assign, cent) = kmeansTrain(corpus, k, iters, hasher)
+    val ex = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+    val nx = ex.groupBy("vec_id").agg(sum(col("xi") * col("xi")).as("nx"))
+    val nm = cent.groupBy("cid").agg(sum(col("m") * col("m")).as("nm"))
+    val proto = ex.join(assign, "vec_id")
+      .join(broadcast(cent), Seq("cid", "d"))
+      .groupBy("vec_id", "cid").agg(sum(col("xi") * col("m")).as("dot"))
+      .join(broadcast(nm), "cid")
+      .join(nx, "vec_id")
+      .withColumn("centroid_sim", round(col("dot").cast("double") /
+        (sqrt(col("nx").cast("double")) * sqrt(col("nm").cast("double"))),
+        4))
+    val wR = Window.partitionBy("cid")
+      .orderBy(col("centroid_sim").desc, col("vec_id").asc)
+    val wC = Window.partitionBy("cid")
+    proto
+      .withColumn("rk", row_number().over(wR))
+      .withColumn("csz", count(lit(1)).over(wC))
+      .select(col("vec_id"), col("cid"), col("centroid_sim"),
+        (col("rk") > ceil(col("csz") * pruneFrac)).as("kept"))
+  }
+
   def kmeansTrain(corpus: DataFrame, k: Int = 8, iters: Int = 2,
                   hasher: SeededHash = XxSeededHash)
       : (DataFrame, DataFrame) = {

@@ -247,6 +247,16 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash)
       .orderBy("vec_id")
 
+  /** SSL-prototypes pruning (q108,
+    * [[graft.llm.Similarity.prototypicalityPrune]]): the 25% most
+    * centroid-similar vectors of each k-means cell marked for pruning —
+    * with q99's SemDeDup this composes the D4 data-selection pipeline. */
+  def prototypePrune(s: SparkSession, dir: String): DataFrame =
+    Similarity.prototypicalityPrune(table(s, dir, "embeddings"),
+        pruneFrac = 0.25, k = 8, iters = 2,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("vec_id")
+
   /** Per-vector cosine to its label centroid (label-noise mining). All
     * arithmetic is exact fixed-point integers, so the 4-dp similarity is
     * engine-independent. */

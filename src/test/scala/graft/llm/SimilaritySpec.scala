@@ -147,4 +147,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
     assert(ids.toSet.subsetOf(blobs.map(_._1).toSet))
   }
+
+  test("prototypicality prune: per-cluster fraction, most-central dropped") {
+    val out = Similarity.prototypicalityPrune(emb, pruneFrac = 0.25)
+      .select("vec_id", "cid", "centroid_sim", "kept")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.size == emb.count()) // total: every vector scored
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      val pruned = members.filterNot(_._4)
+      // exactly ceil(0.25·|cluster|) pruned per cluster
+      assert(pruned.size == math.ceil(members.size * 0.25).toLong,
+        s"cid $cid: ${pruned.size} of ${members.size}")
+      if (pruned.nonEmpty && pruned.size < members.size) {
+        // the pruned set is the TOP of the (sim desc, vec_id asc) order
+        val ordered = members.sortBy(m => (-m._3, m._1))
+        assert(ordered.take(pruned.size).map(_._1).toSet ==
+          pruned.map(_._1).toSet, s"cid $cid prune set not prefix")
+      }
+    }
+    // pruneFrac 0 keeps everything
+    val all = Similarity.prototypicalityPrune(emb, pruneFrac = 0.0)
+      .where(!col("kept")).count()
+    assert(all == 0L)
+  }
 }
