@@ -139,6 +139,7 @@ object SparkEntry {
     "q106_duplicate_spans" -> LlmQueries.duplicateSpans,
     "q107_strip_dup_spans" -> LlmQueries.stripDupSpans,
     "q108_prototype_prune" -> LlmQueries.prototypePrune,
+    "q109_mixture_by_budget" -> LlmQueries.mixtureByBudget,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -627,6 +628,22 @@ c AS (SELECT doc_id, lang,
       FROM w)
 SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS copy_idx
 FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
+    "q109_mixture_by_budget" ->
+      s"""WITH b AS (
+  SELECT doc_id, lang AS domain,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ${graft.llm.PortableSeededHash.sql("doc_id", 31)} AS h
+  FROM documents),
+p AS (SELECT doc_id, domain, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY domain
+          ORDER BY h % 8, h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS cum_tokens
+      FROM b)
+SELECT doc_id, domain, n_tokens, cum_tokens,
+  cum_tokens <= CASE domain
+    WHEN 'en' THEN 6000 WHEN 'fr' THEN 3000 WHEN 'es' THEN 3000
+    WHEN 'de' THEN 1500 WHEN 'zh' THEN 1500 ELSE 0 END AS kept
+FROM p ORDER BY doc_id""",
     "q88_expectations" ->
       """SELECT check_name, violations, violations = 0 AS pass FROM (
         |  SELECT 'discount_in_range' AS check_name,

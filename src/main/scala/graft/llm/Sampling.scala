@@ -60,6 +60,58 @@ object Sampling {
           .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Token-budget DOMAIN MIXTURE selection — the static data-mixing pass
+    * of a pre-training pipeline (the fixed-weight regime of DoReMi /
+    * The Pile recipes: "x billion tokens of web, y of code, z of
+    * books"): per domain, select documents in a deterministic seeded-
+    * hash order until that domain's token budget is reached. Prefix
+    * semantics, not bin-packing: the first document whose running total
+    * EXCEEDS the budget is dropped, and no later document is pulled in
+    * to backfill — so the selection is a stable hash-order prefix,
+    * reproducible across runs, engines and partitionings, and a larger
+    * budget strictly extends the smaller selection.
+    *
+    * Scale shape: the [[packSequences]] two-phase distributed prefix
+    * sum, partitioned per (domain, bucket) — no whole-domain window
+    * funnels a 100-TB domain through one task; the per-domain bucket
+    * offsets are a numBuckets-row aggregate broadcast back.
+    *
+    * Output: every document with (doc_id, domain, n_tokens, cum_tokens,
+    * kept) — kept = running total within budget; all rows returned so
+    * the caller can audit the cut line or re-budget without re-ranking.
+    */
+  def mixtureByBudget(docs: DataFrame, idCol: Column, domainCol: Column,
+                      budgets: Map[String, Long], numBuckets: Int = 8,
+                      seed: Int = 31,
+                      hasher: SeededHash = XxSeededHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.values.forall(_ >= 0), "token budgets must be >= 0")
+    require(numBuckets > 0)
+    val h = hasher.hash(idCol, seed)
+    val toks = size(split(col("text"), " ")).cast("long")
+    val base = docs.select(idCol.as("doc_id"), domainCol.as("domain"),
+      toks.as("n_tokens"), h.as("h"),
+      pmod(h, lit(numBuckets.toLong)).as("bucket"))
+    val wB = Window.partitionBy("domain", "bucket")
+      .orderBy(col("h"), col("doc_id"))
+    val partial = base.withColumn("cum_b", sum(col("n_tokens")).over(wB))
+    val offsets = partial.groupBy("domain", "bucket")
+      .agg(max(col("cum_b")).as("total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("total")).over(
+          Window.partitionBy("domain").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("domain", "bucket", "bucket_offset")
+    // domains absent from `budgets` get budget 0: scored, never kept
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (d, b)) =>
+      when(col("domain") === d, lit(b)).otherwise(acc)
+    }
+    partial.join(broadcast(offsets), Seq("domain", "bucket"))
+      .withColumn("cum_tokens", col("bucket_offset") + col("cum_b"))
+      .select(col("doc_id"), col("domain"), col("n_tokens"),
+        col("cum_tokens"), (col("cum_tokens") <= budget).as("kept"))
+  }
+
   /** GPT-style sequence packing: documents concatenated in a
     * deterministic seeded-hash order and split into fixed `budget`-token
     * training sequences; each document reports the sequence containing

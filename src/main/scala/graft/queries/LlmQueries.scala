@@ -412,6 +412,19 @@ object LlmQueries {
     Dedup.stripDuplicateSpans(table(s, dir, "documents"), l = 15)
       .orderBy("doc_id")
 
+  /** Token-budget domain mixture (q109,
+    * [[graft.llm.Sampling.mixtureByBudget]]): per-language token budgets
+    * filled by a deterministic hash-order prefix — the static
+    * data-mixing pass (fixed-weight DoReMi / Pile-recipe regime). */
+  def mixtureByBudget(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.mixtureByBudget(table(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        budgets = Map("en" -> 6000L, "fr" -> 3000L, "es" -> 3000L,
+          "de" -> 1500L, "zh" -> 1500L),
+        numBuckets = 8, seed = 31,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("doc_id")
+
   /** GPT-style sequence packing (q89): concatenate-then-split assignment
     * of documents to 512-token training sequences over the portable-hash
     * canonical order, two-phase distributed prefix sum (no global

@@ -84,4 +84,34 @@ class SamplingSpec extends SparkSpec {
     }
     assert(exchanges.isEmpty)
   }
+
+  test("mixture by budget: prefix semantics, budget bound, monotonicity") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def run(budget: Long) =
+      Sampling.mixtureByBudget(docs, col("doc_id"), col("lang"),
+        Map("en" -> budget, "fr" -> 500L))
+        .select("doc_id", "domain", "n_tokens", "cum_tokens", "kept")
+        .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    val out = run(2000L)
+    // every document scored, exactly once
+    assert(out.size == docs.count())
+    // unbudgeted domains are scored but never kept
+    assert(out.filter(r => r._2 != "en" && r._2 != "fr").forall(!_._5))
+    out.groupBy(_._2).foreach { case (dom, rows) =>
+      val budget = dom match {
+        case "en" => 2000L; case "fr" => 500L; case _ => 0L
+      }
+      val kept = rows.filter(_._5)
+      // kept tokens within budget; kept set is the cum_tokens prefix
+      assert(kept.map(_._3).sum <= budget, s"$dom over budget")
+      val maxKept = if (kept.isEmpty) 0L else kept.map(_._4).max
+      assert(rows.filterNot(_._5).forall(_._4 > maxKept), s"$dom not prefix")
+      // cum_tokens is a proper running total: max == domain token sum
+      assert(rows.map(_._4).max == rows.map(_._3).sum, s"$dom cum broken")
+    }
+    // a larger budget strictly extends the selection (stable order)
+    val small = run(1000L).filter(r => r._5 && r._2 == "en").map(_._1).toSet
+    val large = run(2000L).filter(r => r._5 && r._2 == "en").map(_._1).toSet
+    assert(small.subsetOf(large))
+  }
 }
