@@ -140,6 +140,7 @@ object SparkEntry {
     "q107_strip_dup_spans" -> LlmQueries.stripDupSpans,
     "q108_prototype_prune" -> LlmQueries.prototypePrune,
     "q109_mixture_by_budget" -> LlmQueries.mixtureByBudget,
+    "q110_ngram_logprob" -> LlmQueries.ngramLogProb,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -628,6 +629,34 @@ c AS (SELECT doc_id, lang,
       FROM w)
 SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS BIGINT) AS copy_idx
 FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
+    // q110: the oracle counts gram STRINGS where the engine uses compiled
+    // 64-bit positional shingle hashes (q106's documented trade-off);
+    // ln() is the one libm call in the oracle surface — both engines are
+    // <=1-ulp and the score is 4-dp rounded over an average, so boundary
+    // flips are measure-zero (verified empirically at sf0.01).
+    "q110_ngram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |v AS (SELECT count(DISTINCT tok) AS vsz
+        |      FROM (SELECT unnest(t) AS tok FROM toks)),
+        |tri AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g3,
+        |         array_to_string(t[i:i+1], ' ') AS g2
+        |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 2))
+        |    AS u(i)),
+        |c3 AS (SELECT g3, count(*) AS cn FROM tri GROUP BY g3),
+        |bi AS (
+        |  SELECT array_to_string(t[i:i+1], ' ') AS g2
+        |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
+        |    AS u(i)),
+        |c2 AS (SELECT g2, count(*) AS cc FROM bi GROUP BY g2)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  round(avg(ln((COALESCE(c3.cn, 0) + 1)
+        |    / CAST(COALESCE(c2.cc, 0) + v.vsz AS DOUBLE))), 4)
+        |    AS avg_logprob
+        |FROM tri t LEFT JOIN c3 USING (g3) LEFT JOIN c2 USING (g2), v
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "q109_mixture_by_budget" ->
       s"""WITH b AS (
   SELECT doc_id, lang AS domain,

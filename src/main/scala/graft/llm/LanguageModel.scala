@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model scoring — the CCNet quality-filter
+  * family (Wenzek et al. 2020, "CCNet: Extracting high quality
+  * monolingual datasets from web crawl data", arXiv:1911.00359): score
+  * every document by its average n-gram log-probability under a
+  * count-based LM; low-probability (high-perplexity) documents are the
+  * gibberish/boilerplate tail a downstream `where` drops. CCNet uses a
+  * KenLM trained on Wikipedia; this is the same decision rule with the
+  * LM replaced by an add-one-smoothed count model trained on a
+  * caller-chosen corpus — the piece Spark should own either way is the
+  * distributed counting and the score join, which is what this
+  * implements.
+  */
+object LanguageModel {
+
+  private def pos(c: Column, w: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PositionalShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), w))
+
+  /** Average add-one-smoothed n-gram log-probability per document:
+    *
+    *   score(d) = avg over gram positions i of
+    *              ln( (c(gᵢ) + 1) / (c(ctxᵢ) + |V|) )
+    *
+    * where c(·) are occurrence counts in `modelDocs` (default: `docs`
+    * itself — self-perplexity), ctxᵢ is the gram's leading (n-1)-token
+    * context counted over ALL its positions, and |V| the model's
+    * distinct-token count. Unseen grams get the smoothed floor
+    * 1/(c(ctx)+|V|) — the left-join + coalesce spelling, so an external
+    * `modelDocs` corpus is scored correctly, not inner-join-dropped.
+    *
+    * Gram identity is the compiled 64-bit positional shingle hash
+    * ([[graft.functions.PositionalShingles]]) — same keys and collision
+    * trade-off as the whole dedup family. Documents with fewer than `n`
+    * tokens have no gram positions and are absent from the output
+    * (score undefined), mirroring the reference CCNet behavior of
+    * length-filtering first.
+    *
+    * Scale shape: two count shuffles over the model corpus (map-side
+    * partial agg absorbs hot grams), one distinct-token aggregate
+    * broadcast back as a 1-row frame (lazy — no driver action), then a
+    * posting join of doc grams against the two count tables — all
+    * equi-joins on 8-byte keys, no self-join, corpus-linear. The
+    * gram+context pair is zipped per document BEFORE the explode, so
+    * exploded rows carry two longs, never a per-row array copy.
+    *
+    * Output: (doc_id, n_grams, avg_logprob round 4), one row per doc
+    * with >= n tokens. */
+  def ngramLogProbScore(docs: DataFrame, n: Int = 3,
+                        modelDocs: Option[DataFrame] = None): DataFrame = {
+    require(n >= 2, "an n-gram LM needs a context: n >= 2")
+    val m = modelDocs.getOrElse(docs)
+    val toks = TextAnalysis.tokens(col("text"))
+    val cN = m.select(explode(pos(toks, n)).as("gn"))
+      .groupBy("gn").agg(count(lit(1)).as("cn"))
+    val cC = m.select(explode(pos(toks, n - 1)).as("gc"))
+      .groupBy("gc").agg(count(lit(1)).as("cc"))
+    val vocab = m.select(explode(toks).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val ex = docs
+      .select(col("doc_id"),
+        posexplode(arrays_zip(
+          pos(toks, n).as("gn"),
+          // contexts have one extra trailing position; keep the aligned
+          // prefix so element i is gram i's leading (n-1)-gram
+          slice(pos(toks, n - 1), lit(1), size(pos(toks, n))).as("gc")))
+          .as(Seq("p", "z")))
+      .select(col("doc_id"), col("z.gn").as("gn"), col("z.gc").as("gc"))
+    ex.join(cN, Seq("gn"), "left")
+      .join(cC, Seq("gc"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(log((coalesce(col("cn"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cc"), lit(0L)) + col("v")).cast("double"))), 4)
+          .as("avg_logprob"))
+  }
+}

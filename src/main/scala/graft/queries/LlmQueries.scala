@@ -425,6 +425,14 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash)
       .orderBy("doc_id")
 
+  /** CCNet-style LM quality score (q110,
+    * [[graft.llm.LanguageModel.ngramLogProbScore]]): per-document average
+    * add-one-smoothed trigram log-probability under a count model
+    * trained on the corpus itself. */
+  def ngramLogProb(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.ngramLogProbScore(table(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** GPT-style sequence packing (q89): concatenate-then-split assignment
     * of documents to 512-token training sequences over the portable-hash
     * canonical order, two-phase distributed prefix sum (no global

@@ -29,10 +29,13 @@ class PlanAuditSpec extends SparkSpec {
     "q82_ivf_trained",       // broadcast trained-centroid table
     "q48_tfidf_top_terms",   // broadcast scalar n_docs
     "q66_heavy_hitters",     // broadcast scalar total
-    "q95_ann_rewrite"        // exact ground-truth side (q47 shape) + the
+    "q95_ann_rewrite",       // exact ground-truth side (q47 shape) + the
                              // 1-row×1-row stats crossJoin; the bucket
                              // join itself is equi — asserted in
                              // AnnJoinRewriteSpec
+    "q110_ngram_logprob"     // broadcast 1-row vocab-size scalar frame
+                             // (lazy alternative to a driver collect);
+                             // the count joins are equi on gram hashes
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

@@ -1,0 +1,40 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** CCNet-style n-gram LM scoring: decision-rule properties. */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repeated boilerplate scores higher than unique text (self-model)") {
+    val boiler = "the standard cookie banner text appears on every page here"
+    val docs = ((0 until 20).map(i => (i.toLong, boiler)) ++ Seq(
+      (100L, "zq xv wj kp qm ln rt yb fd gh cs"),
+      (101L, "ab"))) // shorter than n=3: no gram positions
+      .toDF("doc_id", "text")
+    val out = LanguageModel.ngramLogProbScore(docs)
+      .select("doc_id", "n_grams", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // the sub-n doc is absent (score undefined)
+    assert(!byId.contains(101L) && out.length == 21)
+    // high-count boilerplate grams beat the hapax gibberish
+    assert(byId(0L)._3 > byId(100L)._3)
+    // identical docs score identically
+    assert(byId(0L) == byId(1L).copy(_1 = 0L))
+  }
+
+  test("external model: every unseen gram gets exactly the smoothed floor") {
+    val docs = Seq((0L, "a b c d e"), (1L, "f g h i")).toDF("doc_id", "text")
+    val model = Seq((9L, "completely disjoint vocabulary text here now ok"))
+      .toDF("doc_id", "text")
+    // model vocab V = 7 distinct tokens; every doc gram AND context is
+    // unseen -> each position contributes ln((0+1)/(0+7))
+    val expected = BigDecimal(math.log(1.0 / 7))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = LanguageModel.ngramLogProbScore(docs, 3, Some(model))
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(out == Map(0L -> expected, 1L -> expected))
+  }
+}
