@@ -280,11 +280,6 @@ object Similarity {
     acc
   }
 
-  /** [[kmeansAssign]] returning BOTH halves of the trained quantizer: the
-    * final (vec_id, cid) assignment and the centroid-sum frame
-    * (cid, d, m) that PRODUCED it — exactly the coarse quantizer
-    * [[ivfTopKTrained]] probes, so index build and query see the same
-    * cells. */
   /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws: beating power law scaling via data pruning",
     * arXiv:2206.14486): cluster the embedding space with [[kmeansTrain]],
@@ -301,12 +296,19 @@ object Similarity {
     * rounded cosine, vec_id tie-break), so an external engine replays
     * bit-identically.
     *
-    * Scale shape: one broadcast join against k×dims centroid rows, one
-    * integer-dot aggregation (corpus-linear), then a PER-CLUSTER rank
-    * window — O(cᵢ log cᵢ) sort per cluster, a far gentler skew shape
-    * than [[semanticDedup]]'s O(cᵢ²) pair join, so no `maxCluster`
-    * analogue is needed here; like SemDeDup, grow k with the corpus so
-    * single-cluster sorts stay in one task's memory.
+    * Scale shape: the prototypicality score is computed per ROW — the
+    * k×dims centroid sums collapse to k array rows, broadcast, and the
+    * dot/norms are exact long folds over the un-exploded embedding
+    * (zip_with + aggregate; sums of the same integer multisets as the
+    * exploded spelling, so bit-identical) — leaving ONE corpus shuffle
+    * (the vec_id join against the trainer's assignment) plus the
+    * PER-CLUSTER rank window, O(cᵢ log cᵢ) per cluster. The first cut
+    * re-exploded the corpus to (vec_id, d, xi) rows and pushed
+    * dims×|corpus| rows through three shuffles; at 200k×64-dim vectors
+    * that measured 37-47 s against this spelling's ~8 s — same gate
+    * output, measured in BASELINE.md's 100× table. Like SemDeDup, grow
+    * k with the corpus so single-cluster sorts stay in one task's
+    * memory.
     *
     * Output: (vec_id, cid, centroid_sim, kept) — `kept = false` for the
     * ceil(pruneFrac·|cluster|) most prototypical members (ties broken by
@@ -317,17 +319,25 @@ object Similarity {
     require(pruneFrac >= 0.0 && pruneFrac < 1.0,
       "pruneFrac is the dropped fraction per cluster, in [0, 1)")
     val (assign, cent) = kmeansTrain(corpus, k, iters, hasher)
-    val ex = corpus
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d"),
-        round(col("x").cast("double") * 1000).cast("long").as("xi"))
-    val nx = ex.groupBy("vec_id").agg(sum(col("xi") * col("xi")).as("nx"))
-    val nm = cent.groupBy("cid").agg(sum(col("m") * col("m")).as("nm"))
-    val proto = ex.join(assign, "vec_id")
-      .join(broadcast(cent), Seq("cid", "d"))
-      .groupBy("vec_id", "cid").agg(sum(col("xi") * col("m")).as("dot"))
-      .join(broadcast(nm), "cid")
-      .join(nx, "vec_id")
+    // collapse the (cid, d, m) centroid sums to k broadcastable array
+    // rows; sort_array on the (d, m) struct orders by dimension, so the
+    // m-array is positionally aligned with the embedding
+    val centArr = cent.groupBy("cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("m_arr"))
+      .withColumn("nm",
+        aggregate(col("m_arr"), lit(0L), (a, m) => a + m * m))
+    val xiArr = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val proto = corpus
+      .select(col("vec_id"), xiArr.as("xi"))
+      .withColumn("nx", aggregate(col("xi"), lit(0L), (a, x) => a + x * x))
+      .join(assign, "vec_id")
+      .join(broadcast(centArr), "cid")
+      .withColumn("dot", aggregate(
+        zip_with(col("xi"), col("m_arr"), (x, m) => x * m),
+        lit(0L), (a, p) => a + p))
       .withColumn("centroid_sim", round(col("dot").cast("double") /
         (sqrt(col("nx").cast("double")) * sqrt(col("nm").cast("double"))),
         4))
