@@ -22,27 +22,41 @@ object Tables {
 
   /** Parquet scan. Column pruning + filter pushdown are automatic once the
     * downstream plan is pure-Column (verify with `.explain`: PushedFilters,
-    * ReadSchema).
-    *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects by default; we read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and truncate to a micros timestamp —
-    * the same ns→us truncation DuckDB applies, so oracles agree. The conf
-    * must be set AT SESSION BUILD (as Verify/Bench/tests do) — a read
-    * helper silently mutating session state was a hidden global side
-    * effect, so this now asserts instead. */
+    * ReadSchema). The events table's `ts` column is normalized to a
+    * session-zoned micros timestamp whatever the writer emitted — see
+    * [[normalizeEventTs]]. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    if (name == "events") {
-      require(
-        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-          .contains("true"),
-        "events.ts is parquet TIMESTAMP(NANOS): build the session with " +
-          "spark.sql.legacy.parquet.nanosAsLong=true")
-      spark.read.parquet(path)
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(path)
+    if (name == "events") normalizeEventTs(spark.read.parquet(path))
+    else spark.read.parquet(path)
+  }
+
+  /** Normalize an events frame's `ts` to a session-zoned micros TIMESTAMP,
+    * adapting to whichever physical type the parquet writer used:
+    *
+    *   - TIMESTAMP(NANOS) read as raw Long via
+    *     spark.sql.legacy.parquet.nanosAsLong=true → truncate ns→us
+    *     (the same truncation DuckDB applies, so oracles agree);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) read as TIMESTAMP_NTZ →
+    *     cast to TIMESTAMP, which with session tz UTC (all session builders
+    *     set it) pins the identical instant DuckDB's naive read yields;
+    *   - already TIMESTAMP → pass through.
+    *
+    * The testdata generator has produced both layouts across rounds; at
+    * 100 TB a corpus accretes files from several writer generations, so a
+    * schema-adaptive reader is the production-correct shape, not a
+    * test-only concession. Streaming callers share this (the file-source
+    * schema is fixed up-front, so the dtype dispatch is plan-time only). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** CSV read with header + explicit nullability (reference S3:

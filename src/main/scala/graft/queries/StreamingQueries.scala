@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.io.Tables
 import graft.io.Tables.table
 import graft.ops.Windows
 import graft.streaming.EventsStream
@@ -139,8 +140,7 @@ object StreamingQueries {
     * micro-batches, a past-watermark duplicate survives. */
   def dedupBatch(s: SparkSession, dir: String): DataFrame = {
     val srcDir = stageForStream(dir, "events.parquet", "q83")
-    val stream = EventsStream.fromDirectory(s, srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // see Tables
+    val stream = Tables.normalizeEventTs(EventsStream.fromDirectory(s, srcDir))
     val out = java.nio.file.Files.createTempDirectory("graft-q83").toString
     withRocksDb(s) {
       val q = EventsStream.dedupWithinWatermark(stream.union(stream))
@@ -171,8 +171,7 @@ object StreamingQueries {
     * replay. */
   def streamingAsOfBuffered(s: SparkSession, dir: String): DataFrame = {
     val srcDir = stageForStream(dir, "events.parquet", "q85")
-    val stream = EventsStream.fromDirectory(s, srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // see Tables
+    val stream = Tables.normalizeEventTs(EventsStream.fromDirectory(s, srcDir))
     val out = java.nio.file.Files.createTempDirectory("graft-q85").toString
     withRocksDb(s) {
       val q = EventsStream.streamingAsOfBuffered(s, stream, delay = "0 seconds")
