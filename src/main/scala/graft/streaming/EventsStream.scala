@@ -176,8 +176,15 @@ object EventsStream {
               (st.signups ++ sig.map(e => us(e.ts))).sorted,
               st.pending ++ pur.map(e => PendingPurchase(e.event_id, us(e.ts), e.value)))
           // finalize purchases the watermark has passed, oldest first so
-          // equal-ts purchases emit deterministically
-          val (ripe, wait) = st.pending.partition(_.ts_us <= wmUs)
+          // equal-ts purchases emit deterministically. Ripeness compares
+          // at the watermark's OWN granularity (Spark watermarks are
+          // milliseconds): a micro-precision ts_us <= wmUs test can never
+          // pass for a purchase in the same millisecond as the corpus max
+          // event time — the final no-data batch pins the watermark to
+          // the ms-truncated max, so such a purchase (e.g. when the
+          // globally latest event IS a purchase) would sit in state
+          // forever.
+          val (ripe, wait) = st.pending.partition(_.ts_us / 1000L <= wmUs / 1000L)
           val out = ripe.sortBy(p => (p.ts_us, p.event_id)).map { p =>
             val m = st.signups.takeWhile(_ <= p.ts_us)
             AsOfMatch(uid, p.event_id, p.ts_us, p.value,
