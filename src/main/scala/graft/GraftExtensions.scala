@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, MapCountAgg, Md5Prefix60, MisraGriesAgg, PolyHash}
+import graft.functions.{CosineSim, CountMinAgg, MapCountAgg, Md5Prefix60, MisraGriesAgg, PolyHash}
 
 /** Registration of the engine's native Catalyst expressions.
   *
@@ -45,7 +45,13 @@ object GraftFunctions {
     (FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
       (children: Seq[Expression]) => MisraGriesAgg(children.head,
-        children(1).eval().asInstanceOf[Number].intValue)))
+        children(1).eval().asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
+      (children: Seq[Expression]) => CountMinAgg(children.head,
+        children(1).eval().asInstanceOf[Number].intValue,
+        children(2).eval().asInstanceOf[Number].intValue,
+        children(3).eval().asInstanceOf[Number].intValue)))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

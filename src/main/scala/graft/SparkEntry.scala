@@ -141,6 +141,10 @@ object SparkEntry {
     "q108_prototype_prune" -> LlmQueries.prototypePrune,
     "q109_mixture_by_budget" -> LlmQueries.mixtureByBudget,
     "q110_ngram_logprob" -> LlmQueries.ngramLogProb,
+    "q111_dsir_score" -> LlmQueries.dsirScore,
+    "q112_linear_classifier" -> LlmQueries.linearClassifier,
+    "q113_temperature_mixture" -> LlmQueries.temperatureMixture,
+    "q114_count_min" -> LlmQueries.countMinFrequencies,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -657,6 +661,91 @@ FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
         |    AS avg_logprob
         |FROM tri t LEFT JOIN c3 USING (g3) LEFT JOIN c2 USING (g2), v
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    // q111: hash buckets are SEMANTICS here (collisions are part of the
+    // hashed-feature model), so the oracle replays the portable hash for
+    // both the corpus split and the feature map; ln carries the same
+    // 4-dp measure-zero caveat as q110.
+    "q111_dsir_score" ->
+      s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         ${graft.llm.PortableSeededHash.sql("doc_id", 42)} % 100 AS sb
+  FROM documents),
+grams AS (
+  SELECT doc_id, sb, t[i] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, sb, t[i] || ' ' || t[i+1]
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+gb AS (SELECT doc_id, sb,
+         ${graft.llm.PortableSeededHash.sql("g", 59)} % 1024 AS b
+       FROM grams),
+tg AS (SELECT b FROM gb WHERE sb >= 90),
+rg AS (SELECT doc_id, b FROM gb WHERE sb < 80),
+tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+rc AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
+tt AS (SELECT count(*) AS t_total FROM tg),
+rt AS (SELECT count(*) AS r_total FROM rg)
+SELECT CAST(rg.doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  round(sum(
+    ln((COALESCE(tc.ct, 0) + 1) / CAST(tt.t_total + 1024 AS DOUBLE)) -
+    ln((COALESCE(rc.cr, 0) + 1) / CAST(rt.r_total + 1024 AS DOUBLE))), 4)
+    AS log_ratio
+FROM rg LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), tt, rt
+GROUP BY rg.doc_id ORDER BY doc_id""",
+    // q112: integer weights + integer sum — no float anywhere, so the
+    // logit is bit-exact; the weight of bucket b re-derives as
+    // hash77('w' || b) % 17 - 8, exactly as the Scala driver builds it.
+    "q112_linear_classifier" ->
+      s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, t[i] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i+1]
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+wg AS (SELECT doc_id,
+         (${graft.llm.PortableSeededHash.sql(
+             "'w' || (" + graft.llm.PortableSeededHash.sql("g", 59) +
+               " % 256)::VARCHAR", 77)} % 17) - 8 AS w
+       FROM grams)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_feats,
+  CAST(sum(w) AS BIGINT) AS logit,
+  CAST(sum(w) AS BIGINT) > 0 AS keep
+FROM wg GROUP BY doc_id ORDER BY doc_id""",
+    // q113: sqrt/divide/floor are IEEE-correctly-rounded, so the
+    // data-derived thresholds are bit-identical cross-engine (the α=0.5
+    // guarantee documented on temperatureSampled).
+    "q113_temperature_mixture" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum
+           FROM documents GROUP BY lang),
+t AS (SELECT lang, n_stratum,
+        least(10000, CAST(floor(25000.0 / sqrt(CAST(n_stratum AS DOUBLE)))
+          AS BIGINT)) AS threshold_bp
+      FROM c)
+SELECT d.doc_id, d.lang AS stratum, t.n_stratum, t.threshold_bp,
+  ${graft.llm.PortableSeededHash.sql("d.doc_id", 41)} % 10000
+    < t.threshold_bp AS kept
+FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
+    // q114: the oracle rebuilds the ENTIRE count-min matrix (per-row
+    // bucket sums) and takes the min over rows — the sketch estimate is
+    // replayed exactly, overcounts included, not approximated away.
+    "q114_count_min" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY user_id),
+        |h AS (SELECT user_id, n, r,
+        |        ('0x' || substr(md5((101 + r)::VARCHAR || ':' ||
+        |          user_id::VARCHAR), 1, 15))::BIGINT % 256 AS b
+        |      FROM c, (SELECT unnest([0, 1, 2, 3]) AS r) rws),
+        |cell AS (SELECT r, b, CAST(sum(n) AS BIGINT) AS cell
+        |         FROM h GROUP BY r, b)
+        |SELECT CAST(h.user_id AS BIGINT) AS user_id,
+        |  CAST(min(h.n) AS BIGINT) AS exact_n,
+        |  CAST(min(cell.cell) AS BIGINT) AS est_n
+        |FROM h JOIN cell USING (r, b)
+        |GROUP BY h.user_id ORDER BY user_id""".stripMargin,
     "q109_mixture_by_budget" ->
       s"""WITH b AS (
   SELECT doc_id, lang AS domain,

@@ -1,0 +1,125 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature document scoring — the "cheap model over hashed
+  * n-grams" family every large-scale data pipeline runs in front of
+  * training:
+  *
+  *  - [[dsirLogRatio]] — DSIR importance weights (Xie et al. 2023,
+  *    "Data Selection for Language Models via Importance Resampling",
+  *    arXiv:2302.03169): log p_target(x) − log p_raw(x) under bag-of-
+  *    hashed-n-gram models, the score whose resampling shifts a raw
+  *    crawl toward a target domain.
+  *  - [[hashedLinearLogit]] — a linear classifier over the same hashed
+  *    bag (the fastText shape: Joulin et al. 2017, "Bag of Tricks for
+  *    Efficient Text Classification"), evaluated as a pure scan.
+  *
+  * Both use the feature map of the DSIR reference implementation:
+  * unigrams AND bigrams hashed into a fixed bucket space. Bucket
+  * COLLISIONS are part of the model (that is what keeps the parameter
+  * vector fixed-size at any vocabulary), so unlike the dedup family the
+  * hash is semantics, not identity — engine and oracle must hash
+  * identically, which is what the portable family provides
+  * ([[PortableSeededHash]]; production swaps in [[XxSeededHash]]).
+  */
+object Importance {
+
+  /** Unigrams ++ bigrams of a whitespace-token array, as strings
+    * (bigrams space-joined — the DSIR feature map). */
+  private[llm] def unigramsBigrams(toks: Column): Column =
+    concat(toks,
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+
+  private def bucketOf(g: Column, buckets: Int, seed: Int,
+                       hasher: SeededHash): Column =
+    pmod(hasher.hash(g, seed), lit(buckets.toLong))
+
+  /** DSIR importance score per raw document:
+    *
+    *   log w(d) = Σ_{g ∈ grams(d)} [ ln p̂_t(b(g)) − ln p̂_r(b(g)) ]
+    *
+    * with p̂(b) = (count(b) + 1) / (total + B) the add-one-smoothed
+    * hashed-gram distribution of the target corpus (p̂_t) and the raw
+    * corpus itself (p̂_r), B = `buckets`. Positive score ⇒ the document
+    * looks more like the target than like the raw marginal; DSIR then
+    * resamples ∝ exp(score) (a caller-side [[Sampling.stratified]]-style
+    * coin or top-k — this operator owns the distributed scoring).
+    *
+    * Scale shape: two bucket-count aggregates (≤ B rows each, map-side
+    * combine absorbs hot buckets) broadcast back onto the exploded raw
+    * grams, two 1-row total frames crossed in lazily — the per-doc
+    * reduce is the only data-sized shuffle and it is keyed by doc_id,
+    * never by gram. Corpus-linear, no self-joins.
+    *
+    * Determinism note (same caveat as the q110 LM): `ln` is a ≤1-ulp
+    * libm call and the per-doc sum is order-dependent in its last bits;
+    * the 4-dp round makes boundary flips measure-zero (verified
+    * empirically at sf0.01), and every other op (hash, counts, divide)
+    * is exact or correctly rounded.
+    *
+    * Output: (doc_id, n_grams, log_ratio round 4), one row per raw doc
+    * with ≥ 1 token. */
+  def dsirLogRatio(raw: DataFrame, target: DataFrame, buckets: Int = 1024,
+                   seed: Int = 59,
+                   hasher: SeededHash = XxSeededHash): DataFrame = {
+    require(buckets > 0)
+    val toks = TextAnalysis.tokens(col("text"))
+    def gramBuckets(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+          explode(unigramsBigrams(toks)).as("g"))
+        .select(col("doc_id"), bucketOf(col("g"), buckets, seed, hasher).as("b"))
+    val tg = gramBuckets(target)
+    val rg = gramBuckets(raw)
+    val tCounts = tg.groupBy("b").agg(count(lit(1)).as("ct"))
+    val rCounts = rg.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tTotal = tg.agg(count(lit(1)).as("t_total"))
+    val rTotal = rg.agg(count(lit(1)).as("r_total"))
+    val bD = lit(buckets.toDouble)
+    rg.join(broadcast(tCounts), Seq("b"), "left")
+      .join(broadcast(rCounts), Seq("b"), "left")
+      .crossJoin(broadcast(tTotal))
+      .crossJoin(broadcast(rTotal))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(
+          log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+            (col("t_total").cast("double") + bD)) -
+          log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+            (col("r_total").cast("double") + bD))), 4).as("log_ratio"))
+  }
+
+  /** Linear classifier inference over the hashed bag — the fastText
+    * decision rule with the model reduced to one weight per hash bucket:
+    *
+    *   logit(d) = Σ_{g ∈ grams(d)} W[b(g)]
+    *
+    * `weights` (length = `buckets`, integer — a production pipeline
+    * quantizes its trained vector; integer addition keeps the per-doc
+    * fold exact and associative, so the score is bit-identical in any
+    * engine) ships as ONE plan literal: inference is a pure per-row
+    * expression — no join, no shuffle, no UDF — the whole corpus is
+    * scored inside whole-stage codegen at scan speed, which is the
+    * 100 TB design point for "run the quality model over everything".
+    * The per-row fold is a HOF `aggregate` over the gram array, so no
+    * explode/re-group round trip exists either.
+    *
+    * Output: (doc_id, n_feats, logit, keep = logit > 0). */
+  def hashedLinearLogit(docs: DataFrame, weights: Array[Long],
+                        seed: Int = 59,
+                        hasher: SeededHash = XxSeededHash): DataFrame = {
+    val buckets = weights.length
+    require(buckets > 0)
+    val w = typedLit(weights)
+    val grams = unigramsBigrams(TextAnalysis.tokens(col("text")))
+    val logit = aggregate(grams, lit(0L),
+      (acc, g) => acc + element_at(w,
+        (bucketOf(g, buckets, seed, hasher) + 1).cast("int")))
+    docs.select(col("doc_id"), size(grams).cast("long").as("n_feats"),
+      logit.as("logit"), (logit > 0).as("keep"))
+  }
+}

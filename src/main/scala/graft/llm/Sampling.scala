@@ -112,6 +112,60 @@ object Sampling {
         col("cum_tokens"), (col("cum_tokens") <= budget).as("kept"))
   }
 
+  /** Temperature-scaled (α-) sampling — the multilingual rebalancing rule
+    * of XLM-R / mT5 (Conneau et al. 2020 §3.1; Xue et al. 2021 §3.2):
+    * sample stratum s with probability ∝ p(s)^α, α < 1 flattening the
+    * head so low-resource strata are over-represented relative to their
+    * corpus share. Where [[stratified]] takes CALLER-chosen rates, this
+    * derives them FROM THE DATA: with n_s rows in stratum s, the keep
+    * rate is
+    *
+    *   r_s = min(1, c · n_s^(α-1))
+    *
+    * (the per-row acceptance probability that realizes q_s ∝ n_s^α up to
+    * the caller's global multiplier `c`, which sets the overall output
+    * size — the normalizer Σ n_s^α is folded into c rather than computed,
+    * so no cross-stratum float reduction exists to make bit-exactness
+    * depend on summation order). The keep decision is the same seeded
+    * portable-hash coin as [[stratified]].
+    *
+    * For α = 0.5 the rate is spelled `c / sqrt(n)`: IEEE-754 requires
+    * sqrt, divide and multiply to be correctly rounded, so the threshold
+    * is bit-identical in any compliant engine and the selection is
+    * oracle-exact. Other α go through `pow`, which carries no such
+    * guarantee (documented: rows-check only).
+    *
+    * Scale shape: one tiny per-stratum count aggregate (map-side combine
+    * collapses it to |strata| rows), broadcast back, then a scan-level
+    * hash-coin filter — no data shuffle, no driver collect.
+    *
+    * Output: every row with (idCol, stratum, n_stratum, threshold_bp,
+    * kept) — the audit shape of [[mixtureByBudget]]. */
+  def temperatureSampled(df: DataFrame, idCol: Column, stratumCol: Column,
+                         c: Double, alpha: Double = 0.5, seed: Int = 41,
+                         hasher: SeededHash = XxSeededHash): DataFrame = {
+    require(c > 0, "global rate multiplier c must be > 0")
+    require(alpha > 0 && alpha <= 1, "temperature alpha must be in (0, 1]")
+    val counts = df.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("n_stratum"))
+    val nD = col("n_stratum").cast("double")
+    // c·n^(α-1), scaled to a 10000-bucket integer threshold. α = 0.5 is
+    // spelled with sqrt (correctly rounded ⇒ cross-engine bit-identical);
+    // the literal 10000·c is folded at plan time so both engines see one
+    // exact double constant.
+    val rateScaled =
+      if (alpha == 0.5) lit(10000.0 * c) / sqrt(nD)
+      else lit(10000.0 * c) * pow(nD, alpha - 1.0)
+    val thresh = least(lit(10000L), floor(rateScaled).cast("long"))
+    val rates = counts.withColumn("threshold_bp", thresh)
+    df.select(idCol.as("id"), stratumCol.as("stratum"))
+      .join(broadcast(rates), "stratum")
+      .select(col("id"), col("stratum"), col("n_stratum"),
+        col("threshold_bp"),
+        (pmod(hasher.hash(col("id"), seed), lit(10000L)) <
+          col("threshold_bp")).as("kept"))
+  }
+
   /** GPT-style sequence packing: documents concatenated in a
     * deterministic seeded-hash order and split into fixed `budget`-token
     * training sequences; each document reports the sequence containing

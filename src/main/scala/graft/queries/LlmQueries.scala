@@ -667,4 +667,73 @@ object LlmQueries {
       .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
         col("cnt"))
       .orderBy("doc_id", "bucket")
+
+  /** DSIR importance weights (q111,
+    * [[graft.llm.Importance.dsirLogRatio]]): every corpus-split document
+    * scored by log p_target − log p_raw under hashed unigram+bigram
+    * models; the target is the q91/q105 benchmark split, so "does this
+    * raw doc look like the target corpus" reuses the established
+    * hash-bucket split. */
+  def dsirScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val bucket = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    graft.llm.Importance.dsirLogRatio(
+        docs.where(bucket < 80), docs.where(bucket >= 90),
+        buckets = 1024, seed = 59,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("doc_id")
+  }
+
+  /** Hashed linear quality classifier (q112,
+    * [[graft.llm.Importance.hashedLinearLogit]]): fastText-shape
+    * inference as a pure scan. Gate weights are a deterministic
+    * hash-derived stand-in for a trained vector (one integer per bucket,
+    * derived exactly as the oracle re-derives them); the operator takes
+    * any caller-trained weights. */
+  def linearClassifier(s: SparkSession, dir: String): DataFrame = {
+    val weights = Array.tabulate(256) { b =>
+      graft.functions.Md5Prefix60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"77:w$b")) %
+        17L - 8L
+    }
+    graft.llm.Importance.hashedLinearLogit(table(s, dir, "documents"),
+        weights, seed = 59, hasher = graft.llm.PortableSeededHash)
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-scaled mixture sampling (q113,
+    * [[graft.llm.Sampling.temperatureSampled]]): α = 0.5 rebalancing of
+    * the language mix with data-derived rates (c = 2.5 keeps
+    * min(1, 2.5/√n_lang) of each language). */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.temperatureSampled(table(s, dir, "documents"),
+        col("doc_id"), col("lang"), c = 2.5, alpha = 0.5, seed = 41,
+        hasher = graft.llm.PortableSeededHash)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Count-Min frequency estimation (q114,
+    * [[graft.functions.CountMinAgg]]): one global 4×256 sketch over the
+    * events user stream, then every user's estimate probed back out of
+    * the sketch next to the exact count. width 256 < distinct users, so
+    * collisions are REAL and the one-sided error is exercised — the
+    * oracle replays the full counter matrix, not just the exact counts. */
+  def countMinFrequencies(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val depth = 4; val width = 256; val seed = 101
+    val ev = table(s, dir, "events")
+      .select(col("user_id").cast("string").as("k"))
+    val sketch = ev.agg(
+      expr(s"count_min(k, $depth, $width, $seed)").as("cm"))
+    val exact = ev.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    val est = (0 until depth).map { r =>
+      element_at(col("cm"), (lit(r * width) +
+        pmod(graft.llm.PortableSeededHash.hash(col("k"), seed + r),
+          lit(width.toLong)).cast("int") + 1).cast("int"))
+    }.reduce(least(_, _))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("k").cast("long").as("user_id"), col("exact_n"),
+        est.as("est_n"))
+      .orderBy("user_id")
+  }
 }

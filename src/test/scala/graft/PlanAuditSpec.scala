@@ -33,9 +33,15 @@ class PlanAuditSpec extends SparkSpec {
                              // 1-row×1-row stats crossJoin; the bucket
                              // join itself is equi — asserted in
                              // AnnJoinRewriteSpec
-    "q110_ngram_logprob"     // broadcast 1-row vocab-size scalar frame
+    "q110_ngram_logprob",    // broadcast 1-row vocab-size scalar frame
                              // (lazy alternative to a driver collect);
                              // the count joins are equi on gram hashes
+    "q111_dsir_score",       // broadcast 1-row gram-total frames (t_total,
+                             // r_total) — q110's scalar-frame pattern; the
+                             // bucket-count joins are equi on bucket id
+    "q114_count_min"         // broadcast 1-row sketch frame probed by
+                             // every key — the POINT of a CM sketch (the
+                             // fixed-size summary replaces a per-key join)
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

@@ -114,4 +114,33 @@ class SamplingSpec extends SparkSpec {
     val large = run(2000L).filter(r => r._5 && r._2 == "en").map(_._1).toSet
     assert(small.subsetOf(large))
   }
+
+  test("temperatureSampled derives flatter-than-proportional rates") {
+    val out = Sampling.temperatureSampled(docs, col("doc_id"), col("lang"),
+        c = 2.5, alpha = 0.5)
+      .select("id", "stratum", "n_stratum", "threshold_bp", "kept")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(out.size == docs.count()) // audit shape: every row scored
+    val totals = docs.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val byLang = out.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val n = totals(lang)
+      // threshold = min(10000, floor(25000/sqrt(n))) exactly
+      val expect = math.min(10000L, math.floor(25000.0 / math.sqrt(n.toDouble)).toLong)
+      assert(rows.forall(_._4 == expect), s"$lang threshold")
+      assert(rows.forall(_._3 == n), s"$lang count")
+    }
+    // α < 1 flattens: the keep RATE of the smallest stratum is >= the
+    // keep rate of the largest (inverse-sqrt thresholds)
+    val smallest = totals.minBy(_._2)._1
+    val largest = totals.maxBy(_._2)._1
+    val rate = (l: String) => byLang(l).head._4
+    assert(rate(smallest) >= rate(largest))
+    // deterministic
+    val again = Sampling.temperatureSampled(docs, col("doc_id"), col("lang"),
+        c = 2.5, alpha = 0.5)
+      .select("id", "kept").as[(Long, Boolean)].collect().toSet
+    assert(again == out.map(r => (r._1, r._5)).toSet)
+  }
 }
