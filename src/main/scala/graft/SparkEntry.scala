@@ -145,6 +145,12 @@ object SparkEntry {
     "q112_linear_classifier" -> LlmQueries.linearClassifier,
     "q113_temperature_mixture" -> LlmQueries.temperatureMixture,
     "q114_count_min" -> LlmQueries.countMinFrequencies,
+    "q115_trained_classifier" -> LlmQueries.trainedClassifier,
+    "q116_html_extract" -> LlmQueries.htmlExtract,
+    "q117_ppl_buckets" -> LlmQueries.perplexityBuckets,
+    "q118_incremental_neardup" -> LlmQueries.incrementalNearDup,
+    "q119_shuffle_order" -> LlmQueries.shuffleOrder,
+    "q120_token_entropy" -> LlmQueries.tokenEntropy,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -746,6 +752,106 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |  CAST(min(cell.cell) AS BIGINT) AS est_n
         |FROM h JOIN cell USING (r, b)
         |GROUP BY h.user_id ORDER BY user_id""".stripMargin,
+    // q115: the oracle replays the full quantized-state gradient descent
+    // (generated CTE chain, one stage per iteration) — see the generator.
+    "q115_trained_classifier" -> q115TrainedClassifierOracle,
+    // q116: wrap + strip both replayed — the regexes avoid backreferences
+    // and lookarounds so the same patterns run under Java regex and RE2.
+    "q116_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title><script type="text/javascript">var t = 1 &amp;&amp; 2;' ||
+        |  '</script><style>.nav { color: red; }</style></head><body>' ||
+        |  '<div class="nav">Home | About</div><p>' || text ||
+        |  '</p><footer>&amp;copy; 2026</footer></body></html>' AS x
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x
+        |       FROM s2),
+        |s4 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(x,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+        |  AS x FROM s3)
+        |SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text_clean,
+        |  CAST(length(trim(regexp_replace(x, '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_chars_clean
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+    // q118: asymmetric new-batch-vs-index LSH — generated like q32.
+    "q118_incremental_neardup" -> q118IncrementalOracle,
+    // q119: integer row_number machinery — exact.
+    "q119_shuffle_order" ->
+      s"""WITH b AS (SELECT doc_id AS id, ${h("doc_id", 37)} AS h
+       FROM documents),
+p AS (SELECT id, h, h % 8 AS bucket,
+        CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, id)
+          AS BIGINT) AS rn
+      FROM b),
+o AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS bucket_offset
+      FROM (SELECT bucket, count(*) AS total FROM p GROUP BY bucket))
+SELECT p.id, o.bucket_offset + p.rn - 1 AS ord
+FROM p JOIN o USING (bucket) ORDER BY p.id""",
+    // q120: the ln fold runs over SORTED distinct tokens in both engines
+    // (same summation order; q110's 4-dp measure-zero caveat applies).
+    "q120_token_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |e AS (SELECT doc_id, len(toks) AS n_tokens,
+        |        CAST(len(toks) AS DOUBLE) AS n,
+        |        list_transform(list_sort(list_distinct(toks)),
+        |          u -> CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE))
+        |          AS cs
+        |      FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(-list_sum(list_transform(cs, c -> (c / n) * ln(c / n))), 4)
+        |    AS entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
+    // q117: q110's LM-score chain + the bounded value-histogram tercile
+    // cuts (integer thresholds over 4-dp score cells — no interpolation,
+    // no global sort; exact cross-engine).
+    "q117_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |v AS (SELECT count(DISTINCT tok) AS vsz
+        |      FROM (SELECT unnest(t) AS tok FROM toks)),
+        |tri AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g3,
+        |         array_to_string(t[i:i+1], ' ') AS g2
+        |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 2))
+        |    AS u(i)),
+        |c3 AS (SELECT g3, count(*) AS cn FROM tri GROUP BY g3),
+        |bi AS (
+        |  SELECT array_to_string(t[i:i+1], ' ') AS g2
+        |  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
+        |    AS u(i)),
+        |c2 AS (SELECT g2, count(*) AS cc FROM bi GROUP BY g2),
+        |sc AS (
+        |  SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    round(avg(ln((COALESCE(c3.cn, 0) + 1)
+        |      / CAST(COALESCE(c2.cc, 0) + v.vsz AS DOUBLE))), 4)
+        |      AS avg_logprob
+        |  FROM tri t LEFT JOIN c3 USING (g3) LEFT JOIN c2 USING (g2), v
+        |  GROUP BY t.doc_id),
+        |hist AS (SELECT avg_logprob AS s, count(*) AS c FROM sc GROUP BY 1),
+        |cum AS (SELECT s, sum(c) OVER (ORDER BY s
+        |          ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+        |tot AS (SELECT count(*) AS n FROM sc),
+        |cuts AS (SELECT
+        |    min(CASE WHEN cum >= (n + 2) // 3 THEN s END) AS t1,
+        |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END) AS t2
+        |  FROM cum, tot)
+        |SELECT doc_id, n_grams, avg_logprob,
+        |  CASE WHEN avg_logprob <= t1 THEN 'tail'
+        |       WHEN avg_logprob <= t2 THEN 'middle'
+        |       ELSE 'head' END AS ppl_bucket
+        |FROM sc, cuts ORDER BY doc_id""".stripMargin,
     "q109_mixture_by_budget" ->
       s"""WITH b AS (
   SELECT doc_id, lang AS domain,
@@ -1497,6 +1603,99 @@ ORDER BY d.doc_id""",
 
   private def h(x: String, seed: Int): String =
     graft.llm.PortableSeededHash.sql(x, seed)
+
+  /** q115 oracle: replays the ENTIRE quantized-state gradient descent of
+    * [[graft.llm.Importance.trainLogisticHashed]] (buckets=256, iters=3,
+    * lr=0.5 ⇒ a = lr·2^16/2^20 = 0.03125 exactly) as a generated CTE
+    * chain — one (margin → residual → gradient → update) stage per
+    * iteration, all in integer arithmetic except the single
+    * ROUND((a·G)/N) per update, which is the same two correctly-rounded
+    * IEEE ops both engines execute. Then scores every document with the
+    * final weights, exactly as hashedLinearLogit does. */
+  private def q115TrainedClassifierOracle: String = {
+    val iters = 3
+    val stages = (0 until iters).map { k =>
+      s"""m$k AS (SELECT t.doc_id, t.y, SUM(w.w) AS m
+   FROM tg t JOIN w$k w USING (b) GROUP BY t.doc_id, t.y),
+q$k AS (SELECT doc_id,
+          LEAST(GREATEST(m * 4 + 524288, 0), 1048576) - y * 1048576 AS q
+        FROM m$k),
+g$k AS (SELECT t.b, SUM(q.q) AS G
+        FROM tg t JOIN q$k q USING (doc_id) GROUP BY t.b),
+w${k + 1} AS (SELECT w.b,
+          w.w - CAST(ROUND((0.03125 * COALESCE(g.G, 0)) / n.n) AS BIGINT)
+            AS w
+        FROM w$k w LEFT JOIN g$k g USING (b), n)"""
+    }.mkString(",\n")
+    s"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         ${h("doc_id", 42)} % 100 AS sb
+  FROM documents),
+grams AS (
+  SELECT doc_id, sb, t[i] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, sb, t[i] || ' ' || t[i+1]
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+gb AS (SELECT doc_id, sb, ${h("g", 59)} % 256 AS b FROM grams),
+lab AS (SELECT DISTINCT doc_id, CASE WHEN sb >= 90 THEN 1 ELSE 0 END AS y
+        FROM toks WHERE sb < 80 OR sb >= 90),
+n AS (SELECT count(*) AS n FROM lab),
+tg AS (SELECT g.doc_id, l.y, g.b FROM gb g JOIN lab l USING (doc_id)),
+w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+       FROM range(256)),
+$stages
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_feats,
+  CAST(SUM(w.w) AS BIGINT) AS logit,
+  CAST(SUM(w.w) AS BIGINT) > 0 AS keep
+FROM gb a JOIN w$iters w USING (b)
+GROUP BY a.doc_id ORDER BY doc_id"""
+  }
+
+  /** q118 oracle: the q32 signature machinery, asymmetric — new-batch
+    * banded rows (split ≥ 90) joined against corpus banded rows
+    * (split < 80), no doc_id ordering constraint, agreement estimated
+    * new-vs-corpus. */
+  private def q118IncrementalOracle: String = {
+    val k = 16; val bands = 4; val rpb = k / bands
+    val p = graft.llm.Dedup.P31
+    val mins = (0 until k)
+      .map(i => s"min((hb * ${2 * i + 1} + ${graft.llm.Dedup.bSeed(i)}) % $p) AS mh$i")
+      .mkString(",\n    ")
+    def banded(filter: String) = (0 until bands).map { b =>
+      val cat = (b * rpb until (b + 1) * rpb)
+        .map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $cat AS bucket FROM sig WHERE $filter"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         ${h("doc_id", 42)} % 100 AS sbk
+       FROM documents),
+sh AS (SELECT doc_id, sbk, ${h("sg", 0)} % $p AS hb FROM (
+         SELECT doc_id, sbk, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sg
+         FROM w WHERE len(ws) >= 3)),
+sig AS (SELECT doc_id, min(sbk) AS sbk,
+    $mins
+  FROM sh GROUP BY doc_id),
+bn AS (
+  ${banded("sbk >= 90")}),
+bc AS (
+  ${banded("sbk < 80")}),
+cand AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+           count(*) AS n_bands_hit
+         FROM bn a JOIN bc b ON a.band = b.band AND a.bucket = b.bucket
+         GROUP BY 1, 2),
+est AS (SELECT c.new_doc, c.corpus_doc, c.n_bands_hit,
+          CAST($agree AS DOUBLE) / $k AS ej
+        FROM cand c JOIN sig sa ON c.new_doc = sa.doc_id
+                    JOIN sig sb ON c.corpus_doc = sb.doc_id)
+SELECT new_doc, corpus_doc, round(ej, 4) AS est_jaccard, n_bands_hit
+FROM est WHERE ej >= 0.3 ORDER BY new_doc, corpus_doc"""
+  }
 
   /** MinHash+LSH oracle: n=3 shingles, k=16 seeded min-hashes, 4 bands of
     * 4 rows, est_jaccard = signature-agreement/16 ≥ 0.3 (mirrors

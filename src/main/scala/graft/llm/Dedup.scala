@@ -781,14 +781,7 @@ object Dedup {
     val sig0 = minHashSignatures(docs, n, k, hasher)
     val sig = if (storageLevel == StorageLevel.NONE) sig0
               else sig0.persist(storageLevel)
-    val rowsPerBand = k / bands
-    val banded0 = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh$i").cast("string"))
-      sig.select(col("doc_id"),
-        lit(b).as("band"), concat_ws(",", cols: _*).as("bucket"))
-    }.reduce(_ union _)
-    val banded = dropHotBuckets(banded0, maxBucket)
+    val banded = dropHotBuckets(bandSignatures(sig, k, bands), maxBucket)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -1001,6 +994,73 @@ object Dedup {
   /** Universal-hash family parameters shared with the oracle SQL. */
   final val P31 = 2147483647L // 2^31 - 1
   def bSeed(i: Int): Long = (i.toLong * 12582917L) % P31
+
+  /** LSH banding of a [[minHashSignatures]] frame: one (doc_id, band,
+    * bucket) row per band, bucket = the concatenated signature rows of
+    * that band (exact equality, no re-hash collisions). */
+  private def bandSignatures(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i").cast("string"))
+      sig.select(col("doc_id"),
+        lit(b).as("band"), concat_ws(",", cols: _*).as("bucket"))
+    }.reduce(_ union _)
+  }
+
+  /** INCREMENTAL near-dup: flag a new ingest batch against an EXISTING
+    * corpus signature index — the daily-delta shape of production dedup
+    * at 100 TB, where re-clustering the whole corpus per ingest
+    * (q32/q63) is off the table and the right plan is "hash the delta,
+    * equi-join it against the stored index".
+    *
+    * `corpusSigs` is a [[minHashSignatures]] frame (doc_id, mh0..mh{k-1})
+    * — at scale a persistent parquet/bucketed table maintained by the
+    * ingest pipeline, NOT recomputed per batch; only the (small) new
+    * batch is signature-hashed here. Same banding, same est-jaccard
+    * verification, same hot-bucket cap as [[minHashLsh]] (applied
+    * per side: an over-cap bucket on the corpus side is an index
+    * template-flood, on the new side a degenerate batch).
+    *
+    * Scale shape: candidate generation is `bands` equi-joins of
+    * |delta|-sized banded rows against the index — cost tracks the
+    * DELTA, not the corpus; the agreement join touches only candidate
+    * corpus docs. No self-join of the corpus anywhere.
+    *
+    * Returns (new_doc, corpus_doc, est_jaccard, n_bands_hit) — the
+    * keep/drop decision (and any id-space overlap policy) stays with the
+    * caller. */
+  def incrementalNearDup(newDocs: DataFrame, corpusSigs: DataFrame,
+                         n: Int = 3, k: Int = 16, bands: Int = 4,
+                         estThreshold: Double = 0.3,
+                         hasher: SeededHash = XxSeededHash,
+                         storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                         maxBucket: Int = 1 << 12): DataFrame = {
+    val sigN0 = minHashSignatures(newDocs, n, k, hasher)
+    val sigN = if (storageLevel == StorageLevel.NONE) sigN0
+               else sigN0.persist(storageLevel)
+    val bN = dropHotBuckets(bandSignatures(sigN, k, bands), maxBucket)
+    val bC = dropHotBuckets(bandSignatures(corpusSigs, k, bands), maxBucket)
+    val cand = bN.as("a").join(bC.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket"))
+      .groupBy(col("a.doc_id").as("new_doc"),
+        col("b.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_bands_hit"))
+    val sigA = sigN.select(col("doc_id").as("new_doc") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = corpusSigs.select(col("doc_id").as("corpus_doc") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigA, "new_doc").join(sigB, "corpus_doc")
+      .withColumn("est_jaccard", agree.cast("double") / k)
+      .where(col("est_jaccard") >= estThreshold)
+      .select(col("new_doc"), col("corpus_doc"),
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        col("n_bands_hit"))
+  }
 
   /** Skew guard for the LSH band self-joins: a bucket of size s generates
     * s·(s-1)/2 candidate pairs ON ONE REDUCER — a single degenerate

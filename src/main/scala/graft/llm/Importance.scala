@@ -93,6 +93,83 @@ object Importance {
             (col("r_total").cast("double") + bD))), 4).as("log_ratio"))
   }
 
+  /** Distributed training of the hashed linear classifier — the
+    * "train a quality model on target-vs-crawl and filter with it" step
+    * (the GPT-3 / WebText data recipe; fastText shape as in
+    * [[hashedLinearLogit]]). Batch gradient descent on logistic loss
+    * with a HARD sigmoid (σ̂(x) = clamp(0.25x + 0.5, 0, 1)) and
+    * QUANTIZED state, chosen so the entire training loop is exactly
+    * reproducible — across runs, partitionings, merge orders and
+    * engines:
+    *
+    *  - weights live as int64 at scale W = 2^16; per-doc margins are
+    *    exact integer sums (associative — no float-accumulation order
+    *    dependence, the thing that makes naive distributed GD
+    *    non-deterministic);
+    *  - at scales W = 2^16, S = 2^20 the hard-sigmoid residual folds to
+    *    PURE integer arithmetic: resid·S = clamp(4m + 2^19, 0, 2^20) −
+    *    y·2^20 (no transcendental anywhere — a libm `exp` would differ
+    *    by ulps between engines and diverge over iterations);
+    *  - per-bucket gradients are exact integer sums of those residuals;
+    *  - the one float op per update, Δ_b = round((a·G_b)/N) with
+    *    a = lr·W/S, is a fixed sequence of two correctly-rounded IEEE
+    *    ops on integer inputs + half-away-from-zero rounding — the SQL
+    *    ROUND semantics, replicated driver-side by [[roundHalfAway]].
+    *
+    * Each iteration is one corpus-linear Spark job: the margin fold runs
+    * per-row inside codegen against the current weights literal, the
+    * gradient is a ≤B-key aggregate (map-side combine), and only B longs
+    * ever reach the driver — the classic broadcast-weights/aggregate-
+    * gradients shape, at 100 TB bounded by B, not the corpus.
+    *
+    * `docs` needs (doc_id, text, label∈{0,1}). Returns the quantized
+    * weight vector, ready for [[hashedLinearLogit]] (whose integer logit
+    * is then the exact quantized margin). */
+  def trainLogisticHashed(docs: DataFrame, buckets: Int = 256,
+                          iters: Int = 3, lr: Double = 0.5,
+                          seed: Int = 59,
+                          hasher: SeededHash = XxSeededHash): Array[Long] = {
+    require(buckets > 0 && iters >= 0 && lr > 0)
+    val W = 65536L       // weight scale 2^16
+    val S = 1048576L     // residual scale 2^20
+    val a = lr * W / S
+    val grams = unigramsBigrams(TextAnalysis.tokens(col("text")))
+    // hash each gram ONCE: iterations then fold cached ints — per-iter
+    // cost is integer arithmetic over the persisted bucket arrays, not
+    // a re-tokenize/re-md5 of the corpus
+    val base = docs.select(col("label").cast("long").as("y"),
+        transform(grams, g => bucketOf(g, buckets, seed, hasher)).as("bks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one bounded action: the training-set size in the update divisor
+      // (also materializes the cache the loop reuses)
+      val n = base.count()
+      require(n > 0, "empty training set")
+      val weights = new Array[Long](buckets)
+      for (_ <- 0 until iters) {
+        val w = typedLit(weights)
+        val m = aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + element_at(w, (b + 1).cast("int")))
+        val q = least(greatest(m * 4 + lit(S / 2), lit(0L)), lit(S)) -
+          col("y") * lit(S)
+        val grad = base
+          .select(q.as("q"), explode(col("bks")).as("b"))
+          .groupBy("b").agg(sum(col("q")).as("G"))
+          .collect() // ≤ buckets rows — the model, not the data
+        grad.foreach { r =>
+          val b = r.getLong(0).toInt
+          weights(b) -= roundHalfAway((a * r.getLong(1)) / n)
+        }
+      }
+      weights
+    } finally base.unpersist()
+  }
+
+  /** SQL ROUND semantics (half away from zero) — `math.round` is
+    * half-UP (floor(x+0.5)), which disagrees on negative halves. */
+  private[llm] def roundHalfAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(-x + 0.5).toLong
+
   /** Linear classifier inference over the hashed bag — the fastText
     * decision rule with the model reduced to one weight per hash bucket:
     *

@@ -80,4 +80,44 @@ object LanguageModel {
           (coalesce(col("cc"), lit(0L)) + col("v")).cast("double"))), 4)
           .as("avg_logprob"))
   }
+
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    * §4.3): split the corpus into LM-score terciles — `head` = the
+    * most-target-like third (highest avg log-prob = lowest perplexity),
+    * `tail` = the third a quality pipeline drops first.
+    *
+    * The cut points come from an EXACT value-histogram percentile, not a
+    * global sort: scores are 4-dp rounded, so the histogram is bounded
+    * by the VALUE SPACE (≤ ~200k distinct cells for any corpus size) —
+    * the groupBy is map-side combinable, the cumulative window runs over
+    * the tiny histogram, and no doc-sized data passes through a single
+    * partition. Ranks are integers and score comparisons are exact
+    * (4-dp doubles), so bucket assignment is bit-identical cross-engine —
+    * the reason this is spelled as histogram + integer thresholds rather
+    * than interpolated percentile_cont (whose interpolation arithmetic
+    * is not pinned across engines) or a global ntile window (a
+    * single-partition funnel at 100 TB).
+    *
+    * Output: (doc_id, n_grams, avg_logprob, ppl_bucket). */
+  def perplexityBuckets(docs: DataFrame, n: Int = 3,
+                        modelDocs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = ngramLogProbScore(docs, n, modelDocs)
+    val hist = scores.groupBy("avg_logprob").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy("avg_logprob")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = scores.agg(count(lit(1)).as("n"))
+    val cuts = cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"),
+          col("avg_logprob"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"),
+          col("avg_logprob"))).as("t2"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_grams"), col("avg_logprob"),
+        when(col("avg_logprob") <= col("t1"), "tail")
+          .when(col("avg_logprob") <= col("t2"), "middle")
+          .otherwise("head").as("ppl_bucket"))
+  }
 }

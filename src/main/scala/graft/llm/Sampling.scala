@@ -166,6 +166,41 @@ object Sampling {
           col("threshold_bp")).as("kept"))
   }
 
+  /** Deterministic global training order — the "shuffle the corpus once
+    * per epoch" step of a pre-training pipeline, with the RNG replaced by
+    * the seeded-hash total order (bucket, hash, id): reproducible across
+    * runs/engines/partitionings, a different permutation per `seed`
+    * (= epoch), and no `rand()` state to checkpoint.
+    *
+    * Scale shape: the [[packSequences]] two-phase prefix sum with
+    * row-COUNT in place of token-sum — per-bucket `row_number` windows
+    * (parallel across `numBuckets`), bucket counts prefix-summed into
+    * offsets and broadcast back. No global window, no single-partition
+    * funnel.
+    *
+    * Output: (id, ord) with ord a dense 0-based permutation index. */
+  def shuffleOrder(df: DataFrame, idCol: Column, numBuckets: Int = 1024,
+                   seed: Int = 37,
+                   hasher: SeededHash = XxSeededHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numBuckets > 0)
+    val h = hasher.hash(idCol, seed)
+    val base = df.select(idCol.as("id"), h.as("h"),
+      pmod(h, lit(numBuckets.toLong)).as("bucket"))
+    val wB = Window.partitionBy("bucket").orderBy(col("h"), col("id"))
+    val partial = base.withColumn("rn",
+      row_number().over(wB).cast("long"))
+    val offsets = partial.groupBy("bucket")
+      .agg(count(lit(1)).as("total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("total")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bucket_offset")
+    partial.join(broadcast(offsets), "bucket")
+      .select(col("id"), (col("bucket_offset") + col("rn") - 1).as("ord"))
+  }
+
   /** GPT-style sequence packing: documents concatenated in a
     * deterministic seeded-hash order and split into fixed `budget`-token
     * training sequences; each document reports the sequence containing

@@ -139,6 +139,49 @@ object TextAnalysis {
       "quality" -> round(score, 4))
   }
 
+  /** HTML boilerplate removal — the text-extraction step in front of a
+    * web-crawl pipeline (the C4/RefinedWeb preprocessing stage: strip
+    * markup, drop script/style payloads, decode entities, normalize
+    * whitespace). A pure codegen'd regexp chain, so extraction runs at
+    * scan speed over a 100 TB crawl — no parser library, no UDF.
+    *
+    * Dialect note: patterns avoid backreferences and lookarounds so the
+    * SAME regexes run under Java regex (Spark) and RE2 (DuckDB oracle);
+    * `&amp;` decodes LAST so `&amp;lt;` yields the literal `&lt;` rather
+    * than double-decoding. Unmapped entities pass through verbatim. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Shannon entropy of the token unigram distribution (nats) — the
+    * low-entropy tail is the repetitive/boilerplate junk a quality
+    * pipeline drops (keyword-stuffing, template pages; the diversity
+    * signal complementing the q49 distinct-shingle repetition ratio).
+    *
+    * Determinism: the per-token counts fold over the SORTED distinct
+    * tokens, so both engines sum the ln terms in the identical order
+    * (the q110 precedent: ln is ≤1-ulp, the 4-dp round makes boundary
+    * flips measure-zero; everything else is exact). Cost note: the
+    * count-per-distinct-token lambda is O(distinct·len) interpreted per
+    * row — fine for web-document lengths, not for book-length texts
+    * (chunk first, q28). */
+  def tokenEntropy(toks: Column): Column = {
+    val n = size(toks).cast("double")
+    val counts = transform(array_sort(array_distinct(toks)),
+      t => size(filter(toks, x => x === t)).cast("double"))
+    round(-aggregate(counts, lit(0.0d),
+      (acc, c) => acc + (c / n) * log(c / n)), 4)
+  }
+
   /** Token counting three ways: whitespace, BPE-ish regex pieces, and the
     * chars/4 heuristic. */
   def tokenCounts(text: Column, nChars: Column): Seq[(String, Column)] = Seq(

@@ -712,6 +712,93 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** Trained hashed quality classifier (q115,
+    * [[graft.llm.Importance.trainLogisticHashed]]): logistic regression
+    * trained ON THE CLUSTER over hashed features — target split (y=1)
+    * vs raw split (y=0), the q111 corpus split — then every document
+    * scored with the trained weights through the q112 scan-shape
+    * inference. The quantized-state design makes the whole train+score
+    * round bit-exact, so the DuckDB oracle replays the full 3-iteration
+    * gradient descent. NOTE: constructing this frame RUNS the training
+    * loop (one bounded ≤B-row collect per iteration) — the same
+    * documented construction-time-action pattern as AutoRoute's probe. */
+  def trainedClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val sb = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    val train = docs.where(sb < 80).withColumn("label", lit(0))
+      .unionByName(docs.where(sb >= 90).withColumn("label", lit(1)))
+    val wts = graft.llm.Importance.trainLogisticHashed(train,
+      buckets = 256, iters = 3, lr = 0.5, seed = 59,
+      hasher = graft.llm.PortableSeededHash)
+    graft.llm.Importance.hashedLinearLogit(docs, wts, seed = 59,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("doc_id")
+  }
+
+  /** HTML boilerplate extraction (q116, [[TextAnalysis.stripHtml]]):
+    * every document wrapped in a deterministic synthetic page (script +
+    * style payloads, nav/footer chrome, entities — the
+    * `withFakeMedia` pattern for markup), then text-extracted by the
+    * codegen'd regexp chain. The oracle replays wrap + strip, so the
+    * extraction semantics — not just the plumbing — are checked. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><script type=\"text/javascript\">var t = 1 &amp;&amp; 2;" +
+        "</script><style>.nav { color: red; }</style></head><body>" +
+        "<div class=\"nav\">Home | About</div><p>"),
+      col("text"),
+      lit("</p><footer>&amp;copy; 2026</footer></body></html>"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.stripHtml(html).as("text_clean"))
+      .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet perplexity bucketing (q117,
+    * [[graft.llm.LanguageModel.perplexityBuckets]]): head/middle/tail
+    * terciles of the q110 LM score via the bounded value-histogram
+    * percentile. */
+  def perplexityBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.perplexityBuckets(table(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** Incremental near-dup against a corpus index (q118,
+    * [[graft.llm.Dedup.incrementalNearDup]]): the q91 corpus split as
+    * "existing index" (its signatures standing in for the persistent
+    * signature table) and the benchmark split as the new ingest batch —
+    * each new doc flagged against its corpus near-dups without any
+    * corpus self-join. */
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val sb = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    val corpusSigs = Dedup.minHashSignatures(docs.where(sb < 80),
+      n = 3, k = 16, hasher = graft.llm.PortableSeededHash)
+    Dedup.incrementalNearDup(docs.where(sb >= 90), corpusSigs,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("new_doc", "corpus_doc")
+  }
+
+  /** Deterministic per-epoch training order (q119,
+    * [[graft.llm.Sampling.shuffleOrder]]): the global corpus permutation
+    * as a two-phase bucket prefix sum — no RNG state, no global
+    * window. */
+  def shuffleOrder(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.shuffleOrder(table(s, dir, "documents"),
+        col("doc_id"), numBuckets = 8, seed = 37,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("id")
+
+  /** Token-unigram Shannon entropy (q120,
+    * [[TextAnalysis.tokenEntropy]]): the diversity/repetitiveness
+    * quality signal, sorted-fold deterministic. */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        TextAnalysis.tokenEntropy(col("toks")).as("entropy"))
+      .orderBy("doc_id")
+
   /** Count-Min frequency estimation (q114,
     * [[graft.functions.CountMinAgg]]): one global 4×256 sketch over the
     * events user stream, then every user's estimate probed back out of

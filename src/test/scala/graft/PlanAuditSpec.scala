@@ -39,9 +39,12 @@ class PlanAuditSpec extends SparkSpec {
     "q111_dsir_score",       // broadcast 1-row gram-total frames (t_total,
                              // r_total) — q110's scalar-frame pattern; the
                              // bucket-count joins are equi on bucket id
-    "q114_count_min"         // broadcast 1-row sketch frame probed by
+    "q114_count_min",        // broadcast 1-row sketch frame probed by
                              // every key — the POINT of a CM sketch (the
                              // fixed-size summary replaces a per-key join)
+    "q117_ppl_buckets"       // q110's 1-row vocab scalar + the 1-row
+                             // tercile-cuts frame — both broadcast
+                             // scalars; every data-sized join is equi
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

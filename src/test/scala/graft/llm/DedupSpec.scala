@@ -475,4 +475,51 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sig(0) ^ sig(2)) <= 12)
     assert(java.lang.Long.bitCount(sig(0) ^ sig(3)) > 12)
   }
+
+  test("incrementalNearDup flags the batch against the index only") {
+    // index = docs 0/3/4; new batch = 10 (dup of 0), 11 (near dup of 0),
+    // 12 (novel). No corpus-corpus or batch-batch pair may appear.
+    val index = corpus.where(col("doc_id").isin(0L, 3L, 4L))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank"),
+      (12L, "novel ingest content with entirely fresh vocabulary tokens here")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(index, 3, 16)
+    // 8 narrow bands: a one-token near dup agrees on ~57% of signature
+    // rows, so 2-row bands make the planted pair a reliable candidate
+    // (4-row bands would catch it only ~1/3 of the time by LSH design)
+    val out = Dedup.incrementalNearDup(batch, sigs, bands = 8,
+        estThreshold = 0.3)
+      .select("new_doc", "corpus_doc", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(out.exists(r => r._1 == 10L && r._2 == 0L && r._3 == 1.0))
+    assert(pairs.contains((11L, 0L)))
+    assert(!pairs.exists(_._1 == 12L)) // novel doc clean
+    assert(out.forall(r => Set(10L, 11L, 12L)(r._1) && Set(0L, 3L, 4L)(r._2)))
+  }
+
+  test("incrementalNearDup matches symmetric LSH on the cross pairs") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val split = pmod(xxhash64(col("doc_id")), lit(10L))
+    val indexDocs = docs.where(split < 7)
+    val batchDocs = docs.where(split >= 7)
+    val sym = Dedup.minHashLsh(docs)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    val batchIds = batchDocs.select("doc_id").as[Long].collect().toSet
+    val indexIds = indexDocs.select("doc_id").as[Long].collect().toSet
+    val expected = sym.flatMap { case (a, b, e) =>
+      // orient: (new, corpus); symmetric run emits a<b only
+      if (batchIds(a) && indexIds(b)) Some((a, b, e))
+      else if (batchIds(b) && indexIds(a)) Some((b, a, e))
+      else None
+    }.toSet
+    val inc = Dedup
+      .incrementalNearDup(batchDocs, Dedup.minHashSignatures(indexDocs, 3, 16))
+      .select("new_doc", "corpus_doc", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == expected)
+  }
 }

@@ -60,4 +60,31 @@ class ImportanceSpec extends SparkSpec {
       .select("n_feats").as[Long].head()
     assert(n == 1L) // one unigram, zero bigrams — no slice underflow
   }
+
+  test("trainLogisticHashed separates planted classes") {
+    val train = ((1L to 30L).map(i => (i, "good clean prose here", 1)) ++
+      (31L to 60L).map(i => (i, "spam junk noise words", 0)))
+      .toDF("doc_id", "text", "label")
+    val w = Importance.trainLogisticHashed(train, buckets = 64, iters = 3)
+    val scored = Importance
+      .hashedLinearLogit(train.drop("label"), w)
+      .select("doc_id", "logit").as[(Long, Long)].collect().toMap
+    assert((1L to 30L).forall(scored(_) > 0), "positive class")
+    assert((31L to 60L).forall(scored(_) < 0), "negative class")
+  }
+
+  test("training is invariant to partitioning (quantized-state claim)") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+    def w(parts: Int) = Importance.trainLogisticHashed(
+      docs.repartition(parts), buckets = 128, iters = 2).toSeq
+    assert(w(1) == w(7)) // exact integer gradients: merge order is moot
+  }
+
+  test("roundHalfAway matches SQL ROUND on negative halves") {
+    assert(Importance.roundHalfAway(2.5) == 3L)
+    assert(Importance.roundHalfAway(-2.5) == -3L) // math.round gives -2
+    assert(Importance.roundHalfAway(2.4) == 2L)
+    assert(Importance.roundHalfAway(-2.4) == -2L)
+  }
 }

@@ -37,4 +37,24 @@ class LanguageModelSpec extends SparkSpec {
       .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
     assert(out == Map(0L -> expected, 1L -> expected))
   }
+
+  test("perplexityBuckets: terciles cover, order by score, boilerplate=head") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val out = LanguageModel.perplexityBuckets(docs)
+      .select("doc_id", "avg_logprob", "ppl_bucket")
+      .as[(Long, Double, String)].collect()
+    val n = out.length
+    val byB = out.groupBy(_._3).view.mapValues(_.length).toMap
+    // tercile sizes: tail gets ceil(n/3)-ish, every bucket non-empty and
+    // the three partition the corpus
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    assert(byB.values.sum == n)
+    assert(byB("tail") >= (n + 2) / 3 - 1 && byB("tail") <= n / 3 + 1)
+    // bucket order respects the score order exactly
+    val maxTail = out.filter(_._3 == "tail").map(_._2).max
+    val minMid = out.filter(_._3 == "middle").map(_._2).min
+    val maxMid = out.filter(_._3 == "middle").map(_._2).max
+    val minHead = out.filter(_._3 == "head").map(_._2).min
+    assert(maxTail <= minMid && maxMid <= minHead)
+  }
 }

@@ -115,6 +115,21 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("shuffleOrder is a dense deterministic permutation, epoch-varying") {
+    def run(seed: Int) = Sampling.shuffleOrder(docs, col("doc_id"),
+        numBuckets = 8, seed = seed)
+      .select("id", "ord").as[(Long, Long)].collect()
+    val e0 = run(37)
+    val n = docs.count()
+    assert(e0.length == n)
+    assert(e0.map(_._2).sorted.toSeq == (0L until n)) // dense 0..n-1
+    assert(run(37).toSet == e0.toSet) // deterministic
+    // a different epoch seed yields a genuinely different permutation
+    val e1 = run(38).toMap
+    val moved = e0.count { case (id, ord) => e1(id) != ord }
+    assert(moved > n / 2, s"only $moved moved")
+  }
+
   test("temperatureSampled derives flatter-than-proportional rates") {
     val out = Sampling.temperatureSampled(docs, col("doc_id"), col("lang"),
         c = 2.5, alpha = 0.5)
