@@ -151,6 +151,7 @@ object SparkEntry {
     "q118_incremental_neardup" -> LlmQueries.incrementalNearDup,
     "q119_shuffle_order" -> LlmQueries.shuffleOrder,
     "q120_token_entropy" -> LlmQueries.tokenEntropy,
+    "q121_pmi_collocations" -> LlmQueries.pmiCollocations,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -797,6 +798,25 @@ o AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
       FROM (SELECT bucket, count(*) AS total FROM p GROUP BY bucket))
 SELECT p.id, o.bucket_offset + p.rn - 1 AS ord
 FROM p JOIN o USING (bucket) ORDER BY p.id""",
+    // q121: the cut line orders on ROUNDED pmi with word tie-breaks, so
+    // a <=1-ulp ln difference cannot reorder the top-K boundary.
+    "q121_pmi_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |uni AS (SELECT tok AS w, count(*) AS c
+        |        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+        |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
+        |         AS u(i)),
+        |big AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n FROM bg)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+        |  round(ln(CAST(c_ab AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+        |FROM big JOIN uni u1 ON big.w1 = u1.w
+        |         JOIN uni u2 ON big.w2 = u2.w, n
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     // q120: the ln fold runs over SORTED distinct tokens in both engines
     // (same summation order; q110's 4-dp measure-zero caveat applies).
     "q120_token_entropy" ->

@@ -81,6 +81,51 @@ object LanguageModel {
           .as("avg_logprob"))
   }
 
+  /** PMI collocation mining — the word2phrase step (Mikolov et al. 2013,
+    * "Distributed Representations of Words and Phrases", §4: score
+    * bigrams by how much more often they co-occur than chance, join the
+    * winners into single tokens before training):
+    *
+    *   pmi(a,b) = ln( c(ab) · N / (c(a) · c(b)) )
+    *
+    * over corpus-wide positional-bigram counts (N = total bigram
+    * positions), with a `minCount` floor to kill hapax noise. Returns
+    * the global top-`topK` by (pmi 4-dp DESC, w1, w2) — the rounded-PMI
+    * sort key makes the cut line deterministic cross-engine (ties at
+    * equal rounded pmi break on the words, so a ≤1-ulp `ln` difference
+    * cannot reorder the boundary).
+    *
+    * Scale shape: two count shuffles (unigrams, bigrams — map-side
+    * combine absorbs Zipf heads), one 1-row total crossed in lazily, two
+    * equi-joins of the surviving (≥ minCount) bigrams against the
+    * unigram counts, then a global sort-limit (per-partition top-K +
+    * merge — bounded by K, not the vocabulary). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+                      topK: Int = 50): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(posexplode(expr(
+        "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "slice(t, 2, greatest(size(t) - 1, 0)), (a, b) -> struct(a, b))"))
+        .as(Seq("p", "bg")))
+      .select(col("bg.a").as("w1"), col("bg.b").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val total = pairs.agg(count(lit(1)).as("n"))
+    big.where(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("n").cast("double") /
+          (col("c_1").cast("double") * col("c_2").cast("double"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     * §4.3): split the corpus into LM-score terciles — `head` = the
     * most-target-like third (highest avg log-prob = lowest perplexity),

@@ -799,6 +799,14 @@ object LlmQueries {
         TextAnalysis.tokenEntropy(col("toks")).as("entropy"))
       .orderBy("doc_id")
 
+  /** PMI collocation mining (q121,
+    * [[graft.llm.LanguageModel.pmiCollocations]]): the word2phrase
+    * vocabulary-building pass — top bigrams by pointwise mutual
+    * information with a count floor. */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.pmiCollocations(table(s, dir, "documents"),
+      minCount = 5, topK = 50)
+
   /** Count-Min frequency estimation (q114,
     * [[graft.functions.CountMinAgg]]): one global 4×256 sketch over the
     * events user stream, then every user's estimate probed back out of

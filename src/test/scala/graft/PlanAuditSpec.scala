@@ -42,9 +42,11 @@ class PlanAuditSpec extends SparkSpec {
     "q114_count_min",        // broadcast 1-row sketch frame probed by
                              // every key — the POINT of a CM sketch (the
                              // fixed-size summary replaces a per-key join)
-    "q117_ppl_buckets"       // q110's 1-row vocab scalar + the 1-row
+    "q117_ppl_buckets",      // q110's 1-row vocab scalar + the 1-row
                              // tercile-cuts frame — both broadcast
                              // scalars; every data-sized join is equi
+    "q121_pmi_collocations"  // broadcast 1-row bigram-total scalar; the
+                             // unigram-count joins are equi on the word
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

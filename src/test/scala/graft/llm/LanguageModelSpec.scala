@@ -38,6 +38,22 @@ class LanguageModelSpec extends SparkSpec {
     assert(out == Map(0L -> expected, 1L -> expected))
   }
 
+  test("pmiCollocations: exclusive pair tops, promiscuous pair scores low") {
+    // "hong kong" only ever co-occur; "of the" combine freely with others
+    val docs = ((1L to 10L).map(i =>
+      (i, "hong kong of the and of a the by of the end here now")) ++
+      (11L to 20L).map(i => (i, "the cat of a dog the end a fish by now")))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.pmiCollocations(docs, minCount = 5, topK = 10)
+      .select("w1", "w2", "pmi").as[(String, String, Double)].collect()
+    assert(out.head._1 == "hong" && out.head._2 == "kong")
+    val pmi = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(!pmi.contains(("of", "the")) ||
+      pmi(("of", "the")) < pmi(("hong", "kong")))
+    // ranked descending on the rounded score
+    assert(out.map(_._3).toSeq == out.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("perplexityBuckets: terciles cover, order by score, boilerplate=head") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val out = LanguageModel.perplexityBuckets(docs)
