@@ -152,6 +152,7 @@ object SparkEntry {
     "q119_shuffle_order" -> LlmQueries.shuffleOrder,
     "q120_token_entropy" -> LlmQueries.tokenEntropy,
     "q121_pmi_collocations" -> LlmQueries.pmiCollocations,
+    "q122_quantized_topk" -> LlmQueries.quantizedTopK,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -798,6 +799,48 @@ o AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
       FROM (SELECT bucket, count(*) AS total FROM p GROUP BY bucket))
 SELECT p.id, o.bucket_offset + p.rn - 1 AS ord
 FROM p JOIN o USING (bucket) ORDER BY p.id""",
+    // q122: quantization, per-vector integer stats and the SQ dot
+    // expansion replayed verbatim — integer sums are order-free and the
+    // float combination is the identical expression tree, so even the
+    // UNROUNDED sims (the window sort key) are bit-identical.
+    "q122_quantized_topk" ->
+      """WITH qz AS (SELECT vec_id,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  (CAST(list_max(embedding) AS DOUBLE)
+        |   - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+        |  embedding FROM embeddings),
+        |qv AS (SELECT vec_id, mn, scale,
+        |  list_transform(embedding, x -> CASE WHEN scale > 0
+        |    THEN CAST(round((CAST(x AS DOUBLE) - mn) / scale) AS INTEGER)
+        |    ELSE 0 END) AS q
+        |  FROM qz),
+        |st AS (SELECT vec_id, mn, scale, q, CAST(len(q) AS BIGINT) AS n,
+        |  CAST(list_sum(list_transform(q, v -> CAST(v AS BIGINT)))
+        |    AS BIGINT) AS s1,
+        |  CAST(list_sum(list_transform(q,
+        |    v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS BIGINT) AS s2
+        |  FROM qv),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  a.mn AS mna, a.scale AS sa, a.s1 AS s1a, a.s2 AS s2a, a.n AS na,
+        |  b.mn AS mnb, b.scale AS sb, b.s1 AS s1b, b.s2 AS s2b, b.n AS nb,
+        |  CAST(list_sum(list_transform(list_zip(a.q, b.q),
+        |    z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT)))
+        |    AS BIGINT) AS ab
+        |  FROM st a, st b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |s AS (SELECT query_id, neighbor_id,
+        |  (CAST(na AS DOUBLE) * mna * mnb + mna * sb * CAST(s1b AS DOUBLE)
+        |   + mnb * sa * CAST(s1a AS DOUBLE) + sa * sb * CAST(ab AS DOUBLE))
+        |  / (sqrt(CAST(na AS DOUBLE) * mna * mna
+        |      + 2.0 * mna * sa * CAST(s1a AS DOUBLE)
+        |      + sa * sa * CAST(s2a AS DOUBLE))
+        |     * sqrt(CAST(nb AS DOUBLE) * mnb * mnb
+        |      + 2.0 * mnb * sb * CAST(s1b AS DOUBLE)
+        |      + sb * sb * CAST(s2b AS DOUBLE))) AS sim
+        |  FROM p),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+        |SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // q121: the cut line orders on ROUNDED pmi with word tie-breaks, so
     // a <=1-ulp ln difference cannot reorder the top-K boundary.
     "q121_pmi_collocations" ->

@@ -31,6 +31,95 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Per-vector affine int8 quantization — the memory/IO lever of ANN at
+    * 100 TB: a 64-dim float32 embedding (256 B) becomes 64 bytes of codes
+    * + two doubles, a 4× reduction in scan bytes, cache footprint and
+    * shuffle width for every similarity operator downstream (the
+    * standard scalar-quantization baseline of FAISS-class systems).
+    *
+    *   scale = (max − min)/255,  code_i = round((x_i − min)/scale)
+    *
+    * with the all-equal-vector degenerate mapped to code 0 (its scale is
+    * 0). Every op is exact or correctly rounded on exact inputs, so
+    * codes — and anything computed from the dequantized values
+    * min + code·scale — are bit-identical cross-engine.
+    *
+    * Output: (vec_id, mn, scale, qvec: array<int>). */
+  def quantizeInt8(embs: DataFrame): DataFrame = {
+    val mn = array_min(col("embedding")).cast("double")
+    val mx = array_max(col("embedding")).cast("double")
+    val scale = (mx - mn) / 255.0
+    val codes = transform(col("embedding"), x =>
+      when(scale > 0,
+        round((x.cast("double") - mn) / scale).cast("int"))
+        .otherwise(lit(0)))
+    embs.select(col("vec_id"), mn.as("mn"), scale.as("scale"),
+      codes.as("qvec"))
+  }
+
+  /** Dequantized view of a [[quantizeInt8]] row: x̂_i = mn + code_i·scale
+    * as doubles. */
+  def dequantize(mn: Column, scale: Column, qvec: Column): Column =
+    transform(qvec, v => mn + v.cast("double") * scale)
+
+  /** Brute-force top-k over int8-QUANTIZED vectors — [[bruteForceTopK]]
+    * on the 4×-smaller representation, with the classic scalar-
+    * quantization expansion: for x̂_i = mᴬ + aᵢ·sᴬ, ŷ_i = mᴮ + bᵢ·sᴮ,
+    *
+    *   x̂·ŷ = n·mᴬ·mᴮ + mᴬ·sᴮ·Σb + mᴮ·sᴬ·Σa + sᴬ·sᴮ·Σaᵢbᵢ
+    *
+    * so Σa, Σa² precompute per vector (integer folds, exact) and the
+    * per-PAIR work is ONE integer dot product plus a handful of scalar
+    * float ops — never a dequantized float array. Integer sums are
+    * order-independent and the float combination is a fixed expression
+    * tree of correctly-rounded ops, so scores are bit-identical
+    * cross-engine (the oracle replays quantization, stats and the
+    * expansion verbatim).
+    *
+    * Same join/window shape as [[bruteForceTopK]]: queries broadcast,
+    * corpus never shuffles, per-query top-k via the rank window. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def stats(df: DataFrame): DataFrame =
+      quantizeInt8(df).select(col("vec_id"), col("mn"), col("scale"),
+        col("qvec"),
+        size(col("qvec")).cast("long").as("n"),
+        aggregate(col("qvec"), lit(0L), (acc, v) => acc + v).as("s1"),
+        aggregate(col("qvec"), lit(0L),
+          (acc, v) => acc + v.cast("long") * v.cast("long")).as("s2"))
+    val c = stats(corpus)
+    // NOTE: names must stay unique case-INsensitively (Spark's resolver):
+    // e.g. a "QA" column would collide with "qa".
+    val q = stats(queries).select(
+      col("vec_id").as("query_id"), col("mn").as("mnA"),
+      col("scale").as("sA"), col("qvec").as("qa"),
+      col("n").as("nA"), col("s1").as("sumA"), col("s2").as("sqA"))
+    val ab = aggregate(
+      zip_with(col("qa"), col("c.qvec"),
+        (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    def norm(n: Column, m: Column, s: Column, s1: Column, s2: Column): Column =
+      n.cast("double") * m * m + lit(2.0) * m * s * s1.cast("double") +
+        s * s * s2.cast("double")
+    // both sides may share lineage (queries ⊂ corpus): alias-qualify
+    val scored = c.as("c")
+      .join(broadcast(q.as("q")), col("c.vec_id") =!= col("q.query_id"))
+      .withColumn("ab", ab)
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        ((col("nA").cast("double") * col("mnA") * col("c.mn") +
+          col("mnA") * col("c.scale") * col("c.s1").cast("double") +
+          col("c.mn") * col("sA") * col("sumA").cast("double") +
+          col("sA") * col("c.scale") * col("ab").cast("double")) /
+          (sqrt(norm(col("nA"), col("mnA"), col("sA"), col("sumA"),
+              col("sqA"))) *
+            sqrt(norm(col("c.n"), col("c.mn"), col("c.scale"), col("c.s1"),
+              col("c.s2")))))
+          .as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Exact brute-force top-k neighbors for each query vector. The query set
     * is expected to be small (it is broadcast); the corpus side never
     * shuffles — each task ranks its partition and the per-query top-k merge

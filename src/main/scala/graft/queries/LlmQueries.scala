@@ -799,6 +799,18 @@ object LlmQueries {
         TextAnalysis.tokenEntropy(col("toks")).as("entropy"))
       .orderBy("doc_id")
 
+  /** Int8-quantized cosine top-k (q122,
+    * [[graft.llm.Similarity.quantizedTopK]]): the q34 brute-force shape
+    * on the 4×-smaller scalar-quantized representation — per-pair work
+    * is one integer dot product. */
+  def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.quantizedTopK(emb.where(col("vec_id") < 10), emb, k = 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rn")
+  }
+
   /** PMI collocation mining (q121,
     * [[graft.llm.LanguageModel.pmiCollocations]]): the word2phrase
     * vocabulary-building pass — top bigrams by pointwise mutual

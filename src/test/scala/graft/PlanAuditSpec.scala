@@ -45,8 +45,11 @@ class PlanAuditSpec extends SparkSpec {
     "q117_ppl_buckets",      // q110's 1-row vocab scalar + the 1-row
                              // tercile-cuts frame — both broadcast
                              // scalars; every data-sized join is equi
-    "q121_pmi_collocations"  // broadcast 1-row bigram-total scalar; the
+    "q121_pmi_collocations", // broadcast 1-row bigram-total scalar; the
                              // unigram-count joins are equi on the word
+    "q122_quantized_topk"    // broadcast-queries all-pairs scan — the
+                             // designed q34 ground-truth shape on the
+                             // quantized representation
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

@@ -170,4 +170,30 @@ class SimilaritySpec extends SparkSpec {
       .where(!col("kept")).count()
     assert(all == 0L)
   }
+
+  test("int8 quantization: codes in range, reconstruction within scale/2") {
+    val qz = Similarity.quantizeInt8(emb)
+    val bad = qz.where(exists(col("qvec"), v => v < 0 || v > 255)).count()
+    assert(bad == 0L)
+    // |x̂ - x| <= scale/2 per element (affine round-to-nearest bound)
+    val err = Similarity.quantizeInt8(emb)
+      .join(emb, "vec_id")
+      .select(max(aggregate(
+        zip_with(Similarity.dequantize(col("mn"), col("scale"), col("qvec")),
+          col("embedding"),
+          (xh, x) => abs(xh - x.cast("double")) / col("scale")),
+        lit(0.0), (acc, v) => greatest(acc, v))))
+      .as[Double].head()
+    assert(err <= 0.5 + 1e-9, s"max relative err $err")
+  }
+
+  test("quantized top-k recalls the exact top-k almost entirely") {
+    val q = emb.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall") // 8-bit codes: near-exact
+  }
 }
