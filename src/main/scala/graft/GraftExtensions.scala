@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, CountMinAgg, MapCountAgg, Md5Prefix60, MisraGriesAgg, PolyHash}
+import graft.functions.{CosineSim, CountMinAgg, IntDot, MapCountAgg, Md5Prefix60, MisraGriesAgg, PolyHash}
 
 /** Registration of the engine's native Catalyst expressions.
   *
@@ -46,6 +46,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
       (children: Seq[Expression]) => MisraGriesAgg(children.head,
         children(1).eval().asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      (children: Seq[Expression]) => IntDot(children(0), children(1))),
     (FunctionIdentifier("count_min"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "count_min"),
       (children: Seq[Expression]) => CountMinAgg(children.head,

@@ -93,10 +93,12 @@ object Similarity {
       col("vec_id").as("query_id"), col("mn").as("mnA"),
       col("scale").as("sA"), col("qvec").as("qa"),
       col("n").as("nA"), col("s1").as("sumA"), col("s2").as("sqA"))
-    val ab = aggregate(
-      zip_with(col("qa"), col("c.qvec"),
-        (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    // compiled integer dot (graft.functions.IntDot): the HOF spelling
+    // (aggregate∘zip_with) ran interpreted and measured ~4× slower at
+    // 200k vectors — same compiled-vs-HOF gap as the shingle family
+    val ab = ColumnBridge.column(graft.functions.IntDot(
+      ColumnBridge.expression(col("qa")),
+      ColumnBridge.expression(col("c.qvec"))))
     def norm(n: Column, m: Column, s: Column, s1: Column, s2: Column): Column =
       n.cast("double") * m * m + lit(2.0) * m * s * s1.cast("double") +
         s * s * s2.cast("double")

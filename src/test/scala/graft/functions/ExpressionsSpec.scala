@@ -133,6 +133,19 @@ class ExpressionsSpec extends SparkSpec {
     assert(rep.size == 4 && rep.distinct.size == 1)
   }
 
+  test("IntDot matches the HOF fold and nulls on length mismatch") {
+    graft.GraftFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT int_dot(array(1, -2, 3), array(4, 5, -6)) AS d,
+        |  int_dot(array(1, 2), array(1)) AS mism,
+        |  int_dot(array(2000000000, 2000000000),
+        |          array(2000000000, 2000000000)) AS big""".stripMargin)
+      .as[(Option[Long], Option[Long], Option[Long])].head()
+    assert(out._1.contains(1L * 4 - 2 * 5 - 3 * 6))
+    assert(out._2.isEmpty) // length mismatch -> null
+    assert(out._3.contains(2L * 2000000000L * 2000000000L)) // no int overflow
+  }
+
   test("HashedShingles null token elements keep HOF null-skip parity") {
     // unreachable from split()-produced arrays, but the expression is a
     // public case class: a null element must hash as Spark's xxhash64
