@@ -153,6 +153,7 @@ object SparkEntry {
     "q120_token_entropy" -> LlmQueries.tokenEntropy,
     "q121_pmi_collocations" -> LlmQueries.pmiCollocations,
     "q122_quantized_topk" -> LlmQueries.quantizedTopK,
+    "q123_web_filter" -> LlmQueries.webFilter,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -799,6 +800,51 @@ o AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
       FROM (SELECT bucket, count(*) AS total FROM p GROUP BY bucket))
 SELECT p.id, o.bucket_offset + p.rn - 1 AS ord
 FROM p JOIN o USING (bucket) ORDER BY p.id""",
+    // q123: each signal's replay is its parent query's oracle (q36 lang,
+    // q120 entropy, q112 logit) joined per doc; the engine runs them in
+    // one scan but the answer is identical.
+    "q123_web_filter" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       FROM documents),
+lang AS (SELECT doc_id,
+  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','in','a'))) AS BIGINT) AS s_en,
+  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS s_de,
+  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS BIGINT) AS s_fr,
+  CAST(len(list_filter(toks, x -> x IN ('el','los','y','es','una','que'))) AS BIGINT) AS s_es
+  FROM t),
+ent AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(-list_sum(list_transform(
+    list_transform(list_sort(list_distinct(toks)),
+      u -> CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE)),
+    c -> (c / CAST(len(toks) AS DOUBLE)) * ln(c / CAST(len(toks) AS DOUBLE)))), 4)
+    AS entropy
+  FROM t),
+grams AS (
+  SELECT doc_id, t.toks[i] AS g
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+  UNION ALL
+  SELECT doc_id, t.toks[i] || ' ' || t.toks[i+1]
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+clf AS (SELECT doc_id, CAST(SUM((${graft.llm.PortableSeededHash.sql(
+             "'w' || (" + graft.llm.PortableSeededHash.sql("g", 59) +
+               " % 256)::VARCHAR", 77)} % 17) - 8) AS BIGINT) AS logit
+        FROM grams GROUP BY doc_id),
+sig AS (SELECT l.doc_id, e.n_tokens,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS pred_lang,
+  e.entropy, c.logit
+  FROM lang l JOIN ent e USING (doc_id) JOIN clf c USING (doc_id))
+SELECT doc_id, n_tokens, pred_lang, entropy, logit,
+  n_tokens BETWEEN 10 AND 5000 AS pass_len,
+  pred_lang = 'en' AS pass_lang,
+  entropy >= 2.0 AS pass_entropy,
+  logit > 0 AS pass_clf,
+  (n_tokens BETWEEN 10 AND 5000) AND pred_lang = 'en'
+    AND entropy >= 2.0 AND logit > 0 AS keep
+FROM sig ORDER BY doc_id""",
     // q122: quantization, per-vector integer stats and the SQ dot
     // expansion replayed verbatim — integer sums are order-free and the
     // float combination is the identical expression tree, so even the

@@ -189,14 +189,22 @@ object Importance {
   def hashedLinearLogit(docs: DataFrame, weights: Array[Long],
                         seed: Int = 59,
                         hasher: SeededHash = XxSeededHash): DataFrame = {
+    val grams = unigramsBigrams(TextAnalysis.tokens(col("text")))
+    val logit = logitCol(col("text"), weights, seed, hasher)
+    docs.select(col("doc_id"), size(grams).cast("long").as("n_feats"),
+      logit.as("logit"), (logit > 0).as("keep"))
+  }
+
+  /** The [[hashedLinearLogit]] score as a composable Column — so a
+    * multi-signal filter (q123) can evaluate the classifier in the same
+    * single scan as its other signals. */
+  def logitCol(textCol: Column, weights: Array[Long], seed: Int = 59,
+               hasher: SeededHash = XxSeededHash): Column = {
     val buckets = weights.length
     require(buckets > 0)
     val w = typedLit(weights)
-    val grams = unigramsBigrams(TextAnalysis.tokens(col("text")))
-    val logit = aggregate(grams, lit(0L),
+    aggregate(unigramsBigrams(TextAnalysis.tokens(textCol)), lit(0L),
       (acc, g) => acc + element_at(w,
         (bucketOf(g, buckets, seed, hasher) + 1).cast("int")))
-    docs.select(col("doc_id"), size(grams).cast("long").as("n_feats"),
-      logit.as("logit"), (logit > 0).as("keep"))
   }
 }

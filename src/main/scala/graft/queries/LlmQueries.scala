@@ -799,6 +799,43 @@ object LlmQueries {
         TextAnalysis.tokenEntropy(col("toks")).as("entropy"))
       .orderBy("doc_id")
 
+  /** Composed multi-signal web filter (q123): the C4/Gopher-style
+    * cleaning gate a crawl pipeline actually runs — length bounds,
+    * language ID, token-entropy floor and the hashed quality classifier,
+    * ALL evaluated in one scan (every signal is a Column over the same
+    * projected token array; the plan is Project-over-Scan, no joins, no
+    * shuffles except the audit orderBy). Audit shape: every document
+    * with its signal values, per-rule booleans and the final `keep`. */
+  def webFilter(s: SparkSession, dir: String): DataFrame = {
+    val weights = Array.tabulate(256) { b =>
+      graft.functions.Md5Prefix60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"77:w$b")) %
+        17L - 8L
+    }
+    val base = table(s, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val withScores = TextAnalysis.langScoresFromTokens(col("toks"))
+      .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("entropy", TextAnalysis.tokenEntropy(col("toks")))
+      .withColumn("logit", graft.llm.Importance.logitCol(col("text"),
+        weights, seed = 59, hasher = graft.llm.PortableSeededHash))
+      .withColumn("pred_lang", TextAnalysis.langIdFromScores(
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+    withScores
+      .withColumn("pass_len", col("n_tokens").between(10L, 5000L))
+      .withColumn("pass_lang", col("pred_lang") === "en")
+      .withColumn("pass_entropy", col("entropy") >= 2.0)
+      .withColumn("pass_clf", col("logit") > 0L)
+      .select(col("doc_id"), col("n_tokens"), col("pred_lang"),
+        col("entropy"), col("logit"),
+        col("pass_len"), col("pass_lang"), col("pass_entropy"),
+        col("pass_clf"),
+        (col("pass_len") && col("pass_lang") && col("pass_entropy") &&
+          col("pass_clf")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Int8-quantized cosine top-k (q122,
     * [[graft.llm.Similarity.quantizedTopK]]): the q34 brute-force shape
     * on the 4×-smaller scalar-quantized representation — per-pair work
