@@ -170,11 +170,20 @@ object TextAnalysis {
     * Determinism: the per-token counts fold over the SORTED distinct
     * tokens, so both engines sum the ln terms in the identical order
     * (the q110 precedent: ln is ≤1-ulp, the 4-dp round makes boundary
-    * flips measure-zero; everything else is exact). Cost note: the
-    * count-per-distinct-token lambda is O(distinct·len) interpreted per
-    * row — fine for web-document lengths, not for book-length texts
-    * (chunk first, q28). */
-  def tokenEntropy(toks: Column): Column = {
+    * flips measure-zero; everything else is exact).
+    *
+    * Compiled ([[graft.functions.TokenEntropy]]): one hash-count pass +
+    * one sorted fold per row. The HOF spelling below (the parity
+    * witness) is O(distinct·len) with interpreted lambdas — it was
+    * ~11 s of the 100× q120 cell. */
+  def tokenEntropy(toks: Column): Column =
+    round(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.TokenEntropy(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks))), 4)
+
+  /** Reference HOF formulation of [[tokenEntropy]] — value parity is
+    * asserted in ExpressionsSpec; not for hot paths. */
+  private[graft] def tokenEntropyHof(toks: Column): Column = {
     val n = size(toks).cast("double")
     val counts = transform(array_sort(array_distinct(toks)),
       t => size(filter(toks, x => x === t)).cast("double"))

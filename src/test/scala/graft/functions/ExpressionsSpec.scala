@@ -133,6 +133,17 @@ class ExpressionsSpec extends SparkSpec {
     assert(rep.size == 4 && rep.distinct.size == 1)
   }
 
+  test("TokenEntropy compiled == HOF fold on real corpus tokens") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .withColumn("toks", graft.llm.TextAnalysis.tokens(col("text")))
+    val mismatch = docs.select(
+        graft.llm.TextAnalysis.tokenEntropy(col("toks")).as("native"),
+        graft.llm.TextAnalysis.tokenEntropyHof(col("toks")).as("hof"))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(mismatch == 0L) // bit-identical: same ops in the same order
+  }
+
   test("IntDot matches the HOF fold and nulls on length mismatch") {
     graft.GraftFunctions.register(spark)
     val out = spark.sql(
