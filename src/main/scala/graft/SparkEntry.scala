@@ -154,6 +154,7 @@ object SparkEntry {
     "q121_pmi_collocations" -> LlmQueries.pmiCollocations,
     "q122_quantized_topk" -> LlmQueries.quantizedTopK,
     "q123_web_filter" -> LlmQueries.webFilter,
+    "q124_pq_topk" -> LlmQueries.pqTopK,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -800,6 +801,8 @@ o AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
       FROM (SELECT bucket, count(*) AS total FROM p GROUP BY bucket))
 SELECT p.id, o.bucket_offset + p.rn - 1 AS ord
 FROM p JOIN o USING (bucket) ORDER BY p.id""",
+    // q124: the full PQ train→encode→ADC loop — see the generator.
+    "q124_pq_topk" -> q124PqOracle,
     // q123: each signal's replay is its parent query's oracle (q36 lang,
     // q120 entropy, q112 logit) joined per doc; the engine runs them in
     // one scan but the answer is identical.
@@ -1804,6 +1807,93 @@ est AS (SELECT c.new_doc, c.corpus_doc, c.n_bands_hit,
                     JOIN sig sb ON c.corpus_doc = sb.doc_id)
 SELECT new_doc, corpus_doc, round(ej, 4) AS est_jaccard, n_bands_hit
 FROM est WHERE ej >= 0.3 ORDER BY new_doc, corpus_doc"""
+  }
+
+  /** q124 oracle: the FULL product-quantization loop — per-subspace
+    * fixed-point k-means (the kmeansCtes machinery on locally re-indexed
+    * dimension slices, shared seeds), codebooks + codes from the final
+    * round, then ADC: per-query integer dot tables against the
+    * codebooks, candidate scores as m table-lookups summed. Every
+    * quantity is an exact integer or the trainer's deterministic
+    * round/sqrt formula, so training, encoding and search all replay. */
+  private def q124PqOracle: String = {
+    val m = 4; val dsub = 16; val kc = 8; val iters = 2
+    def sub(s: Int): String = {
+      val x = s"p$s"
+      def round(i: Int, centName: String): String =
+        s"""nm$i$x AS (SELECT cid, CAST(sum(m*m) AS BIGINT) AS nm
+  FROM $centName GROUP BY 1),
+sc$i$x AS (SELECT e.vec_id, c.cid, CAST(sum(e.xi * c.m) AS BIGINT) AS dot
+  FROM ex$x e JOIN $centName c USING (d) GROUP BY 1, 2),
+a$i$x AS (SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid, row_number() OVER (PARTITION BY s.vec_id
+      ORDER BY round(s.dot / (sqrt(CAST(v.nx AS DOUBLE)) * sqrt(CAST(n.nm AS DOUBLE))), 4)
+        DESC, s.cid) AS rn
+    FROM sc$i$x s JOIN nm$i$x n USING (cid) JOIN nx$x v USING (vec_id))
+  WHERE rn = 1)"""
+      val rounds = (0 until iters).map { i =>
+        val cent =
+          if (i == 0) ""
+          else s"""cent$i$x AS (SELECT a.cid, e.d, CAST(sum(e.xi) AS BIGINT) AS m
+  FROM ex$x e JOIN a${i - 1}$x a USING (vec_id) GROUP BY 1, 2),
+"""
+        cent + round(i, s"cent$i$x")
+      }.mkString(",\n")
+      s"""ex$x AS (SELECT vec_id, d - ${s * dsub} AS d, xi FROM exg
+  WHERE d >= ${s * dsub} AND d < ${(s + 1) * dsub}),
+nx$x AS (SELECT vec_id, CAST(sum(xi*xi) AS BIGINT) AS nx
+  FROM ex$x GROUP BY 1),
+cent0$x AS (SELECT s.cid, e.d, e.xi AS m
+  FROM ex$x e JOIN seeds s ON e.vec_id = s.cid),
+$rounds"""
+    }
+    val last = iters - 1
+    val codes = (0 until m)
+      .map(s => s"SELECT vec_id, $s AS s, cid FROM a$last" + s"p$s")
+      .mkString("\n  UNION ALL ")
+    val cb = (0 until m)
+      .map(s => s"SELECT $s AS s, cid, d, m FROM cent$last" + s"p$s")
+      .mkString("\n  UNION ALL ")
+    s"""WITH exg AS (
+  SELECT vec_id, d1 - 1 AS d,
+         CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
+seeds AS (SELECT vec_id AS cid FROM embeddings
+          ORDER BY ${h("vec_id", 5)}, vec_id
+          LIMIT $kc),
+${(0 until m).map(sub).mkString(",\n")},
+codes AS (
+  $codes),
+cb AS (
+  $cb),
+nmc AS (SELECT s, cid, CAST(sum(m*m) AS BIGINT) AS nm
+        FROM cb GROUP BY 1, 2),
+exq AS (SELECT vec_id AS query_id, d // $dsub AS s, d % $dsub AS d2, xi
+        FROM exg WHERE vec_id < 10),
+nq AS (SELECT query_id, CAST(sum(xi*xi) AS BIGINT) AS nq
+       FROM exq GROUP BY 1),
+tbl AS (SELECT q.query_id, q.s, c.cid,
+          CAST(sum(q.xi * c.m) AS BIGINT) AS dot
+        FROM exq q JOIN cb c ON q.s = c.s AND q.d2 = c.d
+        GROUP BY 1, 2, 3),
+na AS (SELECT k.vec_id, CAST(sum(n.nm) AS BIGINT) AS na
+       FROM codes k JOIN nmc n USING (s, cid) GROUP BY 1),
+scq AS (SELECT t.query_id, k.vec_id AS neighbor_id,
+          CAST(sum(t.dot) AS BIGINT) AS adot
+        FROM codes k JOIN tbl t USING (s, cid)
+        WHERE k.vec_id <> t.query_id
+        GROUP BY 1, 2),
+simq AS (SELECT s.query_id, s.neighbor_id,
+          round(CAST(s.adot AS DOUBLE)
+            / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(a.na AS DOUBLE))), 4)
+            AS sim
+         FROM scq s JOIN nq q USING (query_id)
+                    JOIN na a ON s.neighbor_id = a.vec_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM simq)
+SELECT query_id, rn, neighbor_id, sim
+FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
   }
 
   /** MinHash+LSH oracle: n=3 shingles, k=16 seeded min-hashes, 4 bands of

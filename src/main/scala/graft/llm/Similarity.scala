@@ -486,6 +486,69 @@ object Similarity {
     (assign, cent)
   }
 
+  /** Product quantization + asymmetric-distance search (Jégou et al.
+    * 2011, "Product Quantization for Nearest Neighbor Search") — the
+    * third leg of the ANN family next to IVF (q82) and scalar
+    * quantization (q122): the vector splits into `m` contiguous
+    * subspaces, each trained with its own k-means codebook
+    * (reusing [[kmeansTrain]]'s fixed-point trainer on the sliced
+    * vectors), and a vector stores only its `m` centroid codes —
+    * log2(numCentroids)·m bits (12 bits here vs 256 B float32).
+    *
+    * Search is ADC: per query, an m×numCentroids table of exact INTEGER
+    * dots query-subvector·centroid broadcasts; a candidate's approximate
+    * dot is then m table lookups summed — the corpus is never touched as
+    * floats, only as codes. Approx norms are likewise code-table
+    * lookups. All sums exact integers in the trainer's fixed-point
+    * geometry, ranking on the 4-dp-rounded score with id tie-breaks —
+    * the full train → encode → search loop replays in the oracle.
+    *
+    * Scale shape: m independent trainings (corpus-linear each), codes =
+    * m rows/vector; scoring joins codes against the BROADCAST dot
+    * tables and reduces per (query, vector) with map-side combine — no
+    * float vectors move after encoding, and the 100 TB read path is the
+    * code table at ~1/80 the bytes. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+             m: Int = 4, dims: Int = 64, numCentroids: Int = 8,
+             iters: Int = 2,
+             hasher: SeededHash = XxSeededHash): DataFrame = {
+    require(m > 0 && dims % m == 0, "dims must split evenly into m subspaces")
+    val dsub = dims / m
+    val parts = (0 until m).map { s =>
+      val sliced = corpus.select(col("vec_id"),
+        expr(s"slice(embedding, ${s * dsub + 1}, $dsub)").as("embedding"))
+      val (assign, cent) = kmeansTrain(sliced, numCentroids, iters, hasher)
+      (assign.withColumn("s", lit(s)), cent.withColumn("s", lit(s)))
+    }
+    val codes = parts.map(_._1).reduce(_ unionByName _) // (vec_id, cid, s)
+    val cb = parts.map(_._2).reduce(_ unionByName _)    // (cid, d, m, s)
+    val nm = cb.groupBy("s", "cid").agg(sum(col("m") * col("m")).as("nm"))
+    val exq = queries.select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("gd", "x")))
+      .select(col("query_id"), expr(s"gd div $dsub").cast("int").as("s"),
+        pmod(col("gd"), lit(dsub)).cast("int").as("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+    val nq = exq.groupBy("query_id").agg(sum(col("xi") * col("xi")).as("nq"))
+    val tbl = exq.join(cb, Seq("s", "d"))
+      .groupBy("query_id", "s", "cid")
+      .agg(sum(col("xi") * col("m")).as("dot"))
+    val napprox = codes.join(broadcast(nm), Seq("s", "cid"))
+      .groupBy("vec_id").agg(sum(col("nm")).as("na"))
+    val scored = codes.join(broadcast(tbl), Seq("s", "cid"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dot")).as("adot"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(napprox.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(nq), "query_id")
+      .withColumn("sim", round(col("adot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("na").cast("double"))), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select("query_id", "rn", "neighbor_id", "sim")
+  }
+
   /** IVF probe over a TRAINED quantizer — [[kmeansTrain]] feeding
     * [[ivfTopK]]'s probe shape, closing the train → index → query loop
     * (the hash-sample `ivfTopK` is the zero-training stand-in; fitted

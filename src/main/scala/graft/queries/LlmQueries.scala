@@ -836,6 +836,18 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Product-quantization ANN (q124,
+    * [[graft.llm.Similarity.pqTopK]]): 4 subspaces × 8 centroids (12-bit
+    * codes), per-subspace fixed-point k-means, ADC search — the full
+    * train → encode → search loop, oracle-replayed end to end. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.pqTopK(emb.where(col("vec_id") < 10), emb, k = 5,
+        m = 4, dims = 64, numCentroids = 8, iters = 2,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("query_id", "rn")
+  }
+
   /** Int8-quantized cosine top-k (q122,
     * [[graft.llm.Similarity.quantizedTopK]]): the q34 brute-force shape
     * on the 4×-smaller scalar-quantized representation — per-pair work

@@ -187,6 +187,27 @@ class SimilaritySpec extends SparkSpec {
     assert(err <= 0.5 + 1e-9, s"max relative err $err")
   }
 
+  test("PQ: planted twin retrieved, deterministic, recall nonzero") {
+    // an exact copy gets identical codes in every subspace, so its ADC
+    // score against the original is the maximum any candidate can reach
+    val twin = emb.where(col("vec_id") === 0)
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(twin)
+    def run() = Similarity.pqTopK(corpus.where(col("vec_id") === 9000),
+        corpus, k = 5)
+      .select("rn", "neighbor_id").as[(Long, Long)].collect().toSeq.sorted
+    val out = run()
+    assert(out.map(_._2).contains(0L), s"twin missing from $out")
+    assert(run() == out) // training + encoding + search all deterministic
+    // coarse 12-bit codes still beat chance: some overlap with exact top-5
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((exact intersect pq).nonEmpty)
+  }
+
   test("quantized top-k recalls the exact top-k almost entirely") {
     val q = emb.where(col("vec_id") < 5)
     val exact = Similarity.bruteForceTopK(q, emb, 5)
