@@ -155,6 +155,7 @@ object SparkEntry {
     "q122_quantized_topk" -> LlmQueries.quantizedTopK,
     "q123_web_filter" -> LlmQueries.webFilter,
     "q124_pq_topk" -> LlmQueries.pqTopK,
+    "q125_training_manifest" -> LlmQueries.trainingManifest,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -807,39 +808,7 @@ FROM p JOIN o USING (bucket) ORDER BY p.id""",
     // q120 entropy, q112 logit) joined per doc; the engine runs them in
     // one scan but the answer is identical.
     "q123_web_filter" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-       FROM documents),
-lang AS (SELECT doc_id,
-  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','in','a'))) AS BIGINT) AS s_en,
-  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS s_de,
-  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS BIGINT) AS s_fr,
-  CAST(len(list_filter(toks, x -> x IN ('el','los','y','es','una','que'))) AS BIGINT) AS s_es
-  FROM t),
-ent AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-  round(-list_sum(list_transform(
-    list_transform(list_sort(list_distinct(toks)),
-      u -> CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE)),
-    c -> (c / CAST(len(toks) AS DOUBLE)) * ln(c / CAST(len(toks) AS DOUBLE)))), 4)
-    AS entropy
-  FROM t),
-grams AS (
-  SELECT doc_id, t.toks[i] AS g
-  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
-  UNION ALL
-  SELECT doc_id, t.toks[i] || ' ' || t.toks[i+1]
-  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
-clf AS (SELECT doc_id, CAST(SUM((${graft.llm.PortableSeededHash.sql(
-             "'w' || (" + graft.llm.PortableSeededHash.sql("g", 59) +
-               " % 256)::VARCHAR", 77)} % 17) - 8) AS BIGINT) AS logit
-        FROM grams GROUP BY doc_id),
-sig AS (SELECT l.doc_id, e.n_tokens,
-  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
-       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
-       WHEN s_fr >= s_es THEN 'fr'
-       ELSE 'es' END AS pred_lang,
-  e.entropy, c.logit
-  FROM lang l JOIN ent e USING (doc_id) JOIN clf c USING (doc_id))
+      s"""WITH $webFilterSignalsCtes
 SELECT doc_id, n_tokens, pred_lang, entropy, logit,
   n_tokens BETWEEN 10 AND 5000 AS pass_len,
   pred_lang = 'en' AS pass_lang,
@@ -848,6 +817,33 @@ SELECT doc_id, n_tokens, pred_lang, entropy, logit,
   (n_tokens BETWEEN 10 AND 5000) AND pred_lang = 'en'
     AND entropy >= 2.0 AND logit > 0 AS keep
 FROM sig ORDER BY doc_id""",
+    // q125: the manifest chain — the q123 signals, the multilingual
+    // gate, q113's data-derived temperature thresholds ON THE KEPT SET,
+    // and q119's rank machinery for the epoch order.
+    "q125_training_manifest" ->
+      s"""WITH $webFilterSignalsCtes,
+kept AS (SELECT doc_id, pred_lang FROM sig
+  WHERE (n_tokens BETWEEN 10 AND 5000) AND entropy >= 2.0 AND logit > 0),
+cnt AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_stratum
+        FROM kept GROUP BY 1),
+thr AS (SELECT pred_lang,
+          least(10000, CAST(floor(25000.0 / sqrt(CAST(n_stratum AS DOUBLE)))
+            AS BIGINT)) AS threshold_bp
+        FROM cnt),
+samp AS (SELECT k.doc_id, k.pred_lang AS stratum
+         FROM kept k JOIN thr USING (pred_lang)
+         WHERE ${h("k.doc_id", 41)} % 10000 < thr.threshold_bp),
+sbm AS (SELECT doc_id, stratum, ${h("doc_id", 37)} AS hh FROM samp),
+spm AS (SELECT doc_id, stratum, hh, hh % 8 AS bucket,
+         CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+           AS BIGINT) AS rn
+        FROM sbm),
+som AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS bucket_offset
+        FROM (SELECT bucket, count(*) AS total FROM spm GROUP BY bucket))
+SELECT spm.doc_id, spm.stratum, som.bucket_offset + spm.rn - 1 AS ord
+FROM spm JOIN som USING (bucket) ORDER BY ord""",
     // q122: quantization, per-vector integer stats and the SQ dot
     // expansion replayed verbatim — integer sums are order-free and the
     // float combination is the identical expression tree, so even the
@@ -1715,6 +1711,44 @@ ORDER BY d.doc_id""",
 
   private def h(x: String, seed: Int): String =
     graft.llm.PortableSeededHash.sql(x, seed)
+
+  /** The q123 signal CTEs (token split, marker lang scores, entropy,
+    * hashed classifier logit, joined into `sig`) — shared by the q123
+    * gate oracle and the q125 manifest oracle. WITH-body only. */
+  private def webFilterSignalsCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       FROM documents),
+lang AS (SELECT doc_id,
+  CAST(len(list_filter(toks, x -> x IN ('the','and','of','is','in','a'))) AS BIGINT) AS s_en,
+  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS BIGINT) AS s_de,
+  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un'))) AS BIGINT) AS s_fr,
+  CAST(len(list_filter(toks, x -> x IN ('el','los','y','es','una','que'))) AS BIGINT) AS s_es
+  FROM t),
+ent AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  round(-list_sum(list_transform(
+    list_transform(list_sort(list_distinct(toks)),
+      u -> CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE)),
+    c -> (c / CAST(len(toks) AS DOUBLE)) * ln(c / CAST(len(toks) AS DOUBLE)))), 4)
+    AS entropy
+  FROM t),
+grams AS (
+  SELECT doc_id, t.toks[i] AS g
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+  UNION ALL
+  SELECT doc_id, t.toks[i] || ' ' || t.toks[i+1]
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+clf AS (SELECT doc_id, CAST(SUM((${graft.llm.PortableSeededHash.sql(
+             "'w' || (" + graft.llm.PortableSeededHash.sql("g", 59) +
+               " % 256)::VARCHAR", 77)} % 17) - 8) AS BIGINT) AS logit
+        FROM grams GROUP BY doc_id),
+sig AS (SELECT l.doc_id, e.n_tokens,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS pred_lang,
+  e.entropy, c.logit
+  FROM lang l JOIN ent e USING (doc_id) JOIN clf c USING (doc_id))"""
 
   /** q115 oracle: replays the ENTIRE quantized-state gradient descent of
     * [[graft.llm.Importance.trainLogisticHashed]] (buckets=256, iters=3,

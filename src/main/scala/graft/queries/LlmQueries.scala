@@ -836,6 +836,32 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** End-to-end training MANIFEST (q125): the artifact this library
+    * exists to produce — documents pass the composed q123 quality gate,
+    * the survivors are temperature-rebalanced across languages (q113's
+    * data-derived rates, computed on the KEPT set), and the final
+    * selection gets its deterministic epoch order (q119). Output
+    * (doc_id, stratum, ord) sorted by ord — hand it to the trainer.
+    * Every stage is the already-oracle-checked operator; the oracle
+    * chains their replays. */
+  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+    // multilingual gate: q123's rules minus the English-only one (the
+    // temperature stage then rebalances across the predicted languages)
+    val kept = webFilter(s, dir)
+      .where(col("pass_len") && col("pass_entropy") && col("pass_clf"))
+      .select(col("doc_id"), col("pred_lang"))
+    val sampled = graft.llm.Sampling.temperatureSampled(kept,
+        col("doc_id"), col("pred_lang"), c = 2.5, alpha = 0.5, seed = 41,
+        hasher = graft.llm.PortableSeededHash)
+      .where(col("kept"))
+      .select(col("id").as("doc_id"), col("stratum"))
+    graft.llm.Sampling.shuffleOrder(sampled, col("doc_id"),
+        numBuckets = 8, seed = 37, hasher = graft.llm.PortableSeededHash)
+      .join(sampled.withColumnRenamed("doc_id", "id"), "id")
+      .select(col("id").as("doc_id"), col("stratum"), col("ord"))
+      .orderBy("ord")
+  }
+
   /** Product-quantization ANN (q124,
     * [[graft.llm.Similarity.pqTopK]]): 4 subspaces × 8 centroids (12-bit
     * codes), per-subspace fixed-point k-means, ADC search — the full
