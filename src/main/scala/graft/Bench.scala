@@ -78,14 +78,25 @@ object Bench {
       else median(xs)
     }
 
+    // host 1-min loadavg — recorded per round so a future adjudication
+    // can tell "engine regression" from "loaded gate host" straight off
+    // the artifact (rounds 7 AND 8 both produced contended gate runs
+    // whose breaches had to be reconstructed from BASELINE.md timelines)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+
     // untimed warmup: parquet reader + shuffle + codegen paths
     runOne("q01_pricing_summary")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val loadSamples = scala.collection.mutable.ArrayBuffer(loadAvg())
     val rounds: Seq[Map[String, Double]] = (1 to runs).map { r =>
       val t = names.map(n => n -> runOne(n)).toMap
       val tot = t.values.filter(_ >= 0).sum
-      System.err.println(f"[bench] round $r/$runs total=$tot%.1f s")
+      loadSamples += loadAvg()
+      System.err.println(
+        f"[bench] round $r/$runs total=$tot%.1f s loadavg=${loadSamples.last}%.2f")
       t
     }
     val results = names.map(n => n -> report(n, rounds.map(_(n))))
@@ -101,8 +112,9 @@ object Bench {
       .filter(_ >= 0).sum
     System.err.println(
       f"[bench] total (stream-min + batch-median)=$total%.1f s; all-median=$allMedian%.1f s")
+    val loads = loadSamples.map(l => f"$l%.2f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_all_median":$allMedian,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_all_median":$allMedian,"loadavg":$loads,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout capture can truncate (BENCH_r03 lost a third of its queries
     // to a tail cut) — the artifact also lands in a file

@@ -1802,7 +1802,16 @@ GROUP BY a.doc_id ORDER BY doc_id"""
   /** q118 oracle: the q32 signature machinery, asymmetric — new-batch
     * banded rows (split ≥ 90) joined against corpus banded rows
     * (split < 80), no doc_id ordering constraint, agreement estimated
-    * new-vs-corpus. */
+    * new-vs-corpus.
+    *
+    * CAP DIVERGENCE (deliberate): the engine applies the minHashLsh
+    * hot-bucket cap (`dropHotBuckets`, maxBucket 2^12) on BOTH banded
+    * sides; this oracle joins bn/bc uncapped. Verification therefore
+    * holds exactly while no (band, bucket) exceeds the cap — true at
+    * every tested sf. On a template-flood corpus the engine would
+    * (by design) drop the flooded buckets and diverge from this SQL;
+    * if a future sf bump trips the cap, that's the guard working, not
+    * an engine bug. Same convention as the q32 oracle. */
   private def q118IncrementalOracle: String = {
     val k = 16; val bands = 4; val rpb = k / bands
     val p = graft.llm.Dedup.P31

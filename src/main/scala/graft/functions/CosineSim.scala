@@ -26,10 +26,14 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      // freshName: two cosine_sim calls in one generated scope would
+      // otherwise collide on a literal variable name (Janino duplicate
+      // declaration → interpreted fallback)
+      val res = ctx.freshName("cosineSimResult")
       s"""
-         |Double result = graft.functions.CosineSim.compute($l, $r);
-         |if (result == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = result.doubleValue(); }
+         |Double $res = graft.functions.CosineSim.compute($l, $r);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.doubleValue(); }
        """.stripMargin
     })
 

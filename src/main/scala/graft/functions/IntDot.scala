@@ -27,10 +27,15 @@ case class IntDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, r) => {
+      // freshName: two int_dot calls can land in one generated scope (e.g.
+      // a projection using the registered SQL function twice) — a literal
+      // variable name would be a Janino duplicate-declaration error and
+      // force fallback to the interpreted path
+      val res = ctx.freshName("intDotResult")
       s"""
-         |Long result = graft.functions.IntDot.compute($l, $r);
-         |if (result == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = result.longValue(); }
+         |Long $res = graft.functions.IntDot.compute($l, $r);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.longValue(); }
        """.stripMargin
     })
 

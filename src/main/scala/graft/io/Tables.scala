@@ -54,6 +54,14 @@ object Tables {
       case Some(LongType) =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case Some(TimestampNTZType) =>
+        // the NTZ→timestamp cast pins the instant only under a UTC session
+        // zone; an ad-hoc session in another zone would silently shift
+        // every instant by the zone offset and fail oracles downstream
+        // with no diagnostic — fail loudly here instead (the same posture
+        // the old nanosAsLong-path require had)
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventTs: TIMESTAMP_NTZ events require spark.sql.session.timeZone=UTC (got $tz)")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }

@@ -149,7 +149,20 @@ object EventsStream {
     * Boundary: flush uses `watermark >= ts` — the complement of the
     * source dropping late rows at `ts < watermark` — so an equal-ts
     * signup must arrive in the same batch as its purchase (in-batch rows
-    * are processed signup-first at equal ts, as in [[streamingAsOf]]). */
+    * are processed signup-first at equal ts, as in [[streamingAsOf]]).
+    *
+    * CONTRACT — same-millisecond ordering: ripeness is decided at the
+    * watermark's own granularity (milliseconds; Spark watermarks carry no
+    * sub-ms precision), so a purchase whose event time falls in the
+    * watermark's current millisecond is finalized THEN — a signup with an
+    * earlier microsecond timestamp inside that same millisecond arriving
+    * in a LATER micro-batch is missed from the already-emitted match. In
+    * a bounded replay this cannot happen (the terminal no-data batch pins
+    * the watermark after all data is ingested — the deadlock rationale in
+    * the flush comment); in a true unbounded stream, callers needing
+    * sub-ms cross-batch ordering must tighten the flush to
+    * `ts_ms < wm_ms` and accept that the corpus-final millisecond only
+    * drains on a later watermark advance. */
   def streamingAsOfBuffered(spark: SparkSession, events: DataFrame,
                             delay: String = "2 hours"): Dataset[AsOfMatch] = {
     import spark.implicits._
