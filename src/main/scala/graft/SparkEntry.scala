@@ -156,6 +156,8 @@ object SparkEntry {
     "q123_web_filter" -> LlmQueries.webFilter,
     "q124_pq_topk" -> LlmQueries.pqTopK,
     "q125_training_manifest" -> LlmQueries.trainingManifest,
+    "q126_image_resize" -> LlmQueries.imageResize,
+    "q127_image_features" -> LlmQueries.imageFeatures,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1166,6 +1168,46 @@ FROM p ORDER BY doc_id""",
         |FROM px WHERE f % 3 = 0
         |GROUP BY doc_id, nf
         |ORDER BY doc_id""".stripMargin,
+    // q126: the oracle replays the 2×2 box-filter downscale analytically
+    // — block sums of the q98 pixel formula with truncating integer
+    // division (DuckDB `//` == Java int `/` on non-negatives) — while
+    // the Spark side runs encode → decode → resize → re-encode → decode
+    // through the REAL PNG codec at every stage. The three block pixels
+    // collapse: p(2x,2y)=s%256, p(2x+1,2y)=p(2x,2y+1)=(s+1)%256,
+    // p(2x+1,2y+1)=(s+2)%256 with s=2x+2y+id.
+    "q126_image_resize" ->
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 25) // 2 AS rw,
+        |                  (8 + (doc_id * 7) % 25) // 2 AS rh
+        |           FROM documents),
+        |px AS (SELECT doc_id, rw, rh,
+        |         ((2 * x.i + 2 * y.i + doc_id) % 256
+        |          + 2 * ((2 * x.i + 2 * y.i + doc_id + 1) % 256)
+        |          + (2 * x.i + 2 * y.i + doc_id + 2) % 256) // 4 AS g
+        |       FROM d, LATERAL unnest(range(rw)) AS x(i),
+        |            LATERAL unnest(range(rh)) AS y(i))
+        |SELECT doc_id, CAST(rw AS BIGINT) AS width, CAST(rh AS BIGINT) AS height,
+        |  CAST(rw * rh AS BIGINT) AS n_pixels, CAST(sum(g) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY doc_id, rw, rh
+        |ORDER BY doc_id""".stripMargin,
+    // q127: 16-bucket histogram of REAL decoded pixel values — the
+    // oracle buckets the same analytic pixel grid and left-joins onto
+    // the full bucket range so zero-count buckets survive (the engine's
+    // fixed-length histogram array posexplodes all 16).
+    "q127_image_features" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+        |                  8 + (doc_id * 7) % 25 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, ((x.i + y.i + doc_id) % 256) // 16 AS bucket
+        |       FROM d, LATERAL unnest(range(w)) AS x(i),
+        |            LATERAL unnest(range(h)) AS y(i)),
+        |c AS (SELECT doc_id, bucket, count(*) AS cnt
+        |      FROM px GROUP BY doc_id, bucket),
+        |grid AS (SELECT doc_id, b.i AS bucket
+        |         FROM documents, LATERAL unnest(range(16)) AS b(i))
+        |SELECT g.doc_id, CAST(g.bucket AS BIGINT) AS bucket,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM grid g LEFT JOIN c ON g.doc_id = c.doc_id AND g.bucket = c.bucket
+        |ORDER BY g.doc_id, g.bucket""".stripMargin,
     // q95: DuckDB pins the exact cosine-threshold pair count; the flags
     // assert the bucket join emitted a ≥20%-recall subset of those pairs.
     "q95_ann_rewrite" ->

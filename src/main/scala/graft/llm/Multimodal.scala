@@ -296,6 +296,101 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize through the batch seam: decode (JDK ImageIO) →
+    * `factor`×`factor` box-filter downscale in exact integer arithmetic
+    * (block sum, truncating division — no fp, so an oracle can replay
+    * it) → re-encode as gray8 PNG (lossless). Output dims are the
+    * truncated `w/factor × h/factor`; edge pixels beyond the last full
+    * block are cropped (the standard align-to-block convention). Rows
+    * whose payload can't decode or that are smaller than one block are
+    * DROPPED per the [[decodeImages]] null-on-error contract.
+    *
+    * This is the production resize shape at 100 TB: bytes in → bytes
+    * out inside ONE mapPartitions pass, no intermediate shuffle of
+    * pixel data; a JNI/SIMD resampler would replace only the inner
+    * loop. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+                   factor: Int): Dataset[MediaRow] = {
+    require(factor > 0, s"factor=$factor must be positive")
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.media))
+          if (img == null) None
+          else {
+            val rw = img.getWidth / factor
+            val rh = img.getHeight / factor
+            if (rw == 0 || rh == 0) None
+            else {
+              val src = img.getRaster
+              val out = new java.awt.image.BufferedImage(
+                rw, rh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val dst = out.getRaster
+              var yo = 0
+              while (yo < rh) {
+                var xo = 0
+                while (xo < rw) {
+                  var s = 0
+                  var dy = 0
+                  while (dy < factor) {
+                    var dx = 0
+                    while (dx < factor) {
+                      s += src.getSample(xo * factor + dx, yo * factor + dy, 0)
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  dst.setSample(xo, yo, 0, s / (factor * factor))
+                  xo += 1
+                }
+                yo += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Some(MediaRow(row.doc_id, bos.toByteArray))
+            }
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** REAL image feature extraction through the batch seam: decode (JDK
+    * ImageIO) → 16-bucket histogram of band-0 pixel values — the
+    * integer-exact stand-in for an embedding model over REAL decoded
+    * pixels (the [[extractFeatures]] byte-histogram stub's real-codec
+    * twin; a vision model would replace the histogram loop, the
+    * fixed-length-vector-out-of-binary shape is identical). Undecodable
+    * payloads are DROPPED per the [[decodeImages]] contract. */
+  def imageHistogram(spark: SparkSession, media: DataFrame): Dataset[Features] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { row =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.media))
+          if (img == null) None
+          else {
+            val raster = img.getRaster
+            val hist = new Array[Long](16)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                hist((raster.getSample(x, y, 0) & 0xff) / 16) += 1
+                x += 1
+              }
+              y += 1
+            }
+            Some(Features(row.doc_id, hist))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   case class ResizedRow(doc_id: Long, n_bytes: Long, resized_bytes: Long,
                         resized_checksum: Long)
   case class FrameStats(doc_id: Long, n_frames: Long, sampled_frames: Long,

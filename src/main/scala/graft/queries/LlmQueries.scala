@@ -176,6 +176,39 @@ object LlmQueries {
       .toDF()
       .orderBy("doc_id")
 
+  /** REAL image resize (q126, [[graft.llm.Multimodal.resizeImages]]):
+    * real PNG encode → real decode → 2×2 integer box-filter downscale →
+    * real PNG re-encode → real decode → metadata. Every stage of the
+    * production resize pipeline runs the actual codec; the oracle
+    * replays the block averages analytically (truncating integer
+    * division, so DuckDB's `//` agrees exactly). Retires the q59
+    * byte-stride stand-in's "resize is a stub" caveat — q59 stays as
+    * the shape test for container-less payloads. */
+  def imageResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(s,
+        Multimodal.resizeImages(s,
+          Multimodal.encodePng(s, table(s, dir, "documents")).toDF(),
+          factor = 2).toDF())
+      .toDF()
+      .orderBy("doc_id")
+
+  /** REAL image feature extraction (q127,
+    * [[graft.llm.Multimodal.imageHistogram]]): real PNG encode → real
+    * decode → 16-bucket pixel-value histogram, exploded positionally
+    * (the q60 surface over real decoded pixels instead of raw payload
+    * bytes). Retires the q60 "features are a byte-histogram stub"
+    * caveat — a vision embedding model replaces only the histogram
+    * loop inside the same mapPartitions batch. */
+  def imageFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageHistogram(s,
+        Multimodal.encodePng(s, table(s, dir, "documents")).toDF())
+      .toDF()
+      .select(col("doc_id"),
+        posexplode(col("histogram")).as(Seq("bucket", "cnt")))
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+        col("cnt"))
+      .orderBy("doc_id", "bucket")
+
   /** C4-style line-level dedup across the corpus (q97,
     * [[graft.llm.Dedup.dedupLines]]): keep the first occurrence of every
     * distinct line, reassemble documents from their surviving lines. The

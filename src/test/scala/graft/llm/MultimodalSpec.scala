@@ -24,6 +24,57 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real resize: 2x2 box filter matches the analytic block averages") {
+    val ids = Seq(0L, 1L, 17L, 123L).toDF("doc_id")
+    val out = Multimodal.decodeImages(spark,
+        Multimodal.resizeImages(spark,
+          Multimodal.encodePng(spark, ids).toDF(), factor = 2).toDF())
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out.keySet == Set(0L, 1L, 17L, 123L))
+    out.foreach { case (id, m) =>
+      val rw = (8 + id % 25) / 2
+      val rh = (8 + (id * 7) % 25) / 2
+      assert(m.width == rw && m.height == rh && m.n_pixels == rw * rh,
+        s"doc $id")
+      val expected = (for (xo <- 0L until rw; yo <- 0L until rh) yield {
+        val s = 2 * xo + 2 * yo + id
+        (s % 256 + 2 * ((s + 1) % 256) + (s + 2) % 256) / 4
+      }).sum
+      assert(m.sum_gray == expected, s"doc $id")
+    }
+  }
+
+  test("real resize: sub-block images and junk payloads are dropped") {
+    // a 1x1 PNG is smaller than one 2x2 block
+    val tiny = {
+      val img = new java.awt.image.BufferedImage(
+        1, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val good = Multimodal.encodePng(spark, Seq(5L).toDF("doc_id")).toDF()
+    val bad = Seq(98L -> tiny, 99L -> Array[Byte](1, 2, 3, 4))
+      .toDF("doc_id", "media")
+    val out = Multimodal.resizeImages(spark, good.unionByName(bad), 2)
+      .collect()
+    assert(out.map(_.doc_id).toSeq == Seq(5L))
+  }
+
+  test("image histogram buckets real decoded pixels, zero buckets kept") {
+    val out = Multimodal.imageHistogram(spark,
+        Multimodal.encodePng(spark, Seq(3L).toDF("doc_id")).toDF())
+      .collect()
+    assert(out.length == 1 && out.head.histogram.length == 16)
+    val id = 3L
+    val w = 8 + id % 25; val h = 8 + (id * 7) % 25
+    val expected = new Array[Long](16)
+    for (x <- 0L until w; y <- 0L until h)
+      expected(((x + y + id) % 256).toInt / 16) += 1
+    assert(out.head.histogram.toSeq == expected.toSeq)
+    assert(out.head.histogram.sum == w * h)
+  }
+
   test("undecodable payloads are dropped, not failed") {
     val good = Multimodal.encodePng(spark, Seq(5L).toDF("doc_id")).toDF()
     val bad = Seq((99L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "media")
