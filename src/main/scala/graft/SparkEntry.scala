@@ -158,6 +158,7 @@ object SparkEntry {
     "q125_training_manifest" -> LlmQueries.trainingManifest,
     "q126_image_resize" -> LlmQueries.imageResize,
     "q127_image_features" -> LlmQueries.imageFeatures,
+    "q128_phrase_vocab" -> LlmQueries.phraseVocab,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -907,6 +908,8 @@ FROM spm JOIN som USING (bucket) ORDER BY ord""",
         |         JOIN uni u2 ON big.w2 = u2.w, n
         |WHERE c_ab >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+    // q128: generated per-round SQL — see q128PhraseVocabOracle.
+    "q128_phrase_vocab" -> q128PhraseVocabOracle(rounds = 2),
     // q120: the ln fold runs over SORTED distinct tokens in both engines
     // (same summation order; q110's 4-dp measure-zero caveat applies).
     "q120_token_entropy" ->
@@ -1839,6 +1842,61 @@ SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
   CAST(SUM(w.w) AS BIGINT) > 0 AS keep
 FROM gb a JOIN w$iters w USING (b)
 GROUP BY a.doc_id ORDER BY doc_id"""
+  }
+
+  /** q128 oracle: replay [[graft.llm.LanguageModel.trainPhrases]] round
+    * by round — per round, the q121 PMI scoring + rounded cut line over
+    * the CURRENT tokenization, then the greedy merge as the same
+    * gaps-and-islands windows the engine uses (running non-mergeable
+    * count = run id, within-run running mergeable count = alternation
+    * parity, lag = consumed successor). Every round's re-tokenization is
+    * thereby pinned, not just the scores: a parity or window-frame fault
+    * in the engine's merge pass changes round-2 counts and
+    * hash-mismatches. */
+  private def q128PhraseVocabOracle(rounds: Int, minCount: Int = 5,
+                                    topK: Int = 20): String = {
+    val perRound = (1 to rounds).map { r =>
+      val merge =
+        if (r == rounds) ""
+        else s""",
+m$r AS (SELECT p.doc_id, p.pos, p.tok, p.nxt, t.w1 IS NOT NULL AS mergeable
+  FROM pr$r p LEFT JOIN top$r t ON p.tok = t.w1 AND p.nxt = t.w2),
+g$r AS (SELECT *, sum(CASE WHEN mergeable THEN 0 ELSE 1 END)
+    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m$r),
+x$r AS (SELECT *, sum(CASE WHEN mergeable THEN 1 ELSE 0 END)
+    OVER (PARTITION BY doc_id, grp ORDER BY pos) AS midx FROM g$r),
+y$r AS (SELECT *, mergeable AND midx % 2 = 1 AS merge_pos FROM x$r),
+z$r AS (SELECT *, coalesce(lag(merge_pos)
+    OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed FROM y$r),
+t$r AS (SELECT doc_id,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+    CASE WHEN merge_pos THEN tok || '_' || nxt ELSE tok END AS tok
+  FROM z$r WHERE NOT consumed)"""
+      s"""pr$r AS (SELECT doc_id, pos, tok,
+    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM t${r - 1}),
+bg$r AS (SELECT tok AS w1, nxt AS w2 FROM pr$r WHERE nxt IS NOT NULL),
+big$r AS (SELECT w1, w2, count(*) AS c_ab FROM bg$r GROUP BY 1, 2),
+uni$r AS (SELECT tok AS w, count(*) AS c FROM t${r - 1} GROUP BY 1),
+n$r AS (SELECT count(*) AS n FROM bg$r),
+top$r AS (SELECT w1, w2, c_ab,
+    round(ln(CAST(c_ab AS DOUBLE) * CAST(n.n AS DOUBLE)
+      / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+  FROM big$r b JOIN uni$r u1 ON b.w1 = u1.w
+       JOIN uni$r u2 ON b.w2 = u2.w, n$r n
+  WHERE c_ab >= $minCount
+  ORDER BY pmi DESC, w1, w2 LIMIT $topK)$merge"""
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, * FROM top$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t0 AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+$perRound
+SELECT merge_round, w1, w2, CAST(c_ab AS BIGINT) AS c_ab, pmi FROM (
+  $union)
+ORDER BY merge_round, pmi DESC, w1, w2"""
   }
 
   /** q118 oracle: the q32 signature machinery, asymmetric — new-batch

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Count-based n-gram language-model scoring — the CCNet quality-filter
   * family (Wenzek et al. 2020, "CCNet: Extracting high quality
@@ -124,6 +125,113 @@ object LanguageModel {
           .as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topK)
+  }
+
+  /** Tokenizer-vocabulary training — the iterated word2phrase merge loop
+    * (Mikolov et al. 2013 §4: "we ran 2-4 passes over the training data
+    * with decreasing threshold", each pass joining the winning bigrams
+    * into single tokens so later passes discover longer phrases): per
+    * round, score bigrams by PMI over the CURRENT tokenization
+    * ([[pmiCollocations]]'s scoring pass), promote the global top-`topK`
+    * (≥ `minCount`) into merged tokens `w1<joiner>w2`, and re-tokenize
+    * the corpus by greedy left-to-right merging — exactly the BPE outer
+    * loop with PMI in place of raw pair frequency as the merge rule.
+    *
+    * The greedy re-tokenization is DECLARATIVE, not a per-row scan:
+    * greedy left-to-right pair merging is equivalent to "merge at the
+    * odd (1-based) mergeable positions within each maximal run of
+    * consecutive mergeable positions" (a merge consumes the next
+    * position, so within a run merges land on alternating offsets, and
+    * a run's first position is always reached unconsumed because its
+    * predecessor is non-mergeable). Runs are the standard
+    * gaps-and-islands: a running count of non-mergeable rows groups each
+    * run, a within-run running count gives the alternation parity, and a
+    * `lag` marks consumed successors. Window functions only — the same
+    * SQL replays in DuckDB, so the oracle pins every round's
+    * re-tokenization, not just the scores.
+    *
+    * Scale shape: per round, two count shuffles (map-side combined), a
+    * bounded top-K sort-limit, a BROADCAST join of the ≤K phrase table
+    * against the token stream (no driver collect — the model never
+    * leaves the cluster), and per-doc windows that all share one
+    * doc_id exchange. Each round's token frame is persisted (each is
+    * read by the next round's counts AND its merge pass — without reuse
+    * the lineage re-executes multiplicatively across rounds); the final
+    * round skips the merge entirely (its vocab is the last output).
+    *
+    * Output: (merge_round, w1, w2, c_ab, pmi) — the learned phrase
+    * vocabulary, `merge_round` ascending then the q121 cut-line order.
+    * Round-2+ rows have `w1`/`w2` that may themselves be merged tokens,
+    * which is the point. */
+  def trainPhrases(docs: DataFrame, rounds: Int = 2, minCount: Long = 5,
+                   topK: Int = 20, joiner: String = "_",
+                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    def persisted(df: DataFrame): DataFrame =
+      if (storageLevel == StorageLevel.NONE) df else df.persist(storageLevel)
+
+    var frame = persisted(docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok"))))
+    val vocabs = (1 to rounds).map { r =>
+      val pairs = frame.select(col("doc_id"), col("pos"), col("tok"),
+          lead("tok", 1).over(byDoc).as("nxt"))
+        .where(col("nxt").isNotNull)
+      val big = pairs.groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+        .agg(count(lit(1)).as("c_ab"))
+      val uni = frame.groupBy(col("tok").as("w")).agg(count(lit(1)).as("c"))
+      val total = pairs.agg(count(lit(1)).as("n"))
+      val top = persisted(big.where(col("c_ab") >= minCount)
+        .join(uni.select(col("w").as("w1"), col("c").as("c_1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_2")), "w2")
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          round(log(col("c_ab").cast("double") * col("n").cast("double") /
+            (col("c_1").cast("double") * col("c_2").cast("double"))), 4)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(topK))
+      if (r < rounds)
+        frame = persisted(mergeBigrams(frame, top, joiner, byDoc))
+      top.select(lit(r).cast("long").as("merge_round"),
+        col("w1"), col("w2"), col("c_ab"), col("pmi"))
+    }
+    vocabs.reduce(_ unionByName _)
+  }
+
+  /** One greedy left-to-right merge pass over an exploded token frame
+    * (doc_id, pos, tok) against a small phrase table (w1, w2) — see
+    * [[trainPhrases]] for the parity argument. Output positions are
+    * re-numbered dense. */
+  private def mergeBigrams(frame: DataFrame, phrases: DataFrame,
+                           joiner: String,
+                           byDoc: org.apache.spark.sql.expressions.WindowSpec)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val marked = frame
+      .select(col("doc_id"), col("pos"), col("tok"),
+        lead("tok", 1).over(byDoc).as("nxt"))
+      .join(broadcast(phrases.select(col("w1"), col("w2"),
+          lit(true).as("in_vocab"))),
+        col("tok") === col("w1") && col("nxt") === col("w2"), "left")
+      .select(col("doc_id"), col("pos"), col("tok"), col("nxt"),
+        coalesce(col("in_vocab"), lit(false)).as("mergeable"))
+    val grouped = marked.withColumn("grp",
+      sum(when(col("mergeable"), lit(0)).otherwise(lit(1))).over(byDoc))
+    val byRun = Window.partitionBy("doc_id", "grp").orderBy("pos")
+    val flagged = grouped
+      .withColumn("midx",
+        sum(when(col("mergeable"), lit(1)).otherwise(lit(0))).over(byRun))
+      .withColumn("merge_pos", col("mergeable") && col("midx") % 2 === 1)
+      .withColumn("consumed",
+        coalesce(lag("merge_pos", 1).over(byDoc), lit(false)))
+    flagged.where(!col("consumed"))
+      .select(col("doc_id"),
+        (row_number().over(byDoc) - 1).as("pos"),
+        when(col("merge_pos"), concat(col("tok"), lit(joiner), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
   }
 
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020

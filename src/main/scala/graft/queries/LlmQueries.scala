@@ -927,6 +927,19 @@ object LlmQueries {
     graft.llm.LanguageModel.pmiCollocations(table(s, dir, "documents"),
       minCount = 5, topK = 50)
 
+  /** Tokenizer-vocabulary training (q128,
+    * [[graft.llm.LanguageModel.trainPhrases]]): two word2phrase merge
+    * rounds — round 1 promotes the top-PMI bigrams of the raw
+    * tokenization, the corpus is greedily re-tokenized (declarative
+    * gaps-and-islands merge, no driver actions), round 2 scores the
+    * MERGED stream, so its vocabulary can contain phrases-of-phrases.
+    * The oracle replays both rounds — counts, cut line, and the greedy
+    * re-tokenization windows — in DuckDB. */
+  def phraseVocab(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.trainPhrases(table(s, dir, "documents"),
+        rounds = 2, minCount = 5, topK = 20)
+      .orderBy(col("merge_round"), col("pmi").desc, col("w1"), col("w2"))
+
   /** Count-Min frequency estimation (q114,
     * [[graft.functions.CountMinAgg]]): one global 4×256 sketch over the
     * events user stream, then every user's estimate probed back out of

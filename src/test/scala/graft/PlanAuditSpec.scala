@@ -47,9 +47,12 @@ class PlanAuditSpec extends SparkSpec {
                              // scalars; every data-sized join is equi
     "q121_pmi_collocations", // broadcast 1-row bigram-total scalar; the
                              // unigram-count joins are equi on the word
-    "q122_quantized_topk"    // broadcast-queries all-pairs scan — the
+    "q122_quantized_topk",   // broadcast-queries all-pairs scan — the
                              // designed q34 ground-truth shape on the
                              // quantized representation
+    "q128_phrase_vocab"      // q121's broadcast 1-row bigram-total scalar,
+                             // once per merge round; the phrase-table
+                             // merge join and unigram joins are equi
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

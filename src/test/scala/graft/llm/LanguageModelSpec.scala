@@ -73,4 +73,48 @@ class LanguageModelSpec extends SparkSpec {
     val minHead = out.filter(_._3 == "head").map(_._2).min
     assert(maxTail <= minMid && maxMid <= minHead)
   }
+
+  test("trainPhrases: round 2 scores the merged stream, greedy wins overlaps") {
+    // per-doc unique filler tokens keep every bigram except (new,york)
+    // and (york,city) under minCount; both promoted in round 1 (equal
+    // PMI, both survive topK=2). Greedy merging of "new york city" takes
+    // (new,york) at position 0 and CONSUMES york, so (york,city) — also
+    // in the vocab — must NOT fire at position 1. Round 2 then sees
+    // (new_york, city) as the only above-floor bigram of the merged
+    // stream — only possible if the re-tokenization actually rewrote the
+    // stream between rounds.
+    val docs = (0 until 8).map(i =>
+        (i.toLong, s"new york city t${i}a new york city t${i}b"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.trainPhrases(docs,
+        rounds = 2, minCount = 5, topK = 2)
+      .select("merge_round", "w1", "w2", "c_ab")
+      .as[(Long, String, String, Long)].collect()
+    val r1 = out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet
+    val r2 = out.filter(_._1 == 2L).map(r => ((r._2, r._3), r._4)).toMap
+    assert(r1 == Set(("new", "york"), ("york", "city")))
+    assert(r2 == Map(("new_york", "city") -> 16L), s"got $r2")
+  }
+
+  test("trainPhrases greedy merge: runs alternate (a a a a a -> a_a a_a a)") {
+    // pure-run corpus: (a,a) is round 1's only candidate; greedy
+    // left-to-right merging of "a a a a a" gives a_a a_a a. Round 2's
+    // top-1 by PMI is then (a_a, a) [pmi ln(1)=0 beats (a_a,a_a)'s
+    // ln(0.5)]; a wrong merge parity (a a_a a_a) would surface
+    // (a, a_a) instead — the w1 pins the alternation direction.
+    val docs = (0 until 10).map(i => (i.toLong, "a a a a a"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.trainPhrases(docs,
+        rounds = 2, minCount = 5, topK = 1)
+      .select("merge_round", "w1", "w2", "c_ab")
+      .as[(Long, String, String, Long)].collect()
+    val r1 = out.filter(_._1 == 1L).head
+    assert((r1._2, r1._3) == ("a", "a"))
+    // 10 docs x 4 consecutive (a,a) positions = 40 raw pairs
+    assert(r1._4 == 40L)
+    val r2 = out.filter(_._1 == 2L).head
+    assert((r2._2, r2._3) == ("a_a", "a"), s"got $r2")
+    // greedy: exactly one (a_a, a) adjacency per doc
+    assert(r2._4 == 10L)
+  }
 }
