@@ -159,6 +159,7 @@ object SparkEntry {
     "q126_image_resize" -> LlmQueries.imageResize,
     "q127_image_features" -> LlmQueries.imageFeatures,
     "q128_phrase_vocab" -> LlmQueries.phraseVocab,
+    "q129_indexed_neardup" -> LlmQueries.indexedNearDup,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -791,6 +792,10 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |FROM s4 ORDER BY doc_id""".stripMargin,
     // q118: asymmetric new-batch-vs-index LSH — generated like q32.
     "q118_incremental_neardup" -> q118IncrementalOracle,
+    // q129: the persisted-index form is defined to produce exactly the
+    // q118 output (the lifecycle changes, the math doesn't) — same
+    // oracle, same cap-divergence note.
+    "q129_indexed_neardup" -> q118IncrementalOracle,
     // q119: integer row_number machinery — exact.
     "q119_shuffle_order" ->
       s"""WITH b AS (SELECT doc_id AS id, ${h("doc_id", 37)} AS h

@@ -1041,6 +1041,17 @@ object Dedup {
                else sigN0.persist(storageLevel)
     val bN = dropHotBuckets(bandSignatures(sigN, k, bands), maxBucket)
     val bC = dropHotBuckets(bandSignatures(corpusSigs, k, bands), maxBucket)
+    incrementalJoin(bN, bC, sigN, corpusSigs, k, estThreshold)
+  }
+
+  /** The delta-vs-index tail shared by [[incrementalNearDup]] (index
+    * built in-query) and [[incrementalNearDupIndexed]] (index read back
+    * from a persisted bucketed table): banded candidate equi-join →
+    * per-pair band-hit count → est-jaccard agreement join against the
+    * raw signatures. */
+  private def incrementalJoin(bN: DataFrame, bC: DataFrame,
+                              sigN: DataFrame, sigC: DataFrame,
+                              k: Int, estThreshold: Double): DataFrame = {
     val cand = bN.as("a").join(bC.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket"))
@@ -1049,7 +1060,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands_hit"))
     val sigA = sigN.select(col("doc_id").as("new_doc") +:
       (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
-    val sigB = corpusSigs.select(col("doc_id").as("corpus_doc") +:
+    val sigB = sigC.select(col("doc_id").as("corpus_doc") +:
       (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
     val agree = (0 until k)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
@@ -1060,6 +1071,77 @@ object Dedup {
       .select(col("new_doc"), col("corpus_doc"),
         round(col("est_jaccard"), 4).as("est_jaccard"),
         col("n_bands_hit"))
+  }
+
+  /** PERSIST the corpus signature index [[incrementalNearDup]] joins
+    * deltas against — the missing piece of the production daily-ingest
+    * story: at 100 TB the index is built ONCE (and appended to as
+    * batches are accepted), not recomputed per batch, and each ingest
+    * run reopens it from storage.
+    *
+    * Two bucketed tables (Spark bucketed parquet, session catalog):
+    *
+    *   - `<name>_bands` — the banded rows, BUCKETED BY (band, bucket):
+    *     the delta's banded rows shuffle to the index's bucketing and
+    *     the corpus side streams from disk with NO exchange (the scan's
+    *     layout already satisfies the join's distribution) — cost tracks
+    *     the delta, the corpus is never re-shuffled;
+    *   - `<name>_sigs` — the raw k-column signatures, bucketed by
+    *     doc_id for the est-jaccard agreement join.
+    *
+    * The hot-bucket cap is applied at BUILD time (an over-cap bucket is
+    * an index template-flood; dropping it once here is the same guard
+    * [[minHashLsh]] applies per-query). `corpusSigs` is written
+    * uncapped — agreement needs every candidate's full signature. */
+  def writeSignatureIndex(corpusSigs: DataFrame, name: String,
+                          k: Int = 16, bands: Int = 4,
+                          numBuckets: Int = 32,
+                          maxBucket: Int = 1 << 12): Unit = {
+    // mode("overwrite") only replaces tables the CURRENT catalog knows.
+    // With the in-memory session catalog a table written by a previous
+    // session is invisible to this one while its warehouse directory
+    // survives → LOCATION_ALREADY_EXISTS. Drop both the entry and any
+    // stale location first (a persistent metastore never hits the
+    // second branch).
+    val spark = corpusSigs.sparkSession
+    Seq(s"${name}_bands", s"${name}_sigs").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    dropHotBuckets(bandSignatures(corpusSigs, k, bands), maxBucket)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .saveAsTable(s"${name}_bands")
+    corpusSigs.write.mode("overwrite")
+      .bucketBy(numBuckets, "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(s"${name}_sigs")
+  }
+
+  /** [[incrementalNearDup]] against a PERSISTED index (see
+    * [[writeSignatureIndex]]): only the (small) new batch is
+    * signature-hashed; the corpus side is the bucketed tables. Output is
+    * bit-identical to the in-query form on the same corpus (asserted in
+    * DedupSpec). The index side is already capped at build time; the
+    * delta side is capped here (a degenerate batch is the delta-side
+    * flood). */
+  def incrementalNearDupIndexed(spark: org.apache.spark.sql.SparkSession,
+                                newDocs: DataFrame, name: String,
+                                n: Int = 3, k: Int = 16, bands: Int = 4,
+                                estThreshold: Double = 0.3,
+                                hasher: SeededHash = XxSeededHash,
+                                storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                                maxBucket: Int = 1 << 12): DataFrame = {
+    val sigN0 = minHashSignatures(newDocs, n, k, hasher)
+    val sigN = if (storageLevel == StorageLevel.NONE) sigN0
+               else sigN0.persist(storageLevel)
+    val bN = dropHotBuckets(bandSignatures(sigN, k, bands), maxBucket)
+    incrementalJoin(bN, spark.table(s"${name}_bands"), sigN,
+      spark.table(s"${name}_sigs"), k, estThreshold)
   }
 
   /** Skew guard for the LSH band self-joins: a bucket of size s generates

@@ -812,6 +812,26 @@ object LlmQueries {
       .orderBy("new_doc", "corpus_doc")
   }
 
+  /** Incremental near-dup against a PERSISTED bucketed index (q129,
+    * [[graft.llm.Dedup.writeSignatureIndex]] +
+    * [[graft.llm.Dedup.incrementalNearDupIndexed]]): the q118 split, but
+    * the corpus signature index is written to bucketed parquet tables
+    * and the delta joins against the REOPENED tables — the daily-ingest
+    * lifecycle (build once, join every batch) rather than q118's
+    * build-in-query form. Output is bit-identical to q118 (same oracle);
+    * the band join leaves the index side exchange-free (bucketed layout
+    * satisfies the join distribution — asserted in DedupSpec). */
+  def indexedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val sb = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    val corpusSigs = Dedup.minHashSignatures(docs.where(sb < 80),
+      n = 3, k = 16, hasher = graft.llm.PortableSeededHash)
+    Dedup.writeSignatureIndex(corpusSigs, "graft_q129_index")
+    Dedup.incrementalNearDupIndexed(s, docs.where(sb >= 90),
+        "graft_q129_index", hasher = graft.llm.PortableSeededHash)
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   /** Deterministic per-epoch training order (q119,
     * [[graft.llm.Sampling.shuffleOrder]]): the global corpus permutation
     * as a two-phase bucket prefix sum — no RNG state, no global

@@ -522,4 +522,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(inc == expected)
   }
+
+  test("persisted signature index: roundtrip identical, index side exchange-free") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val split = pmod(xxhash64(col("doc_id")), lit(10L))
+    val indexDocs = docs.where(split < 7)
+    val batchDocs = docs.where(split >= 7)
+    val sigs = Dedup.minHashSignatures(indexDocs, 3, 16)
+    Dedup.writeSignatureIndex(sigs, "graft_spec_index")
+    val indexed = Dedup.incrementalNearDupIndexed(spark, batchDocs,
+      "graft_spec_index")
+    // bit-identical to the build-in-query form on the same corpus
+    val inMem = Dedup.incrementalNearDup(batchDocs, sigs)
+      .select("new_doc", "corpus_doc", "est_jaccard", "n_bands_hit")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val fromIdx = indexed
+      .select("new_doc", "corpus_doc", "est_jaccard", "n_bands_hit")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(fromIdx == inMem && fromIdx.nonEmpty)
+    // the band join must read the persisted index WITHOUT re-shuffling
+    // it: the bucketed (band, bucket) layout satisfies the join's
+    // required distribution, so only the delta side exchanges. Disable
+    // broadcast so the join actually plans distribution requirements.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.incrementalNearDupIndexed(spark, batchDocs,
+          "graft_spec_index", storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"expected a bucketed scan of the persisted index in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
