@@ -69,7 +69,8 @@ object Bench {
     // queries that run a real stream (see STREAM LANE above)
     val streamLane = Set("q83_streaming_dedup_batch",
       "q85_streaming_asof_buffered", "q86_streaming_heavy_hitters",
-      "q93_streaming_ingest", "q101_streaming_neardup")
+      "q93_streaming_ingest", "q101_streaming_neardup",
+      "q130_streaming_media")
 
     def report(name: String, xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)

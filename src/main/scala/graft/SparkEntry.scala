@@ -160,6 +160,8 @@ object SparkEntry {
     "q127_image_features" -> LlmQueries.imageFeatures,
     "q128_phrase_vocab" -> LlmQueries.phraseVocab,
     "q129_indexed_neardup" -> LlmQueries.indexedNearDup,
+    "q130_streaming_media" -> StreamingQueries.streamingMediaIngest,
+    "q131_ann_recall" -> LlmQueries.annRecall,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -856,44 +858,7 @@ FROM spm JOIN som USING (bucket) ORDER BY ord""",
     // expansion replayed verbatim — integer sums are order-free and the
     // float combination is the identical expression tree, so even the
     // UNROUNDED sims (the window sort key) are bit-identical.
-    "q122_quantized_topk" ->
-      """WITH qz AS (SELECT vec_id,
-        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
-        |  (CAST(list_max(embedding) AS DOUBLE)
-        |   - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
-        |  embedding FROM embeddings),
-        |qv AS (SELECT vec_id, mn, scale,
-        |  list_transform(embedding, x -> CASE WHEN scale > 0
-        |    THEN CAST(round((CAST(x AS DOUBLE) - mn) / scale) AS INTEGER)
-        |    ELSE 0 END) AS q
-        |  FROM qz),
-        |st AS (SELECT vec_id, mn, scale, q, CAST(len(q) AS BIGINT) AS n,
-        |  CAST(list_sum(list_transform(q, v -> CAST(v AS BIGINT)))
-        |    AS BIGINT) AS s1,
-        |  CAST(list_sum(list_transform(q,
-        |    v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS BIGINT) AS s2
-        |  FROM qv),
-        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |  a.mn AS mna, a.scale AS sa, a.s1 AS s1a, a.s2 AS s2a, a.n AS na,
-        |  b.mn AS mnb, b.scale AS sb, b.s1 AS s1b, b.s2 AS s2b, b.n AS nb,
-        |  CAST(list_sum(list_transform(list_zip(a.q, b.q),
-        |    z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT)))
-        |    AS BIGINT) AS ab
-        |  FROM st a, st b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
-        |s AS (SELECT query_id, neighbor_id,
-        |  (CAST(na AS DOUBLE) * mna * mnb + mna * sb * CAST(s1b AS DOUBLE)
-        |   + mnb * sa * CAST(s1a AS DOUBLE) + sa * sb * CAST(ab AS DOUBLE))
-        |  / (sqrt(CAST(na AS DOUBLE) * mna * mna
-        |      + 2.0 * mna * sa * CAST(s1a AS DOUBLE)
-        |      + sa * sa * CAST(s2a AS DOUBLE))
-        |     * sqrt(CAST(nb AS DOUBLE) * mnb * mnb
-        |      + 2.0 * mnb * sb * CAST(s1b AS DOUBLE)
-        |      + sb * sb * CAST(s2b AS DOUBLE))) AS sim
-        |  FROM p),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
-        |SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
-        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q122_quantized_topk" -> q122SqOracle,
     // q121: the cut line orders on ROUNDED pmi with word tie-breaks, so
     // a <=1-ulp ln difference cannot reorder the top-K boundary.
     "q121_pmi_collocations" ->
@@ -1110,18 +1075,11 @@ FROM p ORDER BY doc_id""",
     // (dimensions + band-0 pixel sum are pure integer formulas of
     // doc_id) — the Spark side must produce them through a REAL PNG
     // encode + decode (JDK ImageIO), so codec faults hash-mismatch.
-    "q98_image_roundtrip" ->
-      """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
-        |                  8 + (doc_id * 7) % 25 AS h
-        |           FROM documents),
-        |px AS (SELECT doc_id, w, h,
-        |         CAST((x.i + y.i + doc_id) % 256 AS BIGINT) AS g
-        |       FROM d, LATERAL unnest(range(w)) AS x(i),
-        |            LATERAL unnest(range(h)) AS y(i))
-        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-        |  CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(g) AS BIGINT) AS sum_gray
-        |FROM px GROUP BY doc_id, w, h
-        |ORDER BY doc_id""".stripMargin,
+    "q98_image_roundtrip" -> q98ImageRoundtripOracle,
+    // q130: the streaming replay of the q98 pipeline must land the SAME
+    // rows — identical analytic oracle; a dropped or duplicated row in
+    // the micro-batch replay (or any codec fault) hash-mismatches.
+    "q130_streaming_media" -> q98ImageRoundtripOracle,
     // q102: like q98, the oracle predicts the decoded audio metadata
     // analytically (sample count + signed-sample sum are pure integer
     // formulas of doc_id) — the Spark side must produce them through a
@@ -1400,44 +1358,11 @@ ORDER BY d.doc_id""",
     "q99_semantic_dedup" -> q99SemanticDedupOracle,
     "q101_streaming_neardup" -> q101StreamNearDupOracle,
     "q79_corpus_pipeline" -> q79PipelineOracle,
-    "q35b_ann_ivf" ->
-      """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
-        |              FROM embeddings
-        |              ORDER BY ('0x' || substr(md5('5:' || vec_id), 1, 15))::BIGINT,
-        |                       vec_id
-        |              LIMIT 16),
-        |a0 AS (SELECT e.vec_id, e.embedding, c.cid,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY round(list_cosine_similarity(e.embedding, c.c_emb), 4)
-        |             DESC, c.cid) AS crn
-        |       FROM embeddings e, cent c),
-        |assigned AS (SELECT vec_id, embedding, cid FROM a0 WHERE crn = 1),
-        |q0 AS (SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cid,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY round(list_cosine_similarity(e.embedding, c.c_emb), 4)
-        |             DESC, c.cid) AS qrn
-        |       FROM embeddings e, cent c WHERE e.vec_id < 10),
-        |probes AS (SELECT query_id, q_emb, cid FROM q0 WHERE qrn <= 2),
-        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-        |           list_cosine_similarity(p.q_emb, a.embedding) AS sim
-        |         FROM assigned a JOIN probes p USING (cid)
-        |         WHERE a.vec_id <> p.query_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |        CAST(row_number() OVER (PARTITION BY query_id
-        |          ORDER BY round(sim, 4) DESC, neighbor_id) AS BIGINT) AS rn
-        |      FROM cand)
-        |SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
-        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
-    "q34_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-        |           FROM embeddings WHERE vec_id < 10),
-        |s AS (SELECT query_id, vec_id AS neighbor_id,
-        |        list_cosine_similarity(q_emb, embedding) AS sim
-        |      FROM q, embeddings WHERE vec_id <> query_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
-        |SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
-        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q35b_ann_ivf" -> q35bIvfOracle,
+    "q34_cosine_topk" -> q34CosineTopKOracle,
+    // q131: recall@5 of every ANN leg vs the exact q34 ground truth —
+    // each leg's full oracle replayed as a derived table, see generator.
+    "q131_ann_recall" -> q131AnnRecallOracle,
     "q51b_approx_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
@@ -2358,4 +2283,141 @@ r AS (SELECT query_id, neighbor_id, sim,
       FROM cand)
 SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
 FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  /** q98/q130 oracle: decoded image dimensions and the band-0 pixel sum
+    * are pure integer formulas of doc_id — the Spark side must produce
+    * them through a REAL PNG encode + decode (q98 batch, q130 streaming
+    * replay), so codec faults and row drops/duplicates hash-mismatch. */
+  private def q98ImageRoundtripOracle: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w,
+8 + (doc_id * 7) % 25 AS h
+FROM documents),
+px AS (SELECT doc_id, w, h,
+  CAST((x.i + y.i + doc_id) % 256 AS BIGINT) AS g
+FROM d, LATERAL unnest(range(w)) AS x(i),
+     LATERAL unnest(range(h)) AS y(i))
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(w * h AS BIGINT) AS n_pixels, CAST(sum(g) AS BIGINT) AS sum_gray
+FROM px GROUP BY doc_id, w, h
+ORDER BY doc_id"""
+
+  /** q34 oracle: exact brute-force cosine top-5 for the first 10 vectors
+    * via list_cosine_similarity — also the ground-truth side of q131. */
+  private def q34CosineTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id < 10),
+s AS (SELECT query_id, vec_id AS neighbor_id,
+        list_cosine_similarity(q_emb, embedding) AS sim
+      FROM q, embeddings WHERE vec_id <> query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
+FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  /** q35b oracle: hash-sampled 16-centroid IVF — deterministic centroid
+    * sample, nearest-cell assignment, nprobe=2 probe, in-cell top-5. */
+  private def q35bIvfOracle: String =
+    """WITH cent AS (SELECT vec_id AS cid, embedding AS c_emb
+              FROM embeddings
+              ORDER BY ('0x' || substr(md5('5:' || vec_id), 1, 15))::BIGINT,
+                       vec_id
+              LIMIT 16),
+a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding, c.c_emb), 4)
+             DESC, c.cid) AS crn
+       FROM embeddings e, cent c),
+assigned AS (SELECT vec_id, embedding, cid FROM a0 WHERE crn = 1),
+q0 AS (SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(e.embedding, c.c_emb), 4)
+             DESC, c.cid) AS qrn
+       FROM embeddings e, cent c WHERE e.vec_id < 10),
+probes AS (SELECT query_id, q_emb, cid FROM q0 WHERE qrn <= 2),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(p.q_emb, a.embedding) AS sim
+         FROM assigned a JOIN probes p USING (cid)
+         WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbor_id, sim,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY round(sim, 4) DESC, neighbor_id) AS BIGINT) AS rn
+      FROM cand)
+SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
+FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  /** q122 oracle: int8 scalar quantization, per-vector integer stats and
+    * the SQ dot expansion replayed verbatim — integer sums are order-free
+    * and the float combination is the identical expression tree, so even
+    * the UNROUNDED sims (the window sort key) are bit-identical. */
+  private def q122SqOracle: String =
+    """WITH qz AS (SELECT vec_id,
+  CAST(list_min(embedding) AS DOUBLE) AS mn,
+  (CAST(list_max(embedding) AS DOUBLE)
+   - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+  embedding FROM embeddings),
+qv AS (SELECT vec_id, mn, scale,
+  list_transform(embedding, x -> CASE WHEN scale > 0
+    THEN CAST(round((CAST(x AS DOUBLE) - mn) / scale) AS INTEGER)
+    ELSE 0 END) AS q
+  FROM qz),
+st AS (SELECT vec_id, mn, scale, q, CAST(len(q) AS BIGINT) AS n,
+  CAST(list_sum(list_transform(q, v -> CAST(v AS BIGINT)))
+    AS BIGINT) AS s1,
+  CAST(list_sum(list_transform(q,
+    v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS BIGINT) AS s2
+  FROM qv),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+  a.mn AS mna, a.scale AS sa, a.s1 AS s1a, a.s2 AS s2a, a.n AS na,
+  b.mn AS mnb, b.scale AS sb, b.s1 AS s1b, b.s2 AS s2b, b.n AS nb,
+  CAST(list_sum(list_transform(list_zip(a.q, b.q),
+    z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT)))
+    AS BIGINT) AS ab
+  FROM st a, st b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+s AS (SELECT query_id, neighbor_id,
+  (CAST(na AS DOUBLE) * mna * mnb + mna * sb * CAST(s1b AS DOUBLE)
+   + mnb * sa * CAST(s1a AS DOUBLE) + sa * sb * CAST(ab AS DOUBLE))
+  / (sqrt(CAST(na AS DOUBLE) * mna * mna
+      + 2.0 * mna * sa * CAST(s1a AS DOUBLE)
+      + sa * sa * CAST(s2a AS DOUBLE))
+     * sqrt(CAST(nb AS DOUBLE) * mnb * mnb
+      + 2.0 * mnb * sb * CAST(s1b AS DOUBLE)
+      + sb * sb * CAST(s2b AS DOUBLE))) AS sim
+  FROM p),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
+FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  /** q131 oracle: recall@5 of every ANN leg vs the exact q34 top-5 — each
+    * leg's FULL oracle is replayed as a derived table (DuckDB allows a
+    * WITH clause inside a subquery), so the recall numbers are pinned to
+    * the same engine-exact constructions the individual leg queries
+    * verify; the denominator is the exact-set cardinality, mirroring the
+    * Spark side's 1-row scalar frame. */
+  private def q131AnnRecallOracle: String = {
+    def leg(name: String, sql: String): String =
+      s"SELECT '$name' AS method, query_id, neighbor_id FROM (\n$sql\n) leg_$name"
+    val legs = Seq(
+      leg("ivf", q35bIvfOracle),
+      leg("ivf_trained", q82IvfTrainedOracle),
+      leg("lsh", q35AnnLshOracle),
+      leg("pq", q124PqOracle),
+      leg("sq", q122SqOracle)).mkString("\nUNION ALL\n")
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
+$q34CosineTopKOracle
+) gt),
+ne AS (SELECT CAST(count(*) AS DOUBLE) AS n_exact FROM exact),
+legs AS (
+$legs
+),
+agg AS (SELECT l.method, CAST(count(*) AS BIGINT) AS n_returned,
+          CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits
+        FROM legs l LEFT JOIN exact e
+          ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+        GROUP BY l.method)
+SELECT method, n_returned, n_hits,
+  round(CAST(n_hits AS DOUBLE) / ne.n_exact, 4) AS recall_at_5
+FROM agg, ne ORDER BY method"""
+  }
 }

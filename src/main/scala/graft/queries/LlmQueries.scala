@@ -353,6 +353,53 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** ANN recall@5 report (q131): every approximate leg of the ANN family
+    * — hyperplane LSH (q35), hash-sampled IVF (q35b), trained-k-means IVF
+    * (q82), int8 scalar quantization (q122), product quantization (q124)
+    * — joined against the exact brute-force top-5 ground truth (q34) on
+    * the SAME 10 query vectors, reduced to one recall row per method. The
+    * family's accuracy trade-offs are thereby measured, not asserted: a
+    * regression in any leg's bucketing, probing, or quantization moves
+    * its recall number and hash-mismatches. Every leg is engine-exact by
+    * construction (portable hash family + fixed-point geometry), so the
+    * oracle replays all five legs AND the ground truth in DuckDB and
+    * computes the same counts. The denominator is a 1-row broadcast
+    * scalar frame (the q110 pattern — no driver action). At 100 TB this
+    * runs on a sampled query set against persisted index artifacts; the
+    * legs here rebuild their indexes in-query because the fixture is
+    * small. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val hasher = graft.llm.PortableSeededHash
+    val emb = table(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist()
+    val nExact = exact.groupBy().agg(count(lit(1)).as("n_exact"))
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("method"), col("query_id"), col("neighbor_id"))
+    val legs = Seq(
+        leg("ivf", Similarity.ivfTopK(q, emb, k = 5, hasher = hasher)),
+        leg("ivf_trained", Similarity.ivfTopKTrained(q, emb, k = 5,
+          numCentroids = 8, iters = 2, nprobe = 2, hasher = hasher)),
+        leg("lsh", Similarity.lshTopK(q, emb, k = 5, hasher = hasher)),
+        leg("pq", Similarity.pqTopK(q, emb, k = 5, m = 4, dims = 64,
+          numCentroids = 8, iters = 2, hasher = hasher)),
+        leg("sq", Similarity.quantizedTopK(q, emb, k = 5)))
+      .reduce(_ unionByName _)
+    legs
+      .join(broadcast(exact.withColumn("hit", lit(1L))),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .select(col("method"), col("n_returned"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4)
+          .as("recall_at_5"))
+      .orderBy("method")
+  }
+
   /** Deterministic stratified sample (q87): per-language keep rates via a
     * seeded portable-hash coin — the training-mix knob, reproducible
     * across runs/engines/partitionings (no rand()). Pure scan-level

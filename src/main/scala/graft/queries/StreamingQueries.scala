@@ -282,6 +282,38 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming MEDIA ingest through the REAL codec seam, gated
+    * end-to-end (q130): documents replay through the file source; each
+    * micro-batch runs the full real-codec image pipeline INSIDE the
+    * streaming query graph — synthetic grayscale raster → real PNG
+    * encode (JDK ImageIO) → real PNG decode → integer metadata
+    * ([[graft.llm.Multimodal.encodePng]] / `decodeImages`, the q98
+    * pipeline) — proving the mapPartitions codec seam composes with
+    * Structured Streaming (typed mapPartitions is a stateless narrow op,
+    * legal in append mode; nothing is deferred to foreachBatch except
+    * the parquet sink). The oracle is q98's: decoded dimensions and the
+    * band-0 pixel sum are analytic integer formulas of doc_id, so a
+    * codec fault or a dropped/duplicated row in the streaming replay
+    * hash-mismatches. At scale this is the production shape for media
+    * preprocessing: a file-arrival stream where decode cost dominates
+    * and partitions parallelize per batch; batch parity is asserted in
+    * StreamingSpec. */
+  def streamingMediaIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Multimodal
+    val srcDir = stageForStream(dir, "documents.parquet", "q130")
+    val stream = EventsStream.fromDirectory(s, srcDir)
+    val out = java.nio.file.Files.createTempDirectory("graft-q130").toString
+    val decoded = Multimodal.decodeImages(s,
+        Multimodal.encodePng(s, stream.select("doc_id")).toDF())
+      .toDF()
+    val q = decoded.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) => batch.write.mode("append").parquet(out)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */

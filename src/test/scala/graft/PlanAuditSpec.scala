@@ -50,9 +50,13 @@ class PlanAuditSpec extends SparkSpec {
     "q122_quantized_topk",   // broadcast-queries all-pairs scan — the
                              // designed q34 ground-truth shape on the
                              // quantized representation
-    "q128_phrase_vocab"      // q121's broadcast 1-row bigram-total scalar,
+    "q128_phrase_vocab",     // q121's broadcast 1-row bigram-total scalar,
                              // once per merge round; the phrase-table
                              // merge join and unigram joins are equi
+    "q131_ann_recall"        // composes q34's ground-truth scan, the
+                             // q35/q35b/q82/q122 leg shapes and the 1-row
+                             // denominator scalar — every BNLJ inherited
+                             // from an individually-allowlisted design
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —
@@ -64,7 +68,8 @@ class PlanAuditSpec extends SparkSpec {
     "q85_streaming_asof_buffered",
     "q86_streaming_heavy_hitters",
     "q93_streaming_ingest",
-    "q101_streaming_neardup")
+    "q101_streaming_neardup",
+    "q130_streaming_media")
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only where designed") {
     GraftFunctions.register(spark)

@@ -217,4 +217,20 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect quant).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall") // 8-bit codes: near-exact
   }
+
+  test("annRecall report: one consistent row per leg, sq near-exact") {
+    val rows = graft.queries.LlmQueries.annRecall(spark, Sf0001)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq("ivf", "ivf_trained", "lsh", "pq", "sq"))
+    rows.foreach { case (m, nRet, nHits, recall) =>
+      assert(nHits >= 0 && nHits <= nRet, s"$m: hits $nHits > returned $nRet")
+      assert(nRet <= 50, s"$m: returned $nRet > 10 queries x k=5")
+      assert(recall >= 0.0 && recall <= 1.0, s"$m: recall $recall")
+    }
+    val byMethod = rows.map(r => r._1 -> r).toMap
+    // sq is quantized BRUTE FORCE: always returns a full top-5 and the
+    // 8-bit codes are near-exact (the recall >= 0.8 test above)
+    assert(byMethod("sq")._2 == 50)
+    assert(byMethod("sq")._4 >= 0.8)
+  }
 }

@@ -337,6 +337,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("real-codec media pipeline replays through streaming micro-batches") {
+    // genuine multi-batch: 3 part files, one micro-batch each — the
+    // PNG encode→decode mapPartitions seam runs INSIDE the streaming
+    // query graph and must land exactly the batch q98 rows
+    val dir = Files.createTempDirectory("graft-media-stream").toString
+    Tables.table(spark, Sf0001, "documents").select("doc_id")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val stream = EventsStream.fromDirectory(spark, dir, maxFilesPerTrigger = 1)
+    val decoded = graft.llm.Multimodal.decodeImages(spark,
+      graft.llm.Multimodal.encodePng(spark, stream).toDF()).toDF()
+    val got = runToMemory(decoded, "t_media", mode = "append")
+      .orderBy("doc_id").collect().toSeq
+    val want = graft.llm.Multimodal.decodeImages(spark,
+        graft.llm.Multimodal.encodePng(spark,
+          Tables.table(spark, Sf0001, "documents")).toDF()).toDF()
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState running counters match batch aggregation") {
     val stream = EventsStream.fromDirectory(spark, streamDir,
       maxFilesPerTrigger = 8)
