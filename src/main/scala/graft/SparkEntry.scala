@@ -162,6 +162,7 @@ object SparkEntry {
     "q129_indexed_neardup" -> LlmQueries.indexedNearDup,
     "q130_streaming_media" -> StreamingQueries.streamingMediaIngest,
     "q131_ann_recall" -> LlmQueries.annRecall,
+    "q132_ann_lsh_multi" -> LlmQueries.annLshMulti,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1363,6 +1364,7 @@ ORDER BY d.doc_id""",
     // q131: recall@5 of every ANN leg vs the exact q34 ground truth —
     // each leg's full oracle replayed as a derived table, see generator.
     "q131_ann_recall" -> q131AnnRecallOracle,
+    "q132_ann_lsh_multi" -> q132LshMultiOracle,
     "q51b_approx_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
@@ -2388,6 +2390,38 @@ r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
 SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
 FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
 
+  /** q132 oracle: multi-table LSH — 4 tables × 8 planes off the same
+    * integer weight family (global plane id keys the hash), per-(vec,
+    * table) sign-bit signatures, candidates = DISTINCT bucket collisions
+    * in ANY table, cosine ranked on the 4-dp score (mirrors
+    * [[graft.llm.Similarity.lshTopKMulti]] with the portable hasher). */
+  private def q132LshMultiOracle: String =
+    s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
+             d1 - 1 AS d
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
+w AS (SELECT p, d, ${h("p::VARCHAR || ':' || d::VARCHAR", 7)} % 1000 - 500 AS w
+      FROM range(0, 32) tp(p), (SELECT DISTINCT d FROM ex) td),
+proj AS (SELECT vec_id, p, sum(xi * w) AS proj
+         FROM ex JOIN w USING (d) GROUP BY 1, 2),
+sig AS (SELECT vec_id, p // 8 AS t,
+          sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END) AS sg
+        FROM proj GROUP BY 1, 2),
+qs AS (SELECT vec_id AS query_id, t, sg FROM sig WHERE vec_id < 10),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         FROM sig c JOIN qs q ON c.t = q.t AND c.sg = q.sg
+         WHERE c.vec_id <> q.query_id),
+cs AS (SELECT cand.query_id, cand.neighbor_id,
+         list_cosine_similarity(eq.embedding, ec.embedding) AS sim
+       FROM cand JOIN embeddings eq ON eq.vec_id = cand.query_id
+                 JOIN embeddings ec ON ec.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id, sim,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY round(sim, 4) DESC, neighbor_id) AS BIGINT) AS rn
+      FROM cs)
+SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
+FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
+
   /** q131 oracle: recall@5 of every ANN leg vs the exact q34 top-5 — each
     * leg's FULL oracle is replayed as a derived table (DuckDB allows a
     * WITH clause inside a subquery), so the recall numbers are pinned to
@@ -2401,6 +2435,7 @@ FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
       leg("ivf", q35bIvfOracle),
       leg("ivf_trained", q82IvfTrainedOracle),
       leg("lsh", q35AnnLshOracle),
+      leg("lsh_multi", q132LshMultiOracle),
       leg("pq", q124PqOracle),
       leg("sq", q122SqOracle)).mkString("\nUNION ALL\n")
     s"""WITH exact AS (SELECT query_id, neighbor_id FROM (

@@ -327,6 +327,22 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Multi-table LSH ANN (q132, [[graft.llm.Similarity.lshTopKMulti]]):
+    * 4 independent tables of 8 planes each — the recall construction the
+    * q131 report motivates (single-table q35 measured recall 0.00 at
+    * sf0.01's corpus/bucket ratio; the L-table union drives the miss
+    * probability down as (1−p^b)^L). Same portable-hash fixed-point
+    * geometry as q35, so every table's buckets replay in DuckDB. */
+  def annLshMulti(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.lshTopKMulti(emb.where(col("vec_id") < 10), emb, k = 5,
+        tables = 4, planesPerTable = 8,
+        hasher = graft.llm.PortableSeededHash)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rn")
+  }
+
   /** IVF-cell ANN: fixed-cardinality coarse quantizer (16 hash-sampled
     * centroids — corpus-size independent), nprobe=2 probe lists, exact
     * in-cell cosine top-5 (the second ANN scale path next to LSH
@@ -383,6 +399,8 @@ object LlmQueries {
         leg("ivf_trained", Similarity.ivfTopKTrained(q, emb, k = 5,
           numCentroids = 8, iters = 2, nprobe = 2, hasher = hasher)),
         leg("lsh", Similarity.lshTopK(q, emb, k = 5, hasher = hasher)),
+        leg("lsh_multi", Similarity.lshTopKMulti(q, emb, k = 5,
+          tables = 4, planesPerTable = 8, hasher = hasher)),
         leg("pq", Similarity.pqTopK(q, emb, k = 5, m = 4, dims = 64,
           numCentroids = 8, iters = 2, hasher = hasher)),
         leg("sq", Similarity.quantizedTopK(q, emb, k = 5)))

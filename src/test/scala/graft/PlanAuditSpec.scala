@@ -53,10 +53,13 @@ class PlanAuditSpec extends SparkSpec {
     "q128_phrase_vocab",     // q121's broadcast 1-row bigram-total scalar,
                              // once per merge round; the phrase-table
                              // merge join and unigram joins are equi
-    "q131_ann_recall"        // composes q34's ground-truth scan, the
+    "q131_ann_recall",       // composes q34's ground-truth scan, the
                              // q35/q35b/q82/q122 leg shapes and the 1-row
                              // denominator scalar — every BNLJ inherited
                              // from an individually-allowlisted design
+    "q132_ann_lsh_multi"     // broadcast plane-weight table (q35's shape,
+                             // 4 tables x 8 planes); the candidate join
+                             // is equi on (t, sig)
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

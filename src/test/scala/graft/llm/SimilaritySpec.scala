@@ -218,10 +218,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall") // 8-bit codes: near-exact
   }
 
+  test("multi-table LSH recalls at least as much as single-table, nonzero") {
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshTopK(q, emb, 5,
+        hasher = PortableSeededHash)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshTopKMulti(q, emb, 5,
+        hasher = PortableSeededHash)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rs = (exact intersect single).size
+    val rm = (exact intersect multi).size
+    assert(rm >= rs, s"multi-table recall $rm < single-table $rs")
+    assert(rm > 0, "4 tables x 8 planes must collide some true neighbors")
+  }
+
   test("annRecall report: one consistent row per leg, sq near-exact") {
     val rows = graft.queries.LlmQueries.annRecall(spark, Sf0001)
       .as[(String, Long, Long, Double)].collect().toSeq
-    assert(rows.map(_._1) == Seq("ivf", "ivf_trained", "lsh", "pq", "sq"))
+    assert(rows.map(_._1) ==
+      Seq("ivf", "ivf_trained", "lsh", "lsh_multi", "pq", "sq"))
     rows.foreach { case (m, nRet, nHits, recall) =>
       assert(nHits >= 0 && nHits <= nRet, s"$m: hits $nHits > returned $nRet")
       assert(nRet <= 50, s"$m: returned $nRet > 10 queries x k=5")
