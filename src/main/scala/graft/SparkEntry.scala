@@ -163,6 +163,9 @@ object SparkEntry {
     "q130_streaming_media" -> StreamingQueries.streamingMediaIngest,
     "q131_ann_recall" -> LlmQueries.annRecall,
     "q132_ann_lsh_multi" -> LlmQueries.annLshMulti,
+    "q133_dedup_pair_recall" -> LlmQueries.dedupPairRecall,
+    "q134_phrase_tokenize" -> LlmQueries.phraseTokenize,
+    "q135_full_pipeline_manifest" -> LlmQueries.fullPipelineManifest,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1365,6 +1368,42 @@ ORDER BY d.doc_id""",
     // each leg's full oracle replayed as a derived table, see generator.
     "q131_ann_recall" -> q131AnnRecallOracle,
     "q132_ann_lsh_multi" -> q132LshMultiOracle,
+    // q133: precision/recall of the sketch dedup families vs the exact
+    // Jaccard >= 0.5 ground truth — see generator.
+    "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,
+    // q134: train 2 phrase rounds then APPLY both — the oracle replays
+    // the q128 chain with the merge applied at every round, then the
+    // per-doc reassembly. See generator.
+    "q134_phrase_tokenize" -> q134ApplyPhrasesOracle(rounds = 2),
+    // q135: the q79 pipeline's train split semi-joined into the q125
+    // manifest chain — thresholds re-derived on the deduped kept set.
+    "q135_full_pipeline_manifest" ->
+      s"""WITH clean AS (SELECT doc_id FROM (
+$q79PipelineOracle
+) cp WHERE split = 'train'),
+$webFilterSignalsCtes,
+kept AS (SELECT s.doc_id, s.pred_lang FROM sig s JOIN clean USING (doc_id)
+  WHERE (n_tokens BETWEEN 10 AND 5000) AND entropy >= 2.0 AND logit > 0),
+cnt AS (SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_stratum
+        FROM kept GROUP BY 1),
+thr AS (SELECT pred_lang,
+          least(10000, CAST(floor(25000.0 / sqrt(CAST(n_stratum AS DOUBLE)))
+            AS BIGINT)) AS threshold_bp
+        FROM cnt),
+samp AS (SELECT k.doc_id, k.pred_lang AS stratum
+         FROM kept k JOIN thr USING (pred_lang)
+         WHERE ${h("k.doc_id", 41)} % 10000 < thr.threshold_bp),
+sbm AS (SELECT doc_id, stratum, ${h("doc_id", 37)} AS hh FROM samp),
+spm AS (SELECT doc_id, stratum, hh, hh % 8 AS bucket,
+         CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+           AS BIGINT) AS rn
+        FROM sbm),
+som AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS bucket_offset
+        FROM (SELECT bucket, count(*) AS total FROM spm GROUP BY bucket))
+SELECT spm.doc_id, spm.stratum, som.bucket_offset + spm.rn - 1 AS ord
+FROM spm JOIN som USING (bucket) ORDER BY ord""",
     "q51b_approx_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
@@ -1829,6 +1868,55 @@ $perRound
 SELECT merge_round, w1, w2, CAST(c_ab AS BIGINT) AS c_ab, pmi FROM (
   $union)
 ORDER BY merge_round, pmi DESC, w1, w2"""
+  }
+
+  /** q134 oracle: the q128 train chain with the greedy merge applied at
+    * EVERY round (q128's generator skips the last round's merge because
+    * the trainer only scores it), then per-doc reassembly of the merged
+    * token stream — training and application both replayed, so a fault
+    * in either the PMI cut line or the merge windows hash-mismatches. */
+  private def q134ApplyPhrasesOracle(rounds: Int, minCount: Int = 5,
+                                     topK: Int = 20): String = {
+    val perRound = (1 to rounds).map { r =>
+      s"""pr$r AS (SELECT doc_id, pos, tok,
+    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM t${r - 1}),
+bg$r AS (SELECT tok AS w1, nxt AS w2 FROM pr$r WHERE nxt IS NOT NULL),
+big$r AS (SELECT w1, w2, count(*) AS c_ab FROM bg$r GROUP BY 1, 2),
+uni$r AS (SELECT tok AS w, count(*) AS c FROM t${r - 1} GROUP BY 1),
+n$r AS (SELECT count(*) AS n FROM bg$r),
+top$r AS (SELECT w1, w2, c_ab,
+    round(ln(CAST(c_ab AS DOUBLE) * CAST(n.n AS DOUBLE)
+      / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 4) AS pmi
+  FROM big$r b JOIN uni$r u1 ON b.w1 = u1.w
+       JOIN uni$r u2 ON b.w2 = u2.w, n$r n
+  WHERE c_ab >= $minCount
+  ORDER BY pmi DESC, w1, w2 LIMIT $topK),
+m$r AS (SELECT p.doc_id, p.pos, p.tok, p.nxt, t.w1 IS NOT NULL AS mergeable
+  FROM pr$r p LEFT JOIN top$r t ON p.tok = t.w1 AND p.nxt = t.w2),
+g$r AS (SELECT *, sum(CASE WHEN mergeable THEN 0 ELSE 1 END)
+    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m$r),
+x$r AS (SELECT *, sum(CASE WHEN mergeable THEN 1 ELSE 0 END)
+    OVER (PARTITION BY doc_id, grp ORDER BY pos) AS midx FROM g$r),
+y$r AS (SELECT *, mergeable AND midx % 2 = 1 AS merge_pos FROM x$r),
+z$r AS (SELECT *, coalesce(lag(merge_pos)
+    OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed FROM y$r),
+t$r AS (SELECT doc_id,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+    CASE WHEN merge_pos THEN tok || '_' || nxt ELSE tok END AS tok
+  FROM z$r WHERE NOT consumed)"""
+    }.mkString(",\n")
+    s"""WITH t0 AS (
+  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+$perRound
+SELECT r.doc_id, r.n_tokens_raw, m.n_tokens_merged, m.text_merged
+FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_raw
+      FROM t0 GROUP BY 1) r
+JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_merged,
+        string_agg(tok, ' ' ORDER BY pos) AS text_merged
+      FROM t$rounds GROUP BY 1) m USING (doc_id)
+ORDER BY doc_id"""
   }
 
   /** q118 oracle: the q32 signature machinery, asymmetric — new-batch
@@ -2421,6 +2509,52 @@ r AS (SELECT query_id, neighbor_id, sim,
       FROM cs)
 SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
 FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  /** q133 oracle: precision/recall of the MinHash-LSH (q32) and SimHash
+    * (q33) candidate sets vs the exact 3-gram Jaccard ≥ 0.5 ground truth
+    * — both leg oracles replayed verbatim as derived tables, the truth
+    * set mined by the q31 construction at the 0.5 threshold. */
+  private def q133DedupPairRecallOracle: String = {
+    val truthSql =
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+       FROM w WHERE len(ws) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b
+FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5"""
+    s"""WITH truth AS (SELECT doc_a, doc_b FROM (
+$truthSql
+) gt),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_true_d,
+              CAST(count(*) AS BIGINT) AS n_true FROM truth),
+legs AS (
+SELECT 'minhash_lsh' AS method, doc_a, doc_b FROM (
+${q32MinhashOracle()}
+) leg_mh
+UNION ALL
+SELECT 'simhash' AS method, doc_a, doc_b FROM (
+$q33SimhashOracle
+) leg_sh
+),
+agg AS (SELECT l.method, CAST(count(*) AS BIGINT) AS n_candidates,
+          CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits
+        FROM legs l LEFT JOIN truth t
+          ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b
+        GROUP BY l.method)
+SELECT method, n_candidates, n_hits, nt.n_true,
+  round(CAST(n_hits AS DOUBLE) / nt.n_true_d, 4) AS recall,
+  round(CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE), 4)
+    AS precision
+FROM agg, nt ORDER BY method"""
+  }
 
   /** q131 oracle: recall@5 of every ANN leg vs the exact q34 top-5 — each
     * leg's FULL oracle is replayed as a derived table (DuckDB allows a

@@ -201,6 +201,45 @@ object LanguageModel {
     vocabs.reduce(_ unionByName _)
   }
 
+  /** APPLY a trained phrase vocabulary to the corpus — the inference side
+    * of [[trainPhrases]]' train loop (the q129 lifecycle for tokenizers:
+    * train once on a sample, apply everywhere). Each vocabulary round is
+    * replayed in order with the same greedy left-to-right merge the
+    * trainer used, so round r's phrases can reference round r−1's merged
+    * tokens (phrases-of-phrases apply correctly). Output one row per
+    * document: raw and merged token counts plus the merged token stream.
+    *
+    * Scale shape: the vocabulary is ≤ rounds·topK rows and BROADCASTS to
+    * every merge join; per-round work is the per-doc gaps-and-islands
+    * windows over the exploded token frame — one doc_id exchange reused
+    * across rounds (Spark re-sorts within partitions only); the final
+    * per-doc reassembly is one aggregation. No driver actions. */
+  def applyPhrases(docs: DataFrame, vocab: DataFrame, rounds: Int,
+                   joiner: String = "_",
+                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    def persisted(df: DataFrame): DataFrame =
+      if (storageLevel == StorageLevel.NONE) df else df.persist(storageLevel)
+    val t0 = persisted(docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok"))))
+    var frame = t0
+    (1 to rounds).foreach { r =>
+      frame = persisted(mergeBigrams(frame,
+        vocab.where(col("merge_round") === r).select("w1", "w2"),
+        joiner, byDoc))
+    }
+    val raw = t0.groupBy("doc_id").agg(count(lit(1)).as("n_tokens_raw"))
+    val merged = frame.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens_merged"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_merged"))
+    raw.join(merged, "doc_id")
+  }
+
   /** One greedy left-to-right merge pass over an exploded token frame
     * (doc_id, pos, tok) against a small phrase table (w1, w2) — see
     * [[trainPhrases]] for the parity argument. Output positions are

@@ -63,6 +63,43 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash, bits = 60)
       .orderBy("doc_a", "doc_b")
 
+  /** Dedup-family pair quality report (q133): the q131 idea applied to
+    * near-dup detection — the MinHash-LSH (q32) and SimHash (q33)
+    * candidate pair sets measured against the exact 3-gram Jaccard ≥ 0.5
+    * ground truth (the q31 miner at the near-dup threshold), one
+    * precision/recall row per method. The sketch families' accuracy is
+    * thereby measured, not asserted: a banding, signature, or
+    * hot-bucket-cap regression moves a number and hash-mismatches. The
+    * ground truth is exact but corpus-quadratic in the worst case, so at
+    * 100 TB this audit runs on a sampled partition — the same contract
+    * as q131's exact leg; the sketch legs are the production path. */
+  def dedupPairRecall(s: SparkSession, dir: String): DataFrame = {
+    val hasher = graft.llm.PortableSeededHash
+    val docs = table(s, dir, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val nTrue = truth.groupBy().agg(count(lit(1)).as("n_true"))
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("method"), col("doc_a"), col("doc_b"))
+    val legs = leg("minhash_lsh", Dedup.minHashLsh(docs, hasher = hasher))
+      .unionByName(leg("simhash",
+        Dedup.simHashPairs(docs, hasher = hasher, bits = 60)))
+    legs
+      .join(broadcast(truth.withColumn("hit", lit(1L))),
+        Seq("doc_a", "doc_b"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(nTrue))
+      .select(col("method"), col("n_candidates"), col("n_hits"),
+        col("n_true"),
+        round(col("n_hits").cast("double") / col("n_true"), 4).as("recall"),
+        round(col("n_hits").cast("double") / col("n_candidates"), 4)
+          .as("precision"))
+      .orderBy("method")
+  }
+
   /** Containment near-dup pairs at 0.5 — the doc-inside-doc overlap that
     * Jaccard structurally misses (see [[graft.llm.Dedup.containmentPairs]]:
     * exact count-filter candidate generation — Arasu/Ganti/Kaushik
@@ -367,6 +404,24 @@ object LlmQueries {
         numCentroids = 8, iters = 2, nprobe = 2,
         hasher = graft.llm.PortableSeededHash)
       .orderBy("query_id", "rn")
+  }
+
+  /** Tokenize WITH the trained phrase vocabulary (q134,
+    * [[graft.llm.LanguageModel.applyPhrases]]): the apply side of q128's
+    * train loop — both merge rounds' phrase tables replayed in order
+    * over the corpus, emitting per-doc raw/merged token counts and the
+    * merged token stream. Completes the tokenizer lifecycle the way
+    * q129 completes the dedup index's: train once (on a sample at
+    * 100 TB — the vocabulary is a ≤ rounds·topK-row broadcast table),
+    * apply to every shard. The oracle replays training AND application:
+    * a fault in either the cut line or the greedy merge windows moves
+    * the merged stream and hash-mismatches. */
+  def phraseTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val vocab = graft.llm.LanguageModel.trainPhrases(docs, rounds = 2,
+      minCount = 5, topK = 20)
+    graft.llm.LanguageModel.applyPhrases(docs, vocab, rounds = 2)
+      .orderBy("doc_id")
   }
 
   /** ANN recall@5 report (q131): every approximate leg of the ANN family
@@ -975,6 +1030,40 @@ object LlmQueries {
       .select(col("id").as("doc_id"), col("stratum"))
     graft.llm.Sampling.shuffleOrder(sampled, col("doc_id"),
         numBuckets = 8, seed = 37, hasher = graft.llm.PortableSeededHash)
+      .join(sampled.withColumnRenamed("doc_id", "id"), "id")
+      .select(col("id").as("doc_id"), col("stratum"), col("ord"))
+      .orderBy("ord")
+  }
+
+  /** FULL-pipeline training manifest (q135): q125 with the dedup front
+    * half in front — the complete production chain this library exists
+    * for. Stage 1 is the q79 corpus pipeline (exact dedup → near-dup
+    * cluster drop → quality floor → deterministic split, train split
+    * kept); stages 2-4 are the q125 manifest (multilingual quality gate →
+    * temperature rebalancing with thresholds derived on the KEPT set →
+    * deterministic epoch order). Because the temperature thresholds are
+    * data-derived, deduping first genuinely changes the selection — this
+    * is not q125 minus some rows, it is the manifest a real pipeline
+    * would emit. Output (doc_id, stratum, ord); every stage is an
+    * already-oracle-checked operator and the oracle chains their
+    * replays. */
+  def fullPipelineManifest(s: SparkSession, dir: String): DataFrame = {
+    val hasher = graft.llm.PortableSeededHash
+    val docs = table(s, dir, "documents")
+    val clean = graft.jobs.CorpusPipeline.run(docs, hasher = hasher)
+      .where(col("split") === "train")
+      .select("doc_id")
+    val kept = webFilter(s, dir)
+      .join(clean, Seq("doc_id"), "left_semi")
+      .where(col("pass_len") && col("pass_entropy") && col("pass_clf"))
+      .select(col("doc_id"), col("pred_lang"))
+    val sampled = graft.llm.Sampling.temperatureSampled(kept,
+        col("doc_id"), col("pred_lang"), c = 2.5, alpha = 0.5, seed = 41,
+        hasher = hasher)
+      .where(col("kept"))
+      .select(col("id").as("doc_id"), col("stratum"))
+    graft.llm.Sampling.shuffleOrder(sampled, col("doc_id"),
+        numBuckets = 8, seed = 37, hasher = hasher)
       .join(sampled.withColumnRenamed("doc_id", "id"), "id")
       .select(col("id").as("doc_id"), col("stratum"), col("ord"))
       .orderBy("ord")

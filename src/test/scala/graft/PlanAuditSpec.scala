@@ -57,9 +57,15 @@ class PlanAuditSpec extends SparkSpec {
                              // q35/q35b/q82/q122 leg shapes and the 1-row
                              // denominator scalar — every BNLJ inherited
                              // from an individually-allowlisted design
-    "q132_ann_lsh_multi"     // broadcast plane-weight table (q35's shape,
+    "q132_ann_lsh_multi",    // broadcast plane-weight table (q35's shape,
                              // 4 tables x 8 planes); the candidate join
                              // is equi on (t, sig)
+    "q133_dedup_pair_recall", // the 1-row ground-truth-count scalar frame
+                             // (q131's denominator pattern); the truth
+                             // and leg joins are all equi on pair keys
+    "q134_phrase_tokenize"   // q128's broadcast 1-row bigram-total scalar
+                             // per training round; the vocab merge joins
+                             // are equi on (tok, nxt)
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

@@ -67,4 +67,20 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(a == b)
     assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("full-pipeline manifest: dense epoch order over deduped train docs") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.queries.LlmQueries.fullPipelineManifest(spark, Sf0001)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // ord is a dense permutation 0..n-1 in output order
+    assert(out.map(_._3) == out.indices.map(_.toLong))
+    // every selected doc survived stage 1 (dedup + quality, train split)
+    val clean = CorpusPipeline.run(
+        graft.io.Tables.table(spark, Sf0001, "documents"),
+        hasher = graft.llm.PortableSeededHash)
+      .where(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet.subsetOf(clean))
+  }
 }

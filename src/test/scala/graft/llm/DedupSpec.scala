@@ -554,4 +554,20 @@ class DedupSpec extends SparkSpec {
         s"expected a bucketed scan of the persisted index in:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("dedup pair-recall report: one consistent row per sketch family") {
+    import spark.implicits._
+    val rows = graft.queries.LlmQueries.dedupPairRecall(spark, Sf0001)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq("minhash_lsh", "simhash"))
+    rows.foreach { case (m, nCand, nHits, nTrue, recall, precision) =>
+      assert(nTrue > 0, "fixture must contain exact near-dup pairs")
+      assert(nHits <= nCand && nHits <= nTrue, s"$m: impossible hit count")
+      assert(recall >= 0.0 && recall <= 1.0, s"$m: recall $recall")
+      assert(precision >= 0.0 && precision <= 1.0, s"$m: precision $precision")
+    }
+    // the planted dup groups are near-identical texts: both sketch
+    // families must recover a nonzero fraction of them
+    assert(rows.forall(_._3 > 0), s"zero hits in $rows")
+  }
 }

@@ -117,4 +117,41 @@ class LanguageModelSpec extends SparkSpec {
     // greedy: exactly one (a_a, a) adjacency per doc
     assert(r2._4 == 10L)
   }
+
+  test("applyPhrases: greedy merge on a hand example; empty vocab identity") {
+    val docs = Seq((1L, "new york new york city"), (2L, "plain text"))
+      .toDF("doc_id", "text")
+    val vocab = Seq((1L, "new", "york", 2L, 0.0))
+      .toDF("merge_round", "w1", "w2", "c_ab", "pmi")
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    val out = LanguageModel.applyPhrases(docs, vocab, rounds = 1,
+        storageLevel = none)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 3L, "new_york new_york city"),
+      (2L, 2L, 2L, "plain text")))
+    val empty = vocab.where(col("merge_round") === 99L)
+    val id = LanguageModel.applyPhrases(docs, empty, rounds = 1,
+        storageLevel = none)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(id == Seq(
+      (1L, 5L, 5L, "new york new york city"),
+      (2L, 2L, 2L, "plain text")))
+  }
+
+  test("applyPhrases round 2 consumes round-1 merged tokens") {
+    // round 1 merges (a,b); round 2 merges (a_b,c) — only reachable if
+    // application replays rounds IN ORDER on the merged stream
+    val docs = Seq((1L, "a b c d a b c")).toDF("doc_id", "text")
+    val vocab = Seq(
+        (1L, "a", "b", 2L, 0.0),
+        (2L, "a_b", "c", 2L, 0.0))
+      .toDF("merge_round", "w1", "w2", "c_ab", "pmi")
+    val out = LanguageModel.applyPhrases(docs, vocab, rounds = 2,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 7L, 3L, "a_b_c d a_b_c")))
+  }
 }
