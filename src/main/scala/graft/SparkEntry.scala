@@ -166,6 +166,7 @@ object SparkEntry {
     "q133_dedup_pair_recall" -> LlmQueries.dedupPairRecall,
     "q134_phrase_tokenize" -> LlmQueries.phraseTokenize,
     "q135_full_pipeline_manifest" -> LlmQueries.fullPipelineManifest,
+    "q136_orc_roundtrip" -> IoQueries.orcRoundtrip,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -994,6 +995,11 @@ FROM p ORDER BY doc_id""",
         |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS segment_t
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q75_json_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value, props,
+        |  epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    // q136: same identity contract through the ORC codec.
+    "q136_orc_roundtrip" ->
       """SELECT event_id, user_id, event_type, value, props,
         |  epoch_us(ts) AS ts_us
         |FROM events ORDER BY event_id""".stripMargin,

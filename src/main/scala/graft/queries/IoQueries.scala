@@ -64,6 +64,24 @@ object IoQueries {
     s.read.schema(src.schema).json(tmp).orderBy("event_id")
   }
 
+  /** ORC sink/source roundtrip (q136): the fourth format tier next to
+    * parquet (columnar default), CSV (q43) and json-lines (q75) — events
+    * written as ORC, read back, identity oracle. ORC is the other
+    * production columnar format a 100 TB lakehouse ingests from (Hive
+    * estates); the reader keeps the same predicate-pushdown / column-
+    * pruning contract as the parquet scans (ORC carries row-group
+    * min/max indexes Spark's OrcScan consumes). Timestamps travel as
+    * `unix_micros` longs exactly like q75, so the comparison is
+    * codec-neutral integer equality, not timezone-layout luck. */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val src = table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), unix_micros(col("ts")).as("ts_us"))
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    src.write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp).orderBy("event_id")
+  }
+
   /** Z-order layout: events written clustered by the Morton interleave of
     * (user_id, day) — [[graft.io.ZOrder.zValue2]] — then scanned with a
     * predicate on BOTH dimensions. Result parity is the gate; the layout

@@ -38,6 +38,16 @@ class IoSpec extends SparkSpec {
     assert(rows.length == 10)
   }
 
+  test("q136: ORC roundtrip is the identity on events") {
+    val out = graft.queries.IoQueries.orcRoundtrip(spark, Sf0001)
+    val src = Tables.table(spark, Sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy("event_id")
+    assert(out.schema == src.schema)
+    assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+  }
+
   test("K1/K2: numFiles controls output file count") {
     val dir = Files.createTempDirectory("graft-k2").toString
     PartitionedWriter.write(
