@@ -167,6 +167,7 @@ object SparkEntry {
     "q134_phrase_tokenize" -> LlmQueries.phraseTokenize,
     "q135_full_pipeline_manifest" -> LlmQueries.fullPipelineManifest,
     "q136_orc_roundtrip" -> IoQueries.orcRoundtrip,
+    "q137_warc_extract" -> LlmQueries.warcExtract,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -794,6 +795,44 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
         |  AS x FROM s3)
         |SELECT doc_id, trim(regexp_replace(x, '\s+', ' ', 'g')) AS text_clean,
+        |  CAST(length(trim(regexp_replace(x, '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_chars_clean
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+    // q137: the q116 wrapper + strip chain, plus the WARC/HTTP framing
+    // arithmetic — content_length is the octet length of the
+    // reconstructed HTTP response message (status line + two headers +
+    // blank line + html), exactly what the engine's codec must have
+    // written into, and read back from, the record's Content-Length.
+    "q137_warc_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title><script type="text/javascript">var t = 1 &amp;&amp; 2;' ||
+        |  '</script><style>.nav { color: red; }</style></head><body>' ||
+        |  '<div class="nav">Home | About</div><p>' || text ||
+        |  '</p><footer>&amp;copy; 2026</footer></body></html>' AS x
+        |  FROM documents),
+        |msg AS (SELECT doc_id, x,
+        |  octet_length(encode('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |    'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+        |    'Content-Length: ' || octet_length(encode(x)) || chr(13) ||
+        |    chr(10) || chr(13) || chr(10) || x)) AS content_length
+        |  FROM h),
+        |s1 AS (SELECT doc_id, content_length, regexp_replace(x,
+        |  '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM msg),
+        |s2 AS (SELECT doc_id, content_length, regexp_replace(x,
+        |  '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, content_length,
+        |  regexp_replace(x, '<[^>]+>', ' ', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, content_length,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(x,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+        |  AS x FROM s3)
+        |SELECT doc_id, 'http://corpus.local/doc/' || doc_id AS uri,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  CAST(content_length AS BIGINT) AS content_length,
+        |  trim(regexp_replace(x, '\s+', ' ', 'g')) AS text_clean,
         |  CAST(length(trim(regexp_replace(x, '\s+', ' ', 'g'))) AS BIGINT)
         |    AS n_chars_clean
         |FROM s4 ORDER BY doc_id""".stripMargin,

@@ -894,16 +894,44 @@ object LlmQueries {
     * `withFakeMedia` pattern for markup), then text-extracted by the
     * codegen'd regexp chain. The oracle replays wrap + strip, so the
     * extraction semantics — not just the plumbing — are checked. */
-  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
-    val html = concat(
-      lit("<html><head><title>Doc "), col("doc_id"),
-      lit("</title><script type=\"text/javascript\">var t = 1 &amp;&amp; 2;" +
-        "</script><style>.nav { color: red; }</style></head><body>" +
-        "<div class=\"nav\">Home | About</div><p>"),
-      col("text"),
-      lit("</p><footer>&amp;copy; 2026</footer></body></html>"))
+  /** The deterministic synthetic page wrapping `text` — shared by the
+    * q116 extraction gate and the q137 WARC crawl staging so both
+    * oracles replay ONE wrapper construction. */
+  private[queries] def syntheticHtml: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id"),
+    lit("</title><script type=\"text/javascript\">var t = 1 &amp;&amp; 2;" +
+      "</script><style>.nav { color: red; }</style></head><body>" +
+      "<div class=\"nav\">Home | About</div><p>"),
+    col("text"),
+    lit("</p><footer>&amp;copy; 2026</footer></body></html>"))
+
+  def htmlExtract(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.stripHtml(html).as("text_clean"))
+      .select(col("doc_id"),
+        TextAnalysis.stripHtml(syntheticHtml).as("text_clean"))
+      .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
+      .orderBy("doc_id")
+
+  /** WARC crawl ingest (q137, [[graft.llm.WebArchive]] over
+    * [[graft.llm.WarcCodec]]): the corpus staged as REAL per-record-
+    * gzipped multi-record WARC 1.1 `response` files (the Common Crawl
+    * container — one gzip member per record, HTTP message payloads),
+    * then read back file-parallel through the `binaryFile` scan, record
+    * walk, HTTP split, and q116 boilerplate extraction — the complete
+    * "crawl archive → clean text" front end of a web-data pipeline in
+    * one query. The oracle replays the record framing arithmetic
+    * (Content-Length of the reconstructed HTTP message) and the
+    * extraction chain, so codec faults, record drops/duplicates, and
+    * byte-count errors all hash-mismatch. */
+  def warcExtract(s: SparkSession, dir: String): DataFrame = {
+    val staged = table(s, dir, "documents")
+      .select(col("doc_id"), syntheticHtml.as("html"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    graft.llm.WebArchive.writeWarc(s, staged, tmp)
+    graft.llm.WebArchive.readWarc(s, tmp).toDF()
+      .select(col("doc_id"), col("uri"), col("http_status"),
+        col("content_length"),
+        TextAnalysis.stripHtml(col("html")).as("text_clean"))
       .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
       .orderBy("doc_id")
   }
