@@ -168,6 +168,7 @@ object SparkEntry {
     "q135_full_pipeline_manifest" -> LlmQueries.fullPipelineManifest,
     "q136_orc_roundtrip" -> IoQueries.orcRoundtrip,
     "q137_warc_extract" -> LlmQueries.warcExtract,
+    "q138_knn_graph" -> LlmQueries.knnGraph,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1413,6 +1414,11 @@ ORDER BY d.doc_id""",
     // each leg's full oracle replayed as a derived table, see generator.
     "q131_ann_recall" -> q131AnnRecallOracle,
     "q132_ann_lsh_multi" -> q132LshMultiOracle,
+    // q138: the q132 multi-table collision join as an all-nodes
+    // self-join, per-src rounded-cosine top-5, mutual = transpose hit.
+    // The engine's maxBucket cap (2^12) is not replayed — the q118/q32
+    // convention: no bucket approaches the cap at oracle SFs.
+    "q138_knn_graph" -> q138KnnGraphOracle,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,
@@ -2528,6 +2534,38 @@ FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
     * table) sign-bit signatures, candidates = DISTINCT bucket collisions
     * in ANY table, cosine ranked on the 4-dp score (mirrors
     * [[graft.llm.Similarity.lshTopKMulti]] with the portable hasher). */
+  /** q138 oracle: the q132 multi-table signature CTEs, the collision
+    * self-join over ALL nodes (distinct (src, dst) — a pair colliding in
+    * several tables scores once), 4-dp-rounded cosine top-5 per src, and
+    * the transpose left-join for the mutual flag. */
+  private def q138KnnGraphOracle: String =
+    s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
+             d1 - 1 AS d
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
+w AS (SELECT p, d, ${h("p::VARCHAR || ':' || d::VARCHAR", 7)} % 1000 - 500 AS w
+      FROM range(0, 32) tp(p), (SELECT DISTINCT d FROM ex) td),
+proj AS (SELECT vec_id, p, sum(xi * w) AS proj
+         FROM ex JOIN w USING (d) GROUP BY 1, 2),
+sig AS (SELECT vec_id, p // 8 AS t,
+          sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END) AS sg
+        FROM proj GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         FROM sig a JOIN sig b ON a.t = b.t AND a.sg = b.sg
+         WHERE a.vec_id <> b.vec_id),
+cs AS (SELECT cand.src, cand.dst,
+         list_cosine_similarity(ea.embedding, eb.embedding) AS sim
+       FROM cand JOIN embeddings ea ON ea.vec_id = cand.src
+                 JOIN embeddings eb ON eb.vec_id = cand.dst),
+r AS (SELECT src, dst, sim,
+        CAST(row_number() OVER (PARTITION BY src
+          ORDER BY round(sim, 4) DESC, dst) AS BIGINT) AS rn
+      FROM cs),
+e AS (SELECT src, rn, dst, round(sim, 4) AS sim FROM r WHERE rn <= 5)
+SELECT e.src, e.rn, e.dst, e.sim, (m.src IS NOT NULL) AS mutual
+FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src
+ORDER BY e.src, e.rn"""
+
   private def q132LshMultiOracle: String =
     s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
              d1 - 1 AS d

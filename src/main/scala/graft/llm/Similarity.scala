@@ -758,4 +758,65 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
   }
+
+  /** k-NN GRAPH construction — every node's top-k neighbors plus the
+    * mutual-kNN edge flag: the substrate graph-based curation consumes
+    * (graph-density filtering, mutual-kNN clustering, SemDeDup-style
+    * neighborhoods, label propagation).
+    *
+    * Candidates come from the [[lshSignaturesMulti]] multi-table
+    * collision join run as a SELF-join (all nodes are queries, so
+    * nothing broadcasts): collide in ANY of the L tables on the (t, sig)
+    * equi-key. Per-bucket membership > `maxBucket` is dropped first —
+    * the q32/[[graft.llm.Dedup]] hot-bucket convention, same
+    * CapFlood-calibrated 2^12 default, same trade (an over-cap LSH
+    * bucket is a template flood exact-dedup should collapse first;
+    * below the cap the output is identical to the uncapped join).
+    *
+    * Scale shape: scoring happens AT the collision join (embeddings
+    * never shuffle — a colliding pair is scored from the join's own
+    * rows, up to L× redundantly for multi-table collisions), then only
+    * (src, dst, sim) scalar rows flow through the pair-dedup exchange
+    * and the bounded-heap top-k ([[graft.plans.TopKRewrite]]). The
+    * mutual flag is one more equi-join of the k·n edge list against its
+    * own transpose. Candidates/node ≈ L·n/2^b — at a real 100 TB corpus
+    * `planesPerTable` grows as log2(n / target-bucket-size) to hold
+    * bucket sizes flat. */
+  def knnGraph(corpus: DataFrame, k: Int, tables: Int = 4,
+               planesPerTable: Int = 8, maxBucket: Int = 1 << 12,
+               hasher: SeededHash = XxSeededHash,
+               storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    val sig0 = lshSignaturesMulti(corpus, tables, planesPerTable, hasher)
+    val sigCapped =
+      if (maxBucket == Int.MaxValue) sig0
+      else {
+        val hot = sig0.groupBy("t", "sig").agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") > maxBucket).select("t", "sig")
+        sig0.join(broadcast(hot), Seq("t", "sig"), "left_anti")
+      }
+    val sigd0 = corpus.join(sigCapped, "vec_id")
+    val sigd = if (storageLevel == StorageLevel.NONE) sigd0
+               else sigd0.persist(storageLevel)
+    val a = sigd.select(col("t"), col("sig"),
+      col("vec_id").as("src"), col("embedding").as("s_emb"))
+    val b = sigd.select(col("t"), col("sig"),
+      col("vec_id").as("dst"), col("embedding").as("d_emb"))
+    val scored = a.join(b, Seq("t", "sig"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cosine(col("s_emb"), col("d_emb")).as("sim"))
+      .dropDuplicates("src", "dst")
+    val w = Window.partitionBy(col("src"))
+      .orderBy(round(col("sim"), 4).desc, col("dst"))
+    val edges = scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(true).as("_mut"))
+    edges.join(rev, Seq("src", "dst"), "left")
+      .select(col("src"), col("rn"), col("dst"),
+        round(col("sim"), 4).as("sim"),
+        coalesce(col("_mut"), lit(false)).as("mutual"))
+  }
 }

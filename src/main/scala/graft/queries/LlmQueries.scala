@@ -380,6 +380,19 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** k-NN graph construction (q138, [[graft.llm.Similarity.knnGraph]]):
+    * every node's top-5 neighbors from the q132 multi-table LSH
+    * collision join run as a capped SELF-join, with the mutual-kNN edge
+    * flag — the graph that graph-based curation (density filters,
+    * mutual-kNN clustering, label propagation) consumes. The oracle
+    * replays all four tables' buckets, the all-pairs collision set, the
+    * rounded-cosine ranking, and the transpose join. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(table(s, dir, "embeddings"), k = 5,
+        tables = 4, planesPerTable = 8,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("src", "rn")
+
   /** IVF-cell ANN: fixed-cardinality coarse quantizer (16 hash-sampled
     * centroids — corpus-size independent), nprobe=2 probe lists, exact
     * in-cell cosine top-5 (the second ANN scale path next to LSH

@@ -250,4 +250,32 @@ class SimilaritySpec extends SparkSpec {
     assert(byMethod("sq")._2 == 50)
     assert(byMethod("sq")._4 >= 0.8)
   }
+
+  test("knnGraph: ranked edges, correct mutual flags, cap is below-cap identity") {
+    val g = Similarity.knnGraph(emb, k = 5, hasher = PortableSeededHash)
+      .select("src", "rn", "dst", "sim", "mutual")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(g.nonEmpty)
+    // per-src: rn is 1..n<=k, sims non-increasing in rank order
+    g.groupBy(_._1).foreach { case (src, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to es.size.toLong), s"src $src ranks")
+      assert(sorted.size <= 5, s"src $src has ${sorted.size} > k edges")
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._4 >= b._4; case _ => true }, s"src $src order")
+    }
+    // mutual flag = the transpose edge exists in the kept edge set
+    val kept = g.map(e => (e._1, e._3)).toSet
+    g.foreach { case (src, _, dst, _, mutual) =>
+      assert(mutual == kept.contains((dst, src)), s"edge $src->$dst")
+    }
+    assert(g.exists(_._5) && g.exists(!_._5),
+      "expect both mutual and one-way edges at this SF")
+    // no bucket is near the 2^12 cap at this SF: capped == uncapped
+    val unc = Similarity.knnGraph(emb, k = 5, maxBucket = Int.MaxValue,
+        hasher = PortableSeededHash)
+      .select("src", "rn", "dst", "sim", "mutual")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(g.toSet == unc.toSet)
+  }
 }
