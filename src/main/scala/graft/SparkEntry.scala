@@ -169,6 +169,7 @@ object SparkEntry {
     "q136_orc_roundtrip" -> IoQueries.orcRoundtrip,
     "q137_warc_extract" -> LlmQueries.warcExtract,
     "q138_knn_graph" -> LlmQueries.knnGraph,
+    "q139_cluster_balanced_sample" -> LlmQueries.clusterBalancedSample,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1419,6 +1420,8 @@ ORDER BY d.doc_id""",
     // The engine's maxBucket cap (2^12) is not replayed — the q118/q32
     // convention: no bucket approaches the cap at oracle SFs.
     "q138_knn_graph" -> q138KnnGraphOracle,
+    // q139: q77 k-means strata + the q113 temperature coin over cells.
+    "q139_cluster_balanced_sample" -> q139ClusterBalancedOracle,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,
@@ -2275,6 +2278,21 @@ ORDER BY doc_a, doc_b"""
   private def q77KmeansOracle: String =
     s"""WITH ${kmeansCtes(8, 2)}
 SELECT vec_id, cid FROM a1 ORDER BY vec_id"""
+
+  /** q139 oracle: the q77 training CTEs produce the semantic strata,
+    * then the q113 temperature formula (α = 0.5 ⇒ sqrt-exact scaled-
+    * integer threshold, same seeded coin) over cluster ids. */
+  private def q139ClusterBalancedOracle: String =
+    s"""WITH ${kmeansCtes(8, 2)},
+cbc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_stratum
+        FROM a1 GROUP BY 1),
+cbt AS (SELECT cid, n_stratum,
+          least(10000, CAST(floor(25000.0 / sqrt(CAST(n_stratum AS DOUBLE)))
+            AS BIGINT)) AS threshold_bp
+        FROM cbc)
+SELECT a.vec_id, a.cid, t.n_stratum, t.threshold_bp,
+  ${h("a.vec_id", 43)} % 10000 < t.threshold_bp AS kept
+FROM a1 a JOIN cbt t USING (cid) ORDER BY a.vec_id"""
 
   /** SemDeDup oracle (q99): the q77 training CTEs, within-cluster cosine
     * pairs via list_cosine_similarity (the q47-proven float comparison

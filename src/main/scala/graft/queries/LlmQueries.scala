@@ -327,6 +327,27 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash)
       .orderBy("vec_id")
 
+  /** Cluster-balanced semantic sampling (q139): the q113 temperature
+    * rebalance applied over SEMANTIC strata — k-means cells
+    * ([[graft.llm.Similarity.kmeansAssign]], the q77 training) instead
+    * of metadata language tags. This is the topic-rebalancing step of an
+    * embedding-curated pipeline (flatten the cluster-size distribution
+    * so dominant topics don't swamp the mixture — the DataComp/D4
+    * recipe); q_cell ∝ n_cell^0.5 via the same sqrt-exact scaled-integer
+    * coin as q113, so the whole chain — training included — replays in
+    * the oracle. Scale: q77's broadcast-centroid assignment + one
+    * |cells|-row count aggregate + a scan-level coin; no data shuffle
+    * beyond the training's own. */
+  def clusterBalancedSample(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.temperatureSampled(
+        Similarity.kmeansAssign(table(s, dir, "embeddings"), k = 8,
+          iters = 2, hasher = graft.llm.PortableSeededHash),
+        col("vec_id"), col("cid"), c = 2.5, alpha = 0.5, seed = 43,
+        hasher = graft.llm.PortableSeededHash)
+      .withColumnRenamed("id", "vec_id")
+      .withColumnRenamed("stratum", "cid")
+      .orderBy("vec_id")
+
   /** Per-vector cosine to its label centroid (label-noise mining). All
     * arithmetic is exact fixed-point integers, so the 4-dp similarity is
     * engine-independent. */

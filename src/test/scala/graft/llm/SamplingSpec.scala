@@ -158,4 +158,25 @@ class SamplingSpec extends SparkSpec {
       .select("id", "kept").as[(Long, Boolean)].collect().toSet
     assert(again == out.map(r => (r._1, r._5)).toSet)
   }
+
+  test("q139: cluster-balanced sample scores every vector over k-means strata") {
+    val out = graft.queries.LlmQueries.clusterBalancedSample(spark, Sf0001)
+      .select("vec_id", "cid", "n_stratum", "threshold_bp", "kept")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    val nVecs = spark.read.parquet(s"$Sf0001/embeddings.parquet").count()
+    assert(out.size == nVecs) // audit shape over the whole corpus
+    // strata are exactly the q77 assignment cells
+    val cells = out.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (v, cid, n, thr, _) =>
+      assert(n == cells(cid), s"vec $v cell-count")
+      val expect = math.min(10000L,
+        math.floor(25000.0 / math.sqrt(n.toDouble)).toLong)
+      assert(thr == expect, s"vec $v threshold")
+    }
+    // flattening: smaller cells keep at a >= threshold than bigger cells
+    val thrOf = out.groupBy(_._2).view.mapValues(_.head._4).toMap
+    val smallest = cells.minBy(_._2)._1
+    val largest = cells.maxBy(_._2)._1
+    assert(thrOf(smallest) >= thrOf(largest))
+  }
 }
