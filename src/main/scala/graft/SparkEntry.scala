@@ -170,6 +170,7 @@ object SparkEntry {
     "q137_warc_extract" -> LlmQueries.warcExtract,
     "q138_knn_graph" -> LlmQueries.knnGraph,
     "q139_cluster_balanced_sample" -> LlmQueries.clusterBalancedSample,
+    "q140_streaming_web_filter" -> StreamingQueries.streamingWebFilter,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -863,16 +864,10 @@ FROM p JOIN o USING (bucket) ORDER BY p.id""",
     // q123: each signal's replay is its parent query's oracle (q36 lang,
     // q120 entropy, q112 logit) joined per doc; the engine runs them in
     // one scan but the answer is identical.
-    "q123_web_filter" ->
-      s"""WITH $webFilterSignalsCtes
-SELECT doc_id, n_tokens, pred_lang, entropy, logit,
-  n_tokens BETWEEN 10 AND 5000 AS pass_len,
-  pred_lang = 'en' AS pass_lang,
-  entropy >= 2.0 AS pass_entropy,
-  logit > 0 AS pass_clf,
-  (n_tokens BETWEEN 10 AND 5000) AND pred_lang = 'en'
-    AND entropy >= 2.0 AND logit > 0 AS keep
-FROM sig ORDER BY doc_id""",
+    "q123_web_filter" -> q123WebFilterOracle,
+    // q140: the q123 gate run under Structured Streaming micro-batches
+    // — stateless per-row signals, so batch parity IS the contract.
+    "q140_streaming_web_filter" -> q123WebFilterOracle,
     // q125: the manifest chain — the q123 signals, the multilingual
     // gate, q113's data-derived temperature thresholds ON THE KEPT SET,
     // and q119's rank machinery for the epoch order.
@@ -2552,6 +2547,21 @@ FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
     * table) sign-bit signatures, candidates = DISTINCT bucket collisions
     * in ANY table, cosine ranked on the 4-dp score (mirrors
     * [[graft.llm.Similarity.lshTopKMulti]] with the portable hasher). */
+  /** q123/q140 oracle: each signal's replay is its parent query's
+    * oracle (q36 lang, q120 entropy, q112 logit) joined per doc; the
+    * engine runs them in one scan (q123) or one stream (q140) but the
+    * answer is identical. */
+  private def q123WebFilterOracle: String =
+    s"""WITH $webFilterSignalsCtes
+SELECT doc_id, n_tokens, pred_lang, entropy, logit,
+  n_tokens BETWEEN 10 AND 5000 AS pass_len,
+  pred_lang = 'en' AS pass_lang,
+  entropy >= 2.0 AS pass_entropy,
+  logit > 0 AS pass_clf,
+  (n_tokens BETWEEN 10 AND 5000) AND pred_lang = 'en'
+    AND entropy >= 2.0 AND logit > 0 AS keep
+FROM sig ORDER BY doc_id"""
+
   /** q138 oracle: the q132 multi-table signature CTEs, the collision
     * self-join over ALL nodes (distinct (src, dst) — a pair colliding in
     * several tables scores once), 4-dp-rounded cosine top-5 per src, and

@@ -1041,13 +1041,20 @@ object LlmQueries {
     * projected token array; the plan is Project-over-Scan, no joins, no
     * shuffles except the audit orderBy). Audit shape: every document
     * with its signal values, per-rule booleans and the final `keep`. */
-  def webFilter(s: SparkSession, dir: String): DataFrame = {
+  def webFilter(s: SparkSession, dir: String): DataFrame =
+    webFilterAudit(table(s, dir, "documents")).orderBy("doc_id")
+
+  /** The q123 gate as a frame-in/frame-out Column pipeline — shared by
+    * the batch query and the q140 streaming form (every signal is a
+    * stateless per-row Column, so the SAME code runs under a stream
+    * micro-batch unchanged). */
+  private[queries] def webFilterAudit(docs: DataFrame): DataFrame = {
     val weights = Array.tabulate(256) { b =>
       graft.functions.Md5Prefix60.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(s"77:w$b")) %
         17L - 8L
     }
-    val base = table(s, dir, "documents")
+    val base = docs
       .withColumn("toks", TextAnalysis.tokens(col("text")))
     val withScores = TextAnalysis.langScoresFromTokens(col("toks"))
       .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
@@ -1068,7 +1075,6 @@ object LlmQueries {
         col("pass_clf"),
         (col("pass_len") && col("pass_lang") && col("pass_entropy") &&
           col("pass_clf")).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** End-to-end training MANIFEST (q125): the artifact this library

@@ -314,6 +314,27 @@ object StreamingQueries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Streaming web-filter gate (q140): the q123 composed cleaning gate
+    * — length, language-ID, entropy floor, hashed classifier — running
+    * INSIDE Structured Streaming over a replayed document corpus. Every
+    * signal is a stateless per-row Column, so the batch pipeline
+    * ([[LlmQueries.webFilterAudit]]) runs under micro-batches unchanged
+    * — the "filter the crawl as it lands" deployment, where each
+    * arriving WARC-extract batch is gated before it ever hits the data
+    * lake. Batch-parity oracle: the result must equal q123's. */
+  def streamingWebFilter(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageForStream(dir, "documents.parquet", "q140")
+    val stream = EventsStream.fromDirectory(s, srcDir)
+    val out = java.nio.file.Files.createTempDirectory("graft-q140").toString
+    val gated = LlmQueries.webFilterAudit(stream)
+    val q = gated.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) => batch.write.mode("append").parquet(out)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */
