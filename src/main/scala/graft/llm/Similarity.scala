@@ -809,9 +809,14 @@ object Similarity {
       .dropDuplicates("src", "dst")
     val w = Window.partitionBy(col("src"))
       .orderBy(round(col("sim"), 4).desc, col("dst"))
-    val edges = scored
+    val edges0 = scored
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
+    // persist the ≤k·n-row edge list: the transpose join below reads it
+    // from BOTH sides — unpersisted, the whole collision+score+top-k
+    // pipeline (the dominant cost) would execute twice
+    val edges = if (storageLevel == StorageLevel.NONE) edges0
+                else edges0.persist(storageLevel)
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
       lit(true).as("_mut"))
     edges.join(rev, Seq("src", "dst"), "left")
