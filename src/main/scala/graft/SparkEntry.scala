@@ -171,6 +171,8 @@ object SparkEntry {
     "q138_knn_graph" -> LlmQueries.knnGraph,
     "q139_cluster_balanced_sample" -> LlmQueries.clusterBalancedSample,
     "q140_streaming_web_filter" -> StreamingQueries.streamingWebFilter,
+    "q141_knn_graph_clusters" -> LlmQueries.knnGraphClusters,
+    "q142_indexed_ivf_ann" -> LlmQueries.indexedIvfAnn,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1417,6 +1419,11 @@ ORDER BY d.doc_id""",
     "q138_knn_graph" -> q138KnnGraphOracle,
     // q139: q77 k-means strata + the q113 temperature coin over cells.
     "q139_cluster_balanced_sample" -> q139ClusterBalancedOracle,
+    // q141: q138's mutual edges + the q99-style recursive closure.
+    "q141_knn_graph_clusters" -> q141KnnClustersOracle,
+    // q142: the persisted-index form is defined to produce exactly the
+    // q82 output (build-once lifecycle + DPP probe; the math is q82's).
+    "q142_indexed_ivf_ann" -> q82IvfTrainedOracle,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,
@@ -2562,12 +2569,11 @@ SELECT doc_id, n_tokens, pred_lang, entropy, logit,
     AND entropy >= 2.0 AND logit > 0 AS keep
 FROM sig ORDER BY doc_id"""
 
-  /** q138 oracle: the q132 multi-table signature CTEs, the collision
-    * self-join over ALL nodes (distinct (src, dst) — a pair colliding in
-    * several tables scores once), 4-dp-rounded cosine top-5 per src, and
-    * the transpose left-join for the mutual flag. */
-  private def q138KnnGraphOracle: String =
-    s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
+  /** The q138 kNN-edge CTE chain (signatures → collisions → scored →
+    * ranked top-5 as `e`) — WITH-body only, shared by the q138 graph
+    * oracle and the q141 clustering oracle. */
+  private def q138EdgeCtes: String =
+    s"""ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
              d1 - 1 AS d
       FROM (SELECT vec_id, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
@@ -2589,10 +2595,34 @@ r AS (SELECT src, dst, sim,
         CAST(row_number() OVER (PARTITION BY src
           ORDER BY round(sim, 4) DESC, dst) AS BIGINT) AS rn
       FROM cs),
-e AS (SELECT src, rn, dst, round(sim, 4) AS sim FROM r WHERE rn <= 5)
+e AS (SELECT src, rn, dst, round(sim, 4) AS sim FROM r WHERE rn <= 5)"""
+
+  /** q138 oracle: the q132 multi-table signature CTEs, the collision
+    * self-join over ALL nodes (distinct (src, dst) — a pair colliding in
+    * several tables scores once), 4-dp-rounded cosine top-5 per src, and
+    * the transpose left-join for the mutual flag. */
+  private def q138KnnGraphOracle: String =
+    s"""WITH $q138EdgeCtes
 SELECT e.src, e.rn, e.dst, e.sim, (m.src IS NOT NULL) AS mutual
 FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src
 ORDER BY e.src, e.rn"""
+
+  /** q141 oracle: the q138 edges restricted to mutual pairs, then the
+    * q99-style recursive transitive closure with min-id components. */
+  private def q141KnnClustersOracle: String =
+    s"""WITH RECURSIVE $q138EdgeCtes,
+mp AS (SELECT e.src AS pa, e.dst AS pb
+       FROM e JOIN e m ON m.src = e.dst AND m.dst = e.src
+       WHERE e.src < e.dst),
+medges AS (SELECT pa AS x, pb AS y FROM mp UNION SELECT pb, pa FROM mp),
+reach(n, m) AS (
+  SELECT x, y FROM medges
+  UNION
+  SELECT r2.n, e2.y FROM reach r2 JOIN medges e2 ON r2.m = e2.x),
+comp AS (SELECT n AS vec_id, least(n, min(m)) AS component
+         FROM reach GROUP BY n)
+SELECT vec_id, component, (component = vec_id) AS is_keeper
+FROM comp ORDER BY vec_id"""
 
   private def q132LshMultiOracle: String =
     s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,

@@ -612,6 +612,88 @@ object Similarity {
       .select("query_id", "rn", "neighbor_id", "sim")
   }
 
+  /** Persist a trained IVF index as a PARTITIONED cell store — the
+    * build-once/search-every-batch ANN lifecycle (the q129 story for
+    * vector search): [[kmeansTrain]] once, then
+    * `cells/cid=<c>/` holds each inverted list as its own partition
+    * directory and `centroids/` the k×dims integer centroid sums.
+    * At 100 TB the probe step reads ONLY the nprobe probed cells —
+    * partition pruning at the filesystem listing, the on-disk analog of
+    * an inverted file — while every other cell's files are never
+    * opened. */
+  def writeIvfIndex(corpus: DataFrame, dir: String, numCentroids: Int = 8,
+                    iters: Int = 2,
+                    hasher: SeededHash = XxSeededHash): Unit = {
+    val (assign, cent) = kmeansTrain(corpus, numCentroids, iters, hasher)
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus.join(assign, "vec_id")
+      .select(col("cid"), col("vec_id"), col("embedding"))
+      .repartition(col("cid")) // one writer task per cell → one file each
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+  }
+
+  /** Search a [[writeIvfIndex]] store: centroids load (tiny, broadcast),
+    * per-query probe ranking on the exact-integer centroid cosine, then
+    * the candidate join against the cell store — the probe set joins the
+    * PARTITION column, so Spark's dynamic partition pruning narrows the
+    * cells scan to the probed directories at runtime (asserted in
+    * SimilaritySpec). Scoring/ranking replay [[ivfTopKTrained]] exactly:
+    * fixed-point components, 4-dp-rounded cosine, id tie-breaks —
+    * bit-identical output to the in-query form off the same training. */
+  def ivfSearchIndexed(dir: String, queries: DataFrame, k: Int,
+                       nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val cent = spark.read.parquet(s"$dir/centroids")
+    val nm = cent.groupBy("cid").agg(sum(col("m") * col("m")).as("nm"))
+    val exq = queries
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("query_id"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+    val nxq = exq.groupBy("query_id").agg(sum(col("xi") * col("xi")).as("nx"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cid"))
+    val probes = exq.join(broadcast(cent), "d")
+      .groupBy("query_id", "cid").agg(sum(col("xi") * col("m")).as("dot"))
+      .join(broadcast(nm), "cid")
+      .join(broadcast(nxq), "query_id")
+      .withColumn("qsim", round(col("dot").cast("double") /
+        (sqrt(col("nx").cast("double")) * sqrt(col("nm").cast("double"))), 4))
+      .withColumn("qrn", row_number().over(wProbe))
+      .where(col("qrn") <= nprobe)
+      .select("query_id", "cid")
+    // explicit schema keeps the partition column BIGINT (directory-value
+    // inference would narrow it to INT and break the probe equi-join's
+    // pruning-eligible form)
+    val cellSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType)))
+    val cells = spark.read.schema(cellSchema).parquet(s"$dir/cells")
+    def fx(idAs: String) =
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("float")).as(s"f_$idAs")
+    val queriesF = queries
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .select(col("query_id"), fx("query_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        fx("neighbor_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(queriesF), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("f_query_id"), col("f_neighbor_id")), 4).as("sim"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .where(col("rn") <= k)
+      .select("query_id", "rn", "neighbor_id", "sim")
+  }
+
   /** Cosine of every vector to its label's centroid — the standard
     * label-noise / outlier-mining signal over an embedded corpus (a vector
     * far from its own class centroid is a mislabel candidate).

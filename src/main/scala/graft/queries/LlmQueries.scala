@@ -414,6 +414,46 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash)
       .orderBy("src", "rn")
 
+  /** Persisted IVF ANN index (q142,
+    * [[graft.llm.Similarity.writeIvfIndex]]/`ivfSearchIndexed`): the
+    * q129 build-once/search-every-batch lifecycle for VECTOR search —
+    * q82's training written as a partitioned cell store (one directory
+    * per inverted list + the centroid sums), then the probe runs
+    * against the RELOADED index: probed cells join the partition
+    * column, so dynamic partition pruning reads only nprobe directories
+    * (plan-asserted in SimilaritySpec). Defined to produce exactly
+    * q82's output — the lifecycle changes, the math doesn't — so it
+    * shares q82's oracle. */
+  def indexedIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(emb, idx, numCentroids = 8, iters = 2,
+      hasher = graft.llm.PortableSeededHash)
+    Similarity.ivfSearchIndexed(idx, emb.where(col("vec_id") < 10), k = 5,
+        nprobe = 2)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Mutual-kNN graph clustering (q141): connected components of the
+    * q138 graph restricted to MUTUAL edges — the classic graph-based
+    * semantic grouping (two documents cluster only when each ranks the
+    * other in its own top-k, the symmetric-neighborhood criterion that
+    * suppresses hub nodes), resolved to min-id components by the q63
+    * pointer-jumping iteration. Complements q99's SemDeDup: threshold-
+    * free, rank-based — the cluster structure adapts to local density
+    * instead of one global cosine cut. Output (vec_id, component,
+    * is_keeper) — the q63 keep-list shape over embedding space. */
+  def knnGraphClusters(s: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraph(table(s, dir, "embeddings"), k = 5,
+      tables = 4, planesPerTable = 8,
+      hasher = graft.llm.PortableSeededHash)
+    val mutualPairs = g.where(col("mutual") && col("src") < col("dst"))
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+    graft.llm.Dedup.connectedComponents(mutualPairs)
+      .withColumnRenamed("doc_id", "vec_id")
+      .orderBy("vec_id")
+  }
+
   /** IVF-cell ANN: fixed-cardinality coarse quantizer (16 hash-sampled
     * centroids — corpus-size independent), nprobe=2 probe lists, exact
     * in-cell cosine top-5 (the second ANN scale path next to LSH

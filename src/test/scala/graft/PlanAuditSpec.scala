@@ -63,9 +63,13 @@ class PlanAuditSpec extends SparkSpec {
     "q133_dedup_pair_recall", // the 1-row ground-truth-count scalar frame
                              // (q131's denominator pattern); the truth
                              // and leg joins are all equi on pair keys
-    "q134_phrase_tokenize"   // q128's broadcast 1-row bigram-total scalar
+    "q134_phrase_tokenize",  // q128's broadcast 1-row bigram-total scalar
                              // per training round; the vocab merge joins
                              // are equi on (tok, nxt)
+    "q138_knn_graph"         // broadcast plane-weight table (q132's
+                             // shape); the collision self-join, pair
+                             // dedup and mutual transpose join are all
+                             // equi on (t, sig) / (src, dst)
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —

@@ -278,4 +278,53 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
     assert(g.toSet == unc.toSet)
   }
+
+  test("q142: persisted IVF index — bit-identical search + partition-pruned probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    Similarity.writeIvfIndex(emb, dir, numCentroids = 8, iters = 2,
+      hasher = PortableSeededHash)
+    // layout: one partition directory per inverted list
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cid=")).toSeq
+    assert(cellDirs.nonEmpty && cellDirs.size <= 8)
+    val q = emb.where(col("vec_id") < 10)
+    val fromIndex = Similarity.ivfSearchIndexed(dir, q, k = 5)
+    val inQuery = Similarity.ivfTopKTrained(q, emb, 5,
+      hasher = PortableSeededHash)
+    val a = fromIndex.select("query_id", "rn", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val b = inQuery.select("query_id", "rn", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b, "indexed search must replay the in-query form exactly")
+    // the probe narrows the cells scan via dynamic partition pruning
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"cells scan should carry a dynamic pruning filter:\n${plan.take(2000)}")
+  }
+
+  test("q141: mutual-kNN components are exactly the transitive closure") {
+    val g = Similarity.knnGraph(emb, k = 5, hasher = PortableSeededHash)
+      .where(col("mutual") && col("src") < col("dst"))
+      .select("src", "dst").as[(Long, Long)].collect().toSeq
+    val out = graft.queries.LlmQueries.knnGraphClusters(spark, Sf0001)
+      .select("vec_id", "component", "is_keeper")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // reference union-find over the mutual edge set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    g.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = g.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = nodes.map(n => n -> find(n)).toMap
+    assert(out.size == nodes.size)
+    out.foreach { case (v, c, keeper) =>
+      assert(c == expect(v), s"vec $v component")
+      assert(keeper == (c == v), s"vec $v keeper flag")
+    }
+  }
 }
