@@ -173,6 +173,7 @@ object SparkEntry {
     "q140_streaming_web_filter" -> StreamingQueries.streamingWebFilter,
     "q141_knn_graph_clusters" -> LlmQueries.knnGraphClusters,
     "q142_indexed_ivf_ann" -> LlmQueries.indexedIvfAnn,
+    "q143_domain_stats" -> LlmQueries.domainStats,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1424,6 +1425,27 @@ ORDER BY d.doc_id""",
     // q142: the persisted-index form is defined to produce exactly the
     // q82 output (build-once lifecycle + DPP probe; the math is q82's).
     "q142_indexed_ivf_ann" -> q82IvfTrainedOracle,
+    // q143: per-domain crawl report — host reconstructed from source,
+    // content_length replays the q137 HTTP-framing arithmetic, the
+    // blocklist is the same literal set.
+    "q143_domain_stats" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title><script type="text/javascript">var t = 1 &amp;&amp; 2;' ||
+        |  '</script><style>.nav { color: red; }</style></head><body>' ||
+        |  '<div class="nav">Home | About</div><p>' || text ||
+        |  '</p><footer>&amp;copy; 2026</footer></body></html>' AS x
+        |  FROM documents),
+        |msg AS (SELECT doc_id, source || '.crawl.example' AS host,
+        |  octet_length(encode('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+        |    'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+        |    'Content-Length: ' || octet_length(encode(x)) || chr(13) ||
+        |    chr(10) || chr(13) || chr(10) || x)) AS content_length
+        |  FROM h)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(content_length) AS BIGINT) AS total_bytes,
+        |  host IN ('src7.crawl.example', 'src13.crawl.example') AS blocked
+        |FROM msg GROUP BY host ORDER BY host""".stripMargin,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,

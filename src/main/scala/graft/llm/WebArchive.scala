@@ -31,34 +31,39 @@ object WebArchive {
   private def recordId(docId: Long): String =
     f"<urn:uuid:00000000-0000-0000-0000-$docId%012x>"
 
-  private def targetUri(docId: Long): String =
-    s"http://corpus.local/doc/$docId"
-
   case class WarcFile(file: String, n_records: Long)
 
-  /** Stage `(doc_id, html)` rows as real per-record-gzipped WARC
-    * `response` files under `outDir`, one file per partition. Forces the
-    * write (an action) and returns the per-file manifest — bounded at
-    * one row per partition, the K2-style metadata collect. */
+  /** Stage `(doc_id, html[, uri])` rows as real per-record-gzipped WARC
+    * `response` files under `outDir`, one file per partition. A `uri`
+    * column sets each record's WARC-Target-URI (it must keep the
+    * `/doc/<id>` path tail the reader recovers ids from); absent, the
+    * default corpus-local URI is derived from the id. Forces the write
+    * (an action) and returns the per-file manifest — bounded at one row
+    * per partition, the K2-style metadata collect. */
   def writeWarc(spark: SparkSession, docs: DataFrame, outDir: String)
       : Seq[WarcFile] = {
     import spark.implicits._
     new File(outDir).mkdirs()
-    docs.select(col("doc_id").cast("long"), col("html"))
-      .as[(Long, String)]
+    val withUri =
+      if (docs.columns.contains("uri")) docs.select(
+        col("doc_id").cast("long"), col("html"), col("uri"))
+      else docs.select(col("doc_id").cast("long"), col("html"),
+        concat(lit("http://corpus.local/doc/"), col("doc_id")).as("uri"))
+    withUri
+      .as[(Long, String, String)]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         val f = new File(outDir, f"part-$pid%05d.warc.gz")
         var n = 0L
         val out = new FileOutputStream(f) // overwrite → retry-idempotent
-        try it.foreach { case (id, html) =>
+        try it.foreach { case (id, html, uri) =>
           val http = WarcCodec.httpResponse(
             html.getBytes(UTF_8), "text/html; charset=utf-8")
           val rec = WarcCodec.WarcRecord(
             warcType = "response",
             recordId = recordId(id),
             date = "2026-01-01T00:00:00Z",
-            targetUri = targetUri(id),
+            targetUri = uri,
             contentType = "application/http;msgtype=response",
             payload = http)
           out.write(WarcCodec.gzipMember(WarcCodec.writeRecord(rec)))

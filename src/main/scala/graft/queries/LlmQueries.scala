@@ -414,6 +414,32 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash)
       .orderBy("src", "rn")
 
+  /** Per-domain crawl analysis + blocklist gate (q143): the URL-level
+    * curation step every web pipeline runs before content filtering (C4
+    * dropped whole domains off a blocklist; Gopher/RefinedWeb audit
+    * per-domain volume before mixing). The corpus is staged as WARC
+    * with per-SOURCE hosts, read back distributed, hosts recovered with
+    * `parse_url` (codegen'd), and aggregated to one row per domain with
+    * the blocklist flag — crawl bytes and doc counts by registered
+    * host, the report a 100 TB crawl audits before ingest. */
+  def domainStats(s: SparkSession, dir: String): DataFrame = {
+    val staged = table(s, dir, "documents")
+      .select(col("doc_id"), syntheticHtml.as("html"),
+        concat(lit("http://"), col("source"), lit(".crawl.example/doc/"),
+          col("doc_id")).as("uri"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-warc-dom").toString
+    graft.llm.WebArchive.writeWarc(s, staged, tmp)
+    val blocklist = Seq("src7.crawl.example", "src13.crawl.example")
+    graft.llm.WebArchive.readWarc(s, tmp).toDF()
+      .select(parse_url(col("uri"), lit("HOST")).as("host"),
+        col("content_length"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("content_length")).as("total_bytes"))
+      .withColumn("blocked", col("host").isin(blocklist: _*))
+      .orderBy("host")
+  }
+
   /** Persisted IVF ANN index (q142,
     * [[graft.llm.Similarity.writeIvfIndex]]/`ivfSearchIndexed`): the
     * q129 build-once/search-every-batch lifecycle for VECTOR search —

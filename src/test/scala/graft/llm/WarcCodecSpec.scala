@@ -100,6 +100,18 @@ class WarcCodecSpec extends SparkSpec {
     assert(d7.content_length == http.length.toLong)
   }
 
+  test("caller-supplied target URIs survive the roundtrip (q143 staging)") {
+    val docs = Seq((1L, "<p>a</p>", "http://a.crawl.example/doc/1"),
+                   (2L, "<p>b</p>", "http://b.crawl.example/doc/2"))
+      .toDF("doc_id", "html", "uri")
+    val dir = Files.createTempDirectory("graft-warc-uri").toString
+    WebArchive.writeWarc(spark, docs, dir)
+    val back = WebArchive.readWarc(spark, dir).collect()
+      .map(d => d.doc_id -> d.uri).toMap
+    assert(back == Map(1L -> "http://a.crawl.example/doc/1",
+                       2L -> "http://b.crawl.example/doc/2"))
+  }
+
   test("non-response records are skipped by the reader") {
     val info = WarcCodec.WarcRecord("warcinfo", "<urn:uuid:i>", "2026-01-01T00:00:00Z",
       "", "application/warc-fields", "software: graft\r\n".getBytes(UTF_8))
