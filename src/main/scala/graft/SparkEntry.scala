@@ -174,6 +174,9 @@ object SparkEntry {
     "q141_knn_graph_clusters" -> LlmQueries.knnGraphClusters,
     "q142_indexed_ivf_ann" -> LlmQueries.indexedIvfAnn,
     "q143_domain_stats" -> LlmQueries.domainStats,
+    "q144_host_pagerank" -> LlmQueries.hostPageRank,
+    "q145_bottomk_sample" -> LlmQueries.bottomKSample,
+    "q146_tar_shards" -> LlmQueries.tarShardRoundtrip,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1446,6 +1449,29 @@ ORDER BY d.doc_id""",
         |  CAST(sum(content_length) AS BIGINT) AS total_bytes,
         |  host IN ('src7.crawl.example', 'src13.crawl.example') AS blocked
         |FROM msg GROUP BY host ORDER BY host""".stripMargin,
+    // q144: 5 unrolled fixed-point power iterations — all-long
+    // arithmetic, so the replay is exact (see generator).
+    "q144_host_pagerank" -> q144PageRankOracle,
+    // q145: bottom-8-by-portable-hash per source + the KMV estimator
+    // off the same kth hash — integer end-to-end.
+    "q145_bottomk_sample" ->
+      s"""WITH hv AS (SELECT source, doc_id, n_chars,
+        |  ${h("CAST(doc_id AS VARCHAR)", 45)} AS h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars, h,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |    AS INT) AS rn FROM hv),
+        |kh AS (SELECT source AS ks,
+        |  max(CASE WHEN rn = 8 THEN h END) AS h_k
+        |  FROM r WHERE rn <= 8 GROUP BY 1)
+        |SELECT source, rn, doc_id, n_chars,
+        |  CAST(CAST('8070450532247928832' AS HUGEINT) // h_k AS BIGINT)
+        |    AS est_distinct
+        |FROM r JOIN kh ON source = ks WHERE rn <= 8
+        |ORDER BY source, rn""".stripMargin,
+    // q146: tar-shard sink/source identity, like the ORC/JSON/WARC tiers.
+    "q146_tar_shards" ->
+      "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,
@@ -2751,5 +2777,34 @@ agg AS (SELECT l.method, CAST(count(*) AS BIGINT) AS n_returned,
 SELECT method, n_returned, n_hits,
   round(CAST(n_hits AS DOUBLE) / ne.n_exact, 4) AS recall_at_5
 FROM agg, ne ORDER BY method"""
+  }
+
+  /** q144 oracle: the link synthesis, host edge aggregation, and 5
+    * unrolled fixed-point PageRank rounds (teleport 150000, damping
+    * 85%, truncating `//` division — nonnegative operands, so DuckDB's
+    * floor division equals Spark's `div` truncation). `sum` promotes to
+    * HUGEINT in DuckDB; each round casts back to BIGINT. */
+  private def q144PageRankOracle: String = {
+    val iters = 5
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT ew.dst, sum((r${i - 1}.r * ew.w) // ew.ow) AS s
+       FROM ew JOIN r${i - 1} ON r${i - 1}.node = ew.src GROUP BY 1),
+r$i AS (SELECT node,
+        CAST(150000 + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+       FROM nodes LEFT JOIN c$i ON node = c$i.dst)"""
+    }.mkString(",\n")
+    s"""WITH links AS (SELECT source || '.crawl.example' AS src,
+       'src' || ((doc_id * 7 + 3) % 20) || '.crawl.example' AS dst
+     FROM documents),
+e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM links GROUP BY 1, 2),
+ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e
+       JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+             FROM e GROUP BY 1) o ON e.src = o.src),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+$rounds
+SELECT node AS host, r AS rank_fp FROM r$iters ORDER BY host"""
   }
 }

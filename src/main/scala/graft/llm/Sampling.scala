@@ -245,4 +245,49 @@ object Sampling {
         expr(s"start div $budget").as("seq_id"),
         pmod(col("start"), lit(budget.toLong)).as("seq_offset"))
   }
+
+  /** Bottom-k consistent sample per key — the distributed replacement for
+    * per-key reservoir sampling: keep the k rows whose seeded hash of
+    * `idCol` is SMALLEST within each key. Unlike a reservoir (whose
+    * contents depend on encounter order and RNG state), the bottom-k set
+    * is a pure function of the ids, so it is stable across runs,
+    * partitionings and engines, and MERGEABLE: bottom-k of a union is
+    * the bottom-k of the per-shard bottom-k's — each day's sample
+    * coalesces into the corpus sample with no resampling pass (Cohen &
+    * Kaplan 2007, bottom-k sketches).
+    *
+    * The same k smallest hashes are a KMV distinct-count sketch
+    * (Bar-Yossef et al. 2002): with U = 2^60 the portable-hash range,
+    * `est_distinct = (k-1)·U div h_k` where h_k is the k-th smallest —
+    * emitted per key (NULL when the key has < k rows; the exact count is
+    * sitting in the sample itself). Integer arithmetic end-to-end, so
+    * the estimator replays exactly in the oracle.
+    *
+    * Scale shape: one hash shuffle on the key; rank-k selection is a
+    * running window (or [[graft.plans.TopKPerKey]]'s bounded heap via
+    * the native path) — per-key state is k rows no matter the key's
+    * cardinality, the flood-proof property that makes this the 100 TB
+    * per-domain sampler. */
+  def bottomKPerKey(df: DataFrame, keyCol: Column, idCol: Column, k: Int,
+                    seed: Int = 45,
+                    hasher: SeededHash = PortableSeededHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "KMV needs k >= 2")
+    val hashed = df.withColumn("h", hasher.hash(idCol, seed))
+    val w = Window.partitionBy(keyCol).orderBy(col("h"), idCol)
+    val wk = Window.partitionBy(keyCol)
+    // U = 2^60: PortableSeededHash range (md5 top 60 bits). For the xx64
+    // family the estimator would need the signed range remapped to
+    // [0, 2^64) — keep the portable family for the sketch math.
+    // (k-1)·U can exceed 2^63, so the numerator is a decimal literal and
+    // the division an IntegralDivide (exact; DuckDB replays via HUGEINT).
+    val num = (BigInt(k) - 1) * (BigInt(1) << 60)
+    hashed.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      // h_k = k-th smallest hash, present only when the key has ≥ k rows
+      .withColumn("h_k", max(when(col("rn") === k, col("h"))).over(wk))
+      .withColumn("est_distinct",
+        expr(s"cast('$num' as decimal(38,0)) div h_k"))
+      .drop("h_k")
+  }
 }

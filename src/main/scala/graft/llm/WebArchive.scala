@@ -84,7 +84,11 @@ object WebArchive {
     * path tail. */
   def readWarc(spark: SparkSession, dir: String): Dataset[CrawledDoc] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.warc.gz")
+    // pathGlobFilter (not a glob in the path) so the FileStreamSink
+    // metadata probe stats the real directory — a literal-glob path makes
+    // it log a spurious FileNotFoundException WARN on every resolution.
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(dir)
       .select(col("content"))
       .as[Array[Byte]]
       .mapPartitions { files =>

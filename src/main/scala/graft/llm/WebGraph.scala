@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-graph centrality for crawl curation.
+  *
+  * Web pipelines rank REGISTERED HOSTS, not pages: Common Crawl publishes
+  * per-host rank tables (harmonic centrality / PageRank over the host
+  * webgraph) and curation gates sample or drop domains by that rank —
+  * the step between the q143 per-domain volume audit and the q123
+  * content gate. The host graph is small relative to the crawl (~10^8
+  * hosts from ~10^11 pages), so the design splits into
+  *
+  *  1. one corpus-scale aggregation that collapses page-level links to a
+  *     weighted host edge list (the only pass that touches the 100 TB), and
+  *  2. a bounded number of power-iteration rounds over the host-level
+  *     frame — each round is a join on `src` plus a `groupBy(dst)`, both
+  *     shuffling only (host, host, long) triples.
+  *
+  * Ranks are FIXED-POINT LONGS (1e6 = rank 1.0) with truncating integer
+  * division, so every round is exact integer arithmetic: sums are
+  * order-independent and each round replays bit-identically in any
+  * engine with 64-bit integer division (the q82/q124 k-means
+  * convention). PageRank: Page, Brin, Motwani, Winograd 1999 (the
+  * damped formulation, uniform teleport, weighted edges); mass lost to
+  * dangling hosts is NOT redistributed — the classic simplified
+  * iteration, matching what an unrolled SQL replay computes.
+  */
+object WebGraph {
+
+  /** Scale of the fixed-point rank domain: 1_000_000 = rank 1.0. */
+  val Fp: Long = 1000000L
+
+  /** Weighted damped PageRank over `edges` (`src`, `dst`, `w` — long
+    * weight, e.g. link multiplicity). `dampingPct` is the damping factor
+    * in percent (85 = the classic 0.85). Every node appearing as src or
+    * dst participates; a node with no in-links settles at the teleport
+    * floor `(100-dampingPct)% * Fp`; dangling nodes (in-links only)
+    * contribute nothing — their mass leaks, as in the plain iteration.
+    *
+    * Per round, per edge: `contrib = (rank(src) * w) div outw(src)`;
+    * per node: `rank' = teleport + (dampingPct * Σ contrib) div 100` —
+    * all long arithmetic (no overflow until Σ rank mass · damping
+    * approaches 2^63/100 ≈ 9·10^16, i.e. ~10^10 hosts at Fp=1e6).
+    *
+    * Shuffle shape at 100 TB: `edges` is already host-level (see
+    * [[hostLinkGraph]]); each round re-joins the fresh rank frame to the
+    * static weighted edge list, so the edge frame is persisted once and
+    * each round moves only (node, long) pairs. Rounds are
+    * `localCheckpoint`ed to keep plans constant-size across iterations
+    * (the q63 connected-components convention). */
+  def pageRank(edges: DataFrame, iters: Int = 5, dampingPct: Long = 85)
+      : DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
+    // out-weight folded onto each edge once: the per-round join then
+    // needs only the rank frame
+    val ew = e.join(
+        e.groupBy(col("src").as("osrc")).agg(sum("w").as("ow")),
+        col("src") === col("osrc"))
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+      .localCheckpoint()
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val teleport = ((100 - dampingPct) * Fp) / 100
+    var ranks = nodes.select(col("node"), lit(Fp).as("rank_fp"))
+    var i = 0
+    while (i < iters) {
+      val contribs = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("(rank_fp * w) div ow").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+      ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"$teleport + (($dampingPct * coalesce(s, cast(0 as bigint))) div 100)")
+            .as("rank_fp"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
+  /** Collapse page-level links `(src_host, dst_host)` — one row per link
+    * occurrence — to the weighted host edge list [[pageRank]] consumes.
+    * This is the single corpus-scale pass: one hash shuffle on the host
+    * pair, emitting ≤ |hosts|² and in practice ~|hosts|·avg-fanout rows. */
+  def hostLinkGraph(links: DataFrame): DataFrame =
+    links.groupBy(col("src_host").as("src"), col("dst_host").as("dst"))
+      .agg(count(lit(1)).as("w"))
+}

@@ -1272,4 +1272,54 @@ object LlmQueries {
         est.as("est_n"))
       .orderBy("user_id")
   }
+
+  /** Host-graph PageRank (q144, [[graft.llm.WebGraph.pageRank]]): the
+    * domain-rank table crawl curation gates on (Common Crawl publishes
+    * exactly this artifact for its host webgraph). Page-level links are
+    * synthesized deterministically — each doc links its source host to
+    * `src((doc_id·7+3) mod 20)` — collapsed to the weighted host edge
+    * list in ONE corpus-scale aggregation, then 5 fixed-point power
+    * iterations over the host frame. All-long arithmetic (Fp = 1e6,
+    * truncating division), so the oracle unrolls the same 5 rounds in
+    * SQL and matches bit-for-bit. */
+  def hostPageRank(s: SparkSession, dir: String): DataFrame = {
+    val links = table(s, dir, "documents")
+      .select(concat(col("source"), lit(".crawl.example")).as("src_host"),
+        concat(lit("src"), pmod(col("doc_id") * 7 + 3, lit(20L)),
+          lit(".crawl.example")).as("dst_host"))
+    graft.llm.WebGraph.pageRank(
+        graft.llm.WebGraph.hostLinkGraph(links), iters = 5)
+      .select(col("node").as("host"), col("rank_fp"))
+      .orderBy("host")
+  }
+
+  /** Bottom-k consistent per-domain sample + KMV distinct sketch (q145,
+    * [[graft.llm.Sampling.bottomKPerKey]]): the 8 smallest-hash docs of
+    * every source — the order- and partitioning-independent reservoir
+    * replacement whose per-shard outputs merge by construction — with
+    * the per-key KMV distinct estimate off the same k hashes. Portable
+    * hash family end-to-end, so sample membership, ranks AND the
+    * estimator replay exactly in DuckDB. */
+  def bottomKSample(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.bottomKPerKey(
+        table(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        keyCol = col("source"), idCol = col("doc_id"), k = 8)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_chars"),
+        col("est_distinct"))
+      .orderBy("source", "rn")
+
+  /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
+    * documents staged as POSIX-ustar training shards (one tar per
+    * partition, `<id>.json` + `<id>.txt` per sample), read back
+    * distributed, samples reassembled — identity is the oracle, as for
+    * the parquet/CSV/JSON/ORC/WARC sink tiers. */
+  def tarShardRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tar").toString
+    graft.llm.TarShards.writeShards(s, docs, tmp)
+    graft.llm.TarShards.readShards(s, tmp).toDF()
+      .select("doc_id", "lang", "source", "text")
+      .orderBy("doc_id")
+  }
 }

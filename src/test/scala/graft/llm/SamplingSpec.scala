@@ -179,4 +179,48 @@ class SamplingSpec extends SparkSpec {
     val largest = cells.maxBy(_._2)._1
     assert(thrOf(smallest) >= thrOf(largest))
   }
+
+  test("bottomKPerKey: membership, partition independence, mergeability") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Sampling.bottomKPerKey(df, col("source"), col("doc_id"), k = 5)
+        .select("source", "doc_id", "rn")
+        .as[(String, Long, Int)].collect().toSet
+    val s1 = sample(docs)
+    // 20 sources × k — every source at sf0.001 has ≥ 5 docs
+    assert(s1.size == 20 * 5)
+    // pure function of ids: identical under any repartitioning
+    assert(sample(docs.repartition(13)) == s1)
+    // mergeability: bottom-k of per-shard bottom-k's == global bottom-k
+    val shardA = docs.where(col("doc_id") % 2 === 0)
+    val shardB = docs.where(col("doc_id") % 2 === 1)
+    val merged = Sampling.bottomKPerKey(
+      Sampling.bottomKPerKey(shardA, col("source"), col("doc_id"), k = 5)
+        .select(docs.columns.map(col): _*)
+        .union(Sampling.bottomKPerKey(shardB, col("source"), col("doc_id"),
+          k = 5).select(docs.columns.map(col): _*)),
+      col("source"), col("doc_id"), k = 5)
+      .select("source", "doc_id", "rn").as[(String, Long, Int)].collect().toSet
+    assert(merged == s1)
+  }
+
+  test("bottomKPerKey: KMV estimate is sane and NULL below k rows") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val est = Sampling.bottomKPerKey(docs, col("source"), col("doc_id"),
+        k = 8)
+      .groupBy("source").agg(first("est_distinct").as("est"),
+        count(lit(1)).as("n"))
+      .as[(String, Option[Long], Long)].collect()
+    est.foreach { case (src, e, _) =>
+      val exact = docs.where(col("source") === src).count()
+      assert(e.isDefined, s"$src estimate missing")
+      // KMV with k=8 is coarse; just bound the relative error loosely
+      assert(e.get > 0 && e.get < exact * 20, s"$src est=${e.get} n=$exact")
+    }
+    // a key with fewer than k rows: estimator undefined → NULL
+    val tiny = Sampling.bottomKPerKey(
+      docs.where(col("doc_id") < 3), col("source"), col("doc_id"), k = 8)
+      .select("est_distinct").as[Option[Long]].collect()
+    assert(tiny.nonEmpty && tiny.forall(_.isEmpty))
+  }
 }
