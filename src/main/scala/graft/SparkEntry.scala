@@ -177,6 +177,7 @@ object SparkEntry {
     "q144_host_pagerank" -> LlmQueries.hostPageRank,
     "q145_bottomk_sample" -> LlmQueries.bottomKSample,
     "q146_tar_shards" -> LlmQueries.tarShardRoundtrip,
+    "q147_url_canonical" -> LlmQueries.urlCanonicalDedup,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1472,6 +1473,52 @@ ORDER BY d.doc_id""",
     // q146: tar-shard sink/source identity, like the ORC/JSON/WARC tiers.
     "q146_tar_shards" ->
       "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
+    // q147: the spelling synthesis + canonicalization rules 1-6 replayed
+    // with DuckDB's regexp/list functions (patterns in the Java∩RE2
+    // common subset).
+    "q147_url_canonical" ->
+      """WITH raw AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'Src' || ((doc_id // 2) % 20) || '.Example.COM:80'
+        |    ELSE 'src' || ((doc_id // 2) % 20) || '.example.com' END ||
+        |  CASE WHEN (doc_id // 2) % 7 = 0 THEN ''
+        |    ELSE '/p/' || (doc_id // 2) END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=news&a=1'
+        |    ELSE '?a=1&b=2&fbclid=XYZ#frag' END AS url_raw
+        |  FROM documents),
+        |cn AS (SELECT doc_id, url_raw,
+        |  regexp_replace(url_raw, '#.*$', '') AS nf FROM raw),
+        |parts AS (SELECT doc_id, url_raw,
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(nf,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+        |  regexp_extract(nf,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |  COALESCE(regexp_extract(nf, '\?([^#]*)', 1), '') AS query0
+        |  FROM cn),
+        |canon AS (SELECT doc_id, url_raw,
+        |  scheme || '://' ||
+        |  (CASE WHEN scheme = 'http'
+        |      THEN regexp_replace(auth0, ':80$', '')
+        |    WHEN scheme = 'https'
+        |      THEN regexp_replace(auth0, ':443$', '')
+        |    ELSE auth0 END) ||
+        |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+        |  (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_canon
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(query0, '&'),
+        |      p -> NOT regexp_matches(p,
+        |        '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)')
+        |        AND p <> '')), '&') AS q
+        |    FROM parts))
+        |SELECT c.doc_id, c.url_raw, c.url_canon, g.keep_id, g.n_spellings
+        |FROM canon c JOIN (SELECT url_canon AS uc,
+        |    CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |    CAST(count(*) AS BIGINT) AS n_spellings
+        |  FROM canon GROUP BY 1) g ON c.url_canon = g.uc
+        |ORDER BY c.doc_id""".stripMargin,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,

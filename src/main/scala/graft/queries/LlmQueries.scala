@@ -1308,6 +1308,36 @@ object LlmQueries {
         col("est_distinct"))
       .orderBy("source", "rn")
 
+  /** Canonical-URL dedup (q147, [[graft.llm.Urls]]): every page is
+    * crawled twice under different spellings — case-shifted scheme/host
+    * + explicit `:80` + tracking params + shuffled query order on the
+    * even doc, fragment + a different tracking param on the odd doc —
+    * and rules 1-6 collapse both to one canonical key per page
+    * (`page = doc_id div 2`), every 7th page through the empty-path →
+    * `/` rule. Pure-Column regex/array ops at scan speed; the only
+    * shuffle is the canonical-key group. The oracle replays the
+    * spelling synthesis and all six rules in DuckDB. */
+  def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val page = expr("doc_id div 2")
+    val even = pmod(col("doc_id"), lit(2L)) === 0
+    val path = when(pmod(page, lit(7L)) === 0, lit(""))
+      .otherwise(concat(lit("/p/"), page))
+    val raw = concat(
+      when(even, lit("HTTP")).otherwise(lit("http")), lit("://"),
+      when(even, concat(lit("Src"), pmod(page, lit(20L)),
+          lit(".Example.COM:80")))
+        .otherwise(concat(lit("src"), pmod(page, lit(20L)),
+          lit(".example.com"))),
+      path,
+      when(even, lit("?b=2&utm_source=news&a=1"))
+        .otherwise(lit("?a=1&b=2&fbclid=XYZ#frag")))
+    graft.llm.Urls.canonicalDedup(
+        table(s, dir, "documents").select(col("doc_id"), raw.as("url_raw")),
+        urlCol = col("url_raw"), idCol = col("doc_id"))
+      .select("doc_id", "url_raw", "url_canon", "keep_id", "n_spellings")
+      .orderBy("doc_id")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back
