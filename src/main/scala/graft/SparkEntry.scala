@@ -178,6 +178,8 @@ object SparkEntry {
     "q145_bottomk_sample" -> LlmQueries.bottomKSample,
     "q146_tar_shards" -> LlmQueries.tarShardRoundtrip,
     "q147_url_canonical" -> LlmQueries.urlCanonicalDedup,
+    "q148_snapshot_timetravel" -> IoQueries.snapshotTimeTravel,
+    "q149_snapshot_diff" -> IoQueries.snapshotDiff,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1519,6 +1521,31 @@ ORDER BY d.doc_id""",
         |    CAST(count(*) AS BIGINT) AS n_spellings
         |  FROM canon GROUP BY 1) g ON c.url_canon = g.uc
         |ORDER BY c.doc_id""".stripMargin,
+    // q148: the three versions' contents are pure doc_id predicates —
+    // v1 ≡0 (mod 3), v2 adds ≡1, v3 overwrites with ≡0 (mod 5).
+    "q148_snapshot_timetravel" ->
+      """SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY version""".stripMargin,
+    // q149: v2→v3 change set — added = in v3 not v2, removed = in v2
+    // not v3, as doc_id predicates.
+    "q149_snapshot_diff" ->
+      """SELECT doc_id, 'added' AS change FROM documents
+        |WHERE doc_id % 5 = 0 AND doc_id % 3 NOT IN (0, 1)
+        |UNION ALL
+        |SELECT doc_id, 'removed' FROM documents
+        |WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
+        |ORDER BY change, doc_id""".stripMargin,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,

@@ -224,4 +224,45 @@ object IoQueries {
         (abs(col("approx") - col("exact_cnt")) <=
           col("exact_cnt") * 0.15).as("approx_ok"))
       .orderBy("o_orderpriority")
+
+  /** Build the three-version snapshot log q148/q149 read: v1 appends the
+    * doc_id≡0 (mod 3) slice, v2 appends the ≡1 slice, v3 OVERWRITES with
+    * the ≡0 (mod 5) slice — append-after-append-after-overwrite is the
+    * daily-job lifecycle (accumulate, accumulate, full re-run). */
+  private def stageSnapshots(s: SparkSession, dir: String): String = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snap").toString
+    graft.io.SnapshotTable.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 0), t)
+    graft.io.SnapshotTable.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 1), t)
+    graft.io.SnapshotTable.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 0), t,
+      overwrite = true)
+    t
+  }
+
+  /** Snapshot time travel (q148, [[graft.io.SnapshotTable]]): every
+    * retained version read AS OF its manifest and aggregated — the same
+    * query over v1/v2/v3 sees three different tables from one directory.
+    * Readers plan from one manifest file, never a directory listing; an
+    * overwrite keeps prior versions readable because data files are
+    * immutable. */
+  def snapshotTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val t = stageSnapshots(s, dir)
+    graft.io.SnapshotTable.versions(t).map { v =>
+      graft.io.SnapshotTable.readSnapshot(s, t, Some(v))
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"),
+          sum("n_chars").as("sum_chars"))
+        .select(lit(v).as("version"), col("n_docs"), col("sum_id"),
+          col("sum_chars"))
+    }.reduce(_.unionAll(_)).orderBy("version")
+  }
+
+  /** Snapshot diff (q149): the row-level change set between v2 and the
+    * v3 overwrite, keyed by doc_id — time travel's other half (what
+    * changed, not just what was). */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val t = stageSnapshots(s, dir)
+    graft.io.SnapshotTable.diff(s, t, fromV = 2, toV = 3, idCol = "doc_id")
+      .orderBy("change", "doc_id")
+  }
 }

@@ -1,0 +1,69 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Snapshot-log laws: append/overwrite visibility, time travel, diff,
+  * relocatability, loud failure on bad versions. */
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def contents(dir: String, asOf: Option[Int]): Set[(Long, String)] =
+    SnapshotTable.readSnapshot(spark, dir, asOf)
+      .as[(Long, String)].collect().toSet
+
+  test("append accumulates, overwrite replaces, every version stays readable") {
+    val dir = Files.createTempDirectory("snap").toString
+    val v1 = SnapshotTable.commit(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    val v2 = SnapshotTable.commit(spark,
+      Seq((3L, "c")).toDF("id", "s"), dir)
+    val v3 = SnapshotTable.commit(spark,
+      Seq((9L, "z")).toDF("id", "s"), dir, overwrite = true)
+    assert((v1, v2, v3) == (1, 2, 3))
+    assert(contents(dir, Some(1)) == Set((1L, "a"), (2L, "b")))
+    assert(contents(dir, Some(2)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(contents(dir, Some(3)) == Set((9L, "z")))
+    assert(contents(dir, None) == Set((9L, "z"))) // latest = v3
+    // append after overwrite builds on the overwritten state
+    SnapshotTable.commit(spark, Seq((10L, "y")).toDF("id", "s"), dir)
+    assert(contents(dir, None) == Set((9L, "z"), (10L, "y")))
+    // history still intact after the fourth commit
+    assert(contents(dir, Some(2)) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("diff reports row-level added/removed between versions") {
+    val dir = Files.createTempDirectory("snap-diff").toString
+    SnapshotTable.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    SnapshotTable.commit(spark, Seq((2L, "b"), (5L, "e")).toDF("id", "s"),
+      dir, overwrite = true)
+    val d = SnapshotTable.diff(spark, dir, 1, 2, "id")
+      .as[(Long, String)].collect().toSet
+    assert(d == Set((5L, "added"), (1L, "removed")))
+  }
+
+  test("relative paths: a moved table directory still reads") {
+    val dir = Files.createTempDirectory("snap-move").toString
+    SnapshotTable.commit(spark, Seq((7L, "g")).toDF("id", "s"), dir)
+    val moved = s"$dir-relocated"
+    assert(new java.io.File(dir).renameTo(new java.io.File(moved)))
+    assert(contents(moved, None) == Set((7L, "g")))
+  }
+
+  test("unknown version and empty log fail loudly") {
+    val dir = Files.createTempDirectory("snap-bad").toString
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readSnapshot(spark, dir) // no log at all
+    }
+    SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readSnapshot(spark, dir, Some(99))
+    }
+    // no leftover tmp manifests: the rename is the only publish path
+    val stray = new java.io.File(s"$dir/_log").listFiles()
+      .filter(_.getName.endsWith(".tmp"))
+    assert(stray.isEmpty)
+  }
+}
