@@ -180,6 +180,8 @@ object SparkEntry {
     "q147_url_canonical" -> LlmQueries.urlCanonicalDedup,
     "q148_snapshot_timetravel" -> IoQueries.snapshotTimeTravel,
     "q149_snapshot_diff" -> IoQueries.snapshotDiff,
+    "q150_streaming_bottomk" -> StreamingQueries.streamingBottomK,
+    "q151_snapshot_compact" -> IoQueries.snapshotCompact,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1457,21 +1459,10 @@ ORDER BY d.doc_id""",
     "q144_host_pagerank" -> q144PageRankOracle,
     // q145: bottom-8-by-portable-hash per source + the KMV estimator
     // off the same kth hash — integer end-to-end.
-    "q145_bottomk_sample" ->
-      s"""WITH hv AS (SELECT source, doc_id, n_chars,
-        |  ${h("CAST(doc_id AS VARCHAR)", 45)} AS h
-        |  FROM documents),
-        |r AS (SELECT source, doc_id, n_chars, h,
-        |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
-        |    AS INT) AS rn FROM hv),
-        |kh AS (SELECT source AS ks,
-        |  max(CASE WHEN rn = 8 THEN h END) AS h_k
-        |  FROM r WHERE rn <= 8 GROUP BY 1)
-        |SELECT source, rn, doc_id, n_chars,
-        |  CAST(CAST('8070450532247928832' AS HUGEINT) // h_k AS BIGINT)
-        |    AS est_distinct
-        |FROM r JOIN kh ON source = ks WHERE rn <= 8
-        |ORDER BY source, rn""".stripMargin,
+    "q145_bottomk_sample" -> q145BottomKOracle,
+    // q150: the SAME sample maintained by the streaming bottom_k
+    // aggregate — final-state parity with batch q145 IS the contract.
+    "q150_streaming_bottomk" -> q145BottomKOracle,
     // q146: tar-shard sink/source identity, like the ORC/JSON/WARC tiers.
     "q146_tar_shards" ->
       "SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id",
@@ -1546,6 +1537,11 @@ ORDER BY d.doc_id""",
         |SELECT doc_id, 'removed' FROM documents
         |WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
         |ORDER BY change, doc_id""".stripMargin,
+    // q151: compaction/vacuum change layout, never content — the
+    // surviving version is v3's predicate.
+    "q151_snapshot_compact" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,
@@ -2852,6 +2848,26 @@ SELECT method, n_returned, n_hits,
   round(CAST(n_hits AS DOUBLE) / ne.n_exact, 4) AS recall_at_5
 FROM agg, ne ORDER BY method"""
   }
+
+  /** q145/q150 oracle: bottom-8-by-portable-hash per source + the KMV
+    * estimator off the kth smallest hash (HUGEINT numerator, integer
+    * division). q150's streaming aggregate maintains the same sample
+    * across micro-batches, so batch and stream share this replay. */
+  private def q145BottomKOracle: String =
+    s"""WITH hv AS (SELECT source, doc_id, n_chars,
+      |  ${h("CAST(doc_id AS VARCHAR)", 45)} AS h
+      |  FROM documents),
+      |r AS (SELECT source, doc_id, n_chars, h,
+      |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+      |    AS INT) AS rn FROM hv),
+      |kh AS (SELECT source AS ks,
+      |  max(CASE WHEN rn = 8 THEN h END) AS h_k
+      |  FROM r WHERE rn <= 8 GROUP BY 1)
+      |SELECT source, rn, doc_id, n_chars,
+      |  CAST(CAST('8070450532247928832' AS HUGEINT) // h_k AS BIGINT)
+      |    AS est_distinct
+      |FROM r JOIN kh ON source = ks WHERE rn <= 8
+      |ORDER BY source, rn""".stripMargin
 
   /** q144 oracle: the link synthesis, host edge aggregation, and 5
     * unrolled fixed-point PageRank rounds (teleport 150000, damping

@@ -111,6 +111,34 @@ object SnapshotTable {
     spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** Compaction (`OPTIMIZE`): rewrite the CURRENT visible content into
+    * `numFiles` files as a new overwrite commit. Content-identical by
+    * construction — the commit machinery is reused unchanged, so the
+    * compacted version is just another version (and the small-file
+    * history it replaced stays time-travelable until [[vacuum]]).
+    * Small-file accumulation is the chronic failure mode of daily
+    * append logs at 100 TB: scan tasks per file, not per byte. */
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Int =
+    commit(spark, readSnapshot(spark, dir).repartition(numFiles), dir,
+      overwrite = true)
+
+  /** Retention: keep the newest `keep` versions, delete older manifests
+    * and every data file ONLY they reference. Returns the deleted data
+    * files. The deletion order is safe under readers of retained
+    * versions (their manifests and files are untouched); readers of
+    * dropped versions fail loudly on the missing manifest rather than
+    * silently scanning a partial file set. */
+  def vacuum(dir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, "vacuum must keep at least the current version")
+    val vs = versions(dir)
+    val (drop, retain) = vs.splitAt(math.max(0, vs.length - keep))
+    val live = retain.flatMap(readManifest(dir, _)).toSet
+    val dead = (drop.flatMap(readManifest(dir, _)).toSet -- live).toSeq.sorted
+    dead.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+    drop.foreach(v => Files.delete(manifestFile(dir, v).toPath))
+    dead
+  }
+
   /** Row-level change set between two versions, keyed by `idCol`:
     * (id, change ∈ added|removed). Two anti-joins — each one shuffle on
     * the key; at scale the common-prefix files of an append diff could

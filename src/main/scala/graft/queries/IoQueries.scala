@@ -257,6 +257,21 @@ object IoQueries {
     }.reduce(_.unionAll(_)).orderBy("version")
   }
 
+  /** Compaction + retention (q151): the q148 log compacted to 2 files
+    * (a content-identical overwrite commit — `OPTIMIZE`) and vacuumed
+    * to the compacted version only; output is the surviving content.
+    * The lifecycle a daily 100 TB append log needs: accumulate small
+    * commits, periodically rewrite to scan-sized files, reclaim the
+    * superseded bytes. File-count and history-pruning assertions live
+    * in SnapshotTableSpec; the oracle checks the invariant that matters
+    * — compaction and vacuum change LAYOUT, never content. */
+  def snapshotCompact(s: SparkSession, dir: String): DataFrame = {
+    val t = stageSnapshots(s, dir)
+    graft.io.SnapshotTable.compact(s, t, numFiles = 2)
+    graft.io.SnapshotTable.vacuum(t, keep = 1)
+    graft.io.SnapshotTable.readSnapshot(s, t).orderBy("doc_id")
+  }
+
   /** Snapshot diff (q149): the row-level change set between v2 and the
     * v3 overwrite, keyed by doc_id — time travel's other half (what
     * changed, not just what was). */

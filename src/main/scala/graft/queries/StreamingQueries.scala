@@ -335,6 +335,46 @@ object StreamingQueries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Continuously-maintained per-domain bottom-k sample (q150,
+    * [[graft.functions.BottomKAgg]]): the q145 consistent sample kept
+    * up to date by a streaming `complete`-mode group-by — each
+    * micro-batch folds its rows into the ≤k-row per-source state (the
+    * aggregate is mergeable, so cross-batch maintenance is exact, not
+    * approximate), and the published table after the final batch is
+    * BIT-IDENTICAL to the batch q145: membership, ranks, and the KMV
+    * estimate all replay against the same oracle. The deployment this
+    * models: a crawl lands all day, and the per-domain audit sample +
+    * distinct-count sketch are always current without ever rescanning
+    * the corpus. */
+  def streamingBottomK(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val srcDir = stageForStream(dir, "documents.parquet", "q150")
+    val stream = EventsStream.fromDirectory(s, srcDir)
+    val out = java.nio.file.Files.createTempDirectory("graft-q150").toString
+    val k = 8
+    val agged = stream
+      .select(col("source"),
+        graft.llm.PortableSeededHash.hash(col("doc_id"), 45).as("h"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("source")
+      .agg(expr(s"bottom_k(h, doc_id, n_chars, $k)").as("bk"))
+    val q = agged.writeStream.outputMode("complete").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) => batch.write.mode("overwrite").parquet(out)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val num = (BigInt(k) - 1) * (BigInt(1) << 60)
+    s.read.parquet(out)
+      .select(col("source"), posexplode(col("bk")).as(Seq("pos", "e")),
+        when(size(col("bk")) === k,
+          expr(s"cast('$num' as decimal(38,0)) div element_at(bk, $k).h"))
+          .as("est_distinct"))
+      .select(col("source"), (col("pos") + 1).as("rn"),
+        col("e.id").as("doc_id"), col("e.aux").as("n_chars"),
+        col("est_distinct"))
+      .orderBy("source", "rn")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */

@@ -52,6 +52,37 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(moved, None) == Set((7L, "g")))
   }
 
+  test("compact rewrites layout, never content; vacuum prunes history") {
+    val dir = Files.createTempDirectory("snap-compact").toString
+    // many tiny commits → many files
+    (1L to 5L).foreach { i =>
+      SnapshotTable.commit(spark,
+        Seq((i, s"s$i")).toDF("id", "s").repartition(2), dir)
+    }
+    val before = contents(dir, None)
+    val filesBefore = SnapshotTable.readSnapshot(spark, dir)
+      .inputFiles.length
+    val cv = SnapshotTable.compact(spark, dir, numFiles = 2)
+    assert(cv == 6)
+    assert(contents(dir, None) == before)              // content identical
+    assert(SnapshotTable.readSnapshot(spark, dir).inputFiles.length == 2)
+    assert(filesBefore > 2)
+    // pre-compaction history still time-travels until vacuum
+    assert(contents(dir, Some(3)).map(_._1) == Set(1L, 2L, 3L))
+    val deleted = SnapshotTable.vacuum(dir, keep = 1)
+    assert(deleted.nonEmpty)
+    assert(SnapshotTable.versions(dir) == Seq(6))
+    assert(contents(dir, None) == before)              // survivor intact
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readSnapshot(spark, dir, Some(3)) // pruned: loud
+    }
+    // no orphaned data files: everything on disk is referenced
+    val dataFiles = new java.io.File(s"$dir/data").listFiles()
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .count(_.getName.endsWith(".parquet"))
+    assert(dataFiles == 2)
+  }
+
   test("unknown version and empty log fail loudly") {
     val dir = Files.createTempDirectory("snap-bad").toString
     intercept[IllegalArgumentException] {
