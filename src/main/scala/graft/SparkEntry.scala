@@ -182,6 +182,8 @@ object SparkEntry {
     "q149_snapshot_diff" -> IoQueries.snapshotDiff,
     "q150_streaming_bottomk" -> StreamingQueries.streamingBottomK,
     "q151_snapshot_compact" -> IoQueries.snapshotCompact,
+    "q152_source_similarity" -> LlmQueries.sourceSimilarity,
+    "q153_streaming_snapshot" -> StreamingQueries.streamingSnapshotIngest,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1542,6 +1544,35 @@ ORDER BY d.doc_id""",
     "q151_snapshot_compact" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin,
+    // q152: per-source bottom-64 word-hash sketches + the Mash/bottom-k
+    // Jaccard estimator over every pair — integer sketch coordinates,
+    // list functions for the pair math.
+    "q152_source_similarity" ->
+      s"""WITH words AS (SELECT DISTINCT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |hs0 AS (SELECT DISTINCT source, ${h("w", 52)} AS h FROM words),
+        |r AS (SELECT source, h,
+        |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM hs0),
+        |sk AS (SELECT source, list_sort(list(h)) AS hs
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    a.hs AS ha, b.hs AS hb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |e AS (SELECT src_a, src_b,
+        |  CAST(len(list_intersect(
+        |    list_sort(list_distinct(list_concat(ha, hb)))[1:64],
+        |    list_intersect(ha, hb))) AS INT) AS hits
+        |  FROM p)
+        |SELECT src_a, src_b, hits,
+        |  round(CAST(hits AS DOUBLE) / 64, 4) AS jaccard_est
+        |FROM e ORDER BY src_a, src_b""".stripMargin,
+    // q153: streaming micro-batch commits into the snapshot table —
+    // final visible content is the whole corpus projection.
+    "q153_streaming_snapshot" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,

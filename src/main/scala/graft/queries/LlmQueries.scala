@@ -1338,6 +1338,48 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-domain content similarity via bottom-k sketch intersection
+    * (q152): which sources publish similar VOCABULARY — the domain-level
+    * near-duplicate radar (template farms, mirrored sites, syndication
+    * clusters) that runs where pairwise document comparison can't. Per
+    * source, the k=64 smallest word hashes (the q145 machinery over
+    * words instead of ids); for every source pair, the Mash/bottom-k
+    * Jaccard estimator (Ondov et al. 2016; Cohen & Kaplan 2007):
+    * J ≈ |bottom_k(A ∪ B) ∩ A ∩ B| / k, computed with pure array
+    * functions over the two ≤k lists. The corpus-scale pass is ONE
+    * distinct + rank-k per source; the pair stage touches only
+    * 20·64-long sketches — at web scale, 10^8 hosts' sketches are a
+    * fraction of one executor's scan, which is the entire point of
+    * sketching the comparison. Integer end-to-end → exact oracle. */
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val words = table(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .distinct()
+      // sketch coordinates are the HASHES; dedup on (source, h) so the
+      // rank order is unique on h alone and both engines' intersect
+      // semantics see distinct elements
+      .select(col("source"),
+        graft.llm.PortableSeededHash.hash(col("w"), 52).as("h"))
+      .distinct()
+    val sk = words
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"))))
+      .where(col("rn") <= k)
+      .groupBy("source").agg(sort_array(collect_list(col("h"))).as("hs"))
+    val pairs = sk.select(col("source").as("src_a"), col("hs").as("ha"))
+      .join(sk.select(col("source").as("src_b"), col("hs").as("hb")),
+        col("src_a") < col("src_b"))
+    pairs.select(col("src_a"), col("src_b"),
+        size(array_intersect(
+          slice(array_sort(array_union(col("ha"), col("hb"))), 1, k),
+          array_intersect(col("ha"), col("hb")))).as("hits"))
+      .withColumn("jaccard_est", round(col("hits") / k, 4))
+      .orderBy("src_a", "src_b")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back

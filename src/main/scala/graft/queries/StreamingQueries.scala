@@ -375,6 +375,35 @@ object StreamingQueries {
       .orderBy("source", "rn")
   }
 
+  /** Streaming ingest INTO the versioned snapshot table (q153): each
+    * micro-batch lands as one append commit ([[graft.io.SnapshotTable]])
+    * — the streaming lakehouse sink contract: arriving data becomes
+    * atomically visible a version at a time, every intermediate version
+    * stays time-travelable, and downstream consumers read manifests,
+    * never partially-written directories. Commits are metadata-only in
+    * the table's size (previous files are referenced, not rewritten), so
+    * per-batch cost is flat however large the table grows — the property
+    * that makes this the 100 TB continuous-ingest pattern. Empty batches
+    * commit nothing. NOTE on retries: a re-delivered foreachBatch would
+    * re-commit its rows; production pairs the commit with the batchId
+    * recorded in the manifest (exactly-once), omitted here because the
+    * bounded file-source replay delivers each batch once. */
+  def streamingSnapshotIngest(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageForStream(dir, "documents.parquet", "q153")
+    val stream = EventsStream.fromDirectory(s, srcDir)
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft-q153").toString
+    val q = stream.select(col("doc_id"), col("source"), col("n_chars"))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          if (!batch.isEmpty)
+            graft.io.SnapshotTable.commit(s, batch.toDF(), tableDir): Unit
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    graft.io.SnapshotTable.readSnapshot(s, tableDir).orderBy("doc_id")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */

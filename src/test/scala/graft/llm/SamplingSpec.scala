@@ -204,6 +204,28 @@ class SamplingSpec extends SparkSpec {
     assert(merged == s1)
   }
 
+  test("bottom-k Jaccard estimator tracks true Jaccard on known overlap") {
+    // two "sources" sharing exactly half their elements: J = 1/3
+    import org.apache.spark.sql.expressions.Window
+    val n = 2000
+    val a = (0 until n).map(i => ("a", s"w$i"))
+    val b = (n / 2 until n + n / 2).map(i => ("b", s"w$i"))
+    val k = 64
+    val sk = (a ++ b).toDF("source", "w")
+      .select(col("source"),
+        graft.llm.PortableSeededHash.hash(col("w"), 52).as("h"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .where(col("rn") <= k)
+      .groupBy("source").agg(sort_array(collect_list("h")).as("hs"))
+    val Seq(ha, hb) = sk.orderBy("source").select("hs")
+      .as[Seq[Long]].collect().toSeq
+    val union = (ha ++ hb).distinct.sorted.take(k).toSet
+    val hits = union.count(h => ha.contains(h) && hb.contains(h))
+    val est = hits.toDouble / k
+    assert(math.abs(est - 1.0 / 3) < 0.15, s"est=$est expected ~0.333")
+  }
+
   test("bottomKPerKey: KMV estimate is sane and NULL below k rows") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val est = Sampling.bottomKPerKey(docs, col("source"), col("doc_id"),
