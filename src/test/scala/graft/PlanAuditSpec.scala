@@ -66,10 +66,17 @@ class PlanAuditSpec extends SparkSpec {
     "q134_phrase_tokenize",  // q128's broadcast 1-row bigram-total scalar
                              // per training round; the vocab merge joins
                              // are equi on (tok, nxt)
-    "q138_knn_graph"         // broadcast plane-weight table (q132's
+    "q138_knn_graph",        // broadcast plane-weight table (q132's
                              // shape); the collision self-join, pair
                              // dedup and mutual transpose join are all
                              // equi on (t, sig) / (src, dst)
+    "q152_source_similarity" // the src_a < src_b PAIR frame over the
+                             // sketch table — |mixture domains|² rows of
+                             // ≤64-long arrays, bounded by design: the
+                             // pair report is over top-level mixture
+                             // domains (tens), never raw hosts; the
+                             // corpus-scale pass (distinct + rank-k) has
+                             // no join at all
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —
