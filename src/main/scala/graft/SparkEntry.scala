@@ -184,6 +184,7 @@ object SparkEntry {
     "q151_snapshot_compact" -> IoQueries.snapshotCompact,
     "q152_source_similarity" -> LlmQueries.sourceSimilarity,
     "q153_streaming_snapshot" -> StreamingQueries.streamingSnapshotIngest,
+    "q154_snapshot_pruned_scan" -> IoQueries.snapshotPrunedScan,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1573,6 +1574,11 @@ ORDER BY d.doc_id""",
     "q153_streaming_snapshot" ->
       """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // q154: manifest-stats pruning never changes results — the range
+    // predicate alone is the oracle.
+    "q154_snapshot_pruned_scan" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""".stripMargin,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,

@@ -48,9 +48,17 @@ object SnapshotTable {
   }
 
   private def writeManifest(dir: String, v: Int, action: String,
-                            files: Seq[String]): Unit = {
+                            files: Seq[String],
+                            stats: Option[(String, Seq[(Long, Long)])] = None)
+      : Unit = {
+    val statsJson = stats.map { case (c, mm) =>
+      require(mm.length == files.length,
+        s"stats/files length mismatch: ${mm.length} != ${files.length}")
+      s""","stats_col":"$c","mins":[${mm.map(_._1).mkString(",")}],""" +
+        s""""maxs":[${mm.map(_._2).mkString(",")}]"""
+    }.getOrElse("")
     val json = s"""{"version":$v,"action":"$action","files":[""" +
-      files.map(f => "\"" + f + "\"").mkString(",") + "]}"
+      files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
     // rename = the commit point: readers see all of v or none of it
@@ -59,16 +67,31 @@ object SnapshotTable {
   }
 
   private val FilesRe = """"files":\[([^\]]*)\]""".r.unanchored
+  private val MinsRe = """"mins":\[([^\]]*)\]""".r.unanchored
+  private val MaxsRe = """"maxs":\[([^\]]*)\]""".r.unanchored
 
-  private def readManifest(dir: String, v: Int): Seq[String] = {
-    val json = new String(
-      Files.readAllBytes(manifestFile(dir, v).toPath), UTF_8)
-    json match {
+  private def manifestJson(dir: String, v: Int): String =
+    new String(Files.readAllBytes(manifestFile(dir, v).toPath), UTF_8)
+
+  private def readManifest(dir: String, v: Int): Seq[String] =
+    manifestJson(dir, v) match {
       case FilesRe(list) =>
         if (list.isEmpty) Seq.empty
         else list.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
-      case _ => throw new IllegalStateException(
+      case json => throw new IllegalStateException(
         s"corrupt manifest v$v in $dir: $json")
+    }
+
+  /** Per-file (min, max) of the stats column, aligned with
+    * [[readManifest]]'s file order; None when the version carries no
+    * stats. */
+  private def readStats(dir: String, v: Int): Option[Seq[(Long, Long)]] = {
+    val json = manifestJson(dir, v)
+    (json, json) match {
+      case (MinsRe(mins), MaxsRe(maxs)) if mins.nonEmpty =>
+        Some(mins.split(",").map(_.toLong)
+          .zip(maxs.split(",").map(_.toLong)).toSeq)
+      case _ => None
     }
   }
 
@@ -78,7 +101,25 @@ object SnapshotTable {
     * touched again); the manifest rename is the atomic visibility
     * point. */
   def commit(spark: SparkSession, df: DataFrame, dir: String,
-             overwrite: Boolean = false): Int = {
+             overwrite: Boolean = false): Int =
+    commitWithStats(spark, df, dir, overwrite, statsCol = None)
+
+  /** [[commit]] plus FILE-LEVEL DATA SKIPPING metadata: when `statsCol`
+    * names a long-typed column, the manifest records each file's
+    * (min, max) of it, and [[readSnapshotPruned]] plans range scans over
+    * only the overlapping files — the Iceberg manifest-stats insight:
+    * pruning happens on a few hundred bytes of metadata BEFORE any file
+    * is opened (parquet footer min/max pruning still needs a footer read
+    * per file; at 10^6 files the manifest is the only sub-second path).
+    * Stats compound with layout: write range-partitioned on the stats
+    * column (or Z-ordered, [[ZOrder]]) so per-file ranges are tight.
+    * On append, carried-forward files keep their recorded stats — a
+    * stats-bearing table requires every prior version to carry stats
+    * (enforced; half-stated metadata would silently disable pruning). */
+  def commitWithStats(spark: SparkSession, df: DataFrame, dir: String,
+                      overwrite: Boolean = false,
+                      statsCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions._
     logDir(dir).mkdirs()
     val prev = versions(dir)
     val v = prev.lastOption.getOrElse(0) + 1
@@ -90,9 +131,56 @@ object SnapshotTable {
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
       else readManifest(dir, prev.last)
+    val stats = statsCol.map { c =>
+      // one bounded metadata job over the just-written (page-cached)
+      // files: per-file min/max, keyed back by file name
+      val byFile = spark.read.parquet(s"$dir/$sub")
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).cast("long").as("mn"),
+          max(col(c)).cast("long").as("mx"))
+        .collect()
+        .map(r => (r.getString(0).substring(
+          r.getString(0).lastIndexOf('/') + 1),
+          (r.getLong(1), r.getLong(2)))).toMap
+      val carried =
+        if (base.isEmpty) Seq.empty
+        else readStats(dir, prev.last).getOrElse(throw new IllegalStateException(
+          s"append with statsCol=$c onto version ${prev.last} which has no stats"))
+      (c, carried ++ written.map { f =>
+        byFile(f.substring(f.lastIndexOf('/') + 1))
+      })
+    }
     writeManifest(dir, v, if (overwrite) "overwrite" else "append",
-      base ++ written)
+      base ++ written, stats)
     v
+  }
+
+  /** Range scan with MANIFEST-LEVEL file pruning: plans only the files
+    * whose recorded [min, max] of the stats column intersects
+    * [lo, hi], then applies the row-level predicate. Falls back to the
+    * full file set when the version carries no stats (correct either
+    * way — stats only skip, never filter rows). */
+  def readSnapshotPruned(spark: SparkSession, dir: String, statsCol: String,
+                         lo: Long, hi: Long, asOf: Option[Int] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in log (have $vs)")
+    val files = readManifest(dir, v)
+    val kept = readStats(dir, v) match {
+      case Some(mm) => files.zip(mm).collect {
+        case (f, (mn, mx)) if mx >= lo && mn <= hi => f
+      }
+      case None => files
+    }
+    require(files.nonEmpty, s"manifest v$v lists no files")
+    if (kept.isEmpty)
+      // every file pruned: an empty frame with the table's real schema
+      readSnapshot(spark, dir, Some(v)).where(lit(false))
+    else spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+      .where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
   /** The table as of `asOf` (default: latest). Plans a parquet scan over
@@ -118,9 +206,16 @@ object SnapshotTable {
     * history it replaced stays time-travelable until [[vacuum]]).
     * Small-file accumulation is the chronic failure mode of daily
     * append logs at 100 TB: scan tasks per file, not per byte. */
-  def compact(spark: SparkSession, dir: String, numFiles: Int): Int =
-    commit(spark, readSnapshot(spark, dir).repartition(numFiles), dir,
-      overwrite = true)
+  def compact(spark: SparkSession, dir: String, numFiles: Int,
+              statsCol: Option[String] = None): Int =
+    commitWithStats(spark,
+      // range-repartition on the stats column when given, so the
+      // compacted files carry TIGHT disjoint ranges (stats + layout
+      // compound); plain repartition otherwise
+      statsCol.map(c => readSnapshot(spark, dir)
+          .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(c)))
+        .getOrElse(readSnapshot(spark, dir).repartition(numFiles)),
+      dir, overwrite = true, statsCol = statsCol)
 
   /** Retention: keep the newest `keep` versions, delete older manifests
     * and every data file ONLY they reference. Returns the deleted data

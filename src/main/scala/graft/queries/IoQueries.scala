@@ -272,6 +272,32 @@ object IoQueries {
     graft.io.SnapshotTable.readSnapshot(s, t).orderBy("doc_id")
   }
 
+  /** Manifest-stats pruned range scan (q154,
+    * [[graft.io.SnapshotTable.commitWithStats]]): documents committed
+    * range-partitioned on doc_id with per-file (min, max) recorded in
+    * the manifest, an append on top (stats carried + extended), then a
+    * doc_id range read that plans ONLY the overlapping files — file
+    * skipping decided on manifest bytes before any footer is opened,
+    * the Iceberg data-skipping core. The pruning itself is asserted in
+    * SnapshotTableSpec (inputFiles strictly fewer); the oracle checks
+    * the invariant that matters: pruning never changes results. */
+  def snapshotPrunedScan(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snapstats").toString
+    graft.io.SnapshotTable.commitWithStats(s,
+      docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+        .repartitionByRange(4, col("doc_id")),
+      t, statsCol = Some("doc_id"))
+    graft.io.SnapshotTable.commitWithStats(s,
+      docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+        .repartitionByRange(4, col("doc_id")),
+      t, statsCol = Some("doc_id"))
+    graft.io.SnapshotTable.readSnapshotPruned(s, t, "doc_id",
+        lo = 100L, hi = 199L)
+      .orderBy("doc_id")
+  }
+
   /** Snapshot diff (q149): the row-level change set between v2 and the
     * v3 overwrite, keyed by doc_id — time travel's other half (what
     * changed, not just what was). */

@@ -83,6 +83,50 @@ class SnapshotTableSpec extends SparkSpec {
     assert(dataFiles == 2)
   }
 
+  test("manifest stats prune files; results never change; stats survive append") {
+    val dir = Files.createTempDirectory("snap-stats").toString
+    val df = (0L until 400L).map(i => (i, s"s${i % 3}"))
+      .toDF("id", "s")
+    SnapshotTable.commitWithStats(spark,
+      df.where(col("id") < 200).repartitionByRange(4, col("id")),
+      dir, statsCol = Some("id"))
+    SnapshotTable.commitWithStats(spark,
+      df.where(col("id") >= 200).repartitionByRange(4, col("id")),
+      dir, statsCol = Some("id"))
+    val pruned = SnapshotTable.readSnapshotPruned(spark, dir, "id", 50, 99)
+    val full = SnapshotTable.readSnapshot(spark, dir)
+    // correctness: pruning == full scan + predicate
+    assert(pruned.as[(Long, String)].collect().toSet ==
+      full.where(col("id").between(50, 99)).as[(Long, String)]
+        .collect().toSet)
+    // the point: strictly fewer files planned (1-2 of 8 range files)
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.inputFiles.length <= 2)
+    // a range nobody holds: zero files, empty result, schema intact
+    val none = SnapshotTable.readSnapshotPruned(spark, dir, "id", 5000, 6000)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "s"))
+    // stats-less append onto a stats table fails loudly, not silently
+    intercept[IllegalStateException] {
+      SnapshotTable.commitWithStats(spark, df.limit(5), dir,
+        statsCol = None) // drops stats...
+      SnapshotTable.commitWithStats(spark, df.limit(5), dir,
+        statsCol = Some("id")) // ...so this append has nothing to carry
+    }
+  }
+
+  test("compact with statsCol re-ranges files and keeps pruning tight") {
+    val dir = Files.createTempDirectory("snap-stats-compact").toString
+    (0 until 4).foreach { i =>
+      SnapshotTable.commitWithStats(spark,
+        (0L until 100L).map(j => (i * 100L + j, "x")).toDF("id", "s"),
+        dir, statsCol = Some("id"))
+    }
+    SnapshotTable.compact(spark, dir, numFiles = 4, statsCol = Some("id"))
+    val pruned = SnapshotTable.readSnapshotPruned(spark, dir, "id", 0, 99)
+    assert(pruned.count() == 100)
+    assert(pruned.inputFiles.length <= 2) // tight ranges post-compaction
+  }
+
   test("unknown version and empty log fail loudly") {
     val dir = Files.createTempDirectory("snap-bad").toString
     intercept[IllegalArgumentException] {
