@@ -185,6 +185,10 @@ object SparkEntry {
     "q152_source_similarity" -> LlmQueries.sourceSimilarity,
     "q153_streaming_snapshot" -> StreamingQueries.streamingSnapshotIngest,
     "q154_snapshot_pruned_scan" -> IoQueries.snapshotPrunedScan,
+    "q155_snapshot_evolve" -> IoQueries.snapshotEvolve,
+    "q156_hard_negatives" -> LlmQueries.hardNegatives,
+    "q157_snapshot_delete" -> IoQueries.snapshotDelete,
+    "q158_snapshot_update" -> IoQueries.snapshotUpdate,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1579,6 +1583,54 @@ ORDER BY d.doc_id""",
     "q154_snapshot_pruned_scan" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""".stripMargin,
+    // q155: schema evolution's visible contract — which (row, column)
+    // cells are populated depends only on which append wave committed
+    // the row (files predating a column null-fill it at read time).
+    "q155_snapshot_evolve" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN lang END AS lang,
+        |  CASE WHEN doc_id % 3 IN (1, 2) THEN n_chars END AS n_chars,
+        |  CASE WHEN doc_id % 3 = 2 THEN source END AS source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q156: the q34 cosine kernel with the rounded-sim band filter
+    // before the per-query rank — band test and ordering both on the
+    // 4-dp value, so the cut line is cross-engine stable.
+    "q156_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |    FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT query_id, vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q_emb, embedding), 4) AS sim
+        |  FROM q, embeddings WHERE vec_id <> query_id),
+        |b AS (SELECT * FROM s WHERE sim BETWEEN 0.15 AND 0.35),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM b)
+        |SELECT query_id, rn, neighbor_id, sim
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // q157: copy-on-write DELETE — the per-language profile before the
+    // DML commit is the full corpus, after it the predicate's complement
+    // (false OR NULL rows survive, SQL DELETE semantics).
+    "q157_snapshot_delete" ->
+      """SELECT 'after' AS phase, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE NOT (doc_id % 2 = 1 AND lang = 'de')
+        |GROUP BY lang
+        |UNION ALL
+        |SELECT 'before', lang, CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents GROUP BY lang
+        |ORDER BY phase, lang""".stripMargin,
+    // q158: copy-on-write UPDATE — the after side applies the assignment
+    // to predicate-true rows only; row counts never change under UPDATE.
+    "q158_snapshot_update" ->
+      """SELECT 'after' AS phase, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 AND lang = 'de'
+        |    THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT 'before', lang, CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents GROUP BY lang
+        |ORDER BY phase, lang""".stripMargin,
     // q133: precision/recall of the sketch dedup families vs the exact
     // Jaccard >= 0.5 ground truth — see generator.
     "q133_dedup_pair_recall" -> q133DedupPairRecallOracle,

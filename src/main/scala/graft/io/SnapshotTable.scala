@@ -3,8 +3,10 @@ package graft.io
 import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.Base64
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Versioned snapshot table — the lakehouse commit-log core (the Delta /
   * Iceberg insight, re-expressed minimally): a table is a LOG OF
@@ -49,7 +51,8 @@ object SnapshotTable {
 
   private def writeManifest(dir: String, v: Int, action: String,
                             files: Seq[String],
-                            stats: Option[(String, Seq[(Long, Long)])] = None)
+                            stats: Option[(String, Seq[(Long, Long)])] = None,
+                            schema: Option[StructType] = None)
       : Unit = {
     val statsJson = stats.map { case (c, mm) =>
       require(mm.length == files.length,
@@ -57,8 +60,19 @@ object SnapshotTable {
       s""","stats_col":"$c","mins":[${mm.map(_._1).mkString(",")}],""" +
         s""""maxs":[${mm.map(_._2).mkString(",")}]"""
     }.getOrElse("")
+    // the TABLE SCHEMA lives in the log (the Delta insight): readers
+    // plan with it instead of sampling parquet footers, which is what
+    // makes add-column evolution O(0) data work — old files simply
+    // null-fill the new columns at read time. Base64 keeps the
+    // manifest's line-regex parsing trivial (StructType json is full of
+    // brackets that would otherwise need a real JSON parser).
+    val schemaJson = schema.map { st =>
+      s""","schema_b64":"${Base64.getEncoder.encodeToString(
+        st.json.getBytes(UTF_8))}""""
+    }.getOrElse("")
     val json = s"""{"version":$v,"action":"$action","files":[""" +
-      files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson + "}"
+      files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
+      schemaJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
     // rename = the commit point: readers see all of v or none of it
@@ -69,6 +83,8 @@ object SnapshotTable {
   private val FilesRe = """"files":\[([^\]]*)\]""".r.unanchored
   private val MinsRe = """"mins":\[([^\]]*)\]""".r.unanchored
   private val MaxsRe = """"maxs":\[([^\]]*)\]""".r.unanchored
+  private val StatsColRe = """"stats_col":"([^"]*)"""".r.unanchored
+  private val SchemaRe = """"schema_b64":"([^"]*)"""".r.unanchored
 
   private def manifestJson(dir: String, v: Int): String =
     new String(Files.readAllBytes(manifestFile(dir, v).toPath), UTF_8)
@@ -80,6 +96,21 @@ object SnapshotTable {
         else list.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
       case json => throw new IllegalStateException(
         s"corrupt manifest v$v in $dir: $json")
+    }
+
+  /** The table schema recorded at `v`; None on a pre-schema manifest. */
+  def readSchema(dir: String, v: Int): Option[StructType] =
+    manifestJson(dir, v) match {
+      case SchemaRe(b64) => Some(DataType.fromJson(
+        new String(Base64.getDecoder.decode(b64), UTF_8)).asInstanceOf[StructType])
+      case _ => None
+    }
+
+  /** The stats column name recorded at `v`, if any. */
+  private def readStatsCol(dir: String, v: Int): Option[String] =
+    manifestJson(dir, v) match {
+      case StatsColRe(c) => Some(c)
+      case _ => None
     }
 
   /** Per-file (min, max) of the stats column, aligned with
@@ -116,10 +147,66 @@ object SnapshotTable {
     * On append, carried-forward files keep their recorded stats — a
     * stats-bearing table requires every prior version to carry stats
     * (enforced; half-stated metadata would silently disable pruning). */
+  /** One bounded metadata job over the files under `$dir/$sub`:
+    * per-file (min, max) of `c`, keyed by bare file name. */
+  private def fileStats(spark: SparkSession, dir: String, sub: String,
+                        c: String): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$dir/$sub")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c)).cast("long").as("mn"),
+        max(col(c)).cast("long").as("mx"))
+      .collect()
+      .map(r => (r.getString(0).substring(
+        r.getString(0).lastIndexOf('/') + 1),
+        (r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  /** The table schema the commit of `df` onto `prev` produces — SCHEMA
+    * EVOLUTION, add-column only (the safe subset): on append, every
+    * column shared with the recorded base schema must keep its type
+    * (loud failure on a change — silent coercion corrupts downstream
+    * readers), columns the append omits stay (its files null-fill
+    * them), and genuinely new columns are appended to the table schema
+    * (every OLDER file null-fills those at read time — zero data
+    * rewritten, the whole point at 100 TB). All fields are recorded
+    * nullable because evolution makes any column absent from some
+    * file's footprint. Overwrite resets the schema to `df`'s; each
+    * version keeps ITS schema, so time travel reads history with the
+    * schema it had then. None only on append onto a pre-schema legacy
+    * base (stay legacy rather than guess what its files hold). */
+  private def evolvedSchema(dir: String, prev: Seq[Int], df: DataFrame,
+                            overwrite: Boolean): Option[StructType] = {
+    def nullable(st: StructType) = StructType(st.fields.map(_.copy(nullable = true)))
+    if (overwrite || prev.isEmpty) Some(nullable(df.schema))
+    else readSchema(dir, prev.last).map { base =>
+      val incoming = df.schema.fields.map(f => f.name -> f).toMap
+      base.fields.foreach { bf =>
+        incoming.get(bf.name).foreach { nf =>
+          require(nf.dataType.simpleString == bf.dataType.simpleString,
+            s"schema evolution may only ADD columns: '${bf.name}' would " +
+              s"change ${bf.dataType.simpleString} -> ${nf.dataType.simpleString}")
+        }
+      }
+      val known = base.fieldNames.toSet
+      nullable(StructType(base.fields ++
+        df.schema.fields.filterNot(f => known(f.name))))
+    }
+  }
+
+  /** Schema-aware reader: a version that recorded its schema is planned
+    * FROM THE LOG (no footer sampling; per-file missing columns
+    * null-fill), a legacy version falls back to footer inference. */
+  private def planRead(spark: SparkSession, dir: String, v: Int,
+                       files: Seq[String]): DataFrame = {
+    val reader = readSchema(dir, v).map(spark.read.schema(_))
+      .getOrElse(spark.read)
+    reader.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
   def commitWithStats(spark: SparkSession, df: DataFrame, dir: String,
                       overwrite: Boolean = false,
                       statsCol: Option[String] = None): Int = {
-    import org.apache.spark.sql.functions._
     logDir(dir).mkdirs()
     val prev = versions(dir)
     val v = prev.lastOption.getOrElse(0) + 1
@@ -132,16 +219,7 @@ object SnapshotTable {
       if (overwrite || prev.isEmpty) Seq.empty
       else readManifest(dir, prev.last)
     val stats = statsCol.map { c =>
-      // one bounded metadata job over the just-written (page-cached)
-      // files: per-file min/max, keyed back by file name
-      val byFile = spark.read.parquet(s"$dir/$sub")
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col(c)).cast("long").as("mn"),
-          max(col(c)).cast("long").as("mx"))
-        .collect()
-        .map(r => (r.getString(0).substring(
-          r.getString(0).lastIndexOf('/') + 1),
-          (r.getLong(1), r.getLong(2)))).toMap
+      val byFile = fileStats(spark, dir, sub, c)
       val carried =
         if (base.isEmpty) Seq.empty
         else readStats(dir, prev.last).getOrElse(throw new IllegalStateException(
@@ -151,7 +229,117 @@ object SnapshotTable {
       })
     }
     writeManifest(dir, v, if (overwrite) "overwrite" else "append",
-      base ++ written, stats)
+      base ++ written, stats, evolvedSchema(dir, prev, df, overwrite))
+    v
+  }
+
+  /** Copy-on-write row-level DELETE — the lakehouse DML primitive:
+    * remove the rows matching `predicate` as a new commit that rewrites
+    * ONLY the files containing a match and carries every other file by
+    * reference (at 100 TB a targeted delete touches a handful of files;
+    * rewriting the table — or worse, mutating files under readers — is
+    * not an option). Mechanics:
+    *
+    *  1. one predicate-only scan (column pruning reaches it: just the
+    *     predicate's columns + the virtual file name) lists the TOUCHED
+    *     files — with manifest stats on a range predicate this could
+    *     prune candidates before the scan, the same skipping as
+    *     [[readSnapshotPruned]];
+    *  2. the survivors of only those files are rewritten under the new
+    *     version's data dir (rows where the predicate is false or NULL
+    *     stay — SQL DELETE semantics);
+    *  3. the manifest lists untouched + rewritten files; stats and
+    *     schema carry forward. Time travel keeps the pre-delete version
+    *     readable until [[vacuum]].
+    *
+    * A match-nothing delete is a metadata-only no-op commit. Deleting
+    * every row leaves an empty but still-readable table — the rewrite
+    * keeps a schema-bearing (possibly empty) parquet file; should the
+    * write produce no file at all the commit is refused loudly rather
+    * than publishing an anchorless manifest. Returns the new version. */
+  def delete(spark: SparkSession, dir: String, predicate: Column): Int = {
+    import org.apache.spark.sql.functions._
+    cowRewrite(spark, dir, predicate, "delete")(
+      _.where(!coalesce(predicate, lit(false))))
+  }
+
+  /** Copy-on-write UPDATE — `SET col = expr` on the rows matching
+    * `predicate`, the other half of lakehouse DML: identical mechanics
+    * to [[delete]] (touched files found by one predicate-only scan,
+    * only they rewrite, everything else carried by reference, stats and
+    * schema carry, history stays readable). Assignments apply only
+    * where the predicate is TRUE (false or NULL rows pass through
+    * unchanged); an assignment may not change the column's type —
+    * refused loudly, type drift under DML is schema corruption — and
+    * must name an existing column (UPDATE changes values; new columns
+    * are [[commit]] schema evolution's job). */
+  def update(spark: SparkSession, dir: String, predicate: Column,
+             assignments: Map[String, Column]): Int = {
+    import org.apache.spark.sql.functions._
+    cowRewrite(spark, dir, predicate, "update") { df =>
+      assignments.keys.foreach { c =>
+        require(df.columns.contains(c),
+          s"UPDATE assigns unknown column '$c' (have ${df.columns.mkString(",")})")
+      }
+      val hit = coalesce(predicate, lit(false))
+      val out = df.select(df.columns.map { c =>
+        assignments.get(c)
+          .map(e => when(hit, e).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }: _*)
+      df.schema.fields.zip(out.schema.fields).foreach { case (a, b) =>
+        require(a.dataType.simpleString == b.dataType.simpleString,
+          s"UPDATE may not change '${a.name}' from " +
+            s"${a.dataType.simpleString} to ${b.dataType.simpleString}")
+      }
+      out
+    }
+  }
+
+  /** Shared copy-on-write DML core: find the files with a predicate
+    * match, rewrite only those through `rewrite`, carry the rest. */
+  private def cowRewrite(spark: SparkSession, dir: String,
+                         predicate: Column, action: String)
+                        (rewrite: DataFrame => DataFrame): Int = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val files = readManifest(dir, prevV)
+    val full = planRead(spark, dir, prevV, files)
+    val touchedAbs = full.where(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = files.filter(f => touchedAbs.exists(_.endsWith(f)))
+    val untouched = files.filterNot(touched.contains)
+    val v = prevV + 1
+    val schema = readSchema(dir, prevV)
+    val written: Seq[String] =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val sub = f"data/v$v%05d"
+        val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        rewrite(reader.parquet(touched.map(f => s"$dir/$f"): _*))
+          .write.mode("overwrite").parquet(s"$dir/$sub")
+        Option(new File(dir, sub).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => s"$sub/${f.getName}").sorted.toSeq
+      }
+    require(untouched.nonEmpty || written.nonEmpty,
+      s"$action would empty the table at $dir; use an overwrite commit")
+    val stats = readStatsCol(dir, prevV).map { c =>
+      val prevStats = readStats(dir, prevV).get
+      val carried = files.zip(prevStats).collect {
+        case (f, mm) if untouched.contains(f) => f -> mm
+      }.toMap
+      val byFile =
+        if (written.isEmpty) Map.empty[String, (Long, Long)]
+        else fileStats(spark, dir, f"data/v$v%05d", c)
+      (c, (untouched.map(f => carried(f)) ++ written.map { f =>
+        byFile(f.substring(f.lastIndexOf('/') + 1))
+      }))
+    }
+    writeManifest(dir, v, action, untouched ++ written, stats, schema)
     v
   }
 
@@ -179,15 +367,17 @@ object SnapshotTable {
     if (kept.isEmpty)
       // every file pruned: an empty frame with the table's real schema
       readSnapshot(spark, dir, Some(v)).where(lit(false))
-    else spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+    else planRead(spark, dir, v, kept)
       .where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
   /** The table as of `asOf` (default: latest). Plans a parquet scan over
-    * exactly the manifest's files — no directory listing. An empty
-    * file set is a contract violation here (commits always write ≥ 1
-    * file), so it fails loudly rather than fabricating an empty frame
-    * with an unknown schema. */
+    * exactly the manifest's files — no directory listing — with the
+    * version's RECORDED schema when present (evolved columns null-fill
+    * on files that predate them; no footer sampling). An empty file set
+    * is a contract violation here (commits always write ≥ 1 file), so
+    * it fails loudly rather than fabricating an empty frame with an
+    * unknown schema. */
   def readSnapshot(spark: SparkSession, dir: String,
                    asOf: Option[Int] = None): DataFrame = {
     val vs = versions(dir)
@@ -196,7 +386,7 @@ object SnapshotTable {
     require(vs.contains(v), s"version $v not in log (have $vs)")
     val files = readManifest(dir, v)
     require(files.nonEmpty, s"manifest v$v lists no files")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    planRead(spark, dir, v, files)
   }
 
   /** Compaction (`OPTIMIZE`): rewrite the CURRENT visible content into

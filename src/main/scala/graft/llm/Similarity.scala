@@ -138,6 +138,35 @@ object Similarity {
       .where(col("rn") <= k)
   }
 
+  /** Hard-negative mining (q156): for each query vector, the top-k
+    * corpus vectors whose ROUNDED cosine lies inside [loSim, hiSim] —
+    * similar enough to be confusable, below the near-duplicate band.
+    * This is the contrastive-training counterpart of near-dup search:
+    * embedding models train on (anchor, positive, hard-negative)
+    * triples, and negatives sampled uniformly are trivially easy — the
+    * informative ones live in exactly this similarity band (the in-batch
+    * vs mined-negative distinction of the DPR/SimCSE line of work).
+    *
+    * Shape is the q34 kernel with a band filter before the rank: the
+    * query set broadcasts, the corpus never shuffles (the filter drops
+    * the easy mass at SCAN time — at mining bands like [0.15, 0.35]
+    * that is most of the corpus), and only survivors enter the
+    * per-query top-k (lowered to the bounded-heap operator by
+    * [[graft.plans.TopKRewrite]]). Both the band test and the ordering
+    * use the 4-dp rounded similarity, so the cut line and the ranking
+    * are cross-engine stable (the q138 rounded-boundary convention). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    loSim: Double, hiSim: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("sim"))
+      .where(col("sim").between(loSim, hiSim))
+    graft.ops.Windows.topKPerKey(scored, Seq(col("query_id")),
+      Seq(col("sim").desc, col("neighbor_id").asc), k)
+  }
+
   /** Random-hyperplane LSH signatures as a (vec_id, sig) frame.
     *
     * Plane weights are INTEGERS in [-500, 499] derived deterministically

@@ -306,4 +306,92 @@ object IoQueries {
     graft.io.SnapshotTable.diff(s, t, fromV = 2, toV = 3, idCol = "doc_id")
       .orderBy("change", "doc_id")
   }
+
+  /** Schema evolution (q155, [[graft.io.SnapshotTable]]): three append
+    * waves, each with a DIFFERENT column set — v1 (doc_id, lang), v2
+    * adds n_chars, v3 drops lang from its files and adds source. The
+    * table schema lives in the manifest log (the Delta insight), so
+    * every wave is a metadata-only evolution: no file is rewritten,
+    * readers plan the latest version with the accumulated schema and
+    * each file null-fills the columns it predates — exactly what a
+    * year-long daily ingest does when the extractor grows fields. The
+    * read-side laws (history keeps its own schema, type changes refused)
+    * are in SnapshotTableSpec; the oracle checks the visible contract:
+    * which (row, column) cells are populated vs null. */
+  def snapshotEvolve(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val t = Files.createTempDirectory("graft-snapevolve").toString
+    val m = pmod(col("doc_id"), lit(3L))
+    graft.io.SnapshotTable.commit(s,
+      docs.where(m === 0).select(col("doc_id"), col("lang")), t)
+    graft.io.SnapshotTable.commit(s,
+      docs.where(m === 1).select(col("doc_id"), col("lang"), col("n_chars")), t)
+    graft.io.SnapshotTable.commit(s,
+      docs.where(m === 2).select(col("doc_id"), col("n_chars"), col("source")), t)
+    graft.io.SnapshotTable.readSnapshot(s, t).orderBy("doc_id")
+  }
+
+  /** Copy-on-write DELETE (q157, [[graft.io.SnapshotTable.delete]]):
+    * documents committed in two range-partitioned stats-bearing waves
+    * (even doc_ids, then odd), then `DELETE WHERE doc_id % 2 = 1 AND
+    * lang = 'de'` — a predicate that can only match the second wave's
+    * files, so the first wave is carried by reference (asserted in
+    * SnapshotTableSpec) while only the touched files rewrite their
+    * survivors. Output is the per-language profile before and after the
+    * DML commit, both read from the same log — the delete is a new
+    * version, history stays readable. */
+  def snapshotDelete(s: SparkSession, dir: String): DataFrame = {
+    val (t, preV) = stageDmlSnapshots(s, dir)
+    val m = pmod(col("doc_id"), lit(2L))
+    graft.io.SnapshotTable.delete(s, t, m === 1 && col("lang") === "de")
+    dmlProfile(s, t, preV)
+  }
+
+  /** Copy-on-write UPDATE (q158, [[graft.io.SnapshotTable.update]]):
+    * the q157 staging with `UPDATE SET n_chars = n_chars + 1000 WHERE
+    * doc_id % 2 = 1 AND lang = 'de'` — again only the second wave's
+    * files can match, so the first wave carries by reference while the
+    * touched files rewrite with the assignment applied to predicate-true
+    * rows only. Output is the same before/after per-language profile;
+    * the after side shows de rows' chars shifted, every other row and
+    * the pre-DML version byte-identical. */
+  def snapshotUpdate(s: SparkSession, dir: String): DataFrame = {
+    val (t, preV) = stageDmlSnapshots(s, dir)
+    val m = pmod(col("doc_id"), lit(2L))
+    graft.io.SnapshotTable.update(s, t, m === 1 && col("lang") === "de",
+      Map("n_chars" -> (col("n_chars") + lit(1000L)).cast("long")))
+    dmlProfile(s, t, preV)
+  }
+
+  /** q157/q158 staging: documents in two range-partitioned stats-bearing
+    * waves (even doc_ids, then odd) — the DML predicates target the odd
+    * wave so the even wave's files must carry by reference. Returns the
+    * table dir and the pre-DML version. */
+  private def stageDmlSnapshots(s: SparkSession, dir: String): (String, Int) = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    val t = Files.createTempDirectory("graft-snapdml").toString
+    val m = pmod(col("doc_id"), lit(2L))
+    graft.io.SnapshotTable.commitWithStats(s,
+      docs.where(m === 0).repartitionByRange(4, col("doc_id")),
+      t, statsCol = Some("doc_id"))
+    graft.io.SnapshotTable.commitWithStats(s,
+      docs.where(m === 1).repartitionByRange(4, col("doc_id")),
+      t, statsCol = Some("doc_id"))
+    (t, graft.io.SnapshotTable.versions(t).last)
+  }
+
+  /** Per-language profile of the pre-DML version and the latest version,
+    * both read from the same log — the DML is a commit, not a mutation. */
+  private def dmlProfile(s: SparkSession, t: String, preV: Int): DataFrame = {
+    def profile(df: DataFrame, phase: String): DataFrame =
+      df.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .select(lit(phase).as("phase"), col("lang"), col("n_docs"),
+          col("sum_chars"))
+    profile(graft.io.SnapshotTable.readSnapshot(s, t, Some(preV)), "before")
+      .unionAll(profile(graft.io.SnapshotTable.readSnapshot(s, t), "after"))
+      .orderBy("phase", "lang")
+  }
 }

@@ -573,6 +573,23 @@ object LlmQueries {
       .orderBy("method")
   }
 
+  /** Hard-negative mining (q156,
+    * [[graft.llm.Similarity.hardNegatives]]): top-5 per query vector in
+    * the [0.15, 0.35] rounded-cosine band — the confusable-but-not-
+    * duplicate negatives contrastive embedding training needs (uniform
+    * negatives are trivially easy; the near-dup band would be false
+    * negatives). Same 10-query set as q34; the band bounds sit inside
+    * the corpus's p90-p99.9 similarity range so every query mines a
+    * non-trivial candidate pool. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb,
+        k = 5, loSim = 0.15, hiSim = 0.35)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("neighbor_id"), col("sim"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Deterministic stratified sample (q87): per-language keep rates via a
     * seeded portable-hash coin — the training-mix knob, reproducible
     * across runs/engines/partitionings (no rand()). Pure scan-level

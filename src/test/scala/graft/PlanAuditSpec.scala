@@ -70,6 +70,10 @@ class PlanAuditSpec extends SparkSpec {
                              // shape); the collision self-join, pair
                              // dedup and mutual transpose join are all
                              // equi on (t, sig) / (src, dst)
+    "q156_hard_negatives",   // q34's designed broadcast-queries scan with
+                             // the band filter fused into it — the filter
+                             // drops the easy mass at scan time; no
+                             // corpus-side shuffle anywhere
     "q152_source_similarity" // the src_a < src_b PAIR frame over the
                              // sketch table — |mixture domains|² rows of
                              // ≤64-long arrays, bounded by design: the

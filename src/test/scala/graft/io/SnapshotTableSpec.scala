@@ -141,4 +141,114 @@ class SnapshotTableSpec extends SparkSpec {
       .filter(_.getName.endsWith(".tmp"))
     assert(stray.isEmpty)
   }
+
+  test("schema evolution: appends add columns, old files null-fill, " +
+    "history keeps its own schema, type changes fail loudly") {
+    val dir = Files.createTempDirectory("snap-evolve").toString
+    SnapshotTable.commit(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    // v2 adds a column: zero data rewritten, v1's files just null-fill it
+    SnapshotTable.commit(spark,
+      Seq((3L, "c", 0.5)).toDF("id", "s", "score"), dir)
+    val latest = SnapshotTable.readSnapshot(spark, dir)
+    assert(latest.columns.toSeq == Seq("id", "s", "score"))
+    assert(latest.as[(Long, String, Option[Double])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+    // time travel reads v1 with the schema it HAD then
+    assert(SnapshotTable.readSnapshot(spark, dir, Some(1))
+      .columns.toSeq == Seq("id", "s"))
+    // an append may also OMIT known columns (its files null-fill them)
+    SnapshotTable.commit(spark, Seq(Tuple1(4L)).toDF("id"), dir)
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .where(col("id") === 4L)
+      .as[(Long, Option[String], Option[Double])].collect().toSeq ==
+      Seq((4L, None, None)))
+    // a type change is refused, not coerced
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, Seq((5L, 7L)).toDF("id", "s"), dir)
+    }
+    // overwrite resets the schema
+    SnapshotTable.commit(spark, Seq((9L, true)).toDF("id", "flag"), dir,
+      overwrite = true)
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .columns.toSeq == Seq("id", "flag"))
+  }
+
+  test("copy-on-write delete rewrites only touched files and keeps history") {
+    val dir = Files.createTempDirectory("snap-delete").toString
+    // two disjoint-range commits -> the delete can only touch one side
+    SnapshotTable.commit(spark,
+      (0L until 50L).map(i => (i, if (i % 10 == 0) null else s"s$i"))
+        .toDF("id", "s").coalesce(1), dir)
+    SnapshotTable.commit(spark,
+      (50L until 100L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1), dir)
+    val beforeFiles = SnapshotTable.readSnapshot(spark, dir).inputFiles.toSet
+    val v3 = SnapshotTable.delete(spark, dir, col("id") < 40 && col("s").isNotNull)
+    assert(v3 == 3)
+    val after = SnapshotTable.readSnapshot(spark, dir)
+    // DELETE semantics: predicate-true rows gone; false OR NULL rows stay
+    val ids = after.select("id").as[Long].collect().toSet
+    assert(ids == ((0L until 40L).filter(_ % 10 == 0) ++ (40L until 100L)).toSet)
+    // the untouched 50-99 file is carried by REFERENCE, not rewritten
+    assert(after.inputFiles.toSet.intersect(beforeFiles).size == 1)
+    // pre-delete history still time-travels
+    assert(SnapshotTable.readSnapshot(spark, dir, Some(2)).count() == 100)
+    // a match-nothing delete is a metadata-only commit: same files
+    val v4 = SnapshotTable.delete(spark, dir, col("id") > 5000)
+    assert(SnapshotTable.readSnapshot(spark, dir, Some(v4)).inputFiles.toSet ==
+      after.inputFiles.toSet)
+    // deleting every row: an empty but still-readable table (the
+    // rewrite keeps a schema-bearing empty file), history intact
+    val v5 = SnapshotTable.delete(spark, dir, lit(true))
+    val empty = SnapshotTable.readSnapshot(spark, dir, Some(v5))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "s"))
+    assert(SnapshotTable.readSnapshot(spark, dir, Some(v4)).count() == ids.size)
+  }
+
+  test("copy-on-write update: assignment on predicate-true rows only, " +
+    "untouched files carried, type drift and unknown columns refused") {
+    val dir = Files.createTempDirectory("snap-update").toString
+    SnapshotTable.commit(spark,
+      (0L until 50L).map(i => (i, if (i % 10 == 0) null else s"s$i", i * 2))
+        .toDF("id", "s", "n").coalesce(1), dir)
+    SnapshotTable.commit(spark,
+      (50L until 100L).map(i => (i, s"s$i", i * 2)).toDF("id", "s", "n")
+        .coalesce(1), dir)
+    val beforeFiles = SnapshotTable.readSnapshot(spark, dir).inputFiles.toSet
+    SnapshotTable.update(spark, dir, col("id") < 40 && col("s").isNotNull,
+      Map("n" -> (col("n") + 1000L)))
+    val after = SnapshotTable.readSnapshot(spark, dir)
+    val rows = after.select("id", "n").as[(Long, Long)].collect().toMap
+    (0L until 100L).foreach { i =>
+      val expect = if (i < 40 && i % 10 != 0) i * 2 + 1000 else i * 2
+      assert(rows(i) == expect, s"id $i") // NULL-predicate rows untouched
+    }
+    assert(after.count() == 100)                       // UPDATE never drops
+    // second wave's file carried by reference
+    assert(after.inputFiles.toSet.intersect(beforeFiles).size == 1)
+    // history: the pre-update version still shows the old values
+    assert(SnapshotTable.readSnapshot(spark, dir, Some(2))
+      .where(col("id") === 1L).select("n").as[Long].head() == 2L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.update(spark, dir, col("id") < 5,
+        Map("n" -> lit("oops")))                       // type change
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.update(spark, dir, col("id") < 5,
+        Map("nope" -> lit(1L)))                        // unknown column
+    }
+  }
+
+  test("delete carries manifest stats; pruning stays correct after DML") {
+    val dir = Files.createTempDirectory("snap-delete-stats").toString
+    SnapshotTable.commitWithStats(spark,
+      (0L until 400L).map(i => (i, s"s$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")), dir, statsCol = Some("id"))
+    SnapshotTable.delete(spark, dir, col("id").between(100, 149))
+    val pruned = SnapshotTable.readSnapshotPruned(spark, dir, "id", 100, 199)
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      (150L until 200L).toSet)
+    // stats survived the DML commit: strictly fewer files planned
+    assert(pruned.inputFiles.length <
+      SnapshotTable.readSnapshot(spark, dir).inputFiles.length)
+  }
 }

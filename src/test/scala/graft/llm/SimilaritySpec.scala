@@ -327,4 +327,30 @@ class SimilaritySpec extends SparkSpec {
       assert(keeper == (c == v), s"vec $v keeper flag")
     }
   }
+
+  test("hard negatives: band law, self-exclusion, agreement with brute force") {
+    val q = emb.where(col("vec_id") < 5)
+    val mined = Similarity.hardNegatives(q, emb, k = 5,
+        loSim = 0.15, hiSim = 0.35)
+      .select("query_id", "rn", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(mined.nonEmpty)
+    // every mined sim is inside the band; never the query itself; <= k per query
+    mined.foreach { case (qid, _, nid, s) =>
+      assert(s >= 0.15 && s <= 0.35, s"sim $s out of band")
+      assert(nid != qid)
+    }
+    assert(mined.groupBy(_._1).forall(_._2.length <= 5))
+    // agreement: the mined set == brute-force scores band-filtered, top-5
+    val brute = Similarity.bruteForceTopK(q, emb, k = Int.MaxValue)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .filter { case (_, _, s) => s >= 0.15 && s <= 0.35 }
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rows) =>
+        rows.sortBy { case (_, nid, s) => (-s, nid) }.take(5).toSeq
+      }.toSet
+    assert(mined.map { case (a, _, b, s) => (a, b, s) }.toSet == brute)
+  }
 }
