@@ -189,6 +189,8 @@ object SparkEntry {
     "q156_hard_negatives" -> LlmQueries.hardNegatives,
     "q157_snapshot_delete" -> IoQueries.snapshotDelete,
     "q158_snapshot_update" -> IoQueries.snapshotUpdate,
+    "q159_snapshot_merge" -> IoQueries.snapshotMerge,
+    "q160_snapshot_audited" -> IoQueries.snapshotAudited,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1619,6 +1621,43 @@ ORDER BY d.doc_id""",
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents GROUP BY lang
         |ORDER BY phase, lang""".stripMargin,
+    // q159: MERGE INTO — after = matched rows with lang 'xx' (their
+    // n_chars kept: the source's NULL payload keeps the base value)
+    // plus the shifted-key inserted slice; before = the full corpus.
+    "q159_snapshot_merge" ->
+      """WITH after AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 1 THEN 'xx' ELSE lang END AS lang,
+        |    n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', n_chars + 1
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT 'after' AS phase, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM after GROUP BY lang
+        |UNION ALL
+        |SELECT 'before', lang, CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents GROUP BY lang
+        |ORDER BY phase, lang""".stripMargin,
+    // q160: write-audit-publish — the bad attempt's violation count is
+    // the planted corruption's row count, the good attempt is clean,
+    // and exactly the clean corpus is visible afterwards.
+    "q160_snapshot_audited" ->
+      """SELECT 'bad' AS attempt, 'n_chars_nonneg' AS check_name,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id % 97 = 0)
+        |    AS BIGINT) AS violations, false AS pass
+        |UNION ALL
+        |SELECT 'bad', 'unique_doc', 0, true
+        |UNION ALL
+        |SELECT 'good', 'n_chars_nonneg', 0, true
+        |UNION ALL
+        |SELECT 'good', 'unique_doc', 0, true
+        |UNION ALL
+        |SELECT 'table', 'rows_visible',
+        |  CAST((SELECT count(*) FROM documents) AS BIGINT), true
+        |ORDER BY attempt, check_name""".stripMargin,
     // q158: copy-on-write UPDATE — the after side applies the assignment
     // to predicate-true rows only; row counts never change under UPDATE.
     "q158_snapshot_update" ->

@@ -212,9 +212,18 @@ object SnapshotTable {
     val v = prev.lastOption.getOrElse(0) + 1
     val sub = f"data/v$v%05d"
     df.write.mode("overwrite").parquet(s"$dir/$sub")
-    val written = new File(dir, sub).listFiles()
-      .filter(f => f.getName.endsWith(".parquet"))
-      .map(f => s"$sub/${f.getName}").sorted.toSeq
+    publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCol)
+  }
+
+  /** Publish a commit whose data files are already staged under `sub`:
+    * list them, compute/carry stats, evolve the schema, write the
+    * manifest. The rename inside [[writeManifest]] is the atomic
+    * visibility point. */
+  private def publishStaged(spark: SparkSession, df: DataFrame, dir: String,
+                            prev: Seq[Int], v: Int, sub: String,
+                            overwrite: Boolean,
+                            statsCol: Option[String]): Int = {
+    val written = listWritten(dir, sub)
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
       else readManifest(dir, prev.last)
@@ -296,6 +305,59 @@ object SnapshotTable {
     }
   }
 
+  /** MERGE INTO (upsert DML): apply `source` to the table keyed by
+    * `keys` with [[graft.ops.Merge.upsert]]'s row semantics — WHEN
+    * MATCHED the source row wins column-wise (NULL source columns keep
+    * the base value, deltas may carry partial rows), WHEN NOT MATCHED
+    * the source row inserts. Same copy-on-write mechanics as
+    * [[delete]]/[[update]], with the touched set found by a key
+    * SEMI-JOIN instead of a predicate: any file holding a source key
+    * rewrites (its survivors upserted together with ALL source rows —
+    * unmatched keys insert into the same rewrite), every other file
+    * carries by reference. With manifest stats on the key column the
+    * semi-join could first prune candidate files to the source's key
+    * range — the [[readSnapshotPruned]] skipping applied to DML.
+    * `source` must carry exactly the table's columns (the upsert core
+    * is column-wise; add-column merges are [[commit]] evolution's job);
+    * a source with duplicate keys is refused — MERGE's "multiple rows
+    * matched" error, since which row wins would be nondeterministic. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+            keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val files = readManifest(dir, prevV)
+    val schema = readSchema(dir, prevV)
+    val full = planRead(spark, dir, prevV, files)
+    require(source.columns.sorted.sameElements(full.columns.sorted),
+      s"merge source columns ${source.columns.sorted.mkString(",")} != " +
+        s"table columns ${full.columns.sorted.mkString(",")}")
+    val src = source.select(full.columns.map(col): _*)
+    val dupKeys = src.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"merge source has duplicate keys on (${keys.mkString(",")})")
+    val keyRows = src.select(keys.map(col): _*).distinct()
+    val touchedAbs = full.withColumn("_f", input_file_name())
+      .join(broadcast(keyRows), keys, "left_semi")
+      .select("_f").distinct().collect().map(_.getString(0)).toSet
+    val touched = files.filter(f => touchedAbs.exists(_.endsWith(f)))
+    val untouched = files.filterNot(touched.contains)
+    val v = prevV + 1
+    val sub = f"data/v$v%05d"
+    val base =
+      if (touched.isEmpty) full.where(lit(false)) // all-insert merge
+      else {
+        val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        reader.parquet(touched.map(f => s"$dir/$f"): _*)
+      }
+    graft.ops.Merge.upsert(base, src, keys)
+      .write.mode("overwrite").parquet(s"$dir/$sub")
+    val written = listWritten(dir, sub)
+    publish(spark, dir, prevV, v, untouched, written, "merge", schema)
+  }
+
   /** Shared copy-on-write DML core: find the files with a predicate
     * match, rewrite only those through `rewrite`, carry the rest. */
   private def cowRewrite(spark: SparkSession, dir: String,
@@ -321,12 +383,26 @@ object SnapshotTable {
         val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
         rewrite(reader.parquet(touched.map(f => s"$dir/$f"): _*))
           .write.mode("overwrite").parquet(s"$dir/$sub")
-        Option(new File(dir, sub).listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet"))
-          .map(f => s"$sub/${f.getName}").sorted.toSeq
+        listWritten(dir, sub)
       }
     require(untouched.nonEmpty || written.nonEmpty,
       s"$action would empty the table at $dir; use an overwrite commit")
+    publish(spark, dir, prevV, v, untouched, written, action, schema)
+  }
+
+  /** The parquet files a just-finished write landed under `$dir/$sub`,
+    * as manifest-relative paths. */
+  private def listWritten(dir: String, sub: String): Seq[String] =
+    Option(new File(dir, sub).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"$sub/${f.getName}").sorted.toSeq
+
+  /** Publish a DML commit: carry untouched files' stats, recompute the
+    * rewritten files', write the manifest. */
+  private def publish(spark: SparkSession, dir: String, prevV: Int, v: Int,
+                      untouched: Seq[String], written: Seq[String],
+                      action: String, schema: Option[StructType]): Int = {
+    val files = readManifest(dir, prevV)
     val stats = readStatsCol(dir, prevV).map { c =>
       val prevStats = readStats(dir, prevV).get
       val carried = files.zip(prevStats).collect {
@@ -341,6 +417,54 @@ object SnapshotTable {
     }
     writeManifest(dir, v, action, untouched ++ written, stats, schema)
     v
+  }
+
+  /** WRITE-AUDIT-PUBLISH commit (the Iceberg WAP pattern): stage the
+    * data write under the next version's directory, AUDIT the staged
+    * files with [[graft.ops.Expectations]] — the audit reads what was
+    * actually written, so it catches writer bugs as well as bad input —
+    * and publish the manifest ONLY when every check passes. Readers
+    * never see an unpublished stage (they plan from manifests, staged
+    * data is invisible), so a failing audit costs nothing downstream:
+    * the staged files are removed, the log is untouched, and the
+    * returned report says which checks failed. This is the promotion
+    * gate a 100 TB daily ingest runs — the alternative, auditing after
+    * publish, means consumers can read the bad version first.
+    *
+    * Returns (Some(newVersion), report) when published,
+    * (None, report) when the audit failed and nothing was committed. */
+  def commitAudited(spark: SparkSession, df: DataFrame, dir: String,
+                    rowChecks: Seq[graft.ops.Expectations.RowCheck],
+                    uniqueChecks: Seq[graft.ops.Expectations.UniqueCheck] = Nil,
+                    overwrite: Boolean = false,
+                    statsCol: Option[String] = None): (Option[Int], DataFrame) = {
+    logDir(dir).mkdirs()
+    val prev = versions(dir)
+    val v = prev.lastOption.getOrElse(0) + 1
+    val sub = f"data/v$v%05d"
+    df.write.mode("overwrite").parquet(s"$dir/$sub")
+    val staged = spark.read.parquet(s"$dir/$sub")
+    val checked = graft.ops.Expectations.check(staged, rowChecks, uniqueChecks)
+    // materialize the report NOW (≤ #checks rows — the verdict, not the
+    // data): its lineage must not reference the staged files, which a
+    // failed audit deletes and the next attempt's stage overwrites
+    val verdict = checked.collect().toSeq
+    val report = spark.createDataFrame(
+      spark.sparkContext.parallelize(verdict, 1), checked.schema)
+    val allPass = verdict.forall(_.getAs[Boolean]("pass"))
+    if (!allPass) {
+      // un-stage: delete the written files + dir, leave the log untouched
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        Files.deleteIfExists(f.toPath)
+      }
+      rm(new File(dir, sub))
+      (None, report)
+    } else {
+      // publish the STAGED files — what was audited is what readers see
+      (Some(publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCol)),
+        report)
+    }
   }
 
   /** Range scan with MANIFEST-LEVEL file pruning: plans only the files

@@ -363,6 +363,65 @@ object IoQueries {
     dmlProfile(s, t, preV)
   }
 
+  /** MERGE INTO (q159, [[graft.io.SnapshotTable.merge]]): the q157
+    * staging, then one merge commit carrying BOTH clause kinds — WHEN
+    * MATCHED updates (every doc_id ≡ 1 (mod 10) gets lang 'xx' with a
+    * NULL n_chars that keeps the base value, the partial-delta
+    * contract) and WHEN NOT MATCHED inserts (a shifted-key slice).
+    * Matched keys are all odd, so only the odd wave's files rewrite;
+    * the even wave carries by reference (asserted in
+    * SnapshotTableSpec). Output is the before/after per-language
+    * profile: 'xx' appears, 'new' appears, and the n_chars mass of the
+    * updated rows is UNCHANGED — the NULL-keeps-base proof visible in
+    * the aggregate. */
+  def snapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    val (t, preV) = stageDmlSnapshots(s, dir)
+    val docs = table(s, dir, "documents")
+    val updates = docs.where(pmod(col("doc_id"), lit(10L)) === 1)
+      .select(col("doc_id"), lit("xx").as("lang"),
+        lit(null).cast("long").as("n_chars"))
+    val inserts = docs.where(pmod(col("doc_id"), lit(50L)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("new").as("lang"), (col("n_chars") + 1L).cast("long").as("n_chars"))
+    graft.io.SnapshotTable.merge(s, t, updates.unionByName(inserts),
+      Seq("doc_id"))
+    dmlProfile(s, t, preV)
+  }
+
+  /** Write-audit-publish (q160, [[graft.io.SnapshotTable.commitAudited]]
+    * over [[graft.ops.Expectations]]): a corrupted slice (negative
+    * n_chars planted on doc_id ≡ 0 (mod 97)) is staged, audited, and
+    * REFUSED — the log stays empty, the stage is removed — then the
+    * clean corpus passes the same checks and publishes. Output is both
+    * audit reports plus a final row proving exactly one version is
+    * visible with the full corpus: the promotion gate a daily ingest
+    * runs BEFORE readers can see the version, not after. */
+  def snapshotAudited(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    val t = Files.createTempDirectory("graft-snapwap").toString
+    val bad = docs.withColumn("n_chars",
+      when(pmod(col("doc_id"), lit(97L)) === 0, lit(-1L))
+        .otherwise(col("n_chars")))
+    val checks = Seq(graft.ops.Expectations.RowCheck("n_chars_nonneg",
+      col("n_chars") >= 0))
+    val uniq = Seq(graft.ops.Expectations.UniqueCheck("unique_doc",
+      Seq("doc_id")))
+    val (v1, r1) = graft.io.SnapshotTable.commitAudited(s, bad, t, checks, uniq)
+    val (v2, r2) = graft.io.SnapshotTable.commitAudited(s, docs, t, checks, uniq)
+    val tableRow = graft.io.SnapshotTable.readSnapshot(s, t)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("table").as("attempt"), lit("rows_visible").as("check_name"),
+        col("violations"),
+        lit(v1.isEmpty && v2.contains(1) &&
+          graft.io.SnapshotTable.versions(t) == Seq(1)).as("pass"))
+    def tag(r: DataFrame, attempt: String): DataFrame =
+      r.select(lit(attempt).as("attempt"), col("check_name"),
+        col("violations"), col("pass"))
+    tag(r1, "bad").unionByName(tag(r2, "good")).unionByName(tableRow)
+      .orderBy("attempt", "check_name")
+  }
+
   /** q157/q158 staging: documents in two range-partitioned stats-bearing
     * waves (even doc_ids, then odd) — the DML predicates target the odd
     * wave so the even wave's files must carry by reference. Returns the

@@ -238,6 +238,75 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("merge into: matched updates win column-wise, unmatched insert, " +
+    "untouched files carried, duplicate-key and schema-drift sources refused") {
+    val dir = Files.createTempDirectory("snap-merge").toString
+    SnapshotTable.commit(spark,
+      (0L until 50L).map(i => (i, s"s$i", i * 2)).toDF("id", "s", "n")
+        .coalesce(1), dir)
+    SnapshotTable.commit(spark,
+      (50L until 100L).map(i => (i, s"s$i", i * 2)).toDF("id", "s", "n")
+        .coalesce(1), dir)
+    val beforeFiles = SnapshotTable.readSnapshot(spark, dir).inputFiles.toSet
+    // source touches only the first wave's keys + inserts a new key;
+    // id 10 carries a NULL payload column -> keeps the base value
+    val source = Seq(
+      (10L, Option.empty[String], Option(999L)),  // partial: s stays s10
+      (20L, Option("S20"), Option(777L)),         // full update
+      (200L, Option("NEW"), Option(1L)))          // unmatched -> insert
+      .toDF("id", "s", "n")
+    val v = SnapshotTable.merge(spark, dir, source, Seq("id"))
+    assert(v == 3)
+    val after = SnapshotTable.readSnapshot(spark, dir)
+      .select("id", "s", "n").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after(10L) == (("s10", 999L)))  // NULL source col kept base s
+    assert(after(20L) == (("S20", 777L)))
+    assert(after(200L) == (("NEW", 1L)))
+    assert(after(30L) == (("s30", 60L)))   // untouched row in touched file
+    assert(after(60L) == (("s60", 120L)))  // carried file
+    assert(after.size == 101)
+    // second wave's file carried by reference
+    assert(SnapshotTable.readSnapshot(spark, dir).inputFiles.toSet
+      .intersect(beforeFiles).size == 1)
+    // pre-merge history intact
+    assert(SnapshotTable.readSnapshot(spark, dir, Some(2)).count() == 100)
+    intercept[IllegalArgumentException] {   // duplicate source keys
+      SnapshotTable.merge(spark, dir,
+        Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("id", "s", "n"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {   // schema drift
+      SnapshotTable.merge(spark, dir,
+        Seq((1L, "a")).toDF("id", "s"), Seq("id"))
+    }
+  }
+
+  test("write-audit-publish: failing audit unstages and publishes nothing; " +
+    "passing audit publishes the staged files") {
+    val dir = Files.createTempDirectory("snap-wap").toString
+    val checks = Seq(graft.ops.Expectations.RowCheck("n_nonneg", col("n") >= 0))
+    val uniq = Seq(graft.ops.Expectations.UniqueCheck("id_unique", Seq("id")))
+    val bad = Seq((1L, -5L), (2L, 3L)).toDF("id", "n")
+    val (v1, r1) = SnapshotTable.commitAudited(spark, bad, dir, checks, uniq)
+    assert(v1.isEmpty)
+    assert(r1.where(col("check_name") === "n_nonneg")
+      .select("violations").as[Long].head() == 1L)
+    assert(SnapshotTable.versions(dir).isEmpty)       // log untouched
+    // staged files removed: nothing under data/
+    val dataDirs = Option(new java.io.File(s"$dir/data").listFiles())
+      .getOrElse(Array.empty)
+    assert(dataDirs.isEmpty)
+    val good = Seq((1L, 5L), (2L, 3L)).toDF("id", "n")
+    val (v2, r2) = SnapshotTable.commitAudited(spark, good, dir, checks, uniq)
+    assert(v2.contains(1))
+    assert(r2.where(!col("pass")).count() == 0)
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .as[(Long, Long)].collect().toSet == Set((1L, 5L), (2L, 3L)))
+    // a failing audited APPEND leaves the published version intact
+    val (v3, _) = SnapshotTable.commitAudited(spark, bad, dir, checks, uniq)
+    assert(v3.isEmpty && SnapshotTable.versions(dir) == Seq(1))
+  }
+
   test("delete carries manifest stats; pruning stays correct after DML") {
     val dir = Files.createTempDirectory("snap-delete-stats").toString
     SnapshotTable.commitWithStats(spark,
