@@ -71,7 +71,8 @@ object Bench {
       "q85_streaming_asof_buffered", "q86_streaming_heavy_hitters",
       "q93_streaming_ingest", "q101_streaming_neardup",
       "q130_streaming_media", "q140_streaming_web_filter",
-      "q150_streaming_bottomk", "q153_streaming_snapshot")
+      "q150_streaming_bottomk", "q153_streaming_snapshot",
+      "q161_streaming_cdc")
 
     def report(name: String, xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)

@@ -191,6 +191,7 @@ object SparkEntry {
     "q158_snapshot_update" -> IoQueries.snapshotUpdate,
     "q159_snapshot_merge" -> IoQueries.snapshotMerge,
     "q160_snapshot_audited" -> IoQueries.snapshotAudited,
+    "q161_streaming_cdc" -> StreamingQueries.streamingCdcUpsert,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1658,6 +1659,12 @@ ORDER BY d.doc_id""",
         |SELECT 'table', 'rows_visible',
         |  CAST((SELECT count(*) FROM documents) AS BIGINT), true
         |ORDER BY attempt, check_name""".stripMargin,
+    // q161: streaming CDC upsert — insert-merge then matched-update
+    // merge per micro-batch; final state is order-independent by
+    // construction (every doc ends at n_chars + 1, lang kept).
+    "q161_streaming_cdc" ->
+      """SELECT doc_id, lang, n_chars + 1 AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q158: copy-on-write UPDATE — the after side applies the assignment
     // to predicate-true rows only; row counts never change under UPDATE.
     "q158_snapshot_update" ->

@@ -325,7 +325,16 @@ object SnapshotTable {
             keys: Seq[String]): Int = {
     import org.apache.spark.sql.functions._
     val vs = versions(dir)
-    require(vs.nonEmpty, s"no snapshot log at $dir")
+    if (vs.isEmpty) {
+      // merge into an empty table = the initial commit (every source row
+      // is WHEN NOT MATCHED) — the bootstrap case of a CDC ingest loop,
+      // which shouldn't need a special first-batch code path
+      val dup0 = source.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).count()
+      require(dup0 == 0,
+        s"merge source has duplicate keys on (${keys.mkString(",")})")
+      return commit(spark, source, dir)
+    }
     val prevV = vs.last
     val files = readManifest(dir, prevV)
     val schema = readSchema(dir, prevV)

@@ -404,6 +404,44 @@ object StreamingQueries {
     graft.io.SnapshotTable.readSnapshot(s, tableDir).orderBy("doc_id")
   }
 
+  /** Streaming CDC upsert ingest (q161,
+    * [[graft.io.SnapshotTable.merge]] inside foreachBatch): every
+    * micro-batch applies TWO merges to the snapshot table — its rows as
+    * inserts (WHEN NOT MATCHED; the first batch bootstraps the empty
+    * log), then a partial-row delta over the same keys (WHEN MATCHED:
+    * n_chars incremented, a NULL lang that keeps the base value). Both
+    * MERGE clause kinds and the NULL-keeps-base contract thus run under
+    * micro-batch replay, and the final state — every document with
+    * n_chars+1 — is independent of the order the 16 file-batches
+    * arrive in, which is what makes the oracle exact. This is the CDC
+    * ingest shape: a change stream continuously upserted into a
+    * versioned table, each batch a copy-on-write commit whose cost
+    * tracks the batch's key locality, never the table size; readers
+    * time-travel a consistent version while the stream runs. Same
+    * retry note as q153 (production pairs commits with batchId). */
+  def streamingCdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageForStream(dir, "documents.parquet", "q161")
+    val stream = EventsStream.fromDirectory(s, srcDir)
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft-q161").toString
+    val q = stream
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          if (!batch.isEmpty) {
+            val b = batch.toDF().persist()
+            graft.io.SnapshotTable.merge(s, tableDir, b, Seq("doc_id"))
+            graft.io.SnapshotTable.merge(s, tableDir,
+              b.select(col("doc_id"), lit(null).cast("string").as("lang"),
+                (col("n_chars") + 1L).as("n_chars")), Seq("doc_id"))
+            b.unpersist(): Unit
+          }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    graft.io.SnapshotTable.readSnapshot(s, tableDir).orderBy("doc_id")
+  }
+
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */
