@@ -2,7 +2,7 @@ package graft.io
 
 import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.util.Base64
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -26,12 +26,17 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * the scan-planning bottleneck on object stores, and eventually-
   * consistent listings make plain directory tables racy. A manifest is
   * one small file read; version visibility is atomic because the
-  * manifest is renamed into place after its data files are fully
+  * manifest is hard-linked into place after its data files are fully
   * written (readers either see the complete version or the previous
-  * one). Single-writer is assumed (the daily-job cadence of the
-  * reference pipeline, testpilot_data.py:86-87); multi-writer
-  * compare-and-swap on the log is the one piece deliberately out of
-  * scope. File paths are stored RELATIVE to the table root, so a table
+  * one), and the link is a COMPARE-AND-SWAP: a second writer racing
+  * the same version number fails loudly with
+  * ConcurrentModificationException and must re-read the log and retry
+  * on top of the winner — optimistic concurrency, the Delta commit
+  * protocol (on an object store the same CAS is a conditional PUT).
+  * The usual cadence is still single-writer (the daily job of the
+  * reference pipeline, testpilot_data.py:86-87); the CAS turns the
+  * rare violation from silent lost updates into a retryable error.
+  * File paths are stored RELATIVE to the table root, so a table
   * survives relocation.
   */
 object SnapshotTable {
@@ -49,7 +54,10 @@ object SnapshotTable {
     }.toSeq.sorted
   }
 
-  private def writeManifest(dir: String, v: Int, action: String,
+  /** `private[io]` so the spec can drive the CAS path directly — the
+    * lost-race window (two writers computing the same next version) is
+    * not reachable deterministically through [[commit]]. */
+  private[io] def writeManifest(dir: String, v: Int, action: String,
                             files: Seq[String],
                             stats: Option[(String, Seq[(Long, Long)])] = None,
                             schema: Option[StructType] = None)
@@ -75,9 +83,22 @@ object SnapshotTable {
       schemaJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
-    // rename = the commit point: readers see all of v or none of it
-    Files.move(tmp.toPath, manifestFile(dir, v).toPath,
-      StandardCopyOption.ATOMIC_MOVE)
+    // hard-link = the commit point, and a true COMPARE-AND-SWAP: link
+    // creation is atomic-exclusive (EEXIST if the target exists), so a
+    // second writer racing the same version fails LOUDLY here instead
+    // of silently clobbering the first writer's commit — rename(2),
+    // which ATOMIC_MOVE maps to on Linux, replaces an existing target
+    // and would lose the race winner's update without a trace. Readers
+    // still see all of v or none of it.
+    try Files.createLink(manifestFile(dir, v).toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp.toPath)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit: version $v already published in $dir — " +
+            "re-read the log and retry on top of it")
+    }
+    Files.deleteIfExists(tmp.toPath)
   }
 
   private val FilesRe = """"files":\[([^\]]*)\]""".r.unanchored

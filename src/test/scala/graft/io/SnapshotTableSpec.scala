@@ -142,6 +142,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(stray.isEmpty)
   }
 
+  test("optimistic concurrency: a commit racing an already-published " +
+    "version fails loudly instead of clobbering it") {
+    val dir = Files.createTempDirectory("snap-cas").toString
+    SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+    val winner = new java.io.File(s"$dir/_log/v00001.json")
+    val before = java.nio.file.Files.readAllBytes(winner.toPath).toSeq
+    // the loser: a writer that computed the same next version (1) and
+    // reaches the publish step after the winner's link landed
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.writeManifest(dir, 1, "append", Seq("data/v00001/x.parquet"))
+    }
+    // the winner's manifest is byte-identical — nothing clobbered
+    assert(java.nio.file.Files.readAllBytes(winner.toPath).toSeq == before)
+    // and no stray tmp manifest left behind by the loser
+    assert(new java.io.File(s"$dir/_log").listFiles()
+      .forall(!_.getName.endsWith(".tmp")))
+    // the table still reads
+    assert(SnapshotTable.readSnapshot(spark, dir).count() == 1)
+  }
+
   test("schema evolution: appends add columns, old files null-fill, " +
     "history keeps its own schema, type changes fail loudly") {
     val dir = Files.createTempDirectory("snap-evolve").toString
