@@ -476,6 +476,25 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sig(0) ^ sig(3)) > 12)
   }
 
+  test("simhash kernel == exploded aggregate spelling, both families, " +
+    "on real sf0.001 documents; empty docs absent from both") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "text")
+      // plant edge cases: null text (no token array -> doc absent),
+      // empty text (split yields [""] -> one empty token), 1-token doc
+      .union(Seq((900001L, Option.empty[String]), (900002L, Option("solo")),
+        (900003L, Option(""))).toDF("doc_id", "text"))
+    for ((hasher, bits) <- Seq((XxSeededHash, 64), (PortableSeededHash, 60))) {
+      val kernel = Dedup.simHash(docs, hasher, bits)
+        .as[(Long, Long)].collect().toMap
+      val exploded = Dedup.simHash(docs, hasher, bits, kernel = false)
+        .as[(Long, Long)].collect().toMap
+      assert(kernel == exploded, s"family ${hasher.name}")
+      assert(!kernel.contains(900001L)) // null text: no signature row
+      assert(kernel.contains(900002L) && kernel.contains(900003L))
+    }
+  }
+
   test("incrementalNearDup flags the batch against the index only") {
     // index = docs 0/3/4; new batch = 10 (dup of 0), 11 (near dup of 0),
     // 12 (novel). No corpus-corpus or batch-batch pair may appear.
