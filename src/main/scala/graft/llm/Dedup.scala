@@ -740,8 +740,33 @@ object Dedup {
     * `hasher` picks the hash family — [[XxSeededHash]] (fast, default) or
     * [[PortableSeededHash]] (cross-engine, oracle-checkable). */
   def minHashSignatures(docs: DataFrame, n: Int, k: Int,
-                        hasher: SeededHash = XxSeededHash): DataFrame = {
-    // ONE base hash per shingle, then k universal hashes derived
+                        hasher: SeededHash = XxSeededHash,
+                        kernel: Boolean = true): DataFrame = {
+    // Default path: the compiled per-row kernel the streaming detector
+    // already runs ([[graft.functions.ShingleMinHash]]) — one fused pass
+    // per document, no shingle explode, no aggregation, no shuffle. The
+    // kernel hashes every shingle WINDOW rather than the distinct set (a
+    // duplicate cannot change a minimum) and replicates both hash
+    // families byte-exactly, so the result is value-identical to the
+    // exploded spelling below (asserted in DedupSpec on real documents).
+    // Docs with fewer than n tokens return null == the exploded
+    // spelling's "no shingles, no row" — filtered to keep that contract.
+    if (kernel) {
+      val md5 = hasher match {
+        case PortableSeededHash => true
+        case XxSeededHash => false
+      }
+      val mhs = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.ShingleMinHash(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            TextAnalysis.tokens(col("text"))), n, k, md5))
+      return docs.select(col("doc_id"), mhs.as("mhs"))
+        .where(col("mhs").isNotNull)
+        .select(col("doc_id") +:
+          (0 until k).map(i => col("mhs")(i).as(s"mh$i")): _*)
+    }
+    // Exploded aggregate spelling — the parity witness: ONE base hash
+    // per DISTINCT shingle, then k universal hashes derived
     // arithmetically: h_i = ((2i+1)·base + b_i) mod (2^31-1). 16× fewer
     // md5/xxhash evaluations than hashing per seed; the derivation is
     // plain integer arithmetic in any engine (ANSI-safe: 33·2^31 < 2^63).

@@ -495,6 +495,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash kernel == exploded distinct-shingle spelling, both families") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "text")
+      .union(Seq((900001L, Option.empty[String]),
+        (900002L, Option("one two")),        // < n tokens: no shingles
+        (900003L, Option("one two three four"))).toDF("doc_id", "text"))
+    for (hasher <- Seq(XxSeededHash, PortableSeededHash)) {
+      val kernel = Dedup.minHashSignatures(docs, n = 3, k = 16, hasher)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val exploded = Dedup.minHashSignatures(docs, n = 3, k = 16, hasher,
+          kernel = false)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(kernel == exploded, s"family ${hasher.name}")
+      assert(!kernel.contains(900001L) && !kernel.contains(900002L))
+      assert(kernel.contains(900003L))
+    }
+  }
+
   test("incrementalNearDup flags the batch against the index only") {
     // index = docs 0/3/4; new batch = 10 (dup of 0), 11 (near dup of 0),
     // 12 (novel). No corpus-corpus or batch-batch pair may appear.
