@@ -192,6 +192,7 @@ object SparkEntry {
     "q159_snapshot_merge" -> IoQueries.snapshotMerge,
     "q160_snapshot_audited" -> IoQueries.snapshotAudited,
     "q161_streaming_cdc" -> StreamingQueries.streamingCdcUpsert,
+    "q162_resample_ffill" -> RelationalQueries.resampleFfill,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1659,6 +1660,27 @@ ORDER BY d.doc_id""",
         |SELECT 'table', 'rows_visible',
         |  CAST((SELECT count(*) FROM documents) AS BIGINT), true
         |ORDER BY attempt, check_name""".stripMargin,
+    // q162: hourly resample + forward fill — per-hour value is the max
+    // event_id's (arg_max, deterministic under ts ties), the grid is
+    // each user's [first, last] active hour, gap hours carry the last
+    // value and n_events 0.
+    "q162_resample_ffill" ->
+      """WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    arg_max(value, event_id) AS v, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM b),
+        |j AS (SELECT g.user_id, g.bucket, h.v, h.n FROM grid g
+        |  LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket)
+        |SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    2) AS value_ffill,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_events
+        |FROM j ORDER BY user_id, hour_start""".stripMargin,
     // q161: streaming CDC upsert — insert-merge then matched-update
     // merge per micro-batch; final state is order-independent by
     // construction (every doc ends at n_chars + 1, lang kept).

@@ -33,4 +33,40 @@ object Windows {
     df.withColumn(sessionName,
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Time-series RESAMPLE + FORWARD FILL (q162): densify each key's
+    * event stream onto an hourly grid — every hour between the key's
+    * first and last active hour gets a row — carrying the last observed
+    * value across gap hours (`last(ignoreNulls)` over the grid) and a
+    * per-hour event count (0 on gap hours). The standard time-series
+    * preparation step (metric dashboards, feature windows, training
+    * sequences over sparse event logs).
+    *
+    * Per-hour value = the value of the MAX `order` event in that hour
+    * (`max_by`) — `order` must be unique (an event id) so the
+    * resampled value is deterministic under ties on the timestamp.
+    *
+    * Scale shape: one (key, hour) partial-aggregated shuffle over the
+    * events (the only corpus-sized term), a per-key bounds aggregate on
+    * the already-hourly frame, `sequence`-explode of the grid — sized
+    * by keys × time-span, the DENSIFIED dimension, independent of event
+    * count — and one ranged window per key for the fill. Nothing
+    * quadratic, no driver-side time loop. */
+  def resampleFfillHourly(df: DataFrame, key: Column, ts: Column,
+                          order: Column, value: Column): DataFrame = {
+    val hourly = df
+      .groupBy(key.as("key"), date_trunc("hour", ts).as("bucket"))
+      .agg(max_by(value, order).as("v"), count(lit(1)).as("n_events"))
+    val bounds = hourly.groupBy("key")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+    val grid = bounds.select(col("key"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+        .as("bucket"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("key", "bucket"), "left")
+      .select(col("key"), col("bucket"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_ffill"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
 }

@@ -627,4 +627,19 @@ object RelationalQueries {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("g_rf"), col("g_ls"), col("n"), col("qty"))
       .orderBy("returnflag", "linestatus", "g_rf", "g_ls")
+
+  /** Hourly resample + forward fill over the event log (q162,
+    * [[graft.ops.Windows.resampleFfillHourly]]): every user's activity
+    * densified onto the hourly grid between their first and last event,
+    * gap hours carrying the last observed value and n_events = 0 — the
+    * time-series preparation step in front of dashboards and windowed
+    * feature builds. Hour formatting mirrors q40's convention. */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame =
+    Windows.resampleFfillHourly(table(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(col("key").as("user_id"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        round(col("value_ffill"), 2).as("value_ffill"),
+        col("n_events"))
+      .orderBy("user_id", "hour_start")
 }
