@@ -193,6 +193,7 @@ object SparkEntry {
     "q160_snapshot_audited" -> IoQueries.snapshotAudited,
     "q161_streaming_cdc" -> StreamingQueries.streamingCdcUpsert,
     "q162_resample_ffill" -> RelationalQueries.resampleFfill,
+    "q163_leakage_safe_split" -> LlmQueries.leakageSafeSplit,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1411,6 +1412,7 @@ FROM p ORDER BY doc_id""",
     "q32_minhash_lsh" -> q32MinhashOracle(),
     "q33_simhash_pairs" -> q33SimhashOracle,
     "q63_neardup_clusters" -> q63ClustersOracle(),
+    "q163_leakage_safe_split" -> q163LeakageSplitOracle,
     // q100: the single-pass artifact bundle's clusters must satisfy the
     // SAME independent closure oracle as the standalone q63
     "q100_neardup_artifacts" -> q63ClustersOracle(),
@@ -2516,6 +2518,31 @@ SELECT doc_id, lang, n_chars, quality,
        WHEN ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100 < 90
        THEN 'val' ELSE 'test' END AS split
 FROM scored WHERE quality >= 0.4 ORDER BY doc_id"""
+
+  /** Leakage-safe split oracle (q163): the q63 component CTE gives every
+    * doc its group (own id when unpaired), the q79 split spelling throws
+    * the coin on the GROUP id, and the q32 pair list re-joins the labels
+    * to count cross-split pairs — zero when group-aware splitting holds. */
+  private def q163LeakageSplitOracle: String =
+    s"""WITH comp AS (SELECT * FROM (${q63ClustersOracle()})),
+grp AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS grp
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+lab AS (SELECT doc_id, grp,
+    CASE WHEN ('0x' || substr(md5('42:' || grp), 1, 15))::BIGINT % 100 < 80
+           THEN 'train'
+         WHEN ('0x' || substr(md5('42:' || grp), 1, 15))::BIGINT % 100 < 90
+           THEN 'val'
+         ELSE 'test' END AS split
+  FROM grp),
+pr AS (SELECT doc_a, doc_b FROM (${q32MinhashOracle()}))
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+FROM lab GROUP BY split
+UNION ALL
+SELECT 'leak_pairs', CAST(count(*) AS BIGINT), 0
+FROM pr JOIN lab a ON pr.doc_a = a.doc_id JOIN lab b ON pr.doc_b = b.doc_id
+WHERE a.split <> b.split
+ORDER BY split"""
 
   /** SimHash oracle: 60-bit portable token hash, ±1 bit sums, 4×15-bit
     * band LSH, Hamming ≤ 6 (mirrors [[graft.llm.Dedup.simHashPairs]]). */

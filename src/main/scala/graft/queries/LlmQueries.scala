@@ -43,6 +43,48 @@ object LlmQueries {
           .select("doc_a", "doc_b"))
       .orderBy("doc_id")
 
+  /** Leakage-safe train/val/test split (q163): the split coin is thrown
+    * on the NEAR-DUP GROUP, not the document — every document inherits
+    * its connected component's bucket (unpaired docs are their own
+    * group), so a near-duplicate pair can never straddle train and
+    * test. The q29-style per-document hash split leaks by construction:
+    * any near-dup pair split apart puts an almost-copy of a test
+    * document into training, the classic contamination path evaluation
+    * suites suffer. Output: per-split document/group counts plus a
+    * `leak_pairs` row — the COUNT of candidate pairs whose sides landed
+    * in different splits, zero by construction and verified by the
+    * oracle (which re-derives clusters, buckets, and the pair join).
+    * Scale shape: the q63 cluster machinery plus one broadcast-able
+    * group join and a pair re-join — all equi, corpus-linear. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val pairs = Dedup.minHashLsh(docs, hasher = graft.llm.PortableSeededHash)
+      .select("doc_a", "doc_b").persist()
+    val comps = Dedup.connectedComponents(pairs)
+    val grouped = docs.select(col("doc_id"))
+      .join(comps.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("grp"))
+    val bucket = pmod(graft.llm.PortableSeededHash.hash(col("grp"), 42),
+      lit(100L))
+    val labeled = grouped.select(col("doc_id"), col("grp"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split")).persist()
+    val stats = labeled.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("grp").as("n_groups"))
+    val leak = pairs
+      .join(labeled.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(labeled.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .where(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("leak_pairs").as("split"), col("n_docs"),
+        lit(0L).as("n_groups"))
+    stats.unionByName(leak).orderBy("split")
+  }
+
   /** The deduplicated corpus itself — q63's keep-list applied: losers
     * anti-joined away, keepers and never-paired documents survive. This is
     * the frame a training pipeline feeds downstream. */
