@@ -194,6 +194,7 @@ object SparkEntry {
     "q161_streaming_cdc" -> StreamingQueries.streamingCdcUpsert,
     "q162_resample_ffill" -> RelationalQueries.resampleFfill,
     "q163_leakage_safe_split" -> LlmQueries.leakageSafeSplit,
+    "q164_retrieval_metrics" -> LlmQueries.retrievalMetrics,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1433,6 +1434,9 @@ ORDER BY d.doc_id""",
     // q131: recall@5 of every ANN leg vs the exact q34 ground truth —
     // each leg's full oracle replayed as a derived table, see generator.
     "q131_ann_recall" -> q131AnnRecallOracle,
+    // q164: MRR + nDCG@5 per ANN leg — q131's leg replays with their
+    // ranks kept, the metric arithmetic over a dense method×query grid.
+    "q164_retrieval_metrics" -> q164RetrievalMetricsOracle,
     "q132_ann_lsh_multi" -> q132LshMultiOracle,
     // q138: the q132 multi-table collision join as an all-nodes
     // self-join, per-src rounded-cosine top-5, mutual = transpose hit.
@@ -3031,6 +3035,46 @@ agg AS (SELECT l.method, CAST(count(*) AS BIGINT) AS n_returned,
 SELECT method, n_returned, n_hits,
   round(CAST(n_hits AS DOUBLE) / ne.n_exact, 4) AS recall_at_5
 FROM agg, ne ORDER BY method"""
+  }
+
+  /** Retrieval-metrics oracle (q164): the q131 leg replays with ranks
+    * kept; RR/DCG per (method, query), averaged over the dense
+    * method×query grid so no-result queries score 0. The ideal-DCG
+    * divisor is the SAME Scala-computed literal the engine divides by. */
+  private def q164RetrievalMetricsOracle: String = {
+    def leg(name: String, sql: String): String =
+      s"SELECT '$name' AS method, query_id, rn AS rank, neighbor_id FROM (\n$sql\n) leg_$name"
+    val legs = Seq(
+      leg("ivf", q35bIvfOracle),
+      leg("ivf_trained", q82IvfTrainedOracle),
+      leg("lsh", q35AnnLshOracle),
+      leg("lsh_multi", q132LshMultiOracle),
+      leg("pq", q124PqOracle),
+      leg("sq", q122SqOracle)).mkString("\nUNION ALL\n")
+    val idcg = graft.queries.LlmQueries.Idcg5
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM (
+$q34CosineTopKOracle
+) gt),
+legs AS (
+$legs
+),
+h AS (SELECT l.method, l.query_id, l.rank,
+        CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM legs l LEFT JOIN exact e
+        ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id),
+pq AS (SELECT method, query_id,
+         max(CASE WHEN hit = 1 THEN 1.0 / rank END) AS rr,
+         sum(CASE WHEN hit = 1 THEN 1.0 / log2(rank + 1) END) AS dcg
+       FROM h GROUP BY 1, 2),
+grid AS (SELECT m.method, q.query_id
+         FROM (VALUES ('ivf'), ('ivf_trained'), ('lsh'), ('lsh_multi'),
+               ('pq'), ('sq')) m(method)
+         CROSS JOIN (SELECT vec_id AS query_id FROM embeddings
+                     WHERE vec_id < 10) q)
+SELECT method, round(avg(coalesce(rr, 0)), 4) AS mrr,
+  round(avg(coalesce(dcg, 0) / $idcg), 4) AS ndcg_at_5
+FROM grid LEFT JOIN pq USING (method, query_id)
+GROUP BY method ORDER BY method"""
   }
 
   /** q145/q150 oracle: bottom-8-by-portable-hash per source + the KMV

@@ -632,6 +632,60 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Rank-aware retrieval metrics (q164): MRR and nDCG@5 for every ANN
+    * leg against the exact top-5 ground truth — the rank-sensitive
+    * complement of q131's recall (recall can't tell "right answers
+    * first" from "right answers fifth"; ranking quality is what the
+    * retrieval actually serves). RR = 1/rank of the first relevant
+    * result per query; DCG = Σ 1/log2(rank+1) over relevant results,
+    * normalized by the ideal DCG for 5 relevants (a shared literal
+    * constant on both engine and oracle sides so the division is
+    * bit-identical). Queries a leg returns nothing for score 0 via a
+    * dense method×query grid, so partial-coverage legs aren't averaged
+    * over their hits only. Same sampled-query/persisted-index 100 TB
+    * contract as q131. */
+  def retrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val hasher = graft.llm.PortableSeededHash
+    val emb = table(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    def leg(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("method"), col("query_id"),
+        col("rn").cast("long").as("rank"), col("neighbor_id"))
+    val legs = Seq(
+        leg("ivf", Similarity.ivfTopK(q, emb, k = 5, hasher = hasher)),
+        leg("ivf_trained", Similarity.ivfTopKTrained(q, emb, k = 5,
+          numCentroids = 8, iters = 2, nprobe = 2, hasher = hasher)),
+        leg("lsh", Similarity.lshTopK(q, emb, k = 5, hasher = hasher)),
+        leg("lsh_multi", Similarity.lshTopKMulti(q, emb, k = 5,
+          tables = 4, planesPerTable = 8, hasher = hasher)),
+        leg("pq", Similarity.pqTopK(q, emb, k = 5, m = 4, dims = 64,
+          numCentroids = 8, iters = 2, hasher = hasher)),
+        leg("sq", Similarity.quantizedTopK(q, emb, k = 5)))
+      .reduce(_ unionByName _)
+    val hits = legs.join(
+      broadcast(exact.withColumn("hit", lit(1))),
+      Seq("query_id", "neighbor_id"), "left")
+    val perQ = hits.groupBy("method", "query_id").agg(
+      max(when(col("hit") === 1, lit(1.0) / col("rank"))).as("rr"),
+      sum(when(col("hit") === 1, lit(1.0) / log2(col("rank") + 1))).as("dcg"))
+    import s.implicits._
+    val grid = Seq("ivf", "ivf_trained", "lsh", "lsh_multi", "pq", "sq")
+      .toDF("method")
+      .crossJoin(q.select(col("vec_id").as("query_id")))
+    grid.join(perQ, Seq("method", "query_id"), "left")
+      .groupBy("method")
+      .agg(round(avg(coalesce(col("rr"), lit(0.0))), 4).as("mrr"),
+        round(avg(coalesce(col("dcg"), lit(0.0)) / lit(Idcg5)), 4)
+          .as("ndcg_at_5"))
+      .orderBy("method")
+  }
+
+  /** Ideal DCG@5 with 5 relevant results — the shared normalization
+    * constant of q164 (the oracle embeds the same literal). */
+  val Idcg5: Double = (1 to 5).map(p => 1.0 / (math.log(p + 1.0) / math.log(2.0))).sum
+
   /** Deterministic stratified sample (q87): per-language keep rates via a
     * seeded portable-hash coin — the training-mix knob, reproducible
     * across runs/engines/partitionings (no rand()). Pure scan-level

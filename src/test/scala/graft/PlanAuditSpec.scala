@@ -70,6 +70,9 @@ class PlanAuditSpec extends SparkSpec {
                              // shape); the collision self-join, pair
                              // dedup and mutual transpose join are all
                              // equi on (t, sig) / (src, dst)
+    "q164_retrieval_metrics", // q131's composed leg shapes + the tiny
+                             // 6-method × 10-query metric grid crossJoin
+                             // — both sides literal-bounded
     "q156_hard_negatives",   // q34's designed broadcast-queries scan with
                              // the band filter fused into it — the filter
                              // drops the easy mass at scan time; no
