@@ -26,7 +26,7 @@ object Plans {
     val sb = new StringBuilder
     sb.append("# Physical plans (explain formatted)\n\n")
     sb.append(s"Source: `$sfDir`, AQE on, shuffle.partitions=4.\n\n")
-    sb.append("Stream-running queries (q83/q85/q86/q93/q101/q130/q140/q150/q153/q161) execute " +
+    sb.append("Stream-running queries (q83/q85/q86/q93/q101/q130/q140/q150/q153/q161/q165) execute " +
       "their stream when invoked, so their plan below is the sink " +
       "read-back; q83/q85/q101 run on the RocksDB state store provider " +
       "(`StreamingQueries.withRocksDb`). q95 materializes the ANN bucket " +

@@ -195,6 +195,7 @@ object SparkEntry {
     "q162_resample_ffill" -> RelationalQueries.resampleFfill,
     "q163_leakage_safe_split" -> LlmQueries.leakageSafeSplit,
     "q164_retrieval_metrics" -> LlmQueries.retrievalMetrics,
+    "q165_stream_static_enrich" -> StreamingQueries.streamStaticEnrich,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1666,6 +1667,16 @@ ORDER BY d.doc_id""",
         |SELECT 'table', 'rows_visible',
         |  CAST((SELECT count(*) FROM documents) AS BIGINT), true
         |ORDER BY attempt, check_name""".stripMargin,
+    // q165: stream-static enrichment — the read-back aggregate is
+    // micro-batch-boundary independent, so the oracle is the plain
+    // batch join + aggregate.
+    "q165_stream_static_enrich" ->
+      """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q162: hourly resample + forward fill — per-hour value is the max
     // event_id's (arg_max, deterministic under ts ties), the grid is
     // each user's [first, last] active hour, gap hours carry the last

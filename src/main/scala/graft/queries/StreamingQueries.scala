@@ -251,6 +251,40 @@ object StreamingQueries {
     s.read.parquet(out).orderBy("fp")
   }
 
+  /** Stream-static enrichment join (q165): the event stream joined per
+    * micro-batch against the BROADCAST static customer dimension — the
+    * canonical streaming-ETL enrichment (clickstream × user table). A
+    * static side needs no watermark and holds no state: every
+    * micro-batch plans a fresh broadcast-hash join, so the dimension
+    * can also be swapped between batches (slowly-changing dims recycle
+    * the same shape). Left join keeps dimension-less events (UNKNOWN
+    * segment). The enriched rows land in an append sink; the read-back
+    * aggregate is batch, so the result is independent of micro-batch
+    * boundaries and the oracle is the plain batch join + aggregate. */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageForStream(dir, "events.parquet", "q165")
+    val stream = EventsStream.fromDirectory(s, srcDir)
+    val dim = table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    val out = java.nio.file.Files.createTempDirectory("graft-q165").toString
+    val q = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("event_type"), col("value"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("c_nationkey"))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) => batch.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        countDistinct("c_nationkey").as("n_nations"))
+      .orderBy("segment", "event_type")
+  }
+
   /** ONLINE near-dup detection, gated end-to-end (q101,
     * [[graft.streaming.StreamingNearDup]]): documents replay through the
     * file source; per-row MinHash band buckets feed a

@@ -96,7 +96,8 @@ class PlanAuditSpec extends SparkSpec {
     "q86_streaming_heavy_hitters",
     "q93_streaming_ingest",
     "q101_streaming_neardup",
-    "q130_streaming_media")
+    "q130_streaming_media",
+    "q165_stream_static_enrich")
 
   test("no CartesianProduct; BroadcastNestedLoopJoin only where designed") {
     GraftFunctions.register(spark)
