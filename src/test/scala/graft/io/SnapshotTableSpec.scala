@@ -327,6 +327,68 @@ class SnapshotTableSpec extends SparkSpec {
     assert(v3.isEmpty && SnapshotTable.versions(dir) == Seq(1))
   }
 
+  test("model-based: random append/overwrite/delete/update/merge sequences " +
+    "match an in-memory multiset model at every version") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 2).foreach { trial =>
+      val dir = Files.createTempDirectory(s"snap-model$trial").toString
+      var model = Vector.empty[(Long, String, Long)]
+      var nextId = 0L
+      def freshRows(k: Int): Vector[(Long, String, Long)] = {
+        val rows = (0 until k).map { i =>
+          (nextId + i, s"s${nextId + i}", rnd.nextInt(100).toLong)
+        }.toVector
+        nextId += k
+        rows
+      }
+      val seed = freshRows(20)
+      SnapshotTable.commit(spark,
+        seed.toDF("id", "s", "n").repartition(2), dir)
+      model = seed
+      (1 to 10).foreach { step =>
+        rnd.nextInt(5) match {
+          case 0 => // append
+            val rows = freshRows(5 + rnd.nextInt(10))
+            SnapshotTable.commit(spark,
+              rows.toDF("id", "s", "n").repartition(1 + rnd.nextInt(2)), dir)
+            model = model ++ rows
+          case 1 => // overwrite
+            val rows = freshRows(10)
+            SnapshotTable.commit(spark, rows.toDF("id", "s", "n"), dir,
+              overwrite = true)
+            model = rows
+          case 2 => // delete a residue class
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            SnapshotTable.delete(spark, dir,
+              pmod(col("id"), lit(m.toLong)) === r.toLong)
+            model = model.filterNot { case (id, _, _) => id % m == r }
+          case 3 => // update a residue class
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            SnapshotTable.update(spark, dir,
+              pmod(col("id"), lit(m.toLong)) === r.toLong,
+              Map("n" -> (col("n") + 1000L)))
+            model = model.map { case t @ (id, s, n) =>
+              if (id % m == r) (id, s, n + 1000L) else t
+            }
+          case 4 => // merge: update a sample of existing keys + insert
+            val existing = rnd.shuffle(model.map(_._1).distinct)
+              .take(math.min(5, model.size))
+            val upd = existing.map(id => (id, s"m$id", -1L))
+            val ins = freshRows(3)
+            SnapshotTable.merge(spark, dir,
+              (upd ++ ins).toDF("id", "s", "n"), Seq("id"))
+            val updMap = upd.map(u => u._1 -> u).toMap
+            model = model.map { case t @ (id, _, _) =>
+              updMap.getOrElse(id, t)
+            } ++ ins
+        }
+        val got = SnapshotTable.readSnapshot(spark, dir)
+          .as[(Long, String, Long)].collect().toVector.sorted
+        assert(got == model.sorted, s"trial $trial step $step")
+      }
+    }
+  }
+
   test("delete carries manifest stats; pruning stays correct after DML") {
     val dir = Files.createTempDirectory("snap-delete-stats").toString
     SnapshotTable.commitWithStats(spark,
