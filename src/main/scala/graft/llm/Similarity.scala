@@ -515,6 +515,62 @@ object Similarity {
     (assign, cent)
   }
 
+  /** [[kmeansTrain]] over SUBSPACE-KEYED vectors: `sub` carries
+    * (s, vec_id, embedding) and every aggregation/window/join simply
+    * adds `s` to its keys, so ALL m codebooks train in ONE job sequence
+    * — per-iteration cost (and Spark job count) independent of m. This
+    * is the difference between PQ with m=4 and m=64 at 100 TB: the
+    * sequential per-subspace spelling pays m× the scheduling and m
+    * corpus passes per iteration, the keyed spelling exactly one.
+    * Value-identical per subspace to running [[kmeansTrain]] on each
+    * slice (the subspaces are disjoint key groups; seeds use the same
+    * hash order per group) — q124's oracle replays unchanged and
+    * SimilaritySpec asserts the equality. Returns
+    * (assign (s, vec_id, cid), cent (s, cid, d, m)). */
+  def kmeansTrainKeyed(sub: DataFrame, k: Int = 8, iters: Int = 2,
+                       hasher: SeededHash = XxSeededHash)
+      : (DataFrame, DataFrame) = {
+    val ex = sub
+      .select(col("s"), col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("s"), col("vec_id"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+      .localCheckpoint()
+    val nx = ex.groupBy("s", "vec_id")
+      .agg(sum(col("xi") * col("xi")).as("nx"))
+      .localCheckpoint()
+    val wSeed = Window.partitionBy(col("s"))
+      .orderBy(hasher.hash(col("cid"), 5).asc, col("cid").asc)
+    val seeds = sub.select(col("s"), col("vec_id").as("cid"))
+      .withColumn("srn", row_number().over(wSeed)).where(col("srn") <= k)
+      .select("s", "cid")
+    var cent = ex
+      .join(seeds.withColumn("vec_id", col("cid")), Seq("s", "vec_id"))
+      .select(col("s"), col("cid"), col("d"), col("xi").as("m"))
+      .localCheckpoint()
+    require(iters >= 1, "kmeansTrainKeyed needs at least one round")
+    var assign: DataFrame = null
+    val wA = Window.partitionBy(col("s"), col("vec_id"))
+      .orderBy(col("sim").desc, col("cid"))
+    for (i <- 0 until iters) {
+      val nm = cent.groupBy("s", "cid").agg(sum(col("m") * col("m")).as("nm"))
+      assign = ex.join(broadcast(cent), Seq("s", "d"))
+        .groupBy("s", "vec_id", "cid").agg(sum(col("xi") * col("m")).as("dot"))
+        .join(broadcast(nm), Seq("s", "cid"))
+        .join(nx, Seq("s", "vec_id"))
+        .withColumn("sim", round(col("dot").cast("double") /
+          (sqrt(col("nx").cast("double")) * sqrt(col("nm").cast("double"))), 4))
+        .withColumn("rn", row_number().over(wA))
+        .where(col("rn") === 1)
+        .select(col("s"), col("vec_id"), col("cid"))
+        .localCheckpoint()
+      if (i < iters - 1)
+        cent = ex.join(assign, Seq("s", "vec_id"))
+          .groupBy("s", "cid", "d").agg(sum(col("xi")).as("m"))
+          .localCheckpoint()
+    }
+    (assign, cent)
+  }
+
   /** Product quantization + asymmetric-distance search (Jégou et al.
     * 2011, "Product Quantization for Nearest Neighbor Search") — the
     * third leg of the ANN family next to IVF (q82) and scalar
@@ -543,14 +599,14 @@ object Similarity {
              hasher: SeededHash = XxSeededHash): DataFrame = {
     require(m > 0 && dims % m == 0, "dims must split evenly into m subspaces")
     val dsub = dims / m
-    val parts = (0 until m).map { s =>
-      val sliced = corpus.select(col("vec_id"),
+    // all m subspace codebooks train in ONE keyed job sequence
+    // ([[kmeansTrainKeyed]]) — iteration cost independent of m
+    val sub = (0 until m).map { s =>
+      corpus.select(lit(s).as("s"), col("vec_id"),
         expr(s"slice(embedding, ${s * dsub + 1}, $dsub)").as("embedding"))
-      val (assign, cent) = kmeansTrain(sliced, numCentroids, iters, hasher)
-      (assign.withColumn("s", lit(s)), cent.withColumn("s", lit(s)))
-    }
-    val codes = parts.map(_._1).reduce(_ unionByName _) // (vec_id, cid, s)
-    val cb = parts.map(_._2).reduce(_ unionByName _)    // (cid, d, m, s)
+    }.reduce(_ unionByName _)
+    val (codes, cb) = kmeansTrainKeyed(sub, numCentroids, iters, hasher)
+    // codes: (s, vec_id, cid); cb: (s, cid, d, m)
     val nm = cb.groupBy("s", "cid").agg(sum(col("m") * col("m")).as("nm"))
     val exq = queries.select(col("vec_id").as("query_id"),
         posexplode(col("embedding")).as(Seq("gd", "x")))

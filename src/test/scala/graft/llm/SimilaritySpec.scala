@@ -328,6 +328,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("keyed k-means == per-slice k-means, subspace for subspace") {
+    val m = 4; val dsub = 16
+    val sub = (0 until m).map { s =>
+      emb.select(lit(s).as("s"), col("vec_id"),
+        expr(s"slice(embedding, ${s * dsub + 1}, $dsub)").as("embedding"))
+    }.reduce(_ unionByName _)
+    val (ka, kc) = Similarity.kmeansTrainKeyed(sub, k = 8, iters = 2)
+    val keyedAssign = ka.as[(Int, Long, Long)].collect().toSet
+    val keyedCent = kc.as[(Int, Long, Int, Long)].collect().toSet
+    val (sliceAssign, sliceCent) = (0 until m).map { s =>
+      val sliced = emb.select(col("vec_id"),
+        expr(s"slice(embedding, ${s * dsub + 1}, $dsub)").as("embedding"))
+      val (a, c) = Similarity.kmeansTrain(sliced, k = 8, iters = 2)
+      (a.select(lit(s).as("s"), col("vec_id"), col("cid"))
+         .as[(Int, Long, Long)].collect().toSet,
+       c.select(lit(s).as("s"), col("cid"), col("d"), col("m"))
+         .as[(Int, Long, Int, Long)].collect().toSet)
+    }.reduce((x, y) => (x._1 ++ y._1, x._2 ++ y._2))
+    assert(keyedAssign == sliceAssign)
+    assert(keyedCent == sliceCent)
+  }
+
   test("hard negatives: band law, self-exclusion, agreement with brute force") {
     val q = emb.where(col("vec_id") < 5)
     val mined = Similarity.hardNegatives(q, emb, k = 5,
