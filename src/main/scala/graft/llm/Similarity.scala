@@ -184,7 +184,23 @@ object Similarity {
     * map-side partial aggregation collapses it back to planes× before the
     * exchange. */
   def lshSignatures(corpus: DataFrame, planes: Int,
-                    hasher: SeededHash = XxSeededHash): DataFrame = {
+                    hasher: SeededHash = XxSeededHash,
+                    kernel: Boolean = true): DataFrame = {
+    // default: the compiled per-row kernel
+    // ([[graft.functions.PortableLshSig]]) — one fused loop, no dim
+    // explode, no weight join, no aggregation, no shuffle; the weight
+    // table is derived per JVM from the same seeded hash. The exploded
+    // spelling below stays as the value-identity parity witness
+    // (asserted in SimilaritySpec for both families).
+    if (kernel) {
+      val sigs = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.PortableLshSig(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+          tables = 1, planesPerTable = planes, md5Family = isMd5(hasher)))
+      return corpus.select(col("vec_id"), sigs.as("sigs"))
+        .where(col("sigs").isNotNull)
+        .select(col("vec_id"), col("sigs")(0).as("sig"))
+    }
     val ex = corpus
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"),
@@ -202,6 +218,14 @@ object Similarity {
     proj.groupBy("vec_id")
       .agg(sum(when(col("proj") > 0,
         pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("sig"))
+  }
+
+  /** The sealed-family dispatch of the compiled signature kernels (the
+    * [[graft.llm.Hashing]] convention: adding a family is a
+    * compile-time decision, never a silent fallback). */
+  private def isMd5(hasher: SeededHash): Boolean = hasher match {
+    case PortableSeededHash => true
+    case XxSeededHash => false
   }
 
   /** ANN via IVF (inverted-file) cells: a small coarse-quantizer centroid
@@ -855,7 +879,21 @@ object Similarity {
     * `tables` signatures — the multi-table recall lever costs no extra
     * pass over the corpus. */
   def lshSignaturesMulti(corpus: DataFrame, tables: Int, planesPerTable: Int,
-                         hasher: SeededHash = XxSeededHash): DataFrame = {
+                         hasher: SeededHash = XxSeededHash,
+                         kernel: Boolean = true): DataFrame = {
+    // default: one compiled pass emits ALL tables' signatures
+    // ([[graft.functions.PortableLshSig]]); exploded parity witness below
+    if (kernel) {
+      val sigs = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.PortableLshSig(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+          tables, planesPerTable, md5Family = isMd5(hasher)))
+      return corpus.select(col("vec_id"), sigs.as("sigs"))
+        .where(col("sigs").isNotNull)
+        .select(col("vec_id"),
+          posexplode(col("sigs")).as(Seq("t", "sig")))
+        .select(col("vec_id"), col("t").cast("int").as("t"), col("sig"))
+    }
     val ex = corpus
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"),

@@ -328,6 +328,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hyperplane signature kernel == exploded spelling, both families, " +
+    "single- and multi-table") {
+    for (hasher <- Seq(XxSeededHash, PortableSeededHash)) {
+      val k1 = Similarity.lshSignatures(emb, planes = 12, hasher)
+        .as[(Long, Long)].collect().toSet
+      val e1 = Similarity.lshSignatures(emb, planes = 12, hasher,
+          kernel = false)
+        .as[(Long, Long)].collect().toSet
+      assert(k1 == e1, s"single-table ${hasher.name}")
+      val km = Similarity.lshSignaturesMulti(emb, tables = 4,
+          planesPerTable = 8, hasher)
+        .as[(Long, Int, Long)].collect().toSet
+      val em = Similarity.lshSignaturesMulti(emb, tables = 4,
+          planesPerTable = 8, hasher, kernel = false)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(km == em, s"multi-table ${hasher.name}")
+    }
+  }
+
   test("keyed k-means == per-slice k-means, subspace for subspace") {
     val m = 4; val dsub = 16
     val sub = (0 until m).map { s =>
