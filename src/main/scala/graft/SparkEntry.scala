@@ -196,6 +196,7 @@ object SparkEntry {
     "q163_leakage_safe_split" -> LlmQueries.leakageSafeSplit,
     "q164_retrieval_metrics" -> LlmQueries.retrievalMetrics,
     "q165_stream_static_enrich" -> StreamingQueries.streamStaticEnrich,
+    "q166_bm25_topk" -> LlmQueries.bm25Retrieval,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1677,6 +1678,46 @@ ORDER BY d.doc_id""",
         |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q166: BM25 top-5 — every stage replayed: postings, doc lengths,
+    // corpus stats, idf, the fixed-point per-term contribution (identical
+    // left-associative arithmetic tree; composite literals like k1+1 are
+    // spelled as the same IEEE ADDITION on both sides, never as a decimal
+    // literal that might round differently from the computed sum), the
+    // order-free integer score sum, and the rounded-score ranking.
+    "q166_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tfc AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(len(toks)) AS BIGINT) AS sum_dl
+        |          FROM toks),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM tfc GROUP BY 1),
+        |qd AS (SELECT doc_id AS query_id, toks[1:5] AS qterms
+        |       FROM toks ORDER BY doc_id LIMIT 4),
+        |qterm AS (SELECT DISTINCT query_id, unnest(qterms) AS term FROM qd),
+        |contrib AS (
+        |  SELECT q.query_id, t.doc_id,
+        |    CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+        |      * (t.tf * (1.2 + 1.0))
+        |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl * s.n_docs / s.sum_dl))
+        |      * 1000000.0, 0) AS BIGINT) AS c
+        |  FROM tfc t JOIN qterm q USING (term) JOIN df d USING (term)
+        |    JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        |scored AS (SELECT query_id, doc_id,
+        |             CAST(sum(c) AS BIGINT) AS score_fp,
+        |             CAST(count(*) AS BIGINT) AS hits
+        |           FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rk
+        |      FROM scored)
+        |SELECT query_id, rk, doc_id, hits,
+        |  round(score_fp / 1000000.0, 4) AS score
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // q162: hourly resample + forward fill — per-hour value is the max
     // event_id's (arg_max, deterministic under ts ties), the grid is
     // each user's [first, last] active hour, gap hours carry the last

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables.table
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over documents/embeddings (north-star
   * extensions; SURVEY.md §7.3 step 6). Naive-exact variants are
@@ -1491,6 +1491,22 @@ object LlmQueries {
           array_intersect(col("ha"), col("hb")))).as("hits"))
       .withColumn("jaccard_est", round(col("hits") / k, 4))
       .orderBy("src_a", "src_b")
+  }
+
+  /** BM25 lexical retrieval (q166, [[graft.llm.Retrieval.bm25TopK]]):
+    * top-5 documents per query under the Okapi/Lucene BM25 ranking
+    * function — the sparse leg of a retrieval stack next to the dense ANN
+    * family (q35/q131). The query set derives deterministically from the
+    * corpus (the four lowest doc_ids' first five tokens), so both engines
+    * rank the same searches; scores are integer sums of fixed-point
+    * per-term contributions — order-free, bit-identical cross-engine. */
+  def bm25Retrieval(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val queries = docs.orderBy("doc_id").limit(4)
+      .select(col("doc_id").as("query_id"),
+        slice(TextAnalysis.tokens(col("text")), 1, 5).as("qterms"))
+    Retrieval.bm25TopK(docs, queries, k = 5)
+      .orderBy("query_id", "rk")
   }
 
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):

@@ -20,7 +20,14 @@ object BenchSome {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // diagnosis hooks: SPARK_GRAFT_CONF="k=v;k=v" runtime-conf overrides,
+    // SPARK_GRAFT_LOGLEVEL=INFO for stage-timeline forensics
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     graft.GraftFunctions.register(spark)
     graft.plans.GraftRules.register(spark)
 
