@@ -128,7 +128,8 @@ object Importance {
   def trainLogisticHashed(docs: DataFrame, buckets: Int = 256,
                           iters: Int = 3, lr: Double = 0.5,
                           seed: Int = 59,
-                          hasher: SeededHash = XxSeededHash): Array[Long] = {
+                          hasher: SeededHash = XxSeededHash,
+                          kernel: Boolean = true): Array[Long] = {
     require(buckets > 0 && iters >= 0 && lr > 0)
     val W = 65536L       // weight scale 2^16
     val S = 1048576L     // residual scale 2^20
@@ -147,9 +148,20 @@ object Importance {
       require(n > 0, "empty training set")
       val weights = new Array[Long](buckets)
       for (_ <- 0 until iters) {
-        val w = typedLit(weights)
-        val m = aggregate(col("bks"), lit(0L),
-          (acc, b) => acc + element_at(w, (b + 1).cast("int")))
+        // default: the compiled margin fold ([[graft.functions
+        // .BucketWeightSum]]) — the HOF spelling below is the parity
+        // witness (interpreted ArrayAggregate, ~10× slower in an aged
+        // JVM from interpreter profile pollution; see the kernel's doc)
+        val m = if (kernel)
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.BucketWeightSum(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("bks")),
+              weights.clone()))
+        else {
+          val w = typedLit(weights)
+          aggregate(col("bks"), lit(0L),
+            (acc, b) => acc + element_at(w, (b + 1).cast("int")))
+        }
         val q = least(greatest(m * 4 + lit(S / 2), lit(0L)), lit(S)) -
           col("y") * lit(S)
         val grad = base
@@ -199,12 +211,31 @@ object Importance {
     * multi-signal filter (q123) can evaluate the classifier in the same
     * single scan as its other signals. */
   def logitCol(textCol: Column, weights: Array[Long], seed: Int = 59,
-               hasher: SeededHash = XxSeededHash): Column = {
+               hasher: SeededHash = XxSeededHash,
+               kernel: Boolean = true): Column = {
     val buckets = weights.length
     require(buckets > 0)
-    val w = typedLit(weights)
-    aggregate(unigramsBigrams(TextAnalysis.tokens(textCol)), lit(0L),
-      (acc, g) => acc + element_at(w,
-        (bucketOf(g, buckets, seed, hasher) + 1).cast("int")))
+    // default: the compiled gram-hash + weight fold
+    // ([[graft.functions.HashedLogit]]); the HOF spelling below is the
+    // parity witness (ImportanceSpec, both families)
+    if (kernel)
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.HashedLogit(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            TextAnalysis.tokens(textCol)),
+          weights.clone(), seed, md5Family = isMd5(hasher)))
+    else {
+      val w = typedLit(weights)
+      aggregate(unigramsBigrams(TextAnalysis.tokens(textCol)), lit(0L),
+        (acc, g) => acc + element_at(w,
+          (bucketOf(g, buckets, seed, hasher) + 1).cast("int")))
+    }
+  }
+
+  /** Sealed-family dispatch for the compiled kernels (the
+    * [[graft.llm.Hashing]] convention — never a silent fallback). */
+  private def isMd5(hasher: SeededHash): Boolean = hasher match {
+    case PortableSeededHash => true
+    case XxSeededHash => false
   }
 }

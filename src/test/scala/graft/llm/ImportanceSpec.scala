@@ -81,6 +81,34 @@ class ImportanceSpec extends SparkSpec {
     assert(w(1) == w(7)) // exact integer gradients: merge order is moot
   }
 
+  test("compiled margin fold trains the identical model to the HOF " +
+    "spelling") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .withColumn("label", (col("doc_id") % 2 === 0).cast("int"))
+    val k = Importance.trainLogisticHashed(docs, buckets = 128, iters = 3,
+      kernel = true).toSeq
+    val h = Importance.trainLogisticHashed(docs, buckets = 128, iters = 3,
+      kernel = false).toSeq
+    assert(k == h) // every iteration's margins are exact integers: one
+                   // differing fold anywhere diverges the whole model
+  }
+
+  test("compiled logit kernel == HOF spelling, both hash families") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .limit(200)
+    val w = Array.tabulate(128)(i => (i * 37 % 101) - 50L)
+    for (hasher <- Seq(XxSeededHash, PortableSeededHash)) {
+      val k = docs.select(col("doc_id"),
+          Importance.logitCol(col("text"), w, 59, hasher).as("l"))
+        .as[(Long, Long)].collect().toMap
+      val h = docs.select(col("doc_id"),
+          Importance.logitCol(col("text"), w, 59, hasher, kernel = false)
+            .as("l"))
+        .as[(Long, Long)].collect().toMap
+      assert(k == h, hasher.name)
+    }
+  }
+
   test("roundHalfAway matches SQL ROUND on negative halves") {
     assert(Importance.roundHalfAway(2.5) == 3L)
     assert(Importance.roundHalfAway(-2.5) == -3L) // math.round gives -2
