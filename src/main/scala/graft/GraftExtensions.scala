@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKAgg, CosineSim, CountMinAgg, IntDot, MapCountAgg, Md5Prefix60, MisraGriesAgg, PolyHash}
+import graft.functions.{BottomKAgg, CosineSim, CountMinAgg, HyperLogLogAgg, IntDot, MapCountAgg, Md5Prefix60, MisraGriesAgg, PolyHash}
 
 /** Registration of the engine's native Catalyst expressions.
   *
@@ -55,6 +55,11 @@ object GraftFunctions {
         children(1).eval().asInstanceOf[Number].intValue,
         children(2).eval().asInstanceOf[Number].intValue,
         children(3).eval().asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HyperLogLogAgg].getName, "hll_registers"),
+      (children: Seq[Expression]) => HyperLogLogAgg(children.head,
+        children(1).eval().asInstanceOf[Number].intValue,
+        children(2).eval().asInstanceOf[Number].intValue)),
     (FunctionIdentifier("bottom_k"),
       new ExpressionInfo(classOf[BottomKAgg].getName, "bottom_k"),
       (children: Seq[Expression]) => BottomKAgg(children(0), children(1),

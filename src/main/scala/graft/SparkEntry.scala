@@ -197,6 +197,9 @@ object SparkEntry {
     "q164_retrieval_metrics" -> LlmQueries.retrievalMetrics,
     "q165_stream_static_enrich" -> StreamingQueries.streamStaticEnrich,
     "q166_bm25_topk" -> LlmQueries.bm25Retrieval,
+    "q167_label_propagation" -> LlmQueries.knnLabelPropagation,
+    "q168_hll_distinct" -> LlmQueries.hllDistinct,
+    "q169_stream_stream_join" -> StreamingQueries.streamStreamIntervalJoin,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1449,6 +1452,47 @@ ORDER BY d.doc_id""",
     "q139_cluster_balanced_sample" -> q139ClusterBalancedOracle,
     // q141: q138's mutual edges + the q99-style recursive closure.
     "q141_knn_graph_clusters" -> q141KnnClustersOracle,
+    // q167: label propagation over the q138 graph — rounds unrolled.
+    "q167_label_propagation" -> q167LabelPropOracle,
+    // q168: HLL — every register (portable-hash index + trailing-zero
+    // rank as pure integer bit ops) and the estimator arithmetic
+    // (identical literal spelling, integer Σ2^(40−M)) replayed.
+    "q168_hll_distinct" ->
+      s"""WITH hv AS (SELECT event_type,
+        |    ${h("CAST(user_id AS VARCHAR)", 77)} AS h FROM events),
+        |r0 AS (SELECT event_type, CAST(h % 256 AS INT) AS idx,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |      ELSE bit_count(((h // 256) & (-(h // 256))) - 1) + 1
+        |    END AS rho
+        |  FROM hv),
+        |reg AS (SELECT event_type, idx, max(rho) AS r
+        |        FROM r0 GROUP BY 1, 2),
+        |grid AS (SELECT et.event_type, g.range AS idx
+        |         FROM (SELECT DISTINCT event_type FROM events) et,
+        |              range(0, 256) g),
+        |fullr AS (SELECT grid.event_type, grid.idx,
+        |            coalesce(reg.r, 0) AS r
+        |          FROM grid LEFT JOIN reg
+        |            ON reg.event_type = grid.event_type
+        |           AND reg.idx = grid.idx),
+        |agg AS (SELECT event_type,
+        |    CAST(sum(1::BIGINT << (40 - least(r, 40))) AS BIGINT) AS zfp,
+        |    CAST(count(*) FILTER (WHERE r = 0) AS BIGINT) AS n_zero_regs
+        |  FROM fullr GROUP BY 1),
+        |est AS (SELECT event_type, n_zero_regs,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+        |      1099511627776.0 / CAST(zfp AS DOUBLE) AS e_raw
+        |  FROM agg),
+        |ex AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT est.event_type, n_zero_regs,
+        |  round(CASE WHEN e_raw <= 2.5 * 256.0 AND n_zero_regs > 0
+        |    THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE))
+        |    ELSE e_raw END, 4) AS hll_est,
+        |  exact_distinct
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY est.event_type""".stripMargin,
     // q142: the persisted-index form is defined to produce exactly the
     // q82 output (build-once lifecycle + DPP probe; the math is q82's).
     "q142_indexed_ivf_ann" -> q82IvfTrainedOracle,
@@ -1923,6 +1967,18 @@ FROM spm JOIN som USING (bucket) ORDER BY ord""",
     "q43_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // q169: the stream-stream replay must equal the batch join — the
+    // oracle is q61's, verbatim.
+    "q169_stream_stream_join" ->
+      """SELECT p.user_id,
+        |  epoch_us(s.ts) AS signup_us,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  round(p.value, 2) AS purchase_value
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        |ORDER BY p.user_id, purchase_us, signup_us""".stripMargin,
     "q61_interval_join" ->
       """SELECT p.user_id,
         |  epoch_us(s.ts) AS signup_us,
@@ -2981,6 +3037,35 @@ comp AS (SELECT n AS vec_id, least(n, min(m)) AS component
          FROM reach GROUP BY n)
 SELECT vec_id, component, (component = vec_id) AS is_keeper
 FROM comp ORDER BY vec_id"""
+
+  /** q167 oracle: the q138 edge CTEs, then `rounds` synchronous label-
+    * propagation rounds unrolled — each round votes with the fixed-point
+    * edge weight (round(sim·10⁴) as BIGINT, an order-free integer sum),
+    * takes the (wsum DESC, lab ASC) argmax for every non-seed node with a
+    * labeled out-neighbor, and unions the fixed seed set back in. */
+  private def q167LabelPropOracle: String = {
+    val rounds = 3
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""v$i AS (SELECT e.src AS vec_id, l.lab,
+  CAST(sum(CAST(round(e.sim * 10000, 0) AS BIGINT)) AS BIGINT) AS wsum
+  FROM e JOIN $prev l ON l.vec_id = e.dst GROUP BY 1, 2),
+a$i AS (SELECT vec_id, lab FROM (SELECT vec_id, lab,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY wsum DESC, lab) AS rk FROM v$i)
+  WHERE rk = 1 AND vec_id NOT IN (SELECT vec_id FROM l0)),
+l$i AS (SELECT * FROM l0 UNION ALL SELECT * FROM a$i)"""
+    }.mkString(",\n")
+    s"""WITH $q138EdgeCtes,
+l0 AS (SELECT vec_id, CAST(label AS BIGINT) AS lab FROM embeddings
+       WHERE vec_id % 5 = 0),
+$roundCtes
+SELECT l.vec_id, l.lab AS label_hat, (l.vec_id % 5 = 0) AS is_seed,
+  CAST(emb.label AS BIGINT) AS label_true,
+  (l.lab = CAST(emb.label AS BIGINT)) AS correct
+FROM l$rounds l JOIN embeddings emb ON emb.vec_id = l.vec_id
+ORDER BY l.vec_id"""
+  }
 
   private def q132LshMultiOracle: String =
     s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,

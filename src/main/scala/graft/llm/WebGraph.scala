@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Host-graph centrality for crawl curation.
@@ -82,6 +83,52 @@ object WebGraph {
       i += 1
     }
     ranks
+  }
+
+  /** Semi-supervised LABEL PROPAGATION over a weighted directed graph
+    * (Zhu & Ghahramani 2002, in the iterated-kNN-classifier form): seed
+    * nodes carry fixed labels; every round, each non-seed node with at
+    * least one labeled out-neighbor takes the label with the largest
+    * total edge weight among its neighbors' current labels (ties break
+    * on the smaller label), recomputed synchronously from the previous
+    * round's full labeling. Nodes whose neighborhood is entirely
+    * unlabeled stay absent until a round reaches them.
+    *
+    * Determinism: weights are caller-provided integer fixed-point, so
+    * the per-(node, label) vote is an order-free integer sum and the
+    * argmax is taken on exact longs — every round replays exactly in
+    * SQL (the q167 oracle unrolls them). Scale shape: each round is one
+    * equi-join of the static edge list against the (node, label) frame
+    * plus a bounded argmax window — only (node, long) pairs move, the
+    * q144 pageRank convention, with `localCheckpoint` pinning
+    * constant-size plans across rounds.
+    *
+    * `edges`: (src, dst, w: long). `seeds`: (vec_id, lab). Returns
+    * (vec_id, lab) for all labeled nodes after `rounds`. */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, rounds: Int = 3)
+      : DataFrame = {
+    require(rounds >= 1, "labelPropagate needs at least one round")
+    val e = edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w")).localCheckpoint()
+    val s0 = seeds.select(col("vec_id"), col("lab").cast("long").as("lab"))
+      .localCheckpoint()
+    var labels = s0
+    var r = 0
+    while (r < rounds) {
+      val votes = e.join(labels.withColumnRenamed("vec_id", "dst"), "dst")
+        .groupBy(col("src"), col("lab"))
+        .agg(sum("w").as("wsum"))
+      val w = Window.partitionBy("src")
+        .orderBy(col("wsum").desc, col("lab"))
+      val assigned = votes
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("src").as("vec_id"), col("lab"))
+        .join(s0.select("vec_id"), Seq("vec_id"), "left_anti")
+      labels = s0.unionByName(assigned.select("vec_id", "lab"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels
   }
 
   /** Collapse page-level links `(src_host, dst_host)` — one row per link

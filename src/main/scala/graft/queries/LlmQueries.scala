@@ -1386,6 +1386,47 @@ object LlmQueries {
       .orderBy("user_id")
   }
 
+  /** HyperLogLog distinct counting (q168,
+    * [[graft.functions.HyperLogLogAgg]]): per-event-type distinct users
+    * from a 256-byte register sketch next to the exact count — the
+    * distinct-count member of the sketch family (q114 CM frequencies,
+    * q66/q86 heavy hitters, q145 KMV). p=8 keeps the ±1.04/√m ≈ 6.5%
+    * band real at our cardinalities, exercising the estimator rather
+    * than degenerating to exact; the estimate arithmetic (harmonic mean
+    * + the small-range linear-counting branch) is plan-side over the
+    * register array — the Σ2^−M term computed as an order-free integer
+    * sum at fixed point 2^40 — so DuckDB replays registers AND estimate
+    * bit-for-bit. The 256-element HOF folds here run once per GROUP, not
+    * per row — the interpreted-eval cost the q115 kernel dodges is
+    * irrelevant at that cardinality. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val p = 8; val seed = 77
+    val ev = table(s, dir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("k"))
+    val regs = ev.groupBy("event_type")
+      .agg(expr(s"hll_registers(k, $p, $seed)").as("regs"))
+    val est = regs
+      .withColumn("zfp", expr(
+        "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), " +
+          "40 - least(r, 40))), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("n_zero_regs",
+        expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)"))
+      .withColumn("e_raw", expr(
+        "(0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 * " +
+          "1099511627776.0 / CAST(zfp AS DOUBLE)"))
+      .withColumn("hll_est", expr(
+        "round(CASE WHEN e_raw <= 2.5 * 256.0 AND n_zero_regs > 0 " +
+          "THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE)) " +
+          "ELSE e_raw END, 4)"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("k")).as("exact_distinct"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_zero_regs"), col("hll_est"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
   /** Host-graph PageRank (q144, [[graft.llm.WebGraph.pageRank]]): the
     * domain-rank table crawl curation gates on (Common Crawl publishes
     * exactly this artifact for its host webgraph). Page-level links are
@@ -1507,6 +1548,32 @@ object LlmQueries {
         slice(TextAnalysis.tokens(col("text")), 1, 5).as("qterms"))
     Retrieval.bm25TopK(docs, queries, k = 5)
       .orderBy("query_id", "rk")
+  }
+
+  /** kNN label propagation (q167, [[graft.llm.WebGraph.labelPropagate]]
+    * over [[graft.llm.Similarity.knnGraph]]): semi-supervised labeling —
+    * a fifth of the corpus keeps its true `label` as seeds (deterministic
+    * `vec_id % 5` selection), three synchronous propagation rounds push
+    * labels along the kNN edges with rounded-cosine fixed-point weights,
+    * and the output grades every labeled node against its held-out true
+    * label. The graph analogue of the q112/q115 classifier surface:
+    * labels flow through embedding-space structure instead of a trained
+    * model, the standard curation move when labeled data is scarce. */
+  def knnLabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val g = Similarity.knnGraph(emb, k = 5, tables = 4, planesPerTable = 8,
+      hasher = graft.llm.PortableSeededHash)
+    val edges = g.select(col("src"), col("dst"),
+      round(col("sim") * 10000, 0).cast("long").as("w"))
+    val seeds = emb.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label").cast("long").as("lab"))
+    graft.llm.WebGraph.labelPropagate(edges, seeds, rounds = 3)
+      .join(emb.select(col("vec_id"),
+        col("label").cast("long").as("label_true")), "vec_id")
+      .select(col("vec_id"), col("lab").as("label_hat"),
+        (col("vec_id") % 5 === 0).as("is_seed"), col("label_true"),
+        (col("lab") === col("label_true")).as("correct"))
+      .orderBy("vec_id")
   }
 
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):

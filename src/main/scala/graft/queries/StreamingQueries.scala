@@ -479,6 +479,37 @@ object StreamingQueries {
   /** The stream-stream interval join executed in batch mode (q61): same
     * Column pipeline as the streaming form (watermarks are no-ops in
     * batch); the streaming replay equivalence is in StreamingSpec. */
+  /** TRUE stream-stream interval join (q169): the q61 purchase-after-
+    * signup join run between TWO independent streaming sources — each
+    * side watermarked, the join buffered in the state store with
+    * retention bounded by watermark + the 1-hour interval, every
+    * micro-batch emitting the inner matches eagerly. 16-part staging →
+    * 16 micro-batches per side, so matches genuinely span batch
+    * boundaries through state. Inner-join emission is exhaustive once
+    * the replay drains, which is why the oracle is the SAME batch SQL
+    * as q61 — the stream-stream machinery must be invisible in the
+    * answer. At 100 TB this is the enrichment shape when BOTH sides are
+    * unbounded (clickstream × transaction log), where q165's
+    * stream-static broadcast cannot apply. */
+  def streamStreamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageForStream(dir, "events.parquet", "q169")
+    def side(): DataFrame =
+      Tables.normalizeEventTs(EventsStream.fromDirectory(s, srcDir))
+    val out = java.nio.file.Files.createTempDirectory("graft-q169").toString
+    val q = EventsStream.purchaseAfterSignup(side(), side())
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) => batch.write.mode("append").parquet(out)
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .select(col("user_id"),
+        unix_micros(col("signup_ts")).as("signup_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy("user_id", "purchase_us", "signup_us")
+  }
+
   def intervalJoinBatch(s: SparkSession, dir: String): DataFrame =
     EventsStream.purchaseAfterSignup(table(s, dir, "events"))
       .select(col("user_id"),

@@ -62,11 +62,21 @@ object EventsStream {
     * signups within the preceding hour. Both sides carry watermarks and
     * the join condition bounds event time on both ends, so state is
     * evictable — the canonical interval-join shape. */
-  def purchaseAfterSignup(events: DataFrame): DataFrame = {
-    val signups = events.where(col("event_type") === "signup")
+  def purchaseAfterSignup(events: DataFrame): DataFrame =
+    purchaseAfterSignup(events, events)
+
+  /** Two-source variant: `signupEvents` and `purchaseEvents` may be two
+    * INDEPENDENT streaming sources — the true stream-stream join shape
+    * (each side watermarked, the state store holding both sides' buffers
+    * bounded by watermark + interval). Inner-join results emit eagerly
+    * per micro-batch, so the complete replay equals the batch join —
+    * the q169 contract. */
+  def purchaseAfterSignup(signupEvents: DataFrame,
+                          purchaseEvents: DataFrame): DataFrame = {
+    val signups = signupEvents.where(col("event_type") === "signup")
       .select(col("user_id"), col("ts").as("signup_ts"))
       .withWatermark("signup_ts", "2 hours")
-    val purchases = events.where(col("event_type") === "purchase")
+    val purchases = purchaseEvents.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("purchase_ts"),
         col("value").as("purchase_value"))
       .withWatermark("purchase_ts", "2 hours")

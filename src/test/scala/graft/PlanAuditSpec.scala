@@ -28,6 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     "q35b_ann_ivf",          // broadcast centroid table
     "q82_ivf_trained",       // broadcast trained-centroid table
     "q48_tfidf_top_terms",   // broadcast scalar n_docs
+    "q166_bm25_topk",        // broadcast 1-row corpus-stats scalar frame
+                             // (n_docs, sum_dl) — the q48 pattern; the
+                             // postings/df/dl joins are all equi
     "q66_heavy_hitters",     // broadcast scalar total
     "q95_ann_rewrite",       // exact ground-truth side (q47 shape) + the
                              // 1-row×1-row stats crossJoin; the bucket

@@ -60,4 +60,44 @@ class WebGraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(one == other) // integer arithmetic: order-independent sums
   }
+
+  private def propagate(edges: Seq[(Long, Long, Long)],
+                        seeds: Seq[(Long, Long)],
+                        rounds: Int): Map[Long, Long] =
+    WebGraph.labelPropagate(edges.toDF("src", "dst", "w"),
+        seeds.toDF("vec_id", "lab"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("label propagation: votes, ties, reach-in-later-rounds, and " +
+    "synchronous flips") {
+    // 1=A(0), 2=B(1) seeded. 3 votes A (weight 5 > 3). 4 reaches a label
+    // only in round 2 (via 3). 5 ties A/B at weight 2 -> smaller label.
+    // 6 sees only B in rounds 1-2, then flips to A in round 3 once 4's
+    // heavier-weighted label exists in the PREVIOUS round's frame.
+    val edges = Seq(
+      (3L, 1L, 5L), (3L, 2L, 3L),
+      (4L, 3L, 2L),
+      (5L, 1L, 2L), (5L, 2L, 2L),
+      (6L, 2L, 5L), (6L, 4L, 10L),
+      (1L, 2L, 100L)) // seeds never flip, whatever their neighbors say
+    val seeds = Seq(1L -> 0L, 2L -> 1L)
+    assert(propagate(edges, seeds, rounds = 1) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 5L -> 0L, 6L -> 1L))
+    assert(propagate(edges, seeds, rounds = 2) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 1L))
+    assert(propagate(edges, seeds, rounds = 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
+
+  test("label propagation is independent of input partitioning") {
+    val edges = (0L until 300L).map(i =>
+      (i % 40, (i * 7 + 1) % 40, 1L + i % 5))
+    val seeds = Seq(0L -> 0L, 1L -> 1L, 2L -> 2L)
+    val a = propagate(edges, seeds, rounds = 3)
+    val b = WebGraph.labelPropagate(
+        edges.toDF("src", "dst", "w").repartition(11),
+        seeds.toDF("vec_id", "lab"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
 }
