@@ -200,6 +200,7 @@ object SparkEntry {
     "q167_label_propagation" -> LlmQueries.knnLabelPropagation,
     "q168_hll_distinct" -> LlmQueries.hllDistinct,
     "q169_stream_stream_join" -> StreamingQueries.streamStreamIntervalJoin,
+    "q170_hamming_ann" -> LlmQueries.hammingAnn,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1454,6 +1455,8 @@ ORDER BY d.doc_id""",
     "q141_knn_graph_clusters" -> q141KnnClustersOracle,
     // q167: label propagation over the q138 graph — rounds unrolled.
     "q167_label_propagation" -> q167LabelPropOracle,
+    // q170: binary sign-bit Hamming ANN — integer end-to-end.
+    "q170_hamming_ann" -> q170HammingAnnOracle,
     // q168: HLL — every register (portable-hash index + trailing-zero
     // rank as pure integer bit ops) and the estimator arithmetic
     // (identical literal spelling, integer Σ2^(40−M)) replayed.
@@ -3066,6 +3069,34 @@ SELECT l.vec_id, l.lab AS label_hat, (l.vec_id % 5 = 0) AS is_seed,
 FROM l$rounds l JOIN embeddings emb ON emb.vec_id = l.vec_id
 ORDER BY l.vec_id"""
   }
+
+  /** q170 oracle: 60-plane sign-bit signatures (the q138 projection CTEs
+    * at one table), Hamming = bit_count(xor), integer rank with
+    * neighbor tie-break, exact rounded cosine joined back on winners. */
+  private def q170HammingAnnOracle: String =
+    s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
+             d1 - 1 AS d
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
+w AS (SELECT p, d, ${h("p::VARCHAR || ':' || d::VARCHAR", 7)} % 1000 - 500 AS w
+      FROM range(0, 60) tp(p), (SELECT DISTINCT d FROM ex) td),
+proj AS (SELECT vec_id, p, sum(xi * w) AS proj
+         FROM ex JOIN w USING (d) GROUP BY 1, 2),
+sig AS (SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << p)
+                 ELSE 0 END) AS sg
+        FROM proj GROUP BY 1),
+qs AS (SELECT vec_id AS query_id, sg AS qsig FROM sig WHERE vec_id < 10),
+dist AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+           bit_count(xor(q.qsig, s.sg)) AS hamming
+         FROM qs q JOIN sig s ON s.vec_id <> q.query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY hamming, neighbor_id) AS BIGINT) AS rk FROM dist)
+SELECT r.query_id, r.rk, r.neighbor_id,
+  CAST(r.hamming AS BIGINT) AS hamming,
+  round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cosine
+FROM r JOIN embeddings ea ON ea.vec_id = r.query_id
+       JOIN embeddings eb ON eb.vec_id = r.neighbor_id
+WHERE r.rk <= 5 ORDER BY r.query_id, r.rk"""
 
   private def q132LshMultiOracle: String =
     s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,

@@ -220,6 +220,44 @@ object Similarity {
         pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("sig"))
   }
 
+  /** Binary sign-bit ANN (the hashing-for-compression face of
+    * random-hyperplane LSH, Charikar 2002): every vector collapses to
+    * `planes` hyperplane sign BITS packed in one long — at 60 planes a
+    * 64-dim float32 vector (256 B) becomes 8 B, a 32× smaller scan —
+    * and candidate ranking is `bit_count(xor(sig_q, sig_c))`, pure
+    * integer ops at memory-bandwidth speed, no float math in the scan at
+    * all. The float vectors are joined back ONLY for the ≤ k·q winners
+    * (the exact-cosine re-rank seam every binary-ANN deployment has).
+    * Signature pass = the [[lshSignatures]] compiled kernel; Hamming
+    * ranking is exact integers, so the whole leg replays in SQL.
+    *
+    * At 100 TB: the signature table is the index (persist it like q129's
+    * band index); queries broadcast; the scan is corpus-linear over
+    * 8-byte codes — the cheapest ANN leg in the family (cf. q122 int8
+    * SQ at 64 B/vec, q124 PQ at 12-bit codes + table lookups). */
+  def hammingTopK(corpus: DataFrame, k: Int = 5, planes: Int = 60,
+                  nQueries: Int = 10,
+                  hasher: SeededHash = XxSeededHash): DataFrame = {
+    require(planes >= 1 && planes <= 63)
+    val sigs = lshSignatures(corpus, planes, hasher)
+    val qs = sigs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val d = sigs.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        bit_count(col("qsig").bitwiseXOR(col("sig"))).as("hamming"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .join(corpus.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), "query_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne")), "neighbor_id")
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("hamming").cast("long").as("hamming"),
+        round(cosine(col("qe"), col("ne")), 4).as("cosine"))
+  }
+
   /** The sealed-family dispatch of the compiled signature kernels (the
     * [[graft.llm.Hashing]] convention: adding a family is a
     * compile-time decision, never a silent fallback). */

@@ -1576,6 +1576,18 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** Binary sign-bit Hamming ANN (q170,
+    * [[graft.llm.Similarity.hammingTopK]]): top-5 by Hamming distance
+    * over 60-bit hyperplane signatures — the 8-byte-per-vector leg of
+    * the ANN family (vs q122's 64 B int8, q124's 12-bit PQ codes), with
+    * the exact-cosine re-rank seam on the winners. Integer end-to-end:
+    * signatures, xor popcounts and ranks all replay exactly. */
+  def hammingAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.hammingTopK(table(s, dir, "embeddings"), k = 5,
+        planes = 60, nQueries = 10,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("query_id", "rk")
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back

@@ -28,6 +28,10 @@ class PlanAuditSpec extends SparkSpec {
     "q35b_ann_ivf",          // broadcast centroid table
     "q82_ivf_trained",       // broadcast trained-centroid table
     "q48_tfidf_top_terms",   // broadcast scalar n_docs
+    "q170_hamming_ann",      // broadcast 10-query signature frame scanned
+                             // against 8-byte codes — the designed
+                             // binary-ANN scan (q34's ground-truth shape
+                             // on the compressed representation)
     "q166_bm25_topk",        // broadcast 1-row corpus-stats scalar frame
                              // (n_docs, sum_dl) — the q48 pattern; the
                              // postings/df/dl joins are all equi

@@ -347,6 +347,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hamming ANN: planted duplicate is rank 1 at distance 0, ranks " +
+    "are hamming-monotone, self excluded") {
+    // clone vec 3's embedding onto a fresh id: identical vector ⇒
+    // identical sign bits ⇒ hamming 0 ⇒ rank 1 for query 3
+    val dup = emb.where(col("vec_id") === 3)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val rows = Similarity.hammingTopK(
+        emb.select("vec_id", "embedding").unionByName(dup), k = 5,
+        nQueries = 5)
+      .select("query_id", "rk", "neighbor_id", "hamming")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, _, n, _) => q != n }, "self excluded")
+    val q3 = rows.filter(_._1 == 3L).sortBy(_._2)
+    assert(q3.head._3 == 100003L && q3.head._4 == 0L, s"dup rank-1: $q3")
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank == byRank.sorted, "hamming nondecreasing in rank")
+    }
+  }
+
   test("keyed k-means == per-slice k-means, subspace for subspace") {
     val m = 4; val dsub = 16
     val sub = (0 until m).map { s =>
