@@ -201,6 +201,7 @@ object SparkEntry {
     "q168_hll_distinct" -> LlmQueries.hllDistinct,
     "q169_stream_stream_join" -> StreamingQueries.streamStreamIntervalJoin,
     "q170_hamming_ann" -> LlmQueries.hammingAnn,
+    "q171_bm25_indexed" -> LlmQueries.bm25Indexed,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1731,40 +1732,10 @@ ORDER BY d.doc_id""",
     // spelled as the same IEEE ADDITION on both sides, never as a decimal
     // literal that might round differently from the computed sum), the
     // order-free integer score sum, and the rounded-score ranking.
-    "q166_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |tfc AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
-        |  GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |                 CAST(sum(len(toks)) AS BIGINT) AS sum_dl
-        |          FROM toks),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        |       FROM tfc GROUP BY 1),
-        |qd AS (SELECT doc_id AS query_id, toks[1:5] AS qterms
-        |       FROM toks ORDER BY doc_id LIMIT 4),
-        |qterm AS (SELECT DISTINCT query_id, unnest(qterms) AS term FROM qd),
-        |contrib AS (
-        |  SELECT q.query_id, t.doc_id,
-        |    CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-        |      * (t.tf * (1.2 + 1.0))
-        |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl * s.n_docs / s.sum_dl))
-        |      * 1000000.0, 0) AS BIGINT) AS c
-        |  FROM tfc t JOIN qterm q USING (term) JOIN df d USING (term)
-        |    JOIN dl l USING (doc_id) CROSS JOIN stats s),
-        |scored AS (SELECT query_id, doc_id,
-        |             CAST(sum(c) AS BIGINT) AS score_fp,
-        |             CAST(count(*) AS BIGINT) AS hits
-        |           FROM contrib GROUP BY 1, 2),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rk
-        |      FROM scored)
-        |SELECT query_id, rk, doc_id, hits,
-        |  round(score_fp / 1000000.0, 4) AS score
-        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "q166_bm25_topk" -> q166Bm25Oracle,
+    // q171: the q166 search off the persisted bucketed index — same
+    // oracle; the index roundtrip must be invisible in the answer.
+    "q171_bm25_indexed" -> q166Bm25Oracle,
     // q162: hourly resample + forward fill — per-hour value is the max
     // event_id's (arg_max, deterministic under ts ties), the grid is
     // each user's [first, last] active hour, gap hours carry the last
@@ -3069,6 +3040,47 @@ SELECT l.vec_id, l.lab AS label_hat, (l.vec_id % 5 = 0) AS is_seed,
 FROM l$rounds l JOIN embeddings emb ON emb.vec_id = l.vec_id
 ORDER BY l.vec_id"""
   }
+
+  /** q166/q171 oracle: BM25 — postings, doc lengths, corpus stats, idf,
+    * the fixed-point per-term contribution (identical left-associative
+    * arithmetic tree; composite literals like k1+1 are spelled as the
+    * same IEEE ADDITION on both sides), the order-free integer score
+    * sum, and the rounded-score ranking. q171 runs the same search off
+    * the persisted bucketed index, so it shares this oracle verbatim. */
+  private def q166Bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tfc AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(len(toks)) AS BIGINT) AS sum_dl
+      |          FROM toks),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |       FROM tfc GROUP BY 1),
+      |qd AS (SELECT doc_id AS query_id, toks[1:5] AS qterms
+      |       FROM toks ORDER BY doc_id LIMIT 4),
+      |qterm AS (SELECT DISTINCT query_id, unnest(qterms) AS term FROM qd),
+      |contrib AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      |      * (t.tf * (1.2 + 1.0))
+      |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl * s.n_docs / s.sum_dl))
+      |      * 1000000.0, 0) AS BIGINT) AS c
+      |  FROM tfc t JOIN qterm q USING (term) JOIN df d USING (term)
+      |    JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      |scored AS (SELECT query_id, doc_id,
+      |             CAST(sum(c) AS BIGINT) AS score_fp,
+      |             CAST(count(*) AS BIGINT) AS hits
+      |           FROM contrib GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rk
+      |      FROM scored)
+      |SELECT query_id, rk, doc_id, hits,
+      |  round(score_fp / 1000000.0, 4) AS score
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   /** q170 oracle: 60-plane sign-bit signatures (the q138 projection CTEs
     * at one table), Hamming = bit_count(xor), integer rank with

@@ -1576,6 +1576,21 @@ object LlmQueries {
       .orderBy("vec_id")
   }
 
+  /** BM25 search off the PERSISTED index (q171,
+    * [[graft.llm.Retrieval.writeBm25Index]]/`bm25SearchIndexed`): the
+    * q166 search run against bucketed index tables — build-once/
+    * search-every-batch, the q129/q142 lifecycle for lexical search.
+    * Same oracle as q166: the index roundtrip must be invisible. */
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    Retrieval.writeBm25Index(docs, "graft_bm25_idx")
+    val queries = docs.orderBy("doc_id").limit(4)
+      .select(col("doc_id").as("query_id"),
+        slice(TextAnalysis.tokens(col("text")), 1, 5).as("qterms"))
+    Retrieval.bm25SearchIndexed(s, queries, "graft_bm25_idx", k = 5)
+      .orderBy("query_id", "rk")
+  }
+
   /** Binary sign-bit Hamming ANN (q170,
     * [[graft.llm.Similarity.hammingTopK]]): top-5 by Hamming distance
     * over 60-bit hyperplane signatures — the 8-byte-per-vector leg of

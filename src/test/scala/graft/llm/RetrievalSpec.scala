@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
@@ -64,6 +65,21 @@ class RetrievalSpec extends SparkSpec {
     val byDoc = Retrieval.bm25TopK(docs, qs, k = 5)
       .select("doc_id", "rk").as[(Long, Long)].collect().toMap
     assert(byDoc(1L) < byDoc(2L))
+  }
+
+  test("persisted index roundtrip: indexed search == in-query search") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val queries = docs.orderBy("doc_id").limit(6)
+      .select(col("doc_id").as("query_id"),
+        org.apache.spark.sql.functions.slice(
+          TextAnalysis.tokens(col("text")), 1, 5).as("qterms"))
+    val direct = Retrieval.bm25TopK(docs, queries, k = 5)
+      .collect().map(_.toSeq).toSet
+    Retrieval.writeBm25Index(docs, "graft_bm25_spec")
+    val indexed = Retrieval
+      .bm25SearchIndexed(spark, queries, "graft_bm25_spec", k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == direct)
   }
 
   test("bm25 duplicate query terms do not double-count") {
