@@ -202,6 +202,7 @@ object SparkEntry {
     "q169_stream_stream_join" -> StreamingQueries.streamStreamIntervalJoin,
     "q170_hamming_ann" -> LlmQueries.hammingAnn,
     "q171_bm25_indexed" -> LlmQueries.bm25Indexed,
+    "q172_streaming_hll" -> StreamingQueries.streamingHll,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1461,42 +1462,11 @@ ORDER BY d.doc_id""",
     // q168: HLL — every register (portable-hash index + trailing-zero
     // rank as pure integer bit ops) and the estimator arithmetic
     // (identical literal spelling, integer Σ2^(40−M)) replayed.
-    "q168_hll_distinct" ->
-      s"""WITH hv AS (SELECT event_type,
-        |    ${h("CAST(user_id AS VARCHAR)", 77)} AS h FROM events),
-        |r0 AS (SELECT event_type, CAST(h % 256 AS INT) AS idx,
-        |    CASE WHEN h // 256 = 0 THEN 53
-        |      ELSE bit_count(((h // 256) & (-(h // 256))) - 1) + 1
-        |    END AS rho
-        |  FROM hv),
-        |reg AS (SELECT event_type, idx, max(rho) AS r
-        |        FROM r0 GROUP BY 1, 2),
-        |grid AS (SELECT et.event_type, g.range AS idx
-        |         FROM (SELECT DISTINCT event_type FROM events) et,
-        |              range(0, 256) g),
-        |fullr AS (SELECT grid.event_type, grid.idx,
-        |            coalesce(reg.r, 0) AS r
-        |          FROM grid LEFT JOIN reg
-        |            ON reg.event_type = grid.event_type
-        |           AND reg.idx = grid.idx),
-        |agg AS (SELECT event_type,
-        |    CAST(sum(1::BIGINT << (40 - least(r, 40))) AS BIGINT) AS zfp,
-        |    CAST(count(*) FILTER (WHERE r = 0) AS BIGINT) AS n_zero_regs
-        |  FROM fullr GROUP BY 1),
-        |est AS (SELECT event_type, n_zero_regs,
-        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
-        |      1099511627776.0 / CAST(zfp AS DOUBLE) AS e_raw
-        |  FROM agg),
-        |ex AS (SELECT event_type,
-        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
-        |  FROM events GROUP BY 1)
-        |SELECT est.event_type, n_zero_regs,
-        |  round(CASE WHEN e_raw <= 2.5 * 256.0 AND n_zero_regs > 0
-        |    THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE))
-        |    ELSE e_raw END, 4) AS hll_est,
-        |  exact_distinct
-        |FROM est JOIN ex USING (event_type)
-        |ORDER BY est.event_type""".stripMargin,
+    "q168_hll_distinct" -> q168HllOracle,
+    // q172: the streaming-maintained sketch's final state must equal the
+    // batch registers (element-wise max is batch-split invariant) — the
+    // oracle is q168's verbatim.
+    "q172_streaming_hll" -> q168HllOracle,
     // q142: the persisted-index form is defined to produce exactly the
     // q82 output (build-once lifecycle + DPP probe; the math is q82's).
     "q142_indexed_ivf_ann" -> q82IvfTrainedOracle,
@@ -3081,6 +3051,43 @@ ORDER BY l.vec_id"""
       |SELECT query_id, rk, doc_id, hits,
       |  round(score_fp / 1000000.0, 4) AS score
       |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  private def q168HllOracle: String =
+    s"""WITH hv AS (SELECT event_type,
+        |    ${h("CAST(user_id AS VARCHAR)", 77)} AS h FROM events),
+        |r0 AS (SELECT event_type, CAST(h % 256 AS INT) AS idx,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |      ELSE bit_count(((h // 256) & (-(h // 256))) - 1) + 1
+        |    END AS rho
+        |  FROM hv),
+        |reg AS (SELECT event_type, idx, max(rho) AS r
+        |        FROM r0 GROUP BY 1, 2),
+        |grid AS (SELECT et.event_type, g.range AS idx
+        |         FROM (SELECT DISTINCT event_type FROM events) et,
+        |              range(0, 256) g),
+        |fullr AS (SELECT grid.event_type, grid.idx,
+        |            coalesce(reg.r, 0) AS r
+        |          FROM grid LEFT JOIN reg
+        |            ON reg.event_type = grid.event_type
+        |           AND reg.idx = grid.idx),
+        |agg AS (SELECT event_type,
+        |    CAST(sum(1::BIGINT << (40 - least(r, 40))) AS BIGINT) AS zfp,
+        |    CAST(count(*) FILTER (WHERE r = 0) AS BIGINT) AS n_zero_regs
+        |  FROM fullr GROUP BY 1),
+        |est AS (SELECT event_type, n_zero_regs,
+        |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0 *
+        |      1099511627776.0 / CAST(zfp AS DOUBLE) AS e_raw
+        |  FROM agg),
+        |ex AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT est.event_type, n_zero_regs,
+        |  round(CASE WHEN e_raw <= 2.5 * 256.0 AND n_zero_regs > 0
+        |    THEN 256.0 * ln(256.0 / CAST(n_zero_regs AS DOUBLE))
+        |    ELSE e_raw END, 4) AS hll_est,
+        |  exact_distinct
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY est.event_type""".stripMargin
 
   /** q170 oracle: 60-plane sign-bit signatures (the q138 projection CTEs
     * at one table), Hamming = bit_count(xor), integer rank with

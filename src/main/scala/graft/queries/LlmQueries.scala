@@ -1401,11 +1401,18 @@ object LlmQueries {
     * irrelevant at that cardinality. */
   def hllDistinct(s: SparkSession, dir: String): DataFrame = {
     graft.GraftFunctions.register(s)
-    val p = 8; val seed = 77
     val ev = table(s, dir, "events")
       .select(col("event_type"), col("user_id").cast("string").as("k"))
     val regs = ev.groupBy("event_type")
-      .agg(expr(s"hll_registers(k, $p, $seed)").as("regs"))
+      .agg(expr("hll_registers(k, 8, 77)").as("regs"))
+    hllFinish(regs, ev)
+  }
+
+  /** The m=256 HLL estimator over a (event_type, regs) frame, joined to
+    * the exact distinct count — shared by batch q168 and streaming q172
+    * (whose oracle is therefore q168's verbatim). */
+  private[queries] def hllFinish(regs: DataFrame, ev: DataFrame)
+      : DataFrame = {
     val est = regs
       .withColumn("zfp", expr(
         "aggregate(transform(regs, r -> shiftleft(CAST(1 AS BIGINT), " +

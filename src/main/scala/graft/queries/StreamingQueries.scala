@@ -409,6 +409,35 @@ object StreamingQueries {
       .orderBy("source", "rn")
   }
 
+  /** STREAMING-maintained HyperLogLog (q172): the q168 distinct-user
+    * sketch kept current by a complete-mode streaming group-by over the
+    * mergeable `hll_registers` aggregate — ≤256 bytes of state per key,
+    * and element-wise-max merge makes the registers exact under ANY
+    * micro-batch split (max of a union = max of concatenated maxes), so
+    * the final state equals the batch sketch bit-for-bit: the q150
+    * always-current-sample contract, for distinct counting. The oracle
+    * is q168's verbatim. At 100 TB this is the live distinct-users
+    * dashboard fed straight from the ingest stream — the state is
+    * #groups × 256 bytes however large the corpus grows. */
+  def streamingHll(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val srcDir = stageForStream(dir, "events.parquet", "q172")
+    val stream = EventsStream.fromDirectory(s, srcDir)
+    val out = java.nio.file.Files.createTempDirectory("graft-q172").toString
+    val agged = stream
+      .select(col("event_type"), col("user_id").cast("string").as("k"))
+      .groupBy("event_type")
+      .agg(expr("hll_registers(k, 8, 77)").as("regs"))
+    val q = agged.writeStream.outputMode("complete").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) => batch.write.mode("overwrite").parquet(out)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    LlmQueries.hllFinish(s.read.parquet(out),
+      table(s, dir, "events")
+        .select(col("event_type"), col("user_id").cast("string").as("k")))
+  }
+
   /** Streaming ingest INTO the versioned snapshot table (q153): each
     * micro-batch lands as one append commit ([[graft.io.SnapshotTable]])
     * — the streaming lakehouse sink contract: arriving data becomes
