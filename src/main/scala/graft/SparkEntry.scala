@@ -203,6 +203,7 @@ object SparkEntry {
     "q170_hamming_ann" -> LlmQueries.hammingAnn,
     "q171_bm25_indexed" -> LlmQueries.bm25Indexed,
     "q172_streaming_hll" -> StreamingQueries.streamingHll,
+    "q173_rrf_fusion" -> LlmQueries.rrfFusion,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1459,6 +1460,9 @@ ORDER BY d.doc_id""",
     "q167_label_propagation" -> q167LabelPropOracle,
     // q170: binary sign-bit Hamming ANN — integer end-to-end.
     "q170_hamming_ann" -> q170HammingAnnOracle,
+    // q173: RRF fusion of the q170 + q122 legs — both chains replayed,
+    // fused by integer-division reciprocal ranks.
+    "q173_rrf_fusion" -> q173RrfOracle,
     // q168: HLL — every register (portable-hash index + trailing-zero
     // rank as pure integer bit ops) and the estimator arithmetic
     // (identical literal spelling, integer Σ2^(40−M)) replayed.
@@ -3088,6 +3092,88 @@ ORDER BY l.vec_id"""
         |  exact_distinct
         |FROM est JOIN ex USING (event_type)
         |ORDER BY est.event_type""".stripMargin
+
+  /** q173 oracle: the q122 int8-SQ chain and the q170 Hamming chain (CTE
+    * names disjoint by construction), each cut at top-10 per query, full
+    * outer joined and fused by Σ 10⁹ // (60 + rank) — integer division
+    * on integer ranks, exact both engines — then re-ranked top-5. */
+  private def q173RrfOracle: String =
+    s"""WITH qz AS (SELECT vec_id,
+  CAST(list_min(embedding) AS DOUBLE) AS mn,
+  (CAST(list_max(embedding) AS DOUBLE)
+   - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale,
+  embedding FROM embeddings),
+qv AS (SELECT vec_id, mn, scale,
+  list_transform(embedding, x -> CASE WHEN scale > 0
+    THEN CAST(round((CAST(x AS DOUBLE) - mn) / scale) AS INTEGER)
+    ELSE 0 END) AS q
+  FROM qz),
+st AS (SELECT vec_id, mn, scale, q, CAST(len(q) AS BIGINT) AS n,
+  CAST(list_sum(list_transform(q, v -> CAST(v AS BIGINT)))
+    AS BIGINT) AS s1,
+  CAST(list_sum(list_transform(q,
+    v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS BIGINT) AS s2
+  FROM qv),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+  a.mn AS mna, a.scale AS sa, a.s1 AS s1a, a.s2 AS s2a, a.n AS na,
+  b.mn AS mnb, b.scale AS sb, b.s1 AS s1b, b.s2 AS s2b, b.n AS nb,
+  CAST(list_sum(list_transform(list_zip(a.q, b.q),
+    z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT)))
+    AS BIGINT) AS ab
+  FROM st a, st b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+s AS (SELECT query_id, neighbor_id,
+  (CAST(na AS DOUBLE) * mna * mnb + mna * sb * CAST(s1b AS DOUBLE)
+   + mnb * sa * CAST(s1a AS DOUBLE) + sa * sb * CAST(ab AS DOUBLE))
+  / (sqrt(CAST(na AS DOUBLE) * mna * mna
+      + 2.0 * mna * sa * CAST(s1a AS DOUBLE)
+      + sa * sa * CAST(s2a AS DOUBLE))
+     * sqrt(CAST(nb AS DOUBLE) * mnb * mnb
+      + 2.0 * mnb * sb * CAST(s1b AS DOUBLE)
+      + sb * sb * CAST(s2b AS DOUBLE))) AS sim
+  FROM p),
+sqr AS (SELECT query_id, neighbor_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS sq_rank FROM s),
+sqtop AS (SELECT query_id, neighbor_id, sq_rank FROM sqr
+          WHERE sq_rank <= 10),
+ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
+             d1 - 1 AS d
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
+w AS (SELECT p, d, ${h("p::VARCHAR || ':' || d::VARCHAR", 7)} % 1000 - 500 AS w
+      FROM range(0, 60) tp(p), (SELECT DISTINCT d FROM ex) td),
+proj AS (SELECT vec_id, p, sum(xi * w) AS proj
+         FROM ex JOIN w USING (d) GROUP BY 1, 2),
+sig AS (SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << p)
+                 ELSE 0 END) AS sg
+        FROM proj GROUP BY 1),
+hq AS (SELECT vec_id AS query_id, sg AS qsig FROM sig WHERE vec_id < 10),
+dist AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+           bit_count(xor(q.qsig, c.sg)) AS hamming
+         FROM hq q JOIN sig c ON c.vec_id <> q.query_id),
+hamr AS (SELECT query_id, neighbor_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY hamming, neighbor_id) AS BIGINT) AS ham_rank FROM dist),
+hamtop AS (SELECT query_id, neighbor_id, ham_rank FROM hamr
+           WHERE ham_rank <= 10),
+fused AS (SELECT coalesce(h.query_id, s2.query_id) AS query_id,
+    coalesce(h.neighbor_id, s2.neighbor_id) AS neighbor_id,
+    h.ham_rank, s2.sq_rank
+  FROM hamtop h FULL JOIN sqtop s2
+    ON h.query_id = s2.query_id AND h.neighbor_id = s2.neighbor_id),
+rrf AS (SELECT query_id, neighbor_id, ham_rank, sq_rank,
+    CAST((CASE WHEN ham_rank IS NOT NULL
+            THEN 1000000000 // (60 + ham_rank) ELSE 0 END
+        + CASE WHEN sq_rank IS NOT NULL
+            THEN 1000000000 // (60 + sq_rank) ELSE 0 END)
+      AS BIGINT) AS rrf_fp
+  FROM fused),
+fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY rrf_fp DESC, neighbor_id) AS BIGINT) AS rk FROM rrf)
+SELECT query_id, rk, neighbor_id, rrf_fp,
+  CAST(coalesce(ham_rank, 0) AS BIGINT) AS ham_rank,
+  CAST(coalesce(sq_rank, 0) AS BIGINT) AS sq_rank
+FROM fr WHERE rk <= 5 ORDER BY query_id, rk"""
 
   /** q170 oracle: 60-plane sign-bit signatures (the q138 projection CTEs
     * at one table), Hamming = bit_count(xor), integer rank with

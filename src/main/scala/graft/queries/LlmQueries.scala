@@ -1610,6 +1610,47 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash)
       .orderBy("query_id", "rk")
 
+  /** Reciprocal-rank-fusion ANN ensemble (q173, Cormack et al. 2009):
+    * the binary-Hamming leg (q170) and the int8-SQ leg (q122) each
+    * produce a top-10 candidate list per query; RRF fuses them with
+    * score Σ_legs 10⁹ div (60 + rank) — INTEGER division on integer
+    * ranks, so the fused score is exact and order-free — and re-ranks
+    * to a consensus top-5. The standard ensemble move when single
+    * approximate legs miss different neighbors (q131 measures exactly
+    * that per-leg recall gap); at 100 TB both legs run over compressed
+    * representations (8 B signatures / 64 B int8 codes) and only ≤10·q
+    * candidate rows per leg reach the fusion join. */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val ham = Similarity.hammingTopK(emb, k = 10, planes = 60,
+        nQueries = 10, hasher = graft.llm.PortableSeededHash)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").as("ham_rank"))
+    val sq = Similarity.quantizedTopK(emb.where(col("vec_id") < 10),
+        emb, 10)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rn").as("sq_rank"))
+    val fused = ham.join(sq, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        col("ham_rank"), col("sq_rank"),
+        (when(col("ham_rank").isNotNull,
+            expr("CAST(1000000000 div (60 + ham_rank) AS BIGINT)"))
+          .otherwise(lit(0L)) +
+         when(col("sq_rank").isNotNull,
+            expr("CAST(1000000000 div (60 + sq_rank) AS BIGINT)"))
+          .otherwise(lit(0L))).as("rrf_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("rrf_fp").desc, col("neighbor_id"))
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("rrf_fp"),
+        coalesce(col("ham_rank"), lit(0L)).as("ham_rank"),
+        coalesce(col("sq_rank"), lit(0L)).as("sq_rank"))
+      .orderBy("query_id", "rk")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back

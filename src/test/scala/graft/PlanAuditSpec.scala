@@ -28,6 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     "q35b_ann_ivf",          // broadcast centroid table
     "q82_ivf_trained",       // broadcast trained-centroid table
     "q48_tfidf_top_terms",   // broadcast scalar n_docs
+    "q173_rrf_fusion",       // composes the q170 + q122 leg scans — both
+                             // BNLJs inherited from individually
+                             // allowlisted designs (the q131 pattern)
     "q170_hamming_ann",      // broadcast 10-query signature frame scanned
                              // against 8-byte codes — the designed
                              // binary-ANN scan (q34's ground-truth shape
