@@ -38,6 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     "q166_bm25_topk",        // broadcast 1-row corpus-stats scalar frame
                              // (n_docs, sum_dl) — the q48 pattern; the
                              // postings/df/dl joins are all equi
+    "q171_bm25_indexed",     // same stats scalar, read from the 1-row
+                             // index table
     "q66_heavy_hitters",     // broadcast scalar total
     "q95_ann_rewrite",       // exact ground-truth side (q47 shape) + the
                              // 1-row×1-row stats crossJoin; the bucket
