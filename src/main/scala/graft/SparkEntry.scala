@@ -204,6 +204,7 @@ object SparkEntry {
     "q171_bm25_indexed" -> LlmQueries.bm25Indexed,
     "q172_streaming_hll" -> StreamingQueries.streamingHll,
     "q173_rrf_fusion" -> LlmQueries.rrfFusion,
+    "q174_clustering_coeff" -> LlmQueries.knnClusteringCoeff,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1463,6 +1464,10 @@ ORDER BY d.doc_id""",
     // q173: RRF fusion of the q170 + q122 legs — both chains replayed,
     // fused by integer-division reciprocal ranks.
     "q173_rrf_fusion" -> q173RrfOracle,
+    // q174: triangles + clustering coefficient on the mutual-kNN graph
+    // — the q138 edges, mutual restriction, the ordered two-join with
+    // EXISTS closure, exact integer counts, 4-dp coefficient.
+    "q174_clustering_coeff" -> q174ClusteringOracle,
     // q168: HLL — every register (portable-hash index + trailing-zero
     // rank as pure integer bit ops) and the estimator arithmetic
     // (identical literal spelling, integer Σ2^(40−M)) replayed.
@@ -3174,6 +3179,33 @@ SELECT query_id, rk, neighbor_id, rrf_fp,
   CAST(coalesce(ham_rank, 0) AS BIGINT) AS ham_rank,
   CAST(coalesce(sq_rank, 0) AS BIGINT) AS sq_rank
 FROM fr WHERE rk <= 5 ORDER BY query_id, rk"""
+
+  /** q174 oracle: the q138 edges → mutual pairs (x &lt; y) → ordered
+    * triangle join with EXISTS closure → per-node counts + 4-dp
+    * coefficient. */
+  private def q174ClusteringOracle: String =
+    s"""WITH $q138EdgeCtes,
+mp AS (SELECT e.src AS x, e.dst AS y
+       FROM e JOIN e m ON m.src = e.dst AND m.dst = e.src
+       WHERE e.src < e.dst),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT x AS node FROM mp UNION ALL SELECT y FROM mp)
+        GROUP BY 1),
+tr AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+       FROM mp e1 JOIN mp e2 ON e1.y = e2.x
+       WHERE EXISTS (SELECT 1 FROM mp e3
+                     WHERE e3.x = e1.x AND e3.y = e2.y)),
+tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       FROM (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+             UNION ALL SELECT c FROM tr)
+       GROUP BY 1)
+SELECT d.node, d.degree,
+  CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles,
+  CASE WHEN d.degree >= 2
+    THEN round(2.0 * coalesce(tn.triangles, 0)
+               / (d.degree * (d.degree - 1)), 4)
+    ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tn USING (node) ORDER BY d.node"""
 
   /** q170 oracle: 60-plane sign-bit signatures (the q138 projection CTEs
     * at one table), Hamming = bit_count(xor), integer rank with

@@ -131,6 +131,39 @@ object WebGraph {
     labels
   }
 
+  /** TRIANGLE COUNTS + local clustering coefficient (Watts & Strogatz
+    * 1998) over an undirected edge list `(x, y)` with x &lt; y — how
+    * tightly each node's neighborhood interconnects, the manifold-
+    * density signal that complements q141's component structure (a high
+    * coefficient marks dense semantic clumps; near-zero marks hub/
+    * bridge points). Triangle enumeration is the ordered two-join
+    * (a&lt;b&lt;c): E(a,b) ⋈ E(b,c) on b, semi-joined against E(a,c) —
+    * each triangle found exactly once, per-node work bounded by the
+    * node's degree (≤ k on a kNN graph), never all-pairs. Counts are
+    * exact integers; the coefficient 2·tri/(deg·(deg−1)) rounds at 4dp
+    * — all SQL-replayable. Returns (node, degree, triangles, coeff). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("x"), col("y")).localCheckpoint()
+    val deg = e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = e.select(col("x").as("a"), col("y").as("b"))
+      .join(e.select(col("x").as("b"), col("y").as("c")), "b")
+      .join(e.select(col("x").as("a"), col("y").as("c")),
+        Seq("a", "c"), "left_semi")
+    val triPerNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
   /** Collapse page-level links `(src_host, dst_host)` — one row per link
     * occurrence — to the weighted host edge list [[pageRank]] consumes.
     * This is the single corpus-scale pass: one hash shuffle on the host

@@ -1651,6 +1651,23 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Mutual-kNN clustering coefficient (q174,
+    * [[graft.llm.WebGraph.clusteringCoefficient]] over
+    * [[graft.llm.Similarity.knnGraph]]'s mutual edges): per-node
+    * triangle counts and local clustering coefficient on the semantic
+    * neighborhood graph — the density signal next to q141's components
+    * (dense clumps score high; hubs/bridges near zero). Exact integer
+    * triangles, 4-dp coefficient, fully replayed. */
+  def knnClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraph(table(s, dir, "embeddings"), k = 5,
+      tables = 4, planesPerTable = 8,
+      hasher = graft.llm.PortableSeededHash)
+    val mutual = g.where(col("mutual") && col("src") < col("dst"))
+      .select(col("src").as("x"), col("dst").as("y"))
+    graft.llm.WebGraph.clusteringCoefficient(mutual)
+      .orderBy("node")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back

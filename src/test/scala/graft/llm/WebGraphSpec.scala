@@ -89,6 +89,24 @@ class WebGraphSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
   }
 
+  test("clustering coefficient: triangle, star, and clique") {
+    // graph: triangle {1,2,3}; star center 4 with leaves 5,6 (no
+    // triangle); 4-clique {10,11,12,13}
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (11L, 12L), (11L, 13L), (12L, 13L))
+    val got = WebGraph.clusteringCoefficient(edges.toDF("x", "y"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)) && got(2L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((2L, 0L, 0.0)), "star center: deg 2, no triangle")
+    assert(got(5L) == ((1L, 0L, 0.0)), "leaf: deg 1 -> coeff 0")
+    // 4-clique: deg 3, C(3,2)=3 triangles through each node, coeff 1
+    Seq(10L, 11L, 12L, 13L).foreach(n => assert(got(n) == ((3L, 3L, 1.0))))
+  }
+
   test("label propagation is independent of input partitioning") {
     val edges = (0L until 300L).map(i =>
       (i % 40, (i * 7 + 1) % 40, 1L + i % 5))
