@@ -205,6 +205,7 @@ object SparkEntry {
     "q172_streaming_hll" -> StreamingQueries.streamingHll,
     "q173_rrf_fusion" -> LlmQueries.rrfFusion,
     "q174_clustering_coeff" -> LlmQueries.knnClusteringCoeff,
+    "q175_trust_rank" -> LlmQueries.hostTrustRank,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1503,6 +1504,8 @@ ORDER BY d.doc_id""",
     // q144: 5 unrolled fixed-point power iterations — all-long
     // arithmetic, so the replay is exact (see generator).
     "q144_host_pagerank" -> q144PageRankOracle,
+    // q175: TrustRank — q144's graph, seed-concentrated teleport.
+    "q175_trust_rank" -> q175TrustRankOracle,
     // q145: bottom-8-by-portable-hash per source + the KMV estimator
     // off the same kth hash — integer end-to-end.
     "q145_bottomk_sample" -> q145BottomKOracle,
@@ -3407,6 +3410,39 @@ GROUP BY method ORDER BY method"""
     * 85%, truncating `//` division — nonnegative operands, so DuckDB's
     * floor division equals Spark's `div` truncation). `sum` promotes to
     * HUGEINT in DuckDB; each round casts back to BIGINT. */
+  /** q175 oracle: q144's link-graph CTEs with the TrustRank twist —
+    * r0 = Fp on the three literal seeds (0 elsewhere), per-round
+    * teleport only on seeds; 5 rounds unrolled, all-integer. */
+  private def q175TrustRankOracle: String = {
+    val iters = 5
+    val seedList =
+      "('src0.crawl.example', 'src1.crawl.example', 'src2.crawl.example')"
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT ew.dst, sum((r${i - 1}.r * ew.w) // ew.ow) AS s
+       FROM ew JOIN r${i - 1} ON r${i - 1}.node = ew.src GROUP BY 1),
+r$i AS (SELECT node,
+        CAST(CASE WHEN node IN $seedList THEN 150000 ELSE 0 END
+             + (85 * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+       FROM nodes LEFT JOIN c$i ON node = c$i.dst)"""
+    }.mkString(",\n")
+    s"""WITH links AS (SELECT source || '.crawl.example' AS src,
+       'src' || ((doc_id * 7 + 3) % 20) || '.crawl.example' AS dst
+     FROM documents),
+e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM links GROUP BY 1, 2),
+ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e
+       JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+             FROM e GROUP BY 1) o ON e.src = o.src),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT node, CAST(CASE WHEN node IN $seedList
+         THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM nodes),
+$rounds
+SELECT node AS host, r AS trust_fp,
+  node IN $seedList AS is_seed
+FROM r$iters ORDER BY host"""
+  }
+
   private def q144PageRankOracle: String = {
     val iters = 5
     val rounds = (1 to iters).map { i =>

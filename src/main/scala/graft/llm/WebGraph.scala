@@ -131,6 +131,55 @@ object WebGraph {
     labels
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank with
+    * the teleport vector CONCENTRATED on a trusted seed set — trust
+    * flows only out of hand-vetted hosts through the link graph, decay
+    * damped per hop; unlinked (or spam-linked-only) hosts converge to
+    * zero. The domain-trust gate web-scale curation uses where q144's
+    * uniform PageRank measures raw prominence. Same fixed-point integer
+    * arithmetic and per-round shape as [[pageRank]] (one equi-join +
+    * count shuffle per round, `localCheckpoint` pinning plans): ranks
+    * are exact longs, every round SQL-replayable. Seeds start at Fp,
+    * others at 0; per-round teleport lands on seeds only. */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                dampingPct: Long = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
+    val ew = e.join(
+        e.groupBy(col("src").as("osrc")).agg(sum("w").as("ow")),
+        col("src") === col("osrc"))
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+      .localCheckpoint()
+    val teleport = ((100 - dampingPct) * Fp) / 100
+    val nodesT = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node")))
+      .distinct()
+      .join(seeds.select(col("node").cast("string").as("node"))
+        .distinct().withColumn("_t", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_t"), lit(teleport)).otherwise(lit(0L)).as("tele"))
+      .localCheckpoint()
+    var ranks = nodesT.select(col("node"),
+      when(col("tele") > 0, lit(Fp)).otherwise(lit(0L)).as("rank_fp"))
+    var i = 0
+    while (i < iters) {
+      val contribs = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("(rank_fp * w) div ow").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("s"))
+      ranks = nodesT.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("tele") +
+            expr(s"($dampingPct * coalesce(s, cast(0 as bigint))) div 100"))
+            .as("rank_fp"))
+        .localCheckpoint()
+      i += 1
+    }
+    nodesT.join(ranks, "node")
+      .select(col("node"), col("rank_fp"), (col("tele") > 0).as("is_seed"))
+  }
+
   /** TRIANGLE COUNTS + local clustering coefficient (Watts & Strogatz
     * 1998) over an undirected edge list `(x, y)` with x &lt; y — how
     * tightly each node's neighborhood interconnects, the manifold-

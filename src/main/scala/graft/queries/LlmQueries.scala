@@ -1454,6 +1454,27 @@ object LlmQueries {
       .orderBy("host")
   }
 
+  /** Host-graph TrustRank (q175, [[graft.llm.WebGraph.trustRank]]): the
+    * q144 link graph with the teleport mass concentrated on three
+    * hand-trusted hosts — the domain-TRUST table (Gyöngyi et al. 2004)
+    * that curation gates on where q144 measures raw prominence; spam
+    * islands not reachable from the seeds converge to zero however
+    * densely they interlink. */
+  def hostTrustRank(s: SparkSession, dir: String): DataFrame = {
+    val links = table(s, dir, "documents")
+      .select(concat(col("source"), lit(".crawl.example")).as("src_host"),
+        concat(lit("src"), pmod(col("doc_id") * 7 + 3, lit(20L)),
+          lit(".crawl.example")).as("dst_host"))
+    val seeds = s.createDataFrame(
+      Seq(Tuple1("src0.crawl.example"), Tuple1("src1.crawl.example"),
+        Tuple1("src2.crawl.example"))).toDF("node")
+    graft.llm.WebGraph.trustRank(
+        graft.llm.WebGraph.hostLinkGraph(links), seeds, iters = 5)
+      .select(col("node").as("host"), col("rank_fp").as("trust_fp"),
+        col("is_seed"))
+      .orderBy("host")
+  }
+
   /** Bottom-k consistent per-domain sample + KMV distinct sketch (q145,
     * [[graft.llm.Sampling.bottomKPerKey]]): the 8 smallest-hash docs of
     * every source — the order- and partitioning-independent reservoir

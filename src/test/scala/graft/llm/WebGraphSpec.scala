@@ -89,6 +89,28 @@ class WebGraphSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
   }
 
+  test("trustRank: trust flows from seeds, spam islands converge to 0, " +
+    "seed teleport persists") {
+    // a(seed) -> b -> c ; spam island d <-> e (densely interlinked but
+    // unreachable from the seed)
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L),
+      ("d", "e", 1L), ("e", "d", 1L))
+    val r = WebGraph.trustRank(edges.toDF("src", "dst", "w"),
+        Seq("a").toDF("node"), iters = 6)
+      .as[(String, Long, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r("a")._2 && !r("b")._2)
+    assert(r("a")._1 > 0, "seed keeps teleport mass")
+    assert(r("b")._1 > r("c")._1, "trust decays per hop")
+    assert(r("c")._1 > 0, "reachable node accrues trust")
+    assert(r("d")._1 == 0 && r("e")._1 == 0,
+      "unreachable spam island converges to zero")
+    // uniform pageRank, by contrast, gives the island positive mass
+    val pr = WebGraph.pageRank(edges.toDF("src", "dst", "w"), iters = 6)
+      .as[(String, Long)].collect().toMap
+    assert(pr("d") > 0)
+  }
+
   test("clustering coefficient: triangle, star, and clique") {
     // graph: triangle {1,2,3}; star center 4 with leaves 5,6 (no
     // triangle); 4-clique {10,11,12,13}
