@@ -206,6 +206,7 @@ object SparkEntry {
     "q173_rrf_fusion" -> LlmQueries.rrfFusion,
     "q174_clustering_coeff" -> LlmQueries.knnClusteringCoeff,
     "q175_trust_rank" -> LlmQueries.hostTrustRank,
+    "q176_quality_keeper" -> LlmQueries.qualityKeeperDedup,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -592,6 +593,33 @@ ORDER BY doc_id""",
         |  CAST(count(*) AS BIGINT) AS dup_count, md5(nt) AS fp
         |FROM n GROUP BY nt ORDER BY keep_id""".stripMargin,
     "q91_decontamination" -> decontaminationOracle,
+    // q176: quality-aware keeper — q92's variant corpus + normalization
+    // key, q37's quality formula per COPY, rank replayed on the
+    // ROUNDED score with doc_id ties.
+    "q176_quality_keeper" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, upper(text) || ' !!' FROM documents),
+        |q AS (SELECT doc_id,
+        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (CAST(len(list_filter(string_split(text,' '),
+        |         x -> x IN ('the','and','of','is','in','a'))) AS DOUBLE)
+        |       / len(string_split(text, ' '))) * 0.3
+        |    + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |       / length(text)) * 0.3, 4) AS quality,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM all_docs),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY fp
+        |        ORDER BY quality DESC, doc_id) AS BIGINT) AS rk FROM q),
+        |k AS (SELECT fp, doc_id AS keeper_id FROM r WHERE rk = 1),
+        |c AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+        |      FROM q GROUP BY 1)
+        |SELECT q.doc_id, q.fp, q.quality, k.keeper_id,
+        |  (q.doc_id = k.keeper_id) AS is_keeper, c.n_copies
+        |FROM q JOIN k USING (fp) JOIN c USING (fp)
+        |ORDER BY q.doc_id""".stripMargin,
     // q105: the Bloom-prefiltered path must be invisible in the answer —
     // same split, same exact containment semantics, SAME oracle as q91.
     "q105_bloom_decontamination" -> decontaminationOracle,

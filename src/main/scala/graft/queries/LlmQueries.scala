@@ -1689,6 +1689,44 @@ object LlmQueries {
       .orderBy("node")
   }
 
+  /** Quality-aware dedup keeper (q176): within each NORMALIZED duplicate
+    * group (the q92 case/punct/whitespace-variant key), keep the
+    * highest-QUALITY copy (q37's score; ties to the lower doc_id) —
+    * real pipelines keep the cleanest copy, not the lowest id. The
+    * planted variants (upper-cased, bang-suffixed twins, the q92
+    * corpus) score strictly worse than their originals, so the keeper
+    * choice is exercised, not vacuous. One fingerprint shuffle + a
+    * per-group rank window — exactly q30's scale shape with an argmax
+    * instead of a min. */
+  def qualityKeeperDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = table(s, dir, "documents").select("doc_id", "text")
+    val docs = base.unionByName(base.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(upper(col("text")), lit(" !!")).as("text")))
+    val comps = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: col("text") +:
+        TextAnalysis.qualityComponentsFromTokens(col("text"), col("toks"))
+          .map { case (n, c) => c.as(n) }: _*)
+    val scored = comps.select(col("doc_id"),
+      md5(TextAnalysis.normalizeForDedup(col("text"))).as("fp"),
+      TextAnalysis.qualityFromComponents(col("n_tokens"), col("n_chars_d"),
+        col("punct"), col("stop")).toMap.apply("quality").as("quality"))
+    val w = Window.partitionBy("fp")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val ranked = scored.withColumn("rk", row_number().over(w))
+    val keepers = ranked.where(col("rk") === 1)
+      .select(col("fp"), col("doc_id").as("keeper_id"))
+    val counts = scored.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+    scored.join(keepers, "fp").join(counts, "fp")
+      .select(col("doc_id"), col("fp"), col("quality"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"),
+        col("n_copies"))
+      .orderBy("doc_id")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back
