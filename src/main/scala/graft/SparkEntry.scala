@@ -207,6 +207,7 @@ object SparkEntry {
     "q174_clustering_coeff" -> LlmQueries.knnClusteringCoeff,
     "q175_trust_rank" -> LlmQueries.hostTrustRank,
     "q176_quality_keeper" -> LlmQueries.qualityKeeperDedup,
+    "q177_ngram_novelty" -> LlmQueries.ngramNovelty,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -596,6 +597,25 @@ ORDER BY doc_id""",
     // q176: quality-aware keeper — q92's variant corpus + normalization
     // key, q37's quality formula per COPY, rank replayed on the
     // ROUNDED score with doc_id ties.
+    // q177: per-doc distinct 3-grams (the q49 window spelling), corpus
+    // df, and the df=1 novelty fraction — counts exact, ratio at 4dp.
+    "q177_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' ||
+        |         string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS grams
+        |  FROM documents),
+        |gd AS (SELECT doc_id, unnest(grams) AS g FROM g
+        |       WHERE len(grams) > 0),
+        |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+        |       FROM gd GROUP BY 1)
+        |SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_novel,
+        |  round(CAST(count(*) FILTER (WHERE df.df = 1) AS DOUBLE)
+        |    / count(*), 4) AS novelty
+        |FROM gd JOIN df USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q176_quality_keeper" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -1727,6 +1727,30 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus n-gram novelty (q177): per document, the fraction of its
+    * DISTINCT 3-gram shingles that occur in NO other document — the
+    * originality/memorization-risk signal on the near-dup continuum
+    * (df=1 grams are text nobody else wrote; boilerplate-heavy docs
+    * score near 0). One gram-df count shuffle + a per-doc conditional
+    * aggregate — corpus-linear, exactly the posting shape q31/q106
+    * already carry; docs shorter than 3 tokens have no grams and are
+    * absent (mirrored in the oracle). */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val gd = docs.select(col("doc_id"),
+        explode(TextAnalysis.distinctShinglesFromTokens(col("toks"), 3))
+          .as("g"))
+    val df_ = gd.groupBy("g").agg(count(lit(1)).as("df"))
+    gd.join(df_, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") === 1, 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel") / col("n_grams"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back
