@@ -208,6 +208,7 @@ object SparkEntry {
     "q175_trust_rank" -> LlmQueries.hostTrustRank,
     "q176_quality_keeper" -> LlmQueries.qualityKeeperDedup,
     "q177_ngram_novelty" -> LlmQueries.ngramNovelty,
+    "q178_anchor_graph" -> LlmQueries.anchorLinkGraph,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -597,6 +598,32 @@ ORDER BY doc_id""",
     // q176: quality-aware keeper — q92's variant corpus + normalization
     // key, q37's quality formula per COPY, rank replayed on the
     // ROUNDED score with doc_id ties.
+    // q178: the q143 HTML wrapper + deterministic anchors, the anchor-
+    // tag regexp extraction, host recovery and the weighted edge list
+    // with min-anchor — all replayed.
+    "q178_anchor_graph" ->
+      """WITH pages AS (SELECT source || '.crawl.example' AS src_host,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title><script type="text/javascript">var t = 1 &amp;&amp; 2;' ||
+        |  '</script><style>.nav { color: red; }</style></head><body>' ||
+        |  '<div class="nav">Home | About</div><p>' || text ||
+        |  '</p><footer>&amp;copy; 2026</footer></body></html>' ||
+        |  '<a href="http://src' || ((doc_id * 7 + 3) % 20) ||
+        |  '.crawl.example/page/' || doc_id || '">see src' ||
+        |  ((doc_id * 7 + 3) % 20) || '</a>' ||
+        |  '<a href="http://src' || ((doc_id * 11 + 5) % 20) ||
+        |  '.crawl.example/ref">ref src' || ((doc_id * 11 + 5) % 20) ||
+        |  '</a>' AS html
+        |  FROM documents),
+        |t AS (SELECT src_host, unnest(regexp_extract_all(html,
+        |        '<a href="[^"]+">[^<]*</a>', 0)) AS tag FROM pages),
+        |l AS (SELECT src_host,
+        |  regexp_extract(regexp_extract(tag, '<a href="([^"]+)"', 1),
+        |    '^http://([^/]+)', 1) AS dst_host,
+        |  regexp_extract(tag, '>([^<]*)</a>', 1) AS anchor FROM t)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+        |  min(anchor) AS top_anchor
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q177: per-doc distinct 3-grams (the q49 window spelling), corpus
     // df, and the df=1 novelty fraction — counts exact, ratio at 4dp.
     "q177_ngram_novelty" ->

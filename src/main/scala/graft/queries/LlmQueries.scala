@@ -1751,6 +1751,39 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Anchor-link extraction → host link graph (q178): the missing tier
+    * between HTML text extraction (q116) and the host-graph analytics
+    * (q144/q175) — pages carry real `&lt;a href&gt;` anchors, the
+    * extractor pulls every anchor TAG with a codegen regexp, splits
+    * href/anchor-text per tag, recovers the target host with
+    * `parse_url`, and collapses to the weighted host edge list with the
+    * lexicographically-first anchor text per edge (anchor text being
+    * the classic relevance signal riding the link). Scan-speed regexp
+    * chain + ONE (src,dst) count shuffle — the q144 ingest shape with
+    * extraction made real. */
+  def anchorLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val d1 = pmod(col("doc_id") * 7 + 3, lit(20L))
+    val d2 = pmod(col("doc_id") * 11 + 5, lit(20L))
+    val pages = table(s, dir, "documents").select(
+      concat(col("source"), lit(".crawl.example")).as("src_host"),
+      concat(syntheticHtml,
+        lit("<a href=\"http://src"), d1,
+        lit(".crawl.example/page/"), col("doc_id"), lit("\">see src"),
+        d1, lit("</a><a href=\"http://src"), d2,
+        lit(".crawl.example/ref\">ref src"), d2, lit("</a>")).as("html"))
+    val tags = pages.select(col("src_host"),
+      explode(expr(
+        """regexp_extract_all(html, '<a href="[^"]+">[^<]*</a>', 0)"""))
+        .as("tag"))
+    val links = tags.select(col("src_host"),
+      parse_url(regexp_extract(col("tag"), "<a href=\"([^\"]+)\"", 1),
+        lit("HOST")).as("dst_host"),
+      regexp_extract(col("tag"), ">([^<]*)</a>", 1).as("anchor"))
+    links.groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"), min(col("anchor")).as("top_anchor"))
+      .orderBy("src_host", "dst_host")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back
