@@ -209,6 +209,7 @@ object SparkEntry {
     "q176_quality_keeper" -> LlmQueries.qualityKeeperDedup,
     "q177_ngram_novelty" -> LlmQueries.ngramNovelty,
     "q178_anchor_graph" -> LlmQueries.anchorLinkGraph,
+    "q179_corpus_datasheet" -> LlmQueries.corpusDatasheet,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -598,6 +599,41 @@ ORDER BY doc_id""",
     // q176: quality-aware keeper — q92's variant corpus + normalization
     // key, q37's quality formula per COPY, rank replayed on the
     // ROUNDED score with doc_id ties.
+    // q179: the corpus datasheet — volume, length quantiles, language
+    // mix, dup rate, fixed-point mean quality; all pieces replayed.
+    "q179_corpus_datasheet" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |core AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    round(avg(n_tokens), 4) AS mean_tokens,
+        |    round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+        |    round(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+        |  FROM base),
+        |top AS (SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS c
+        |        FROM base GROUP BY 1
+        |        ORDER BY count(*) DESC, lang LIMIT 1),
+        |mq AS (SELECT CAST(sum(qfp) AS BIGINT) AS qsum,
+        |         CAST(count(*) AS BIGINT) AS qn
+        |  FROM (SELECT CAST(round(
+        |    round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (CAST(len(list_filter(string_split(text,' '),
+        |           x -> x IN ('the','and','of','is','in','a'))) AS DOUBLE)
+        |         / len(string_split(text, ' '))) * 0.3
+        |      + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |         / length(text)) * 0.3, 4) * 10000, 0) AS BIGINT) AS qfp
+        |    FROM documents))
+        |SELECT n_docs, total_tokens, mean_tokens, p50_tokens, p95_tokens,
+        |  n_langs, top_lang,
+        |  round(CAST(c AS DOUBLE) / n_docs, 4) AS top_lang_frac,
+        |  n_unique,
+        |  round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 4) AS dup_rate,
+        |  round(CAST(qsum AS DOUBLE) / (10000.0 * qn), 4) AS mean_quality
+        |FROM core, top, mq""".stripMargin,
     // q178: the q143 HTML wrapper + deterministic anchors, the anchor-
     // tag regexp extraction, host recovery and the weighted edge list
     // with min-anchor — all replayed.

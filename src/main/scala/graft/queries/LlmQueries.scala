@@ -1784,6 +1784,54 @@ object LlmQueries {
       .orderBy("src_host", "dst_host")
   }
 
+  /** Corpus DATASHEET (q179, Gebru et al. 2021 "Datasheets for
+    * Datasets"): the one-row corpus report card a data team publishes
+    * with a release — volume (docs/tokens), length distribution
+    * (mean/p50/p95), language mix (count + dominant language and its
+    * share), exact-duplicate rate, and mean quality. Every number is a
+    * deterministic composition of already-oracled signals; the one
+    * float-sum hazard (mean quality over doubles) is dodged by summing
+    * the 4-dp scores at integer fixed point 10⁴ — order-free — and
+    * dividing once at the end. Three tiny aggregates + a 1-row join:
+    * corpus-linear, the cheapest query in the library per byte scanned. */
+  def corpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      md5(col("text")).as("fp"))
+    val core = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"),
+      round(avg(col("n_tokens")), 4).as("mean_tokens"),
+      round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+      round(expr("percentile(n_tokens, 0.95)"), 4).as("p95_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("fp")).as("n_unique"))
+    val top = base.groupBy("lang").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("c"))
+    val comps = docs
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: col("text") +:
+        TextAnalysis.qualityComponentsFromTokens(col("text"), col("toks"))
+          .map { case (n, c) => c.as(n) }: _*)
+    val mq = comps.select(
+        round(TextAnalysis.qualityFromComponents(col("n_tokens"),
+          col("n_chars_d"), col("punct"), col("stop"))
+          .toMap.apply("quality") * 10000, 0).cast("long").as("qfp"))
+      .agg(sum("qfp").as("qsum"), count(lit(1)).as("qn"))
+    core.crossJoin(top).crossJoin(mq).select(
+      col("n_docs"), col("total_tokens"), col("mean_tokens"),
+      col("p50_tokens"), col("p95_tokens"), col("n_langs"),
+      col("top_lang"),
+      round(col("c") / col("n_docs"), 4).as("top_lang_frac"),
+      col("n_unique"),
+      round(lit(1.0) - col("n_unique") / col("n_docs"), 4).as("dup_rate"),
+      round(col("qsum") / (lit(10000.0) * col("qn")), 4)
+        .as("mean_quality"))
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back

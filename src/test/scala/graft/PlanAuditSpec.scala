@@ -40,6 +40,8 @@ class PlanAuditSpec extends SparkSpec {
                              // postings/df/dl joins are all equi
     "q171_bm25_indexed",     // same stats scalar, read from the 1-row
                              // index table
+    "q179_corpus_datasheet", // three 1-row summary frames cross-joined
+                             // — the report card IS scalars
     "q66_heavy_hitters",     // broadcast scalar total
     "q95_ann_rewrite",       // exact ground-truth side (q47 shape) + the
                              // 1-row×1-row stats crossJoin; the bucket
