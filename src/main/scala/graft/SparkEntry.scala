@@ -210,6 +210,7 @@ object SparkEntry {
     "q177_ngram_novelty" -> LlmQueries.ngramNovelty,
     "q178_anchor_graph" -> LlmQueries.anchorLinkGraph,
     "q179_corpus_datasheet" -> LlmQueries.corpusDatasheet,
+    "q180_contrastive_triplets" -> LlmQueries.contrastiveTriplets,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -599,6 +600,34 @@ ORDER BY doc_id""",
     // q176: quality-aware keeper — q92's variant corpus + normalization
     // key, q37's quality formula per COPY, rank replayed on the
     // ROUNDED score with doc_id ties.
+    // q180: triplets — one scored scan, positive = rank-1, negative =
+    // best candidate ≥0.05 below the positive and ≥0.10; 4-dp sims.
+    "q180_contrastive_triplets" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 50),
+        |sc AS (SELECT q.anchor_id, e.vec_id AS cand_id,
+        |    CAST(round(round(list_cosine_similarity(
+        |        CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])),
+        |      4) * 10000, 0) AS BIGINT) AS sim_bp
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.anchor_id),
+        |pos AS (SELECT anchor_id, cand_id AS positive_id,
+        |    sim_bp AS pos_sim_bp
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |          ORDER BY sim_bp DESC, cand_id) AS rk FROM sc)
+        |  WHERE rk = 1),
+        |neg AS (SELECT anchor_id, positive_id, pos_sim_bp,
+        |    cand_id AS negative_id, sim_bp AS neg_sim_bp
+        |  FROM (SELECT sc.anchor_id, sc.cand_id, sc.sim_bp,
+        |      pos.positive_id, pos.pos_sim_bp,
+        |      row_number() OVER (PARTITION BY sc.anchor_id
+        |        ORDER BY sc.sim_bp DESC, sc.cand_id) AS nrk
+        |    FROM sc JOIN pos USING (anchor_id)
+        |    WHERE sc.sim_bp <= pos.pos_sim_bp - 500
+        |      AND sc.sim_bp >= 1000)
+        |  WHERE nrk = 1)
+        |SELECT anchor_id, positive_id, pos_sim_bp, negative_id,
+        |  neg_sim_bp, pos_sim_bp - neg_sim_bp AS margin_bp
+        |FROM neg ORDER BY anchor_id""".stripMargin,
     // q179: the corpus datasheet — volume, length quantiles, language
     // mix, dup rate, fixed-point mean quality; all pieces replayed.
     "q179_corpus_datasheet" ->

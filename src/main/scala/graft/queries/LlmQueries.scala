@@ -1832,6 +1832,50 @@ object LlmQueries {
         .as("mean_quality"))
   }
 
+  /** Contrastive TRIPLET mining (q180): for each of 50 anchor vectors,
+    * emit (anchor, positive, hard-negative) — positive = the exact
+    * nearest neighbor, negative = the highest-similarity candidate at
+    * least a 0.05 rounded-cosine margin BELOW the positive (and above a
+    * 0.10 floor so it stays informative) — the training-pair dataset a
+    * contrastive embedding run consumes (DPR/SimCSE recipe; q156 mines
+    * the negative band alone, this assembles full triplets with the
+    * margin constraint enforced, sim(a,p) > sim(a,n) by construction).
+    * One broadcast-anchors scoring scan feeds BOTH rank windows; all
+    * comparisons on 4-dp rounded cosines, so the triplet set is
+    * bit-identical cross-engine. */
+  def contrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = table(s, dir, "embeddings")
+    val anchors = emb.where(col("vec_id") < 50)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("q_emb"))
+    // similarity in integer BASIS POINTS from the start: the margin
+    // constraint compares sims against a data-derived boundary
+    // (pos − 0.05), and a 4-dp-quantized sim lands EXACTLY on it
+    // whenever a margin is exactly 500 bp — where double (engine) and
+    // float32 (DuckDB list_cosine_similarity) representations order
+    // differently. Integers have no boundary to sit on.
+    val scored = emb.join(broadcast(anchors),
+        col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id").as("cand_id"),
+        round(round(Similarity.cosine(col("q_emb"), col("embedding")), 4)
+          .cast("double") * 10000, 0).cast("long").as("sim_bp"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("sim_bp").desc, col("cand_id"))
+    val pos = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("anchor_id"), col("cand_id").as("positive_id"),
+        col("sim_bp").as("pos_sim_bp"))
+    scored.join(pos, "anchor_id")
+      .where(col("sim_bp") <= col("pos_sim_bp") - 500 &&
+        col("sim_bp") >= 1000)
+      .withColumn("nrk", row_number().over(w))
+      .where(col("nrk") === 1)
+      .select(col("anchor_id"), col("positive_id"), col("pos_sim_bp"),
+        col("cand_id").as("negative_id"), col("sim_bp").as("neg_sim_bp"),
+        (col("pos_sim_bp") - col("sim_bp")).as("margin_bp"))
+      .orderBy("anchor_id")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back

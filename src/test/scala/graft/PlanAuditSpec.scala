@@ -42,6 +42,8 @@ class PlanAuditSpec extends SparkSpec {
                              // index table
     "q179_corpus_datasheet", // three 1-row summary frames cross-joined
                              // — the report card IS scalars
+    "q180_contrastive_triplets", // broadcast 50-anchor exact scoring
+                             // scan — the q34 ground-truth shape
     "q66_heavy_hitters",     // broadcast scalar total
     "q95_ann_rewrite",       // exact ground-truth side (q47 shape) + the
                              // 1-row×1-row stats crossJoin; the bucket
