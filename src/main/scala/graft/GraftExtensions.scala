@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BottomKAgg, CosineSim, CountMinAgg, HyperLogLogAgg, IntDot, MapCountAgg, Md5Prefix60, MisraGriesAgg, PolyHash}
+import graft.functions.{BottomKAgg, CosineSim, CountMinAgg, HyperLogLogAgg, IntDot, MapCountAgg, Md5Prefix60, MisraGriesAgg, MultiContains, PolyHash}
 
 /** Registration of the engine's native Catalyst expressions.
   *
@@ -64,7 +64,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[BottomKAgg].getName, "bottom_k"),
       (children: Seq[Expression]) => BottomKAgg(children(0), children(1),
         children(2),
-        children(3).eval().asInstanceOf[Number].intValue)))
+        children(3).eval().asInstanceOf[Number].intValue)),
+    // multi_contains(text, term1, term2, ...) — dictionary terms must be
+    // foldable string literals (the automaton compiles once per plan).
+    (FunctionIdentifier("multi_contains"),
+      new ExpressionInfo(classOf[MultiContains].getName, "multi_contains"),
+      (children: Seq[Expression]) => MultiContains(children.head,
+        children.tail.map(_.eval().toString))))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -211,6 +211,7 @@ object SparkEntry {
     "q178_anchor_graph" -> LlmQueries.anchorLinkGraph,
     "q179_corpus_datasheet" -> LlmQueries.corpusDatasheet,
     "q180_contrastive_triplets" -> LlmQueries.contrastiveTriplets,
+    "q181_blocklist_gate" -> LlmQueries.blocklistGate,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -600,6 +601,21 @@ ORDER BY doc_id""",
     // q176: quality-aware keeper — q92's variant corpus + normalization
     // key, q37's quality formula per COPY, rank replayed on the
     // ROUNDED score with doc_id ties.
+    // q181: blocked-phrase gate — the engine's one Aho–Corasick pass
+    // replayed as one `contains` per dictionary term; the literal list
+    // is in binary-sorted order, matching the automaton's output order.
+    "q181_blocklist_gate" ->
+      """WITH m AS (SELECT doc_id, list_filter(
+        |    ['batch batch', 'batch batch batch', 'big slow', 'data line',
+        |     'dup', 'fast key', 'low joi', 'merge data', 'ow jo',
+        |     'slow join', 'stream spark', 'table scan', 'the fast',
+        |     'window window'],
+        |    p -> contains(text, p)) AS mt
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(mt) AS BIGINT) AS n_matched,
+        |  coalesce(array_to_string(mt, '|'), '') AS matched_terms,
+        |  len(mt) >= 3 AS blocked
+        |FROM m ORDER BY doc_id""".stripMargin,
     // q180: triplets — one scored scan, positive = rank-1, negative =
     // best candidate ≥0.05 below the positive and ≥0.10; 4-dp sims.
     "q180_contrastive_triplets" ->

@@ -191,6 +191,15 @@ object TextAnalysis {
       (acc, c) => acc + (c / n) * log(c / n)), 4)
   }
 
+  /** Which of `dict`'s terms occur in `text` as substrings, as a sorted
+    * array — one compiled Aho–Corasick DFA pass, flat in dictionary size
+    * (the naive gate is one `contains` scan per term). See
+    * [[graft.functions.MultiContains]]. */
+  def multiContains(text: Column, dict: Seq[String]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MultiContains(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), dict))
+
   /** Token counting three ways: whitespace, BPE-ish regex pieces, and the
     * chars/4 heuristic. */
   def tokenCounts(text: Column, nChars: Column): Seq[(String, Column)] = Seq(

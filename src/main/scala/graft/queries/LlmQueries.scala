@@ -1876,6 +1876,37 @@ object LlmQueries {
       .orderBy("anchor_id")
   }
 
+  /** The q181 blocked-phrase dictionary, in BINARY-SORTED order (the
+    * automaton emits matches in this order; the oracle's `list_filter`
+    * keeps literal-list order, so the two agree by construction). The set
+    * deliberately exercises the automaton's hard paths: "batch batch" is
+    * a prefix of "batch batch batch" (nested outputs at one end state's
+    * suffix chain), "ow jo" sits INSIDE "low joi" (suffix-link output
+    * while a longer partial match is alive), and the two-word phrases
+    * cross token boundaries, which no per-token gate can see. */
+  private[graft] val blockedPhrases: Seq[String] = Seq(
+    "batch batch", "batch batch batch", "big slow", "data line", "dup",
+    "fast key", "low joi", "merge data", "ow jo", "slow join",
+    "stream spark", "table scan", "the fast", "window window")
+
+  /** Blocked-phrase content gate (q181): the C4/RefinedWeb badword filter
+    * as ONE compiled Aho–Corasick pass per row
+    * ([[graft.functions.MultiContains]]) — flat in dictionary size where
+    * the naive gate (and the oracle) pays one `contains` scan per term.
+    * Pure Project over the scan, no shuffle but the final presentation
+    * sort; at 100 TB this is scan-speed, dictionary broadcast as plan
+    * literals. */
+  def blocklistGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    docs.select(col("doc_id"),
+        TextAnalysis.multiContains(col("text"), blockedPhrases).as("mt"))
+      .select(col("doc_id"),
+        size(col("mt")).cast("long").as("n_matched"),
+        array_join(col("mt"), "|").as("matched_terms"),
+        (size(col("mt")) >= 3).as("blocked"))
+      .orderBy("doc_id")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back
