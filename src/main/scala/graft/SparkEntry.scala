@@ -212,6 +212,7 @@ object SparkEntry {
     "q179_corpus_datasheet" -> LlmQueries.corpusDatasheet,
     "q180_contrastive_triplets" -> LlmQueries.contrastiveTriplets,
     "q181_blocklist_gate" -> LlmQueries.blocklistGate,
+    "q182_classifier_eval" -> LlmQueries.classifierEval,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -966,6 +967,9 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
     // q115: the oracle replays the full quantized-state gradient descent
     // (generated CTE chain, one stage per iteration) — see the generator.
     "q115_trained_classifier" -> q115TrainedClassifierOracle,
+    // q182: q115's training chain + average-rank AUC + confusion at the
+    // keep threshold, integer arithmetic to the final rounded divisions.
+    "q182_classifier_eval" -> q182ClassifierEvalOracle,
     // q116: wrap + strip both replayed — the regexes avoid backreferences
     // and lookarounds so the same patterns run under Java regex and RE2.
     "q116_html_extract" ->
@@ -2331,7 +2335,65 @@ sig AS (SELECT l.doc_id, e.n_tokens,
     * ROUND((a·G)/N) per update, which is the same two correctly-rounded
     * IEEE ops both engines execute. Then scores every document with the
     * final weights, exactly as hashedLinearLogit does. */
-  private def q115TrainedClassifierOracle: String = {
+  private def q115TrainedClassifierOracle: String =
+    s"""WITH ${q115TrainChainCtes()}
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_feats,
+  CAST(SUM(w.w) AS BIGINT) AS logit,
+  CAST(SUM(w.w) AS BIGINT) > 0 AS keep
+FROM gb a JOIN w3 w USING (b)
+GROUP BY a.doc_id ORDER BY doc_id"""
+
+  /** q182 oracle: the q115 training chain, scores restricted to the
+    * labeled set, then the per-score histogram, the average-rank AUC
+    * identity 2U = Σ p_s·(2·(below+1)+(n_s−1)) − nPos·(nPos+1), and the
+    * threshold-0 confusion counts — integer arithmetic to the final
+    * divisions, which are single IEEE ops rounded to 4 dp both sides. */
+  private def q182ClassifierEvalOracle: String =
+    s"""WITH ${q115TrainChainCtes(
+      labSelect = "SELECT DISTINCT doc_id, " +
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM toks " +
+        "WHERE sb < 80")},
+helab AS (SELECT DISTINCT doc_id,
+            CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+          FROM toks WHERE sb >= 80),
+scl AS (SELECT g.doc_id, max(l.y) AS y, SUM(w.w) AS logit
+        FROM gb g JOIN helab l USING (doc_id) JOIN w3 w USING (b)
+        GROUP BY g.doc_id),
+hist AS (SELECT logit, count(*) AS cnt, sum(y) AS p FROM scl GROUP BY 1),
+cm AS (SELECT logit, cnt, p,
+         coalesce(sum(cnt) OVER (ORDER BY logit
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       FROM hist),
+m AS (SELECT sum(p * (2 * (below + 1) + (cnt - 1))) AS s2,
+        sum(p) AS npos, sum(cnt) AS ntot,
+        sum(CASE WHEN logit > 0 THEN p ELSE 0 END) AS tp,
+        sum(CASE WHEN logit > 0 THEN cnt - p ELSE 0 END) AS fp
+      FROM cm)
+SELECT CAST(ntot AS BIGINT) AS n_eval, CAST(npos AS BIGINT) AS n_pos,
+  CAST(ntot - npos AS BIGINT) AS n_neg,
+  CAST(tp AS BIGINT) AS n_tp, CAST(fp AS BIGINT) AS n_fp,
+  CAST(npos - tp AS BIGINT) AS n_fn,
+  CAST(ntot - npos - fp AS BIGINT) AS n_tn,
+  round(CAST(s2 - npos * (npos + 1) AS DOUBLE)
+    / CAST(2 * npos * (ntot - npos) AS DOUBLE), 4) AS auc,
+  CASE WHEN tp + fp = 0 THEN NULL
+       ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 4)
+  END AS prec,
+  round(CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE), 4) AS rec,
+  round(CAST(2 * tp AS DOUBLE)
+    / CAST(2 * tp + fp + npos - tp AS DOUBLE), 4) AS f1
+FROM m"""
+
+  /** The shared q115/q182 WITH-body: tokenize, hash grams to buckets,
+    * label (q115: pseudo-labels on the doc_id hash slice; q182: real
+    * lang-derived labels), then the full 3-iteration quantized gradient
+    * descent (w0..w3) over `tg` = the labeled gram postings restricted
+    * by `trainWhere`. */
+  private def q115TrainChainCtes(
+      labSelect: String = "SELECT DISTINCT doc_id, " +
+        "CASE WHEN sb >= 90 THEN 1 ELSE 0 END AS y\n        " +
+        "FROM toks WHERE sb < 80 OR sb >= 90"): String = {
     val iters = 3
     val stages = (0 until iters).map { k =>
       s"""m$k AS (SELECT t.doc_id, t.y, SUM(w.w) AS m
@@ -2346,8 +2408,8 @@ w${k + 1} AS (SELECT w.b,
             AS w
         FROM w$k w LEFT JOIN g$k g USING (b), n)"""
     }.mkString(",\n")
-    s"""WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t,
+    s"""toks AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS t,
          ${h("doc_id", 42)} % 100 AS sb
   FROM documents),
 grams AS (
@@ -2357,19 +2419,12 @@ grams AS (
   SELECT doc_id, sb, t[i] || ' ' || t[i+1]
   FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
 gb AS (SELECT doc_id, sb, ${h("g", 59)} % 256 AS b FROM grams),
-lab AS (SELECT DISTINCT doc_id, CASE WHEN sb >= 90 THEN 1 ELSE 0 END AS y
-        FROM toks WHERE sb < 80 OR sb >= 90),
+lab AS ($labSelect),
 n AS (SELECT count(*) AS n FROM lab),
 tg AS (SELECT g.doc_id, l.y, g.b FROM gb g JOIN lab l USING (doc_id)),
 w0 AS (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
        FROM range(256)),
-$stages
-SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
-  CAST(count(*) AS BIGINT) AS n_feats,
-  CAST(SUM(w.w) AS BIGINT) AS logit,
-  CAST(SUM(w.w) AS BIGINT) > 0 AS keep
-FROM gb a JOIN w$iters w USING (b)
-GROUP BY a.doc_id ORDER BY doc_id"""
+$stages"""
   }
 
   /** q128 oracle: replay [[graft.llm.LanguageModel.trainPhrases]] round

@@ -232,6 +232,69 @@ object Importance {
     }
   }
 
+  /** Classifier evaluation report over a scored frame with columns
+    * `(y ∈ {0,1}: long, logit: long)` — ONE row: ROC-AUC plus the
+    * confusion matrix / precision / recall / F1 at the production
+    * `keep = logit > 0` threshold.
+    *
+    * AUC is the Mann–Whitney rank statistic with average-rank ties,
+    * computed EXACTLY in integer arithmetic over the per-score
+    * histogram: for score s with n_s rows (p_s positive) and below(s)
+    * rows strictly less, twice the average rank is 2·(below+1)+(n_s−1),
+    * so 2·U = Σ_s p_s·avgrank2(s) − nPos·(nPos+1). The only float ops
+    * are the four final divisions — each a single IEEE op on integer
+    * inputs, rounded to 4 dp, so the report replays bit-exactly in SQL.
+    *
+    * Scale shape: one groupBy(logit) histogram shuffle (map-side
+    * combine), then `below` via the q89 two-phase prefix sum —
+    * truncating `logit div bucketWidth` keeps buckets contiguous
+    * ordered intervals, so a PARTITIONED running window plus a
+    * ≤buckets-row broadcast offset frame reconstructs the global
+    * cumulative with no single-partition window over the histogram.
+    * `bucketWidth` is the dial: pick it from the observed score range
+    * so buckets stay in the thousands. Integer rank sums hold to
+    * ~10^18 rows·ranks; past that the accumulator needs DECIMAL. */
+  def aucReport(scored: DataFrame, bucketWidth: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0)
+    val hist = scored.groupBy("logit")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val bucketed = hist.withColumn("bk", expr(s"logit div $bucketWidth"))
+    val wB = Window.partitionBy("bk").orderBy("logit")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = bucketed.withColumn("cum", sum(col("n")).over(wB))
+    val offsets = partial.groupBy("bk").agg(max(col("cum")).as("total"))
+      .withColumn("off", coalesce(sum(col("total")).over(
+        Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bk", "off")
+    val cum = partial.join(broadcast(offsets), "bk")
+      .withColumn("below", col("off") + col("cum") - col("n"))
+    val m = cum.agg(
+      sum(col("p") * (lit(2L) * (col("below") + 1L) + (col("n") - 1L)))
+        .as("s2"),
+      sum(col("p")).as("npos"), sum(col("n")).as("ntot"),
+      sum(when(col("logit") > 0, col("p")).otherwise(0L)).as("tp"),
+      sum(when(col("logit") > 0, col("n") - col("p")).otherwise(0L))
+        .as("fp"))
+    val nneg = col("ntot") - col("npos")
+    def r4(x: Column) = round(x, 4)
+    m.select(
+      col("ntot").as("n_eval"), col("npos").as("n_pos"), nneg.as("n_neg"),
+      col("tp").as("n_tp"), col("fp").as("n_fp"),
+      (col("npos") - col("tp")).as("n_fn"),
+      (nneg - col("fp")).as("n_tn"),
+      r4((col("s2") - col("npos") * (col("npos") + 1L)).cast("double") /
+        (lit(2L) * col("npos") * nneg).cast("double")).as("auc"),
+      when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+        .otherwise(r4(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"))).as("prec"),
+      r4(col("tp").cast("double") / col("npos").cast("double")).as("rec"),
+      r4((lit(2L) * col("tp")).cast("double") /
+        (lit(2L) * col("tp") + col("fp") + col("npos") - col("tp"))
+          .cast("double")).as("f1"))
+  }
+
   /** Sealed-family dispatch for the compiled kernels (the
     * [[graft.llm.Hashing]] convention — never a silent fallback). */
   private def isMd5(hasher: SeededHash): Boolean = hasher match {

@@ -1101,6 +1101,35 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Classifier evaluation report (q182, [[graft.llm.Importance
+    * .aucReport]]): the real ML protocol for the q112/q115 quality-filter
+    * family — train the hashed-feature classifier on an 80% hash split
+    * with REAL labels (y = length gate, n_chars ≥ 300 — the C4-style
+    * length-quality signal, learnable from the token text because the
+    * hashed feature count scales with it), then report held-out ROC-AUC + the confusion matrix /
+    * precision / recall / F1 at the production `keep = logit > 0`
+    * threshold on the 20% the training never saw. The "measure, don't
+    * guess" audit the q131 recall report gives the ANN family. One row
+    * out; the quantized training + integer rank arithmetic make the
+    * whole train→score→evaluate chain replay bit-exactly in SQL.
+    *
+    * Scale shape: training is q115's (corpus-linear, ≤256-long model on
+    * the driver); scoring is the q112 codegen scan; the metric is one
+    * histogram shuffle + the q89 two-phase prefix sum (see aucReport). */
+  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val sb = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    val y = (col("n_chars") >= 300L).cast("long")
+    val wts = graft.llm.Importance.trainLogisticHashed(
+      docs.where(sb < 80).withColumn("label", y),
+      buckets = 256, iters = 3, lr = 0.5, seed = 59,
+      hasher = graft.llm.PortableSeededHash)
+    val logit = graft.llm.Importance.logitCol(col("text"), wts, seed = 59,
+      hasher = graft.llm.PortableSeededHash)
+    graft.llm.Importance.aucReport(
+      docs.where(sb >= 80).select(y.as("y"), logit.as("logit")))
+  }
+
   /** HTML boilerplate extraction (q116, [[TextAnalysis.stripHtml]]):
     * every document wrapped in a deterministic synthetic page (script +
     * style payloads, nav/footer chrome, entities — the

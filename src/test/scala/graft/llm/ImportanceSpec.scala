@@ -115,4 +115,50 @@ class ImportanceSpec extends SparkSpec {
     assert(Importance.roundHalfAway(2.4) == 2L)
     assert(Importance.roundHalfAway(-2.4) == -2L)
   }
+
+  private def report(rows: Seq[(Long, Long)], width: Long = 1L << 20) =
+    Importance.aucReport(rows.toDF("y", "logit"), bucketWidth = width)
+      .collect().head
+
+  test("aucReport: perfect, inverted, and chance classifiers") {
+    val perfect = report(Seq((1L, 10L), (1L, 9L), (0L, -1L), (0L, -2L)))
+    assert(perfect.getAs[Double]("auc") == 1.0)
+    assert(perfect.getAs[Long]("n_tp") == 2 &&
+      perfect.getAs[Long]("n_tn") == 2 &&
+      perfect.getAs[Double]("f1") == 1.0)
+    val inverted = report(Seq((0L, 10L), (0L, 9L), (1L, -1L), (1L, -2L)))
+    assert(inverted.getAs[Double]("auc") == 0.0)
+    // all scores tied: average-rank AUC is exactly 1/2
+    val chance = report(Seq((1L, 5L), (0L, 5L), (1L, 5L), (0L, 5L)))
+    assert(chance.getAs[Double]("auc") == 0.5)
+  }
+
+  test("aucReport matches a hand-computed tied example") {
+    // scores: pos {3, 2, 2}, neg {2, 1}; sorted ranks: 1→1, the three
+    // 2s share avgrank 3, 3→5. U = Σ_pos rank − nPos(nPos+1)/2
+    //   = (5 + 3 + 3) − 6 = 5; AUC = 5 / (3·2) = 0.8333
+    val r = report(Seq((1L, 3L), (1L, 2L), (1L, 2L), (0L, 2L), (0L, 1L)))
+    assert(r.getAs[Double]("auc") == 0.8333)
+    // threshold 0: every score > 0 → tp=3 fp=2 fn=0 tn=0
+    assert(r.getAs[Long]("n_tp") == 3 && r.getAs[Long]("n_fp") == 2)
+    assert(r.getAs[Double]("prec") == 0.6 && r.getAs[Double]("rec") == 1.0)
+    assert(r.getAs[Double]("f1") == 0.75)
+  }
+
+  test("aucReport is bucket-width independent (two-phase prefix law)") {
+    // scores spanning many buckets at width 2: cross-bucket cumulative
+    // must agree with the single-bucket global window
+    val rows = (1L to 40L).map(i => ((i % 3 == 0).compare(false).toLong,
+      (i * 7) % 23 - 11))
+    val wide = report(rows, width = 1L << 40)
+    val narrow = report(rows, width = 2L)
+    assert(wide == narrow)
+  }
+
+  test("aucReport: degenerate all-negative threshold side is null-safe") {
+    val r = report(Seq((1L, -5L), (1L, -3L), (0L, -4L)))
+    assert(r.isNullAt(r.fieldIndex("prec"))) // tp+fp = 0
+    assert(r.getAs[Double]("rec") == 0.0)
+    assert(r.getAs[Double]("f1") == 0.0)
+  }
 }
