@@ -213,6 +213,7 @@ object SparkEntry {
     "q180_contrastive_triplets" -> LlmQueries.contrastiveTriplets,
     "q181_blocklist_gate" -> LlmQueries.blocklistGate,
     "q182_classifier_eval" -> LlmQueries.classifierEval,
+    "q183_hybrid_retrieval" -> LlmQueries.hybridRetrieval,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1878,6 +1879,8 @@ ORDER BY d.doc_id""",
     // q171: the q166 search off the persisted bucketed index — same
     // oracle; the index roundtrip must be invisible in the answer.
     "q171_bm25_indexed" -> q166Bm25Oracle,
+    // q183: BM25 top-10 + basis-point dense top-10, integer RRF fusion.
+    "q183_hybrid_retrieval" -> q183HybridOracle,
     // q162: hourly resample + forward fill — per-hour value is the max
     // event_id's (arg_max, deterministic under ts ties), the grid is
     // each user's [first, last] active hour, gap hours carry the last
@@ -3241,7 +3244,46 @@ ORDER BY l.vec_id"""
     * sum, and the rounded-score ranking. q171 runs the same search off
     * the persisted bucketed index, so it shares this oracle verbatim. */
   private def q166Bm25Oracle: String =
-    """WITH toks AS (
+    s"""WITH $q166Bm25Ctes
+      |SELECT query_id, rk, doc_id, hits,
+      |  round(score_fp / 1000000.0, 4) AS score
+      |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** q183 oracle: the q166 BM25 chain (top-10 cut) + the q180-convention
+    * basis-point dense leg + the q173 integer RRF arithmetic. */
+  private def q183HybridOracle: String =
+    s"""WITH $q166Bm25Ctes,
+      |bleg AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= 10),
+      |dq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |       FROM embeddings WHERE vec_id < 4),
+      |ds AS (SELECT dq.query_id, e.vec_id AS doc_id,
+      |    CAST(round(round(list_cosine_similarity(
+      |        dq.q_emb, CAST(e.embedding AS DOUBLE[])), 4) * 10000, 0)
+      |      AS BIGINT) AS sim_bp
+      |  FROM embeddings e JOIN dq ON e.vec_id <> dq.query_id),
+      |dleg AS (SELECT query_id, doc_id, rk
+      |  FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |          ORDER BY sim_bp DESC, doc_id) AS BIGINT) AS rk FROM ds)
+      |  WHERE rk <= 10),
+      |fused AS (SELECT coalesce(b.query_id, d.query_id) AS query_id,
+      |    coalesce(b.doc_id, d.doc_id) AS doc_id,
+      |    b.rk AS bm25_rank, d.rk AS dense_rank,
+      |    coalesce(1000000000 // (60 + b.rk), 0) +
+      |      coalesce(1000000000 // (60 + d.rk), 0) AS rrf_fp
+      |  FROM bleg b FULL OUTER JOIN dleg d
+      |    ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+      |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rk FROM fused)
+      |SELECT query_id, rk, doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp,
+      |  CAST(coalesce(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+      |  CAST(coalesce(dense_rank, 0) AS BIGINT) AS dense_rank
+      |FROM fr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** The q166/q171/q183 BM25 WITH-body: postings, doc lengths, corpus
+    * stats, idf, the fixed-point contribution tree, integer score sums
+    * and the rank window `r`. */
+  private def q166Bm25Ctes: String =
+    """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |tfc AS (
       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -3270,10 +3312,7 @@ ORDER BY l.vec_id"""
       |           FROM contrib GROUP BY 1, 2),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
       |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rk
-      |      FROM scored)
-      |SELECT query_id, rk, doc_id, hits,
-      |  round(score_fp / 1000000.0, 4) AS score
-      |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+      |      FROM scored)""".stripMargin
 
   private def q168HllOracle: String =
     s"""WITH hv AS (SELECT event_type,

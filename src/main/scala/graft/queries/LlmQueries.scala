@@ -1701,6 +1701,65 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Hybrid dense+lexical retrieval (q183): the production hybrid-search
+    * shape — a BM25 lexical leg (q166) and an exact-cosine dense leg
+    * over the SAME corpus id space, each top-10 per query, fused by
+    * reciprocal-rank fusion (Cormack et al. 2009) into a consensus
+    * top-5. This is the ensemble that covers both failure modes: BM25
+    * misses paraphrases (no term overlap), dense misses rare exact
+    * terms — RRF needs only ranks, so the legs' incomparable scores
+    * (fixed-point BM25 vs basis-point cosine) never meet.
+    *
+    * Determinism: BM25 scores are integer fixed-point sums (q166),
+    * dense sims are quantized to integer basis points up front (the
+    * q180 convention — DuckDB's float32 cosine is cast to DOUBLE[] on
+    * the oracle side so 4-dp quantization agrees to double ulp), and
+    * the fusion is integer division on integer ranks — so every rank,
+    * fused score and cut replays exactly.
+    *
+    * Scale shape: the lexical leg is the q166 postings probe (at scale,
+    * against the q171 persisted index); the dense leg is the q34
+    * broadcast-queries scan (at scale, any ANN leg slots in — RRF only
+    * consumes ranks); the fusion join touches ≤ 2·10·q candidate rows.
+    * Nothing corpus-sized crosses the wire after the two legs' top-k. */
+  def hybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+    val emb = table(s, dir, "embeddings")
+    val queries = docs.orderBy("doc_id").limit(4)
+      .select(col("doc_id").as("query_id"),
+        slice(TextAnalysis.tokens(col("text")), 1, 5).as("qterms"))
+    val lex = Retrieval.bm25TopK(docs, queries, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rk").as("bm25_rank"))
+    val dq = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val ds = emb.join(broadcast(dq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(round(Similarity.cosine(col("q_emb"), col("embedding")), 4)
+          .cast("double") * 10000, 0).cast("long").as("sim_bp"))
+    val wd = Window.partitionBy("query_id")
+      .orderBy(col("sim_bp").desc, col("doc_id"))
+    val dense = ds.withColumn("dense_rank", row_number().over(wd)
+        .cast("long"))
+      .where(col("dense_rank") <= 10)
+      .select("query_id", "doc_id", "dense_rank")
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"),
+        col("dense_rank"),
+        (coalesce(expr("CAST(1000000000 div (60 + bm25_rank) AS BIGINT)"),
+          lit(0L)) +
+         coalesce(expr("CAST(1000000000 div (60 + dense_rank) AS BIGINT)"),
+          lit(0L))).as("rrf_fp"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(wf).cast("long"))
+      .where(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_fp"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Mutual-kNN clustering coefficient (q174,
     * [[graft.llm.WebGraph.clusteringCoefficient]] over
     * [[graft.llm.Similarity.knnGraph]]'s mutual edges): per-node

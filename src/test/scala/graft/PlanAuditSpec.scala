@@ -31,6 +31,10 @@ class PlanAuditSpec extends SparkSpec {
     "q173_rrf_fusion",       // composes the q170 + q122 leg scans — both
                              // BNLJs inherited from individually
                              // allowlisted designs (the q131 pattern)
+    "q183_hybrid_retrieval", // q166's 1-row stats scalar + the q34
+                             // broadcast-4-query dense scan — both legs
+                             // individually allowlisted shapes; the
+                             // fusion join itself is equi full_outer
     "q170_hamming_ann",      // broadcast 10-query signature frame scanned
                              // against 8-byte codes — the designed
                              // binary-ANN scan (q34's ground-truth shape

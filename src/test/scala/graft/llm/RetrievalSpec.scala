@@ -90,4 +90,27 @@ class RetrievalSpec extends SparkSpec {
       .select("score").as[Double].collect().head
     assert(once == twice)
   }
+
+  test("hybrid RRF fusion: scores are the exact integer rank formula") {
+    val out = graft.queries.LlmQueries.hybridRetrieval(spark, Sf0001)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(out.size == 20) // 4 queries × top-5
+    // rk dense 1..5 per query, output ordered
+    assert(out.groupBy(_._1).forall(_._2.map(_._2) == Seq(1L, 2L, 3L, 4L, 5L)))
+    // every fused score is Σ_legs 10⁹ div (60 + rank), rank 0 = missed
+    out.foreach { case (_, _, _, rrf, bm, dn) =>
+      val expect = (if (bm > 0) 1000000000L / (60 + bm) else 0L) +
+        (if (dn > 0) 1000000000L / (60 + dn) else 0L)
+      assert(rrf == expect, s"rrf $rrf vs $expect (bm=$bm dn=$dn)")
+      assert(bm > 0 || dn > 0) // a fused candidate came from some leg
+    }
+    // monotone: fused list is sorted by score desc within each query
+    out.groupBy(_._1).values.foreach { g =>
+      val scores = g.sortBy(_._2).map(_._4)
+      assert(scores == scores.sorted(Ordering[Long].reverse))
+    }
+    // both legs contribute somewhere (the ensemble is real, not one leg)
+    assert(out.exists(r => r._5 > 0 && r._6 == 0))
+    assert(out.exists(r => r._6 > 0 && r._5 == 0))
+  }
 }
