@@ -214,6 +214,7 @@ object SparkEntry {
     "q181_blocklist_gate" -> LlmQueries.blocklistGate,
     "q182_classifier_eval" -> LlmQueries.classifierEval,
     "q183_hybrid_retrieval" -> LlmQueries.hybridRetrieval,
+    "q184_vocab_coverage" -> LlmQueries.vocabCoverageCurve,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1881,6 +1882,45 @@ ORDER BY d.doc_id""",
     "q171_bm25_indexed" -> q166Bm25Oracle,
     // q183: BM25 top-10 + basis-point dense top-10, integer RRF fusion.
     "q183_hybrid_retrieval" -> q183HybridOracle,
+    // q184: coverage from the count histogram alone — full classes above
+    // the boundary count + integer interpolation into the boundary class.
+    "q184_vocab_coverage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |g AS (SELECT t[i] AS g
+        |      FROM t, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+        |      UNION ALL
+        |      SELECT t[i] || ' ' || t[i+1]
+        |      FROM t, LATERAL unnest(generate_series(1, len(t) - 1))
+        |        AS u(i)),
+        |tc AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |hist AS (SELECT c, CAST(count(*) AS BIGINT) AS n_types
+        |         FROM tc GROUP BY 1),
+        |cum AS (SELECT c, n_types, c * n_types AS mass,
+        |    coalesce(sum(n_types) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS types_above,
+        |    coalesce(sum(c * n_types) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS mass_above
+        |  FROM hist),
+        |tot AS (SELECT CAST(sum(n_types) AS BIGINT) AS n_types_total,
+        |               CAST(sum(c * n_types) AS BIGINT) AS total_tokens
+        |        FROM hist),
+        |cp AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024]) AS v),
+        |sel AS (SELECT cp.v,
+        |    max(cm.mass_above + (cp.v - cm.types_above) * cm.c)
+        |      AS covered_part
+        |  FROM cp LEFT JOIN cum cm
+        |    ON cm.types_above < cp.v AND cp.v <= cm.types_above + cm.n_types
+        |  GROUP BY cp.v)
+        |SELECT CAST(s.v AS BIGINT) AS vocab_size, t.n_types_total,
+        |  CAST(coalesce(s.covered_part, t.total_tokens) AS BIGINT)
+        |    AS covered_tokens,
+        |  t.total_tokens,
+        |  round(CAST(coalesce(s.covered_part, t.total_tokens) AS DOUBLE)
+        |    / CAST(t.total_tokens AS DOUBLE), 4) AS coverage
+        |FROM sel s CROSS JOIN tot t ORDER BY vocab_size""".stripMargin,
     // q162: hourly resample + forward fill — per-hour value is the max
     // event_id's (arg_max, deterministic under ts ties), the grid is
     // each user's [first, last] active hour, gap hours carry the last

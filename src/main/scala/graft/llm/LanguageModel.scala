@@ -312,4 +312,84 @@ object LanguageModel {
           .when(col("avg_logprob") <= col("t2"), "middle")
           .otherwise("head").as("ppl_bucket"))
   }
+
+  /** Tokenizer vocabulary-coverage curve: for each candidate vocabulary
+    * size V, the fraction of corpus token occurrences covered by the V
+    * most-frequent types (unigrams + bigrams — the candidate-merge space
+    * a q128-style vocabulary trainer selects from). The sizing report
+    * behind "how big must the vocab be": coverage knees sharply on
+    * Zipf-distributed corpora, and the curve is where the knee is read
+    * off (Sennrich et al. 2016 size the BPE merge count exactly this
+    * way).
+    *
+    * The insight that makes this corpus-scale cheap: coverage needs NO
+    * per-type ranking. Types with equal count are interchangeable, so
+    * the curve is a pure function of the COUNT HISTOGRAM (count →
+    * #types): covered(V) = mass of full classes above the boundary
+    * count + (V − types_above)·c_boundary. The corpus-sized work is one
+    * type-count shuffle; everything after runs on the histogram
+    * (O(distinct counts) ≈ O(√corpus) rows under Zipf), cumulated with
+    * the q89/q182 two-phase prefix sum (no single-partition window) and
+    * probed by a broadcast checkpoint frame.
+    *
+    * Integer arithmetic end-to-end (counts, masses, boundary
+    * interpolation); the one division per row is the final 4-dp
+    * coverage ratio. Output: (vocab_size, n_types_total, covered_tokens,
+    * total_tokens, coverage) per checkpoint, ordered. */
+  def vocabCoverage(docs: DataFrame,
+                    checkpoints: Seq[Long] = Seq(8L, 16L, 32L, 64L, 128L,
+                      256L, 512L, 1024L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(checkpoints.nonEmpty && checkpoints.forall(_ > 0))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = Importance.unigramsBigrams(
+      TextAnalysis.tokens(col("text")))
+    val tc = docs.select(explode(grams).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    val hist = tc.groupBy("c").agg(count(lit(1)).as("n_types"))
+      .withColumn("mass", col("c") * col("n_types"))
+    // two-phase cumulative over DESCENDING count: truncating div buckets
+    // are contiguous intervals of the c-axis, so per-bucket windows +
+    // a tiny bucket-offset frame replace the global window
+    val bucketed = hist.withColumn("bk", expr("c div 1024"))
+    val wB = Window.partitionBy("bk").orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = bucketed
+      .withColumn("cum_t", sum(col("n_types")).over(wB))
+      .withColumn("cum_m", sum(col("mass")).over(wB))
+    val offsets = partial.groupBy("bk")
+      .agg(max(col("cum_t")).as("tt"), max(col("cum_m")).as("tm"))
+      .withColumn("off_t", coalesce(sum(col("tt")).over(
+        Window.orderBy(col("bk").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("off_m", coalesce(sum(col("tm")).over(
+        Window.orderBy(col("bk").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bk", "off_t", "off_m")
+    val cum = partial.join(broadcast(offsets), "bk")
+      .select(col("c"), col("n_types"),
+        (col("off_t") + col("cum_t") - col("n_types")).as("types_above"),
+        (col("off_m") + col("cum_m") - col("mass")).as("mass_above"))
+    val tot = hist.agg(sum(col("n_types")).as("n_types_total"),
+      sum(col("mass")).as("total_tokens"))
+    val cp = checkpoints.toDF("v")
+    // boundary probe: exactly one histogram class satisfies
+    // types_above < V ≤ types_above + n_types (none when V ≥ all types)
+    val sel = cp.join(cum,
+        col("types_above") < col("v") &&
+          col("v") <= col("types_above") + col("n_types"), "left")
+      .groupBy("v")
+      .agg(max(col("mass_above") + (col("v") - col("types_above")) *
+        col("c")).as("covered_part"))
+    sel.crossJoin(broadcast(tot))
+      .select(col("v").as("vocab_size"), col("n_types_total"),
+        coalesce(col("covered_part"), col("total_tokens"))
+          .as("covered_tokens"),
+        col("total_tokens"),
+        round(coalesce(col("covered_part"), col("total_tokens"))
+            .cast("double") / col("total_tokens").cast("double"), 4)
+          .as("coverage"))
+      .orderBy("vocab_size")
+  }
 }

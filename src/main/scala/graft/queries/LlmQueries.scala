@@ -1760,6 +1760,16 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Tokenizer vocabulary-coverage curve (q184, [[graft.llm
+    * .LanguageModel.vocabCoverage]]): corpus token-occurrence coverage
+    * at candidate vocabulary sizes over the unigram+bigram merge space —
+    * the sizing report a q128-style vocabulary trainer reads the knee
+    * from. One type-count shuffle; the curve itself runs on the count
+    * HISTOGRAM (types with equal count are interchangeable, so no
+    * per-type ranking exists anywhere). */
+  def vocabCoverageCurve(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.vocabCoverage(table(s, dir, "documents"))
+
   /** Mutual-kNN clustering coefficient (q174,
     * [[graft.llm.WebGraph.clusteringCoefficient]] over
     * [[graft.llm.Similarity.knnGraph]]'s mutual edges): per-node

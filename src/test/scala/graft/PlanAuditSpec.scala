@@ -35,6 +35,11 @@ class PlanAuditSpec extends SparkSpec {
                              // broadcast-4-query dense scan — both legs
                              // individually allowlisted shapes; the
                              // fusion join itself is equi full_outer
+    "q184_vocab_coverage",   // 8-row broadcast checkpoint frame range-
+                             // probing the count HISTOGRAM (≈√corpus
+                             // rows under Zipf) — never the corpus; the
+                             // corpus-sized stage is the equi type-count
+                             // shuffle before it
     "q170_hamming_ann",      // broadcast 10-query signature frame scanned
                              // against 8-byte codes — the designed
                              // binary-ANN scan (q34's ground-truth shape

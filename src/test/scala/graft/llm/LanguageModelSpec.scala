@@ -154,4 +154,27 @@ class LanguageModelSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(out == Seq((1L, 7L, 3L, "a_b_c d a_b_c")))
   }
+
+  test("vocabCoverage matches the hand-computed histogram interpolation") {
+    // "a a a b b c": unigrams a×3 b×2 c×1, bigrams "a a"×2 "a b"×1
+    // "b b"×1 "b c"×1 → hist {3:1, 2:2, 1:4}, 7 types, mass 11
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = LanguageModel.vocabCoverage(docs,
+        checkpoints = Seq(1L, 2L, 3L, 4L, 100L))
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (1L, 7L, 3L, 11L, 0.2727),   // the count-3 type alone
+      (2L, 7L, 5L, 11L, 0.4545),   // + one of the count-2 class
+      (3L, 7L, 7L, 11L, 0.6364),   // the full count-2 class
+      (4L, 7L, 8L, 11L, 0.7273),   // one into the count-1 tail
+      (100L, 7L, 11L, 11L, 1.0)))  // saturated past all types
+  }
+
+  test("vocabCoverage is monotone and saturates on the real corpus") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val cov = LanguageModel.vocabCoverage(docs)
+      .select("vocab_size", "coverage").as[(Long, Double)].collect().toList
+    assert(cov.map(_._2) == cov.map(_._2).sorted)
+    assert(cov.last._2 <= 1.0 && cov.head._2 > 0.0)
+  }
 }
