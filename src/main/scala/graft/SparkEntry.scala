@@ -215,6 +215,7 @@ object SparkEntry {
     "q182_classifier_eval" -> LlmQueries.classifierEval,
     "q183_hybrid_retrieval" -> LlmQueries.hybridRetrieval,
     "q184_vocab_coverage" -> LlmQueries.vocabCoverageCurve,
+    "q185_kmeans_separation" -> LlmQueries.kmeansSeparation,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1884,6 +1885,8 @@ ORDER BY d.doc_id""",
     "q183_hybrid_retrieval" -> q183HybridOracle,
     // q184: coverage from the count histogram alone — full classes above
     // the boundary count + integer interpolation into the boundary class.
+    // q185: the q77 chain + one scoring pass + basis-point margins.
+    "q185_kmeans_separation" -> q185KmeansSeparationOracle,
     "q184_vocab_coverage" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
         |           FROM documents),
@@ -2904,6 +2907,31 @@ ORDER BY doc_a, doc_b"""
   private def q77KmeansOracle: String =
     s"""WITH ${kmeansCtes(8, 2)}
 SELECT vec_id, cid FROM a1 ORDER BY vec_id"""
+
+  /** q185 oracle: the q77 training CTEs, then one more assignment-style
+    * scoring pass against the final centroids (sc1/nm1/nx), basis-point
+    * quantization, own vs runner-up margins, per-cluster aggregates. */
+  private def q185KmeansSeparationOracle: String =
+    s"""WITH ${kmeansCtes(8, 2)},
+sims AS (SELECT s.vec_id, s.cid,
+    CAST(round(round(s.dot / (sqrt(CAST(x.nx AS DOUBLE))
+        * sqrt(CAST(n.nm AS DOUBLE))), 4) * 10000, 0) AS BIGINT) AS sim_bp,
+    row_number() OVER (PARTITION BY s.vec_id
+      ORDER BY round(s.dot / (sqrt(CAST(x.nx AS DOUBLE))
+        * sqrt(CAST(n.nm AS DOUBLE))), 4) DESC, s.cid) AS rn
+  FROM sc1 s JOIN nm1 n USING (cid) JOIN nx x USING (vec_id)),
+own AS (SELECT vec_id, cid, sim_bp AS own_bp FROM sims WHERE rn = 1),
+ru AS (SELECT vec_id, sim_bp AS ru_bp FROM sims WHERE rn = 2),
+mg AS (SELECT o.cid, o.own_bp, o.own_bp - r.ru_bp AS margin_bp
+       FROM own o JOIN ru r USING (vec_id))
+SELECT CAST(cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n_members,
+  round(CAST(sum(margin_bp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+    AS mean_margin_bp,
+  CAST(min(margin_bp) AS BIGINT) AS min_margin_bp,
+  round(CAST(sum(own_bp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+    AS mean_own_bp,
+  CAST(min(own_bp) AS BIGINT) AS min_own_bp
+FROM mg GROUP BY cid ORDER BY cid"""
 
   /** q139 oracle: the q77 training CTEs produce the semantic strata,
     * then the q113 temperature formula (α = 0.5 ⇒ sqrt-exact scaled-

@@ -577,6 +577,67 @@ object Similarity {
     (assign, cent)
   }
 
+  /** Cluster-separation audit over [[kmeansTrain]]'s result — the
+    * clustering-quality counterpart of the q131 ANN recall report:
+    * per cluster, how confidently its members belong. For every vector,
+    * `own_bp` is the (basis-point) cosine to its own centroid and
+    * `margin_bp = own_bp − runner_up_bp` the gap to the second-best
+    * centroid — the centroid-based silhouette simplification (the
+    * full silhouette's pairwise terms are O(n²); against centroids the
+    * same "cohesion vs nearest alternative" reading costs one scoring
+    * pass, which is why large-scale practice audits this way). Low
+    * mean margin ⇒ overlapping clusters (raise k or iterate more);
+    * min margin 0 ⇒ a vector exactly on a boundary.
+    *
+    * Determinism: sims are the training rounds' own 4-dp-rounded
+    * fixed-point cosines quantized to integer basis points (the q180
+    * convention), margins are integer differences, and the per-cluster
+    * means are single divisions on integer sums rounded to 4 dp — the
+    * whole audit replays exactly against the unrolled training chain.
+    *
+    * Scale shape: one extra assignment-style pass over the trained
+    * frame — centroids and their norms broadcast, one (vec_id, cid)
+    * partial-agg shuffle of narrow integer rows, a per-vector k-row
+    * window, then a ≤k-row report. Nothing beyond what each training
+    * iteration already costs. */
+  def clusterSeparation(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+                        hasher: SeededHash = XxSeededHash): DataFrame = {
+    val (_, cent) = kmeansTrain(corpus, k, iters, hasher)
+    val ex = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+    val nx = ex.groupBy("vec_id").agg(sum(col("xi") * col("xi")).as("nx"))
+    val nm = cent.groupBy("cid").agg(sum(col("m") * col("m")).as("nm"))
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cid"))
+    val scored = ex.join(broadcast(cent), "d")
+      .groupBy("vec_id", "cid").agg(sum(col("xi") * col("m")).as("dot"))
+      .join(broadcast(nm), "cid")
+      .join(nx, "vec_id")
+      .withColumn("sim", round(col("dot").cast("double") /
+        (sqrt(col("nx").cast("double")) * sqrt(col("nm").cast("double"))),
+        4))
+      .withColumn("sim_bp",
+        round(col("sim").cast("double") * 10000, 0).cast("long"))
+      .withColumn("rn", row_number().over(wA))
+    val own = scored.where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("sim_bp").as("own_bp"))
+    val ru = scored.where(col("rn") === 2)
+      .select(col("vec_id"), col("sim_bp").as("ru_bp"))
+    own.join(ru, "vec_id")
+      .withColumn("margin_bp", col("own_bp") - col("ru_bp"))
+      .groupBy("cid").agg(
+        count(lit(1)).as("n_members"),
+        round(sum(col("margin_bp")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_margin_bp"),
+        min(col("margin_bp")).as("min_margin_bp"),
+        round(sum(col("own_bp")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_own_bp"),
+        min(col("own_bp")).as("min_own_bp"))
+      .orderBy("cid")
+  }
+
   /** [[kmeansTrain]] over SUBSPACE-KEYED vectors: `sub` carries
     * (s, vec_id, embedding) and every aggregation/window/join simply
     * adds `s` to its keys, so ALL m codebooks train in ONE job sequence

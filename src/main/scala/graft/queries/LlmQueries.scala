@@ -1770,6 +1770,15 @@ object LlmQueries {
   def vocabCoverageCurve(s: SparkSession, dir: String): DataFrame =
     graft.llm.LanguageModel.vocabCoverage(table(s, dir, "documents"))
 
+  /** k-means cluster-separation audit (q185, [[graft.llm.Similarity
+    * .clusterSeparation]]): per-cluster membership-confidence report
+    * over the q77 training — centroid-silhouette margins in integer
+    * basis points, the clustering-quality counterpart of the q131 ANN
+    * recall and q182 classifier reports. */
+  def kmeansSeparation(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterSeparation(table(s, dir, "embeddings"),
+      k = 8, iters = 2, hasher = graft.llm.PortableSeededHash)
+
   /** Mutual-kNN clustering coefficient (q174,
     * [[graft.llm.WebGraph.clusteringCoefficient]] over
     * [[graft.llm.Similarity.knnGraph]]'s mutual edges): per-node

@@ -52,6 +52,25 @@ class SimilaritySpec extends SparkSpec {
     assert(cids.subsetOf(corpusIds)) // cids are seed vec_ids
   }
 
+  test("clusterSeparation: sizes partition the corpus, margins nonneg, " +
+      "consistent with kmeansAssign") {
+    val rep = Similarity.clusterSeparation(emb, k = 4, iters = 2)
+      .as[(Long, Long, Double, Long, Double, Long)].collect().toList
+    // cluster sizes partition the corpus
+    assert(rep.map(_._2).sum == emb.count())
+    // own centroid is rank-1 ⇒ margin to the runner-up is never negative
+    rep.foreach { case (cid, n, meanM, minM, meanOwn, minOwn) =>
+      assert(minM >= 0L, s"cid $cid")
+      assert(meanM >= minM.toDouble && meanOwn >= minOwn.toDouble)
+      assert(n > 0)
+    }
+    // the report's clusters and sizes agree with the assignment frame
+    val sizes = Similarity.kmeansAssign(emb, k = 4, iters = 2)
+      .groupBy("cid").count()
+      .as[(Long, Long)].collect().toMap
+    assert(rep.map(r => r._1 -> r._2).toMap == sizes)
+  }
+
   test("trained-IVF recall >= hash-sample-IVF recall vs brute force") {
     val q = emb.where(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, 5)
