@@ -216,6 +216,7 @@ object SparkEntry {
     "q183_hybrid_retrieval" -> LlmQueries.hybridRetrieval,
     "q184_vocab_coverage" -> LlmQueries.vocabCoverageCurve,
     "q185_kmeans_separation" -> LlmQueries.kmeansSeparation,
+    "q186_lsh_bucket_audit" -> LlmQueries.lshBucketAudit,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1887,6 +1888,8 @@ ORDER BY d.doc_id""",
     // the boundary count + integer interpolation into the boundary class.
     // q185: the q77 chain + one scoring pass + basis-point margins.
     "q185_kmeans_separation" -> q185KmeansSeparationOracle,
+    // q186: q132 signatures + bucket histogram + integer-log2 advisor.
+    "q186_lsh_bucket_audit" -> q186LshBucketAuditOracle,
     "q184_vocab_coverage" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
         |           FROM documents),
@@ -3582,6 +3585,38 @@ r AS (SELECT query_id, neighbor_id, sim,
       FROM cs)
 SELECT query_id, rn, neighbor_id, round(sim, 4) AS sim
 FROM r WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  /** q186 oracle: the q132 signature CTEs, bucket histogram stats per
+    * table, exact candidate-pair arithmetic, and the integer-log2
+    * planes advisor via a shifted-bounds range probe. */
+  private def q186LshBucketAuditOracle: String =
+    s"""WITH ex AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
+             d1 - 1 AS d
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
+w AS (SELECT p, d, ${h("p::VARCHAR || ':' || d::VARCHAR", 7)} % 1000 - 500 AS w
+      FROM range(0, 32) tp(p), (SELECT DISTINCT d FROM ex) td),
+proj AS (SELECT vec_id, p, sum(xi * w) AS proj
+         FROM ex JOIN w USING (d) GROUP BY 1, 2),
+sig AS (SELECT vec_id, p // 8 AS t,
+          sum(CASE WHEN proj > 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END) AS sg
+        FROM proj GROUP BY 1, 2),
+bkt AS (SELECT t, sg, CAST(count(*) AS BIGINT) AS sz FROM sig GROUP BY 1, 2),
+pt AS (SELECT t, CAST(sum(sz) AS BIGINT) AS n_vecs,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(max(sz) AS BIGINT) AS max_bucket,
+         round(CAST(sum(sz) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+           AS mean_bucket,
+         CAST(sum(sz * sz) AS BIGINT) AS sum_sz2,
+         CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+       FROM bkt GROUP BY 1),
+adv AS (SELECT pt.t, CAST(min(ps.p) AS BIGINT) AS recommended_planes
+        FROM pt JOIN range(0, 63) ps(p)
+          ON ((pt.n_vecs - 1) >> ps.p) < 16
+        GROUP BY 1)
+SELECT CAST(pt.t AS BIGINT) AS t, n_vecs, n_buckets, max_bucket,
+  mean_bucket, sum_sz2, cand_pairs, adv.recommended_planes
+FROM pt JOIN adv USING (t) ORDER BY t"""
 
   /** q133 oracle: precision/recall of the MinHash-LSH (q32) and SimHash
     * (q33) candidate sets vs the exact 3-gram Jaccard ≥ 0.5 ground truth

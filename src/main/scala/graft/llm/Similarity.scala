@@ -638,6 +638,53 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** LSH bucket-occupancy audit + parameter advisor — the operational
+    * report behind every banded-LSH scale claim in this library (q32,
+    * q132, q138): per hash table, how full the buckets actually are and
+    * what the collision join will cost. `cand_pairs = Σ sz·(sz−1)/2` is
+    * EXACTLY the number of candidate pairs the self-join would score at
+    * this table's granularity (`sum_sz2` is the equi-join's row
+    * product), and `recommended_planes` is the smallest p with
+    * n ≤ target·2^p — the Scaladoc'd production dial (planes grow as
+    * log2(n/target)) computed from the data instead of asserted.
+    * Read it before trusting a planesPerTable at a new corpus size;
+    * the BucketFlood experiment measured what happens when this report
+    * is ignored.
+    *
+    * All integers (the one 4-dp ratio is mean bucket size); the
+    * advisor's log2 is integer arithmetic (a 63-row broadcast probe of
+    * shifted bounds — no float log to wobble at powers of two).
+    *
+    * Scale shape: ONE signature pass (the compiled q132 kernel), one
+    * (t, sig) count shuffle, then ≤tables·buckets histogram rows;
+    * report is `tables` rows. */
+  def lshBucketAudit(corpus: DataFrame, tables: Int = 4,
+                     planesPerTable: Int = 8, targetBucket: Long = 16,
+                     hasher: SeededHash = XxSeededHash): DataFrame = {
+    require(targetBucket > 0)
+    val sig = lshSignaturesMulti(corpus, tables, planesPerTable, hasher)
+    val buckets = sig.groupBy("t", "sig").agg(count(lit(1)).as("sz"))
+    val perTable = buckets.groupBy("t").agg(
+      sum(col("sz")).as("n_vecs"),
+      count(lit(1)).as("n_buckets"),
+      max(col("sz")).as("max_bucket"),
+      round(sum(col("sz")).cast("double") /
+        count(lit(1)).cast("double"), 4).as("mean_bucket"),
+      sum(col("sz") * col("sz")).as("sum_sz2"),
+      sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+    val ps = corpus.sparkSession.range(0, 63).select(col("id").as("p"))
+    // n ≤ target·2^p ⟺ (n−1) >> p < target — pure shifts, no overflow
+    val adv = perTable.select("t", "n_vecs")
+      .join(broadcast(ps),
+        expr("shiftright(n_vecs - 1, CAST(p AS INT))") < lit(targetBucket))
+      .groupBy("t").agg(min(col("p")).as("recommended_planes"))
+    perTable.join(adv, "t")
+      .select(col("t").cast("long").as("t"), col("n_vecs"),
+        col("n_buckets"), col("max_bucket"), col("mean_bucket"),
+        col("sum_sz2"), col("cand_pairs"), col("recommended_planes"))
+      .orderBy("t")
+  }
+
   /** [[kmeansTrain]] over SUBSPACE-KEYED vectors: `sub` carries
     * (s, vec_id, embedding) and every aggregation/window/join simply
     * adds `s` to its keys, so ALL m codebooks train in ONE job sequence

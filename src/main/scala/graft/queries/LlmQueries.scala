@@ -1779,6 +1779,17 @@ object LlmQueries {
     Similarity.clusterSeparation(table(s, dir, "embeddings"),
       k = 8, iters = 2, hasher = graft.llm.PortableSeededHash)
 
+  /** LSH bucket-occupancy audit (q186, [[graft.llm.Similarity
+    * .lshBucketAudit]]): per-table bucket histogram stats, the exact
+    * candidate-pair cost of the collision self-join, and the
+    * integer-log2 planes recommendation for a target bucket size — the
+    * measured version of the "planes grow as log2(n/target)" dial the
+    * q138 Scaladoc names. */
+  def lshBucketAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshBucketAudit(table(s, dir, "embeddings"),
+      tables = 4, planesPerTable = 8, targetBucket = 16,
+      hasher = graft.llm.PortableSeededHash)
+
   /** Mutual-kNN clustering coefficient (q174,
     * [[graft.llm.WebGraph.clusteringCoefficient]] over
     * [[graft.llm.Similarity.knnGraph]]'s mutual edges): per-node

@@ -35,6 +35,10 @@ class PlanAuditSpec extends SparkSpec {
                              // broadcast-4-query dense scan — both legs
                              // individually allowlisted shapes; the
                              // fusion join itself is equi full_outer
+    "q186_lsh_bucket_audit", // 63-row broadcast shifted-bounds frame
+                             // probing the ≤tables-row per-table stats —
+                             // the integer-log2 advisor; corpus-sized
+                             // work is the equi (t, sig) count shuffle
     "q184_vocab_coverage",   // 8-row broadcast checkpoint frame range-
                              // probing the count HISTOGRAM (≈√corpus
                              // rows under Zipf) — never the corpus; the

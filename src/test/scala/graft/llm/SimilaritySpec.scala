@@ -71,6 +71,38 @@ class SimilaritySpec extends SparkSpec {
     assert(rep.map(r => r._1 -> r._2).toMap == sizes)
   }
 
+  test("lshBucketAudit: histogram identities and the minimal-planes law") {
+    val n = emb.count()
+    val rep = Similarity.lshBucketAudit(emb, tables = 4, planesPerTable = 8,
+        targetBucket = 16)
+      .as[(Long, Long, Long, Long, Double, Long, Long, Long)]
+      .collect().toList
+    assert(rep.map(_._1) == List(0L, 1L, 2L, 3L))
+    rep.foreach { case (t, nv, nb, mx, mean, s2, cp, p) =>
+      assert(nv == n, s"table $t signs every vector")
+      assert(mx <= nv && nb <= nv)
+      // pair arithmetic: Σ sz(sz−1)/2 == (Σ sz² − Σ sz) / 2
+      assert(cp == (s2 - nv) / 2)
+      assert(mean == math.rint(nv.toDouble / nb * 10000) / 10000)
+      // minimal p with (n−1) >> p < target
+      assert((nv - 1) >> p < 16)
+      assert(p == 0 || (nv - 1) >> (p - 1) >= 16)
+    }
+  }
+
+  test("lshBucketAudit flags a planted flood as one full bucket") {
+    val flood = (0L until 64L)
+      .map(i => (i, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val rep = Similarity.lshBucketAudit(flood, tables = 2,
+        planesPerTable = 4, targetBucket = 4)
+      .as[(Long, Long, Long, Long, Double, Long, Long, Long)]
+      .collect().toList
+    rep.foreach { case (_, nv, nb, mx, _, s2, cp, _) =>
+      assert(nv == 64 && nb == 1 && mx == 64) // identical vectors collide
+      assert(s2 == 64L * 64L && cp == 64L * 63L / 2)
+    }
+  }
+
   test("trained-IVF recall >= hash-sample-IVF recall vs brute force") {
     val q = emb.where(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, 5)
