@@ -217,6 +217,7 @@ object SparkEntry {
     "q184_vocab_coverage" -> LlmQueries.vocabCoverageCurve,
     "q185_kmeans_separation" -> LlmQueries.kmeansSeparation,
     "q186_lsh_bucket_audit" -> LlmQueries.lshBucketAudit,
+    "q187_calibration" -> LlmQueries.classifierCalibration,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -974,6 +975,9 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
     // q182: q115's training chain + average-rank AUC + confusion at the
     // keep threshold, integer arithmetic to the final rounded divisions.
     "q182_classifier_eval" -> q182ClassifierEvalOracle,
+    // q187: the q182 held-out scores binned by the training's own
+    // integer hard-sigmoid; per-bin mean p̂ vs observed rate.
+    "q187_calibration" -> q187CalibrationOracle,
     // q116: wrap + strip both replayed — the regexes avoid backreferences
     // and lookarounds so the same patterns run under Java regex and RE2.
     "q116_html_extract" ->
@@ -2433,6 +2437,30 @@ SELECT CAST(ntot AS BIGINT) AS n_eval, CAST(npos AS BIGINT) AS n_pos,
   round(CAST(2 * tp AS DOUBLE)
     / CAST(2 * tp + fp + npos - tp AS DOUBLE), 4) AS f1
 FROM m"""
+
+  /** q187 oracle: the q182 held-out scoring chain, then the integer
+    * hard-sigmoid p̂_fp = clamp(4·logit + 2^19, 0, 2^20), fixed 2^17
+    * bins, per-bin mean predicted probability vs observed rate. */
+  private def q187CalibrationOracle: String =
+    s"""WITH ${q115TrainChainCtes(
+      labSelect = "SELECT DISTINCT doc_id, " +
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM toks " +
+        "WHERE sb < 80")},
+helab AS (SELECT DISTINCT doc_id,
+            CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+          FROM toks WHERE sb >= 80),
+scl AS (SELECT g.doc_id, max(l.y) AS y, SUM(w.w) AS logit
+        FROM gb g JOIN helab l USING (doc_id) JOIN w3 w USING (b)
+        GROUP BY g.doc_id),
+ph AS (SELECT y,
+         LEAST(GREATEST((logit >> 6) * 4 + 524288, 0), 1048576) AS phat_fp
+       FROM scl)
+SELECT CAST(phat_fp // 131072 AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(phat_fp) AS DOUBLE)
+    / (CAST(count(*) AS DOUBLE) * 1048576.0), 4) AS mean_phat,
+  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS obs_rate
+FROM ph GROUP BY 1 ORDER BY bin"""
 
   /** The shared q115/q182 WITH-body: tokenize, hash grams to buckets,
     * label (q115: pseudo-labels on the doc_id hash slice; q182: real

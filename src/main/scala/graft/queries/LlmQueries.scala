@@ -1116,7 +1116,13 @@ object LlmQueries {
     * Scale shape: training is q115's (corpus-linear, ≤256-long model on
     * the driver); scoring is the q112 codegen scan; the metric is one
     * histogram shuffle + the q89 two-phase prefix sum (see aucReport). */
-  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+  def classifierEval(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Importance.aucReport(heldOutScored(s, dir))
+
+  /** The shared q182/q187 evaluation frame: train the hashed classifier
+    * on the 80% hash split with length-gate labels, score the 20%
+    * held-out → (y, logit). */
+  private def heldOutScored(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
     val sb = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
     val y = (col("n_chars") >= 300L).cast("long")
@@ -1126,8 +1132,43 @@ object LlmQueries {
       hasher = graft.llm.PortableSeededHash)
     val logit = graft.llm.Importance.logitCol(col("text"), wts, seed = 59,
       hasher = graft.llm.PortableSeededHash)
-    graft.llm.Importance.aucReport(
-      docs.where(sb >= 80).select(y.as("y"), logit.as("logit")))
+    docs.where(sb >= 80).select(y.as("y"), logit.as("logit"))
+  }
+
+  /** Classifier calibration report (q187): the reliability diagram that
+    * completes q182's ranking audit — AUC says the ORDER is right,
+    * calibration says whether the scores MEAN anything as probabilities
+    * (a gate thresholded "keep if p > 0.8" needs the latter). Held-out
+    * docs are binned by the model's own predicted probability — the
+    * training's hard sigmoid at display temperature T = 2^6 weight
+    * units (σ̂(m/(W·T)) — the Platt/temperature-scaling knob, fixed
+    * here at the scale where held-out margins span the unit interval;
+    * at S = 2^20 the whole map stays PURE INTEGER:
+    * p̂_fp = clamp(4·(logit >> 6) + 2^19, 0, 2^20), arithmetic shift =
+    * floor division in both engines) — into fixed 2^17-wide bins (the
+    * exactly-1.0 class keeps its own bin 8); each bin reports count,
+    * mean predicted probability and observed positive rate.
+    * Well-calibrated ⇒ the two track; the gap pattern (typically
+    * over-confidence at the extremes) is what a production threshold
+    * must be corrected by.
+    *
+    * Scale shape: the q112 codegen scoring scan + ONE ≤9-key aggregate
+    * with map-side combine. Nothing else. */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val phat = least(greatest(
+      expr("shiftright(logit, 6)") * 4 + lit(524288L), lit(0L)),
+      lit(1048576L))
+    heldOutScored(s, dir)
+      .select(col("y"), phat.as("phat_fp"))
+      .withColumn("bin", expr("phat_fp div 131072"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        round(sum(col("phat_fp")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1048576.0)), 4)
+          .as("mean_phat"),
+        round(sum(col("y")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("obs_rate"))
+      .orderBy("bin")
   }
 
   /** HTML boilerplate extraction (q116, [[TextAnalysis.stripHtml]]):

@@ -155,6 +155,26 @@ class ImportanceSpec extends SparkSpec {
     assert(wide == narrow)
   }
 
+  test("classifierCalibration: bins partition the held-out set and " +
+      "mean p̂ stays inside each bin's range") {
+    val rep = graft.queries.LlmQueries
+      .classifierCalibration(spark, Sf0001)
+      .as[(Long, Long, Double, Double)].collect().toList
+    assert(rep.map(_._1) == rep.map(_._1).sorted) // ordered bins
+    // the held-out split is 20% of the hash space
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val held = docs.where(
+      PortableSeededHash.hash(col("doc_id"), 42) % 100 >= 80).count()
+    assert(rep.map(_._2).sum == held)
+    rep.foreach { case (bin, n, phat, obs) =>
+      assert(n > 0 && bin >= 0 && bin <= 8)
+      val lo = bin * 131072.0 / 1048576.0
+      val hi = (bin + 1) * 131072.0 / 1048576.0
+      assert(phat >= lo - 5e-5 && phat <= hi + 5e-5, s"bin $bin p̂ $phat")
+      assert(obs >= 0.0 && obs <= 1.0)
+    }
+  }
+
   test("aucReport: degenerate all-negative threshold side is null-safe") {
     val r = report(Seq((1L, -5L), (1L, -3L), (0L, -4L)))
     assert(r.isNullAt(r.fieldIndex("prec"))) // tp+fp = 0
