@@ -218,6 +218,7 @@ object SparkEntry {
     "q185_kmeans_separation" -> LlmQueries.kmeansSeparation,
     "q186_lsh_bucket_audit" -> LlmQueries.lshBucketAudit,
     "q187_calibration" -> LlmQueries.classifierCalibration,
+    "q188_span_corruption" -> LlmQueries.spanCorruptionPairs,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -978,6 +979,36 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
     // q187: the q182 held-out scores binned by the training's own
     // integer hard-sigmoid; per-bin mean p̂ vs observed rate.
     "q187_calibration" -> q187CalibrationOracle,
+    // q188: seeded mask coins, gaps-and-islands spans, numbered
+    // sentinels, ordered string_agg reassembly.
+    "q188_span_corruption" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |p AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |      FROM t, LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+        |m AS (SELECT doc_id, pos, tok,
+        |        ${h("doc_id::VARCHAR || ':' || pos::VARCHAR", 61)} % 100
+        |          < 15 AS msk
+        |      FROM p),
+        |s AS (SELECT *, msk AND NOT coalesce(lag(msk) OVER
+        |        (PARTITION BY doc_id ORDER BY pos), false) AS st
+        |      FROM m),
+        |g AS (SELECT *, sum(CASE WHEN st THEN 1 ELSE 0 END) OVER
+        |        (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |      FROM s),
+        |pieces AS (SELECT doc_id, pos, msk, span_id,
+        |    CASE WHEN NOT msk THEN tok
+        |         WHEN st THEN '<X' || (span_id - 1) || '>' END AS ip,
+        |    CASE WHEN msk AND st
+        |           THEN '<X' || (span_id - 1) || '> ' || tok
+        |         WHEN msk THEN tok END AS tp
+        |  FROM g)
+        |SELECT doc_id,
+        |  coalesce(string_agg(ip, ' ' ORDER BY pos), '') AS input_text,
+        |  coalesce(string_agg(tp, ' ' ORDER BY pos), '') AS target_text,
+        |  CAST(coalesce(max(span_id), 0) AS BIGINT) AS n_spans,
+        |  CAST(count(*) FILTER (WHERE msk) AS BIGINT) AS n_masked
+        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q116: wrap + strip both replayed — the regexes avoid backreferences
     // and lookarounds so the same patterns run under Java regex and RE2.
     "q116_html_extract" ->

@@ -290,4 +290,57 @@ object Sampling {
         expr(s"cast('$num' as decimal(38,0)) div h_k"))
       .drop("h_k")
   }
+
+  /** T5-style span corruption (Raffel et al. 2020, §3.1.4): the final
+    * transform between a curated corpus and a denoising trainer — each
+    * document becomes an (input, target) pair where masked token SPANS
+    * are replaced by numbered sentinels in the input and enumerated
+    * after their sentinels in the target.
+    *
+    * Mask decisions are seeded-hash coins on (doc_id, position) — the
+    * q29/q113 no-rand() convention, so the corruption is a pure function
+    * of the data: reproducible across runs, partitionings and engines,
+    * and any example can be regenerated from its doc alone. Runs of
+    * consecutive masked positions collapse into ONE sentinel
+    * (gaps-and-islands over the per-doc window, the q128 merge
+    * machinery); sentinels number left to right per document.
+    *
+    * Scale shape: posexplode + per-DOC partitioned windows (lag +
+    * running sum — no global window anywhere) + one groupBy(doc_id)
+    * reassembly of position-sorted pieces. Corpus-linear, exactly the
+    * q134 reassembly shape. */
+  def spanCorruption(docs: DataFrame, ratePct: Int = 15, seed: Int = 61,
+                     hasher: SeededHash = XxSeededHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ratePct >= 0 && ratePct <= 100)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val masked = toks.withColumn("msk",
+      pmod(hasher.hash(concat_ws(":", col("doc_id"), col("pos")), seed),
+        lit(100L)) < ratePct)
+    val spans = masked
+      .withColumn("st",
+        col("msk") && !coalesce(lag("msk", 1).over(byDoc), lit(false)))
+      .withColumn("span_id",
+        sum(when(col("st"), lit(1L)).otherwise(lit(0L))).over(byDoc))
+    val sentinel = concat(lit("<X"), col("span_id") - 1, lit(">"))
+    val pieces = spans.select(col("doc_id"), col("pos"), col("msk"),
+      col("span_id"),
+      when(!col("msk"), col("tok"))
+        .when(col("st"), sentinel).as("ip"),
+      when(col("msk") && col("st"),
+          concat(sentinel, lit(" "), col("tok")))
+        .when(col("msk"), col("tok")).as("tp"))
+    def joined(c: String) = array_join(transform(
+      array_sort(collect_list(when(col(c).isNotNull,
+        struct(col("pos"), col(c).as("piece"))))),
+      s => s.getField("piece")), " ")
+    pieces.groupBy("doc_id").agg(
+      joined("ip").as("input_text"),
+      joined("tp").as("target_text"),
+      coalesce(max(col("span_id")), lit(0L)).as("n_spans"),
+      sum(when(col("msk"), 1L).otherwise(0L)).as("n_masked"))
+  }
 }

@@ -1831,6 +1831,15 @@ object LlmQueries {
       tables = 4, planesPerTable = 8, targetBucket = 16,
       hasher = graft.llm.PortableSeededHash)
 
+  /** T5 span-corruption pair generation (q188, [[graft.llm.Sampling
+    * .spanCorruption]]): every document rendered as a denoising
+    * (input, target) training pair with seeded-hash mask coins and
+    * numbered sentinels — the last transform before the trainer. */
+  def spanCorruptionPairs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.spanCorruption(table(s, dir, "documents"),
+        ratePct = 15, seed = 61, hasher = graft.llm.PortableSeededHash)
+      .orderBy("doc_id")
+
   /** Mutual-kNN clustering coefficient (q174,
     * [[graft.llm.WebGraph.clusteringCoefficient]] over
     * [[graft.llm.Similarity.knnGraph]]'s mutual edges): per-node

@@ -245,4 +245,42 @@ class SamplingSpec extends SparkSpec {
       .select("est_distinct").as[Option[Long]].collect()
     assert(tiny.nonEmpty && tiny.forall(_.isEmpty))
   }
+
+  test("spanCorruption: rate 0 is identity, rate 100 is one full span") {
+    val docs = Seq((7L, "a b c d")).toDF("doc_id", "text")
+    val none = Sampling.spanCorruption(docs, ratePct = 0)
+      .as[(Long, String, String, Long, Long)].collect().head
+    assert(none == ((7L, "a b c d", "", 0L, 0L)))
+    val all = Sampling.spanCorruption(docs, ratePct = 100)
+      .as[(Long, String, String, Long, Long)].collect().head
+    assert(all == ((7L, "<X0>", "<X0> a b c d", 1L, 4L)))
+  }
+
+  test("spanCorruption: sentinel splice reconstructs the original text") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet").limit(50)
+    val out = Sampling.spanCorruption(docs, ratePct = 15)
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .as[(Long, String, String, Long, Long, String)].collect()
+    assert(out.length == 50)
+    out.foreach { case (id, inp, tgt, nSpans, nMasked, text) =>
+      // parse target "<X0> t t <X1> t ..." into span -> tokens
+      val spans = ("<X(\\d+)>".r).split(tgt).drop(1)
+        .map(_.trim).zipWithIndex.map { case (s, i) => i -> s }.toMap
+      assert(spans.size == nSpans, s"doc $id")
+      assert(spans.values.map(s =>
+        if (s.isEmpty) 0 else s.split(" ").length).sum == nMasked)
+      val rebuilt = ("<X(\\d+)>".r).replaceAllIn(inp,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spans(m.group(1).toInt)))
+      assert(rebuilt == text, s"doc $id reconstructs")
+    }
+  }
+
+  test("spanCorruption is partitioning-independent") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet").limit(40)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.spanCorruption(d, ratePct = 15)
+        .as[(Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(docs.repartition(17)) == run(docs.coalesce(1)))
+  }
 }
