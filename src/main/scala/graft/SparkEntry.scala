@@ -219,6 +219,7 @@ object SparkEntry {
     "q186_lsh_bucket_audit" -> LlmQueries.lshBucketAudit,
     "q187_calibration" -> LlmQueries.classifierCalibration,
     "q188_span_corruption" -> LlmQueries.spanCorruptionPairs,
+    "q189_dsir_resample" -> LlmQueries.dsirResample,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -890,33 +891,22 @@ FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""",
     // both the corpus split and the feature map; ln carries the same
     // 4-dp measure-zero caveat as q110.
     "q111_dsir_score" ->
-      s"""WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t,
-         ${graft.llm.PortableSeededHash.sql("doc_id", 42)} % 100 AS sb
-  FROM documents),
-grams AS (
-  SELECT doc_id, sb, t[i] AS g
-  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
-  UNION ALL
-  SELECT doc_id, sb, t[i] || ' ' || t[i+1]
-  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
-gb AS (SELECT doc_id, sb,
-         ${graft.llm.PortableSeededHash.sql("g", 59)} % 1024 AS b
-       FROM grams),
-tg AS (SELECT b FROM gb WHERE sb >= 90),
-rg AS (SELECT doc_id, b FROM gb WHERE sb < 80),
-tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
-rc AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
-tt AS (SELECT count(*) AS t_total FROM tg),
-rt AS (SELECT count(*) AS r_total FROM rg)
-SELECT CAST(rg.doc_id AS BIGINT) AS doc_id,
-  CAST(count(*) AS BIGINT) AS n_grams,
-  round(sum(
-    ln((COALESCE(tc.ct, 0) + 1) / CAST(tt.t_total + 1024 AS DOUBLE)) -
-    ln((COALESCE(rc.cr, 0) + 1) / CAST(rt.r_total + 1024 AS DOUBLE))), 4)
-    AS log_ratio
-FROM rg LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), tt, rt
-GROUP BY rg.doc_id ORDER BY doc_id""",
+      s"""WITH $q111DsirCtes
+SELECT doc_id, n_grams, log_ratio FROM dsirsc ORDER BY doc_id""",
+    // q189: q111's weights + hash-derived Gumbel noise, 4-dp keys,
+    // top-64 without-replacement selection (Gumbel top-k identity).
+    "q189_dsir_resample" ->
+      s"""WITH $q111DsirCtes,
+k AS (SELECT doc_id, n_grams, log_ratio,
+        round(log_ratio + -ln(-ln(
+          (CAST(${graft.llm.PortableSeededHash.sql("doc_id", 67)}
+             AS DOUBLE) + 0.5)
+          / CAST(1152921504606846976 AS DOUBLE))), 4) AS gumbel_key
+      FROM dsirsc)
+SELECT doc_id, n_grams, log_ratio, gumbel_key, CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id)
+        AS rk FROM k)
+WHERE rk <= 64 ORDER BY rk""",
     // q112: integer weights + integer sum — no float anywhere, so the
     // logit is bit-exact; the weight of bucket b re-derives as
     // hash77('w' || b) % 17 - 8, exactly as the Scala driver builds it.
@@ -2372,6 +2362,38 @@ FROM spm JOIN som USING (bucket) ORDER BY ord""",
 
   private def h(x: String, seed: Int): String =
     graft.llm.PortableSeededHash.sql(x, seed)
+
+  /** The shared q111/q189 WITH-body: hashed unigram+bigram bucket
+    * postings for the 80/10 corpus split and the per-doc DSIR
+    * log-ratio as the `dsirsc` CTE. */
+  private def q111DsirCtes: String =
+    s"""toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         ${h("doc_id", 42)} % 100 AS sb
+  FROM documents),
+grams AS (
+  SELECT doc_id, sb, t[i] AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+  UNION ALL
+  SELECT doc_id, sb, t[i] || ' ' || t[i+1]
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+gb AS (SELECT doc_id, sb,
+         ${h("g", 59)} % 1024 AS b
+       FROM grams),
+tg AS (SELECT b FROM gb WHERE sb >= 90),
+rg AS (SELECT doc_id, b FROM gb WHERE sb < 80),
+tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+rc AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
+tt AS (SELECT count(*) AS t_total FROM tg),
+rt AS (SELECT count(*) AS r_total FROM rg),
+dsirsc AS (SELECT CAST(rg.doc_id AS BIGINT) AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  round(sum(
+    ln((COALESCE(tc.ct, 0) + 1) / CAST(tt.t_total + 1024 AS DOUBLE)) -
+    ln((COALESCE(rc.cr, 0) + 1) / CAST(rt.r_total + 1024 AS DOUBLE))), 4)
+    AS log_ratio
+FROM rg LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), tt, rt
+GROUP BY rg.doc_id)"""
 
   /** The q123 signal CTEs (token split, marker lang scores, entropy,
     * hashed classifier logit, joined into `sig`) — shared by the q123

@@ -1050,6 +1050,40 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance RESAMPLING (q189): the R the method is named for —
+    * q111 computes log importance weights; this executes the selection,
+    * drawing a WITHOUT-replacement sample of 64 docs with inclusion
+    * probability ∝ the importance ratio via the Gumbel top-k identity
+    * (top-k of log wᵢ + Gᵢ ~ sampling ∝ wᵢ without replacement; Vieira
+    * 2014). The Gumbel noise Gᵢ = −ln(−ln(uᵢ)) uses uᵢ from the seeded
+    * portable hash of doc_id — the q29/q113 no-rand() convention — so
+    * the "random" draw is a pure function of the data: reproducible
+    * across runs, partitionings and engines, and auditable per doc.
+    *
+    * Keys are rounded to 4 dp with doc_id tie-break before ranking (the
+    * q110/q111 ln measure-zero convention). Scale shape: the q111
+    * scoring chain + a sort-limit top-64 (per-partition partial top-k,
+    * never a global sort materialization); the rank window runs over
+    * the 64 survivors only. */
+  def dsirResample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+    val bucket = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    val scored = graft.llm.Importance.dsirLogRatio(
+      docs.where(bucket < 80), docs.where(bucket >= 90),
+      buckets = 1024, seed = 59, hasher = graft.llm.PortableSeededHash)
+    val u = (graft.llm.PortableSeededHash.hash(col("doc_id"), 67)
+      .cast("double") + 0.5) /
+      lit(1152921504606846976L).cast("double") // 2^60
+    val keyed = scored.select(col("doc_id"), col("n_grams"),
+      col("log_ratio"),
+      round(col("log_ratio") + -log(-log(u)), 4).as("gumbel_key"))
+    keyed.orderBy(col("gumbel_key").desc, col("doc_id")).limit(64)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("gumbel_key").desc, col("doc_id"))).cast("long"))
+      .orderBy("rk")
+  }
+
   /** Hashed linear quality classifier (q112,
     * [[graft.llm.Importance.hashedLinearLogit]]): fastText-shape
     * inference as a pure scan. Gate weights are a deterministic

@@ -68,6 +68,9 @@ class PlanAuditSpec extends SparkSpec {
     "q111_dsir_score",       // broadcast 1-row gram-total frames (t_total,
                              // r_total) — q110's scalar-frame pattern; the
                              // bucket-count joins are equi on bucket id
+    "q189_dsir_resample",    // the q111 scoring chain (same 1-row total
+                             // frames) + a sort-limit top-64; nothing new
+                             // joins non-equi
     "q114_count_min",        // broadcast 1-row sketch frame probed by
                              // every key — the POINT of a CM sketch (the
                              // fixed-size summary replaces a per-key join)

@@ -175,6 +175,33 @@ class ImportanceSpec extends SparkSpec {
     }
   }
 
+  test("dsirResample: Gumbel top-k keys recompute driver-side; " +
+      "selection is deterministic and importance-biased") {
+    val out = graft.queries.LlmQueries.dsirResample(spark, Sf0001)
+      .as[(Long, Long, Double, Double, Long)].collect().toList
+    assert(out.map(_._5) == (1L to 64L).toList) // dense ranks
+    // key law: round4(log_ratio − ln(−ln((h+0.5)/2^60)))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    out.foreach { case (id, _, lr, key, _) =>
+      val u = (h60(s"67:$id").toDouble + 0.5) / math.pow(2, 60)
+      val expect = BigDecimal(lr + -math.log(-math.log(u)))
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(key == expect, s"doc $id")
+    }
+    // importance bias: the resampled mean log-ratio beats the corpus mean
+    val all = graft.queries.LlmQueries.dsirScore(spark, Sf0001)
+      .select("log_ratio").as[Double].collect()
+    val corpusMean = all.sum / all.length
+    val selMean = out.map(_._3).sum / out.size
+    assert(selMean > corpusMean,
+      s"selected $selMean vs corpus $corpusMean")
+  }
+
   test("aucReport: degenerate all-negative threshold side is null-safe") {
     val r = report(Seq((1L, -5L), (1L, -3L), (0L, -4L)))
     assert(r.isNullAt(r.fieldIndex("prec"))) // tp+fp = 0
