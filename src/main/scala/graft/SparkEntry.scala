@@ -220,6 +220,7 @@ object SparkEntry {
     "q187_calibration" -> LlmQueries.classifierCalibration,
     "q188_span_corruption" -> LlmQueries.spanCorruptionPairs,
     "q189_dsir_resample" -> LlmQueries.dsirResample,
+    "q190_fim_transform" -> LlmQueries.fimPairs,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -969,6 +970,25 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
     // q187: the q182 held-out scores binned by the training's own
     // integer hard-sigmoid; per-bin mean p̂ vs observed rate.
     "q187_calibration" -> q187CalibrationOracle,
+    // q190: seeded cut points sorted into [lo, hi), three list slices
+    // reassembled around PSM sentinels; non-FIM docs pass through.
+    "q190_fim_transform" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, text, t, n,
+        |        ${h("doc_id", 63)} % n AS a,
+        |        ${h("doc_id", 64)} % n AS b,
+        |        ${h("doc_id", 65)} % 100 < 50 AS fim_applied
+        |      FROM t),
+        |cut AS (SELECT *, 1 + least(a, b) AS lo, 1 + greatest(a, b) AS hi
+        |        FROM c)
+        |SELECT doc_id, fim_applied, CAST(n AS BIGINT) AS n_tokens,
+        |  CASE WHEN fim_applied THEN array_to_string(
+        |    list_concat(list_concat(list_concat(list_concat(list_concat(
+        |      ['<PRE>'], t[1:lo-1]), ['<SUF>']), t[hi:n]), ['<MID>']),
+        |      t[lo:hi-1]), ' ')
+        |  ELSE text END AS text_fim
+        |FROM cut ORDER BY doc_id""".stripMargin,
     // q188: seeded mask coins, gaps-and-islands spans, numbered
     // sentinels, ordered string_agg reassembly.
     "q188_span_corruption" ->

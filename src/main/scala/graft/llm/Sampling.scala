@@ -291,6 +291,42 @@ object Sampling {
       .drop("h_k")
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): rewrite a
+    * hash-chosen fraction of documents into PSM order —
+    * `<PRE> prefix <SUF> suffix <MID> middle` — so an autoregressive
+    * model learns infilling from plain left-to-right training; the rest
+    * pass through untouched (the paper's 50/50 joint recipe).
+    *
+    * Two seeded-hash cut points per document (the q29/q113 no-rand()
+    * convention: the transform is a pure function of the data), sorted
+    * into [lo, hi); all three segments are array slices of the token
+    * stream reassembled around sentinel tokens — empty segments
+    * degrade gracefully (consecutive sentinels), exactly as in
+    * production FIM corpora.
+    *
+    * Scale shape: pure per-row Column work — split, two hashes, three
+    * slices, one join — whole-stage codegen, zero shuffles. */
+  def fimTransform(docs: DataFrame, fimPct: Int = 50,
+                   seed: Int = 63,
+                   hasher: SeededHash = XxSeededHash): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100)
+    val toks = split(col("text"), " ")
+    val n = size(toks).cast("long")
+    val a = pmod(hasher.hash(col("doc_id"), seed), n)
+    val b = pmod(hasher.hash(col("doc_id"), seed + 1), n)
+    val gate = pmod(hasher.hash(col("doc_id"), seed + 2), lit(100L)) < fimPct
+    val lo = (least(a, b) + 1).cast("int")
+    val hi = (greatest(a, b) + 1).cast("int")
+    val nI = n.cast("int")
+    val psm = array_join(concat(
+      array(lit("<PRE>")), slice(toks, lit(1), lo - 1),
+      array(lit("<SUF>")), slice(toks, hi, nI - hi + 1),
+      array(lit("<MID>")), slice(toks, lo, hi - lo)), " ")
+    docs.select(col("doc_id"), gate.as("fim_applied"), n.as("n_tokens"),
+      when(gate, psm).otherwise(col("text")).as("text_fim"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020, §3.1.4): the final
     * transform between a curated corpus and a denoising trainer — each
     * document becomes an (input, target) pair where masked token SPANS

@@ -1865,6 +1865,16 @@ object LlmQueries {
       tables = 4, planesPerTable = 8, targetBucket = 16,
       hasher = graft.llm.PortableSeededHash)
 
+  /** Fill-in-the-middle corpus transform (q190, [[graft.llm.Sampling
+    * .fimTransform]]): half the corpus rewritten into
+    * `<PRE> … <SUF> … <MID> …` PSM order with seeded-hash cut points —
+    * the infilling-data recipe next to q188's span corruption. Pure
+    * scan, zero shuffles. */
+  def fimPairs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.fimTransform(table(s, dir, "documents"),
+        fimPct = 50, seed = 63, hasher = graft.llm.PortableSeededHash)
+      .orderBy("doc_id")
+
   /** T5 span-corruption pair generation (q188, [[graft.llm.Sampling
     * .spanCorruption]]): every document rendered as a denoising
     * (input, target) training pair with seeded-hash mask coins and

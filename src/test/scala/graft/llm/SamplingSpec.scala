@@ -246,6 +246,29 @@ class SamplingSpec extends SparkSpec {
     assert(tiny.nonEmpty && tiny.forall(_.isEmpty))
   }
 
+  test("fimTransform: segment splice reconstructs the original text") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet").limit(60)
+    val out = Sampling.fimTransform(docs, fimPct = 100)
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .as[(Long, Boolean, Long, String, String)].collect()
+    assert(out.length == 60 && out.forall(_._2)) // rate 100 → all FIM
+    out.foreach { case (id, _, nTok, fim, text) =>
+      val pre = fim.indexOf("<PRE>"); val suf = fim.indexOf("<SUF>")
+      val mid = fim.indexOf("<MID>")
+      assert(pre == 0 && suf > 0 && mid > suf, s"doc $id PSM order")
+      def seg(s: Int, e: Int) = fim.substring(s, e).trim
+      val rebuilt = Seq(seg(5, suf), seg(mid + 5, fim.length),
+        seg(suf + 5, mid)).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == text, s"doc $id reconstructs")
+      assert(text.split(" ").length.toLong == nTok)
+    }
+    // rate 0 → identity
+    val none = Sampling.fimTransform(docs, fimPct = 0)
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .as[(Long, Boolean, Long, String, String)].collect()
+    assert(none.forall(r => !r._2 && r._4 == r._5))
+  }
+
   test("spanCorruption: rate 0 is identity, rate 100 is one full span") {
     val docs = Seq((7L, "a b c d")).toDF("doc_id", "text")
     val none = Sampling.spanCorruption(docs, ratePct = 0)
