@@ -221,6 +221,7 @@ object SparkEntry {
     "q188_span_corruption" -> LlmQueries.spanCorruptionPairs,
     "q189_dsir_resample" -> LlmQueries.dsirResample,
     "q190_fim_transform" -> LlmQueries.fimPairs,
+    "q191_packed_batches" -> LlmQueries.packedBatches,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -829,22 +830,37 @@ ORDER BY doc_id""",
         |GROUP BY d.doc_id, d.t
         |ORDER BY doc_id""".stripMargin,
     "q89_sequence_packing" ->
-      s"""WITH b AS (
-  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         ${graft.llm.PortableSeededHash.sql("doc_id", 29)} AS h
-  FROM documents),
-p AS (SELECT doc_id, n_tokens, h, h % 8 AS bucket,
-        CAST(sum(n_tokens) OVER (PARTITION BY h % 8
-          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-      FROM b),
-o AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        AS bucket_offset
-      FROM (SELECT bucket, max(cum) AS total FROM p GROUP BY bucket))
+      s"""WITH $q89PackCtes
 SELECT p.doc_id, p.n_tokens,
   (o.bucket_offset + p.cum - p.n_tokens) // 512 AS seq_id,
   (o.bucket_offset + p.cum - p.n_tokens) % 512 AS seq_offset
 FROM p JOIN o USING (bucket) ORDER BY p.doc_id""",
+    // q191: the q89 prefix chain + per-doc span explode across sequence
+    // boundaries + ordered per-sequence reassembly with doc-start
+    // boundary offsets.
+    "q191_packed_batches" ->
+      s"""WITH $q89PackCtes,
+st AS (SELECT p.doc_id, p.n_tokens,
+         o.bucket_offset + p.cum - p.n_tokens AS strt
+       FROM p JOIN o USING (bucket)),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spn AS (SELECT st.doc_id, st.n_tokens, st.strt, u.s AS seq_id,
+          CAST(greatest(u.s * 512, st.strt) - st.strt + 1 AS BIGINT) AS a,
+          CAST(least((u.s + 1) * 512, st.strt + st.n_tokens) - st.strt
+            AS BIGINT) AS b
+        FROM st, LATERAL unnest(generate_series(st.strt // 512,
+          (st.strt + st.n_tokens - 1) // 512)) AS u(s)),
+pc AS (SELECT spn.seq_id, spn.strt, spn.a, spn.b - spn.a + 1 AS len,
+         spn.strt - (spn.strt // 512) * 512 AS off0,
+         array_to_string(tk.t[spn.a:spn.b], ' ') AS ptxt
+       FROM spn JOIN tk USING (doc_id))
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(count(*) AS BIGINT) AS n_pieces,
+  CAST(sum(len) AS BIGINT) AS n_tokens,
+  coalesce(string_agg(CASE WHEN a = 1 THEN off0::VARCHAR END, '|'
+    ORDER BY strt), '') AS boundaries,
+  string_agg(ptxt, ' ' ORDER BY strt) AS seq_text
+FROM pc GROUP BY seq_id ORDER BY seq_id""",
     "q90_weighted_upsample" ->
       s"""WITH w AS (
   SELECT doc_id, lang,
@@ -2382,6 +2398,22 @@ FROM spm JOIN som USING (bucket) ORDER BY ord""",
 
   private def h(x: String, seed: Int): String =
     graft.llm.PortableSeededHash.sql(x, seed)
+
+  /** The shared q89/q191 WITH-body: canonical hash order, per-bucket
+    * running token totals and bucket offsets (the two-phase prefix). */
+  private def q89PackCtes: String =
+    s"""b AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ${h("doc_id", 29)} AS h
+  FROM documents),
+p AS (SELECT doc_id, n_tokens, h, h % 8 AS bucket,
+        CAST(sum(n_tokens) OVER (PARTITION BY h % 8
+          ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM b),
+o AS (SELECT bucket, CAST(COALESCE(sum(total) OVER (ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        AS bucket_offset
+      FROM (SELECT bucket, max(cum) AS total FROM p GROUP BY bucket))"""
 
   /** The shared q111/q189 WITH-body: hashed unigram+bigram bucket
     * postings for the 80/10 corpus split and the per-doc DSIR

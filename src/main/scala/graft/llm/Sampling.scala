@@ -291,6 +291,58 @@ object Sampling {
       .drop("h_k")
   }
 
+  /** Packed-batch MATERIALIZATION over [[packSequences]]' assignment —
+    * the step that turns (doc → seq_id, seq_offset) bookkeeping into the
+    * actual fixed-length training sequences a loader memory-maps: each
+    * document's tokens are sliced across every sequence its global span
+    * [start, start+n) overlaps (concatenate-then-split semantics — docs
+    * cross sequence boundaries, the GPT-style packing that wastes zero
+    * budget), pieces reassemble per sequence in global token order, and
+    * `boundaries` records the within-sequence offsets where documents
+    * BEGIN — exactly what a trainer needs to reset attention masks /
+    * position ids at document starts.
+    *
+    * Every sequence is exactly `budget` tokens except the last
+    * (asserted in SamplingSpec together with the end-to-end
+    * concatenation identity: joining all sequences in order reproduces
+    * the canonical-order token stream).
+    *
+    * Scale shape: the q89 two-phase prefix (no global window), one
+    * explode over ≤⌈n/budget⌉+1 spans per doc, one groupBy(seq_id)
+    * reassembly of position-sorted pieces — corpus-linear in token
+    * volume, the q188 reassembly shape. */
+  def packedBatches(docs: DataFrame, budget: Int = 512,
+                    numBuckets: Int = 8, seed: Int = 29,
+                    hasher: SeededHash = XxSeededHash): DataFrame = {
+    val bL = budget.toLong
+    val packed = packSequences(docs, budget, numBuckets, seed, hasher)
+      .withColumn("start", col("seq_id") * bL + col("seq_offset"))
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val spans = packed.join(toks, "doc_id")
+      .withColumn("s", explode(sequence(expr(s"start div $bL"),
+        expr(s"(start + n_tokens - 1) div $bL"))))
+      .select(col("s").as("seq_id"), col("start"),
+        (greatest(col("s") * bL, col("start")) - col("start") + 1)
+          .cast("int").as("a"),
+        (least((col("s") + 1) * bL, col("start") + col("n_tokens")) -
+          col("start")).cast("int").as("b"),
+        col("t"))
+    val pieces = spans.select(col("seq_id"), col("start"), col("a"),
+      (col("b") - col("a") + 1).cast("long").as("len"),
+      (col("start") - expr(s"(start div $bL) * $bL")).as("off0"),
+      array_join(slice(col("t"), col("a"), col("b") - col("a") + 1), " ")
+        .as("ptxt"))
+    pieces.groupBy("seq_id").agg(
+      count(lit(1)).as("n_pieces"),
+      sum(col("len")).as("n_tokens"),
+      array_join(transform(array_sort(collect_list(when(col("a") === 1,
+          struct(col("start"), col("off0").cast("string").as("o"))))),
+        x => x.getField("o")), "|").as("boundaries"),
+      array_join(transform(array_sort(collect_list(
+          struct(col("start"), col("ptxt").as("p")))),
+        x => x.getField("p")), " ").as("seq_text"))
+  }
+
   /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
     * Training of Language Models to Fill in the Middle"): rewrite a
     * hash-chosen fraction of documents into PSM order —

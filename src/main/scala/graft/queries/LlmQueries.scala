@@ -1865,6 +1865,16 @@ object LlmQueries {
       tables = 4, planesPerTable = 8, targetBucket = 16,
       hasher = graft.llm.PortableSeededHash)
 
+  /** Packed training batches (q191, [[graft.llm.Sampling
+    * .packedBatches]]): q89's assignment materialized into the actual
+    * 512-token sequences with document-start boundary offsets — the
+    * artifact a training loader memory-maps. */
+  def packedBatches(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.packedBatches(table(s, dir, "documents"),
+        budget = 512, numBuckets = 8, seed = 29,
+        hasher = graft.llm.PortableSeededHash)
+      .orderBy("seq_id")
+
   /** Fill-in-the-middle corpus transform (q190, [[graft.llm.Sampling
     * .fimTransform]]): half the corpus rewritten into
     * `<PRE> … <SUF> … <MID> …` PSM order with seeded-hash cut points —

@@ -246,6 +246,33 @@ class SamplingSpec extends SparkSpec {
     assert(tiny.nonEmpty && tiny.forall(_.isEmpty))
   }
 
+  test("packedBatches: full budget everywhere but the tail, and the " +
+      "concatenation identity reproduces the canonical token stream") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val out = Sampling.packedBatches(docs, budget = 512)
+      .as[(Long, Long, Long, String, String)].collect()
+      .sortBy(_._1).toList
+    assert(out.map(_._1) == out.indices.map(_.toLong)) // dense seq ids
+    // every sequence is exactly 512 tokens except the last
+    out.init.foreach { case (id, _, n, _, txt) =>
+      assert(n == 512 && txt.split(" ").length == 512, s"seq $id")
+    }
+    assert(out.last._3 <= 512)
+    // boundaries are strictly increasing within [0, 512)
+    out.foreach { case (id, nPieces, _, bs, _) =>
+      val offs = if (bs.isEmpty) Nil else bs.split("\\|").map(_.toLong).toList
+      assert(offs == offs.sorted && offs.forall(o => o >= 0 && o < 512))
+      assert(offs.size <= nPieces)
+    }
+    // concatenating all sequences reproduces the canonical-order stream
+    val stream = out.map(_._5).mkString(" ")
+    val canonical = Sampling.packSequences(docs, 512)
+      .withColumn("start", col("seq_id") * 512 + col("seq_offset"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .orderBy("start").select("text").as[String].collect().mkString(" ")
+    assert(stream == canonical)
+  }
+
   test("fimTransform: segment splice reconstructs the original text") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet").limit(60)
     val out = Sampling.fimTransform(docs, fimPct = 100)
