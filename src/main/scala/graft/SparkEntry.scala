@@ -222,6 +222,7 @@ object SparkEntry {
     "q189_dsir_resample" -> LlmQueries.dsirResample,
     "q190_fim_transform" -> LlmQueries.fimPairs,
     "q191_packed_batches" -> LlmQueries.packedBatches,
+    "q192_drift_psi" -> LlmQueries.driftPsi,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -986,6 +987,36 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
     // q187: the q182 held-out scores binned by the training's own
     // integer hard-sigmoid; per-bin mean p̂ vs observed rate.
     "q187_calibration" -> q187CalibrationOracle,
+    // q192: bin counts per split, full-outer bin join, add-one-smoothed
+    // shares, per-bin PSI contribution ×10⁴ at 4 dp.
+    "q192_drift_psi" ->
+      s"""WITH d AS (SELECT n_chars // 64 AS bin,
+        |             ${h("doc_id", 42)} % 100 AS sb FROM documents),
+        |hr AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_ref
+        |       FROM d WHERE sb < 80 GROUP BY 1),
+        |hc AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_cur
+        |       FROM d WHERE sb >= 80 GROUP BY 1),
+        |j AS (SELECT coalesce(hr.bin, hc.bin) AS bin,
+        |        coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+        |      FROM hr FULL OUTER JOIN hc ON hr.bin = hc.bin),
+        |t AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |        CAST(sum(c_cur) AS BIGINT) AS n_cur,
+        |        CAST(count(*) AS BIGINT) AS n_bins FROM j)
+        |SELECT bin, c_ref, c_cur,
+        |  round(CAST(c_ref + 1 AS DOUBLE)
+        |    / CAST(n_ref + n_bins AS DOUBLE), 4) AS p_ref,
+        |  round(CAST(c_cur + 1 AS DOUBLE)
+        |    / CAST(n_cur + n_bins AS DOUBLE), 4) AS p_cur,
+        |  round((CAST(c_ref + 1 AS DOUBLE)
+        |      / CAST(n_ref + n_bins AS DOUBLE)
+        |    - CAST(c_cur + 1 AS DOUBLE)
+        |      / CAST(n_cur + n_bins AS DOUBLE))
+        |    * (ln(CAST(c_ref + 1 AS DOUBLE)
+        |        / CAST(n_ref + n_bins AS DOUBLE))
+        |      - ln(CAST(c_cur + 1 AS DOUBLE)
+        |        / CAST(n_cur + n_bins AS DOUBLE))) * 10000, 4)
+        |    AS psi_x1e4
+        |FROM j, t ORDER BY bin""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

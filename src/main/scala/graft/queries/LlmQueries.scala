@@ -1865,6 +1865,48 @@ object LlmQueries {
       tables = 4, planesPerTable = 8, targetBucket = 16,
       hasher = graft.llm.PortableSeededHash)
 
+  /** Data-drift monitor via the population stability index (q192): the
+    * report a production ingest runs on every incoming batch — bin a
+    * monitored signal (here document length, `n_chars div 64`), compare
+    * the batch's bin shares against the reference corpus, and emit the
+    * per-bin PSI contribution (p−q)·ln(p/q). PSI > 0.1 is the classic
+    * "distribution moved, investigate before training on it" alarm
+    * (banking scorecard heritage, same rule used for feature drift in
+    * ML monitoring). The splits here are the established 80/20 hash
+    * slices, so the expected reading is "no drift" — the operator's
+    * value is the machinery, verified end to end.
+    *
+    * Determinism: integer bins and counts; add-one smoothing removes
+    * zero cells; p, q and the contribution are spelled as the identical
+    * IEEE expression both engines evaluate, emitted ×10⁴ at 4 dp.
+    *
+    * Scale shape: one bin-count aggregate per side (map-side combine,
+    * ≤bins rows out), a full-outer bin join and two 1-row broadcast
+    * total frames — nothing corpus-sized after the scans. */
+  def driftPsi(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val sb = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    val bin = expr("n_chars div 64")
+    def hist(side: DataFrame, cnt: String) =
+      side.select(bin.as("bin")).groupBy("bin")
+        .agg(count(lit(1)).as(cnt))
+    val joined = hist(docs.where(sb < 80), "c_ref")
+      .join(hist(docs.where(sb >= 80), "c_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = joined.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"), count(lit(1)).as("n_bins"))
+    val p = (col("c_ref") + 1).cast("double") /
+      (col("n_ref") + col("n_bins")).cast("double")
+    val q = (col("c_cur") + 1).cast("double") /
+      (col("n_cur") + col("n_bins")).cast("double")
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("c_ref"), col("c_cur"),
+        round(p, 4).as("p_ref"), round(q, 4).as("p_cur"),
+        round((p - q) * (log(p) - log(q)) * 10000, 4).as("psi_x1e4"))
+      .orderBy("bin")
+  }
+
   /** Packed training batches (q191, [[graft.llm.Sampling
     * .packedBatches]]): q89's assignment materialized into the actual
     * 512-token sequences with document-start boundary offsets — the

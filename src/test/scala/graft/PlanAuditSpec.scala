@@ -71,6 +71,10 @@ class PlanAuditSpec extends SparkSpec {
     "q189_dsir_resample",    // the q111 scoring chain (same 1-row total
                              // frames) + a sort-limit top-64; nothing new
                              // joins non-equi
+    "q192_drift_psi",        // broadcast 1-row totals frame crossJoined
+                             // onto the ≤bins-row histogram — the q48
+                             // scalar-frame pattern; the bin join is
+                             // equi full_outer
     "q114_count_min",        // broadcast 1-row sketch frame probed by
                              // every key — the POINT of a CM sketch (the
                              // fixed-size summary replaces a per-key join)

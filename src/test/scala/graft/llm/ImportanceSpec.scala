@@ -202,6 +202,22 @@ class ImportanceSpec extends SparkSpec {
       s"selected $selMean vs corpus $corpusMean")
   }
 
+  test("driftPsi: bins partition the corpus and contributions are " +
+      "nonnegative (sign law of (p−q)·ln(p/q))") {
+    val rep = graft.queries.LlmQueries.driftPsi(spark, Sf0001)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toList
+    assert(rep.map(_._1) == rep.map(_._1).sorted)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    assert(rep.map(r => r._2 + r._3).sum == docs.count())
+    rep.foreach { case (bin, cr, cc, p, q, psi) =>
+      assert(psi >= 0.0, s"bin $bin") // ln is monotone ⇒ same sign
+      assert(p > 0.0 && q > 0.0)     // add-one smoothing kills zeros
+      assert(cr >= 0 && cc >= 0)
+    }
+    // identical distributions within the split ⇒ low PSI overall
+    assert(rep.map(_._6).sum / 10000.0 < 0.25)
+  }
+
   test("aucReport: degenerate all-negative threshold side is null-safe") {
     val r = report(Seq((1L, -5L), (1L, -3L), (0L, -4L)))
     assert(r.isNullAt(r.fieldIndex("prec"))) // tp+fp = 0
