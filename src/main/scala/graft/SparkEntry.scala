@@ -223,6 +223,7 @@ object SparkEntry {
     "q190_fim_transform" -> LlmQueries.fimPairs,
     "q191_packed_batches" -> LlmQueries.packedBatches,
     "q192_drift_psi" -> LlmQueries.driftPsi,
+    "q193_kmv_set_ops" -> LlmQueries.kmvSetOps,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1017,6 +1018,11 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |        / CAST(n_cur + n_bins AS DOUBLE))) * 10000, 4)
         |    AS psi_x1e4
         |FROM j, t ORDER BY bin""".stripMargin,
+    // q193: the bottom-256 distinct-word-hash sketch per source (window
+    // spelling — the aggregate's value semantics), pair join, and the
+    // KMV set-algebra estimators: HUGEINT numerator integral divides,
+    // all-integer intersection, 4-dp Jaccard.
+    "q193_kmv_set_ops" -> q193KmvSetOpsOracle,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->
@@ -3921,6 +3927,51 @@ GROUP BY method ORDER BY method"""
       |    AS est_distinct
       |FROM r JOIN kh ON source = ks WHERE rn <= 8
       |ORDER BY source, rn""".stripMargin
+
+  /** q193 oracle: the bottom-256 distinct-word-hash sketch per source as
+    * a window (value-identical to the engine's mergeable bottom_k
+    * aggregate), every source pair, and the KMV set-algebra estimators —
+    * HUGEINT-numerator integral divides (the q145 convention), the
+    * all-integer intersection estimate, 4-dp Jaccard. */
+  private def q193KmvSetOpsOracle: String = {
+    val k = 256
+    val num = (BigInt(k) - 1) * (BigInt(1) << 60)
+    s"""WITH words AS (SELECT DISTINCT source, w FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |hs0 AS (SELECT DISTINCT source, ${h("w", 53)} AS h FROM words),
+      |r AS (SELECT source, h,
+      |  row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs0),
+      |sk AS (SELECT source, list_sort(list(h)) AS hs
+      |  FROM r WHERE rn <= $k GROUP BY 1),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    a.hs AS ha, b.hs AS hb
+      |  FROM sk a JOIN sk b ON a.source < b.source),
+      |m AS (SELECT src_a, src_b, ha, hb,
+      |    list_sort(list_distinct(list_concat(ha, hb)))[1:$k] AS lu FROM p),
+      |e AS (SELECT src_a, src_b,
+      |    CAST(len(ha) AS BIGINT) AS ka, CAST(len(hb) AS BIGINT) AS kb,
+      |    CAST(len(lu) AS BIGINT) AS ku,
+      |    CAST(len(list_intersect(lu, list_intersect(ha, hb))) AS BIGINT)
+      |      AS rho,
+      |    ha[len(ha)] AS kth_a, hb[len(hb)] AS kth_b, lu[len(lu)] AS kth_u
+      |  FROM m),
+      |f AS (SELECT src_a, src_b, ka, kb, ku, rho,
+      |    CASE WHEN ka < $k THEN ka
+      |      ELSE CAST(CAST('$num' AS HUGEINT) // kth_a AS BIGINT) END
+      |      AS est_a,
+      |    CASE WHEN kb < $k THEN kb
+      |      ELSE CAST(CAST('$num' AS HUGEINT) // kth_b AS BIGINT) END
+      |      AS est_b,
+      |    CASE WHEN ku < $k THEN ku
+      |      ELSE CAST(CAST('$num' AS HUGEINT) // kth_u AS BIGINT) END
+      |      AS est_union
+      |  FROM e)
+      |SELECT src_a, src_b, ka, kb, ku, rho, est_a, est_b, est_union,
+      |  rho * est_union // ku AS est_intersection,
+      |  round(CAST(rho AS DOUBLE) / ku, 4) AS jaccard_est
+      |FROM f ORDER BY src_a, src_b""".stripMargin
+  }
 
   /** q144 oracle: the link synthesis, host edge aggregation, and 5
     * unrolled fixed-point PageRank rounds (teleport 150000, damping

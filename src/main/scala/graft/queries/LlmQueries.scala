@@ -2171,6 +2171,78 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** KMV set-operation cardinalities (q193): distinct-count estimates
+    * for every source PAIR — |A|, |B|, |A ∪ B| and |A ∩ B| over distinct
+    * words — from the k-minimum-values sketch (Beyer et al. 2007, "On
+    * synopses for distinct value estimation"; Cohen & Kaplan 2007).
+    * Where q152's Mash sketch answers "how SIMILAR are two sources"
+    * (Jaccard only) and q145's per-key KMV answers "how many distinct
+    * per key", this answers the set-algebra questions a corpus-mixing
+    * decision needs: how many NEW tokens does source B add over A
+    * (Û − Â), how big is the shared vocabulary (ĵ·Û) — without ever
+    * materializing a distinct set.
+    *
+    * Scale shape: ONE pass over the corpus into the mergeable
+    * [[graft.functions.BottomKAgg]] (map-side partials of ≤k entries per
+    * source — unlike the q152/q145 window spelling, no shuffle of the
+    * full distinct-token set; the only exchange carries ≤k·sources sketch
+    * rows). The pair math is pure array functions over ≤k-element arrays
+    * on a sources² frame — driver-free, broadcast-joined. At 100 TB the
+    * corpus pass is scan-speed and everything downstream is O(sources²·k).
+    *
+    * Estimator (all-integer, cross-engine exact): for a sketch of K
+    * distinct hashes with largest h_K over the 2^60 portable-hash space,
+    * D̂ = (k−1)·2^60 div h_K when K = k (saturated), else exactly K.
+    * Intersection: ρ = |bottomK(A ∪ B) ∩ A ∩ B|, ĵ = ρ/K_u,
+    * Î = ρ·Û div K_u (integer product before the truncating divide). */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    // (k-1)·2^60 exceeds Long — decimal numerator + IntegralDivide, the
+    // q145 convention (DuckDB replays via HUGEINT //).
+    val num = (BigInt(k) - 1) * (BigInt(1) << 60)
+    val words = table(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("source"),
+        graft.llm.PortableSeededHash.hash(col("w"), 53).as("h"))
+    // bottom_k dedups equal (h, id): feeding h as its own id makes the
+    // buffer the k smallest DISTINCT hashes — the KMV sketch — with no
+    // pre-distinct shuffle.
+    val sk = words.groupBy("source")
+      .agg(expr(s"transform(bottom_k(h, h, bigint(0), $k), x -> x.h)")
+        .as("hs"))
+    val pairs = sk.select(col("source").as("src_a"), col("hs").as("ha"))
+      .join(sk.select(col("source").as("src_b"), col("hs").as("hb")),
+        col("src_a") < col("src_b"))
+      .withColumn("lu",
+        slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+    val m = pairs.select(col("src_a"), col("src_b"),
+      size(col("ha")).cast("long").as("ka"),
+      size(col("hb")).cast("long").as("kb"),
+      size(col("lu")).cast("long").as("ku"),
+      size(array_intersect(col("lu"),
+        array_intersect(col("ha"), col("hb")))).cast("long").as("rho"),
+      element_at(col("ha"), size(col("ha"))).as("kth_a"),
+      element_at(col("hb"), size(col("hb"))).as("kth_b"),
+      element_at(col("lu"), size(col("lu"))).as("kth_u"))
+    val e = m.select(col("src_a"), col("src_b"),
+      col("ka"), col("kb"), col("ku"), col("rho"),
+      when(col("ka") < k, col("ka"))
+        .otherwise(expr(s"cast('$num' as decimal(38,0)) div kth_a"))
+        .as("est_a"),
+      when(col("kb") < k, col("kb"))
+        .otherwise(expr(s"cast('$num' as decimal(38,0)) div kth_b"))
+        .as("est_b"),
+      when(col("ku") < k, col("ku"))
+        .otherwise(expr(s"cast('$num' as decimal(38,0)) div kth_u"))
+        .as("est_union"))
+    e.select(col("src_a"), col("src_b"), col("ka"), col("kb"), col("ku"),
+        col("rho"), col("est_a"), col("est_b"), col("est_union"),
+        expr("rho * est_union div ku").as("est_intersection"),
+        round(col("rho").cast("double") / col("ku"), 4).as("jaccard_est"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back

@@ -113,6 +113,11 @@ class PlanAuditSpec extends SparkSpec {
                              // the band filter fused into it — the filter
                              // drops the easy mass at scan time; no
                              // corpus-side shuffle anywhere
+    "q193_kmv_set_ops",      // q152's src_a < src_b pair frame over the
+                             // ≤k-entry KMV sketch table — sources²
+                             // rows, bounded by design; the corpus-scale
+                             // pass is the mergeable bottom_k aggregate
+                             // (no window, no join)
     "q152_source_similarity" // the src_a < src_b PAIR frame over the
                              // sketch table — |mixture domains|² rows of
                              // ≤64-long arrays, bounded by design: the

@@ -74,4 +74,32 @@ class BottomKAggSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().toSet
     assert(agged == window)
   }
+
+  test("KMV set-op estimates land in the error band of the exact counts") {
+    registered()
+    val out = graft.queries.LlmQueries.kmvSetOps(spark, Sf0001)
+      .select("src_a", "src_b", "est_a", "est_union", "est_intersection")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val words: Map[String, Set[String]] = spark.read
+      .parquet(s"$Sf0001/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+      .as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (sa, sb, estA, estU, estI) =>
+      val a = words(sa)
+      val b = words(sb)
+      val u = a.union(b).size.toDouble
+      val i = a.intersect(b).size.toDouble
+      // KMV stderr ≈ U/√(k−2) with k=256 → 3σ ≈ 0.19·U; band 0.25·U
+      assert(math.abs(estA - a.size) < 0.25 * a.size,
+        s"est_a $estA vs exact ${a.size} for $sa")
+      assert(math.abs(estU - u) < 0.25 * u,
+        s"est_union $estU vs exact $u for ($sa,$sb)")
+      // Î = ĵ·Û: ĵ's binomial noise dominates — band U/8 + slack
+      assert(math.abs(estI - i) <= u / 8 + 25,
+        s"est_intersection $estI vs exact $i for ($sa,$sb)")
+    }
+  }
 }
