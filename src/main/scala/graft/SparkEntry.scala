@@ -224,6 +224,8 @@ object SparkEntry {
     "q191_packed_batches" -> LlmQueries.packedBatches,
     "q192_drift_psi" -> LlmQueries.driftPsi,
     "q193_kmv_set_ops" -> LlmQueries.kmvSetOps,
+    "q194_bitext_margin" -> LlmQueries.bitextMargin,
+    "q195_fuzzy_join" -> LlmQueries.fuzzyNameJoin,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1023,6 +1025,26 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
     // KMV set-algebra estimators: HUGEINT numerator integral divides,
     // all-integer intersection, 4-dp Jaccard.
     "q193_kmv_set_ops" -> q193KmvSetOpsOracle,
+    // q194: the parity split, both-direction top-4 cosine neighborhoods
+    // over the same pair table, integer fixed-point sims, and the folded
+    // one-division margin 8·si/(ΣA+ΣB); best-margin row per src.
+    "q194_bitext_margin" -> q194BitextMarginOracle,
+    // q195: identity + one-char-deletion variants via generate_series,
+    // variant equi self-join, levenshtein-verified distinct pairs.
+    "q195_fuzzy_join" ->
+      """WITH n AS (SELECT s_suppkey AS id, s_name AS name FROM supplier),
+        |v AS (SELECT DISTINCT id, name,
+        |    CASE WHEN p = 0 THEN name
+        |      ELSE substr(name, 1, p - 1) || substr(name, p + 1) END
+        |      AS variant
+        |  FROM n, LATERAL unnest(generate_series(0, len(name))) AS u(p)),
+        |c AS (SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+        |    b.id AS id_b, b.name AS name_b
+        |  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM c WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->
@@ -3972,6 +3994,40 @@ GROUP BY method ORDER BY method"""
       |  round(CAST(rho AS DOUBLE) / ku, 4) AS jaccard_est
       |FROM f ORDER BY src_a, src_b""".stripMargin
   }
+
+  /** q194 oracle: one src×tgt pair table fixed-pointed to integer sims
+    * at the scan, both directions' top-4 windows RANKED ON those
+    * integers (nothing downstream sees a raw float), exact integer
+    * neighborhood sums, the folded single-division margin, best-margin
+    * row per src. */
+  private def q194BitextMarginOracle: String =
+    """WITH src AS (SELECT vec_id, embedding FROM embeddings
+      |    WHERE vec_id % 2 = 0),
+      |tgt AS (SELECT vec_id, embedding FROM embeddings
+      |    WHERE vec_id % 2 = 1),
+      |fs AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+      |    CAST(round(list_cosine_similarity(s.embedding, t.embedding)
+      |      * 10000, 0) AS BIGINT) AS si
+      |  FROM src s, tgt t),
+      |f4 AS (SELECT * FROM (SELECT src_id, tgt_id, si, row_number()
+      |    OVER (PARTITION BY src_id ORDER BY si DESC, tgt_id) AS rn
+      |  FROM fs) WHERE rn <= 4),
+      |ax AS (SELECT src_id, CAST(sum(si) AS BIGINT) AS sum_a
+      |  FROM f4 GROUP BY 1),
+      |b4 AS (SELECT * FROM (SELECT tgt_id, si, row_number()
+      |    OVER (PARTITION BY tgt_id ORDER BY si DESC, src_id) AS rn
+      |  FROM fs) WHERE rn <= 4),
+      |bx AS (SELECT tgt_id, CAST(sum(si) AS BIGINT) AS sum_b
+      |  FROM b4 GROUP BY 1),
+      |m AS (SELECT f4.src_id, f4.tgt_id, f4.si,
+      |    round(8.0 * f4.si / (sum_a + sum_b), 4) AS margin
+      |  FROM f4 JOIN ax ON f4.src_id = ax.src_id
+      |  JOIN bx ON f4.tgt_id = bx.tgt_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+      |    ORDER BY margin DESC, tgt_id) AS rk FROM m)
+      |SELECT src_id, tgt_id, round(si / 10000.0, 4) AS sim, margin,
+      |  margin >= 1.05 AS mined
+      |FROM r WHERE rk = 1 ORDER BY src_id""".stripMargin
 
   /** q144 oracle: the link synthesis, host edge aggregation, and 5
     * unrolled fixed-point PageRank rounds (teleport 150000, damping

@@ -1217,4 +1217,49 @@ object Dedup {
         .select("band", "bucket")
       banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     }
+
+  /** Edit-distance-≤1 record-linkage self-join via DELETION NEIGHBORHOODS
+    * (q195; the FastSS / SymSpell indexing scheme — Bocek, Hunt &
+    * Stiller 2007, "Fast Similarity Search in Large Dictionaries"): each
+    * string emits itself plus every one-character-deletion variant; two
+    * strings within edit distance 1 ALWAYS share a variant (substitution:
+    * delete the differing position from both; insertion/deletion: the
+    * shorter string is itself a variant of the longer), so candidate
+    * generation is an EQUI-join on the variant — never a blocked O(b²)
+    * comparison loop and never a cartesian. Shared variants can also
+    * arise from distance-2 pairs (two different deletions landing on the
+    * same string), so candidates are verified with one `levenshtein`
+    * call per DISTINCT pair.
+    *
+    * Scale shape: the variant frame is Σ(len+1) rows of
+    * (id, name, variant) — corpus-linear with a ~len× constant; the
+    * candidate join is equi on the variant string; verification touches
+    * candidate pairs only. Variant-bucket sizes are bounded by the
+    * insert-one-character preimage count (≤ alphabet·len names map to
+    * one variant), so no hot-bucket cap is needed at any corpus size —
+    * the flood risk of LSH bands does not exist here. */
+  def deletionNeighborhoodJoin(names: DataFrame, idCol: Column,
+                               nameCol: Column): DataFrame = {
+    val n = names.select(idCol.as("id"), nameCol.as("name"))
+    val v = n
+      .select(col("id"), col("name"),
+        explode(sequence(lit(0), length(col("name")))).as("p"))
+      .select(col("id"), col("name"),
+        when(col("p") === 0, col("name"))
+          .otherwise(concat(
+            col("name").substr(lit(1), col("p") - 1),
+            col("name").substr(col("p") + 1, lit(1 << 20)))).as("variant"))
+      .distinct()
+    val cand = v.select(col("id").as("id_a"), col("name").as("name_a"),
+        col("variant"))
+      .join(v.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("variant")), Seq("variant"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "name_a", "id_b", "name_b")
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .where(col("dist") <= 1)
+  }
 }

@@ -167,6 +167,61 @@ object Similarity {
       Seq(col("sim").desc, col("neighbor_id").asc), k)
   }
 
+  /** Margin-based bitext candidate mining (q194; Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL — the LASER/CCMatrix mining criterion): absolute
+    * cosine overrates pairs in dense regions of embedding space, so each
+    * candidate is scored RELATIVE to its neighborhoods — the ratio margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK(x→TGT) + avgTopK(y→SRC)) / 2)
+    *
+    * and a pair is mined when its best margin clears a threshold. Per
+    * the paper, the margin is evaluated over x's top-k candidates only.
+    *
+    * Determinism (the q138 rounded-boundary convention, taken further):
+    * sims are fixed-pointed to 4-dp INTEGERS (`round(sim·10⁴)`) at the
+    * scoring scan, and EVERYTHING downstream — candidate ranks, the two
+    * k-term neighborhood sums (exact longs regardless of aggregation
+    * order), and the margin, which reduces to ONE double division of
+    * exact integers `8·si / (sumA + sumB)` (the /k and /2 constants
+    * folded) — consumes only those integers, so sub-4-dp float
+    * disagreement between engines cannot flip any boundary anywhere.
+    *
+    * Scale shape: ONE broadcast-queries scoring scan (the q34
+    * ground-truth kernel) feeding both directions' per-id top-k windows
+    * + two ≤k-row per-id sum aggregates + equi joins on src/tgt ids.
+    * This is the labeled EXACT twin — at 100 TB the scoring scan swaps
+    * for ANN legs (q35/q82/q124) unchanged, since the margin math only
+    * consumes (src, tgt, si) triples. */
+  def bitextMargin(src: DataFrame, tgt: DataFrame, k: Int,
+                   threshold: Double): DataFrame = {
+    val q = src.select(col("vec_id").as("src_id"),
+      col("embedding").as("s_emb"))
+    val scored = tgt.crossJoin(broadcast(q))
+      .select(col("src_id"), col("vec_id").as("tgt_id"),
+        round(cosine(col("s_emb"), col("embedding")) * 10000, 0)
+          .cast("long").as("si"))
+    val fwdW = Window.partitionBy("src_id")
+      .orderBy(col("si").desc, col("tgt_id"))
+    val bwdW = Window.partitionBy("tgt_id")
+      .orderBy(col("si").desc, col("src_id"))
+    val fwd = scored.withColumn("rn", row_number().over(fwdW))
+      .where(col("rn") <= k).drop("rn")
+    val sumA = fwd.groupBy("src_id").agg(sum("si").as("sum_a"))
+    val sumB = scored.withColumn("rn", row_number().over(bwdW))
+      .where(col("rn") <= k)
+      .groupBy("tgt_id").agg(sum("si").as("sum_b"))
+    val m = fwd.join(sumA, "src_id").join(sumB, "tgt_id")
+      .withColumn("margin",
+        round(lit(8.0) * col("si") / (col("sum_a") + col("sum_b")), 4))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    m.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("si") / 10000.0, 4).as("sim"), col("margin"),
+        (col("margin") >= threshold).as("mined"))
+  }
+
   /** Random-hyperplane LSH signatures as a (vec_id, sig) frame.
     *
     * Plane weights are INTEGERS in [-500, 499] derived deterministically

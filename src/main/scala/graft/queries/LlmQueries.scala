@@ -2243,6 +2243,33 @@ object LlmQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Margin-based bitext mining (q194,
+    * [[graft.llm.Similarity.bitextMargin]]): the corpus split into two
+    * deterministic "languages" by vec_id parity, each even vector mines
+    * its best odd-side counterpart by ratio margin over top-4 cosine
+    * neighborhoods — mined = margin ≥ 1.05, the paper's operating
+    * regime. Exact twin; the ANN legs replace the two top-k scans at
+    * scale. */
+  def bitextMargin(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val src = emb.where(pmod(col("vec_id"), lit(2L)) === 0)
+    val tgt = emb.where(pmod(col("vec_id"), lit(2L)) === 1)
+    graft.llm.Similarity.bitextMargin(src, tgt, k = 4, threshold = 1.05)
+      .orderBy("src_id")
+  }
+
+  /** Deletion-neighborhood fuzzy join (q195,
+    * [[graft.llm.Dedup.deletionNeighborhoodJoin]]): all supplier-name
+    * pairs within edit distance 1 — the numeric name tails make ids
+    * differing in one digit genuine distance-1 pairs, so the natural
+    * corpus exercises both the candidate equi-join and the distance-2
+    * false-candidate rejection (two different deletions meeting on the
+    * same variant). */
+  def fuzzyNameJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.deletionNeighborhoodJoin(table(s, dir, "supplier"),
+        col("s_suppkey"), col("s_name"))
+      .orderBy("id_a", "id_b")
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back

@@ -113,6 +113,11 @@ class PlanAuditSpec extends SparkSpec {
                              // the band filter fused into it — the filter
                              // drops the easy mass at scan time; no
                              // corpus-side shuffle anywhere
+    "q194_bitext_margin",    // the two q34-shaped broadcast-queries exact
+                             // scans (fwd + bwd top-4) — the labeled
+                             // ground-truth twin; margin math and joins
+                             // are equi on src/tgt ids, and at scale the
+                             // two scans swap for ANN legs unchanged
     "q193_kmv_set_ops",      // q152's src_a < src_b pair frame over the
                              // ≤k-entry KMV sketch table — sources²
                              // rows, bounded by design; the corpus-scale

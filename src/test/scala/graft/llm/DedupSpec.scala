@@ -607,4 +607,37 @@ class DedupSpec extends SparkSpec {
     // families must recover a nonzero fraction of them
     assert(rows.forall(_._3 > 0), s"zero hits in $rows")
   }
+
+  test("deletion-neighborhood join: ed≤1 complete, ed=2 candidates rejected") {
+    import spark.implicits._
+    val names = Seq(
+      (1L, "hello"), // ↔ 2 (deletion), ↔ 3 (substitution)
+      (2L, "helo"),
+      (3L, "yello"),
+      (4L, "ab"),    // ↔ 5 shares variants "a"/"b" but lev = 2: must be
+      (5L, "ba"),    //   generated as a candidate and then REJECTED
+      (6L, "zzzzz")) // no neighbors
+      .toDF("k", "nm")
+    val out = Dedup.deletionNeighborhoodJoin(names, col("k"), col("nm"))
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    // exhaustive ground truth over all pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val all = Seq((1L, "hello"), (2L, "helo"), (3L, "yello"), (4L, "ab"),
+      (5L, "ba"), (6L, "zzzzz"))
+    val truth = (for {
+      (ia, na) <- all; (ib, nb) <- all if ia < ib
+      d = lev(na, nb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(out == truth, s"got $out, want $truth")
+    assert(!out.exists(p => p._1 == 4L && p._2 == 5L))
+  }
 }

@@ -466,4 +466,29 @@ class SimilaritySpec extends SparkSpec {
       }.toSet
     assert(mined.map { case (a, _, b, s) => (a, b, s) }.toSet == brute)
   }
+
+  test("bitext margin: planted parallel pair mined, one row per src") {
+    // src = even ids (4 basis-ish vectors), tgt = odd ids; tgt 1 is a
+    // scaled copy of src 0 (cos = 1) while every other cross pair sits
+    // in a uniform ~0.5-sim neighborhood — only (0, 1) clears margin.
+    val mk = (id: Long, v: Seq[Double]) => (id, v.map(_.toFloat).toArray)
+    val vecs = Seq(
+      mk(0L, Seq(1, 0, 0, 0)), mk(2L, Seq(0, 1, 0, 0)),
+      mk(4L, Seq(0, 0, 1, 0)), mk(6L, Seq(0, 0, 0, 1)),
+      mk(1L, Seq(2, 0, 0, 0)), // planted: 2·src0
+      mk(3L, Seq(1, 1, 1, 1)), mk(5L, Seq(1, 1, 1, 0)),
+      mk(7L, Seq(0, 1, 1, 1)), mk(9L, Seq(1, 0, 1, 1)))
+      .toDF("vec_id", "embedding")
+    val src = vecs.where(col("vec_id") % 2 === 0)
+    val tgt = vecs.where(col("vec_id") % 2 === 1)
+    val out = Similarity.bitextMargin(src, tgt, k = 4, threshold = 1.05)
+      .select("src_id", "tgt_id", "margin", "mined")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 2L, 4L, 6L), "one row per src")
+    val planted = out.find(_._1 == 0L).get
+    assert(planted._2 == 1L && planted._4,
+      s"planted pair not mined: $planted")
+    // the planted margin strictly dominates every decoy margin
+    assert(out.filter(_._1 != 0L).forall(_._3 < planted._3))
+  }
 }
