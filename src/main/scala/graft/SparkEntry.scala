@@ -226,6 +226,7 @@ object SparkEntry {
     "q193_kmv_set_ops" -> LlmQueries.kmvSetOps,
     "q194_bitext_margin" -> LlmQueries.bitextMargin,
     "q195_fuzzy_join" -> LlmQueries.fuzzyNameJoin,
+    "q196_contaminated_spans" -> LlmQueries.contaminatedSpans,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1045,6 +1046,42 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
         |FROM c WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // q196: the q105 split replayed at gram STRINGS (engine uses the
+    // compiled 64-bit positional-shingle hash — q106's documented
+    // trade-off), then the q106 island merge per corpus document.
+    "q196_contaminated_spans" ->
+      """WITH split AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents),
+        |corpus AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM split WHERE bucket < 80),
+        |bench AS (SELECT doc_id, string_split(text, ' ') AS t
+        |          FROM split WHERE bucket >= 90),
+        |bg AS (SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS g
+        |       FROM bench,
+        |         LATERAL unnest(generate_series(1, len(t) - 3)) AS u(i)),
+        |grams AS (SELECT doc_id, i AS pos,
+        |            array_to_string(t[i:i+3], ' ') AS g
+        |          FROM corpus,
+        |            LATERAL unnest(generate_series(1, len(t) - 3)) AS u(i)),
+        |flagged AS (SELECT doc_id, pos FROM grams
+        |            WHERE g IN (SELECT g FROM bg)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos)
+        |        OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM flagged),
+        |isl2 AS (SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 3 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 4 - min(pos) AS BIGINT) AS span_tokens
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

@@ -497,7 +497,17 @@ object Dedup {
                      minCount: Long = 2): DataFrame = {
     require(l >= 1, "span gram width must be >= 1")
     require(minCount >= 2, "a substring is duplicated at count >= 2")
-    val grams = docs
+    val grams = positionalGrams(docs, l)
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("g")
+    mergeSpanIslands(grams.join(dup, Seq("g"), "left_semi"), l)
+  }
+
+  /** Positional l-gram postings of `docs`: (doc_id, pos, g) with 1-based
+    * token positions and the compiled 64-bit gram hash — the shared front
+    * of [[duplicateSpans]] and [[contaminatedSpans]]. */
+  private def positionalGrams(docs: DataFrame, l: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(org.apache.spark.sql.graft.ColumnBridge.column(
           graft.functions.PositionalShingles(
@@ -506,9 +516,13 @@ object Dedup {
           .as(Seq("pos0", "g")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("g"))
-    val dup = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minCount).select("g")
-    val flagged = grams.join(dup, Seq("g"), "left_semi")
+
+  /** Merge flagged l-gram start positions into maximal covered spans:
+    * starts s1 < s2 with s2 - s1 <= l have overlapping-or-adjacent
+    * windows [s, s+l), so a lag/cumsum window PARTITIONED BY doc
+    * (bounded by document length, never corpus-wide) yields the islands.
+    * Output: (doc_id, span_start, span_end, span_tokens). */
+  private def mergeSpanIslands(flagged: DataFrame, l: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     flagged
@@ -521,6 +535,59 @@ object Dedup {
         (max("pos") + (l - 1)).as("span_end"),
         (max("pos") + l - min("pos")).as("span_tokens"))
       .drop("island")
+  }
+
+  /** Contaminated-SPAN localization: for every corpus document, the
+    * maximal token spans covered by an l-gram that also occurs anywhere
+    * in the benchmark set — the span-level refinement of document-level
+    * decontamination (GPT-3 appendix C and Lee et al. 2022 remove or
+    * redact the OVERLAPPING text rather than whole documents; the l=13
+    * default is the GPT-3 filter's n-gram width). Where
+    * [[bloomDecontamination]] answers "which documents overlap the
+    * benchmark", this answers "which exact character of them" — the
+    * input a surgical redaction pass needs.
+    *
+    * Scale shape (the corpus side is the 100 TB side, the benchmark is
+    * eval sets — MBs):
+    *
+    *  1. benchmark l-gram set: distinct over the SMALL side only;
+    *  2. doc-level Bloom prefilter AT THE SCAN (the q105 asymmetry):
+    *     benchmark grams → driver-built Bloom broadcast as a literal,
+    *     `exists(grams, might_contain)` prunes clean documents before
+    *     any explode — the overwhelmingly common case pays one compiled
+    *     pass and no shuffle;
+    *  3. survivors posexplode to positional postings and left-semi join
+    *     the exact benchmark gram set (false-positive docs from the
+    *     Bloom die here; Spark's runtime bloom prunes map-side);
+    *  4. the [[duplicateSpans]] island merge, per-document windows only.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) — 1-based
+    * inclusive token positions in the corpus document. */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame, l: Int,
+                        fpp: Double = 0.01): DataFrame = {
+    require(l >= 1, "span gram width must be >= 1")
+    val bg = benchmark
+      .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.PositionalShingles(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            TextAnalysis.tokens(col("text"))), l))).as("g"))
+      .distinct()
+    val nGrams = math.max(1L, bg.count()) // small-side-only action
+    val bf = bg.stat.bloomFilter("g", nGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bfLit = lit(bos.toByteArray)
+    import org.apache.spark.sql.graft.ColumnBridge
+    def mightContain(v: Column): Column = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bfLit), ColumnBridge.expression(v)))
+    val candidates = corpus.where(exists(
+      ColumnBridge.column(graft.functions.PositionalShingles(
+        ColumnBridge.expression(TextAnalysis.tokens(col("text"))), l)),
+      g => mightContain(g)))
+    val flagged = positionalGrams(candidates, l)
+      .join(bg, Seq("g"), "left_semi")
+    mergeSpanIslands(flagged, l)
   }
 
   /** Remove every duplicated span found by [[duplicateSpans]] from every

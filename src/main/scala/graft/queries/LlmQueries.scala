@@ -762,6 +762,22 @@ object LlmQueries {
       .orderBy("corpus_doc", "benchmark_doc")
   }
 
+  /** Contaminated-span localization (q196,
+    * [[graft.llm.Dedup.contaminatedSpans]]): the q105 corpus/benchmark
+    * split, but answering "which exact token spans overlap the
+    * benchmark" instead of "which documents" — the input a surgical
+    * redaction pass needs (GPT-3 appendix C removed overlapping text,
+    * not documents). Width 4 here: the synthetic near-dups perturb
+    * every few tokens, so cross-split shared runs are short — the
+    * production width is the GPT-3 filter's 13, a parameter. */
+  def contaminatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val bucket = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    Dedup.contaminatedSpans(
+        docs.where(bucket < 80), docs.where(bucket >= 90), l = 4)
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Exact duplicate-substring spans (q106,
     * [[graft.llm.Dedup.duplicateSpans]]): maximal token spans covered by
     * a 15-gram occurring >= 2 times corpus-wide — the ExactSubstr /

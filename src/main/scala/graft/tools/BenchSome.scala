@@ -39,10 +39,18 @@ object BenchSome {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // host 1-min loadavg per query line — adjudication samples must carry
+    // their own load evidence (the round-8 gate breaches had to be argued
+    // from BASELINE.md timelines because the artifact said nothing)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+
     runOne(names.head) // warmup
     names.foreach { n =>
       val ts = (0 until runs).map(_ => runOne(n))
-      println(f"[benchsome] $n samples=${ts.map(t => f"$t%.2f").mkString(",")}")
+      println(f"[benchsome] $n samples=${ts.map(t => f"$t%.2f").mkString(",")}" +
+        f" loadavg=${loadAvg()}%.2f")
     }
     spark.stop()
   }

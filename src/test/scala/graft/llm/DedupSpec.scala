@@ -468,6 +468,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminated spans: benchmark overlap flagged, corpus-internal " +
+    "duplication is NOT, islands merge") {
+    // doc 20 shares the 6-token run "c d e f g h" with benchmark doc 90
+    // (spans 3-8); doc 21 repeats ITS OWN 4-gram but never overlaps the
+    // benchmark — corpus-internal duplication must not flag (the exact
+    // semantic difference from duplicateSpans); doc 22 is clean.
+    val corpus = Seq(
+      (20L, "a b c d e f g h i j"),
+      (21L, "p q r s z p q r s w"),
+      (22L, "m1 m2 m3 m4 m5 m6")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (90L, "x1 x2 c d e f g h y1 y2")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.contaminatedSpans(corpus, bench, l = 4)
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((20L, 3L, 8L, 6L)))
+  }
+
   test("simhash: identical docs have distance 0, near dups small distance") {
     val sig = Dedup.simHash(corpus).orderBy("doc_id")
       .select("simhash").as[Long].collect()
