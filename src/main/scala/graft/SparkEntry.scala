@@ -227,6 +227,7 @@ object SparkEntry {
     "q194_bitext_margin" -> LlmQueries.bitextMargin,
     "q195_fuzzy_join" -> LlmQueries.fuzzyNameJoin,
     "q196_contaminated_spans" -> LlmQueries.contaminatedSpans,
+    "q197_record_linkage" -> LlmQueries.recordLinkage,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1082,6 +1083,49 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |  CAST(max(pos) + 4 - min(pos) AS BIGINT) AS span_tokens
         |FROM isl2 GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q197: corrupted twin from seeded md5 modes, two blocking passes
+    // (cents-prefix floor-division on the +100000 offset, exact name),
+    // integer milli-bit Fellegi-Sunter log-odds, threshold 5000.
+    "q197_record_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer),
+        |b0 AS (SELECT id,
+        |    ('0x' || substr(md5('71:' || id), 1, 15))::BIGINT % 4 AS mode,
+        |    1 + ('0x' || substr(md5('72:' || id), 1, 15))::BIGINT
+        |      % len(name) AS dp,
+        |    name, cents, seg, nat FROM c),
+        |b AS (SELECT id + 1000000 AS id_b,
+        |    CASE WHEN mode = 1
+        |      THEN substr(name, 1, dp - 1) || substr(name, dp + 1)
+        |      ELSE name END AS b_name,
+        |    CASE WHEN mode = 0 THEN cents + 1 ELSE cents END AS b_cents,
+        |    CASE WHEN mode = 2 THEN 'UNKNOWN' ELSE seg END AS b_seg,
+        |    nat AS b_nat FROM b0),
+        |a AS (SELECT id AS id_a, name AS a_name, cents AS a_cents,
+        |             seg AS a_seg, nat AS a_nat FROM c),
+        |cand AS (
+        |  SELECT * FROM a JOIN b
+        |    ON (a_cents + 100000) // 10 = (b_cents + 100000) // 10
+        |  UNION
+        |  SELECT * FROM a JOIN b ON a_name = b_name),
+        |scored AS (SELECT id_a, id_b,
+        |    a_name = b_name AS agree_name,
+        |    a_cents = b_cents AS agree_acctbal,
+        |    a_seg = b_seg AS agree_segment,
+        |    a_nat = b_nat AS agree_nation,
+        |    (CASE WHEN a_name = b_name THEN 9892 ELSE -4320 END
+        |     + CASE WHEN a_cents = b_cents THEN 13136 ELSE -3322 END
+        |     + CASE WHEN a_seg = b_seg THEN 2293 ELSE -5322 END
+        |     + CASE WHEN a_nat = b_nat THEN 4615 ELSE -5585 END)
+        |      AS score_milli
+        |  FROM cand)
+        |SELECT id_a, id_b, agree_name, agree_acctbal, agree_segment,
+        |  agree_nation, CAST(score_milli AS BIGINT) AS score_milli,
+        |  score_milli >= 5000 AS matched,
+        |  id_b - 1000000 = id_a AS is_true
+        |FROM scored ORDER BY id_a, id_b""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

