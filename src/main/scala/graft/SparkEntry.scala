@@ -228,6 +228,7 @@ object SparkEntry {
     "q195_fuzzy_join" -> LlmQueries.fuzzyNameJoin,
     "q196_contaminated_spans" -> LlmQueries.contaminatedSpans,
     "q197_record_linkage" -> LlmQueries.recordLinkage,
+    "q198_url_blocklist" -> LlmQueries.urlBlocklist,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1126,6 +1127,29 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |  score_milli >= 5000 AS matched,
         |  id_b - 1000000 = id_a AS is_true
         |FROM scored ORDER BY id_a, id_b""".stripMargin,
+    // q198: host synthesis replayed, dot-suffix explode, rule semi-join,
+    // smallest matching rule per doc, clean docs carried with null rule.
+    "q198_url_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |        THEN 'src' || (doc_id % 20) || '.example.com'
+        |      WHEN doc_id % 3 = 1
+        |        THEN 'cdn.src' || (doc_id % 20) || '.example.com'
+        |      ELSE 'ads.tracker' || (doc_id % 5) || '.adnet.net'
+        |    END AS host
+        |  FROM documents),
+        |rules AS (SELECT * FROM (VALUES ('tracker3.adnet.net'),
+        |    ('src7.example.com'), ('ads.src1.example.com')) AS t(rule)),
+        |p AS (SELECT doc_id, host, string_split(host, '.') AS parts
+        |      FROM d),
+        |sufs AS (SELECT doc_id,
+        |    array_to_string(parts[i:len(parts)], '.') AS suffix
+        |  FROM p, LATERAL unnest(generate_series(1, len(parts))) AS u(i)),
+        |hits AS (SELECT doc_id, min(suffix) AS rule
+        |  FROM sufs JOIN rules ON suffix = rule GROUP BY doc_id)
+        |SELECT d.doc_id, d.host, hits.rule IS NOT NULL AS blocked,
+        |  hits.rule
+        |FROM d LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

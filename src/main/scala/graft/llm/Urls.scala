@@ -66,4 +66,39 @@ object Urls {
       col("url_canon") === col("uc"))
       .drop("uc")
   }
+
+  /** Host-blocklist filtering with DOMAIN-SUFFIX semantics — the standard
+    * web-pipeline URL gate (CCNet and RefinedWeb both filter against the
+    * UT1/"blocklists" host lists; C4 against an internal one): a rule
+    * `bad.example` blocks the host itself AND every subdomain
+    * (`ads.bad.example`), because blocklists are maintained at the
+    * registrable-domain level while crawls see arbitrary subdomain
+    * spellings.
+    *
+    * Mechanics: each host explodes to its dot-suffix chain (`a.b.c` →
+    * `a.b.c`, `b.c`, `c` — bounded by label count, ≤ ~6 in practice),
+    * which equi-joins the rule list; a host matching several rules
+    * reports the lexicographically smallest (deterministic). The rule
+    * list is eval-set-sized (UT1 is ~3M lines ≈ tens of MB) → broadcast;
+    * the corpus side is one explode + one broadcast join + one
+    * doc-keyed aggregate of the ≤labels match rows, all corpus-linear,
+    * and column pruning keeps document text out of the join entirely.
+    *
+    * Output: one row per input doc — (…, host, blocked, rule) with
+    * rule null for clean hosts. */
+  def blocklistFilter(docs: org.apache.spark.sql.DataFrame, hostCol: Column,
+                      idCol: Column,
+                      rules: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val parts = split(hostCol, "\\.")
+    val sufs = transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts)), "."))
+    val hits = docs
+      .select(idCol.as("_bid"), explode(sufs).as("suffix"))
+      .join(broadcast(rules.select(col("rule").as("suffix"))), "suffix")
+      .groupBy("_bid").agg(min("suffix").as("rule"))
+    docs.join(hits, idCol === col("_bid"), "left")
+      .withColumn("blocked", col("rule").isNotNull)
+      .drop("_bid")
+  }
 }

@@ -1646,6 +1646,32 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Host-blocklist URL gate (q198, [[graft.llm.Urls.blocklistFilter]]):
+    * every page gets a deterministic host spelling across three shapes
+    * (bare domain / cdn. subdomain / ads.trackerN.adnet.net), filtered
+    * against a three-rule blocklist with domain-SUFFIX semantics — the
+    * registrable-domain rule catches its subdomain spellings, the exact
+    * host rule catches bare + cdn variants, and one rule matches
+    * nothing (a live blocklist is mostly misses). */
+  def urlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hostnum = pmod(col("doc_id"), lit(20L))
+    val trk = pmod(col("doc_id"), lit(5L))
+    val m3 = pmod(col("doc_id"), lit(3L))
+    val host = when(m3 === 0,
+        concat(lit("src"), hostnum, lit(".example.com")))
+      .when(m3 === 1,
+        concat(lit("cdn.src"), hostnum, lit(".example.com")))
+      .otherwise(concat(lit("ads.tracker"), trk, lit(".adnet.net")))
+    val rules = Seq("tracker3.adnet.net", "src7.example.com",
+      "ads.src1.example.com").toDF("rule")
+    graft.llm.Urls.blocklistFilter(
+        table(s, dir, "documents").select(col("doc_id"), host.as("host")),
+        hostCol = col("host"), idCol = col("doc_id"), rules = rules)
+      .select("doc_id", "host", "blocked", "rule")
+      .orderBy("doc_id")
+  }
+
   /** Cross-domain content similarity via bottom-k sketch intersection
     * (q152): which sources publish similar VOCABULARY — the domain-level
     * near-duplicate radar (template farms, mirrored sites, syndication

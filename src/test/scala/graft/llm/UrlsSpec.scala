@@ -40,6 +40,28 @@ class UrlsSpec extends SparkSpec {
     assert(canon("http://ex.com/p", "https://ex.com/p").distinct.size == 2)
   }
 
+  test("blocklist: suffix semantics, exact host, multi-rule min, clean " +
+    "rows carried") {
+    val docs = Seq(
+      (1L, "ads.bad.example"),     // subdomain of rule "bad.example"
+      (2L, "bad.example"),         // the rule host itself
+      (3L, "notbad.example"),      // NOT a dot-suffix — must stay clean
+      (4L, "x.ads.bad.example"),   // deeper subdomain, two rules match:
+                                   // min picks "ads.bad.example"
+      (5L, "clean.example")
+    ).toDF("doc_id", "host")
+    val rules = Seq("bad.example", "ads.bad.example").toDF("rule")
+    val out = Urls.blocklistFilter(docs, col("host"), col("doc_id"), rules)
+      .select("doc_id", "blocked", "rule")
+      .as[(Long, Boolean, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, true, Some("ads.bad.example")),
+      (2L, true, Some("bad.example")),
+      (3L, false, None),
+      (4L, true, Some("ads.bad.example")),
+      (5L, false, None)))
+  }
+
   test("canonicalDedup groups spellings and picks the min-id keeper") {
     val df = Seq(
       (10L, "http://ex.com/p?a=1"),
