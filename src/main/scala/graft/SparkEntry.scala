@@ -229,6 +229,7 @@ object SparkEntry {
     "q196_contaminated_spans" -> LlmQueries.contaminatedSpans,
     "q197_record_linkage" -> LlmQueries.recordLinkage,
     "q198_url_blocklist" -> LlmQueries.urlBlocklist,
+    "q199_jl_projection" -> LlmQueries.jlProjectionAudit,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1150,6 +1151,35 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |SELECT d.doc_id, d.host, hits.rule IS NOT NULL AS blocked,
         |  hits.rule
         |FROM d LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q199: seed-11 integer weight matrix replayed, fixed-point
+    // projections and both squared L2 sums as exact BIGINTs; rho is the
+    // one double, rounded, null for identical pairs.
+    "q199_jl_projection" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |ex AS (SELECT vec_id,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
+        |    d1 - 1 AS d
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS d1 FROM e)),
+        |w AS (SELECT p, d,
+        |    ${h("p::VARCHAR || ':' || d::VARCHAR", 11)} % 1000 - 500 AS w
+        |  FROM range(0, 16) tp(p), (SELECT DISTINCT d FROM ex) td),
+        |proj AS (SELECT vec_id, p, CAST(sum(xi * w) AS BIGINT) AS pr
+        |  FROM ex JOIN w USING (d) GROUP BY 1, 2),
+        |pd AS (SELECT a.vec_id AS id_a, a.vec_id + 1 AS id_b,
+        |    CAST(sum((a.xi - b.xi) * (a.xi - b.xi)) AS BIGINT) AS d2_orig
+        |  FROM ex a JOIN ex b ON b.vec_id = a.vec_id + 1 AND b.d = a.d
+        |  WHERE a.vec_id % 2 = 0 GROUP BY 1, 2),
+        |rd AS (SELECT a.vec_id AS id_a,
+        |    CAST(sum((a.pr - b.pr) * (a.pr - b.pr)) AS BIGINT) AS d2_red
+        |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.p = a.p
+        |  WHERE a.vec_id % 2 = 0 GROUP BY 1)
+        |SELECT pd.id_a, pd.id_b, pd.d2_orig, rd.d2_red,
+        |  CASE WHEN pd.d2_orig = 0 THEN NULL
+        |    ELSE round(rd.d2_red / (pd.d2_orig * 1333332.0), 4)
+        |  END AS rho
+        |FROM pd JOIN rd USING (id_a) ORDER BY id_a""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

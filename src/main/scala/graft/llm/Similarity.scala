@@ -321,6 +321,22 @@ object Similarity {
     case XxSeededHash => false
   }
 
+  /** Johnson-Lindenstrauss random projection to `k` dimensions
+    * ([[graft.functions.JlProject]], seed 11 — independent of the seed-7
+    * LSH hyperplanes): (vec_id, proj) with proj a length-k array of
+    * exact fixed-point longs. One compiled pass per row, no shuffle;
+    * null embeddings are dropped (the [[lshSignatures]] convention).
+    * The dimensionality-reduction front for ANN/pair mining at scale:
+    * k≈16 puts 4× fewer bytes than a 64-dim float vector through every
+    * downstream shuffle at (1±ε) L2 distortion, ε ~ sqrt(8·ln n / k). */
+  def jlProject(corpus: DataFrame, k: Int,
+                hasher: SeededHash = XxSeededHash): DataFrame =
+    corpus.select(col("vec_id"),
+        ColumnBridge.column(graft.functions.JlProject(
+          ColumnBridge.expression(col("embedding")),
+          outDims = k, seed = 11, md5Family = isMd5(hasher))).as("proj"))
+      .where(col("proj").isNotNull)
+
   /** ANN via IVF (inverted-file) cells: a small coarse-quantizer centroid
     * set partitions the corpus into cells (each vector assigned to its
     * nearest centroid); queries probe only their `nprobe` nearest cells,

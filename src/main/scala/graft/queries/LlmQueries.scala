@@ -2370,6 +2370,44 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Johnson-Lindenstrauss projection + distance-preservation audit
+    * (q199, [[graft.llm.Similarity.jlProject]]): embeddings reduced
+    * 64 → 16 dims by the compiled integer-JL kernel, then every
+    * (even, even+1) id pair reports its exact fixed-point squared L2
+    * before and after, and the normalized ratio
+    * rho = d2_red / (d2_orig · k · Var(w)) — the JL guarantee made a
+    * measured per-pair number (rho concentrates around 1 with
+    * ~1/sqrt(k) spread). Identical pairs carry a null rho. */
+  def jlProjectionAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings").where(col("embedding").isNotNull)
+    val red = Similarity.jlProject(emb, k = 16,
+      hasher = graft.llm.PortableSeededHash)
+    def fp(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") * 1000, 0).cast("long")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .where(pmod(col("id_a"), lit(2L)) === 0)
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val d2o = aggregate(
+      zip_with(col("ea"), col("eb"), (x, y) => {
+        val dx = fp(x) - fp(y); dx * dx
+      }), lit(0L), (acc, v) => acc + v)
+    val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"), d2o.as("d2_orig"))
+    val d2r = aggregate(
+      zip_with(col("pa"), col("pb"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val ra = red.select(col("vec_id").as("id_a"), col("proj").as("pa"))
+    val rb = red.select(col("vec_id").as("id_b"), col("proj").as("pb"))
+    // k·Var(w) for w uniform on [-500, 499]: 16 · (1000²−1)/12
+    val denom = 16.0 * 83333.25
+    pairs.join(ra, "id_a").join(rb, "id_b")
+      .select(col("id_a"), col("id_b"), col("d2_orig"), d2r.as("d2_red"))
+      .withColumn("rho",
+        when(col("d2_orig") === 0, lit(null).cast("double"))
+          .otherwise(round(col("d2_red") / (col("d2_orig") * denom), 4)))
+      .orderBy("id_a")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back

@@ -491,4 +491,46 @@ class SimilaritySpec extends SparkSpec {
     // the planted margin strictly dominates every decoy margin
     assert(out.filter(_._1 != 0L).forall(_._3 < planted._3))
   }
+
+  test("JL projection: exact linearity on representable values, " +
+    "null dropped, distance preservation on real embeddings") {
+    // 0.5/0.25/0.125 grid: r1000 is exact, so proj(a−b) == proj(a)−proj(b)
+    val mk = (id: Long, v: Seq[Double]) => (id, v.map(_.toFloat).toArray)
+    val a = Seq(0.5, 0.25, -0.5, 0.125); val b = Seq(0.25, -0.25, 0.5, 0.0)
+    val vecs = Seq(mk(0L, a), mk(1L, b),
+      mk(2L, a.zip(b).map { case (x, y) => x - y })).toDF("vec_id", "embedding")
+    val p = Similarity.jlProject(vecs, k = 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(p(0L).zip(p(1L)).map { case (x, y) => x - y } == p(2L))
+
+    val withNull = vecs.union(
+      Seq((3L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    assert(Similarity.jlProject(withNull, k = 8).count() == 3)
+
+    // statistical JL check on real vectors: mean normalized ratio over
+    // consecutive pairs lands near 1 (k=16 -> ~25% per-pair sigma, the
+    // MEAN over ~500 pairs is tight)
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+    val red = Similarity.jlProject(emb, k = 16)
+    val ra = red.select(col("vec_id").as("id_a"), col("proj").as("pa"))
+    val rb = red.select((col("vec_id") - 1).as("id_a"), col("proj").as("pb"))
+    val d2r = aggregate(zip_with(col("pa"), col("pb"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("xa"))
+    val eb = emb.select((col("vec_id") - 1).as("id_a"),
+      col("embedding").as("xb"))
+    def fp(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") * 1000, 0).cast("long")
+    val d2o = aggregate(zip_with(col("xa"), col("xb"), (x, y) => {
+      val dx = fp(x) - fp(y); dx * dx
+    }), lit(0L), (acc, v) => acc + v)
+    val mean = ra.join(rb, "id_a").withColumn("d2r", d2r)
+      .join(ea.join(eb, "id_a").withColumn("d2o", d2o)
+        .where(pmod(col("id_a"), lit(2L)) === 0), "id_a")
+      .where(col("d2o") > 0)
+      .agg(avg(col("d2r") / (col("d2o") * 16.0 * 83333.25)))
+      .head().getDouble(0)
+    assert(mean > 0.8 && mean < 1.2, s"mean JL ratio $mean")
+  }
 }
