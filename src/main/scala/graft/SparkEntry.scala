@@ -230,6 +230,7 @@ object SparkEntry {
     "q197_record_linkage" -> LlmQueries.recordLinkage,
     "q198_url_blocklist" -> LlmQueries.urlBlocklist,
     "q199_jl_projection" -> LlmQueries.jlProjectionAudit,
+    "q200_streaming_drift" -> StreamingQueries.streamingDrift,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1180,6 +1181,46 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |    ELSE round(rd.d2_red / (pd.d2_orig * 1333332.0), 4)
         |  END AS rho
         |FROM pd JOIN rd USING (id_a) ORDER BY id_a""".stripMargin,
+    // q200: the q192 PSI spelled per hash-slice — slice histograms,
+    // (slice × bin) universe, per-slice smoothed totals, identical IEEE
+    // contribution expression. Streaming maintenance is invisible in the
+    // answer by the mergeable-count argument.
+    "q200_streaming_drift" ->
+      s"""WITH d AS (SELECT n_chars // 64 AS bin,
+        |    ${h("doc_id", 42)} % 100 AS sb,
+        |    ${h("doc_id", 83)} % 4 AS slice FROM documents),
+        |ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS c_ref
+        |        FROM d WHERE sb < 80 GROUP BY 1),
+        |cur AS (SELECT slice, bin, CAST(count(*) AS BIGINT) AS c_cur
+        |        FROM d GROUP BY 1, 2),
+        |u AS (SELECT slice, bin
+        |      FROM (SELECT DISTINCT slice FROM cur),
+        |        (SELECT DISTINCT bin FROM (SELECT bin FROM ref
+        |           UNION ALL SELECT bin FROM cur))),
+        |j AS (SELECT u.slice, u.bin, coalesce(ref.c_ref, 0) AS c_ref,
+        |        coalesce(cur.c_cur, 0) AS c_cur
+        |      FROM u LEFT JOIN ref USING (bin)
+        |        LEFT JOIN cur USING (slice, bin)),
+        |t AS (SELECT slice, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+        |        CAST(sum(c_cur) AS BIGINT) AS n_cur,
+        |        CAST(count(*) AS BIGINT) AS n_bins
+        |      FROM j GROUP BY slice)
+        |SELECT j.slice, j.bin, CAST(j.c_ref AS BIGINT) AS c_ref,
+        |  CAST(j.c_cur AS BIGINT) AS c_cur,
+        |  round(CAST(j.c_ref + 1 AS DOUBLE)
+        |    / CAST(t.n_ref + t.n_bins AS DOUBLE), 4) AS p_ref,
+        |  round(CAST(j.c_cur + 1 AS DOUBLE)
+        |    / CAST(t.n_cur + t.n_bins AS DOUBLE), 4) AS p_cur,
+        |  round((CAST(j.c_ref + 1 AS DOUBLE)
+        |      / CAST(t.n_ref + t.n_bins AS DOUBLE)
+        |    - CAST(j.c_cur + 1 AS DOUBLE)
+        |      / CAST(t.n_cur + t.n_bins AS DOUBLE))
+        |    * (ln(CAST(j.c_ref + 1 AS DOUBLE)
+        |        / CAST(t.n_ref + t.n_bins AS DOUBLE))
+        |      - ln(CAST(j.c_cur + 1 AS DOUBLE)
+        |        / CAST(t.n_cur + t.n_bins AS DOUBLE))) * 10000, 4)
+        |    AS psi_x1e4
+        |FROM j JOIN t USING (slice) ORDER BY slice, bin""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

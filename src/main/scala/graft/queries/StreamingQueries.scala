@@ -546,4 +546,63 @@ object StreamingQueries {
         unix_micros(col("purchase_ts")).as("purchase_us"),
         round(col("purchase_value"), 2).as("purchase_value"))
       .orderBy("user_id", "purchase_us", "signup_us")
+
+  /** STREAMING drift monitor (q200): the q192 population-stability-index
+    * check run against a live ingest — per-SLICE length histograms
+    * maintained by a complete-mode streaming count aggregate (each
+    * micro-batch folds its rows into the ≤slices×bins state; counts are
+    * mergeable, so the final state is exact under any micro-batch
+    * split — the q150/q172 always-current contract), then each slice's
+    * distribution PSI-scored against the reference histogram after the
+    * stream drains. Slices are hash-derived from doc_id, NOT from
+    * micro-batch boundaries, so the report is deterministic and
+    * oracle-replayable while the maintenance is genuinely incremental.
+    * The deployment: a crawl lands all day, and "has any ingest slice
+    * drifted from the reference corpus?" is a dashboard read of this
+    * table, never a corpus rescan. */
+  def streamingDrift(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageForStream(dir, "documents.parquet", "q200")
+    val stream = EventsStream.fromDirectory(s, srcDir)
+    val out = java.nio.file.Files.createTempDirectory("graft-q200").toString
+    val slice = pmod(
+      graft.llm.PortableSeededHash.hash(col("doc_id"), 83), lit(4L))
+    val agged = stream
+      .select(slice.as("slice"), expr("n_chars div 64").as("bin"))
+      .groupBy("slice", "bin").agg(count(lit(1)).as("c_cur"))
+    val q = agged.writeStream.outputMode("complete").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) => batch.write.mode("overwrite").parquet(out)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val cur = s.read.parquet(out)
+    val docs = table(s, dir, "documents")
+    val sb = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    val ref = docs.where(sb < 80)
+      .select(expr("n_chars div 64").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c_ref"))
+    // (slice × bin) universe so a bin missing from one slice still gets
+    // its smoothed cell in that slice's report (the q192 full-outer,
+    // keyed); slices and bins are both tiny — broadcast crosses
+    val universe = cur.select("slice").distinct()
+      .crossJoin(ref.select("bin")
+        .union(cur.select("bin")).distinct())
+    val joined = universe
+      .join(ref, Seq("bin"), "left")
+      .join(cur, Seq("slice", "bin"), "left")
+      .select(col("slice"), col("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val tot = joined.groupBy(col("slice").as("t_slice"))
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
+        count(lit(1)).as("n_bins"))
+    val p = (col("c_ref") + 1).cast("double") /
+      (col("n_ref") + col("n_bins")).cast("double")
+    val pq = (col("c_cur") + 1).cast("double") /
+      (col("n_cur") + col("n_bins")).cast("double")
+    joined.join(broadcast(tot), col("slice") === col("t_slice"))
+      .select(col("slice"), col("bin"), col("c_ref"), col("c_cur"),
+        round(p, 4).as("p_ref"), round(pq, 4).as("p_cur"),
+        round((p - pq) * (log(p) - log(pq)) * 10000, 4).as("psi_x1e4"))
+      .orderBy("slice", "bin")
+  }
 }

@@ -337,6 +337,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming drift histograms fold exactly across micro-batches") {
+    // the q200 maintenance claim: a complete-mode (slice, bin) count over
+    // a 3-file replay (one micro-batch per file) equals the batch groupBy
+    val dir = Files.createTempDirectory("graft-drift-stream").toString
+    Tables.table(spark, Sf0001, "documents")
+      .select("doc_id", "n_chars").repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val slice = org.apache.spark.sql.functions.pmod(
+      graft.llm.PortableSeededHash.hash(col("doc_id"), 83), lit(4L))
+    def hist(df: DataFrame) = df
+      .select(slice.as("slice"), expr("n_chars div 64").as("bin"))
+      .groupBy("slice", "bin").count()
+    val got = runToMemory(hist(EventsStream.fromDirectory(spark, dir)),
+        "t_drift", mode = "complete")
+      .orderBy("slice", "bin").collect().toSeq
+    val want = hist(spark.read.parquet(dir))
+      .orderBy("slice", "bin").collect().toSeq
+    assert(got == want)
+    assert(got.size > 4)
+  }
+
   test("real-codec media pipeline replays through streaming micro-batches") {
     // genuine multi-batch: 3 part files, one micro-batch each — the
     // PNG encode→decode mapPartitions seam runs INSIDE the streaming
