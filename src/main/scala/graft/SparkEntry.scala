@@ -231,6 +231,7 @@ object SparkEntry {
     "q198_url_blocklist" -> LlmQueries.urlBlocklist,
     "q199_jl_projection" -> LlmQueries.jlProjectionAudit,
     "q200_streaming_drift" -> StreamingQueries.streamingDrift,
+    "q201_gopher_repetition" -> LlmQueries.gopherRepetitionGate,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1221,6 +1222,70 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |        / CAST(t.n_cur + t.n_bins AS DOUBLE))) * 10000, 4)
         |    AS psi_x1e4
         |FROM j JOIN t USING (slice) ORDER BY slice, bin""".stripMargin,
+    // q201: five gram-count replays; most-frequent ties break (cnt DESC,
+    // g DESC) both engines; a count-1 top gram scores 0; integer basis
+    // points gate on the Table A1 cuts.
+    "q201_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        |  FROM documents),
+        |c2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g,
+        |    count(*) AS cnt
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |c3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g,
+        |    count(*) AS cnt
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 2)) AS u(i)
+        |  GROUP BY 1, 2),
+        |c4 AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g,
+        |    count(*) AS cnt
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 3)) AS u(i)
+        |  GROUP BY 1, 2),
+        |c5 AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g,
+        |    count(*) AS cnt
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 4)) AS u(i)
+        |  GROUP BY 1, 2),
+        |c6 AS (SELECT doc_id, array_to_string(w[i:i+5], ' ') AS g,
+        |    count(*) AS cnt
+        |  FROM t, LATERAL unnest(generate_series(1, len(w) - 5)) AS u(i)
+        |  GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id,
+        |    CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END AS chars
+        |  FROM (SELECT doc_id, g, cnt, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+        |    FROM c2) WHERE rn = 1),
+        |t3 AS (SELECT doc_id,
+        |    CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END AS chars
+        |  FROM (SELECT doc_id, g, cnt, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+        |    FROM c3) WHERE rn = 1),
+        |t4 AS (SELECT doc_id,
+        |    CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END AS chars
+        |  FROM (SELECT doc_id, g, cnt, row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+        |    FROM c4) WHERE rn = 1),
+        |d5 AS (SELECT doc_id, sum(CASE WHEN cnt >= 2
+        |    THEN (cnt - 1) * len(g) ELSE 0 END) AS chars
+        |  FROM c5 GROUP BY 1),
+        |d6 AS (SELECT doc_id, sum(CASE WHEN cnt >= 2
+        |    THEN (cnt - 1) * len(g) ELSE 0 END) AS chars
+        |  FROM c6 GROUP BY 1),
+        |bp AS (SELECT t.doc_id, t.n_chars,
+        |    CAST(round(coalesce(t2.chars, 0) * 10000.0 / t.n_chars)
+        |      AS BIGINT) AS top2_bp,
+        |    CAST(round(coalesce(t3.chars, 0) * 10000.0 / t.n_chars)
+        |      AS BIGINT) AS top3_bp,
+        |    CAST(round(coalesce(t4.chars, 0) * 10000.0 / t.n_chars)
+        |      AS BIGINT) AS top4_bp,
+        |    CAST(round(coalesce(d5.chars, 0) * 10000.0 / t.n_chars)
+        |      AS BIGINT) AS dup5_bp,
+        |    CAST(round(coalesce(d6.chars, 0) * 10000.0 / t.n_chars)
+        |      AS BIGINT) AS dup6_bp
+        |  FROM t LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |    LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |    LEFT JOIN d6 USING (doc_id))
+        |SELECT *, top2_bp <= 2000 AND top3_bp <= 1800 AND top4_bp <= 1600
+        |  AND dup5_bp <= 1500 AND dup6_bp <= 1400 AS passed
+        |FROM bp ORDER BY doc_id""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

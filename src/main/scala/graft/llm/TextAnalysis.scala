@@ -207,4 +207,66 @@ object TextAnalysis {
     "bpe_ish_tokens" ->
       regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"),
     "est_tokens" -> ceil(nChars.cast("double") / 4.0).cast("long"))
+
+  /** The Gopher repetition-signal suite (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", Table A1): per document,
+    *
+    *  - `topN_bp` (n = 2, 3, 4): characters in all occurrences of the
+    *    most frequent n-gram as basis points of document characters;
+    *  - `dupN_bp` (n = 5, 6): characters in duplicate occurrences
+    *    (count − 1 per distinct gram) of any repeated n-gram, in basis
+    *    points — the DataTrove/Dolma overlap-free spelling of Gopher's
+    *    "fraction of characters in duplicated n-grams";
+    *  - `passed`: every signal at or under its published Table A1 cut
+    *    (top 2/3/4-gram: 20%/18%/16%; dup 5/6-gram: 15%/14%).
+    *
+    * Determinism: numerators are exact integer character sums (n-gram
+    * spelled with single spaces), emitted as INTEGER basis points and
+    * gated on those integers — the q121 rounded-cut convention, so a
+    * 1-ulp division cannot flip a boundary. Most-frequent ties break on
+    * the lexicographically greatest gram in both engines.
+    *
+    * Scale shape: one gram explode + one (doc, gram) count + one
+    * doc-keyed reduce per signal, all corpus-linear with map-side
+    * partial aggregation (the q48 TF-IDF shape); the five signal frames
+    * re-join on doc_id. Docs shorter than n tokens contribute zero to
+    * every signal, the conservative (passing) reading. */
+  def gopherRepetition(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      tokens(col("text")).as("toks"))
+    def gramCounts(n: Int) = base
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    // a most-frequent gram occurring once is length, not repetition —
+    // score 0 below count 2 (the DataTrove reading of Table A1)
+    def topChars(n: Int, label: String) = gramCounts(n)
+      .groupBy("doc_id")
+      .agg(max(struct(col("cnt"), col("g"))).as("top"))
+      .select(col("doc_id"),
+        when(col("top.cnt") >= 2, col("top.cnt") * length(col("top.g")))
+          .otherwise(lit(0L)).as(label))
+    def dupChars(n: Int, label: String) = gramCounts(n)
+      .groupBy("doc_id")
+      .agg(sum(when(col("cnt") >= 2, (col("cnt") - 1) * length(col("g")))
+        .otherwise(lit(0L))).as(label))
+    def bp(chars: Column): Column =
+      round(coalesce(chars, lit(0L)) * 10000.0 / col("n_chars"), 0)
+        .cast("long")
+    val joined = Seq(topChars(2, "c_top2"), topChars(3, "c_top3"),
+        topChars(4, "c_top4"), dupChars(5, "c_dup5"), dupChars(6, "c_dup6"))
+      .foldLeft(base.select("doc_id", "n_chars")) { (acc, f) =>
+        acc.join(f, Seq("doc_id"), "left")
+      }
+    joined.select(col("doc_id"), col("n_chars"),
+        bp(col("c_top2")).as("top2_bp"), bp(col("c_top3")).as("top3_bp"),
+        bp(col("c_top4")).as("top4_bp"), bp(col("c_dup5")).as("dup5_bp"),
+        bp(col("c_dup6")).as("dup6_bp"))
+      .withColumn("passed",
+        col("top2_bp") <= 2000 && col("top3_bp") <= 1800 &&
+        col("top4_bp") <= 1600 && col("dup5_bp") <= 1500 &&
+        col("dup6_bp") <= 1400)
+  }
 }

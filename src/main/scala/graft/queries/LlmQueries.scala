@@ -1025,6 +1025,16 @@ object LlmQueries {
           col("total_3grams").cast("double"), 4))
       .orderBy("doc_id")
 
+  /** Gopher repetition-signal gate (q201,
+    * [[graft.llm.TextAnalysis.gopherRepetition]]): the five-signal
+    * repetition suite of Rae et al. 2021 Table A1 with the published
+    * cuts — the standard companion to the q123 composed web filter
+    * (C4/Gopher pipelines run both). q49 reports one distinct-shingle
+    * ratio; this is the full per-signal report card. */
+  def gopherRepetitionGate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRepetition(table(s, dir, "documents"))
+      .orderBy("doc_id")
+
   /** Multimodal plumbing: synth binary column → partition-wise batch
     * "decode" (stub codec, deterministic — oracle re-derives the metadata
     * arithmetically from the text). */

@@ -53,4 +53,28 @@ class TextAnalysisSpec extends SparkSpec {
     // repetitive text scores strictly below diverse text of equal length
     assert(entropy("a a b b c c d d") < entropy("a b c d e f g h"))
   }
+
+  test("gopher repetition: top-gram and dup-gram signals, count-1 scores " +
+    "0, short docs pass with all zeros") {
+    val mk = (id: Long, t: String) => (id, t, t.length.toLong)
+    val docs = Seq(
+      // "ab ab ab ab ab": top2 = 4·len("ab ab")=20 of 14 chars -> 14286bp
+      mk(1L, "ab ab ab ab ab"),
+      // one repeated 5-gram: dup5 = 1·len("a b c d e")=9 of 21 -> 4286bp
+      mk(2L, "a b c d e a b c d e x"),
+      mk(3L, "w1 w2 w3 w4 w5 w6 w7"), // all distinct: zeros, passes
+      mk(4L, "x y")                    // count-1 top 2-gram: 0, passes
+    ).toDF("doc_id", "text", "n_chars")
+    val out = TextAnalysis.gopherRepetition(docs).orderBy("doc_id")
+      .select("doc_id", "top2_bp", "top3_bp", "top4_bp", "dup5_bp",
+        "dup6_bp", "passed")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out(0) == ((1L, math.round(20 * 10000.0 / 14),
+      math.round(24 * 10000.0 / 14), math.round(22 * 10000.0 / 14),
+      0L, 0L, false)))
+    assert(out(1)._1 == 2L && out(1)._5 == math.round(9 * 10000.0 / 21)
+      && !out(1)._7)
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0L, 0L, true)))
+    assert(out(3) == ((4L, 0L, 0L, 0L, 0L, 0L, true)))
+  }
 }
