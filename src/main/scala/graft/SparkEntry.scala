@@ -232,6 +232,7 @@ object SparkEntry {
     "q199_jl_projection" -> LlmQueries.jlProjectionAudit,
     "q200_streaming_drift" -> StreamingQueries.streamingDrift,
     "q201_gopher_repetition" -> LlmQueries.gopherRepetitionGate,
+    "q202_jl_ann_recall" -> LlmQueries.jlAnnRecall,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1286,6 +1287,44 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |SELECT *, top2_bp <= 2000 AND top3_bp <= 1800 AND top4_bp <= 1600
         |  AND dup5_bp <= 1500 AND dup6_bp <= 1400 AS passed
         |FROM bp ORDER BY doc_id""".stripMargin,
+    // q202: both distance legs replayed exactly (q199's weight matrix +
+    // fixed point), rank windows tie-broken on vec_id, overlap count.
+    "q202_jl_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE embedding IS NOT NULL),
+        |ex AS (SELECT vec_id,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xi,
+        |    d1 - 1 AS d
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS d1 FROM e)),
+        |w AS (SELECT p, d,
+        |    ${h("p::VARCHAR || ':' || d::VARCHAR", 11)} % 1000 - 500 AS w
+        |  FROM range(0, 16) tp(p), (SELECT DISTINCT d FROM ex) td),
+        |proj AS (SELECT vec_id, p, CAST(sum(xi * w) AS BIGINT) AS pr
+        |  FROM ex JOIN w USING (d) GROUP BY 1, 2),
+        |d2o AS (SELECT q.vec_id AS query_id, c.vec_id,
+        |    CAST(sum((c.xi - q.xi) * (c.xi - q.xi)) AS BIGINT) AS d2o
+        |  FROM ex c JOIN ex q ON c.d = q.d AND q.vec_id < 10
+        |    AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |d2r AS (SELECT q.vec_id AS query_id, c.vec_id,
+        |    CAST(sum((c.pr - q.pr) * (c.pr - q.pr)) AS BIGINT) AS d2r
+        |  FROM proj c JOIN proj q ON c.p = q.p AND q.vec_id < 10
+        |    AND c.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT d2o.query_id, d2o.vec_id,
+        |    row_number() OVER (PARTITION BY d2o.query_id
+        |      ORDER BY d2o.d2o ASC, d2o.vec_id) AS rn_exact,
+        |    row_number() OVER (PARTITION BY d2o.query_id
+        |      ORDER BY d2r.d2r ASC, d2o.vec_id) AS rn_jl
+        |  FROM d2o JOIN d2r USING (query_id, vec_id))
+        |SELECT query_id,
+        |  CAST(sum(CASE WHEN rn_exact <= 5 AND rn_jl <= 5 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_overlap,
+        |  round(sum(CASE WHEN rn_exact <= 5 AND rn_jl <= 5 THEN 1
+        |    ELSE 0 END) / 5.0, 4) AS recall_at_5
+        |FROM r WHERE rn_exact <= 5 OR rn_jl <= 5
+        |GROUP BY query_id ORDER BY query_id""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

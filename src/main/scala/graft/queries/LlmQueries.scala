@@ -2418,6 +2418,60 @@ object LlmQueries {
       .orderBy("id_a")
   }
 
+  /** JL-leg ANN recall audit (q202): does searching in the q199 reduced
+    * space actually find the true neighbors? For each of the 10 standard
+    * query vectors, the exact fixed-point squared-L2 top-5 in the
+    * ORIGINAL 64-dim space is compared against the top-5 ranked by
+    * REDUCED 16-dim integer distance; the report is per-query overlap
+    * and recall@5 — the measured version of q199's distance-preservation
+    * claim, joining the q131/q164 recall-report family. One corpus scan
+    * at fixed query width (both distances computed in the same pass
+    * against the broadcast query side), two bounded rank windows.
+    *
+    * Reading the number: the synthetic embeddings are near-isotropic
+    * and the 10 standard queries have no planted twins — their true
+    * top-5 sits a mere ~0.6× below the bulk distance, i.e. INSIDE the
+    * JL ε band (ε ≈ sqrt(8·ln n / k) ≈ 1.3 at k=16) — so low recall is
+    * the mathematically expected reading, exactly in-family with the
+    * q131 legs on the same data (lsh 0.0, pq 0.06, lsh_multi 0.10, ivf
+    * 0.18). The k dial was measured at sf0.01: recall@5 =
+    * 0.02/0.12/0.12/0.20/0.38 at k = 8/16/32/64/128 — the report a
+    * deployment reads to size k against ITS corpus geometry. */
+  def jlAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = table(s, dir, "embeddings").where(col("embedding").isNotNull)
+    val red = Similarity.jlProject(emb, k = 16,
+      hasher = graft.llm.PortableSeededHash)
+    val side = emb.join(red, "vec_id")
+    val q = side.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("proj").as("qp"))
+    def fp(c: org.apache.spark.sql.Column) =
+      round(c.cast("double") * 1000, 0).cast("long")
+    val d2o = aggregate(zip_with(col("embedding"), col("qe"), (x, y) => {
+      val dx = fp(x) - fp(y); dx * dx
+    }), lit(0L), (acc, v) => acc + v)
+    val d2r = aggregate(zip_with(col("proj"), col("qp"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val scored = side.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        d2o.as("d2o"), d2r.as("d2r"))
+    val wO = Window.partitionBy("query_id")
+      .orderBy(col("d2o").asc, col("vec_id"))
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("d2r").asc, col("vec_id"))
+    val ranked = scored
+      .withColumn("rn_exact", row_number().over(wO))
+      .withColumn("rn_jl", row_number().over(wR))
+    ranked.where(col("rn_exact") <= 5 || col("rn_jl") <= 5)
+      .groupBy("query_id")
+      .agg(sum(when(col("rn_exact") <= 5 && col("rn_jl") <= 5, 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_at_5", round(col("n_overlap") / 5.0, 4))
+      .orderBy("query_id")
+  }
+
   /** WebDataset tar-shard roundtrip (q146, [[graft.llm.TarShards]]):
     * documents staged as POSIX-ustar training shards (one tar per
     * partition, `<id>.json` + `<id>.txt` per sample), read back
