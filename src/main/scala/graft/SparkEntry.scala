@@ -233,6 +233,7 @@ object SparkEntry {
     "q200_streaming_drift" -> StreamingQueries.streamingDrift,
     "q201_gopher_repetition" -> LlmQueries.gopherRepetitionGate,
     "q202_jl_ann_recall" -> LlmQueries.jlAnnRecall,
+    "q203_quality_ensemble" -> LlmQueries.qualityEnsemble,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1325,6 +1326,40 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |    ELSE 0 END) / 5.0, 4) AS recall_at_5
         |FROM r WHERE rn_exact <= 5 OR rn_jl <= 5
         |GROUP BY query_id ORDER BY query_id""".stripMargin,
+    // q203: the three signal replays (q37 quality / q120 entropy / q112
+    // logit), global row_number ranks — the engine's two-phase bin
+    // machinery must land the identical global order — then the
+    // q173-spelling integer RRF and the final consensus rank.
+    "q203_quality_ensemble" ->
+      s"""WITH $webFilterSignalsCtes,
+        |qual AS (SELECT doc_id,
+        |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      / 100.0, 1.0) * 0.4
+        |    + (CAST(len(list_filter(string_split(text, ' '),
+        |         x -> x IN ('the','and','of','is','in','a'))) AS DOUBLE)
+        |       / len(string_split(text, ' '))) * 0.3
+        |    + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+        |         AS DOUBLE) / length(text)) * 0.3, 4) AS quality
+        |  FROM documents),
+        |x AS (SELECT q.doc_id, q.quality, s.entropy, s.logit
+        |      FROM qual q JOIN sig s USING (doc_id)),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY quality DESC, doc_id) AS q_rank,
+        |    row_number() OVER (ORDER BY entropy DESC, doc_id) AS e_rank,
+        |    row_number() OVER (ORDER BY logit DESC, doc_id) AS c_rank
+        |  FROM x),
+        |f AS (SELECT doc_id, q_rank, e_rank, c_rank,
+        |    1000000000 // (60 + q_rank) + 1000000000 // (60 + e_rank)
+        |      + 1000000000 // (60 + c_rank) AS rrf_fp
+        |  FROM r)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(q_rank AS BIGINT) AS q_rank,
+        |  CAST(e_rank AS BIGINT) AS e_rank,
+        |  CAST(c_rank AS BIGINT) AS c_rank,
+        |  CAST(rrf_fp AS BIGINT) AS rrf_fp,
+        |  CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id)
+        |    AS BIGINT) AS ens_rank
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

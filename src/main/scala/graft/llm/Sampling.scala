@@ -201,6 +201,39 @@ object Sampling {
       .select(col("id"), (col("bucket_offset") + col("rn") - 1).as("ord"))
   }
 
+  /** Global rank 1..N by (`value` DESC, `id` ASC) WITHOUT a global
+    * window — the [[shuffleOrder]] two-phase machinery pointed at a
+    * value ordering instead of a hash ordering:
+    *
+    *  1. `bin` must be a monotone NON-DECREASING coarsening of `value`
+    *     (equal bin ⇒ ranked by the within-bin window); each bin's rows
+    *     rank in parallel under a window partitioned BY BIN;
+    *  2. bin counts (one tiny aggregate) prefix-sum in DESCENDING bin
+    *     order into global offsets, broadcast back.
+    *
+    * The global window spelling (`row_number() OVER (ORDER BY …)`)
+    * funnels the corpus through ONE task; this one's largest sequential
+    * unit is a bin. Output: (id, rank). */
+  def globalRankDesc(df: DataFrame, valueCol: Column, binCol: Column,
+                     idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.as("id"), valueCol.as("v"),
+      binCol.as("bin"))
+    val wB = Window.partitionBy("bin")
+      .orderBy(col("v").desc, col("id"))
+    val partial = base.withColumn("rn",
+      row_number().over(wB).cast("long"))
+    val offsets = partial.groupBy("bin")
+      .agg(count(lit(1)).as("total"))
+      .withColumn("bin_offset",
+        coalesce(sum(col("total")).over(
+          Window.orderBy(col("bin").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bin", "bin_offset")
+    partial.join(broadcast(offsets), "bin")
+      .select(col("id"), (col("bin_offset") + col("rn")).as("rank"))
+  }
+
   /** GPT-style sequence packing: documents concatenated in a
     * deterministic seeded-hash order and split into fixed `budget`-token
     * training sequences; each document reports the sequence containing

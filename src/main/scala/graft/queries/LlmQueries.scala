@@ -1363,12 +1363,15 @@ object LlmQueries {
     * the batch query and the q140 streaming form (every signal is a
     * stateless per-row Column, so the SAME code runs under a stream
     * micro-batch unchanged). */
+  /** The q112/q123 fixed classifier weights (hash77('w'||b) % 17 − 8). */
+  private[queries] lazy val clfWeights: Array[Long] = Array.tabulate(256) { b =>
+    graft.functions.Md5Prefix60.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"77:w$b")) %
+      17L - 8L
+  }
+
   private[queries] def webFilterAudit(docs: DataFrame): DataFrame = {
-    val weights = Array.tabulate(256) { b =>
-      graft.functions.Md5Prefix60.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"77:w$b")) %
-        17L - 8L
-    }
+    val weights = clfWeights
     val base = docs
       .withColumn("toks", TextAnalysis.tokens(col("text")))
     val withScores = TextAnalysis.langScoresFromTokens(col("toks"))
@@ -1390,6 +1393,57 @@ object LlmQueries {
         col("pass_clf"),
         (col("pass_len") && col("pass_lang") && col("pass_entropy") &&
           col("pass_clf")).as("keep"))
+  }
+
+  /** Quality-signal ensemble ranking (q203): the FineWeb-style move of
+    * fusing INDEPENDENT quality signals — the q37 heuristic score, the
+    * q120 unigram entropy, the q112 classifier logit — by reciprocal-
+    * rank fusion (integer fixed point, the q173/q183 spelling) into one
+    * consensus corpus ordering: documents every signal likes rank first,
+    * and a "keep the best X tokens" curation reads a prefix of this
+    * table instead of trusting any single heuristic's scale.
+    *
+    * Scale shape: the three signals come from ONE scan (the q123
+    * single-pass audit); each global rank is
+    * [[graft.llm.Sampling.globalRankDesc]]'s two-phase bin machinery —
+    * never a global window, the largest sequential unit is a value bin.
+    * Four narrow (id, value) shuffles + tiny bin-offset broadcasts. */
+  def qualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Sampling
+    val base = table(s, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val comps = TextAnalysis
+      .qualityComponentsFromTokens(col("text"), col("toks"))
+      .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+    val quality = TextAnalysis.qualityFromComponents(col("n_tokens"),
+      col("n_chars_d"), col("punct"), col("stop"))
+      .collectFirst { case ("quality", c) => c }.get
+    val sig = comps
+      .select(col("doc_id"), quality.as("quality"),
+        TextAnalysis.tokenEntropy(col("toks")).as("entropy"),
+        graft.llm.Importance.logitCol(col("text"), clfWeights,
+          seed = 59, hasher = graft.llm.PortableSeededHash).as("logit"))
+    def rk(v: org.apache.spark.sql.Column,
+           bin: org.apache.spark.sql.Column, name: String) =
+      Sampling.globalRankDesc(sig, v, bin, col("doc_id"))
+        .select(col("id").as("doc_id"), col("rank").as(name))
+    val ranks = sig.select("doc_id")
+      .join(rk(col("quality"),
+        floor(col("quality") * 100).cast("long"), "q_rank"), "doc_id")
+      .join(rk(col("entropy"),
+        floor(col("entropy") * 10).cast("long"), "e_rank"), "doc_id")
+      .join(rk(col("logit"), expr("logit div 16"), "c_rank"), "doc_id")
+      .withColumn("rrf_fp",
+        expr("CAST(1000000000 div (60 + q_rank) AS BIGINT)") +
+        expr("CAST(1000000000 div (60 + e_rank) AS BIGINT)") +
+        expr("CAST(1000000000 div (60 + c_rank) AS BIGINT)"))
+    ranks
+      .join(Sampling.globalRankDesc(ranks, col("rrf_fp"),
+          expr("rrf_fp div 1000000"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("rank").as("ens_rank")),
+        "doc_id")
+      .select("doc_id", "q_rank", "e_rank", "c_rank", "rrf_fp", "ens_rank")
+      .orderBy("doc_id")
   }
 
   /** End-to-end training MANIFEST (q125): the artifact this library

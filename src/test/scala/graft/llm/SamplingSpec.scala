@@ -333,4 +333,21 @@ class SamplingSpec extends SparkSpec {
         .as[(Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(run(docs.repartition(17)) == run(docs.coalesce(1)))
   }
+
+  test("globalRankDesc == global-window rank, incl. ties and negatives") {
+    import org.apache.spark.sql.expressions.Window
+    // values with duplicates (tie-break on id) spanning negative bins
+    val rows = (0L until 500L).map { i =>
+      (i, ((i * 37) % 101) - 50) // duplicated values in [-50, 50]
+    }.toDF("doc_id", "v")
+    val got = Sampling.globalRankDesc(rows, col("v"),
+        expr("v div 7"), col("doc_id"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val want = rows.withColumn("rank",
+        row_number().over(Window.orderBy(col("v").desc, col("doc_id")))
+          .cast("long"))
+      .orderBy("doc_id").select("doc_id", "rank")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
 }
