@@ -234,6 +234,7 @@ object SparkEntry {
     "q201_gopher_repetition" -> LlmQueries.gopherRepetitionGate,
     "q202_jl_ann_recall" -> LlmQueries.jlAnnRecall,
     "q203_quality_ensemble" -> LlmQueries.qualityEnsemble,
+    "q204_join_cardinality" -> LlmQueries.joinCardinality,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1360,6 +1361,34 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |  CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id)
         |    AS BIGINT) AS ens_rank
         |FROM f ORDER BY doc_id""".stripMargin,
+    // q204: both count-min matrices rebuilt exactly (the q114 replay),
+    // per-row inner products, min-row estimate, exact Σ fA·fB.
+    "q204_join_cardinality" ->
+      """WITH a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type <> 'signup' GROUP BY user_id),
+        |ha AS (SELECT user_id, n, r,
+        |    ('0x' || substr(md5((101 + r)::VARCHAR || ':' ||
+        |      user_id::VARCHAR), 1, 15))::BIGINT % 256 AS bk
+        |  FROM a, (SELECT unnest([0, 1, 2, 3]) AS r) rws),
+        |hb AS (SELECT user_id, n, r,
+        |    ('0x' || substr(md5((101 + r)::VARCHAR || ':' ||
+        |      user_id::VARCHAR), 1, 15))::BIGINT % 256 AS bk
+        |  FROM b, (SELECT unnest([0, 1, 2, 3]) AS r) rws),
+        |ca AS (SELECT r, bk, CAST(sum(n) AS BIGINT) AS cell
+        |       FROM ha GROUP BY r, bk),
+        |cb AS (SELECT r, bk, CAST(sum(n) AS BIGINT) AS cell
+        |       FROM hb GROUP BY r, bk),
+        |ip AS (SELECT ca.r, CAST(sum(ca.cell * cb.cell) AS BIGINT)
+        |         AS inner_r
+        |       FROM ca JOIN cb USING (r, bk) GROUP BY ca.r),
+        |est AS (SELECT CAST(min(inner_r) AS BIGINT) AS est_size FROM ip),
+        |ex AS (SELECT CAST(sum(a.n * b.n) AS BIGINT) AS exact_size
+        |       FROM a JOIN b USING (user_id))
+        |SELECT CAST(ip.r AS BIGINT) AS r, ip.inner_r, est.est_size,
+        |  ex.exact_size
+        |FROM ip, est, ex ORDER BY r""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

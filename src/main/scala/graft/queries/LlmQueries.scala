@@ -1576,6 +1576,45 @@ object LlmQueries {
       .orderBy("user_id")
   }
 
+  /** Sketch-based join-cardinality estimation (q204, Cormode &
+    * Muthukrishnan 2005 §4.2 inner-product queries): |A ⋈ B| on a key
+    * equals Σ_k f_A(k)·f_B(k), and the count-min inner product
+    * min_r Σ_b cmA(r,b)·cmB(r,b) estimates it one-sidedly (never under,
+    * over by ≤ ε·|A|·|B| w.p. 1−δ) — the planner-side join-size probe:
+    * at 100 TB each side ships ONE mergeable depth×width matrix from its
+    * scan (map-side merged, no key shuffle), and the estimate is pure
+    * arithmetic on 2·depth·width longs — consulted before choosing
+    * broadcast vs shuffle vs skew-salt for the real join. Here: signups
+    * ⋈ other events per user, estimate vs exact. */
+  def joinCardinality(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val depth = 4; val width = 256; val seed = 101
+    val ev = table(s, dir, "events")
+      .select(col("user_id").cast("string").as("k"), col("event_type"))
+    val a = ev.where(col("event_type") === "signup")
+    val b = ev.where(col("event_type") =!= "signup")
+    val cmA = a.agg(expr(s"count_min(k, $depth, $width, $seed)").as("cma"))
+    val cmB = b.agg(expr(s"count_min(k, $depth, $width, $seed)").as("cmb"))
+    val exact = a.groupBy("k").agg(count(lit(1)).as("fa"))
+      .join(b.groupBy("k").agg(count(lit(1)).as("fb")), "k")
+      .agg(sum(col("fa") * col("fb")).as("exact_size"))
+    val rows = cmA.crossJoin(cmB)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        col("cma"), col("cmb"))
+      .select(col("r").cast("long").as("r"),
+        aggregate(
+          zip_with(
+            slice(col("cma"), col("r") * width + 1, lit(width)),
+            slice(col("cmb"), col("r") * width + 1, lit(width)),
+            (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("inner_r"))
+    rows
+      .crossJoin(broadcast(rows.agg(min("inner_r").as("est_size"))))
+      .crossJoin(broadcast(exact))
+      .select(col("r"), col("inner_r"), col("est_size"), col("exact_size"))
+      .orderBy("r")
+  }
+
   /** HyperLogLog distinct counting (q168,
     * [[graft.functions.HyperLogLogAgg]]): per-event-type distinct users
     * from a 256-byte register sketch next to the exact count — the

@@ -53,4 +53,27 @@ class CountMinSpec extends SparkSpec {
       assert(m.slice(r * 16, (r + 1) * 16).sum == keys.size.toLong)
     }
   }
+
+  test("inner product never underestimates the true join size and is " +
+    "exact in a collision-free sketch") {
+    // A: key k appears k times (k = 1..8); B: key k appears 9-k times.
+    // true |A JOIN B| = sum k*(9-k) = 120. width 64 >> 8 keys: for the
+    // q204 estimator a collision-free matrix makes min-row inner product
+    // EXACT; a width-4 matrix must still never undercount.
+    graft.GraftFunctions.register(spark)
+    val a = (1 to 8).flatMap(k => Seq.fill(k)(k.toString)).toDF("k")
+    val b = (1 to 8).flatMap(k => Seq.fill(9 - k)(k.toString)).toDF("k")
+    def inner(width: Int): Long = {
+      val cma = a.agg(expr(s"count_min(k, 3, $width, 101)").as("m"))
+        .as[Seq[Long]].head()
+      val cmb = b.agg(expr(s"count_min(k, 3, $width, 101)").as("m"))
+        .as[Seq[Long]].head()
+      (0 until 3).map { r =>
+        (0 until width).map(bk =>
+          cma(r * width + bk) * cmb(r * width + bk)).sum
+      }.min
+    }
+    assert(inner(64) == 120L)
+    assert(inner(4) >= 120L)
+  }
 }
