@@ -235,6 +235,7 @@ object SparkEntry {
     "q202_jl_ann_recall" -> LlmQueries.jlAnnRecall,
     "q203_quality_ensemble" -> LlmQueries.qualityEnsemble,
     "q204_join_cardinality" -> LlmQueries.joinCardinality,
+    "q205_text_embedding" -> LlmQueries.textEmbeddingRetrieval,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1389,6 +1390,39 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |SELECT CAST(ip.r AS BIGINT) AS r, ip.inner_r, est.est_size,
         |  ex.exact_size
         |FROM ip, est, ex ORDER BY r""".stripMargin,
+    // q205: hashed-3gram buckets (md5 seed 13), the seed-17 integer
+    // weight matrix, integer dots/norms, ranks on the 4-dp rounded sim.
+    "q205_text_embedding" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+        |      FROM t, LATERAL unnest(generate_series(1, len(tk) - 2))
+        |        AS u(i)),
+        |bc AS (SELECT doc_id,
+        |    ${h("g", 13)} % 256 AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM g GROUP BY 1, 2),
+        |w AS (SELECT b, p,
+        |    ${h("p::VARCHAR || ':' || b::VARCHAR", 17)} % 1000 - 500 AS w
+        |  FROM range(0, 256) tb(b), range(0, 16) tp(p)),
+        |e AS (SELECT doc_id, p, CAST(sum(c * w) AS BIGINT) AS v
+        |      FROM bc JOIN w USING (b) GROUP BY 1, 2),
+        |nm AS (SELECT doc_id, CAST(sum(v * v) AS BIGINT) AS n2
+        |       FROM e GROUP BY 1),
+        |d AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |    CAST(sum(c.v * q.v) AS BIGINT) AS dot
+        |  FROM e c JOIN e q ON c.p = q.p AND q.doc_id < 5
+        |    AND c.doc_id <> q.doc_id
+        |  GROUP BY 1, 2),
+        |s AS (SELECT d.query_id, d.neighbor_id,
+        |    round(d.dot / (sqrt(nq.n2) * sqrt(nc.n2)), 4) AS sim
+        |  FROM d JOIN nm nq ON nq.doc_id = d.query_id
+        |    JOIN nm nc ON nc.doc_id = d.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rk
+        |  FROM s)
+        |SELECT query_id, rk, neighbor_id, sim
+        |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

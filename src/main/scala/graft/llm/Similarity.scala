@@ -337,6 +337,47 @@ object Similarity {
           outDims = k, seed = 11, md5Family = isMd5(hasher))).as("proj"))
       .where(col("proj").isNotNull)
 
+  /** Hashed-feature text embedding (the "hashing trick", Weinberger et
+    * al. 2009, + a seeded random projection): n-gram counts hashed into
+    * `buckets` features, then projected to `k` integer dimensions by the
+    * [[graft.functions.JlProject]]-family weight matrix — the engine
+    * EMBEDS TEXT ITSELF, no external model, so every ANN/near-dup
+    * operator downstream (q34/q35/q99/q131…) can run on corpora that
+    * arrive without vectors. Everything is integer (counts × integer
+    * weights), so embeddings are bit-identical cross-engine.
+    *
+    * Output: (doc_id, p, v) long rows — the exploded spelling; a
+    * consumer needing arrays groups by doc. Docs with fewer than n
+    * tokens have no grams and are absent, the [[lshSignatures]] null
+    * convention.
+    *
+    * Scale shape: one (doc, bucket) count shuffle (map-side combine
+    * absorbs repeated grams), one broadcast join against the
+    * buckets×k weight table (derived in-plan from the portable hash —
+    * nothing ships from the driver), one (doc, p) sum. Corpus-linear;
+    * the gram strings never cross a shuffle wider than the bucket id. */
+  def hashedTextEmbedding(docs: DataFrame, n: Int = 3, buckets: Int = 256,
+                          k: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val grams = docs.select(col("doc_id"),
+      explode(TextAnalysis.shinglesFromTokens(
+        TextAnalysis.tokens(col("text")), n)).as("g"))
+    val bc = grams
+      .select(col("doc_id"),
+        pmod(PortableSeededHash.hash(col("g"), 13), lit(buckets.toLong))
+          .as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val w = spark.range(buckets.toLong * k).select(
+      expr(s"id div $k").as("b"),
+      pmod(col("id"), lit(k.toLong)).as("p"),
+      (PortableSeededHash.hash(
+        concat(pmod(col("id"), lit(k.toLong)).cast("string"), lit(":"),
+          expr(s"id div $k").cast("string")), 17) % 1000 - 500).as("w"))
+    bc.join(broadcast(w), "b")
+      .groupBy("doc_id", "p")
+      .agg(sum(col("c") * col("w")).as("v"))
+  }
+
   /** ANN via IVF (inverted-file) cells: a small coarse-quantizer centroid
     * set partitions the corpus into cells (each vector assigned to its
     * nearest centroid); queries probe only their `nprobe` nearest cells,

@@ -1615,6 +1615,43 @@ object LlmQueries {
       .orderBy("r")
   }
 
+  /** Self-embedded nearest-document retrieval (q205,
+    * [[graft.llm.Similarity.hashedTextEmbedding]]): documents embedded
+    * by the engine's own hashed-3-gram × seeded-projection features
+    * (integer, model-free), then each of the 5 standard query docs
+    * retrieves its cosine top-3 — near-dup twins surface at the top,
+    * demonstrating text → vector → ANN without any external model.
+    * Integer dots and norms; ranks ordered on the 4-dp rounded sim
+    * (the q35 cross-engine convention). */
+  def textEmbeddingRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Similarity.hashedTextEmbedding(
+      table(s, dir, "documents"), n = 3, buckets = 256, k = 16)
+    val norms = emb.groupBy("doc_id")
+      .agg(sum(col("v") * col("v")).as("n2"))
+    val q = emb.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("p"), col("v").as("qv"))
+    val dots = emb.join(broadcast(q), "p")
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("v") * col("qv")).as("dot"))
+    val sims = dots
+      .join(norms.select(col("doc_id"), col("n2").as("c_n2")), "doc_id")
+      .join(broadcast(norms
+        .where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("n2").as("q_n2"))),
+        "query_id")
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        round(col("dot") / (sqrt(col("q_n2")) * sqrt(col("c_n2"))), 4)
+          .as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("query_id", "rk", "neighbor_id", "sim")
+      .orderBy("query_id", "rk")
+  }
+
   /** HyperLogLog distinct counting (q168,
     * [[graft.functions.HyperLogLogAgg]]): per-event-type distinct users
     * from a 256-byte register sketch next to the exact count — the

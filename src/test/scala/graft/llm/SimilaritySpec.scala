@@ -492,6 +492,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(_._1 != 0L).forall(_._3 < planted._3))
   }
 
+  test("hashed text embedding: near-identical docs are cosine-near, " +
+    "disjoint-vocab docs are not") {
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "and runs far away into the green woods tonight"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " extra"),                       // near-twin of 0
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma")    // disjoint vocab
+    ).toDF("doc_id", "text")
+    val e = Similarity.hashedTextEmbedding(docs, n = 3, buckets = 64, k = 8)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (d, rows) =>
+        d -> rows.sortBy(_._2).map(_._3.toDouble)
+      }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val twin = cos(e(0L).toSeq, e(1L).toSeq)
+    val far = cos(e(0L).toSeq, e(2L).toSeq)
+    assert(twin > 0.9, s"twin sim $twin")
+    assert(far < twin - 0.2, s"far $far vs twin $twin")
+  }
+
   test("JL projection: exact linearity on representable values, " +
     "null dropped, distance preservation on real embeddings") {
     // 0.5/0.25/0.125 grid: r1000 is exact, so proj(a−b) == proj(a)−proj(b)
