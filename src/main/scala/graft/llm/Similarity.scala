@@ -357,16 +357,27 @@ object Similarity {
     * nothing ships from the driver), one (doc, p) sum. Corpus-linear;
     * the gram strings never cross a shuffle wider than the bucket id. */
   def hashedTextEmbedding(docs: DataFrame, n: Int = 3, buckets: Int = 256,
-                          k: Int = 16): DataFrame = {
+                          k: Int = 16,
+                          hasher: SeededHash = XxSeededHash): DataFrame = {
     val spark = docs.sparkSession
-    val grams = docs.select(col("doc_id"),
-      explode(TextAnalysis.shinglesFromTokens(
-        TextAnalysis.tokens(col("text")), n)).as("g"))
-    val bc = grams
-      .select(col("doc_id"),
-        pmod(PortableSeededHash.hash(col("g"), 13), lit(buckets.toLong))
-          .as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    // fast default: the compiled positional-shingle kernel — gram hashes
+    // in one pass, no gram STRING ever materialized (the md5 leg exists
+    // for the cross-engine oracle; its bucket values differ, embeddings
+    // are a different but equally valid draw of the same family)
+    val bc = (if (isMd5(hasher)) {
+      docs.select(col("doc_id"),
+          explode(TextAnalysis.shinglesFromTokens(
+            TextAnalysis.tokens(col("text")), n)).as("g"))
+        .select(col("doc_id"),
+          pmod(PortableSeededHash.hash(col("g"), 13), lit(buckets.toLong))
+            .as("b"))
+    } else {
+      docs.select(col("doc_id"),
+          explode(ColumnBridge.column(graft.functions.PositionalShingles(
+            ColumnBridge.expression(TextAnalysis.tokens(col("text"))), n)))
+            .as("g"))
+        .select(col("doc_id"), pmod(col("g"), lit(buckets.toLong)).as("b"))
+    }).groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
     val w = spark.range(buckets.toLong * k).select(
       expr(s"id div $k").as("b"),
       pmod(col("id"), lit(k.toLong)).as("p"),

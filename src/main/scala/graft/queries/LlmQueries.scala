@@ -1626,7 +1626,8 @@ object LlmQueries {
   def textEmbeddingRetrieval(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Similarity.hashedTextEmbedding(
-      table(s, dir, "documents"), n = 3, buckets = 256, k = 16)
+      table(s, dir, "documents"), n = 3, buckets = 256, k = 16,
+      hasher = graft.llm.PortableSeededHash)
     val norms = emb.groupBy("doc_id")
       .agg(sum(col("v") * col("v")).as("n2"))
     val q = emb.where(col("doc_id") < 5)
