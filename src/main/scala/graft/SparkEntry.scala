@@ -236,6 +236,7 @@ object SparkEntry {
     "q203_quality_ensemble" -> LlmQueries.qualityEnsemble,
     "q204_join_cardinality" -> LlmQueries.joinCardinality,
     "q205_text_embedding" -> LlmQueries.textEmbeddingRetrieval,
+    "q206_fk_discovery" -> LlmQueries.fkDiscovery,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1035,6 +1036,8 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
     // KMV set-algebra estimators: HUGEINT numerator integral divides,
     // all-integer intersection, 4-dp Jaccard.
     "q193_kmv_set_ops" -> q193KmvSetOpsOracle,
+    // q206: q193's KMV machinery pointed at key columns + exact twin.
+    "q206_fk_discovery" -> q206FkDiscoveryOracle,
     // q194: the parity split, both-direction top-4 cosine neighborhoods
     // over the same pair table, integer fixed-point sims, and the folded
     // one-division margin 8·si/(ΣA+ΣB); best-margin row per src.
@@ -4371,6 +4374,70 @@ GROUP BY method ORDER BY method"""
       |  rho * est_union // ku AS est_intersection,
       |  round(CAST(rho AS DOUBLE) / ku, 4) AS jaccard_est
       |FROM f ORDER BY src_a, src_b""".stripMargin
+  }
+
+  /** q206 oracle: the q193 KMV replay pointed at key COLUMNS — per-column
+    * distinct hashes, window-spelling bottom-k, directed-pair estimators,
+    * and the exact inclusion twin from real distinct joins. */
+  private def q206FkDiscoveryOracle: String = {
+    val k = 128
+    val num = (BigInt(k) - 1) * (BigInt(1) << 60)
+    s"""WITH vals AS (
+      |    SELECT 'customer.c_custkey' AS cname, c_custkey AS v FROM customer
+      |    UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders
+      |    UNION ALL SELECT 'orders.o_orderkey', o_orderkey FROM orders
+      |    UNION ALL SELECT 'lineitem.l_orderkey', l_orderkey FROM lineitem
+      |    UNION ALL SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+      |    UNION ALL SELECT 'part.p_partkey', p_partkey FROM part
+      |    UNION ALL SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+      |    UNION ALL SELECT 'supplier.s_suppkey', s_suppkey FROM supplier),
+      |d AS (SELECT DISTINCT cname, v FROM vals WHERE v IS NOT NULL),
+      |hs0 AS (SELECT DISTINCT cname, ${h("v", 57)} AS h FROM d),
+      |r AS (SELECT cname, h,
+      |  row_number() OVER (PARTITION BY cname ORDER BY h) AS rn FROM hs0),
+      |sk AS (SELECT cname, list_sort(list(h)) AS hs
+      |  FROM r WHERE rn <= $k GROUP BY 1),
+      |p AS (SELECT a.cname AS col_a, b.cname AS col_b,
+      |    a.hs AS ha, b.hs AS hb
+      |  FROM sk a JOIN sk b ON a.cname <> b.cname),
+      |m AS (SELECT col_a, col_b, ha, hb,
+      |    list_sort(list_distinct(list_concat(ha, hb)))[1:$k] AS lu FROM p),
+      |e0 AS (SELECT col_a, col_b,
+      |    CAST(len(ha) AS BIGINT) AS ka, CAST(len(lu) AS BIGINT) AS ku,
+      |    CAST(len(list_intersect(lu, list_intersect(ha, hb))) AS BIGINT)
+      |      AS rho,
+      |    ha[len(ha)] AS kth_a, lu[len(lu)] AS kth_u
+      |  FROM m),
+      |f AS (SELECT col_a, col_b, rho, ku,
+      |    CASE WHEN ka < $k THEN ka
+      |      ELSE CAST(CAST('$num' AS HUGEINT) // kth_a AS BIGINT) END
+      |      AS est_a,
+      |    CASE WHEN ku < $k THEN ku
+      |      ELSE CAST(CAST('$num' AS HUGEINT) // kth_u AS BIGINT) END
+      |      AS est_union
+      |  FROM e0),
+      |g AS (SELECT col_a, col_b, est_a,
+      |    rho * est_union // ku AS est_intersection
+      |  FROM f),
+      |ea AS (SELECT cname AS col_a, CAST(count(*) AS BIGINT) AS exact_a
+      |       FROM d GROUP BY 1),
+      |ei AS (SELECT x.cname AS col_a, y.cname AS col_b,
+      |    CAST(count(*) AS BIGINT) AS exact_intersection
+      |  FROM d x JOIN d y ON x.v = y.v AND x.cname <> y.cname
+      |  GROUP BY 1, 2)
+      |SELECT g.col_a AS col_a, g.col_b AS col_b, g.est_a,
+      |  g.est_intersection,
+      |  round(CAST(g.est_intersection AS DOUBLE) / g.est_a, 4)
+      |    AS inclusion_est,
+      |  round(CAST(g.est_intersection AS DOUBLE) / g.est_a, 4) >= 0.95
+      |    AS candidate,
+      |  ea.exact_a,
+      |  coalesce(ei.exact_intersection, 0) AS exact_intersection,
+      |  round(CAST(coalesce(ei.exact_intersection, 0) AS DOUBLE)
+      |    / ea.exact_a, 4) AS inclusion_exact
+      |FROM g JOIN ea ON ea.col_a = g.col_a
+      |  LEFT JOIN ei ON ei.col_a = g.col_a AND ei.col_b = g.col_b
+      |ORDER BY g.col_a, g.col_b""".stripMargin
   }
 
   /** q194 oracle: one src×tgt pair table fixed-pointed to integer sims

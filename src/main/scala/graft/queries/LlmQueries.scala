@@ -2432,6 +2432,80 @@ object LlmQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Inclusion-dependency (foreign-key) discovery via KMV sketches
+    * (q206; Beyer et al. 2007 sketches + the data-discovery use of
+    * Zhu et al. 2016 "LSH Ensemble" / Papenbrock's SINDY family): for
+    * every ordered key-column pair (A, B), estimate the inclusion
+    * coefficient |A ∩ B| / |A| from per-column bottom-k sketches and
+    * flag FK candidates at ≥ 0.95 — the lakehouse data-discovery pass
+    * ("which columns join?") that at 100 TB reads ONE mergeable ≤k-row
+    * sketch per column from each table's scan instead of ever joining
+    * distinct sets; the O(cols²) pair math runs on sketch rows only.
+    * Exact inclusion columns ride along as the verification twin (the
+    * q204 estimate-next-to-exact convention — the exact self-join is
+    * the thing the sketch exists to avoid). */
+  def fkDiscovery(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    val k = 128
+    val num = (BigInt(k) - 1) * (BigInt(1) << 60)
+    def leg(tbl: String, c: String) =
+      table(s, dir, tbl).select(lit(s"$tbl.$c").as("cname"),
+        col(c).cast("long").as("v")).where(col("v").isNotNull)
+    val vals = Seq(
+      leg("customer", "c_custkey"), leg("orders", "o_custkey"),
+      leg("orders", "o_orderkey"), leg("lineitem", "l_orderkey"),
+      leg("lineitem", "l_partkey"), leg("part", "p_partkey"),
+      leg("lineitem", "l_suppkey"), leg("supplier", "s_suppkey"))
+      .reduce(_ unionByName _)
+    val hs = vals.select(col("cname"),
+      graft.llm.PortableSeededHash.hash(col("v"), 57).as("h"))
+    val sk = hs.groupBy("cname")
+      .agg(expr(s"transform(bottom_k(h, h, bigint(0), $k), x -> x.h)")
+        .as("hs"))
+    val pairs = sk.select(col("cname").as("col_a"), col("hs").as("ha"))
+      .join(sk.select(col("cname").as("col_b"), col("hs").as("hb")),
+        col("col_a") =!= col("col_b"))
+      .withColumn("lu",
+        slice(array_sort(array_union(col("ha"), col("hb"))), 1, k))
+    val m = pairs.select(col("col_a"), col("col_b"),
+      size(col("ha")).cast("long").as("ka"),
+      size(col("lu")).cast("long").as("ku"),
+      size(array_intersect(col("lu"),
+        array_intersect(col("ha"), col("hb")))).cast("long").as("rho"),
+      element_at(col("ha"), size(col("ha"))).as("kth_a"),
+      element_at(col("lu"), size(col("lu"))).as("kth_u"))
+    val e = m.select(col("col_a"), col("col_b"), col("rho"),
+      when(col("ka") < k, col("ka"))
+        .otherwise(expr(s"cast('$num' as decimal(38,0)) div kth_a"))
+        .as("est_a"),
+      when(col("ku") < k, col("ku"))
+        .otherwise(expr(s"cast('$num' as decimal(38,0)) div kth_u"))
+        .as("est_union"),
+      col("ku"))
+      .withColumn("est_intersection", expr("rho * est_union div ku"))
+      .withColumn("inclusion_est",
+        round(col("est_intersection").cast("double") / col("est_a"), 4))
+      .withColumn("candidate", col("inclusion_est") >= 0.95)
+    val d = vals.distinct()
+    val ea = d.groupBy(col("cname").as("col_a"))
+      .agg(count(lit(1)).as("exact_a"))
+    val ei = d.as("x")
+      .join(d.as("y"), col("x.v") === col("y.v") &&
+        col("x.cname") =!= col("y.cname"))
+      .groupBy(col("x.cname").as("col_a"), col("y.cname").as("col_b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    e.join(broadcast(ea), "col_a")
+      .join(broadcast(ei), Seq("col_a", "col_b"), "left")
+      .select(col("col_a"), col("col_b"), col("est_a"),
+        col("est_intersection"), col("inclusion_est"), col("candidate"),
+        col("exact_a"),
+        coalesce(col("exact_intersection"), lit(0L))
+          .as("exact_intersection"))
+      .withColumn("inclusion_exact",
+        round(col("exact_intersection").cast("double") / col("exact_a"), 4))
+      .orderBy("col_a", "col_b")
+  }
+
   /** Margin-based bitext mining (q194,
     * [[graft.llm.Similarity.bitextMargin]]): the corpus split into two
     * deterministic "languages" by vec_id parity, each even vector mines
