@@ -237,6 +237,7 @@ object SparkEntry {
     "q204_join_cardinality" -> LlmQueries.joinCardinality,
     "q205_text_embedding" -> LlmQueries.textEmbeddingRetrieval,
     "q206_fk_discovery" -> LlmQueries.fkDiscovery,
+    "q207_skyline" -> LlmQueries.skylineDocs,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1038,6 +1039,38 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
     "q193_kmv_set_ops" -> q193KmvSetOpsOracle,
     // q206: q193's KMV machinery pointed at key columns + exact twin.
     "q206_fk_discovery" -> q206FkDiscoveryOracle,
+    // q207: fixed-point signals, textbook NOT EXISTS dominance — the
+    // engine's two-phase local-skyline merge must land the same set.
+    "q207_skyline" ->
+      """WITH t AS (SELECT doc_id, text,
+        |            string_split(text, ' ') AS toks FROM documents),
+        |x AS (SELECT doc_id,
+        |    CAST(round(round(
+        |      least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+        |      + (CAST(len(list_filter(toks,
+        |           x -> x IN ('the','and','of','is','in','a'))) AS DOUBLE)
+        |         / len(toks)) * 0.3
+        |      + (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+        |           AS DOUBLE) / length(text)) * 0.3, 4) * 10000)
+        |      AS BIGINT) AS quality_bp,
+        |    CAST(round(round(-list_sum(list_transform(
+        |        list_transform(list_sort(list_distinct(toks)),
+        |          u -> CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE)),
+        |        c -> (c / CAST(len(toks) AS DOUBLE))
+        |          * ln(c / CAST(len(toks) AS DOUBLE)))), 4) * 10000)
+        |      AS BIGINT) AS entropy_bp,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM t)
+        |SELECT r.doc_id, r.quality_bp, r.entropy_bp, r.n_tokens
+        |FROM x r
+        |WHERE NOT EXISTS (SELECT 1 FROM x s
+        |  WHERE s.quality_bp >= r.quality_bp
+        |    AND s.entropy_bp >= r.entropy_bp
+        |    AND s.n_tokens >= r.n_tokens
+        |    AND (s.quality_bp > r.quality_bp
+        |      OR s.entropy_bp > r.entropy_bp
+        |      OR s.n_tokens > r.n_tokens))
+        |ORDER BY r.doc_id""".stripMargin,
     // q194: the parity split, both-direction top-4 cosine neighborhoods
     // over the same pair table, integer fixed-point sims, and the folded
     // one-division margin 8·si/(ΣA+ΣB); best-margin row per src.

@@ -1446,6 +1446,34 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Skyline / Pareto-frontier documents (q207, [[graft.ops.Skyline]]):
+    * the documents no other document beats simultaneously on quality,
+    * unigram entropy AND length — multi-objective exemplar selection
+    * with no axis weighting (q203's fused rank must pick weights; the
+    * skyline does not). Fixed-point integer metrics so dominance is
+    * exact; the two-phase local-skyline → merge never materializes a
+    * pair. */
+  def skylineDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "documents")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val comps = TextAnalysis
+      .qualityComponentsFromTokens(col("text"), col("toks"))
+      .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+    val quality = TextAnalysis.qualityFromComponents(col("n_tokens"),
+      col("n_chars_d"), col("punct"), col("stop"))
+      .collectFirst { case ("quality", c) => c }.get
+    val sig = comps.select(col("doc_id"),
+      round(quality * 10000, 0).cast("long").as("quality_bp"),
+      round(TextAnalysis.tokenEntropy(col("toks")) * 10000, 0).cast("long")
+        .as("entropy_bp"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    graft.ops.Skyline.skyline(sig, col("doc_id"),
+        Seq(col("quality_bp"), col("entropy_bp"), col("n_tokens")))
+      .select(col("id").as("doc_id"), col("m0").as("quality_bp"),
+        col("m1").as("entropy_bp"), col("m2").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end training MANIFEST (q125): the artifact this library
     * exists to produce — documents pass the composed q123 quality gate,
     * the survivors are temperature-rebalanced across languages (q113's
