@@ -238,6 +238,8 @@ object SparkEntry {
     "q205_text_embedding" -> LlmQueries.textEmbeddingRetrieval,
     "q206_fk_discovery" -> LlmQueries.fkDiscovery,
     "q207_skyline" -> LlmQueries.skylineDocs,
+    "q208_cohort_retention" -> RelationalQueries.cohortRetention,
+    "q209_weighted_sample" -> LlmQueries.weightedSampleDocs,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1071,6 +1073,42 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |      OR s.entropy_bp > r.entropy_bp
         |      OR s.n_tokens > r.n_tokens))
         |ORDER BY r.doc_id""".stripMargin,
+    // q208: first-signup cohorts, distinct (user, week) activity,
+    // integer day-diff div 7 offsets, cohort-share retention.
+    "q208_cohort_retention" ->
+      """WITH su AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (SELECT DISTINCT e.user_id, su.cw,
+        |    datediff('day', su.cw, date_trunc('week', e.ts)) // 7
+        |      AS week_offset
+        |  FROM events e JOIN su USING (user_id)
+        |  WHERE date_trunc('week', e.ts) >= su.cw),
+        |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM su GROUP BY cw),
+        |r AS (SELECT cw, week_offset,
+        |        CAST(count(*) AS BIGINT) AS n_active
+        |      FROM act GROUP BY cw, week_offset)
+        |SELECT strftime(r.cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(r.week_offset AS BIGINT) AS week_offset, r.n_active,
+        |  sz.cohort_size,
+        |  round(CAST(r.n_active AS DOUBLE) / sz.cohort_size, 4)
+        |    AS retention
+        |FROM r JOIN sz USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // q209: exact-integer u, the ln(u)/w A-ES key rounded to 10 dp (the
+    // rounded-cut convention), top-64 with id tie-break.
+    "q209_weighted_sample" ->
+      s"""WITH x AS (SELECT doc_id AS id,
+        |    CAST(n_chars AS BIGINT) AS weight,
+        |    round(ln((${h("doc_id", 91)} + 1)
+        |        / 1152921504606846976.0) / n_chars, 10) AS es_key
+        |  FROM documents),
+        |t AS (SELECT id, weight, es_key FROM x
+        |      ORDER BY es_key DESC, id LIMIT 64)
+        |SELECT CAST(row_number() OVER (ORDER BY es_key DESC, id)
+        |    AS BIGINT) AS rn,
+        |  id, weight, es_key
+        |FROM t ORDER BY rn""".stripMargin,
     // q194: the parity split, both-direction top-4 cosine neighborhoods
     // over the same pair table, integer fixed-point sims, and the folded
     // one-division margin 8·si/(ΣA+ΣB); best-margin row per src.

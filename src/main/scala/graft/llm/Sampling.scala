@@ -201,6 +201,41 @@ object Sampling {
       .select(col("id"), (col("bucket_offset") + col("rn") - 1).as("ord"))
   }
 
+  /** Weighted sampling WITHOUT replacement (q209; Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir" — algorithm
+    * A-ES): each row draws u ∈ (0, 1] from the seeded portable hash and
+    * keys itself by ln(u)/w (the order-equivalent log spelling of
+    * u^(1/w)); the k LARGEST keys are the sample, and inclusion
+    * probability is proportional to weight, exactly — the weighted
+    * counterpart of the uniform bottom-k reservoir (q145).
+    *
+    * Determinism across engines: u is exact integer arithmetic
+    * ((h+1)/2^60), but ln is only ≤1-ulp reproducible — so the cut
+    * ranks on the 10-dp ROUNDED key with an id tie-break (the q121
+    * rounded-cut convention: a 1-ulp wobble cannot reorder a rounded
+    * boundary except on measure-zero ties, which the id breaks).
+    *
+    * Scale shape: pure per-row key computation + one bounded
+    * sort-limit top-k (per-partition partial top-k, k rows per
+    * partition to the final merge) — no global sort, no shuffle of the
+    * corpus. */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+                     k: Int, seed: Int = 91): DataFrame = {
+    require(k >= 1)
+    val h = PortableSeededHash.hash(idCol, seed)
+    // u in (0, 1]: (h + 1) / 2^60 as exact double (both operands < 2^60)
+    val u = (h + 1).cast("double") / lit((1L << 60).toDouble)
+    val key = round(log(u) / weightCol.cast("double"), 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("es_key").desc, col("id"))
+    df.select(idCol.as("id"), weightCol.cast("long").as("weight"),
+        key.as("es_key"))
+      .orderBy(col("es_key").desc, col("id"))
+      .limit(k)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("rn", "id", "weight", "es_key")
+  }
+
   /** Global rank 1..N by (`value` DESC, `id` ASC) WITHOUT a global
     * window — the [[shuffleOrder]] two-phase machinery pointed at a
     * value ordering instead of a hash ordering:

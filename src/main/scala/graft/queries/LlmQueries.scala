@@ -1446,6 +1446,17 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Weighted sample without replacement (q209,
+    * [[graft.llm.Sampling.weightedSample]]): 64 documents drawn with
+    * probability proportional to LENGTH (the token-budget-aware audit
+    * sample — a uniform sample over-represents short docs relative to
+    * their training-token contribution). A-ES keys, bounded top-k, no
+    * corpus shuffle. */
+  def weightedSampleDocs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.weightedSample(table(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), k = 64)
+      .orderBy("rn")
+
   /** Skyline / Pareto-frontier documents (q207, [[graft.ops.Skyline]]):
     * the documents no other document beats simultaneously on quality,
     * unigram entropy AND length — multi-objective exemplar selection

@@ -642,4 +642,36 @@ object RelationalQueries {
         round(col("value_ffill"), 2).as("value_ffill"),
         col("n_events"))
       .orderBy("user_id", "hour_start")
+
+  /** Weekly cohort retention (q208) — the product-analytics staple:
+    * users cohorted by the ISO week of their FIRST signup; for every
+    * (cohort, week offset ≥ 0) cell, how many cohort members were
+    * active (any event) that week, as a count and a share of the
+    * cohort. Three aggregations, all keyed and map-side-combining:
+    * per-user first signup, distinct (user, week) activity, and the
+    * (cohort, offset) rollup; the cohort-size join is a broadcast of
+    * ≤weeks rows. Week arithmetic is integer day-diff div 7 on
+    * week-truncated stamps — exact cross-engine. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events")
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cw"))
+    val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+      .join(signup, "user_id")
+      .where(col("aw") >= col("cw"))
+      .select(col("user_id"), col("cw"),
+        (datediff(col("aw"), col("cw")) / 7).cast("long").as("week_offset"))
+      .distinct()
+    val sizes = signup.groupBy("cw")
+      .agg(count(lit(1)).as("cohort_size"))
+    act.groupBy("cw", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cw")
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

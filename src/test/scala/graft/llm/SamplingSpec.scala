@@ -334,6 +334,22 @@ class SamplingSpec extends SparkSpec {
     assert(run(docs.repartition(17)) == run(docs.coalesce(1)))
   }
 
+  test("weightedSample: heavy weights dominate, k > n ranks all, " +
+    "partitioning-independent") {
+    val rows = (1L to 100L).map(i => (i, 1L)) :+ (999L, 1000000L)
+    def run(parts: Int, k: Int) =
+      Sampling.weightedSample(
+          rows.toDF("doc_id", "w").repartition(parts),
+          col("doc_id"), col("w"), k)
+        .select("rn", "id").as[(Long, Long)].collect().toSeq.sorted
+    // weight 10^6 vs 1: u^(1/w) ~ 1 for the heavy row — it must be in
+    // (in fact, atop) any small sample under this fixed seed
+    assert(run(1, 10).map(_._2).contains(999L))
+    assert(run(1, 10).head == ((1L, 999L)))
+    assert(run(7, 10) == run(1, 10))
+    assert(run(3, 500).size == 101)
+  }
+
   test("globalRankDesc == global-window rank, incl. ties and negatives") {
     import org.apache.spark.sql.expressions.Window
     // values with duplicates (tie-break on id) spanning negative bins
