@@ -123,13 +123,31 @@ class PlanAuditSpec extends SparkSpec {
                              // rows, bounded by design; the corpus-scale
                              // pass is the mergeable bottom_k aggregate
                              // (no window, no join)
-    "q152_source_similarity" // the src_a < src_b PAIR frame over the
+    "q152_source_similarity", // the src_a < src_b PAIR frame over the
                              // sketch table — |mixture domains|² rows of
                              // ≤64-long arrays, bounded by design: the
                              // pair report is over top-level mixture
                              // domains (tens), never raw hosts; the
                              // corpus-scale pass (distinct + rank-k) has
                              // no join at all
+    "q200_streaming_drift",  // the (slices × bins) UNIVERSE cross — ≤4
+                             // slice rows × ≤bins rows, both tiny by
+                             // construction (the keyed q192 full-outer);
+                             // the corpus-scale pass is the streaming
+                             // count aggregate, the per-slice totals
+                             // join is equi
+    "q202_jl_ann_recall",    // q34's designed broadcast-10-query exact
+                             // scan, both distance legs in the same pass
+    "q204_join_cardinality", // 1-row × 1-row sketch crossJoin + the
+                             // 4-row × 1-row estimate/exact scalar
+                             // frames — the q179 report-card pattern;
+                             // the corpus passes are the two mergeable
+                             // CM aggregates
+    "q206_fk_discovery"      // the col_a ≠ col_b PAIR frame over the
+                             // 8-row sketch table (q193's sources² shape
+                             // on columns) + ≤cols-row broadcast exact
+                             // twins; the corpus-scale pass per column
+                             // is the mergeable bottom_k aggregate
   )
 
   // Queries that RUN streams or write multi-second sinks when invoked —
