@@ -240,6 +240,7 @@ object SparkEntry {
     "q207_skyline" -> LlmQueries.skylineDocs,
     "q208_cohort_retention" -> RelationalQueries.cohortRetention,
     "q209_weighted_sample" -> LlmQueries.weightedSampleDocs,
+    "q210_sorted_neighborhood" -> LlmQueries.sortedNeighborhoodLinkage,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1109,6 +1110,40 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |    AS BIGINT) AS rn,
         |  id, weight, es_key
         |FROM t ORDER BY rn""".stripMargin,
+    // q210: the q197 twin, merged-file row_number (cents DESC, id), the
+    // <8-rank self-join, same weights, matched pairs only.
+    "q210_sorted_neighborhood" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer),
+        |b0 AS (SELECT id,
+        |    ('0x' || substr(md5('71:' || id), 1, 15))::BIGINT % 4 AS mode,
+        |    1 + ('0x' || substr(md5('72:' || id), 1, 15))::BIGINT
+        |      % len(name) AS dp,
+        |    name, cents, seg, nat FROM c),
+        |b AS (SELECT id + 1000000 AS rid,
+        |    CASE WHEN mode = 1
+        |      THEN substr(name, 1, dp - 1) || substr(name, dp + 1)
+        |      ELSE name END AS name,
+        |    CASE WHEN mode = 0 THEN cents + 1 ELSE cents END AS cents,
+        |    CASE WHEN mode = 2 THEN 'UNKNOWN' ELSE seg END AS seg,
+        |    nat FROM b0),
+        |m AS (SELECT id AS rid, name, cents, seg, nat FROM c
+        |      UNION ALL SELECT rid, name, cents, seg, nat FROM b),
+        |r AS (SELECT rid, name, cents, seg, nat,
+        |    row_number() OVER (ORDER BY cents DESC, rid) AS rk FROM m),
+        |p AS (SELECT x.rid AS id_a, y.rid AS id_b, y.rk - x.rk AS rank_gap,
+        |    (CASE WHEN x.name = y.name THEN 9892 ELSE -4320 END
+        |     + CASE WHEN x.cents = y.cents THEN 13136 ELSE -3322 END
+        |     + CASE WHEN x.seg = y.seg THEN 2293 ELSE -5322 END
+        |     + CASE WHEN x.nat = y.nat THEN 4615 ELSE -5585 END)
+        |      AS score_milli
+        |  FROM r x JOIN r y ON y.rk > x.rk AND y.rk - x.rk < 8)
+        |SELECT id_a, id_b, CAST(rank_gap AS BIGINT) AS rank_gap,
+        |  CAST(score_milli AS BIGINT) AS score_milli,
+        |  abs(id_b - id_a) = 1000000 AS is_true
+        |FROM p WHERE score_milli >= 5000 ORDER BY id_a, id_b""".stripMargin,
     // q194: the parity split, both-direction top-4 cosine neighborhoods
     // over the same pair table, integer fixed-point sims, and the folded
     // one-division margin 8·si/(ΣA+ΣB); best-margin row per src.

@@ -55,6 +55,44 @@ object Linkage {
     }.reduce(_ unionByName _).distinct()
   }
 
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo 1995,
+    * "The merge/purge problem for large databases"): sort the merged
+    * file by a key and emit every record pair within `w` positions —
+    * the OTHER classic blocking method, catching corruptions that
+    * perturb a key's low-order digits (a ±1 cent bump lands adjacent in
+    * the sort where an equi-block would split).
+    *
+    * Distributed shape: positions come from
+    * [[graft.llm.Sampling.globalRankDesc]]'s two-phase bin machinery
+    * (never a global window); a pair within w spans at most two
+    * consecutive w-sized rank blocks, so candidates are ONE equi-join
+    * of each block against itself and its predecessor with the |Δ| < w
+    * filter — O(n·w) pairs total, no sort-merge pass and no window
+    * over the merged file.
+    *
+    * Output: (id_a, id_b, rank_a, rank_b) with rank_b > rank_a; the
+    * caller joins payloads back and scores (e.g.
+    * [[fellegiSunter]]). `bin` must be a monotone non-decreasing
+    * coarsening of `sortKey` (the [[graft.llm.Sampling.globalRankDesc]]
+    * contract). */
+  def sortedNeighborhood(recs: DataFrame, idCol: Column, sortKey: Column,
+                         bin: Column, w: Int): DataFrame = {
+    require(w >= 2, "a neighborhood needs w >= 2")
+    val pos = graft.llm.Sampling.globalRankDesc(recs, sortKey, bin, idCol)
+      .withColumn("blk", expr(s"rank div $w"))
+    val left = pos.select(col("id").as("id_a"), col("rank").as("rank_a"),
+      col("blk"))
+    val right0 = pos.select(col("id").as("id_b"), col("rank").as("rank_b"),
+      col("blk"))
+    val right = right0.unionByName(
+      right0.withColumn("blk", col("blk") - 1))
+    left.join(right, "blk")
+      .where(col("rank_b") > col("rank_a") &&
+        col("rank_b") - col("rank_a") < w)
+      .select("id_a", "id_b", "rank_a", "rank_b")
+      .distinct()
+  }
+
   /** Score candidate pairs: adds one `agree_<label>` boolean per field,
     * the integer `score_milli` sum, and the `matched` decision. Pure
     * per-row Column work — whole-stage codegen, no shuffle. */

@@ -2582,9 +2582,11 @@ object LlmQueries {
     * reproduces ground truth exactly: 100% of true pairs pass, every
     * random cents-block collision is rejected — the `is_true` column
     * makes the check the oracle's, not an assertion's. */
-  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Linkage
-    val cust = table(s, dir, "customer")
+  /** The q197/q210 corrupted customer twin: (clean a-side, seeded-mode
+    * corrupted b-side with id + 1e6). Shared by both linkage queries so
+    * their ground truth is identical. */
+  private def corruptedCustomerTwin(cust: DataFrame)
+      : (DataFrame, DataFrame) = {
     val h71 = graft.llm.PortableSeededHash.hash(col("c_custkey"), 71)
     val h72 = graft.llm.PortableSeededHash.hash(col("c_custkey"), 72)
     val mode = h71 % 4
@@ -2604,6 +2606,23 @@ object LlmQueries {
       col("c_name").as("a_name"), cents.as("a_cents"),
       col("c_mktsegment").as("a_seg"),
       col("c_nationkey").cast("long").as("a_nat"))
+    (a, b)
+  }
+
+  /** The q197 compared fields with their milli-bit weights. */
+  private def linkageFields: Seq[graft.ops.Linkage.Field] = Seq(
+    graft.ops.Linkage.Field("name",
+      col("a_name") === col("b_name"), 9892L, -4320L),
+    graft.ops.Linkage.Field("acctbal",
+      col("a_cents") === col("b_cents"), 13136L, -3322L),
+    graft.ops.Linkage.Field("segment",
+      col("a_seg") === col("b_seg"), 2293L, -5322L),
+    graft.ops.Linkage.Field("nation",
+      col("a_nat") === col("b_nat"), 4615L, -5585L))
+
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage
+    val (a, b) = corruptedCustomerTwin(table(s, dir, "customer"))
     // +100000 keeps the cents key non-negative so truncating (Spark) and
     // flooring (DuckDB //) integer division agree
     def centsBlock(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -2611,16 +2630,48 @@ object LlmQueries {
     val cand = Linkage.blockedCandidates(a, b, Seq(
       (centsBlock(col("a_cents")), centsBlock(col("b_cents"))),
       (col("a_name"), col("b_name"))))
-    Linkage.fellegiSunter(cand, Seq(
-        Linkage.Field("name", col("a_name") === col("b_name"), 9892L, -4320L),
-        Linkage.Field("acctbal", col("a_cents") === col("b_cents"), 13136L, -3322L),
-        Linkage.Field("segment", col("a_seg") === col("b_seg"), 2293L, -5322L),
-        Linkage.Field("nation", col("a_nat") === col("b_nat"), 4615L, -5585L)),
-        threshold = 5000L)
+    Linkage.fellegiSunter(cand, linkageFields, threshold = 5000L)
       .select(col("id_a"), col("id_b"),
         col("agree_name"), col("agree_acctbal"), col("agree_segment"),
         col("agree_nation"), col("score_milli"), col("matched"),
         (col("id_b") - 1000000L === col("id_a")).as("is_true"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Sorted-neighborhood record linkage (q210,
+    * [[graft.ops.Linkage.sortedNeighborhood]]): the q197 task with the
+    * OTHER classic candidate generator — the merged clean+twin file
+    * sorted by account cents, every pair within an 8-position window
+    * scored by the same Fellegi-Sunter weights. The cent-bump
+    * corruption that q197 needed a second blocking pass for lands
+    * ADJACENT in the sort here; name-corrupted twins still pair because
+    * their cents are identical. Positions come from the two-phase rank,
+    * candidates from one adjacent-block equi-join — O(n·w) pairs, no
+    * global window. */
+  def sortedNeighborhoodLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Linkage
+    val (a, b) = corruptedCustomerTwin(table(s, dir, "customer"))
+    val merged = a.select(col("id_a").as("rid"), col("a_name").as("name"),
+        col("a_cents").as("cents"), col("a_seg").as("seg"),
+        col("a_nat").as("nat"))
+      .unionByName(b.select(col("id_b").as("rid"),
+        col("b_name").as("name"), col("b_cents").as("cents"),
+        col("b_seg").as("seg"), col("b_nat").as("nat")))
+    val pairs = Linkage.sortedNeighborhood(merged, col("rid"),
+      col("cents"), expr("cents div 1000"), w = 8)
+    val cand = pairs
+      .join(merged.select(col("rid").as("id_a"), col("name").as("a_name"),
+        col("cents").as("a_cents"), col("seg").as("a_seg"),
+        col("nat").as("a_nat")), "id_a")
+      .join(merged.select(col("rid").as("id_b"), col("name").as("b_name"),
+        col("cents").as("b_cents"), col("seg").as("b_seg"),
+        col("nat").as("b_nat")), "id_b")
+    Linkage.fellegiSunter(cand, linkageFields, threshold = 5000L)
+      .where(col("matched"))
+      .select(col("id_a"), col("id_b"),
+        (col("rank_b") - col("rank_a")).as("rank_gap"),
+        col("score_milli"),
+        (abs(col("id_b") - col("id_a")) === 1000000L).as("is_true"))
       .orderBy("id_a", "id_b")
   }
 

@@ -40,6 +40,24 @@ class LinkageSpec extends SparkSpec {
     assert(out == Seq((12185L, true), (4570L, true), (-2027L, false)))
   }
 
+  test("sorted neighborhood: all and only pairs within w positions, " +
+    "across block boundaries, partitioning-independent") {
+    // 20 records with distinct sort values: rank i pairs with ranks
+    // i+1..i+w-1 exactly
+    val recs = (0L until 20L).map(i => (i, 100L - i)).toDF("rid", "v")
+    def run(parts: Int) = Linkage.sortedNeighborhood(
+        recs.repartition(parts), col("rid"), col("v"),
+        expr("v div 4"), w = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // v = 100-i descending in i: rank of rid i is i+1; pairs are
+    // (i, j) with 0 < j - i < 4
+    val want = (for {
+      i <- 0L until 20L; j <- i + 1 until math.min(i + 4, 20L)
+    } yield (i, j)).toSet
+    assert(run(1) == want)
+    assert(run(7) == want)
+  }
+
   test("null field value scores as disagree, not null score") {
     val cand = Seq((1L, 11L, Some("ann"), Option.empty[String],
         Some("rome"), Some("rome")))
