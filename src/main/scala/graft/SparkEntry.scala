@@ -241,6 +241,7 @@ object SparkEntry {
     "q208_cohort_retention" -> RelationalQueries.cohortRetention,
     "q209_weighted_sample" -> LlmQueries.weightedSampleDocs,
     "q210_sorted_neighborhood" -> LlmQueries.sortedNeighborhoodLinkage,
+    "q211_snapshot_bloom" -> IoQueries.snapshotBloomLookup,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1144,6 +1145,12 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |  CAST(score_milli AS BIGINT) AS score_milli,
         |  abs(id_b - id_a) = 1000000 AS is_true
         |FROM p WHERE score_milli >= 5000 ORDER BY id_a, id_b""".stripMargin,
+    // q211: Bloom pruning is invisible in the answer — a plain point-set
+    // filter; the absent key contributes no row.
+    "q211_snapshot_bloom" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 123, 321, 444, 999999)
+        |ORDER BY doc_id""".stripMargin,
     // q194: the parity split, both-direction top-4 cosine neighborhoods
     // over the same pair table, integer fixed-point sims, and the folded
     // one-division margin 8·si/(ΣA+ΣB); best-margin row per src.

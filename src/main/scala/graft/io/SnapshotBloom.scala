@@ -1,0 +1,126 @@
+package graft.io
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-FILE Bloom indexes over a [[SnapshotTable]] column — the
+  * point-lookup complement of the manifest's min/max stats (the q154
+  * range-skipping tier): min/max prunes RANGE scans but is useless for
+  * a needle key in an unsorted table; a per-file Bloom answers
+  * "definitely not in this file" for equality predicates, so a point
+  * lookup on a 10^6-file table plans a handful of files instead of a
+  * full scan. This is the Delta-Lake-style bloom-filter index; like
+  * there, the index lives in SIDECAR files next to the log
+  * (`_log/bloom_<col>_v%05d.json`), so the battle-tested manifest
+  * format and commit protocol are untouched and an index can be added
+  * to (or dropped from) an existing table at any version.
+  *
+  * Build: ONE pass over the version's files —
+  * `groupBy(input_file_name)` into Spark's own mergeable
+  * `BloomFilterAggregate` (the runtime-join-filter machinery, hashing
+  * with `xxhash64`), ≤files rows collected (the index, not the data).
+  * Lookup: the sidecar's Blooms are probed DRIVER-SIDE with the same
+  * xxhash64 (file pruning is a planning decision, exactly like the
+  * manifest-stats read), then only surviving files are scanned with
+  * the row-level predicate — Bloom false positives cost a file scan,
+  * never a wrong row. */
+object SnapshotBloom {
+
+  private def sidecar(dir: String, col: String, v: Int): File =
+    new File(new File(dir, "_log"), f"bloom_${col}_v$v%05d.json")
+
+  private def xx(value: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(value)),
+      42L) // the xxhash64 SQL function's fixed seed
+      .eval(null).asInstanceOf[Long]
+
+  /** Build (or rebuild) the index for `col` at `asOf` (default: latest
+    * version). One scan pass; the sidecar maps each manifest file to a
+    * base64 Bloom sized for its row count at `fpp`. */
+  def buildIndex(spark: SparkSession, dir: String, col: String,
+                 fpp: Double = 0.01, asOf: Option[Int] = None,
+                 expectedItemsPerFile: Long = 1000000L): Int = {
+    val v = asOf.getOrElse(SnapshotTable.versions(dir).last)
+    val files = SnapshotTable.readManifest(dir, v)
+    val agg = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            xxhash64(org.apache.spark.sql.functions.col(col))),
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            lit(expectedItemsPerFile)),
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            lit(BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp))),
+          0, 0)
+        .toAggregateExpression())
+    val perFile = SnapshotTable.planRead(spark, dir, v, files)
+      .groupBy(input_file_name().as("f"))
+      .agg(agg.as("bloom"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    // input_file_name is an absolute URI; manifest paths are relative —
+    // match by suffix, loudly
+    val blooms = files.map { mf =>
+      perFile.collectFirst {
+        case (abs, b) if abs.endsWith("/" + mf) || abs.endsWith(mf) =>
+          Base64.getEncoder.encodeToString(b)
+      }.getOrElse(throw new IllegalStateException(
+        s"no bloom computed for manifest file $mf"))
+    }
+    val json = s"""{"bloom_col":"$col","files":[${files
+        .map(f => "\"" + f + "\"").mkString(",")}],"blooms":[${blooms
+        .map(b => "\"" + b + "\"").mkString(",")}]}"""
+    Files.write(sidecar(dir, col, v).toPath, json.getBytes(UTF_8))
+    v
+  }
+
+  private def readIndex(dir: String, col: String,
+                        v: Int): Option[Seq[(String, BloomFilter)]] = {
+    val f = sidecar(dir, col, v)
+    if (!f.exists()) None
+    else {
+      val json = new String(Files.readAllBytes(f.toPath), UTF_8)
+      val files = """"files":\[([^\]]*)\]""".r.unanchored
+        .findFirstMatchIn(json).get.group(1)
+        .split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      val blooms = """"blooms":\[([^\]]*)\]""".r.unanchored
+        .findFirstMatchIn(json).get.group(1)
+        .split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+        .map(b => BloomFilter.readFrom(Base64.getDecoder.decode(b)))
+      Some(files.zip(blooms))
+    }
+  }
+
+  /** The manifest files that MIGHT contain `value` — the planning
+    * decision, exposed for audits/specs. Falls back to all files when
+    * no index exists at the version (skipping never filters rows). */
+  def candidateFiles(dir: String, col: String, value: Long,
+                     asOf: Option[Int] = None): Seq[String] = {
+    val v = asOf.getOrElse(SnapshotTable.versions(dir).last)
+    readIndex(dir, col, v) match {
+      case Some(idx) =>
+        val h = xx(value)
+        idx.collect { case (f, b) if b.mightContainLong(h) => f }
+      case None => SnapshotTable.readManifest(dir, v)
+    }
+  }
+
+  /** Point lookup `col = value`: plan only the Bloom-surviving files,
+    * then the exact row predicate. */
+  def pointLookup(spark: SparkSession, dir: String, col: String,
+                  value: Long, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(SnapshotTable.versions(dir).last)
+    val kept = candidateFiles(dir, col, value, Some(v))
+    if (kept.isEmpty)
+      SnapshotTable.readSnapshot(spark, dir, Some(v)).where(lit(false))
+    else SnapshotTable.planRead(spark, dir, v, kept)
+      .where(org.apache.spark.sql.functions.col(col) === value)
+  }
+}

@@ -110,7 +110,7 @@ object SnapshotTable {
   private def manifestJson(dir: String, v: Int): String =
     new String(Files.readAllBytes(manifestFile(dir, v).toPath), UTF_8)
 
-  private def readManifest(dir: String, v: Int): Seq[String] =
+  private[io] def readManifest(dir: String, v: Int): Seq[String] =
     manifestJson(dir, v) match {
       case FilesRe(list) =>
         if (list.isEmpty) Seq.empty
@@ -218,7 +218,7 @@ object SnapshotTable {
   /** Schema-aware reader: a version that recorded its schema is planned
     * FROM THE LOG (no footer sampling; per-file missing columns
     * null-fill), a legacy version falls back to footer inference. */
-  private def planRead(spark: SparkSession, dir: String, v: Int,
+  private[io] def planRead(spark: SparkSession, dir: String, v: Int,
                        files: Seq[String]): DataFrame = {
     val reader = readSchema(dir, v).map(spark.read.schema(_))
       .getOrElse(spark.read)

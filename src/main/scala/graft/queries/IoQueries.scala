@@ -298,6 +298,32 @@ object IoQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-indexed snapshot point lookup (q211,
+    * [[graft.io.SnapshotBloom]]): the equality-predicate complement of
+    * q154's min/max range skipping — hash-distributed commits make
+    * every file's doc_id range FULL-WIDTH (min/max skipping prunes
+    * NOTHING for a point key; the adversarial layout for stats), then a
+    * per-file Bloom sidecar turns each point lookup into a scan of the
+    * handful of might-contain files. Five lookups (one absent) union
+    * into the result; the Bloom is invisible in the answer — false
+    * positives cost a file scan, never a wrong row. */
+  def snapshotBloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snapbloom").toString
+    // hash layout: every file spans the full doc_id range
+    graft.io.SnapshotTable.commit(s,
+      docs.where(pmod(col("doc_id"), lit(2L)) === 0).repartition(4), t)
+    graft.io.SnapshotTable.commit(s,
+      docs.where(pmod(col("doc_id"), lit(2L)) === 1).repartition(4), t)
+    graft.io.SnapshotBloom.buildIndex(s, t, "doc_id", fpp = 0.001,
+      expectedItemsPerFile = 100000L)
+    Seq(7L, 123L, 321L, 444L, 999999L) // the last id does not exist
+      .map(v => graft.io.SnapshotBloom.pointLookup(s, t, "doc_id", v))
+      .reduce(_ unionByName _)
+      .orderBy("doc_id")
+  }
+
   /** Snapshot diff (q149): the row-level change set between v2 and the
     * v3 overwrite, keyed by doc_id — time travel's other half (what
     * changed, not just what was). */

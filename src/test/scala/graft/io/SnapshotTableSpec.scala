@@ -402,4 +402,31 @@ class SnapshotTableSpec extends SparkSpec {
     assert(pruned.inputFiles.length <
       SnapshotTable.readSnapshot(spark, dir).inputFiles.length)
   }
+
+  test("bloom sidecar: point lookups prune files, absent keys return " +
+    "empty, answers identical to a plain filter") {
+    val dir = Files.createTempDirectory("graft-bloomspec").toString
+    val rows = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "payload")
+    // hash layout: min/max stats would prune nothing
+    SnapshotTable.commit(spark, rows.where(col("id") % 2 === 0)
+      .repartition(4), dir)
+    SnapshotTable.commit(spark, rows.where(col("id") % 2 === 1)
+      .repartition(4), dir)
+    val allFiles = SnapshotTable.readSnapshot(spark, dir)
+      .inputFiles.length
+    // no index yet: planning falls back to every file
+    assert(SnapshotBloom.candidateFiles(dir, "id", 7L).size == allFiles)
+    SnapshotBloom.buildIndex(spark, dir, "id", fpp = 1e-4,
+      expectedItemsPerFile = 10000L)
+    // a point key lives in exactly one file; at fpp 1e-4 over 8 files
+    // the expected false-positive count is ~0 — require REAL pruning
+    val kept = SnapshotBloom.candidateFiles(dir, "id", 7L)
+    assert(kept.nonEmpty && kept.size < allFiles,
+      s"bloom pruned nothing: ${kept.size} of $allFiles")
+    val got = SnapshotBloom.pointLookup(spark, dir, "id", 7L)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((7L, "v7")))
+    assert(SnapshotBloom.pointLookup(spark, dir, "id", 123456L)
+      .count() == 0)
+  }
 }
