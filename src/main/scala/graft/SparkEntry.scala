@@ -242,6 +242,7 @@ object SparkEntry {
     "q209_weighted_sample" -> LlmQueries.weightedSampleDocs,
     "q210_sorted_neighborhood" -> LlmQueries.sortedNeighborhoodLinkage,
     "q211_snapshot_bloom" -> IoQueries.snapshotBloomLookup,
+    "q212_unicode_hygiene" -> LlmQueries.unicodeHygieneReport,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1151,6 +1152,59 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id IN (7, 123, 321, 444, 999999)
         |ORDER BY doc_id""".stripMargin,
+    // q212: dirty-suffix synthesis via chr(), nfc_normalize, the
+    // 10-entry mojibake replace chain (counted on the normalized text),
+    // control strip and whitespace collapse — 'g' flags because DuckDB
+    // regexp_replace is first-match-only by default where Spark's is
+    // global.
+    "q212_unicode_hygiene" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN ' cafe' || chr(769)
+        |      WHEN 1 THEN ' caf' || chr(195) || chr(169)
+        |      WHEN 2 THEN ' x' || chr(7) || 'y'
+        |      ELSE '  end' END AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS t0 FROM d),
+        |cnt AS (SELECT doc_id, dirty, t0,
+        |    (length(t0) - length(replace(t0, chr(195)||chr(169), ''))) // 2
+        |  + (length(t0) - length(replace(t0, chr(195)||chr(168), ''))) // 2
+        |  + (length(t0) - length(replace(t0, chr(195)||chr(164), ''))) // 2
+        |  + (length(t0) - length(replace(t0, chr(195)||chr(182), ''))) // 2
+        |  + (length(t0) - length(replace(t0, chr(195)||chr(188), ''))) // 2
+        |  + (length(t0) - length(replace(t0, chr(195)||chr(177), ''))) // 2
+        |  + (length(t0) - length(replace(t0,
+        |      chr(226)||chr(8364)||chr(8482), ''))) // 3
+        |  + (length(t0) - length(replace(t0,
+        |      chr(226)||chr(8364)||chr(339), ''))) // 3
+        |  + (length(t0) - length(replace(t0,
+        |      chr(226)||chr(8364)||chr(157), ''))) // 3
+        |  + (length(t0) - length(replace(t0,
+        |      chr(226)||chr(8364)||chr(8220), ''))) // 3
+        |    AS n_mojibake FROM n),
+        |fx AS (SELECT doc_id, dirty, n_mojibake,
+        |  replace(replace(replace(replace(replace(replace(replace(
+        |    replace(replace(replace(t0,
+        |    chr(195)||chr(169), chr(233)),
+        |    chr(195)||chr(168), chr(232)),
+        |    chr(195)||chr(164), chr(228)),
+        |    chr(195)||chr(182), chr(246)),
+        |    chr(195)||chr(188), chr(252)),
+        |    chr(195)||chr(177), chr(241)),
+        |    chr(226)||chr(8364)||chr(8482), chr(8217)),
+        |    chr(226)||chr(8364)||chr(339), chr(8220)),
+        |    chr(226)||chr(8364)||chr(157), chr(8221)),
+        |    chr(226)||chr(8364)||chr(8220), chr(8211)) AS t1
+        |  FROM cnt),
+        |cl AS (SELECT doc_id, dirty, n_mojibake,
+        |    trim(regexp_replace(regexp_replace(t1,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), ' +', ' ', 'g'))
+        |      AS cleaned
+        |  FROM fx)
+        |SELECT doc_id, cleaned <> dirty AS changed,
+        |  CAST(n_mojibake AS BIGINT) AS n_mojibake,
+        |  right(cleaned, 8) AS tail
+        |FROM cl ORDER BY doc_id""".stripMargin,
     // q194: the parity split, both-direction top-4 cosine neighborhoods
     // over the same pair table, integer fixed-point sims, and the folded
     // one-division margin 8·si/(ΣA+ΣB); best-margin row per src.

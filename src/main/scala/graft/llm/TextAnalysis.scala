@@ -208,6 +208,52 @@ object TextAnalysis {
       regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"),
     "est_tokens" -> ceil(nChars.cast("double") / 4.0).cast("long"))
 
+  /** UNICODE HYGIENE — the step-0 cleaning pass of a web pipeline
+    * (CCNet/Dolma normalize before anything hashes the text):
+    *
+    *  1. NFC canonical composition ([[graft.functions.NfcNormalize]],
+    *     compiled; decomposed "e"+U+0301 → "é" so dedup fingerprints
+    *     and shingles see one byte sequence per grapheme);
+    *  2. MOJIBAKE repair: the classic UTF-8-read-as-Latin-1 sequences
+    *     ("Ã©" → "é", "â€™" → "'", …) reversed by a fixed literal
+    *     chain — the high-frequency subset of ftfy's table, each a
+    *     plain replace (no regex, oracle-replayable verbatim);
+    *  3. C0 control characters stripped (tab/newline survive);
+    *  4. whitespace runs collapsed, ends trimmed.
+    *
+    * Returns (cleaned, n_mojibake) as a pair of Columns; `changed`
+    * derives as cleaned =!= input. All scan-speed Column work. */
+  def unicodeHygiene(text: Column): (Column, Column) = {
+    val nfc = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+    // ASCII-only \\u escapes so the table cannot be corrupted by a
+    // source-encoding mishap; each pair is (UTF-8 bytes misread as
+    // cp1252/latin-1, the intended character)
+    val fixes: Seq[(String, String)] = Seq(
+      "\u00c3\u00a9" -> "\u00e9", // e-acute
+      "\u00c3\u00a8" -> "\u00e8", // e-grave
+      "\u00c3\u00a4" -> "\u00e4", // a-umlaut
+      "\u00c3\u00b6" -> "\u00f6", // o-umlaut
+      "\u00c3\u00bc" -> "\u00fc", // u-umlaut
+      "\u00c3\u00b1" -> "\u00f1", // n-tilde
+      "\u00e2\u20ac\u2122" -> "\u2019", // right single quote
+      "\u00e2\u20ac\u0153" -> "\u201c", // left double quote
+      "\u00e2\u20ac\u009d" -> "\u201d", // right double quote
+      "\u00e2\u20ac\u201c" -> "\u2013") // en dash
+    val nMojibake = fixes.map { case (bad, _) =>
+      ((length(nfc) - length(replace(nfc, lit(bad), lit("")))) /
+        bad.length).cast("long")
+    }.reduce(_ + _)
+    val repaired = fixes.foldLeft(nfc) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+    val noCtl = regexp_replace(repaired,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    val cleaned = trim(regexp_replace(noCtl, " +", " "))
+    (cleaned, nMojibake)
+  }
+
   /** The Gopher repetition-signal suite (Rae et al. 2021, "Scaling
     * Language Models: … Gopher", Table A1): per document,
     *

@@ -1025,6 +1025,32 @@ object LlmQueries {
           col("total_3grams").cast("double"), 4))
       .orderBy("doc_id")
 
+  /** Unicode hygiene pass (q212,
+    * [[graft.llm.TextAnalysis.unicodeHygiene]]): every document gets a
+    * deterministic dirty suffix — decomposed NFD accents, classic
+    * UTF-8-as-latin-1 mojibake, a C0 control character, or doubled
+    * whitespace — and the cleaning pass must repair all four: NFC
+    * composition, the ftfy-style mojibake table, control strip,
+    * whitespace collapse. The step-0 pass every dedup fingerprint and
+    * tokenizer depends on. */
+  def unicodeHygieneReport(s: SparkSession, dir: String): DataFrame = {
+    val mode = pmod(col("doc_id"), lit(4L))
+    val dirty = concat(col("text"),
+      when(mode === 0, lit(" cafe\u0301"))          // NFD e + U+0301
+        .when(mode === 1, lit(" caf\u00c3\u00a9")) // mojibake e-acute
+        .when(mode === 2, lit(" x\u0007y"))         // BEL control
+        .otherwise(lit("  end")))                    // doubled space
+    val (cleaned, nMojibake) =
+      TextAnalysis.unicodeHygiene(col("dirty"))
+    table(s, dir, "documents")
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        (cleaned =!= col("dirty")).as("changed"),
+        nMojibake.as("n_mojibake"),
+        substring(cleaned, -8, 8).as("tail"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher repetition-signal gate (q201,
     * [[graft.llm.TextAnalysis.gopherRepetition]]): the five-signal
     * repetition suite of Rae et al. 2021 Table A1 with the published

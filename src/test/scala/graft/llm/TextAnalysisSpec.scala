@@ -54,6 +54,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(entropy("a a b b c c d d") < entropy("a b c d e f g h"))
   }
 
+  test("unicode hygiene: NFC composes, mojibake counted and repaired, " +
+    "controls stripped, whitespace collapsed, clean text untouched") {
+    val rows = Seq(
+      (1L, "cafe\u0301 time"),                      // NFD e + U+0301
+      (2L, "caf\u00c3\u00a9 and na\u00c3\u00afve"), // 1 known mojibake
+      (3L, "ab\u0007\u0001c"),                     // C0 controls
+      (4L, "too   many  spaces "),
+      (5L, "already clean text"))
+      .toDF("doc_id", "text")
+    val (cleaned, nMoj) = TextAnalysis.unicodeHygiene(col("text"))
+    val out = rows.select(col("doc_id"), cleaned.as("c"),
+        nMoj.as("m"), (cleaned =!= col("text")).as("ch"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(out(0) == ((1L, "caf\u00e9 time", 0L, true)))
+    // the A-diaeresis+macron pattern of "na\u00c3\u00afve" is NOT in
+    // the fix table: only the e-acute fix fires, the unknown sequence
+    // passes through
+    assert(out(1)._2 == "caf\u00e9 and na\u00c3\u00afve" && out(1)._3 == 1L)
+    assert(out(2) == ((3L, "abc", 0L, true)))
+    assert(out(3) == ((4L, "too many spaces", 0L, true)))
+    assert(out(4) == ((5L, "already clean text", 0L, false)))
+  }
+
   test("gopher repetition: top-gram and dup-gram signals, count-1 scores " +
     "0, short docs pass with all zeros") {
     val mk = (id: Long, t: String) => (id, t, t.length.toLong)
