@@ -243,6 +243,7 @@ object SparkEntry {
     "q210_sorted_neighborhood" -> LlmQueries.sortedNeighborhoodLinkage,
     "q211_snapshot_bloom" -> IoQueries.snapshotBloomLookup,
     "q212_unicode_hygiene" -> LlmQueries.unicodeHygieneReport,
+    "q213_incremental_exact" -> LlmQueries.incrementalExactDedup,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1205,6 +1206,22 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |  CAST(n_mojibake AS BIGINT) AS n_mojibake,
         |  right(cleaned, 8) AS tail
         |FROM cl ORDER BY doc_id""".stripMargin,
+    // q213: split replay, corpus md5 fingerprints with min-id keepers,
+    // batch left-probe — the bucketed index is invisible in the answer.
+    "q213_incremental_exact" ->
+      """WITH split AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT % 100
+        |      AS b
+        |  FROM documents),
+        |idx AS (SELECT md5(text) AS fp, min(doc_id) AS keeper_id
+        |        FROM split WHERE b < 90 GROUP BY 1),
+        |batch AS (SELECT doc_id, md5(text) AS fp
+        |          FROM split WHERE b >= 90)
+        |SELECT batch.doc_id, idx.keeper_id IS NOT NULL AS is_dup,
+        |  idx.keeper_id
+        |FROM batch LEFT JOIN idx USING (fp)
+        |ORDER BY batch.doc_id""".stripMargin,
     // q194: the parity split, both-direction top-4 cosine neighborhoods
     // over the same pair table, integer fixed-point sims, and the folded
     // one-division margin 8·si/(ΣA+ΣB); best-margin row per src.

@@ -1241,6 +1241,46 @@ object Dedup {
       .saveAsTable(s"${name}_sigs")
   }
 
+  /** Persisted EXACT-dedup fingerprint index — the exact tier's
+    * counterpart of [[writeSignatureIndex]]: the all-time corpus
+    * collapses once into `<name>_fps` (fp → min-doc_id keeper, the
+    * [[exact]] convention), written BUCKETED BY fp so every future
+    * batch's membership probe co-locates with the index and only the
+    * batch side ever exchanges. At 100 TB this is how exact dedup
+    * actually deploys: the corpus is fingerprinted once, and each
+    * arriving crawl batch joins 16-byte keys against the bucketed
+    * table — the corpus text is never re-read, never re-shuffled. */
+  def writeFingerprintIndex(corpus: DataFrame, name: String,
+                            numBuckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    // same catalog/location hygiene as writeSignatureIndex
+    val tbl = s"${name}_fps"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    exact(corpus).select(col("fp"), col("keep_id"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "fp")
+      .sortBy("fp")
+      .saveAsTable(tbl)
+  }
+
+  /** Incremental EXACT dedup of a new batch against the persisted
+    * fingerprint index: one md5 per batch doc + one left join on the
+    * bucketed fp table. `is_dup` marks batch docs whose content already
+    * exists in the indexed corpus (keeper_id = the corpus keeper);
+    * within-batch duplication is a separate [[exact]] pass over the
+    * batch, by the q79 pipeline convention (exact-dedup-first). */
+  def incrementalExactDedup(spark: org.apache.spark.sql.SparkSession,
+                            newDocs: DataFrame, name: String): DataFrame =
+    newDocs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(spark.table(s"${name}_fps")
+        .withColumnRenamed("keep_id", "keeper_id"), Seq("fp"), "left")
+      .select(col("doc_id"), col("keeper_id").isNotNull.as("is_dup"),
+        col("keeper_id"))
+
   /** [[incrementalNearDup]] against a PERSISTED index (see
     * [[writeSignatureIndex]]): only the (small) new batch is
     * signature-hashed; the corpus side is the bucketed tables. Output is

@@ -1025,6 +1025,22 @@ object LlmQueries {
           col("total_3grams").cast("double"), 4))
       .orderBy("doc_id")
 
+  /** Incremental exact dedup vs the persisted fingerprint index (q213,
+    * [[graft.llm.Dedup.writeFingerprintIndex]] /
+    * [[graft.llm.Dedup.incrementalExactDedup]]): the 90-slice corpus is
+    * fingerprinted into the bucketed index once, then the 10-slice
+    * "arriving batch" probes it — each batch doc reports whether its
+    * content already exists and under which corpus keeper. The exact
+    * tier's build-once/join-every-batch lifecycle (q129 is the same
+    * story for near-dup). */
+  def incrementalExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val bucket = graft.llm.PortableSeededHash.hash(col("doc_id"), 42) % 100
+    Dedup.writeFingerprintIndex(docs.where(bucket < 90), "q213_index")
+    Dedup.incrementalExactDedup(s, docs.where(bucket >= 90), "q213_index")
+      .orderBy("doc_id")
+  }
+
   /** Unicode hygiene pass (q212,
     * [[graft.llm.TextAnalysis.unicodeHygiene]]): every document gets a
     * deterministic dirty suffix — decomposed NFD accents, classic

@@ -613,6 +613,43 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted fingerprint index: probe == in-query exact join, " +
+    "index side exchange-free") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val split = pmod(xxhash64(col("doc_id")), lit(10L))
+    val corpus = docs.where(split < 7)
+    // plant one guaranteed cross-split duplicate: a batch doc carrying a
+    // corpus doc's exact text (sf0.001's own dup groups may land
+    // entirely on one side of the hash split)
+    val planted = corpus.orderBy("doc_id").limit(1)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val batch = docs.where(split >= 7).unionByName(planted)
+    Dedup.writeFingerprintIndex(corpus, "graft_spec_fpidx")
+    val fromIdx = Dedup.incrementalExactDedup(spark, batch,
+        "graft_spec_fpidx")
+      .as[(Long, Boolean, Option[Long])].collect().toSet
+    val inMem = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(Dedup.exact(corpus)
+        .select(col("fp"), col("keep_id").as("keeper_id")),
+        Seq("fp"), "left")
+      .select(col("doc_id"), col("keeper_id").isNotNull, col("keeper_id"))
+      .as[(Long, Boolean, Option[Long])].collect().toSet
+    assert(fromIdx == inMem)
+    assert(fromIdx.exists(_._2), "fixture must have cross-split dups")
+    assert(fromIdx.exists(!_._2))
+    // the membership probe must read the bucketed fp table without
+    // re-shuffling it (disable broadcast so distribution plans)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.incrementalExactDedup(spark, batch,
+        "graft_spec_fpidx").queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"expected a bucketed scan of the fp index in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("dedup pair-recall report: one consistent row per sketch family") {
     import spark.implicits._
     val rows = graft.queries.LlmQueries.dedupPairRecall(spark, Sf0001)
