@@ -90,6 +90,23 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
 
+    // JIT code-cache occupancy (used MB / max MB per CodeHeap pool) — a
+    // long bench JVM runs 650+ codegen-heavy query executions; if the
+    // reserved code cache (default 240 MB) fills, HotSpot stops JIT
+    // compilation and the hash/gram CPU tier degrades 5-15× (the round-9
+    // gate-vs-record divergence pattern). Printing occupancy per round
+    // makes that failure mode readable straight off the artifact.
+    def codeCache(): String = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map { p =>
+          val u = p.getUsage
+          f"${p.getName.stripPrefix("CodeHeap '").stripSuffix("'")}=" +
+            f"${u.getUsed / 1048576.0}%.0f/${u.getMax / 1048576.0}%.0fMB"
+        }.mkString(" ")
+    }
+
     // untimed warmup: parquet reader + shuffle + codegen paths
     runOne("q01_pricing_summary")
 
@@ -100,7 +117,8 @@ object Bench {
       val tot = t.values.filter(_ >= 0).sum
       loadSamples += loadAvg()
       System.err.println(
-        f"[bench] round $r/$runs total=$tot%.1f s loadavg=${loadSamples.last}%.2f")
+        f"[bench] round $r/$runs total=$tot%.1f s loadavg=${loadSamples.last}%.2f " +
+          s"codecache[${codeCache()}]")
       t
     }
     val results = names.map(n => n -> report(n, rounds.map(_(n))))

@@ -236,6 +236,7 @@ object SparkEntry {
     "q203_quality_ensemble" -> LlmQueries.qualityEnsemble,
     "q204_join_cardinality" -> LlmQueries.joinCardinality,
     "q205_text_embedding" -> LlmQueries.textEmbeddingRetrieval,
+    "q205b_text_embedding_kernel" -> LlmQueries.textEmbeddingKernelLaws,
     "q206_fk_discovery" -> LlmQueries.fkDiscovery,
     "q207_skyline" -> LlmQueries.skylineDocs,
     "q208_cohort_retention" -> RelationalQueries.cohortRetention,
@@ -1610,6 +1611,23 @@ FROM documents d JOIN t ON d.lang = t.lang ORDER BY d.doc_id""",
         |  FROM s)
         |SELECT query_id, rk, neighbor_id, sim
         |FROM r WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // q205b: the xx64-kernel production leg is oracled by retrieval
+    // LAWS valid for any draw of the embedding family (self-retrieval,
+    // exact-dup recall, rank monotonicity, |sim| ≤ 1); has_dup is
+    // data-derived from TEXT on both sides. Numeric kernel parity is
+    // pinned by SimilaritySpec; the portable-md5 draw is q205.
+    "q205b_text_embedding_kernel" ->
+      """WITH t AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id < 5 AND len(string_split(text, ' ')) >= 3),
+        |d AS (SELECT t.doc_id,
+        |        count(*) FILTER (WHERE b.doc_id <> t.doc_id) > 0 AS has_dup
+        |      FROM t LEFT JOIN documents b ON b.text = t.text
+        |      GROUP BY t.doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS query_id,
+        |  CAST(3 AS BIGINT) AS n_results, has_dup,
+        |  true AS top1_unit, true AS dup_recalled, true AS sims_desc,
+        |  true AS sims_bounded
+        |FROM d ORDER BY query_id""".stripMargin,
     // q190: seeded cut points sorted into [lo, hi), three list slices
     // reassembled around PSM sentinels; non-FIM docs pass through.
     "q190_fim_transform" ->

@@ -65,14 +65,38 @@ object SnapshotBloom {
       .agg(agg.as("bloom"))
       .collect()
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
-    // input_file_name is an absolute URI; manifest paths are relative —
-    // match by suffix, loudly
+    // input_file_name is an absolute URI; manifest paths are
+    // table-root-relative (`data/v<n>/part-*.parquet`). Match on the
+    // NORMALIZED relative path — a bare suffix match could mis-assign a
+    // bloom when one manifest path is a string suffix of another file's
+    // absolute path.
+    val root = new File(dir).getCanonicalPath.stripSuffix("/") + "/"
+    val byRel: Map[String, Array[Byte]] = perFile.flatMap { case (abs, b) =>
+      val p = try new java.net.URI(abs).getPath catch {
+        case _: Exception => abs
+      }
+      val canon = new File(p).getCanonicalPath
+      if (canon.startsWith(root)) Some(canon.stripPrefix(root) -> b)
+      else None
+    }.toMap
+    // A systematic mismatch (rows aggregated but nothing maps into the
+    // table root) is a bug — fail loudly rather than write an index that
+    // prunes everything.
+    if (perFile.nonEmpty && byRel.isEmpty) throw new IllegalStateException(
+      s"bloom build: no aggregated file path resolves under $root " +
+        s"(first: ${perFile.head._1})")
+    // A manifest file MISSING from the aggregate is legitimate: Spark can
+    // write zero-row part files, and groupBy(input_file_name) emits no
+    // row for them. Their correct index entry is an EMPTY bloom
+    // (mightContain always false → always pruned — an empty file can't
+    // contain the needle).
+    lazy val emptyBloom: String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      BloomFilter.create(1, fpp).writeTo(bos)
+      Base64.getEncoder.encodeToString(bos.toByteArray)
+    }
     val blooms = files.map { mf =>
-      perFile.collectFirst {
-        case (abs, b) if abs.endsWith("/" + mf) || abs.endsWith(mf) =>
-          Base64.getEncoder.encodeToString(b)
-      }.getOrElse(throw new IllegalStateException(
-        s"no bloom computed for manifest file $mf"))
+      byRel.get(mf).map(Base64.getEncoder.encodeToString).getOrElse(emptyBloom)
     }
     val json = s"""{"bloom_col":"$col","files":[${files
         .map(f => "\"" + f + "\"").mkString(",")}],"blooms":[${blooms
@@ -87,12 +111,16 @@ object SnapshotBloom {
     if (!f.exists()) None
     else {
       val json = new String(Files.readAllBytes(f.toPath), UTF_8)
-      val files = """"files":\[([^\]]*)\]""".r.unanchored
-        .findFirstMatchIn(json).get.group(1)
-        .split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
-      val blooms = """"blooms":\[([^\]]*)\]""".r.unanchored
-        .findFirstMatchIn(json).get.group(1)
-        .split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      // `"".split(",")` yields Array("") — guard the legitimately-empty
+      // snapshot version (zero files) before Base64/readFrom see a ""
+      def list(key: String): Seq[String] = {
+        val body = ("\"" + key + """":\[([^\]]*)\]""").r.unanchored
+          .findFirstMatchIn(json).get.group(1)
+        if (body.isEmpty) Seq.empty
+        else body.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      }
+      val files = list("files")
+      val blooms = list("blooms")
         .map(b => BloomFilter.readFrom(Base64.getDecoder.decode(b)))
       Some(files.zip(blooms))
     }

@@ -258,12 +258,27 @@ object Sampling {
       .orderBy(col("v").desc, col("id"))
     val partial = base.withColumn("rn",
       row_number().over(wB).cast("long"))
+    // The monotone-coarsening contract is easy to violate silently
+    // (mixed-sign values with truncating vs flooring division are the
+    // classic trap), so it is VALIDATED on the bins aggregate: in
+    // descending bin order, every bin's max(v) must be ≤ the
+    // next-higher bin's min(v). The check rides the tiny offsets frame
+    // (one lag + one assert_true folded into the offset arithmetic so
+    // column pruning can't drop it) and fails loudly instead of
+    // producing wrong global ranks.
+    val wDesc = Window.orderBy(col("bin").desc)
     val offsets = partial.groupBy("bin")
-      .agg(count(lit(1)).as("total"))
+      .agg(count(lit(1)).as("total"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .withColumn("hi_vmin", lag(col("vmin"), 1).over(wDesc))
       .withColumn("bin_offset",
         coalesce(sum(col("total")).over(
-          Window.orderBy(col("bin").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          wDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          coalesce(assert_true(
+            col("hi_vmin").isNull || col("vmax") <= col("hi_vmin"),
+            concat(lit("globalRankDesc: bin is not a monotone " +
+              "non-decreasing coarsening of value near bin "),
+              col("bin").cast("string"))).cast("long"), lit(0L)))
       .select("bin", "bin_offset")
     partial.join(broadcast(offsets), "bin")
       .select(col("id"), (col("bin_offset") + col("rn")).as("rank"))

@@ -63,8 +63,26 @@ object Skyline {
         array(metrics.map(_.cast("long")): _*).as("m"))
       .as[(Long, Seq[Long])]
     val local = proj.mapPartitions(prune)
-    // final merge: the surviving set is O(polylog n) — one task
-    val sky = local.repartition(1).mapPartitions(prune)
+    // Tree-merge the local skylines instead of funneling their union
+    // through one task. The polylog survivor bound only holds for
+    // INDEPENDENT metrics — anti-correlated metrics make a local
+    // skyline O(partition) rows, so a single final merge task is an
+    // OOM/straggler hazard. Each coalesce round merges ≤ fanIn pruned
+    // sets per task (coalesce: no shuffle, co-located merge) and
+    // re-prunes, so per-task input is fanIn × its children's survivor
+    // counts, and log_fanIn(P) rounds reach one task that sees only
+    // already-tree-pruned frontier candidates. In the true worst case
+    // (every row on the frontier) the root still holds the full
+    // skyline — but that is the operator's OUTPUT, not avoidable
+    // intermediate state.
+    val fanIn = 8
+    var merged = local
+    var parts = merged.rdd.getNumPartitions
+    while (parts > 1) {
+      parts = math.max(1, (parts + fanIn - 1) / fanIn)
+      merged = merged.coalesce(parts).mapPartitions(prune)
+    }
+    val sky = merged
     sky.select(col("_1").as("id") +:
       metrics.indices.map(i => col("_2").getItem(i).as(s"m$i")): _*)
   }

@@ -1734,6 +1734,75 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** q205b — the PRODUCTION leg of q205: the same self-embedded
+    * retrieval but with the compiled xx64 positional-shingle kernel
+    * ([[graft.functions.PositionalShingles]], the
+    * [[graft.llm.Similarity.hashedTextEmbedding]] default — no gram
+    * string ever materialized), which is what a user benchmarking
+    * "embed my corpus" actually runs. xxhash64 is not DuckDB-replayable,
+    * so this leg is oracled by RETRIEVAL LAWS that hold for ANY valid
+    * draw of the embedding family (the q18/q18b twin convention, law
+    * flavor): with the query doc left IN the corpus —
+    *
+    *  - `n_results`: every embeddable query retrieves a full top-3;
+    *  - `top1_unit`: rank 1 has sim exactly 1.0 (self-similarity of an
+    *    integer vector survives 4-dp rounding);
+    *  - `dup_recalled`: a query with an exact-TEXT duplicate (identical
+    *    token sequence ⇒ identical grams ⇒ identical embedding) must
+    *    see a second sim-1.0 row at rank 2;
+    *  - `sims_desc` / `sims_bounded`: ranks non-increasing, |sim| ≤ 1.
+    *
+    * `has_dup` itself is computed from TEXT on both sides, so the
+    * oracle row carries data-derived content, not just constants.
+    * Numeric parity of the kernel vs the exploded-string spelling is
+    * separately pinned by SimilaritySpec's parity witnesses. */
+  def textEmbeddingKernelLaws(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, dir, "documents")
+    val emb = Similarity.hashedTextEmbedding(
+      docs, n = 3, buckets = 256, k = 16) // XxSeededHash kernel default
+    val norms = emb.groupBy("doc_id")
+      .agg(sum(col("v") * col("v")).as("n2"))
+    val q = emb.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("p"), col("v").as("qv"))
+    val dots = emb.join(broadcast(q), "p")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("v") * col("qv")).as("dot")) // self INCLUDED
+    val sims = dots
+      .join(norms.select(col("doc_id"), col("n2").as("c_n2")), "doc_id")
+      .join(broadcast(norms
+        .where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("n2").as("q_n2"))),
+        "query_id")
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        round(col("dot") / (sqrt(col("q_n2")) * sqrt(col("c_n2"))), 4)
+          .as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val top = sims.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+    val hasDup = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .join(docs.select(col("doc_id").as("b_id"), col("text")),
+        Seq("text"), "left")
+      .groupBy("query_id")
+      .agg((count(when(col("b_id") =!= col("query_id"), 1)) > 0)
+        .as("has_dup"))
+    top.groupBy("query_id")
+      .agg(count(lit(1)).as("n_results"),
+        max(when(col("rk") === 1, col("sim"))).as("s1"),
+        max(when(col("rk") === 2, col("sim"))).as("s2"),
+        max(when(col("rk") === 3, col("sim"))).as("s3"),
+        max(abs(col("sim"))).as("amax"))
+      .join(broadcast(hasDup), "query_id")
+      .select(col("query_id"), col("n_results"), col("has_dup"),
+        (col("s1") === 1.0).as("top1_unit"),
+        (!col("has_dup") || col("s2") === 1.0).as("dup_recalled"),
+        (col("s1") >= col("s2") && col("s2") >= col("s3")).as("sims_desc"),
+        (col("amax") <= 1.0).as("sims_bounded"))
+      .orderBy("query_id")
+  }
+
   /** HyperLogLog distinct counting (q168,
     * [[graft.functions.HyperLogLogAgg]]): per-event-type distinct users
     * from a 256-byte register sketch next to the exact count — the

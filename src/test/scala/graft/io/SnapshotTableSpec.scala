@@ -429,4 +429,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotBloom.pointLookup(spark, dir, "id", 123456L)
       .count() == 0)
   }
+
+  test("bloom sidecar: zero-row commits don't break the build, and an " +
+    "empty version round-trips through the sidecar") {
+    val dir = Files.createTempDirectory("graft-bloomempty").toString
+    val rows = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "payload")
+    SnapshotTable.commit(spark, rows.repartition(4), dir)
+    // an APPEND of an empty frame: any zero-row part file it stages has
+    // no groupBy(input_file_name) row — buildIndex must emit an
+    // always-prune empty bloom for it, not throw
+    SnapshotTable.commit(spark, rows.where(lit(false)), dir)
+    SnapshotBloom.buildIndex(spark, dir, "id", fpp = 1e-4,
+      expectedItemsPerFile = 10000L)
+    val got = SnapshotBloom.pointLookup(spark, dir, "id", 7L)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((7L, "v7")))
+    // a table whose only commit is empty: the sidecar's files array is
+    // legitimately empty ("".split(",") must not fabricate one entry)
+    val dir2 = Files.createTempDirectory("graft-bloomempty2").toString
+    SnapshotTable.commit(spark, rows.where(lit(false)), dir2)
+    SnapshotBloom.buildIndex(spark, dir2, "id")
+    assert(SnapshotBloom.candidateFiles(dir2, "id", 7L).isEmpty)
+    assert(SnapshotBloom.pointLookup(spark, dir2, "id", 7L).count() == 0)
+  }
 }

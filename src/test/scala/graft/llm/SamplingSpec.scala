@@ -366,4 +366,17 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("globalRankDesc fails loudly when bin violates the monotone-" +
+    "coarsening contract") {
+    val rows = (0L until 100L).map(i => (i, i)).toDF("doc_id", "v")
+    // pmod(v, 3) interleaves values across bins — not a coarsening
+    val bad = Sampling.globalRankDesc(rows, col("v"),
+      expr("pmod(v, 3)"), col("doc_id"))
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m =>
+      m != null && m.contains("monotone")), s"unexpected error: $e")
+  }
 }

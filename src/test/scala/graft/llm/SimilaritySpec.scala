@@ -516,6 +516,32 @@ class SimilaritySpec extends SparkSpec {
     assert(far < twin - 0.2, s"far $far vs twin $twin")
   }
 
+  test("q205b retrieval laws: planted exact dup fires dup_recalled, " +
+    "self at sim 1.0, ranks monotone") {
+    // textdata has no exact dup among doc_id < 5 at sf0.01 (the law is
+    // vacuous at the gate) — plant one here so every flag is exercised
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q205b").toString
+    val base = "spark streams join the filter window over a sorted " +
+      "table while the merge scans rows"
+    (Seq((0L, base), (1L, "rows merge under a hash shuffle when keys " +
+        "collide across the wide exchange"), (7L, base)) ++
+      (10L until 40L).map(i => (i, s"doc $i talks about topic ${i % 7} " +
+        s"and subject ${i % 11} in plain words ${i * 31}")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LlmQueries
+      .textEmbeddingKernelLaws(spark, dir)
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(0L, 1L))
+    got.foreach { case (q, n, _, top1, dup, desc, bounded) =>
+      assert(n == 3 && top1 && dup && desc && bounded, s"laws broken: $q")
+    }
+    // doc 0 has the planted dup (doc 7), doc 1 does not
+    assert(got.map(r => r._1 -> r._3).toMap == Map(0L -> true, 1L -> false))
+  }
+
   test("JL projection: exact linearity on representable values, " +
     "null dropped, distance preservation on real embeddings") {
     // 0.5/0.25/0.125 grid: r1000 is exact, so proj(a−b) == proj(a)−proj(b)

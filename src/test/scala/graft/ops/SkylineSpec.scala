@@ -37,4 +37,14 @@ class SkylineSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(sky(rows, 7) == want)
   }
+
+  test("anti-correlated metrics (every row on the frontier) survive the " +
+    "tree merge at high partition counts") {
+    // a = i, b = -i: no row dominates any other, so every local skyline
+    // is its whole partition — the case the single-task merge choked on;
+    // 65 partitions forces ≥2 coalesce rounds at fanIn 8
+    val rows = (0L until 300L).map(i => (i, i, 300L - i))
+    assert(sky(rows, 65) == rows.map(_._1).toSet)
+    assert(sky(rows, 1) == sky(rows, 65))
+  }
 }
