@@ -237,6 +237,7 @@ object SparkEntry {
     "q204_join_cardinality" -> LlmQueries.joinCardinality,
     "q205_text_embedding" -> LlmQueries.textEmbeddingRetrieval,
     "q205b_text_embedding_kernel" -> LlmQueries.textEmbeddingKernelLaws,
+    "q214_snapshot_sql_read" -> IoQueries.snapshotSqlRead,
     "q206_fk_discovery" -> LlmQueries.fkDiscovery,
     "q207_skyline" -> LlmQueries.skylineDocs,
     "q208_cohort_retention" -> RelationalQueries.cohortRetention,
@@ -2444,6 +2445,26 @@ ORDER BY d.doc_id""",
         |  CAST(sum(n_chars) AS BIGINT)
         |FROM documents WHERE doc_id % 5 = 0
         |ORDER BY version""".stripMargin,
+    // q214: the q148 versions read back through the DSv2 source + SQL;
+    // leg 4 is v3 under the stats-pruned doc_id range.
+    "q214_snapshot_sql_read" ->
+      """SELECT 1 AS leg, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 0 AND doc_id BETWEEN 100 AND 399
+        |ORDER BY leg""".stripMargin,
     // q149: v2→v3 change set — added = in v3 not v2, removed = in v2
     // not v3, as doc_id predicates.
     "q149_snapshot_diff" ->

@@ -134,6 +134,40 @@ object SnapshotTable {
       case _ => None
     }
 
+  // ---- planning surface for EXTERNAL readers (the DSv2 source) ----
+  // The log stays the single source of truth: a connector plans from
+  // these and never lists directories or samples footers.
+
+  /** Resolve `asOf` (default: latest) against the log, failing loudly
+    * on a missing log or unknown version. */
+  def resolveVersion(dir: String, asOf: Option[Int] = None): Int = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in log (have $vs)")
+    v
+  }
+
+  /** The stats column recorded at `v`, if the version carries min/max
+    * file stats (the q154 skipping tier). */
+  def statsColumn(dir: String, v: Int): Option[String] = readStatsCol(dir, v)
+
+  /** The version's manifest file list (table-root-relative paths),
+    * stats-pruned to files that MAY intersect `[lo, hi]` on the
+    * recorded stats column when `bounds` is given. Pruning is a
+    * may-contain decision — callers still apply the row-level
+    * predicate. */
+  def manifestFiles(dir: String, v: Int,
+                    bounds: Option[(Long, Long)] = None): Seq[String] = {
+    val files = readManifest(dir, v)
+    bounds.flatMap(b => readStats(dir, v).map(s => (b, s))) match {
+      case Some(((lo, hi), mm)) => files.zip(mm).collect {
+        case (f, (mn, mx)) if mx >= lo && mn <= hi => f
+      }
+      case None => files
+    }
+  }
+
   /** Per-file (min, max) of the stats column, aligned with
     * [[readManifest]]'s file order; None when the version carries no
     * stats. */
@@ -506,17 +540,9 @@ object SnapshotTable {
                          lo: Long, hi: Long, asOf: Option[Int] = None)
       : DataFrame = {
     import org.apache.spark.sql.functions._
-    val vs = versions(dir)
-    require(vs.nonEmpty, s"no snapshot log at $dir")
-    val v = asOf.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in log (have $vs)")
+    val v = resolveVersion(dir, asOf)
     val files = readManifest(dir, v)
-    val kept = readStats(dir, v) match {
-      case Some(mm) => files.zip(mm).collect {
-        case (f, (mn, mx)) if mx >= lo && mn <= hi => f
-      }
-      case None => files
-    }
+    val kept = manifestFiles(dir, v, Some((lo, hi)))
     require(files.nonEmpty, s"manifest v$v lists no files")
     if (kept.isEmpty)
       // every file pruned: an empty frame with the table's real schema
@@ -534,10 +560,7 @@ object SnapshotTable {
     * unknown schema. */
   def readSnapshot(spark: SparkSession, dir: String,
                    asOf: Option[Int] = None): DataFrame = {
-    val vs = versions(dir)
-    require(vs.nonEmpty, s"no snapshot log at $dir")
-    val v = asOf.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in log (have $vs)")
+    val v = resolveVersion(dir, asOf)
     val files = readManifest(dir, v)
     require(files.nonEmpty, s"manifest v$v lists no files")
     planRead(spark, dir, v, files)

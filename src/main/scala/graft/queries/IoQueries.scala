@@ -257,6 +257,44 @@ object IoQueries {
     }.reduce(_.unionAll(_)).orderBy("version")
   }
 
+  /** Snapshot table through the DSv2 READ surface (q214,
+    * [[graft.sources.SnapshotSource]]): the q148 three-version log
+    * committed WITH doc_id stats, then every version read back through
+    * plain `spark.read.format(...)` + a temp view — raw SQL reaching
+    * time travel, the consumer surface Delta/Iceberg users live on
+    * (q148 proves the storage layer; this proves a SQL user needs no
+    * API). Leg 4 re-reads v3 under a doc_id range predicate: the range
+    * filter reaches the source's `SupportsPushDownFilters`, prunes
+    * files against the manifest min/max at PLANNING time (the q154
+    * skipping tier as DSv2 pushdown), and is re-applied row-level as a
+    * residual. `repartitionByRange` makes per-file doc_id ranges
+    * disjoint so the pruning is real — SnapshotSourceSpec asserts the
+    * partition count drops. */
+  def snapshotSqlRead(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snapsql").toString
+    val st = graft.io.SnapshotTable
+    def slice(c: org.apache.spark.sql.Column) =
+      docs.where(c).repartitionByRange(4, col("doc_id"))
+    st.commitWithStats(s, slice(pmod(col("doc_id"), lit(3L)) === 0), t,
+      statsCol = Some("doc_id"))
+    st.commitWithStats(s, slice(pmod(col("doc_id"), lit(3L)) === 1), t,
+      statsCol = Some("doc_id"))
+    st.commitWithStats(s, slice(pmod(col("doc_id"), lit(5L)) === 0), t,
+      overwrite = true, statsCol = Some("doc_id"))
+    val legs = st.versions(t).map { v =>
+      s.read.format("graft.sources.SnapshotSource")
+        .option("versionAsOf", v).load(t)
+        .createOrReplaceTempView(s"snap_v$v")
+      s.sql(s"""SELECT $v AS leg, count(*) AS n_docs,
+        sum(doc_id) AS sum_id, sum(n_chars) AS sum_chars FROM snap_v$v""")
+    } :+ s.sql("""SELECT 4 AS leg, count(*) AS n_docs,
+      sum(doc_id) AS sum_id, sum(n_chars) AS sum_chars
+      FROM snap_v3 WHERE doc_id BETWEEN 100 AND 399""")
+    legs.reduce(_.unionAll(_)).orderBy("leg")
+  }
+
   /** Compaction + retention (q151): the q148 log compacted to 2 files
     * (a content-identical overwrite commit — `OPTIMIZE`) and vacuumed
     * to the compacted version only; output is the surviving content.
