@@ -107,18 +107,38 @@ object Bench {
         }.mkString(" ")
     }
 
+    // cumulative GC seconds + metaspace MB — the other two long-JVM
+    // degradation channels (old-gen fill → rising GC share; codegen
+    // class churn → metaspace/class-unloading pressure). Per-round
+    // deltas localize which channel moved when a later round slows.
+    def gcSeconds(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(g => math.max(g.getCollectionTime, 0L)).sum / 1000.0
+    }
+    def metaspaceMb(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .find(_.getName == "Metaspace")
+        .map(_.getUsage.getUsed / 1048576.0).getOrElse(-1.0)
+    }
+
     // untimed warmup: parquet reader + shuffle + codegen paths
     runOne("q01_pricing_summary")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val loadSamples = scala.collection.mutable.ArrayBuffer(loadAvg())
+    var gcPrev = gcSeconds()
     val rounds: Seq[Map[String, Double]] = (1 to runs).map { r =>
       val t = names.map(n => n -> runOne(n)).toMap
       val tot = t.values.filter(_ >= 0).sum
       loadSamples += loadAvg()
+      val gcNow = gcSeconds()
       System.err.println(
         f"[bench] round $r/$runs total=$tot%.1f s loadavg=${loadSamples.last}%.2f " +
+          f"gc=+${gcNow - gcPrev}%.1fs meta=${metaspaceMb()}%.0fMB " +
           s"codecache[${codeCache()}]")
+      gcPrev = gcNow
       t
     }
     val results = names.map(n => n -> report(n, rounds.map(_(n))))

@@ -246,6 +246,8 @@ object SparkEntry {
     "q211_snapshot_bloom" -> IoQueries.snapshotBloomLookup,
     "q212_unicode_hygiene" -> LlmQueries.unicodeHygieneReport,
     "q213_incremental_exact" -> LlmQueries.incrementalExactDedup,
+    "q215_bpe_train" -> LlmQueries.bpeTrain,
+    "q217_bpe_tokenize" -> LlmQueries.bpeTokenize,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2697,6 +2699,8 @@ ORDER BY d.doc_id""",
     // the q128 chain with the merge applied at every round, then the
     // per-doc reassembly. See generator.
     "q134_phrase_tokenize" -> q134ApplyPhrasesOracle(rounds = 2),
+    "q215_bpe_train" -> q215BpeTrainOracle(merges = 8),
+    "q217_bpe_tokenize" -> q217BpeTokenizeOracle(merges = 6),
     // q135: the q79 pipeline's train split semi-joined into the q125
     // manifest chain — thresholds re-derived on the deduped kept set.
     "q135_full_pipeline_manifest" ->
@@ -3375,6 +3379,83 @@ JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_merged,
       FROM t$rounds GROUP BY 1) m USING (doc_id)
 ORDER BY doc_id"""
   }
+
+  /** Shared CTE chain of the BPE oracles (q215/q217): the distinct-word
+    * count table, the char+end-of-word symbol frame, and `merges`
+    * unrolled rounds — weighted adjacent-pair counts, the
+    * (pair_count DESC, s1, s2) winner at the minPairCount gate, and the
+    * q128 gaps-and-islands greedy merge keyed by WORD (concatenation
+    * with no joiner — subword symbols fuse). The trainer skips the last
+    * round's merge (it only scores it); `applyAll` replays every merge
+    * (the q217 tokenizer). */
+  private def bpeRoundCtes(merges: Int, minPairCount: Int,
+                           applyAll: Boolean): String = {
+    val perRound = (1 to merges).map { r =>
+      val merge =
+        if (r == merges && !applyAll) ""
+        else s""",
+m$r AS (SELECT p.w, p.cnt, p.pos, p.tok, p.nxt, b.s1 IS NOT NULL AS mergeable
+  FROM pr$r p LEFT JOIN best$r b ON p.tok = b.s1 AND p.nxt = b.s2),
+g$r AS (SELECT *, sum(CASE WHEN mergeable THEN 0 ELSE 1 END)
+    OVER (PARTITION BY w ORDER BY pos) AS grp FROM m$r),
+x$r AS (SELECT *, sum(CASE WHEN mergeable THEN 1 ELSE 0 END)
+    OVER (PARTITION BY w, grp ORDER BY pos) AS midx FROM g$r),
+y$r AS (SELECT *, mergeable AND midx % 2 = 1 AS merge_pos FROM x$r),
+z$r AS (SELECT *, coalesce(lag(merge_pos)
+    OVER (PARTITION BY w ORDER BY pos), false) AS consumed FROM y$r),
+f$r AS (SELECT w, cnt,
+    row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+    CASE WHEN merge_pos THEN tok || nxt ELSE tok END AS tok
+  FROM z$r WHERE NOT consumed)"""
+      s"""pr$r AS (SELECT w, cnt, pos, tok,
+    lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+  FROM f${r - 1}),
+best$r AS (SELECT tok AS s1, nxt AS s2,
+    CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM pr$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+  HAVING sum(cnt) >= $minPairCount
+  ORDER BY pair_count DESC, s1, s2 LIMIT 1)$merge"""
+    }.mkString(",\n")
+    s"""words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1),
+f0 AS (SELECT w, cnt, i - 1 AS pos, substring(w, i, 1) AS tok
+    FROM (SELECT w, cnt, unnest(generate_series(1, length(w))) AS i
+          FROM words)
+  UNION ALL
+  SELECT w, cnt, length(w) AS pos, '</w>' AS tok FROM words),
+$perRound"""
+  }
+
+  /** q215 oracle: the BPE train chain, final output = every round's
+    * winning pair (rounds whose best pair misses the gate emit no row,
+    * the trainer's stopping rule). */
+  private def q215BpeTrainOracle(merges: Int, minPairCount: Int = 2)
+      : String = {
+    val union = (1 to merges)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, * FROM best$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeRoundCtes(merges, minPairCount, applyAll = false)}
+SELECT merge_round, s1, s2, pair_count FROM (
+  $union)
+ORDER BY merge_round"""
+  }
+
+  /** q217 oracle: the train chain with EVERY merge applied, per-word
+    * subword counts off the final symbol frame, joined back to word
+    * occurrences — per-doc word/subword counts and 4-dp fertility. */
+  private def q217BpeTokenizeOracle(merges: Int, minPairCount: Int = 2)
+      : String =
+    s"""WITH ${bpeRoundCtes(merges, minPairCount, applyAll = true)},
+wt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_subwords
+       FROM f$merges GROUP BY 1),
+occ AS (SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(n_subwords) AS BIGINT) AS n_subword_tokens,
+  round(CAST(sum(n_subwords) AS DOUBLE) / count(*), 4) AS fertility
+FROM occ JOIN wt USING (w) GROUP BY 1 ORDER BY doc_id"""
 
   /** q118 oracle: the q32 signature machinery, asymmetric — new-batch
     * banded rows (split ≥ 90) joined against corpus banded rows

@@ -241,36 +241,43 @@ object LanguageModel {
   }
 
   /** One greedy left-to-right merge pass over an exploded token frame
-    * (doc_id, pos, tok) against a small phrase table (w1, w2) — see
-    * [[trainPhrases]] for the parity argument. Output positions are
-    * re-numbered dense. */
+    * (keyCol, pos, tok [, carry...]) against a small phrase table
+    * (w1, w2) — see [[trainPhrases]] for the parity argument. Output
+    * positions are re-numbered dense; `carry` columns pass through
+    * unchanged (they are per-key constants, e.g. a word's corpus count).
+    * Shared by the word2phrase loop (key = doc_id, word-pair merges) and
+    * the BPE loop (key = word, symbol-pair merges within each distinct
+    * word). */
   private def mergeBigrams(frame: DataFrame, phrases: DataFrame,
                            joiner: String,
-                           byDoc: org.apache.spark.sql.expressions.WindowSpec)
+                           byKey: org.apache.spark.sql.expressions.WindowSpec,
+                           keyCol: String = "doc_id",
+                           carry: Seq[String] = Nil)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val carried = carry.map(col)
     val marked = frame
-      .select(col("doc_id"), col("pos"), col("tok"),
-        lead("tok", 1).over(byDoc).as("nxt"))
+      .select(col(keyCol) +: col("pos") +: col("tok") +:
+        lead("tok", 1).over(byKey).as("nxt") +: carried: _*)
       .join(broadcast(phrases.select(col("w1"), col("w2"),
           lit(true).as("in_vocab"))),
         col("tok") === col("w1") && col("nxt") === col("w2"), "left")
-      .select(col("doc_id"), col("pos"), col("tok"), col("nxt"),
-        coalesce(col("in_vocab"), lit(false)).as("mergeable"))
+      .select(col(keyCol) +: col("pos") +: col("tok") +: col("nxt") +:
+        coalesce(col("in_vocab"), lit(false)).as("mergeable") +: carried: _*)
     val grouped = marked.withColumn("grp",
-      sum(when(col("mergeable"), lit(0)).otherwise(lit(1))).over(byDoc))
-    val byRun = Window.partitionBy("doc_id", "grp").orderBy("pos")
+      sum(when(col("mergeable"), lit(0)).otherwise(lit(1))).over(byKey))
+    val byRun = Window.partitionBy(keyCol, "grp").orderBy("pos")
     val flagged = grouped
       .withColumn("midx",
         sum(when(col("mergeable"), lit(1)).otherwise(lit(0))).over(byRun))
       .withColumn("merge_pos", col("mergeable") && col("midx") % 2 === 1)
       .withColumn("consumed",
-        coalesce(lag("merge_pos", 1).over(byDoc), lit(false)))
+        coalesce(lag("merge_pos", 1).over(byKey), lit(false)))
     flagged.where(!col("consumed"))
-      .select(col("doc_id"),
-        (row_number().over(byDoc) - 1).as("pos"),
+      .select(col(keyCol) +:
+        (row_number().over(byKey) - 1).as("pos") +:
         when(col("merge_pos"), concat(col("tok"), lit(joiner), col("nxt")))
-          .otherwise(col("tok")).as("tok"))
+          .otherwise(col("tok")).as("tok") +: carried: _*)
   }
 
   /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
@@ -391,5 +398,132 @@ object LanguageModel {
             .cast("double") / col("total_tokens").cast("double"), 4)
           .as("coverage"))
       .orderBy("vocab_size")
+  }
+
+  /** The (word, corpus-count, pos, symbol) frame BPE trains and applies
+    * over: every DISTINCT word split into single characters plus a
+    * trailing end-of-word symbol (Sennrich et al. 2016 §3.2's word
+    * representation — the marker keeps word-final merges distinct from
+    * word-internal ones, so "est·" in "widest" and "es|t" in "estimate"
+    * stay separate merge candidates). Character splitting is
+    * codepoint-based `substr` so the same spelling replays in DuckDB. */
+  private def bpeSymbolFrame(words: DataFrame, eow: String): DataFrame =
+    words.select(col("w"), col("cnt"),
+      posexplode(concat(
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+        array(lit(eow)))).as(Seq("pos", "tok")))
+
+  /** Byte-pair-encoding vocabulary training (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * §3.2) — the subword tokenizer LLM vocabularies actually use, and
+    * the within-word complement of [[trainPhrases]]' across-word merges:
+    * per merge round, count adjacent SYMBOL pairs weighted by word
+    * frequency, promote the single most frequent pair (ties broken
+    * (pair_count DESC, s1, s2) so the merge table is engine-independent),
+    * and merge its occurrences greedily left-to-right in every word —
+    * the same alternating-parity gaps-and-islands pass as q128, keyed by
+    * word instead of document and concatenating with no joiner.
+    *
+    * THE scale property (why BPE fits 100 TB): training never touches
+    * the corpus again after ONE word-count shuffle — every round runs on
+    * the DISTINCT-WORD symbol frame, which is vocabulary-sized
+    * (O(√corpus) under Zipf), with word counts carried as weights. Merge
+    * rounds are count shuffles + per-word windows over that bounded
+    * frame — per-round cost flat in corpus size, exactly how production
+    * BPE trainers operate on word-count tables. Round state is
+    * `localCheckpoint`ed, not persisted (the q63/q82 iteration
+    * convention): each round's plan embeds the previous round's TWICE
+    * (the winner join and the merge input), so without lineage
+    * truncation the plan tree doubles per round — 2^merges blowup that
+    * OOMs the driver at 8 rounds; checkpointing keeps per-round plans
+    * constant-size. The final round skips the merge — its pair is the
+    * last output.
+    *
+    * A round whose best pair falls under `minPairCount` emits nothing
+    * and merges nothing, and every later round is then also empty — the
+    * declarative spelling of the trainer's stopping rule.
+    *
+    * Output: (merge_round, s1, s2, pair_count) — the ordered merge table
+    * a BPE tokenizer IS; [[applyBpe]] replays it. */
+  def trainBpe(docs: DataFrame, merges: Int = 8, minPairCount: Long = 2,
+               eow: String = "</w>",
+               storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    require(merges >= 1, s"merges=$merges must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byWord = Window.partitionBy("w").orderBy("pos")
+    def ckpt(df: DataFrame): DataFrame =
+      if (storageLevel == StorageLevel.NONE) df else df.localCheckpoint()
+    // the ONLY corpus-scale pass: one map-side-combined word-count shuffle
+    // (empty tokens from repeated separators are dropped — a zero-length
+    // word has no symbols, and Spark's sequence(1, 0) would descend)
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var frame = ckpt(bpeSymbolFrame(words, eow))
+    val rows = (1 to merges).map { r =>
+      val pairs = frame.select(col("cnt"), col("tok"),
+          lead("tok", 1).over(byWord).as("nxt"))
+        .where(col("nxt").isNotNull)
+      val best = ckpt(pairs
+        .groupBy(col("tok").as("s1"), col("nxt").as("s2"))
+        .agg(sum("cnt").as("pair_count"))
+        .where(col("pair_count") >= minPairCount)
+        .orderBy(col("pair_count").desc, col("s1"), col("s2"))
+        .limit(1))
+      if (r < merges)
+        frame = ckpt(mergeBigrams(frame,
+          best.select(col("s1").as("w1"), col("s2").as("w2")),
+          joiner = "", byWord, keyCol = "w", carry = Seq("cnt")))
+      best.select(lit(r).cast("long").as("merge_round"),
+        col("s1"), col("s2"), col("pair_count"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  /** APPLY a trained BPE merge table — tokenize the corpus into subword
+    * units by replaying every merge round in order (greedy left-to-right
+    * per round, the exact train-time semantics, so round r's pair can
+    * reference round r−1's merged symbols). Tokenization is a pure
+    * function of the WORD, so the merge replay runs once per distinct
+    * word and the result joins back to the corpus on the word — corpus
+    * cost is one explode + one vocab-equi-join, never per-occurrence
+    * window work. The merge table is ≤ `merges` rows and broadcasts.
+    *
+    * Output per document: word count, subword-token count, and the 4-dp
+    * fertility (subwords per word — THE tokenizer-quality number vocab
+    * sizing decisions read). */
+  def applyBpe(docs: DataFrame, vocab: DataFrame, merges: Int,
+               eow: String = "</w>",
+               storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    require(merges >= 1, s"merges=$merges must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byWord = Window.partitionBy("w").orderBy("pos")
+    // localCheckpoint per round, same reason as in [[trainBpe]] — the
+    // vocab side re-enters every round's plan
+    def ckpt(df: DataFrame): DataFrame =
+      if (storageLevel == StorageLevel.NONE) df else df.localCheckpoint()
+    val occ = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+    var frame = ckpt(bpeSymbolFrame(
+      occ.groupBy("w").agg(count(lit(1)).as("cnt")), eow))
+    (1 to merges).foreach { r =>
+      frame = ckpt(mergeBigrams(frame,
+        vocab.where(col("merge_round") === r)
+          .select(col("s1").as("w1"), col("s2").as("w2")),
+        joiner = "", byWord, keyCol = "w", carry = Seq("cnt")))
+    }
+    val wordTok = frame.groupBy("w")
+      .agg(count(lit(1)).as("n_subwords"))
+    occ.join(wordTok, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_subwords").as("n_subword_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_subword_tokens"),
+        round(col("n_subword_tokens").cast("double") /
+          col("n_words").cast("double"), 4).as("fertility"))
   }
 }

@@ -566,6 +566,38 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE vocabulary training (q215,
+    * [[graft.llm.LanguageModel.trainBpe]]): 8 frequency-ranked
+    * byte-pair merge rounds over the documents corpus — the
+    * within-word subword trainer (Sennrich et al. 2016) next to q128's
+    * across-word phrase trainer. The corpus is touched exactly once
+    * (the word-count shuffle); every merge round runs on the
+    * vocabulary-sized distinct-word symbol frame, so round cost is
+    * flat in corpus size. The oracle unrolls all 8 rounds — pair
+    * counts, the (count DESC, s1, s2) winner, and the greedy
+    * left-to-right merge windows — so a fault anywhere in the loop
+    * moves a later round's winner and hash-mismatches. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.trainBpe(table(s, dir, "documents"),
+        merges = 8, minPairCount = 2)
+      .orderBy("merge_round")
+
+  /** BPE tokenization (q217, [[graft.llm.LanguageModel.applyBpe]]): the
+    * apply side of q215 — train 6 merges, replay them in order over the
+    * distinct-word table, join subword counts back to the corpus, and
+    * report per-document word/subword counts plus fertility (subwords
+    * per word, the tokenizer-quality number). The q134 lifecycle for
+    * subwords: tokenization is a pure function of the word, so apply
+    * cost is one explode + one word equi-join regardless of corpus
+    * size. */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val vocab = graft.llm.LanguageModel.trainBpe(docs, merges = 6,
+      minPairCount = 2)
+    graft.llm.LanguageModel.applyBpe(docs, vocab, merges = 6)
+      .orderBy("doc_id")
+  }
+
   /** ANN recall@5 report (q131): every approximate leg of the ANN family
     * — hyperplane LSH (q35), hash-sampled IVF (q35b), trained-k-means IVF
     * (q82), int8 scalar quantization (q122), product quantization (q124)

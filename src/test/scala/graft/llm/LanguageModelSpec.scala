@@ -177,4 +177,53 @@ class LanguageModelSpec extends SparkSpec {
     assert(cov.map(_._2) == cov.map(_._2).sorted)
     assert(cov.last._2 <= 1.0 && cov.head._2 > 0.0)
   }
+
+  // Sennrich et al. 2016's worked corpus, counts made explicit:
+  // low×5 lower×2 newest×6 widest×3. Weighted pair counts round 1:
+  // (e,s)=(s,t)=(t,</w>)=9 — tie broken on s1 → (e,s); then (es,t)=9,
+  // (est,</w>)=9, then (l,o)=(o,w)=7 → (l,o), then (lo,w)=7.
+  private val bpeCorpus = Seq((0L,
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("trainBpe reproduces the hand-computed merge sequence w/ ties") {
+    val out = LanguageModel.trainBpe(bpeCorpus, merges = 5,
+        minPairCount = 1,
+        storageLevel = org.apache.spark.storage.StorageLevel.NONE)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(out == List(
+      (1L, "e", "s", 9L),
+      (2L, "es", "t", 9L),
+      (3L, "est", "</w>", 9L),
+      (4L, "l", "o", 7L),
+      (5L, "lo", "w", 7L)))
+  }
+
+  test("trainBpe is partitioning-independent") {
+    val a = LanguageModel.trainBpe(bpeCorpus, merges = 4, minPairCount = 1)
+      .collect().toList
+    val b = LanguageModel.trainBpe(bpeCorpus.repartition(7), merges = 4,
+      minPairCount = 1).collect().toList
+    assert(a == b && a.size == 4)
+  }
+
+  test("trainBpe stopping rule: below-gate rounds emit nothing") {
+    // every pair occurs once; minPairCount=2 never met
+    val docs = Seq((0L, "ab cd")).toDF("doc_id", "text")
+    assert(LanguageModel.trainBpe(docs, merges = 3, minPairCount = 2)
+      .count() == 0)
+  }
+
+  test("applyBpe tokenizes with the learned merges; counts + fertility") {
+    val vocab = LanguageModel.trainBpe(bpeCorpus, merges = 5,
+      minPairCount = 1)
+    // newest -> [n, e, w, est</w>] = 4 subwords (es, est, est</w> chain);
+    // low -> [low, </w>] = 2 ((l,o) then (lo,w); (w,</w>) never merged)
+    val docs = Seq((0L, "low newest"), (1L, "newest newest"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.applyBpe(docs, vocab, merges = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(out == List((0L, 2L, 6L, 3.0), (1L, 2L, 8L, 4.0)))
+  }
 }
