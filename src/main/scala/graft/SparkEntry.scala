@@ -247,6 +247,7 @@ object SparkEntry {
     "q212_unicode_hygiene" -> LlmQueries.unicodeHygieneReport,
     "q213_incremental_exact" -> LlmQueries.incrementalExactDedup,
     "q215_bpe_train" -> LlmQueries.bpeTrain,
+    "q216_graph_ann" -> LlmQueries.graphAnn,
     "q217_bpe_tokenize" -> LlmQueries.bpeTokenize,
   )
 
@@ -2700,6 +2701,7 @@ ORDER BY d.doc_id""",
     // per-doc reassembly. See generator.
     "q134_phrase_tokenize" -> q134ApplyPhrasesOracle(rounds = 2),
     "q215_bpe_train" -> q215BpeTrainOracle(merges = 8),
+    "q216_graph_ann" -> q216GraphAnnOracle(),
     "q217_bpe_tokenize" -> q217BpeTokenizeOracle(merges = 6),
     // q135: the q79 pipeline's train split semi-joined into the q125
     // manifest chain — thresholds re-derived on the deduped kept set.
@@ -4139,6 +4141,52 @@ SELECT e.src, e.rn, e.dst, e.sim, (m.src IS NOT NULL) AS mutual
 FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src
 ORDER BY e.src, e.rn"""
 
+  /** q216 oracle: the q138 edge CTEs undirected, then `rounds` beam
+    * expansion rounds unrolled — per round, neighbors of the current
+    * beam along either edge direction, 4-dp cosine vs the query (self
+    * excluded), union with the carried beam, keep the top-`beam` per
+    * query on (sim DESC, node); final top-k off the last beam. Entry =
+    * the `entry` lowest vec_ids (the coarse-quantizer seam's
+    * deterministic stand-in). */
+  private def q216GraphAnnOracle(rounds: Int = 4, beam: Int = 8,
+                                 entry: Int = 8, k: Int = 5): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""nb$r AS (SELECT DISTINCT b.query_id, a.dst AS node
+  FROM b${r - 1} b JOIN ua a ON a.src = b.node),
+sc$r AS (SELECT nb.query_id, nb.node,
+    round(list_cosine_similarity(q.q_emb, n.embedding), 4) AS sim
+  FROM nb$r nb JOIN q USING (query_id)
+       JOIN embeddings n ON n.vec_id = nb.node
+  WHERE nb.node <> nb.query_id),
+b$r AS (SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY sim DESC, node) AS rn
+    FROM (SELECT query_id, node, sim FROM b${r - 1}
+          UNION SELECT query_id, node, sim FROM sc$r))
+  WHERE rn <= $beam)"""
+    }.mkString(",\n")
+    s"""WITH $q138EdgeCtes,
+ua AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 10),
+entry AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id
+          LIMIT $entry),
+b0 AS (SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY sim DESC, node) AS rn
+    FROM (SELECT q.query_id, en.node,
+            round(list_cosine_similarity(q.q_emb, n.embedding), 4) AS sim
+          FROM q, entry en JOIN embeddings n ON n.vec_id = en.node
+          WHERE en.node <> q.query_id))
+  WHERE rn <= $beam),
+$roundCtes
+SELECT query_id, rn, node AS neighbor_id, sim FROM (
+  SELECT query_id, node, sim, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node) AS BIGINT) AS rn
+  FROM b$rounds)
+WHERE rn <= $k ORDER BY query_id, rn"""
+  }
+
   /** q141 oracle: the q138 edges restricted to mutual pairs, then the
     * q99-style recursive transitive closure with min-id components. */
   private def q141KnnClustersOracle: String =
@@ -4551,6 +4599,7 @@ FROM agg, nt ORDER BY method"""
     def leg(name: String, sql: String): String =
       s"SELECT '$name' AS method, query_id, neighbor_id FROM (\n$sql\n) leg_$name"
     val legs = Seq(
+      leg("graph", q216GraphAnnOracle()),
       leg("ivf", q35bIvfOracle),
       leg("ivf_trained", q82IvfTrainedOracle),
       leg("lsh", q35AnnLshOracle),
@@ -4583,6 +4632,7 @@ FROM agg, ne ORDER BY method"""
     def leg(name: String, sql: String): String =
       s"SELECT '$name' AS method, query_id, rn AS rank, neighbor_id FROM (\n$sql\n) leg_$name"
     val legs = Seq(
+      leg("graph", q216GraphAnnOracle()),
       leg("ivf", q35bIvfOracle),
       leg("ivf_trained", q82IvfTrainedOracle),
       leg("lsh", q35AnnLshOracle),
@@ -4605,8 +4655,8 @@ pq AS (SELECT method, query_id,
          sum(CASE WHEN hit = 1 THEN 1.0 / log2(rank + 1) END) AS dcg
        FROM h GROUP BY 1, 2),
 grid AS (SELECT m.method, q.query_id
-         FROM (VALUES ('ivf'), ('ivf_trained'), ('lsh'), ('lsh_multi'),
-               ('pq'), ('sq')) m(method)
+         FROM (VALUES ('graph'), ('ivf'), ('ivf_trained'), ('lsh'),
+               ('lsh_multi'), ('pq'), ('sq')) m(method)
          CROSS JOIN (SELECT vec_id AS query_id FROM embeddings
                      WHERE vec_id < 10) q)
 SELECT method, round(avg(coalesce(rr, 0)), 4) AS mrr,

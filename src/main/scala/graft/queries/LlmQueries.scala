@@ -598,6 +598,22 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Graph-walk ANN search (q216,
+    * [[graft.llm.Similarity.graphSearchTopK]]): beam descent over the
+    * q138 kNN graph — the NSW/HNSW-family leg that completes the ANN
+    * portfolio (bucketing: LSH/IVF; compression: SQ/PQ/Hamming; now
+    * graph routing). Four synchronous expansion rounds, beam 8, from
+    * the 8 lowest-id entry points (the coarse-quantizer seam's
+    * deterministic stand-in), top-5 answers. Oracled by unrolling the
+    * q138 edge CTEs plus every expansion round; also measured as a
+    * `graph` row in the q131 recall and q164 MRR/nDCG reports. */
+  def graphAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    Similarity.graphSearchTopK(emb.where(col("vec_id") < 10), emb,
+        k = 5, hasher = graft.llm.PortableSeededHash)
+      .orderBy("query_id", "rn")
+  }
+
   /** ANN recall@5 report (q131): every approximate leg of the ANN family
     * — hyperplane LSH (q35), hash-sampled IVF (q35b), trained-k-means IVF
     * (q82), int8 scalar quantization (q122), product quantization (q124)
@@ -632,7 +648,9 @@ object LlmQueries {
           tables = 4, planesPerTable = 8, hasher = hasher)),
         leg("pq", Similarity.pqTopK(q, emb, k = 5, m = 4, dims = 64,
           numCentroids = 8, iters = 2, hasher = hasher)),
-        leg("sq", Similarity.quantizedTopK(q, emb, k = 5)))
+        leg("sq", Similarity.quantizedTopK(q, emb, k = 5)),
+        leg("graph", Similarity.graphSearchTopK(q, emb, k = 5,
+          hasher = hasher)))
       .reduce(_ unionByName _)
     legs
       .join(broadcast(exact.withColumn("hit", lit(1L))),
@@ -694,7 +712,9 @@ object LlmQueries {
           tables = 4, planesPerTable = 8, hasher = hasher)),
         leg("pq", Similarity.pqTopK(q, emb, k = 5, m = 4, dims = 64,
           numCentroids = 8, iters = 2, hasher = hasher)),
-        leg("sq", Similarity.quantizedTopK(q, emb, k = 5)))
+        leg("sq", Similarity.quantizedTopK(q, emb, k = 5)),
+        leg("graph", Similarity.graphSearchTopK(q, emb, k = 5,
+          hasher = hasher)))
       .reduce(_ unionByName _)
     val hits = legs.join(
       broadcast(exact.withColumn("hit", lit(1))),
@@ -703,7 +723,8 @@ object LlmQueries {
       max(when(col("hit") === 1, lit(1.0) / col("rank"))).as("rr"),
       sum(when(col("hit") === 1, lit(1.0) / log2(col("rank") + 1))).as("dcg"))
     import s.implicits._
-    val grid = Seq("ivf", "ivf_trained", "lsh", "lsh_multi", "pq", "sq")
+    val grid = Seq("graph", "ivf", "ivf_trained", "lsh", "lsh_multi",
+        "pq", "sq")
       .toDF("method")
       .crossJoin(q.select(col("vec_id").as("query_id")))
     grid.join(perQ, Seq("method", "query_id"), "left")

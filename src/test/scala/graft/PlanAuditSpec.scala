@@ -107,8 +107,15 @@ class PlanAuditSpec extends SparkSpec {
                              // dedup and mutual transpose join are all
                              // equi on (t, sig) / (src, dst)
     "q164_retrieval_metrics", // q131's composed leg shapes + the tiny
-                             // 6-method × 10-query metric grid crossJoin
+                             // 7-method × 10-query metric grid crossJoin
                              // — both sides literal-bounded
+    "q216_graph_ann",        // the q138 graph build (broadcast plane
+                             // weights) + the 10-query × 8-entry-point
+                             // seed crossJoin — both literal-bounded;
+                             // every expansion round is an equi join on
+                             // the node id and the per-round candidate
+                             // side is a designed broadcast (Q·beam·deg
+                             // rows)
     "q156_hard_negatives",   // q34's designed broadcast-queries scan with
                              // the band filter fused into it — the filter
                              // drops the easy mass at scan time; no

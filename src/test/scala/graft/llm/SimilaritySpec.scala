@@ -289,7 +289,7 @@ class SimilaritySpec extends SparkSpec {
     val rows = graft.queries.LlmQueries.annRecall(spark, Sf0001)
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(rows.map(_._1) ==
-      Seq("ivf", "ivf_trained", "lsh", "lsh_multi", "pq", "sq"))
+      Seq("graph", "ivf", "ivf_trained", "lsh", "lsh_multi", "pq", "sq"))
     rows.foreach { case (m, nRet, nHits, recall) =>
       assert(nHits >= 0 && nHits <= nRet, s"$m: hits $nHits > returned $nRet")
       assert(nRet <= 50, s"$m: returned $nRet > 10 queries x k=5")
@@ -582,5 +582,39 @@ class SimilaritySpec extends SparkSpec {
       .agg(avg(col("d2r") / (col("d2o") * 16.0 * 83333.25)))
       .head().getDouble(0)
     assert(mean > 0.8 && mean < 1.2, s"mean JL ratio $mean")
+  }
+
+  test("graph-walk ANN: dense ranks, true scores, deterministic across " +
+    "partitionings, beats chance") {
+    val q = emb.where(col("vec_id") < 10)
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.graphSearchTopK(q, corpus, k = 5,
+          hasher = PortableSeededHash)
+        .select("query_id", "rn", "neighbor_id", "sim")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val out = run(emb)
+    // per-query: dense ranks from 1, no self-answers
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size), s"ranks q$qid")
+      assert(rows.forall(_._3 != qid), s"self-answer q$qid")
+    }
+    // the walk restricts CANDIDATES, never scores: every returned sim is
+    // the true 4-dp cosine the exact scan assigns that same pair
+    val exactSims = Similarity.bruteForceTopK(q, emb, Int.MaxValue - 1)
+      .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    out.foreach { case (a, _, b, s) =>
+      assert(exactSims((a, b)) == s, s"score drift on ($a,$b)") }
+    // partitioning-independent (localCheckpoint rounds, rounded ties)
+    assert(run(emb.repartition(7)) == out)
+    // graph routing from 8 fixed entries still finds some of the exact
+    // top-5 mass (the q131 report measures the real recall per sf)
+    val exact5 = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(out.map(r => (r._1, r._3)).toSet.intersect(exact5).nonEmpty)
+    // beam must cover k
+    intercept[IllegalArgumentException](
+      Similarity.graphSearchTopK(q, emb, k = 9, beam = 8))
   }
 }
