@@ -238,6 +238,7 @@ object SparkEntry {
     "q205_text_embedding" -> LlmQueries.textEmbeddingRetrieval,
     "q205b_text_embedding_kernel" -> LlmQueries.textEmbeddingKernelLaws,
     "q214_snapshot_sql_read" -> IoQueries.snapshotSqlRead,
+    "q218_snapshot_sql_write" -> IoQueries.snapshotSqlWrite,
     "q206_fk_discovery" -> LlmQueries.fkDiscovery,
     "q207_skyline" -> LlmQueries.skylineDocs,
     "q208_cohort_retention" -> RelationalQueries.cohortRetention,
@@ -2466,6 +2467,31 @@ ORDER BY d.doc_id""",
         |UNION ALL
         |SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 0 AND doc_id BETWEEN 100 AND 399
+        |ORDER BY leg""".stripMargin,
+    // q218: the q214 shape through the WRITE surface — v1 = %3=0 slim,
+    // v2 = v1 + the %3=1 slice WITH lang (evolution: v1's files
+    // null-fill, so n_lang counts exactly the appended slice), v3 =
+    // %5=0 overwrite (schema resets, lang gone), leg 4 = v3 under the
+    // stats-pruned range.
+    "q218_snapshot_sql_write" ->
+      """SELECT 1 AS leg, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(0 AS BIGINT) AS n_lang
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT),
+        |  CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT), CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 5 = 0 AND doc_id BETWEEN 100 AND 399
         |ORDER BY leg""".stripMargin,
     // q149: v2→v3 change set — added = in v3 not v2, removed = in v2

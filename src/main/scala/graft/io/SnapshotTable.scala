@@ -231,13 +231,20 @@ object SnapshotTable {
     * schema it had then. None only on append onto a pre-schema legacy
     * base (stay legacy rather than guess what its files hold). */
   private def evolvedSchema(dir: String, prev: Seq[Int], df: DataFrame,
-                            overwrite: Boolean): Option[StructType] = {
+                            overwrite: Boolean): Option[StructType] =
+    evolvedSchemaFrom(dir, prev, df.schema, overwrite)
+
+  /** [[evolvedSchema]] from a declared schema (the DSv2 write path has
+    * a logical write schema, not a DataFrame). */
+  private[io] def evolvedSchemaFrom(dir: String, prev: Seq[Int],
+                                    incoming: StructType,
+                                    overwrite: Boolean): Option[StructType] = {
     def nullable(st: StructType) = StructType(st.fields.map(_.copy(nullable = true)))
-    if (overwrite || prev.isEmpty) Some(nullable(df.schema))
+    if (overwrite || prev.isEmpty) Some(nullable(incoming))
     else readSchema(dir, prev.last).map { base =>
-      val incoming = df.schema.fields.map(f => f.name -> f).toMap
+      val inc = incoming.fields.map(f => f.name -> f).toMap
       base.fields.foreach { bf =>
-        incoming.get(bf.name).foreach { nf =>
+        inc.get(bf.name).foreach { nf =>
           require(nf.dataType.simpleString == bf.dataType.simpleString,
             s"schema evolution may only ADD columns: '${bf.name}' would " +
               s"change ${bf.dataType.simpleString} -> ${nf.dataType.simpleString}")
@@ -245,8 +252,47 @@ object SnapshotTable {
       }
       val known = base.fieldNames.toSet
       nullable(StructType(base.fields ++
-        df.schema.fields.filterNot(f => known(f.name))))
+        incoming.fields.filterNot(f => known(f.name))))
     }
+  }
+
+  /** Publish a commit whose data files were staged EXTERNALLY — the
+    * seam the DSv2 writer ([[graft.sources.SnapshotSource]]) commits
+    * through: executors have already written `relFiles` under `dir`
+    * (any staging sub-directory; manifests store relative paths, so
+    * placement is free), optional per-file (min, max) stats for
+    * `stats._1` ride along FROM THE WRITERS (no post-hoc stats job —
+    * the writer folds min/max while streaming rows), the schema evolves
+    * from the declared write schema under the add-column-only rule, and
+    * the manifest CAS-publishes exactly like [[commit]]. Same contracts:
+    * append onto a stats-bearing version requires stats (else the
+    * version publishes stats-free and pruning disables for it — never
+    * half-stated), overwrite resets files, stats and schema. */
+  def commitStagedFiles(dir: String, relFiles: Seq[String],
+                        writeSchema: StructType,
+                        overwrite: Boolean = false,
+                        stats: Option[(String, Seq[(Long, Long)])] = None)
+      : Int = {
+    require(relFiles.nonEmpty, "external commit with no staged files")
+    logDir(dir).mkdirs()
+    val prev = versions(dir)
+    val v = prev.lastOption.getOrElse(0) + 1
+    val base =
+      if (overwrite || prev.isEmpty) Seq.empty
+      else readManifest(dir, prev.last)
+    val fullStats = stats.map { case (c, mm) =>
+      require(mm.length == relFiles.length,
+        s"stats/files length mismatch: ${mm.length} != ${relFiles.length}")
+      val carried =
+        if (base.isEmpty) Seq.empty
+        else readStats(dir, prev.last).getOrElse(throw new IllegalStateException(
+          s"append with statsCol=$c onto version ${prev.last} which has no stats"))
+      (c, carried ++ mm)
+    }
+    writeManifest(dir, v, if (overwrite) "overwrite" else "append",
+      base ++ relFiles, fullStats,
+      evolvedSchemaFrom(dir, prev, writeSchema, overwrite))
+    v
   }
 
   /** Schema-aware reader: a version that recorded its schema is planned

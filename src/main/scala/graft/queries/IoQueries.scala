@@ -295,6 +295,46 @@ object IoQueries {
     legs.reduce(_.unionAll(_)).orderBy("leg")
   }
 
+  /** Snapshot table through the DSv2 WRITE surface (q218,
+    * [[graft.sources.SnapshotSource]]): the q214 read-side twin — three
+    * commits staged with plain `df.write.format(...).mode(...)` (append,
+    * schema-EVOLVING append that adds `lang`, overwrite), writer-folded
+    * doc_id stats via `.option("statsCol", ...)`, then every version
+    * read back through the DSv2 source + SQL. Legs report count/sums
+    * plus `n_lang` (non-null lang), which pins the evolution contract:
+    * v2's pre-evolution files null-fill lang, so n_lang counts exactly
+    * the appended slice; v1/v3 schemas carry no lang at all. Leg 4
+    * re-reads v3 under the doc_id range — the WRITER's folded stats
+    * prune files at planning time (SnapshotSourceSpec asserts the
+    * partition drop). A SQL user now round-trips the lakehouse tier
+    * with zero API calls. */
+  def snapshotSqlWrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val t = Files.createTempDirectory("graft-snapw").toString
+    def save(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      df.repartitionByRange(4, col("doc_id"))
+        .write.format("graft.sources.SnapshotSource")
+        .option("statsCol", "doc_id").mode(mode).save(t)
+    val slim = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    save(slim.where(pmod(col("doc_id"), lit(3L)) === 0), "append")
+    save(docs.select(col("doc_id"), col("source"), col("n_chars"),
+      col("lang")).where(pmod(col("doc_id"), lit(3L)) === 1), "append")
+    save(slim.where(pmod(col("doc_id"), lit(5L)) === 0), "overwrite")
+    def read(v: Int) = s.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", v).load(t)
+    def leg(n: Int, df: org.apache.spark.sql.DataFrame) = {
+      val nLang = if (df.columns.contains("lang")) count(col("lang"))
+                  else lit(0L)
+      df.agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_id"),
+          sum("n_chars").as("sum_chars"), nLang.as("n_lang"))
+        .select(lit(n.toLong).as("leg"), col("n_docs"), col("sum_id"),
+          col("sum_chars"), col("n_lang"))
+    }
+    Seq(leg(1, read(1)), leg(2, read(2)), leg(3, read(3)),
+        leg(4, read(3).where(col("doc_id").between(100, 399))))
+      .reduce(_.unionAll(_)).orderBy("leg")
+  }
+
   /** Compaction + retention (q151): the q148 log compacted to 2 files
     * (a content-identical overwrite commit — `OPTIMIZE`) and vacuumed
     * to the compacted version only; output is the surviving content.

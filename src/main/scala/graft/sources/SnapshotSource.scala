@@ -7,16 +7,20 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.parquet.io.ColumnIOFactory
-import org.apache.parquet.schema.MessageType
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,7 +70,10 @@ class SnapshotSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new SnapshotDsTable(schema, properties.asScala.toMap)
-  override def supportsExternalMetadata(): Boolean = false
+  // true so the WRITE path hands the query schema straight to getTable —
+  // a first commit targets a directory with no log to infer from (reads
+  // with no user schema still come through inferSchema above)
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 object SnapshotSource {
@@ -115,16 +122,23 @@ object SnapshotSource {
 }
 
 class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private val dir = SnapshotSource.dir(props)
-  private val snapVersion = SnapshotTable.resolveVersion(dir,
-    props.get("versionAsOf").map(_.toInt))
-  override def name(): String = s"graft_snapshot($dir@v$snapVersion)"
+  override def name(): String = s"graft_snapshot($dir)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(dir, snapVersion, tableSchema)
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // version resolution happens HERE, not at table construction — a
+    // write-path table may target a directory whose log does not exist yet
+    val v = SnapshotTable.resolveVersion(dir,
+      props.get("versionAsOf").map(_.toInt))
+    new SnapshotScanBuilder(dir, v, tableSchema)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SnapshotWriteBuilder(dir, info.schema(),
+      Option(info.options.get("statsCol")))
 }
 
 class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType)
@@ -288,4 +302,210 @@ class ParquetGroupReader(path: String, required: StructType)
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** DSv2 WRITE surface — `df.write.format("graft.sources.SnapshotSource")
+  * .mode("append"|"overwrite").save(dir)` commits through the snapshot
+  * log's CAS protocol, so SQL writers get the same atomic-visibility /
+  * time-travel / schema-evolution contract as
+  * [[graft.io.SnapshotTable.commit]]:
+  *
+  *  - executors stage one parquet file per non-empty partition under a
+  *    unique `data/w<uuid>` sub-directory (parquet-hadoop
+  *    ExampleParquetWriter — the writer twin of [[ParquetGroupReader]]);
+  *    nothing is visible until the manifest publishes;
+  *  - `.option("statsCol", c)` folds per-file (min, max) of a long/int
+  *    column INTO the writers while rows stream — the manifest stats
+  *    tier (q154/q214 pruning) costs no post-hoc job;
+  *  - commit() hands the staged file list + stats + declared schema to
+  *    [[SnapshotTable.commitStagedFiles]], which evolves the schema
+  *    (add-column only), carries prior files on append, and CAS-links
+  *    the manifest — a racing writer fails loudly, never clobbers;
+  *  - abort() deletes the staged files; an all-empty write stages one
+  *    zero-row schema-bearing file driver-side (the table stays
+  *    readable, the [[SnapshotTable.delete]] convention).
+  *
+  * SaveMode.Overwrite arrives as the TRUNCATE capability (Spark lowers
+  * overwrite-by-true to truncate), mapping to the log's `overwrite`
+  * action. */
+class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
+                           statsCol: Option[String])
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new SnapshotBatchWrite(dir, writeSchema, overwrite, statsCol)
+  }
+}
+
+object SnapshotWrite {
+  /** Flat-primitive StructType → parquet MessageType, the exact inverse
+    * of [[SnapshotSource.footerSchema]] (all fields optional — the
+    * snapshot tier records every column nullable). */
+  private[sources] def messageType(schema: StructType): MessageType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val fields = schema.fields.map { f =>
+      val b = f.dataType match {
+        case LongType => PTypes.optional(INT64)
+        case TimestampType => PTypes.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
+        case IntegerType => PTypes.optional(INT32)
+        case DateType =>
+          PTypes.optional(INT32).as(LogicalTypeAnnotation.dateType())
+        case DoubleType => PTypes.optional(DOUBLE)
+        case FloatType => PTypes.optional(FLOAT)
+        case BooleanType => PTypes.optional(BOOLEAN)
+        case StringType =>
+          PTypes.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case BinaryType => PTypes.optional(BINARY)
+        case other => throw new IllegalArgumentException(
+          s"unsupported snapshot column type $other for ${f.name}")
+      }
+      b.named(f.name)
+    }
+    new MessageType("spark_schema", fields: _*)
+  }
+
+}
+
+/** Streaming single-file parquet writer over the example-Group API —
+  * rows go straight to the page writers (nothing buffers beyond
+  * parquet's own row groups), per-file stats fold as rows pass.
+  * Shared by the executor [[SnapshotDataWriter]] and the driver-side
+  * empty-commit fallback. */
+private[sources] class ParquetGroupWriter(path: String, schema: StructType,
+                                          statsIdx: Int) {
+  private val msg = SnapshotWrite.messageType(schema)
+  private val factory = new SimpleGroupFactory(msg)
+  private val writer = ExampleParquetWriter
+    .builder(HadoopOutputFile.fromPath(new Path(path), new Configuration()))
+    .withType(msg).build()
+  var mn: Long = Long.MaxValue
+  var mx: Long = Long.MinValue
+  var rows: Long = 0L
+
+  def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema(i)
+        f.dataType match {
+          case LongType | TimestampType => g.add(f.name, row.getLong(i))
+          case IntegerType | DateType => g.add(f.name, row.getInt(i))
+          case DoubleType => g.add(f.name, row.getDouble(i))
+          case FloatType => g.add(f.name, row.getFloat(i))
+          case BooleanType => g.add(f.name, row.getBoolean(i))
+          case StringType => g.add(f.name,
+            Binary.fromString(row.getUTF8String(i).toString))
+          case BinaryType => g.add(f.name,
+            Binary.fromConstantByteArray(row.getBinary(i)))
+          case other => throw new IllegalArgumentException(
+            s"unsupported snapshot column type $other for ${f.name}")
+        }
+        if (i == statsIdx) {
+          val v = f.dataType match {
+            case LongType => row.getLong(i)
+            case IntegerType => row.getInt(i).toLong
+            case other => throw new IllegalArgumentException(
+              s"statsCol must be long/int, got $other")
+          }
+          mn = math.min(mn, v); mx = math.max(mx, v)
+        }
+      } else if (i == statsIdx)
+        throw new IllegalArgumentException(
+          "statsCol may not contain NULLs (file min/max undefined)")
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  def close(): Unit = writer.close()
+}
+
+case class SnapshotCommitMsg(relPath: String, mn: Long, mx: Long,
+                             rows: Long) extends WriterCommitMessage
+
+class SnapshotBatchWrite(dir: String, writeSchema: StructType,
+                         overwrite: Boolean, statsCol: Option[String])
+    extends BatchWrite {
+  // unique staging sub-dir: concurrent writers never collide on file
+  // names, and nothing under data/ is live until a manifest names it
+  private val sub = s"data/w${java.util.UUID.randomUUID().toString.take(8)}"
+  private val statsIdx = statsCol.map { c =>
+    val i = writeSchema.fieldNames.indexOf(c)
+    require(i >= 0, s"statsCol $c not in write schema"); i
+  }.getOrElse(-1)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new SnapshotWriterFactory(dir, sub, writeSchema, statsIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect {
+      case m: SnapshotCommitMsg if m.relPath != null => m
+    }.sortBy(_.relPath)
+    val staged =
+      if (msgs.nonEmpty) msgs.toSeq
+      else {
+        // all partitions empty: stage one zero-row schema-bearing file
+        // so the committed version stays readable (delete() convention)
+        new java.io.File(s"$dir/$sub").mkdirs()
+        val rel = s"$sub/part-empty.parquet"
+        new ParquetGroupWriter(s"$dir/$rel", writeSchema, statsIdx).close()
+        Seq(SnapshotCommitMsg(rel, 0L, -1L, 0L))
+      }
+    val stats = statsCol.map { c =>
+      // an empty file's (MaxValue, MinValue) sentinel prunes always —
+      // harmless and correct (may-contain semantics); normalize the
+      // driver fallback's (0, -1) to the same always-prune shape
+      (c, staged.map(m => if (m.rows == 0L) (Long.MaxValue, Long.MinValue)
+                          else (m.mn, m.mx)))
+    }
+    SnapshotTable.commitStagedFiles(dir, staged.map(_.relPath),
+      writeSchema, overwrite, stats)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SnapshotCommitMsg(rel, _, _, _) if rel != null =>
+        new java.io.File(s"$dir/$rel").delete()
+      case _ =>
+    }
+}
+
+class SnapshotWriterFactory(dir: String, sub: String, schema: StructType,
+                            statsIdx: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new SnapshotDataWriter(dir, sub, schema, statsIdx, partitionId, taskId)
+}
+
+/** One parquet file per NON-EMPTY partition (empty partitions commit a
+  * null message — no zero-row file litter); the parquet writer opens
+  * lazily on the first row and rows stream straight through, stats
+  * folding as they pass — nothing buffers beyond parquet's row groups. */
+class SnapshotDataWriter(dir: String, sub: String, schema: StructType,
+                         statsIdx: Int, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val rel = f"$sub/part-$partitionId%05d-$taskId.parquet"
+  private var w: ParquetGroupWriter = _
+  override def write(row: InternalRow): Unit = {
+    if (w == null) {
+      new java.io.File(s"$dir/$sub").mkdirs()
+      w = new ParquetGroupWriter(s"$dir/$rel", schema, statsIdx)
+    }
+    w.write(row)
+  }
+  override def commit(): WriterCommitMessage =
+    if (w == null) SnapshotCommitMsg(null, 0L, -1L, 0L)
+    else { w.close(); SnapshotCommitMsg(rel, w.mn, w.mx, w.rows) }
+  override def abort(): Unit = {
+    if (w != null) w.close()
+    new java.io.File(s"$dir/$rel").delete()
+  }
+  override def close(): Unit = ()
 }

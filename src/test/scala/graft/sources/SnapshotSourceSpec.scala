@@ -83,6 +83,68 @@ class SnapshotSourceSpec extends SparkSpec {
       .as[(Double, Boolean)].collect().forall(_._2))
   }
 
+  private def save(df: DataFrame, dir: String, mode: String,
+                   statsCol: Option[String] = None): Unit = {
+    val w = df.write.format("graft.sources.SnapshotSource").mode(mode)
+    statsCol.fold(w)(c => w.option("statsCol", c)).save(dir)
+  }
+
+  test("DSv2 write: append/append/overwrite commit through the log, " +
+    "API and DSv2 reads agree, every version time-travels") {
+    val dir = Files.createTempDirectory("graft-dsv2w").toString
+    val rows = (0L until 300L).map(i => (i, s"s${i % 5}", i * 2))
+      .toDF("id", "src", "n")
+    save(rows.where($"id" < 100).repartition(3), dir, "append")
+    save(rows.where($"id" >= 100 && $"id" < 200).repartition(3), dir,
+      "append")
+    assert(SnapshotTable.versions(dir) == Seq(1, 2))
+    assert(load(dir, Some(1)).count() == 100)
+    assert(load(dir).count() == 200)
+    // DSv2 read == API read, per version
+    SnapshotTable.versions(dir).foreach { v =>
+      assert(load(dir, Some(v)).as[(Long, String, Long)].collect().toSet ==
+        SnapshotTable.readSnapshot(spark, dir, Some(v))
+          .as[(Long, String, Long)].collect().toSet, s"v$v")
+    }
+    // overwrite truncates: v3 holds only its own rows
+    save(rows.where($"id" >= 200).repartition(2), dir, "overwrite")
+    assert(load(dir).as[(Long, String, Long)].collect()
+      .forall(_._1 >= 200L))
+    assert(load(dir, Some(2)).count() == 200) // history intact
+  }
+
+  test("DSv2 write: schema evolution (append adds a column, old files " +
+    "null-fill) and writer-folded stats prune the read") {
+    val dir = Files.createTempDirectory("graft-dsv2we").toString
+    save((0L until 200L).map(i => (i, i * 3)).toDF("id", "n")
+      .repartitionByRange(4, $"id"), dir, "append", Some("id"))
+    save((200L until 260L).map(i => (i, i * 3, s"t$i")).toDF("id", "n", "tag")
+      .repartitionByRange(2, $"id"), dir, "append", Some("id"))
+    val df = load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "n", "tag"))
+    assert(df.where($"tag".isNull).count() == 200)
+    assert(df.where($"tag".isNotNull).count() == 60)
+    // stats folded by the WRITERS (no post-hoc job) prune files at
+    // planning time: 6 range-disjoint files, a 40-wide band hits 1-2
+    val filtered = df.where($"id".between(60L, 99L))
+    assert(filtered.rdd.getNumPartitions < 3,
+      s"no pruning: ${filtered.rdd.getNumPartitions}")
+    assert(filtered.count() == 40)
+    assert(filtered.select(sum("id")).as[Long].head() == (60L to 99L).sum)
+    // type change is refused loudly
+    intercept[Exception](save(Seq(("x", 1L)).toDF("id", "n"), dir, "append"))
+  }
+
+  test("DSv2 write: an all-empty write commits a readable empty version") {
+    val dir = Files.createTempDirectory("graft-dsv2wz").toString
+    save((0L until 10L).toDF("id"), dir, "append")
+    save((0L until 10L).toDF("id").where($"id" < 0), dir, "overwrite")
+    assert(SnapshotTable.versions(dir) == Seq(1, 2))
+    assert(load(dir).count() == 0)
+    assert(load(dir).schema.fieldNames.toSeq == Seq("id"))
+    assert(load(dir, Some(1)).count() == 10)
+  }
+
   test("footerSchema maps flat primitives for legacy manifests") {
     val dir = Files.createTempDirectory("graft-dsv2foot").toString
     Seq((1L, "a", 0.5, 3, true)).toDF("l", "s", "d", "i", "b")
