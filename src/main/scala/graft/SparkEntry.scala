@@ -239,6 +239,7 @@ object SparkEntry {
     "q205b_text_embedding_kernel" -> LlmQueries.textEmbeddingKernelLaws,
     "q214_snapshot_sql_read" -> IoQueries.snapshotSqlRead,
     "q218_snapshot_sql_write" -> IoQueries.snapshotSqlWrite,
+    "q219_snapshot_catalog_sql" -> IoQueries.snapshotCatalogSql,
     "q206_fk_discovery" -> LlmQueries.fkDiscovery,
     "q207_skyline" -> LlmQueries.skylineDocs,
     "q208_cohort_retention" -> RelationalQueries.cohortRetention,
@@ -2493,6 +2494,29 @@ ORDER BY d.doc_id""",
         |SELECT 4, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT),
         |  CAST(sum(n_chars) AS BIGINT), CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 5 = 0 AND doc_id BETWEEN 100 AND 399
+        |ORDER BY leg""".stripMargin,
+    // q219: the catalog-SQL lifecycle — v1 = CREATE TABLE's empty
+    // commit, v2 = +%3=0, v3 = +%3=1, v4 = CoW DELETE doc_id < 500
+    // (content = %3 in (0,1) AND doc_id >= 500); v2/v3 prove the
+    // pre-delete history stayed readable.
+    "q219_snapshot_catalog_sql" ->
+      """SELECT 1 AS leg, CAST(0 AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS sum_id, CAST(0 AS BIGINT) AS sum_chars
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id >= 500
         |ORDER BY leg""".stripMargin,
     // q149: v2→v3 change set — added = in v3 not v2, removed = in v2
     // not v3, as doc_id predicates.

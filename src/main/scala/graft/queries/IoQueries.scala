@@ -335,6 +335,45 @@ object IoQueries {
       .reduce(_.unionAll(_)).orderBy("leg")
   }
 
+  /** Snapshot tables through a SQL CATALOG (q219,
+    * [[graft.sources.SnapshotCatalog]]): the full lakehouse lifecycle in
+    * nothing but SQL — `CREATE TABLE` (publishes an empty readable v1),
+    * two `INSERT INTO` append commits, a `DELETE FROM` that lowers
+    * through SupportsDelete to the copy-on-write q157 delete, and
+    * `VERSION AS OF` time travel reading every intermediate state
+    * (including the post-delete proof that history is immutable). This
+    * is the surface Delta/Iceberg users actually operate — q214/q218
+    * cover the path-based reader/writer; this covers the catalog. The
+    * table name is unique per run and dropped at the end, so the fixed
+    * catalog root carries no state between runs. */
+  def snapshotCatalogSql(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", "/tmp/graft-snapcat")
+    val t = "t_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      .take(12)
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .createOrReplaceTempView("q219_src")
+    s.sql(s"CREATE TABLE graft_cat.$t " +
+      "(doc_id BIGINT, source STRING, n_chars BIGINT)")
+    s.sql(s"INSERT INTO graft_cat.$t SELECT doc_id, source, n_chars " +
+      "FROM q219_src WHERE doc_id % 3 = 0")
+    s.sql(s"INSERT INTO graft_cat.$t SELECT doc_id, source, n_chars " +
+      "FROM q219_src WHERE doc_id % 3 = 1")
+    s.sql(s"DELETE FROM graft_cat.$t WHERE doc_id < 500")
+    val legs = (1 to 4).map { v =>
+      s.sql(s"""SELECT $v AS leg, count(*) AS n_docs,
+        coalesce(sum(doc_id), 0) AS sum_id,
+        coalesce(sum(n_chars), 0) AS sum_chars
+        FROM graft_cat.$t VERSION AS OF $v""")
+    }
+    val out = legs.reduce(_.unionAll(_)).orderBy("leg")
+      .localCheckpoint() // materialize before the table drops
+    s.sql(s"DROP TABLE graft_cat.$t")
+    out
+  }
+
   /** Compaction + retention (q151): the q148 log compacted to 2 files
     * (a content-identical overwrite commit — `OPTIMIZE`) and vacuumed
     * to the compacted version only; output is the surviving content.

@@ -17,7 +17,7 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -122,7 +122,7 @@ object SnapshotSource {
 }
 
 class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   private val dir = SnapshotSource.dir(props)
   override def name(): String = s"graft_snapshot($dir)"
   override def schema(): StructType = tableSchema
@@ -139,6 +139,54 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(dir, info.schema(),
       Option(info.options.get("statsCol")))
+
+  /** `DELETE FROM` lowers to the copy-on-write [[SnapshotTable.delete]]
+    * — a new commit rewriting only the touched files; prior versions
+    * stay time-travelable. Only filters expressible as v1 `Filter`s
+    * arrive here (Spark asks [[canDeleteWhere]] first and errors toward
+    * a row-level plan otherwise), and a version-pinned table refuses
+    * (history is immutable — DML targets the latest version). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    props.get("versionAsOf").isEmpty &&
+      filters.forall(SnapshotDelete.toColumn(_).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(props.get("versionAsOf").isEmpty,
+      "DELETE on a VERSION AS OF read: history is immutable")
+    val pred = filters.flatMap(SnapshotDelete.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotTable.delete(
+      org.apache.spark.sql.SparkSession.active, dir, pred)
+  }
+}
+
+/** v1 `Filter` → `Column` translation for the DELETE path — the
+  * standard comparison/null/set/boolean subset; anything else makes
+  * `canDeleteWhere` answer false so Spark fails toward a row-level
+  * plan instead of silently deleting the wrong rows. */
+private[sources] object SnapshotDelete {
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+  def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq.map(lit(_)): _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c) => toColumn(c).map(not)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType)

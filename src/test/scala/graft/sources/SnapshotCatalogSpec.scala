@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.io.SnapshotTable
+
+/** The SQL catalog over snapshot tables: DDL, INSERT commits, CoW
+  * DELETE, VERSION AS OF, and the refusal edges. */
+class SnapshotCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.tcat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.tcat.root", r)
+    r
+  }
+
+  test("CREATE/INSERT/INSERT OVERWRITE/DELETE/VERSION AS OF lifecycle") {
+    root
+    spark.sql("CREATE TABLE tcat.life (id BIGINT, s STRING)")
+    // CREATE published an empty readable v1
+    assert(spark.sql("SELECT * FROM tcat.life").count() == 0)
+    (0L until 100L).map(i => (i, s"a$i")).toDF("id", "s")
+      .createOrReplaceTempView("src100")
+    spark.sql("INSERT INTO tcat.life SELECT * FROM src100 WHERE id < 60")
+    spark.sql("INSERT INTO tcat.life SELECT * FROM src100 WHERE id >= 60")
+    assert(spark.sql("SELECT count(*) FROM tcat.life").as[Long].head() == 100)
+    // CoW DELETE = a new commit; history stays
+    spark.sql("DELETE FROM tcat.life WHERE id < 30")
+    assert(spark.sql("SELECT count(*) FROM tcat.life").as[Long].head() == 70)
+    assert(spark.sql("SELECT min(id) FROM tcat.life").as[Long].head() == 30)
+    val counts = (1 to 4).map(v => spark.sql(
+      s"SELECT count(*) FROM tcat.life VERSION AS OF $v").as[Long].head())
+    assert(counts == Seq(0L, 60L, 100L, 70L))
+    // INSERT OVERWRITE truncates into a fresh version
+    spark.sql("INSERT OVERWRITE tcat.life SELECT * FROM src100 WHERE id = 7")
+    assert(spark.sql("SELECT * FROM tcat.life").as[(Long, String)]
+      .collect().toSeq == Seq((7L, "a7")))
+    assert(spark.sql("SELECT count(*) FROM tcat.life VERSION AS OF 4")
+      .as[Long].head() == 70)
+    spark.sql("DROP TABLE tcat.life")
+    intercept[Exception](spark.sql("SELECT * FROM tcat.life").collect())
+  }
+
+  test("the catalog is stateless: API commits are immediately visible") {
+    root
+    spark.sql("CREATE TABLE tcat.ext (id BIGINT)")
+    SnapshotTable.commit(spark, (0L until 5L).toDF("id"), s"$root/ext")
+    assert(spark.sql("SELECT count(*) FROM tcat.ext").as[Long].head() == 5)
+    spark.sql("DROP TABLE tcat.ext")
+  }
+
+  test("refusals: TIMESTAMP AS OF, untranslatable DELETE, DML on a " +
+    "pinned version, bad segment names") {
+    root
+    spark.sql("CREATE TABLE tcat.ref (id BIGINT)")
+    spark.sql("INSERT INTO tcat.ref VALUES (1), (2), (3)")
+    intercept[Exception](spark.sql(
+      "SELECT * FROM tcat.ref TIMESTAMP AS OF '2026-01-01'").collect())
+    // % is not a v1 Filter: canDeleteWhere says no, Spark errors loudly
+    // instead of deleting the wrong rows
+    intercept[Exception](spark.sql("DELETE FROM tcat.ref WHERE id % 2 = 0"))
+    assert(spark.sql("SELECT count(*) FROM tcat.ref").as[Long].head() == 3)
+    intercept[Exception](
+      spark.sql("SELECT * FROM tcat.`../escape`").collect())
+    spark.sql("DROP TABLE tcat.ref")
+  }
+
+  test("rename + listTables") {
+    root
+    spark.sql("CREATE TABLE tcat.rn1 (id BIGINT)")
+    spark.sql("ALTER TABLE tcat.rn1 RENAME TO rn2")
+    assert(spark.sql("SHOW TABLES IN tcat").collect()
+      .map(_.getString(1)).contains("rn2"))
+    assert(spark.sql("SELECT count(*) FROM tcat.rn2").as[Long].head() == 0)
+    spark.sql("DROP TABLE tcat.rn2")
+  }
+}
