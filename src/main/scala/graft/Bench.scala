@@ -73,7 +73,8 @@ object Bench {
       "q130_streaming_media", "q140_streaming_web_filter",
       "q150_streaming_bottomk", "q153_streaming_snapshot",
       "q161_streaming_cdc", "q165_stream_static_enrich",
-      "q169_stream_stream_join", "q172_streaming_hll")
+      "q169_stream_stream_join", "q172_streaming_hll",
+      "q220_streaming_snapshot_sink")
 
     def report(name: String, xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)

@@ -240,6 +240,7 @@ object SparkEntry {
     "q214_snapshot_sql_read" -> IoQueries.snapshotSqlRead,
     "q218_snapshot_sql_write" -> IoQueries.snapshotSqlWrite,
     "q219_snapshot_catalog_sql" -> IoQueries.snapshotCatalogSql,
+    "q220_streaming_snapshot_sink" -> StreamingQueries.streamingSnapshotSink,
     "q206_fk_discovery" -> LlmQueries.fkDiscovery,
     "q207_skyline" -> LlmQueries.skylineDocs,
     "q208_cohort_retention" -> RelationalQueries.cohortRetention,
@@ -2559,6 +2560,12 @@ ORDER BY d.doc_id""",
     // q153: streaming micro-batch commits into the snapshot table —
     // final visible content is the whole corpus projection.
     "q153_streaming_snapshot" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // q220: the NATIVE streaming sink (no foreachBatch) — same
+    // final-content contract as q153; per-epoch commit mechanics and
+    // exactly-once replay are spec-tested, invisible in the answer.
+    "q220_streaming_snapshot_sink" ->
       """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // q154: manifest-stats pruning never changes results — the range

@@ -271,8 +271,8 @@ object SnapshotTable {
   def commitStagedFiles(dir: String, relFiles: Seq[String],
                         writeSchema: StructType,
                         overwrite: Boolean = false,
-                        stats: Option[(String, Seq[(Long, Long)])] = None)
-      : Int = {
+                        stats: Option[(String, Seq[(Long, Long)])] = None,
+                        epoch: Option[Long] = None): Int = {
     require(relFiles.nonEmpty, "external commit with no staged files")
     logDir(dir).mkdirs()
     val prev = versions(dir)
@@ -289,11 +289,27 @@ object SnapshotTable {
           s"append with statsCol=$c onto version ${prev.last} which has no stats"))
       (c, carried ++ mm)
     }
-    writeManifest(dir, v, if (overwrite) "overwrite" else "append",
-      base ++ relFiles, fullStats,
+    val action = (if (overwrite) "overwrite" else "append") +
+      epoch.fold("")(e => s"@epoch$e")
+    writeManifest(dir, v, action, base ++ relFiles, fullStats,
       evolvedSchemaFrom(dir, prev, writeSchema, overwrite))
     v
   }
+
+  private val EpochRe = """"action":"[a-z]+@epoch(-?\d+)"""".r.unanchored
+
+  /** Stream epochs already committed to the log — the exactly-once
+    * check for the streaming writer: a replayed micro-batch (sink
+    * retry after a commit that DID land) finds its epoch here and
+    * skips, instead of double-appending its rows. O(versions) metadata
+    * reads, never data. */
+  def committedEpochs(dir: String): Set[Long] =
+    versions(dir).flatMap { v =>
+      manifestJson(dir, v) match {
+        case EpochRe(e) => Some(e.toLong)
+        case _ => None
+      }
+    }.toSet
 
   /** Schema-aware reader: a version that recorded its schema is planned
     * FROM THE LOG (no footer sampling; per-file missing columns

@@ -467,6 +467,34 @@ object StreamingQueries {
     graft.io.SnapshotTable.readSnapshot(s, tableDir).orderBy("doc_id")
   }
 
+  /** NATIVE streaming snapshot sink (q220,
+    * [[graft.sources.SnapshotSource]] STREAMING_WRITE): q153's
+    * lakehouse-ingest contract with the connector itself as the sink —
+    * `writeStream.format("graft.sources.SnapshotSource").start(dir)`,
+    * no foreachBatch. Each micro-batch epoch is one append commit
+    * (atomic visibility, every intermediate version time-travelable),
+    * and the epoch id is recorded in the manifest so a REPLAYED epoch
+    * is detected and skipped — the exactly-once pairing q153's
+    * Scaladoc defers to production, implemented and spec-tested
+    * (SnapshotSourceSpec). Final content is read back through the DSv2
+    * READ surface, so the round-trip never leaves the connector. */
+  def streamingSnapshotSink(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageForStream(dir, "documents.parquet", "q220")
+    val stream = EventsStream.fromDirectory(s, srcDir)
+    val tableDir =
+      java.nio.file.Files.createTempDirectory("graft-q220").toString
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft-q220ck").toString
+    val q = stream.select(col("doc_id"), col("source"), col("n_chars"))
+      .writeStream.outputMode("append")
+      .format("graft.sources.SnapshotSource")
+      .option("checkpointLocation", ckpt)
+      .start(tableDir)
+    try q.processAllAvailable() finally q.stop()
+    s.read.format("graft.sources.SnapshotSource").load(tableDir)
+      .orderBy("doc_id")
+  }
+
   /** Streaming CDC upsert ingest (q161,
     * [[graft.io.SnapshotTable.merge]] inside foreachBatch): every
     * micro-batch applies TWO merges to the snapshot table — its rows as

@@ -21,6 +21,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Sup
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -128,7 +129,7 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // version resolution happens HERE, not at table construction — a
     // write-path table may target a directory whose log does not exist yet
@@ -384,7 +385,71 @@ class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new SnapshotBatchWrite(dir, writeSchema, overwrite, statsCol)
+    override def toStreaming: StreamingWrite = {
+      require(!overwrite,
+        "snapshot streaming sink supports outputMode=append only")
+      new SnapshotStreamingWrite(dir, writeSchema, statsCol)
+    }
   }
+}
+
+/** STREAMING sink — `stream.writeStream
+  * .format("graft.sources.SnapshotSource").start(dir)`: every
+  * micro-batch epoch is ONE append commit (atomic per-batch visibility;
+  * every intermediate version time-travelable; per-batch cost flat in
+  * table size — the q153 lakehouse-ingest contract, now native instead
+  * of foreachBatch). EXACTLY-ONCE under sink retries: the epoch id is
+  * recorded in the manifest's action field, and a replayed epoch that
+  * already committed is detected via
+  * [[SnapshotTable.committedEpochs]] and skipped — the batchId-pairing
+  * q153's Scaladoc defers to production is this. An all-empty epoch
+  * commits nothing (no empty-version litter). */
+class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
+                             statsCol: Option[String])
+    extends StreamingWrite {
+  private val sub = s"data/s${java.util.UUID.randomUUID().toString.take(8)}"
+  private val statsIdx = statsCol.map { c =>
+    val i = writeSchema.fieldNames.indexOf(c)
+    require(i >= 0, s"statsCol $c not in write schema"); i
+  }.getOrElse(-1)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new SnapshotStreamingWriterFactory(dir, sub, writeSchema, statsIdx)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect {
+      case m: SnapshotCommitMsg if m.relPath != null => m
+    }.sortBy(_.relPath)
+    if (msgs.isEmpty) return // empty epoch: no version
+    if (SnapshotTable.committedEpochs(dir).contains(epochId)) {
+      // replayed epoch whose commit landed: exactly-once means DROP the
+      // re-staged files, not re-append them
+      msgs.foreach(m => new java.io.File(s"$dir/${m.relPath}").delete())
+      return
+    }
+    val stats = statsCol.map(c => (c, msgs.toSeq.map(m => (m.mn, m.mx))))
+    SnapshotTable.commitStagedFiles(dir, msgs.toSeq.map(_.relPath),
+      writeSchema, overwrite = false, stats, epoch = Some(epochId))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SnapshotCommitMsg(rel, _, _, _) if rel != null =>
+        new java.io.File(s"$dir/$rel").delete()
+      case _ =>
+    }
+}
+
+class SnapshotStreamingWriterFactory(dir: String, sub: String,
+                                     schema: StructType, statsIdx: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(dir, s"$sub/e$epochId", schema, statsIdx,
+      partitionId, taskId)
 }
 
 object SnapshotWrite {

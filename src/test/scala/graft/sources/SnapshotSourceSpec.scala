@@ -145,6 +145,40 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(load(dir, Some(1)).count() == 10)
   }
 
+  test("STREAMING sink: one version per non-empty epoch, content exact, " +
+    "replayed epochs commit exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-dsv2ws").toString
+    val ckpt = Files.createTempDirectory("graft-dsv2wsck").toString
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .format("graft.sources.SnapshotSource")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // one append commit per non-empty epoch, content exact
+    assert(SnapshotTable.versions(dir).size == 2)
+    assert(load(dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(load(dir, Some(1)).count() == 2)
+    // the epoch ids landed in the log, and a REPLAYED epoch is a no-op:
+    // drive the StreamingWrite directly with an already-committed epoch
+    val epochs = SnapshotTable.committedEpochs(dir)
+    assert(epochs.size == 2)
+    val sw = new SnapshotStreamingWrite(dir,
+      load(dir).schema, statsCol = None)
+    sw.commit(epochs.head,
+      Array(SnapshotCommitMsg("data/ghost.parquet", 0L, 0L, 1L)))
+    assert(SnapshotTable.versions(dir).size == 2, "replay double-committed")
+  }
+
   test("footerSchema maps flat primitives for legacy manifests") {
     val dir = Files.createTempDirectory("graft-dsv2foot").toString
     Seq((1L, "a", 0.5, 3, true)).toDF("l", "s", "d", "i", "b")
