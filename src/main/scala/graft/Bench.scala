@@ -74,7 +74,7 @@ object Bench {
       "q150_streaming_bottomk", "q153_streaming_snapshot",
       "q161_streaming_cdc", "q165_stream_static_enrich",
       "q169_stream_stream_join", "q172_streaming_hll",
-      "q220_streaming_snapshot_sink")
+      "q220_streaming_snapshot_sink", "q221_streaming_snapshot_source")
 
     def report(name: String, xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)

@@ -241,6 +241,7 @@ object SparkEntry {
     "q218_snapshot_sql_write" -> IoQueries.snapshotSqlWrite,
     "q219_snapshot_catalog_sql" -> IoQueries.snapshotCatalogSql,
     "q220_streaming_snapshot_sink" -> StreamingQueries.streamingSnapshotSink,
+    "q221_streaming_snapshot_source" -> StreamingQueries.streamingSnapshotSource,
     "q206_fk_discovery" -> LlmQueries.fkDiscovery,
     "q207_skyline" -> LlmQueries.skylineDocs,
     "q208_cohort_retention" -> RelationalQueries.cohortRetention,
@@ -2566,6 +2567,12 @@ ORDER BY d.doc_id""",
     // final-content contract as q153; per-epoch commit mechanics and
     // exactly-once replay are spec-tested, invisible in the answer.
     "q220_streaming_snapshot_sink" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // q221: the streaming SOURCE over the log — everything the stream
+    // delivers across the three append commits must be exactly the
+    // table; incremental planning (added-files-only) is spec-asserted.
+    "q221_streaming_snapshot_source" ->
       """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
     // q154: manifest-stats pruning never changes results — the range

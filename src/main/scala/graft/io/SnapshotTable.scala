@@ -297,6 +297,17 @@ object SnapshotTable {
   }
 
   private val EpochRe = """"action":"[a-z]+@epoch(-?\d+)"""".r.unanchored
+  private val ActionRe = """"action":"([a-z]+)""".r.unanchored
+
+  /** The commit kind recorded at `v` — "append" or "overwrite" (epoch
+    * suffixes stripped). The streaming SOURCE branches on this: append
+    * versions feed incrementally, anything else fails loudly. */
+  def readAction(dir: String, v: Int): String =
+    manifestJson(dir, v) match {
+      case ActionRe(a) => a
+      case json => throw new IllegalStateException(
+        s"corrupt manifest v$v in $dir: $json")
+    }
 
   /** Stream epochs already committed to the log — the exactly-once
     * check for the streaming writer: a replayed micro-batch (sink

@@ -495,6 +495,39 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** STREAMING source over the snapshot log (q221,
+    * [[graft.sources.SnapshotSource]] MICRO_BATCH_READ): the
+    * incremental-consumer side of the connector — `readStream
+    * .format(...).load(tableDir)` feeds each APPEND commit as a
+    * micro-batch, planned as the manifest set-difference (added files
+    * only; carried-forward files never re-read — the reason tailing a
+    * 100 TB table costs the delta, not the table). Two versions exist
+    * before the stream starts, the third commits while it runs and
+    * arrives incrementally; offsets are version numbers, so a
+    * checkpoint restart resumes mid-log. Rewriting commits refuse
+    * loudly (spec-tested); the CDC view (q161) serves change-consuming
+    * readers. Output = everything the stream delivered, which must be
+    * exactly the table — the identity oracle. */
+  def streamingSnapshotSource(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = java.nio.file.Files.createTempDirectory("graft-q221").toString
+    def slice(r: Int) = docs.where(pmod(col("doc_id"), lit(3L)) === r)
+    graft.io.SnapshotTable.commit(s, slice(0), t)
+    graft.io.SnapshotTable.commit(s, slice(1), t)
+    val sink = "q221_sink_" +
+      java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val q = s.readStream.format("graft.sources.SnapshotSource").load(t)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      graft.io.SnapshotTable.commit(s, slice(2), t) // arrives live
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy("doc_id")
+  }
+
   /** Streaming CDC upsert ingest (q161,
     * [[graft.io.SnapshotTable.merge]] inside foreachBatch): every
     * micro-batch applies TWO merges to the snapshot table — its rows as

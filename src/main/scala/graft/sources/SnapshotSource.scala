@@ -21,6 +21,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Sup
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -129,7 +130,8 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // version resolution happens HERE, not at table construction — a
     // write-path table may target a directory whose log does not exist yet
@@ -239,12 +241,13 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType)
   override def build(): Scan = {
     val files = SnapshotTable.manifestFiles(dir, version, bounds)
       .map(f => s"$dir/$f")
-    SnapshotScan(files, required, version,
+    SnapshotScan(dir, files, required, version,
       statsCol.filter(_ => bounds.nonEmpty))
   }
 }
 
-case class SnapshotScan(files: Seq[String], required: StructType,
+case class SnapshotScan(dir: String, files: Seq[String],
+                        required: StructType,
                         version: Int, prunedOn: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -257,6 +260,58 @@ case class SnapshotScan(files: Seq[String], required: StructType,
     files.map(SnapshotFilePartition).toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new SnapshotMicroBatchStream(dir, required)
+}
+
+/** Offset = a snapshot VERSION — the log is already a totally-ordered
+  * changelog, so stream progress is just "versions consumed". */
+case class SnapshotVersionOffset(v: Int) extends StreamingOffset {
+  override def json(): String = v.toString
+}
+
+/** STREAMING SOURCE over the snapshot log — `spark.readStream
+  * .format("graft.sources.SnapshotSource").load(dir)` feeds each
+  * APPEND commit as a micro-batch (the incremental-consumer pattern:
+  * a downstream training-data refresh tails the table instead of
+  * rescanning it; Delta's streaming source contract). A batch's rows
+  * are exactly the files the manifest ADDED in (start, end] — set
+  * difference of manifests, never directory listings, and carried-
+  * forward files are never re-read. Non-append versions (overwrite,
+  * CoW DELETE/UPDATE/MERGE rewrites, compaction) fail LOUDLY: they
+  * rewrite history, which an append feed cannot represent — the same
+  * refusal Delta makes without ignoreChanges; the CDC view (q161) is
+  * the operator for change-consuming readers. Offsets are version
+  * numbers, so restart-from-checkpoint resumes mid-log for free. */
+class SnapshotMicroBatchStream(dir: String, required: StructType)
+    extends MicroBatchStream {
+  override def initialOffset(): StreamingOffset = SnapshotVersionOffset(0)
+  override def latestOffset(): StreamingOffset =
+    SnapshotVersionOffset(SnapshotTable.versions(dir).lastOption.getOrElse(0))
+  override def deserializeOffset(json: String): StreamingOffset =
+    SnapshotVersionOffset(json.trim.toInt)
+  override def planInputPartitions(start: StreamingOffset,
+                                   end: StreamingOffset)
+      : Array[InputPartition] = {
+    val from = start.asInstanceOf[SnapshotVersionOffset].v
+    val until = end.asInstanceOf[SnapshotVersionOffset].v
+    ((from + 1) to until).flatMap { v =>
+      require(SnapshotTable.readAction(dir, v) == "append",
+        s"version $v is '${SnapshotTable.readAction(dir, v)}': the " +
+          "streaming source feeds append-only logs — rewrites need the " +
+          "CDC view")
+      val prev: Set[String] =
+        if (v == 1) Set.empty
+        else SnapshotTable.manifestFiles(dir, v - 1).toSet
+      SnapshotTable.manifestFiles(dir, v).filterNot(prev)
+        .map(f => SnapshotFilePartition(s"$dir/$f"))
+    }.toArray[InputPartition]
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required)
+  override def commit(end: StreamingOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class SnapshotFilePartition(path: String) extends InputPartition

@@ -179,6 +179,30 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(SnapshotTable.versions(dir).size == 2, "replay double-committed")
   }
 
+  test("STREAMING source: append versions feed incrementally, " +
+    "carried-forward files never re-read, rewrites refuse") {
+    val dir = Files.createTempDirectory("graft-dsv2rs").toString
+    SnapshotTable.commit(spark, (0L until 40L).toDF("id"), dir)
+    SnapshotTable.commit(spark, (40L until 70L).toDF("id"), dir)
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .load(dir)
+      .writeStream.format("memory").queryName("snap_rs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_rs").count() == 70)
+      // a commit landing while the stream runs arrives incrementally:
+      // only v3's ADDED files feed (70 rows stay, 5 arrive once)
+      SnapshotTable.commit(spark, (70L until 75L).toDF("id"), dir)
+      q.processAllAvailable()
+      assert(spark.table("snap_rs").as[Long].collect().sorted.toSeq ==
+        (0L until 75L))
+      // a rewrite (CoW delete) breaks the append-only contract loudly
+      SnapshotTable.delete(spark, dir, $"id" < 10)
+      intercept[Exception] { q.processAllAvailable() }
+    } finally q.stop()
+  }
+
   test("footerSchema maps flat primitives for legacy manifests") {
     val dir = Files.createTempDirectory("graft-dsv2foot").toString
     Seq((1L, "a", 0.5, 3, true)).toDF("l", "s", "d", "i", "b")
