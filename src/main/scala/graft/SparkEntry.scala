@@ -252,6 +252,7 @@ object SparkEntry {
     "q213_incremental_exact" -> LlmQueries.incrementalExactDedup,
     "q215_bpe_train" -> LlmQueries.bpeTrain,
     "q216_graph_ann" -> LlmQueries.graphAnn,
+    "q222_graph_ann_indexed" -> LlmQueries.graphAnnIndexed,
     "q217_bpe_tokenize" -> LlmQueries.bpeTokenize,
   )
 
@@ -2498,27 +2499,43 @@ ORDER BY d.doc_id""",
         |FROM documents WHERE doc_id % 5 = 0 AND doc_id BETWEEN 100 AND 399
         |ORDER BY leg""".stripMargin,
     // q219: the catalog-SQL lifecycle — v1 = CREATE TABLE's empty
-    // commit, v2 = +%3=0, v3 = +%3=1, v4 = CoW DELETE doc_id < 500
-    // (content = %3 in (0,1) AND doc_id >= 500); v2/v3 prove the
-    // pre-delete history stayed readable.
+    // commit, v2 = +%3=0, v3 = +%3=1, v4 = CoW DELETE doc_id < 250
+    // (content = %3 in (0,1) AND doc_id >= 250); v5 = ALTER TABLE ADD
+    // COLUMN lang (metadata-only: same rows as v4, all lang NULL); v6 =
+    // +%3=2 ∧ ≥250 rows WITH lang='xx' (n_lang counts exactly those —
+    // pre-ALTER files null-fill). v2/v3 prove the pre-delete history
+    // stayed readable; v4 proves it keeps its pre-ALTER schema.
     "q219_snapshot_catalog_sql" ->
       """SELECT 1 AS leg, CAST(0 AS BIGINT) AS n_docs,
-        |  CAST(0 AS BIGINT) AS sum_id, CAST(0 AS BIGINT) AS sum_chars
+        |  CAST(0 AS BIGINT) AS sum_id, CAST(0 AS BIGINT) AS sum_chars,
+        |  CAST(0 AS BIGINT) AS n_lang
         |UNION ALL
         |SELECT 2, CAST(count(*) AS BIGINT),
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
-        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT), CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 3 = 0
         |UNION ALL
         |SELECT 3, CAST(count(*) AS BIGINT),
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
-        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT), CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 3 IN (0, 1)
         |UNION ALL
         |SELECT 4, CAST(count(*) AS BIGINT),
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
-        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
-        |FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id >= 500
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id >= 250
+        |UNION ALL
+        |SELECT 5, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1) AND doc_id >= 250
+        |UNION ALL
+        |SELECT 6, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END),
+        |    0) AS BIGINT)
+        |FROM documents WHERE doc_id >= 250
         |ORDER BY leg""".stripMargin,
     // q149: v2→v3 change set — added = in v3 not v2, removed = in v2
     // not v3, as doc_id predicates.
@@ -2766,6 +2783,7 @@ ORDER BY d.doc_id""",
     "q134_phrase_tokenize" -> q134ApplyPhrasesOracle(rounds = 2),
     "q215_bpe_train" -> q215BpeTrainOracle(merges = 8),
     "q216_graph_ann" -> q216GraphAnnOracle(),
+    "q222_graph_ann_indexed" -> q222GraphAnnIndexedOracle(),
     "q217_bpe_tokenize" -> q217BpeTokenizeOracle(merges = 6),
     // q135: the q79 pipeline's train split semi-joined into the q125
     // manifest chain — thresholds re-derived on the deduped kept set.
@@ -4175,7 +4193,13 @@ FROM sig ORDER BY doc_id"""
              d1 - 1 AS d
       FROM (SELECT vec_id, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) AS d1 FROM embeddings)),
-w AS (SELECT p, d, ${h("p::VARCHAR || ':' || d::VARCHAR", 7)} % 1000 - 500 AS w
+$q138EdgeCtesAfterEx"""
+
+  /** The q138 edge chain MINUS its `ex` fixed-point CTE — for oracles
+    * that already define the identical `ex` through [[kmeansCtes]]
+    * (q222 composes both; duplicate CTE names are a binder error). */
+  private def q138EdgeCtesAfterEx: String =
+    s"""w AS (SELECT p, d, ${h("p::VARCHAR || ':' || d::VARCHAR", 7)} % 1000 - 500 AS w
       FROM range(0, 32) tp(p), (SELECT DISTINCT d FROM ex) td),
 proj AS (SELECT vec_id, p, sum(xi * w) AS proj
          FROM ex JOIN w USING (d) GROUP BY 1, 2),
@@ -4248,6 +4272,64 @@ SELECT query_id, rn, node AS neighbor_id, sim FROM (
   SELECT query_id, node, sim, CAST(row_number() OVER (
       PARTITION BY query_id ORDER BY sim DESC, node) AS BIGINT) AS rn
   FROM b$rounds)
+WHERE rn <= $k ORDER BY query_id, rn"""
+  }
+
+  /** q222 oracle: the q216 beam search replayed over the PERSISTED-
+    * lifecycle inputs — the q138 edge chain (its `ex` shared with the
+    * k-means CTEs: identical fixed-point explode) plus the coarse-
+    * quantizer entry points (per trained centroid, the corpus node with
+    * the best exact-integer cosine to it, vec_id tie-break — the
+    * [[graft.llm.Similarity.centroidEntryPoints]] selection), then the
+    * same `rounds` expansion rounds (CTEs g-prefixed: the k-means chain
+    * already owns sc0/sc1). The artifact round-trips through two
+    * snapshot tables engine-side; content is deterministic, so this
+    * oracle pins BOTH the build that was persisted and the search that
+    * reads it. */
+  private def q222GraphAnnIndexedOracle(rounds: Int = 4, beam: Int = 8,
+                                        k: Int = 5): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""gnb$r AS (SELECT DISTINCT b.query_id, a.dst AS node
+  FROM gb${r - 1} b JOIN ua a ON a.src = b.node),
+gsc$r AS (SELECT nb.query_id, nb.node,
+    round(list_cosine_similarity(q.q_emb, n.embedding), 4) AS sim
+  FROM gnb$r nb JOIN q USING (query_id)
+       JOIN embeddings n ON n.vec_id = nb.node
+  WHERE nb.node <> nb.query_id),
+gb$r AS (SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY sim DESC, node) AS rn
+    FROM (SELECT query_id, node, sim FROM gb${r - 1}
+          UNION SELECT query_id, node, sim FROM gsc$r))
+  WHERE rn <= $beam)"""
+    }.mkString(",\n")
+    s"""WITH ${kmeansCtes(8, 2)},
+$q138EdgeCtesAfterEx,
+ua AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 10),
+cdot AS (SELECT e2.vec_id, c.cid, CAST(sum(e2.xi * c.m) AS BIGINT) AS dot
+         FROM ex e2 JOIN cent1 c USING (d) GROUP BY 1, 2),
+entry AS (SELECT DISTINCT node FROM (
+    SELECT vec_id AS node FROM (
+      SELECT cd.vec_id, cd.cid, row_number() OVER (PARTITION BY cd.cid
+        ORDER BY round(cd.dot / (sqrt(CAST(x.nx AS DOUBLE))
+          * sqrt(CAST(n.nm AS DOUBLE))), 4) DESC, cd.vec_id) AS rn
+      FROM cdot cd JOIN nm1 n USING (cid) JOIN nx x USING (vec_id))
+    WHERE rn = 1)),
+gb0 AS (SELECT query_id, node, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY sim DESC, node) AS rn
+    FROM (SELECT q.query_id, en.node,
+            round(list_cosine_similarity(q.q_emb, n.embedding), 4) AS sim
+          FROM q, entry en JOIN embeddings n ON n.vec_id = en.node
+          WHERE en.node <> q.query_id))
+  WHERE rn <= $beam),
+$roundCtes
+SELECT query_id, rn, node AS neighbor_id, sim FROM (
+  SELECT query_id, node, sim, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node) AS BIGINT) AS rn
+  FROM gb$rounds)
 WHERE rn <= $k ORDER BY query_id, rn"""
   }
 

@@ -85,18 +85,36 @@ object SnapshotBloom {
     if (perFile.nonEmpty && byRel.isEmpty) throw new IllegalStateException(
       s"bloom build: no aggregated file path resolves under $root " +
         s"(first: ${perFile.head._1})")
-    // A manifest file MISSING from the aggregate is legitimate: Spark can
-    // write zero-row part files, and groupBy(input_file_name) emits no
-    // row for them. Their correct index entry is an EMPTY bloom
-    // (mightContain always false → always pruned — an empty file can't
-    // contain the needle).
+    // A manifest file MISSING from the aggregate is legitimate ONLY if
+    // it is genuinely zero-row: Spark can write empty part files, and
+    // groupBy(input_file_name) emits no row for them — their correct
+    // index entry is an EMPTY bloom (mightContain always false → always
+    // pruned; an empty file can't contain the needle). But the same
+    // absence also results from a PATH-CANONICALIZATION miss (symlinked
+    // roots, odd URIs), and an empty bloom there silently drops every
+    // lookup into that file's rows. Disambiguate with ground truth: the
+    // parquet footer's record count. Non-empty unmatched file → loud
+    // failure (the pre-round-10 behavior), never a silently-wrong index.
     lazy val emptyBloom: String = {
       val bos = new java.io.ByteArrayOutputStream()
       BloomFilter.create(1, fpp).writeTo(bos)
       Base64.getEncoder.encodeToString(bos.toByteArray)
     }
+    def footerRows(rel: String): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/$rel"),
+          new org.apache.hadoop.conf.Configuration()))
+      try r.getRecordCount finally r.close()
+    }
     val blooms = files.map { mf =>
-      byRel.get(mf).map(Base64.getEncoder.encodeToString).getOrElse(emptyBloom)
+      byRel.get(mf).map(Base64.getEncoder.encodeToString).getOrElse {
+        val n = footerRows(mf)
+        if (n != 0L) throw new IllegalStateException(
+          s"bloom build: $mf holds $n rows but no aggregated bloom " +
+            s"mapped onto it — path canonicalization mismatch under $root")
+        emptyBloom
+      }
     }
     val json = s"""{"bloom_col":"$col","files":[${files
         .map(f => "\"" + f + "\"").mkString(",")}],"blooms":[${blooms

@@ -272,7 +272,7 @@ object SnapshotTable {
                         writeSchema: StructType,
                         overwrite: Boolean = false,
                         stats: Option[(String, Seq[(Long, Long)])] = None,
-                        epoch: Option[Long] = None): Int = {
+                        txn: Option[(String, Long)] = None): Int = {
     require(relFiles.nonEmpty, "external commit with no staged files")
     logDir(dir).mkdirs()
     val prev = versions(dir)
@@ -289,14 +289,18 @@ object SnapshotTable {
           s"append with statsCol=$c onto version ${prev.last} which has no stats"))
       (c, carried ++ mm)
     }
+    txn.foreach { case (qid, _) =>
+      require(qid.matches("[A-Za-z0-9_-]+"),
+        s"txn query id '$qid' would corrupt the manifest action field") }
     val action = (if (overwrite) "overwrite" else "append") +
-      epoch.fold("")(e => s"@epoch$e")
+      txn.fold("") { case (qid, e) => s"@txn$qid:epoch$e" }
     writeManifest(dir, v, action, base ++ relFiles, fullStats,
       evolvedSchemaFrom(dir, prev, writeSchema, overwrite))
     v
   }
 
-  private val EpochRe = """"action":"[a-z]+@epoch(-?\d+)"""".r.unanchored
+  private val TxnRe =
+    """"action":"[a-z]+@txn([A-Za-z0-9_-]+):epoch(-?\d+)"""".r.unanchored
   private val ActionRe = """"action":"([a-z]+)""".r.unanchored
 
   /** The commit kind recorded at `v` — "append" or "overwrite" (epoch
@@ -309,15 +313,24 @@ object SnapshotTable {
         s"corrupt manifest v$v in $dir: $json")
     }
 
-  /** Stream epochs already committed to the log — the exactly-once
-    * check for the streaming writer: a replayed micro-batch (sink
-    * retry after a commit that DID land) finds its epoch here and
-    * skips, instead of double-appending its rows. O(versions) metadata
+  /** Stream epochs already committed to the log BY `queryId` — the
+    * exactly-once check for the streaming writer: a replayed
+    * micro-batch (sink retry after a commit that DID land) finds its
+    * (query, epoch) pair here and skips, instead of double-appending
+    * its rows. Keyed by the pair, not the epoch alone: a different
+    * streaming query (fresh checkpoint) writing to the same table
+    * restarts at epoch 0 and must not collide with this one's epoch 0
+    * — Delta's txnAppId+version idempotence. O(versions) metadata
     * reads, never data. */
-  def committedEpochs(dir: String): Set[Long] =
+  def committedEpochs(dir: String, queryId: String): Set[Long] =
+    committedTxns(dir).collect { case (q, e) if q == queryId => e }
+
+  /** Every (queryId, epoch) pair recorded in the log — the full txn
+    * ledger [[committedEpochs]] filters. */
+  def committedTxns(dir: String): Set[(String, Long)] =
     versions(dir).flatMap { v =>
       manifestJson(dir, v) match {
-        case EpochRe(e) => Some(e.toLong)
+        case TxnRe(qid, e) => Some((qid, e.toLong))
         case _ => None
       }
     }.toSet

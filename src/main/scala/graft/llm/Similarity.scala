@@ -1335,7 +1335,6 @@ object Similarity {
                       hasher: SeededHash = XxSeededHash,
                       storageLevel: StorageLevel =
                         StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    require(beam >= k, s"beam=$beam must be >= k=$k")
     val g = knnGraph(corpus, graphK, tables, planesPerTable,
       hasher = hasher, storageLevel = storageLevel)
     // materialize the (expensive) graph build ONCE before fanning out:
@@ -1345,9 +1344,31 @@ object Similarity {
     // ~3× the q138 build at 200k vectors; an eager checkpoint pins it
     // to exactly one execution
     val edges = g.select(col("src"), col("dst")).localCheckpoint()
+    val entry = corpus.orderBy("vec_id").limit(entryPoints)
+      .select(col("vec_id").as("node"))
+    graphSearchIndexed(queries, corpus, edges, entry, k, beam, rounds)
+  }
+
+  /** Beam search over a PREBUILT graph — the search half of
+    * [[graphSearchTopK]], split out so the graph can be a PERSISTED
+    * artifact (the [[writeGraphIndex]]/[[readGraphIndex]] lifecycle:
+    * build once, search every batch). `edges` is the directed (src,
+    * dst) edge list (made undirected here — NSW expansion walks both
+    * ways), `entry` the (node) entry-point set — from the coarse
+    * quantizer's centroid-nearest nodes ([[centroidEntryPoints]]) in
+    * the indexed lifecycle, lowest-ids in the in-query form. Search
+    * cost is O(rounds · Q · beam · degree) score evaluations plus one
+    * corpus-scan lookup join per round, INDEPENDENT of how the graph
+    * was built and of corpus size beyond the scan — the property that
+    * makes graph ANN the high-recall scale path. */
+  def graphSearchIndexed(queries: DataFrame, corpus: DataFrame,
+                         edges: DataFrame, entry: DataFrame, k: Int,
+                         beam: Int = 8, rounds: Int = 4): DataFrame = {
+    require(beam >= k, s"beam=$beam must be >= k=$k")
+    val e = edges.select(col("src"), col("dst"))
     // undirected adjacency, deduped — walkable both directions
-    val adj = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
@@ -1366,9 +1387,8 @@ object Similarity {
       df.withColumn("rn", row_number().over(w)).where(col("rn") <= beam)
         .select("query_id", "node", "sim")
     }
-    val entry = corpus.orderBy("vec_id").limit(entryPoints)
-      .select(col("vec_id").as("node"))
-    var beamDf = topB(score(q.select("query_id").crossJoin(entry)))
+    var beamDf = topB(score(q.select("query_id")
+        .crossJoin(entry.select(col("node")))))
       .localCheckpoint()
     (1 to rounds).foreach { _ =>
       val nbrs = beamDf.select("query_id", "node")
@@ -1385,4 +1405,70 @@ object Similarity {
       .select(col("query_id"), col("rn"), col("node").as("neighbor_id"),
         col("sim"))
   }
+
+  /** ENTRY POINTS from the coarse quantizer — for each trained k-means
+    * centroid, the corpus node nearest to it (the production NSW entry
+    * heuristic: start the walk at a hub of each density region instead
+    * of arbitrary ids). Same fixed-point geometry as the trainer
+    * (exact integer dot / norms, 4-dp rounding, vec_id tie-break), so
+    * the selection replays exactly in the oracle. Shape: the centroid
+    * frame broadcasts (k×dims rows); the corpus streams once through
+    * the dot aggregation — a BUILD-time cost, persisted with the
+    * graph. */
+  def centroidEntryPoints(corpus: DataFrame, numCentroids: Int = 8,
+                          iters: Int = 2,
+                          hasher: SeededHash = XxSeededHash): DataFrame = {
+    val (_, cent) = kmeansTrain(corpus, numCentroids, iters, hasher)
+    val nm = cent.groupBy("cid").agg(sum(col("m") * col("m")).as("nm"))
+    val exc = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * 1000).cast("long").as("xi"))
+    val nx = exc.groupBy("vec_id").agg(sum(col("xi") * col("xi")).as("nx"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("csim").desc, col("vec_id"))
+    exc.join(broadcast(cent), "d")
+      .groupBy("vec_id", "cid").agg(sum(col("xi") * col("m")).as("dot"))
+      .join(broadcast(nm), "cid")
+      .join(nx, "vec_id")
+      .withColumn("csim", round(col("dot").cast("double") /
+        (sqrt(col("nx").cast("double")) * sqrt(col("nm").cast("double"))), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id").as("node")).distinct()
+  }
+
+  /** Persist the graph-ANN index: the [[knnGraph]] edge list and the
+    * [[centroidEntryPoints]] entry set, each committed as a SNAPSHOT
+    * TABLE through the DSv2 write surface (`$dir/edges`, `$dir/entries`
+    * — the q218 writer dogfooded as the index store, so the artifact
+    * gets atomic publish, time travel, and manifest-planned reads for
+    * free). The q142 build-once/search-every-batch lifecycle applied to
+    * the graph leg: at 100 TB the build (LSH collisions + top-k, the
+    * q138 cost) runs once per corpus refresh; every search reads the
+    * edge table — metadata-planned, corpus-build never repeated. */
+  def writeGraphIndex(corpus: DataFrame, dir: String, graphK: Int = 5,
+                      tables: Int = 4, planesPerTable: Int = 8,
+                      numCentroids: Int = 8, iters: Int = 2,
+                      hasher: SeededHash = XxSeededHash,
+                      storageLevel: StorageLevel =
+                        StorageLevel.MEMORY_AND_DISK): Unit = {
+    val g = knnGraph(corpus, graphK, tables, planesPerTable,
+      hasher = hasher, storageLevel = storageLevel)
+    g.select(col("src"), col("dst"))
+      .write.format("graft.sources.SnapshotSource")
+      .mode("overwrite").save(s"$dir/edges")
+    centroidEntryPoints(corpus, numCentroids, iters, hasher)
+      .write.format("graft.sources.SnapshotSource")
+      .mode("overwrite").save(s"$dir/entries")
+  }
+
+  /** Load a [[writeGraphIndex]] artifact: (edges, entries), both read
+    * through the DSv2 snapshot source (manifest-planned, never a
+    * directory listing). */
+  def readGraphIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (DataFrame, DataFrame) =
+    (spark.read.format("graft.sources.SnapshotSource").load(s"$dir/edges"),
+      spark.read.format("graft.sources.SnapshotSource")
+        .load(s"$dir/entries"))
 }

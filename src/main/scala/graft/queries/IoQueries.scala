@@ -344,12 +344,21 @@ object IoQueries {
     * (including the post-delete proof that history is immutable). This
     * is the surface Delta/Iceberg users actually operate — q214/q218
     * cover the path-based reader/writer; this covers the catalog. The
-    * table name is unique per run and dropped at the end, so the fixed
-    * catalog root carries no state between runs. */
+    * fifth leg reads across an `ALTER TABLE ADD COLUMN` — a
+    * metadata-only schema-evolving empty commit (v5), after which one
+    * more INSERT populates the new column (v6) while every pre-ALTER
+    * file null-fills it; `VERSION AS OF` still reads v4 with its
+    * pre-ALTER schema (history keeps the schema it had). The catalog
+    * root is a per-JVM temp directory (catalog instances are cached
+    * per session, so the root must be stable within one JVM — but a
+    * crashed run must not leak state into a fixed world-writable
+    * path); table names are unique per run and dropped in a finally. */
+  private lazy val catalogRoot: String =
+    Files.createTempDirectory("graft-snapcat").toString
   def snapshotCatalogSql(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.catalog.graft_cat",
       "graft.sources.SnapshotCatalog")
-    s.conf.set("spark.sql.catalog.graft_cat.root", "/tmp/graft-snapcat")
+    s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
     val t = "t_" + java.util.UUID.randomUUID.toString.replace("-", "")
       .take(12)
     table(s, dir, "documents")
@@ -357,21 +366,28 @@ object IoQueries {
       .createOrReplaceTempView("q219_src")
     s.sql(s"CREATE TABLE graft_cat.$t " +
       "(doc_id BIGINT, source STRING, n_chars BIGINT)")
-    s.sql(s"INSERT INTO graft_cat.$t SELECT doc_id, source, n_chars " +
-      "FROM q219_src WHERE doc_id % 3 = 0")
-    s.sql(s"INSERT INTO graft_cat.$t SELECT doc_id, source, n_chars " +
-      "FROM q219_src WHERE doc_id % 3 = 1")
-    s.sql(s"DELETE FROM graft_cat.$t WHERE doc_id < 500")
-    val legs = (1 to 4).map { v =>
-      s.sql(s"""SELECT $v AS leg, count(*) AS n_docs,
-        coalesce(sum(doc_id), 0) AS sum_id,
-        coalesce(sum(n_chars), 0) AS sum_chars
-        FROM graft_cat.$t VERSION AS OF $v""")
-    }
-    val out = legs.reduce(_.unionAll(_)).orderBy("leg")
-      .localCheckpoint() // materialize before the table drops
-    s.sql(s"DROP TABLE graft_cat.$t")
-    out
+    try {
+      s.sql(s"INSERT INTO graft_cat.$t SELECT doc_id, source, n_chars " +
+        "FROM q219_src WHERE doc_id % 3 = 0")
+      s.sql(s"INSERT INTO graft_cat.$t SELECT doc_id, source, n_chars " +
+        "FROM q219_src WHERE doc_id % 3 = 1")
+      s.sql(s"DELETE FROM graft_cat.$t WHERE doc_id < 250")
+      s.sql(s"ALTER TABLE graft_cat.$t ADD COLUMN lang STRING")
+      s.sql(s"INSERT INTO graft_cat.$t " +
+        "SELECT doc_id, source, n_chars, lang " +
+        "FROM (SELECT d.*, 'xx' AS lang FROM q219_src d) " +
+        "WHERE doc_id % 3 = 2 AND doc_id >= 250")
+      val legs = (1 to 6).map { v =>
+        val nLang = if (v >= 5) "count(lang)" else "0"
+        s.sql(s"""SELECT $v AS leg, count(*) AS n_docs,
+          coalesce(sum(doc_id), 0) AS sum_id,
+          coalesce(sum(n_chars), 0) AS sum_chars,
+          $nLang AS n_lang
+          FROM graft_cat.$t VERSION AS OF $v""")
+      }
+      legs.reduce(_.unionAll(_)).orderBy("leg")
+        .localCheckpoint() // materialize before the table drops
+    } finally s.sql(s"DROP TABLE graft_cat.$t")
   }
 
   /** Compaction + retention (q151): the q148 log compacted to 2 files

@@ -614,6 +614,66 @@ object LlmQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Graph-walk ANN over a PERSISTED graph (q222,
+    * [[graft.llm.Similarity.graphSearchIndexed]]): the q142
+    * build-once/search-every-batch lifecycle applied to q216 — the
+    * q138 edge list and the coarse-quantizer entry points (nearest
+    * node per trained k-means centroid,
+    * [[graft.llm.Similarity.centroidEntryPoints]] — the production
+    * entry heuristic q216's lowest-ids stand in for) are committed
+    * ONCE as snapshot tables through the DSv2 write surface (q218
+    * dogfooded as the index store), and the query SEARCHES the
+    * reloaded artifact: 4 beam rounds whose cost is
+    * O(rounds·Q·beam·degree) score evaluations plus one corpus-scan
+    * lookup join per round — independent of the build, the registered
+    * witness for "graph-ANN search cost does not grow with the
+    * corpus". The artifact caches per (corpus dir, params) under the
+    * JVM temp root — deterministic by construction (portable hash,
+    * fixed-point k-means), so build-if-absent is idempotent; a 100 TB
+    * deployment refreshes it per corpus version, exactly like the q142
+    * IVF store and the q171 BM25 postings. The oracle replays BOTH
+    * halves (graph build + k-means entries + beam rounds), so a fault
+    * in either the persisted artifact or the search hash-mismatches. */
+  /** Build-if-absent the persisted graph-ANN artifact for `dir`'s
+    * embeddings (q222's lifecycle), cached per (corpus dir, params)
+    * under the JVM temp root — deterministic content (portable hash,
+    * fixed-point k-means), so rebuild-on-miss is idempotent and any
+    * consumer (q222's search, q131/q164's graph legs) may share it.
+    * Returns the index directory. */
+  private def graphIndexDir(s: SparkSession, dir: String): String = {
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft-graphidx-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|k5|t4|p8|c8|i2|portable".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)).toString
+    if (graft.io.SnapshotTable.versions(s"$idx/edges").isEmpty)
+      Similarity.writeGraphIndex(table(s, dir, "embeddings"), idx,
+        hasher = graft.llm.PortableSeededHash)
+    idx
+  }
+
+  def graphAnnIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val (edges, entries) = Similarity.readGraphIndex(s, graphIndexDir(s, dir))
+    Similarity.graphSearchIndexed(emb.where(col("vec_id") < 10), emb,
+        edges, entries, k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  /** The q131/q164 `graph` leg served from the PERSISTED artifact:
+    * bit-identical output to the in-query `graphSearchTopK` (same edge
+    * list, same lowest-id entry set — SimilaritySpec pins the equality)
+    * without re-running the q138 build inside every report; the reports
+    * keep their oracles verbatim and drop the build cost, the q142
+    * amortization the round-10 verdict predicted. */
+  private def graphLeg(s: SparkSession, dir: String, q: DataFrame,
+                       emb: DataFrame): DataFrame = {
+    val (edges, _) = Similarity.readGraphIndex(s, graphIndexDir(s, dir))
+    val lowIds = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("node"))
+    Similarity.graphSearchIndexed(q, emb, edges, lowIds, k = 5)
+  }
+
   /** ANN recall@5 report (q131): every approximate leg of the ANN family
     * — hyperplane LSH (q35), hash-sampled IVF (q35b), trained-k-means IVF
     * (q82), int8 scalar quantization (q122), product quantization (q124)
@@ -649,8 +709,7 @@ object LlmQueries {
         leg("pq", Similarity.pqTopK(q, emb, k = 5, m = 4, dims = 64,
           numCentroids = 8, iters = 2, hasher = hasher)),
         leg("sq", Similarity.quantizedTopK(q, emb, k = 5)),
-        leg("graph", Similarity.graphSearchTopK(q, emb, k = 5,
-          hasher = hasher)))
+        leg("graph", graphLeg(s, dir, q, emb)))
       .reduce(_ unionByName _)
     legs
       .join(broadcast(exact.withColumn("hit", lit(1L))),
@@ -713,8 +772,7 @@ object LlmQueries {
         leg("pq", Similarity.pqTopK(q, emb, k = 5, m = 4, dims = 64,
           numCentroids = 8, iters = 2, hasher = hasher)),
         leg("sq", Similarity.quantizedTopK(q, emb, k = 5)),
-        leg("graph", Similarity.graphSearchTopK(q, emb, k = 5,
-          hasher = hasher)))
+        leg("graph", graphLeg(s, dir, q, emb)))
       .reduce(_ unionByName _)
     val hits = legs.join(
       broadcast(exact.withColumn("hit", lit(1))),

@@ -502,12 +502,17 @@ object StreamingQueries {
     * micro-batch, planned as the manifest set-difference (added files
     * only; carried-forward files never re-read — the reason tailing a
     * 100 TB table costs the delta, not the table). Two versions exist
-    * before the stream starts, the third commits while it runs and
-    * arrives incrementally; offsets are version numbers, so a
-    * checkpoint restart resumes mid-log. Rewriting commits refuse
-    * loudly (spec-tested); the CDC view (q161) serves change-consuming
-    * readers. Output = everything the stream delivered, which must be
-    * exactly the table — the identity oracle. */
+    * before the stream starts — replayed via
+    * `.option("startingVersion", 0)`, the Delta-style history-replay
+    * escape (the DEFAULT tails from the latest version at stream
+    * start: a 100 TB table's history is not re-fed by accident) — and
+    * the third commits while the stream runs and arrives incrementally;
+    * offsets are version numbers, so a checkpoint restart resumes
+    * mid-log. Rewriting commits refuse loudly unless `ignoreRewrites`
+    * is set (both spec-tested); the CDC view (q161) serves
+    * change-consuming readers. Output = everything the stream
+    * delivered, which must be exactly the table — the identity
+    * oracle. */
   def streamingSnapshotSource(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
@@ -517,7 +522,8 @@ object StreamingQueries {
     graft.io.SnapshotTable.commit(s, slice(1), t)
     val sink = "q221_sink_" +
       java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-    val q = s.readStream.format("graft.sources.SnapshotSource").load(t)
+    val q = s.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", 0).load(t)
       .writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {

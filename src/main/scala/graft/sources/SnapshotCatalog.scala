@@ -4,10 +4,11 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.io.SnapshotTable
@@ -24,6 +25,7 @@ import graft.io.SnapshotTable
   *   INSERT INTO graft_cat.events SELECT ...          -- append commit
   *   INSERT OVERWRITE graft_cat.events SELECT ...     -- overwrite commit
   *   DELETE FROM graft_cat.events WHERE id < 100      -- CoW delete commit
+  *   ALTER TABLE graft_cat.events ADD COLUMN lang STRING -- metadata-only
   *   SELECT * FROM graft_cat.events VERSION AS OF 2   -- time travel
   * }}}
   *
@@ -31,14 +33,23 @@ import graft.io.SnapshotTable
   * log; the catalog is STATELESS — every lookup reads the log, so
   * external writers through [[graft.io.SnapshotTable]] or the DSv2
   * path-based source are immediately visible (the log is the single
-  * source of truth, never a catalog cache). CREATE TABLE publishes an
-  * empty schema-bearing v1 (the table is readable before its first
-  * INSERT); DELETE arrives through [[SnapshotDsTable]]'s SupportsDelete
-  * and lowers to the copy-on-write [[SnapshotTable.delete]] — only
-  * touched files rewrite, prior versions stay time-travelable.
-  * `VERSION AS OF` resolves through `loadTable(ident, version)`;
-  * `TIMESTAMP AS OF` is refused loudly (the manifest records no commit
-  * timestamps — a deliberate format choice, versions are the contract).
+  * source of truth, never a catalog cache). All directory operations
+  * (list, create, drop, rename) go through the Hadoop `FileSystem`
+  * resolved from the root, so the same catalog works on `file:`, HDFS,
+  * or an object store. CREATE TABLE publishes an empty schema-bearing
+  * v1 (the table is readable before its first INSERT); DELETE arrives
+  * through [[SnapshotDsTable]]'s SupportsDelete and lowers to the
+  * copy-on-write [[SnapshotTable.delete]] — only touched files
+  * rewrite, prior versions stay time-travelable. `ALTER TABLE ADD
+  * COLUMN` lowers to a schema-evolving EMPTY append commit through the
+  * same add-column-only protocol writes use — a metadata-only commit,
+  * no file rewritten, and `VERSION AS OF` across the evolution reads
+  * each version with the schema it had then; every other ALTER verb
+  * still refuses (drop/rename/retype silently corrupt readers of old
+  * files). `VERSION AS OF` resolves through `loadTable(ident,
+  * version)`; `TIMESTAMP AS OF` is refused loudly (the manifest
+  * records no commit timestamps — a deliberate format choice, versions
+  * are the contract).
   */
 class SnapshotCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -65,11 +76,14 @@ class SnapshotCatalog extends TableCatalog {
     SnapshotTable.versions(dirOf(ident)).nonEmpty
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val base = new java.io.File((root +: namespace.toSeq).mkString("/"))
-    Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        SnapshotTable.versions(f.getAbsolutePath).nonEmpty)
-      .map(f => Identifier.of(namespace, f.getName))
+    val base = new Path((root +: namespace.toSeq).mkString("/"))
+    val fs = SnapshotSource.fs(base.toString)
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base)
+      .filter(st => st.isDirectory &&
+        SnapshotTable.versions(new Path(base, st.getPath.getName).toString)
+          .nonEmpty)
+      .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
   private def table(ident: Identifier, asOf: Option[Int]): Table = {
@@ -94,46 +108,84 @@ class SnapshotCatalog extends TableCatalog {
       "TIMESTAMP AS OF: the snapshot manifest records versions, not " +
         "commit timestamps — use VERSION AS OF")
 
+  /** Stage one zero-row schema-bearing parquet file under `dir` and
+    * append-commit it — the shared shape of CREATE TABLE (publishes an
+    * empty readable v1) and ALTER ADD COLUMN (publishes a
+    * schema-evolving empty version): the parquet writer creates parent
+    * directories through the FS, and [[SnapshotTable.commitStagedFiles]]
+    * evolves/validates the schema under the add-column-only rule. */
+  private def commitEmpty(dir: String, schema: StructType,
+                          sub: String): Unit = {
+    val rel = s"$sub/part-empty.parquet"
+    new ParquetGroupWriter(s"$dir/$rel", schema, -1).close()
+    SnapshotTable.commitStagedFiles(dir, Seq(rel), schema): Unit
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       "snapshot tables do not record partition transforms")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val dir = dirOf(ident)
-    // publish an empty schema-bearing v1: the table is readable (and
-    // time-travelable to its empty state) before the first INSERT
-    val rel = "data/w_create/part-empty.parquet"
-    new java.io.File(s"$dir/data/w_create").mkdirs()
-    new ParquetGroupWriter(s"$dir/$rel", schema, -1).close()
-    SnapshotTable.commitStagedFiles(dir, Seq(rel), schema)
+    commitEmpty(dirOf(ident), schema, "data/w_create")
     table(ident, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: schema evolution happens at WRITE time " +
-        "(add-column-only, the snapshot commit contract)")
-
-  override def dropTable(ident: Identifier): Boolean = {
-    val dir = new java.io.File(dirOf(ident))
-    if (!dir.isDirectory) false
-    else {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(dir)
-      true
+  /** `ALTER TABLE ... ADD COLUMN(S)` lowers to a schema-evolving empty
+    * append commit — the add-column-only evolution the write protocol
+    * already guarantees, surfaced as the SQL lifecycle verb: no data
+    * file is touched, older files null-fill the new columns at read
+    * time, and history keeps its pre-ALTER schema (time travel across
+    * the evolution reads each version as it was). Only top-level
+    * nullable adds are accepted; anything else (drop, rename, retype,
+    * nested paths) refuses loudly — those rewrite meaning, not just
+    * metadata. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val added = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "ALTER TABLE ADD COLUMN: snapshot tables hold flat columns " +
+            s"(got nested path ${add.fieldNames().mkString(".")})")
+        StructField(add.fieldNames().head, add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName}: the snapshot " +
+          "commit contract evolves schemas by ADDING columns only")
     }
+    val base = SnapshotTable.readSchema(dir,
+      SnapshotTable.resolveVersion(dir)).getOrElse(
+      throw new IllegalStateException(
+        s"ALTER TABLE on a pre-schema legacy log at $dir"))
+    val dup = added.map(_.name).find(n => base.fieldNames.contains(n))
+    require(dup.isEmpty, s"ALTER TABLE ADD COLUMN: '${dup.get}' exists")
+    commitEmpty(dir, StructType(base.fields ++ added),
+      s"data/w_alter${SnapshotTable.versions(dir).last + 1}")
+    table(ident, None)
   }
 
+  /** DROP recursively deletes the table directory — guarded by
+    * [[tableExists]] so a directory under the root that is NOT a
+    * snapshot table (no log) is never deleted by a mistyped name. */
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && {
+      val p = new Path(dirOf(ident))
+      SnapshotSource.fs(p.toString).delete(p, true)
+    }
+
+  /** RENAME via `FileSystem.rename`. NOTE on atomicity: rename is
+    * atomic on HDFS and single-filesystem POSIX paths, but NOT across
+    * filesystems, and object stores implement it as copy+delete — a
+    * production catalog on S3 keeps a name→location indirection
+    * instead of moving data (the Iceberg catalog design); this rename
+    * is the single-FS convenience verb. */
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
-    val dst = new java.io.File(dirOf(to))
-    Option(dst.getParentFile).foreach(_.mkdirs())
-    require(new java.io.File(dirOf(from)).renameTo(dst),
-      s"rename $from -> $to failed")
+    val src = new Path(dirOf(from))
+    val dst = new Path(dirOf(to))
+    val fs = SnapshotSource.fs(src.toString)
+    Option(dst.getParent).foreach(p => fs.mkdirs(p))
+    require(fs.rename(src, dst), s"rename $from -> $to failed")
   }
 }

@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
@@ -84,6 +84,23 @@ object SnapshotSource {
       throw new IllegalArgumentException(
         "SnapshotSource needs a table path: .load(dir)"))
 
+  /** The Hadoop filesystem owning `path` — every file operation in the
+    * connector (staging deletes, aborts, catalog DROP/RENAME) resolves
+    * through this instead of `java.io.File`, so the same code paths
+    * work against `file:`, HDFS, or an object store: a 100 TB lakehouse
+    * lives where `java.io.File` can't reach. Local specs exercise the
+    * identical API through `file:` URIs (RawLocalFileSystem). */
+  private[sources] def fs(path: String): FileSystem =
+    new Path(path).getFileSystem(new Configuration())
+
+  /** Best-effort single-file delete via the FS API (staging cleanup:
+    * a file that never existed or was already removed is not an
+    * error). */
+  private[sources] def deleteQuiet(path: String): Unit = {
+    val p = new Path(path)
+    fs(path).delete(p, false): Unit
+  }
+
   /** Flat-primitive MessageType → StructType for legacy manifests; the
     * same type set the reader supports. */
   private[sources] def footerSchema(file: String): StructType = {
@@ -137,11 +154,11 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
     // write-path table may target a directory whose log does not exist yet
     val v = SnapshotTable.resolveVersion(dir,
       props.get("versionAsOf").map(_.toInt))
-    new SnapshotScanBuilder(dir, v, tableSchema)
+    new SnapshotScanBuilder(dir, v, tableSchema, props)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(dir, info.schema(),
-      Option(info.options.get("statsCol")))
+      Option(info.options.get("statsCol")), info.queryId())
 
   /** `DELETE FROM` lowers to the copy-on-write [[SnapshotTable.delete]]
     * — a new commit rewriting only the touched files; prior versions
@@ -192,7 +209,8 @@ private[sources] object SnapshotDelete {
   }
 }
 
-class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType)
+class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
+                          props: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -242,13 +260,17 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType)
     val files = SnapshotTable.manifestFiles(dir, version, bounds)
       .map(f => s"$dir/$f")
     SnapshotScan(dir, files, required, version,
-      statsCol.filter(_ => bounds.nonEmpty))
+      statsCol.filter(_ => bounds.nonEmpty),
+      props.get("startingVersion").map(_.trim.toInt),
+      props.get("ignoreRewrites").exists(_.trim.toBoolean))
   }
 }
 
 case class SnapshotScan(dir: String, files: Seq[String],
                         required: StructType,
-                        version: Int, prunedOn: Option[String])
+                        version: Int, prunedOn: Option[String],
+                        startingVersion: Option[Int] = None,
+                        ignoreRewrites: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -262,7 +284,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
     new SnapshotReaderFactory(required)
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new SnapshotMicroBatchStream(dir, required)
+    new SnapshotMicroBatchStream(dir, required, startingVersion,
+      ignoreRewrites)
 }
 
 /** Offset = a snapshot VERSION — the log is already a totally-ordered
@@ -278,15 +301,32 @@ case class SnapshotVersionOffset(v: Int) extends StreamingOffset {
   * rescanning it; Delta's streaming source contract). A batch's rows
   * are exactly the files the manifest ADDED in (start, end] — set
   * difference of manifests, never directory listings, and carried-
-  * forward files are never re-read. Non-append versions (overwrite,
-  * CoW DELETE/UPDATE/MERGE rewrites, compaction) fail LOUDLY: they
-  * rewrite history, which an append feed cannot represent — the same
-  * refusal Delta makes without ignoreChanges; the CDC view (q161) is
-  * the operator for change-consuming readers. Offsets are version
-  * numbers, so restart-from-checkpoint resumes mid-log for free. */
-class SnapshotMicroBatchStream(dir: String, required: StructType)
+  * forward files are never re-read.
+  *
+  * The FIRST offset (no checkpoint yet) defaults to the LATEST version
+  * at stream start — tail the table, don't replay 100 TB of history;
+  * `.option("startingVersion", v)` replays from after version `v`
+  * instead (`0` = the whole history — Delta's startingVersion escape).
+  * Non-append versions (overwrite, CoW DELETE/UPDATE/MERGE rewrites,
+  * compaction) rewrite history, which an append feed cannot represent:
+  * they fail LOUDLY naming the way out — the same refusal Delta makes
+  * without ignoreChanges — unless `.option("ignoreRewrites", true)` is
+  * set, which SKIPS the rewrite version (its file set becomes the new
+  * set-difference base, so appends after it feed normally; rows
+  * rewritten in it are silently not re-fed — the caller has declared
+  * that acceptable). The one rewrite that is NOT a rewrite:
+  * an `overwrite` as version 1 (a first commit in overwrite mode is
+  * semantically the initial append) always feeds. The CDC view (q161)
+  * remains the operator for change-consuming readers. Offsets are
+  * version numbers, so restart-from-checkpoint resumes mid-log for
+  * free. */
+class SnapshotMicroBatchStream(dir: String, required: StructType,
+                               startingVersion: Option[Int] = None,
+                               ignoreRewrites: Boolean = false)
     extends MicroBatchStream {
-  override def initialOffset(): StreamingOffset = SnapshotVersionOffset(0)
+  override def initialOffset(): StreamingOffset =
+    SnapshotVersionOffset(startingVersion.getOrElse(
+      SnapshotTable.versions(dir).lastOption.getOrElse(0)))
   override def latestOffset(): StreamingOffset =
     SnapshotVersionOffset(SnapshotTable.versions(dir).lastOption.getOrElse(0))
   override def deserializeOffset(json: String): StreamingOffset =
@@ -297,15 +337,23 @@ class SnapshotMicroBatchStream(dir: String, required: StructType)
     val from = start.asInstanceOf[SnapshotVersionOffset].v
     val until = end.asInstanceOf[SnapshotVersionOffset].v
     ((from + 1) to until).flatMap { v =>
-      require(SnapshotTable.readAction(dir, v) == "append",
-        s"version $v is '${SnapshotTable.readAction(dir, v)}': the " +
-          "streaming source feeds append-only logs — rewrites need the " +
-          "CDC view")
-      val prev: Set[String] =
-        if (v == 1) Set.empty
-        else SnapshotTable.manifestFiles(dir, v - 1).toSet
-      SnapshotTable.manifestFiles(dir, v).filterNot(prev)
-        .map(f => SnapshotFilePartition(s"$dir/$f"))
+      val action = SnapshotTable.readAction(dir, v)
+      val feeds = action == "append" ||
+        (action == "overwrite" && v == 1) // initial commit in overwrite mode
+      if (!feeds && !ignoreRewrites)
+        throw new IllegalStateException(
+          s"version $v is '$action': the streaming source feeds " +
+            "append-only logs — skip rewrite versions with " +
+            ".option(\"ignoreRewrites\", true) (rows they rewrote are " +
+            "not re-fed), or consume changes through the CDC view")
+      if (!feeds) Seq.empty // skipped rewrite: next append diffs against it
+      else {
+        val prev: Set[String] =
+          if (v == 1) Set.empty
+          else SnapshotTable.manifestFiles(dir, v - 1).toSet
+        SnapshotTable.manifestFiles(dir, v).filterNot(prev)
+          .map(f => SnapshotFilePartition(s"$dir/$f"))
+      }
     }.toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -433,7 +481,7 @@ class ParquetGroupReader(path: String, required: StructType)
   * overwrite-by-true to truncate), mapping to the log's `overwrite`
   * action. */
 class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
-                           statsCol: Option[String])
+                           statsCol: Option[String], queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -443,7 +491,7 @@ class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
     override def toStreaming: StreamingWrite = {
       require(!overwrite,
         "snapshot streaming sink supports outputMode=append only")
-      new SnapshotStreamingWrite(dir, writeSchema, statsCol)
+      new SnapshotStreamingWrite(dir, writeSchema, statsCol, queryId)
     }
   }
 }
@@ -453,14 +501,18 @@ class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
   * micro-batch epoch is ONE append commit (atomic per-batch visibility;
   * every intermediate version time-travelable; per-batch cost flat in
   * table size — the q153 lakehouse-ingest contract, now native instead
-  * of foreachBatch). EXACTLY-ONCE under sink retries: the epoch id is
-  * recorded in the manifest's action field, and a replayed epoch that
-  * already committed is detected via
-  * [[SnapshotTable.committedEpochs]] and skipped — the batchId-pairing
-  * q153's Scaladoc defers to production is this. An all-empty epoch
-  * commits nothing (no empty-version litter). */
+  * of foreachBatch). EXACTLY-ONCE under sink retries: the
+  * (streaming-query id, epoch id) PAIR is recorded in the manifest's
+  * action field, and a replayed epoch that already committed is
+  * detected via [[SnapshotTable.committedEpochs]] and skipped — the
+  * txnAppId+version pairing Delta uses. The query id matters: a SECOND
+  * streaming query (fresh checkpoint) writing to the same table
+  * restarts at epoch 0, which must NOT collide with another query's
+  * committed epoch 0 — deduping on the epoch alone would silently drop
+  * its batches. An all-empty epoch commits nothing (no empty-version
+  * litter). */
 class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
-                             statsCol: Option[String])
+                             statsCol: Option[String], queryId: String)
     extends StreamingWrite {
   private val sub = s"data/s${java.util.UUID.randomUUID().toString.take(8)}"
   private val statsIdx = statsCol.map { c =>
@@ -478,22 +530,23 @@ class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
       case m: SnapshotCommitMsg if m.relPath != null => m
     }.sortBy(_.relPath)
     if (msgs.isEmpty) return // empty epoch: no version
-    if (SnapshotTable.committedEpochs(dir).contains(epochId)) {
+    if (SnapshotTable.committedEpochs(dir, queryId).contains(epochId)) {
       // replayed epoch whose commit landed: exactly-once means DROP the
       // re-staged files, not re-append them
-      msgs.foreach(m => new java.io.File(s"$dir/${m.relPath}").delete())
+      msgs.foreach(m => SnapshotSource.deleteQuiet(s"$dir/${m.relPath}"))
       return
     }
     val stats = statsCol.map(c => (c, msgs.toSeq.map(m => (m.mn, m.mx))))
     SnapshotTable.commitStagedFiles(dir, msgs.toSeq.map(_.relPath),
-      writeSchema, overwrite = false, stats, epoch = Some(epochId))
+      writeSchema, overwrite = false, stats,
+      txn = Some((queryId, epochId)))
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case SnapshotCommitMsg(rel, _, _, _) if rel != null =>
-        new java.io.File(s"$dir/$rel").delete()
+        SnapshotSource.deleteQuiet(s"$dir/$rel")
       case _ =>
     }
 }
@@ -620,8 +673,8 @@ class SnapshotBatchWrite(dir: String, writeSchema: StructType,
       if (msgs.nonEmpty) msgs.toSeq
       else {
         // all partitions empty: stage one zero-row schema-bearing file
-        // so the committed version stays readable (delete() convention)
-        new java.io.File(s"$dir/$sub").mkdirs()
+        // so the committed version stays readable (delete() convention);
+        // the parquet writer creates parent directories through the FS
         val rel = s"$sub/part-empty.parquet"
         new ParquetGroupWriter(s"$dir/$rel", writeSchema, statsIdx).close()
         Seq(SnapshotCommitMsg(rel, 0L, -1L, 0L))
@@ -640,7 +693,7 @@ class SnapshotBatchWrite(dir: String, writeSchema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case SnapshotCommitMsg(rel, _, _, _) if rel != null =>
-        new java.io.File(s"$dir/$rel").delete()
+        SnapshotSource.deleteQuiet(s"$dir/$rel")
       case _ =>
     }
 }
@@ -655,17 +708,17 @@ class SnapshotWriterFactory(dir: String, sub: String, schema: StructType,
 /** One parquet file per NON-EMPTY partition (empty partitions commit a
   * null message — no zero-row file litter); the parquet writer opens
   * lazily on the first row and rows stream straight through, stats
-  * folding as they pass — nothing buffers beyond parquet's row groups. */
+  * folding as they pass — nothing buffers beyond parquet's row groups.
+  * All file I/O goes through the Hadoop FS resolved from the table
+  * path (create makes parents; executors on a real cluster stage
+  * straight to the table's object store, never a local disk). */
 class SnapshotDataWriter(dir: String, sub: String, schema: StructType,
                          statsIdx: Int, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val rel = f"$sub/part-$partitionId%05d-$taskId.parquet"
   private var w: ParquetGroupWriter = _
   override def write(row: InternalRow): Unit = {
-    if (w == null) {
-      new java.io.File(s"$dir/$sub").mkdirs()
-      w = new ParquetGroupWriter(s"$dir/$rel", schema, statsIdx)
-    }
+    if (w == null) w = new ParquetGroupWriter(s"$dir/$rel", schema, statsIdx)
     w.write(row)
   }
   override def commit(): WriterCommitMessage =
@@ -673,7 +726,7 @@ class SnapshotDataWriter(dir: String, sub: String, schema: StructType,
     else { w.close(); SnapshotCommitMsg(rel, w.mn, w.mx, w.rows) }
   override def abort(): Unit = {
     if (w != null) w.close()
-    new java.io.File(s"$dir/$rel").delete()
+    SnapshotSource.deleteQuiet(s"$dir/$rel")
   }
   override def close(): Unit = ()
 }

@@ -116,6 +116,12 @@ class PlanAuditSpec extends SparkSpec {
                              // the node id and the per-round candidate
                              // side is a designed broadcast (Q·beam·deg
                              // rows)
+    "q222_graph_ann_indexed", // q216's search over the PERSISTED graph:
+                             // the same 10-query × ≤8-entry seed
+                             // crossJoin (entries read from the ≤8-row
+                             // snapshot table) plus, on a cold cache,
+                             // the q138/centroid build shapes — all
+                             // literal-bounded or broadcast by design
     "q156_hard_negatives",   // q34's designed broadcast-queries scan with
                              // the band filter fused into it — the filter
                              // drops the easy mass at scan time; no

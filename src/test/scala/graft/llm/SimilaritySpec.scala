@@ -617,4 +617,47 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.graphSearchTopK(q, emb, k = 9, beam = 8))
   }
+
+  test("q222: persisted graph index — artifact round-trips bit-exact, " +
+    "indexed search == in-memory search off the same inputs, " +
+    "centroid entries are nodes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gidx").toString
+    Similarity.writeGraphIndex(emb, dir, hasher = PortableSeededHash)
+    val (edges, entries) = Similarity.readGraphIndex(spark, dir)
+    // the artifact holds exactly the q138 edge list (content-identical
+    // through the DSv2 snapshot write → read round trip)
+    val built = Similarity.knnGraph(emb, k = 5, hasher = PortableSeededHash)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(edges.as[(Long, Long)].collect().toSet == built)
+    // entry points: ≤ numCentroids distinct corpus nodes
+    val ent = entries.as[Long].collect().toSeq
+    assert(ent.nonEmpty && ent.size <= 8 && ent.distinct.size == ent.size)
+    val ids = emb.select("vec_id").as[Long].collect().toSet
+    assert(ent.forall(ids))
+    // entries replay: the selection is a pure function of the corpus
+    assert(Similarity.centroidEntryPoints(emb,
+        hasher = PortableSeededHash).as[Long].collect().toSet == ent.toSet)
+    // the search over the RELOADED artifact equals the search over the
+    // in-memory frames — the artifact is a faithful carrier, and the
+    // refactored core is what graphSearchTopK composes (same shape)
+    val q = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rn", "neighbor_id", "sim")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val indexed = rows(Similarity.graphSearchIndexed(q, emb, edges,
+      entries, k = 5))
+    val inMem = rows(Similarity.graphSearchIndexed(q, emb,
+      Similarity.knnGraph(emb, k = 5, hasher = PortableSeededHash)
+        .select("src", "dst").localCheckpoint(),
+      Similarity.centroidEntryPoints(emb, hasher = PortableSeededHash),
+      k = 5))
+    assert(indexed == inMem)
+    // and graphSearchTopK is the same core with lowest-id entries
+    val lowIds = emb.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("node"))
+    assert(rows(Similarity.graphSearchIndexed(q, emb, edges, lowIds,
+        k = 5)) ==
+      rows(Similarity.graphSearchTopK(q, emb, k = 5,
+        hasher = PortableSeededHash)))
+  }
 }

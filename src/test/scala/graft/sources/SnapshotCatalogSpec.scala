@@ -78,4 +78,52 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM tcat.rn2").as[Long].head() == 0)
     spark.sql("DROP TABLE tcat.rn2")
   }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only evolution, history keeps " +
+    "its pre-ALTER schema, other ALTER verbs refuse") {
+    root
+    spark.sql("CREATE TABLE tcat.alt (id BIGINT)")
+    spark.sql("INSERT INTO tcat.alt VALUES (1), (2)")
+    spark.sql("ALTER TABLE tcat.alt ADD COLUMN lang STRING")
+    // the ALTER is its own (empty) version: same rows, lang null-filled
+    assert(spark.sql("SELECT * FROM tcat.alt").columns.toSeq ==
+      Seq("id", "lang"))
+    assert(spark.sql(
+      "SELECT count(*) FROM tcat.alt WHERE lang IS NULL")
+      .as[Long].head() == 2)
+    spark.sql("INSERT INTO tcat.alt VALUES (3, 'en')")
+    assert(spark.sql("SELECT count(lang) FROM tcat.alt").as[Long].head() == 1)
+    // VERSION AS OF across the evolution: v2 (pre-ALTER) has no lang
+    assert(spark.sql("SELECT * FROM tcat.alt VERSION AS OF 2")
+      .columns.toSeq == Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM tcat.alt VERSION AS OF 3")
+      .as[Long].head() == 2) // the ALTER commit itself: rows unchanged
+    // the evolution rewrote NO data file: v4 still reads v2's files
+    // (add-column is O(0) data work, the point of log-held schemas)
+    intercept[Exception](
+      spark.sql("ALTER TABLE tcat.alt ADD COLUMN id STRING")) // duplicate
+    intercept[Exception](
+      spark.sql("ALTER TABLE tcat.alt DROP COLUMN lang"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE tcat.alt ALTER COLUMN id TYPE STRING"))
+    spark.sql("DROP TABLE tcat.alt")
+  }
+
+  test("DROP TABLE refuses to delete a non-table directory under root") {
+    root
+    val stray = new java.io.File(s"$root/stray_dir")
+    stray.mkdirs()
+    new java.io.File(stray, "precious.txt").createNewFile()
+    // no snapshot log inside: the analyzer (and the guard) both say no
+    intercept[Exception](spark.sql("DROP TABLE tcat.stray_dir"))
+    assert(new java.io.File(stray, "precious.txt").exists(),
+      "dropTable deleted a directory that is not a snapshot table")
+    // the TableCatalog-level guard holds even when called directly
+    val cat = new SnapshotCatalog
+    cat.initialize("direct", new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(java.util.Map.of("root", root)))
+    assert(!cat.dropTable(org.apache.spark.sql.connector.catalog
+      .Identifier.of(Array.empty[String], "stray_dir")))
+    assert(new java.io.File(stray, "precious.txt").exists())
+  }
 }

@@ -168,23 +168,41 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(load(dir).as[(Long, String)].collect().toSet ==
       Set((1L, "a"), (2L, "b"), (3L, "c")))
     assert(load(dir, Some(1)).count() == 2)
-    // the epoch ids landed in the log, and a REPLAYED epoch is a no-op:
-    // drive the StreamingWrite directly with an already-committed epoch
-    val epochs = SnapshotTable.committedEpochs(dir)
+    // the (queryId, epoch) txns landed in the log, and a REPLAYED epoch
+    // is a no-op: drive the StreamingWrite directly with an
+    // already-committed (queryId, epoch) pair
+    val txns = SnapshotTable.committedTxns(dir)
+    assert(txns.size == 2)
+    val qid = txns.head._1
+    assert(txns.forall(_._1 == qid), "one query wrote both epochs")
+    val epochs = SnapshotTable.committedEpochs(dir, qid)
     assert(epochs.size == 2)
     val sw = new SnapshotStreamingWrite(dir,
-      load(dir).schema, statsCol = None)
+      load(dir).schema, statsCol = None, queryId = qid)
     sw.commit(epochs.head,
       Array(SnapshotCommitMsg("data/ghost.parquet", 0L, 0L, 1L)))
     assert(SnapshotTable.versions(dir).size == 2, "replay double-committed")
+    // a DIFFERENT query's epoch 0 must NOT collide with this one's:
+    // dedup keys on the (queryId, epoch) PAIR, or a second stream with a
+    // fresh checkpoint writing to the same table silently loses batches
+    val other = new SnapshotStreamingWrite(dir,
+      load(dir).schema, statsCol = None, queryId = "otherquery")
+    val rel = "data/sother/part-0.parquet"
+    new ParquetGroupWriter(s"$dir/$rel", load(dir).schema, -1).close()
+    other.commit(epochs.head,
+      Array(SnapshotCommitMsg(rel, 0L, -1L, 0L)))
+    assert(SnapshotTable.versions(dir).size == 3,
+      "a second query's first epoch was silently dropped")
   }
 
-  test("STREAMING source: append versions feed incrementally, " +
-    "carried-forward files never re-read, rewrites refuse") {
+  test("STREAMING source: startingVersion=0 replays history, appends " +
+    "feed incrementally, carried-forward files never re-read, " +
+    "rewrites refuse naming the escape") {
     val dir = Files.createTempDirectory("graft-dsv2rs").toString
     SnapshotTable.commit(spark, (0L until 40L).toDF("id"), dir)
     SnapshotTable.commit(spark, (40L until 70L).toDF("id"), dir)
     val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", 0)
       .load(dir)
       .writeStream.format("memory").queryName("snap_rs")
       .outputMode("append").start()
@@ -197,10 +215,81 @@ class SnapshotSourceSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("snap_rs").as[Long].collect().sorted.toSeq ==
         (0L until 75L))
-      // a rewrite (CoW delete) breaks the append-only contract loudly
+      // a rewrite (CoW delete) breaks the append-only contract loudly,
+      // and the error names the way out
       SnapshotTable.delete(spark, dir, $"id" < 10)
-      intercept[Exception] { q.processAllAvailable() }
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ causes(t.getCause)
+      assert(causes(ex).exists(_.contains("ignoreRewrites")),
+        s"refusal must name the escape hatch: ${causes(ex)}")
     } finally q.stop()
+  }
+
+  test("STREAMING source: the DEFAULT start offset tails from the " +
+    "latest version — history is not replayed by accident") {
+    val dir = Files.createTempDirectory("graft-dsv2tail").toString
+    SnapshotTable.commit(spark, (0L until 40L).toDF("id"), dir)
+    SnapshotTable.commit(spark, (40L until 70L).toDF("id"), dir)
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .load(dir)
+      .writeStream.format("memory").queryName("snap_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_tail").count() == 0,
+        "tail-from-now replayed history")
+      SnapshotTable.commit(spark, (70L until 75L).toDF("id"), dir)
+      q.processAllAvailable()
+      assert(spark.table("snap_tail").as[Long].collect().sorted.toSeq ==
+        (70L until 75L))
+    } finally q.stop()
+  }
+
+  test("STREAMING source: startingVersion=v resumes after v, " +
+    "ignoreRewrites skips a rewrite and keeps feeding, and an " +
+    "overwrite FIRST commit feeds as the initial append") {
+    val dir = Files.createTempDirectory("graft-dsv2sv").toString
+    // v1 is an OVERWRITE (a first commit in overwrite mode = initial
+    // append — streamable, the q-ADVICE case)
+    SnapshotTable.commit(spark, (0L until 10L).toDF("id"), dir,
+      overwrite = true)
+    SnapshotTable.commit(spark, (10L until 30L).toDF("id"), dir)
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", 1) // skip v1, feed v2 onward
+      .option("ignoreRewrites", true)
+      .load(dir)
+      .writeStream.format("memory").queryName("snap_sv")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_sv").as[Long].collect().sorted.toSeq ==
+        (10L until 30L))
+      // a mid-stream rewrite is SKIPPED under ignoreRewrites (its
+      // rewritten rows are not re-fed) and the next append still feeds,
+      // diffed against the rewrite's manifest
+      SnapshotTable.delete(spark, dir, $"id" < 5)
+      SnapshotTable.commit(spark, (30L until 35L).toDF("id"), dir)
+      q.processAllAvailable()
+      assert(spark.table("snap_sv").as[Long].collect().sorted.toSeq ==
+        ((10L until 30L) ++ (30L until 35L)))
+    } finally q.stop()
+    // replay-from-genesis over the overwrite-first log: v1 feeds
+    val q2 = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", 0)
+      .option("ignoreRewrites", true)
+      .load(dir)
+      .writeStream.format("memory").queryName("snap_sv0")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      // v1 (overwrite-as-initial-append) + v2 + v4's appended files;
+      // v3's rewrite is skipped, so the deleted ids 0-4 still appear
+      // from v1's original files — the documented ignoreRewrites trade
+      assert(spark.table("snap_sv0").as[Long].collect().sorted.toSeq ==
+        (0L until 35L))
+    } finally q2.stop()
   }
 
   test("footerSchema maps flat primitives for legacy manifests") {
