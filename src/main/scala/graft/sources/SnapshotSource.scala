@@ -50,15 +50,19 @@ import graft.io.SnapshotTable
   * returned as a residual for Spark to re-apply row-level — exactly the
   * parquet row-group-stats contract.
   *
-  * Each input partition is ONE manifest data file, read executor-side
-  * with the public parquet-hadoop record API (footer → row groups →
-  * `GroupRecordConverter`) under the requested-column projection, so
-  * column pruning reaches the page level. Supported column types are
-  * the flat primitives the snapshot tier commits (long/int/double/
-  * float/boolean/string/binary/date/timestamp); production extensions
-  * (row-group splitting for >128 MB files, a `SerializableConfiguration`
-  * for non-local filesystems, vectorized reads) slot into the reader
-  * factory without touching the planner. */
+  * Each input partition is a BYTE RANGE of one manifest data file —
+  * files over `maxSplitBytes` (default 128 MB, Spark's
+  * `files.maxPartitionBytes` contract) split into row-group-aligned
+  * range partitions ([[SnapshotScan.split]]), so one huge compacted
+  * file no longer serializes through a single task. Ranges are read
+  * executor-side with the public parquet-hadoop record API (footer →
+  * midpoint-in-range row groups → `GroupRecordConverter`) under the
+  * requested-column projection, so column pruning reaches the page
+  * level. Supported column types are the flat primitives the snapshot
+  * tier commits (long/int/double/float/boolean/string/binary/date/
+  * timestamp); the remaining production extension — vectorized
+  * columnar batches — slots into the reader factory
+  * (`supportColumnarReads`) without touching the planner. */
 class SnapshotSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = SnapshotSource.dir(options.asScala.toMap)
@@ -262,7 +266,34 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
     SnapshotScan(dir, files, required, version,
       statsCol.filter(_ => bounds.nonEmpty),
       props.get("startingVersion").map(_.trim.toInt),
-      props.get("ignoreRewrites").exists(_.trim.toBoolean))
+      props.get("ignoreRewrites").exists(_.trim.toBoolean),
+      props.get("maxSplitBytes").map(_.trim.toLong)
+        .getOrElse(SnapshotScan.DefaultSplitBytes))
+  }
+}
+
+object SnapshotScan {
+  /** Spark's `files.maxPartitionBytes` default — one reader task per
+    * ~128 MB of parquet, the scan-parallelism contract. */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Split one data file into byte-range partitions of ≤ `maxSplit`
+    * bytes — a >128 MB file no longer serializes through one reader
+    * task. Row groups are assigned to the split containing their
+    * MIDPOINT offset (parquet-hadoop's `filterFileMetaDataByMidpoint`
+    * range contract), so every row group is read by exactly one task
+    * whatever the split grid tiles. Costs
+    * one `getFileStatus` per file at planning time (what Spark's file
+    * index pays too); at 10^6 manifest files the per-file sizes belong
+    * IN the manifest (the Iceberg/Delta layout) — that is this seam's
+    * production extension, not a different mechanism. */
+  private[sources] def split(path: String, maxSplit: Long)
+      : Seq[SnapshotFilePartition] = {
+    val p = new Path(path)
+    val len = SnapshotSource.fs(path).getFileStatus(p).getLen
+    if (len <= maxSplit) Seq(SnapshotFilePartition(path))
+    else (0L until len by maxSplit).map(off =>
+      SnapshotFilePartition(path, off, math.min(maxSplit, len - off)))
   }
 }
 
@@ -270,7 +301,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
                         required: StructType,
                         version: Int, prunedOn: Option[String],
                         startingVersion: Option[Int] = None,
-                        ignoreRewrites: Boolean = false)
+                        ignoreRewrites: Boolean = false,
+                        maxSplitBytes: Long = SnapshotScan.DefaultSplitBytes)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -279,7 +311,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
       prunedOn.fold("")(c => s" statsPruned=$c") +
       s" cols=${required.fieldNames.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(SnapshotFilePartition).toArray[InputPartition]
+    files.flatMap(SnapshotScan.split(_, maxSplitBytes))
+      .toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -362,14 +395,19 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-case class SnapshotFilePartition(path: String) extends InputPartition
+/** One reader task's byte range of one data file. `length = -1` means
+  * the whole file (the un-split fast path — no status RPC was paid for
+  * it, so the end offset is unknown and unneeded). */
+case class SnapshotFilePartition(path: String, start: Long = 0L,
+                                 length: Long = -1L) extends InputPartition
 
 class SnapshotReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] =
-    new ParquetGroupReader(
-      partition.asInstanceOf[SnapshotFilePartition].path, required)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapshotFilePartition]
+    new ParquetGroupReader(p.path, required, p.start, p.length)
+  }
 }
 
 /** Executor-side parquet record reader over the PUBLIC parquet-hadoop
@@ -378,11 +416,23 @@ class SnapshotReaderFactory(required: StructType)
   * evolution: the file predates the column) null-fill, which is the
   * manifest schema's read-time contract. An empty projection (count(*)
   * plans zero columns) short-circuits to emitting `recordCount` empty
-  * rows without touching any page. */
-class ParquetGroupReader(path: String, required: StructType)
+  * rows without touching any page. A byte range (`length >= 0`) limits
+  * the reader
+  * to the row groups whose MIDPOINT falls inside [start, start+length)
+  * — the parquet-hadoop range contract [[SnapshotScan.split]] tiles
+  * against, so a split file's groups partition exactly across tasks
+  * (`getRecordCount`/`getRowGroups` already respect the range, which
+  * keeps the empty-projection path split-correct for free). */
+class ParquetGroupReader(path: String, required: StructType,
+                         start: Long = 0L, length: Long = -1L)
     extends PartitionReader[InternalRow] {
-  private val reader = ParquetFileReader.open(
-    HadoopInputFile.fromPath(new Path(path), new Configuration()))
+  private val reader = {
+    val in = HadoopInputFile.fromPath(new Path(path), new Configuration())
+    if (length < 0) ParquetFileReader.open(in)
+    else ParquetFileReader.open(in,
+      org.apache.parquet.HadoopReadOptions.builder(in.getConfiguration)
+        .withRange(start, start + length).build())
+  }
   private val fileSchema: MessageType =
     reader.getFooter.getFileMetaData.getSchema
   private val present = required.fields.filter(f =>
