@@ -253,6 +253,8 @@ object SparkEntry {
     "q215_bpe_train" -> LlmQueries.bpeTrain,
     "q216_graph_ann" -> LlmQueries.graphAnn,
     "q222_graph_ann_indexed" -> LlmQueries.graphAnnIndexed,
+    "q223_unigram_train" -> LlmQueries.unigramTrain,
+    "q224_tokenizer_compare" -> LlmQueries.tokenizerCompare,
     "q217_bpe_tokenize" -> LlmQueries.bpeTokenize,
   )
 
@@ -2784,6 +2786,8 @@ ORDER BY d.doc_id""",
     "q215_bpe_train" -> q215BpeTrainOracle(merges = 8),
     "q216_graph_ann" -> q216GraphAnnOracle(),
     "q222_graph_ann_indexed" -> q222GraphAnnIndexedOracle(),
+    "q223_unigram_train" -> q223UnigramOracle(),
+    "q224_tokenizer_compare" -> q224TokenizerCompareOracle(),
     "q217_bpe_tokenize" -> q217BpeTokenizeOracle(merges = 6),
     // q135: the q79 pipeline's train split semi-joined into the q125
     // manifest chain — thresholds re-derived on the deduped kept set.
@@ -3540,6 +3544,124 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
   CAST(sum(n_subwords) AS BIGINT) AS n_subword_tokens,
   round(CAST(sum(n_subwords) AS DOUBLE) / count(*), 4) AS fertility
 FROM occ JOIN wt USING (w) GROUP BY 1 ORDER BY doc_id"""
+
+  /** Shared CTE chain of the unigram-LM oracles (q223/q224): the
+    * distinct-word table, the length≤`maxPieceLen` substring span set,
+    * the top-`seedSize`+singles seed vocabulary, and `rounds` unrolled
+    * hard-EM rounds — fixed-point ln scores (round(ln·10⁶), the q110
+    * libm convention, rounded BEFORE any decision), a position-unrolled
+    * Viterbi DP with (total DESC, start, piece) argmax ties, the
+    * backpointer walk, the occurrence-weighted recount, and the
+    * rebuild rule (nonzero pieces ∪ unchosen singles floored at 1).
+    * Ends with uv{rounds} (the final vocabulary) and un{rounds}
+    * (per-word piece counts of the final segmentation). */
+  private def unigramCtes(seedSize: Int = 48, rounds: Int = 2,
+                          pieceLen: Int = 4, maxLen: Int = 12): String = {
+    def dpRound(r: Int): String = {
+      val dp = (1 to maxLen).map { j =>
+        val froms = (math.max(0, j - pieceLen) until j).map { i =>
+          s"""SELECT e.w, e.i AS bi, e.piece AS bpiece,
+      p.best + e.score AS total
+    FROM ue$r e JOIN ud${r}_$i p ON p.w = e.w
+    WHERE e.j = $j AND e.i = $i"""
+        }.mkString("\n    UNION ALL ")
+        s"""uc${r}_$j AS MATERIALIZED (
+    $froms),
+ud${r}_$j AS MATERIALIZED (SELECT w, $j AS j, total AS best, bi, bpiece FROM (
+    SELECT *, row_number() OVER (PARTITION BY w
+      ORDER BY total DESC, bi, bpiece) AS rn FROM uc${r}_$j)
+  WHERE rn = 1)"""
+      }.mkString(",\n")
+      val dall = (1 to maxLen).map(j => s"SELECT * FROM ud${r}_$j")
+        .mkString("\n  UNION ALL ")
+      val bw = (1 until maxLen).map { k =>
+        s"""ubw${r}_$k AS MATERIALIZED (SELECT d.w, d.j, d.bi, d.bpiece
+  FROM ubw${r}_${k - 1} b JOIN udall$r d ON d.w = b.w AND d.j = b.bi
+  WHERE b.bi > 0)"""
+      }.mkString(",\n")
+      val segUnion = (0 until maxLen).map(k =>
+        s"SELECT w, bpiece AS piece FROM ubw${r}_$k")
+        .mkString("\n  UNION ALL ")
+      s"""ut$r AS MATERIALIZED (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM uv${r - 1}),
+usc$r AS MATERIALIZED (SELECT piece,
+    CAST(round(ln(CAST(freq AS DOUBLE) / t.total) * 1000000, 0) AS BIGINT)
+      AS score
+  FROM uv${r - 1}, ut$r t),
+ue$r AS MATERIALIZED (SELECT s.w, s.i, s.j, s.piece, v.score
+  FROM usp s JOIN usc$r v USING (piece)),
+ud${r}_0 AS MATERIALIZED (SELECT w, 0 AS j, CAST(0 AS BIGINT) AS best, -1 AS bi,
+    CAST(NULL AS VARCHAR) AS bpiece FROM uwords),
+$dp,
+udall$r AS MATERIALIZED (
+  $dall),
+ubw${r}_0 AS MATERIALIZED (SELECT d.w, d.j, d.bi, d.bpiece FROM udall$r d
+  JOIN uwords w2 ON w2.w = d.w AND length(w2.w) = d.j),
+$bw,
+useg$r AS MATERIALIZED (
+  $segUnion),
+ucnt$r AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM useg$r JOIN uwords USING (w) GROUP BY 1),
+un$r AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+  FROM useg$r GROUP BY 1),
+uv$r AS MATERIALIZED (SELECT piece, freq FROM ucnt$r
+  UNION ALL
+  SELECT s.piece, CAST(1 AS BIGINT) FROM usingle s
+  WHERE s.piece NOT IN (SELECT piece FROM ucnt$r))"""
+    }
+    s"""uwords AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1),
+usp AS MATERIALIZED (SELECT w, cnt, i, i + l AS j, substr(w, i + 1, l) AS piece
+  FROM uwords,
+       LATERAL unnest(range(0, length(w))) AS a(i),
+       LATERAL unnest(range(1, 1 + least($pieceLen, length(w) - i)))
+         AS b(l)),
+useed0 AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM usp GROUP BY 1),
+utop AS MATERIALIZED (SELECT piece, freq FROM (
+    SELECT *, row_number() OVER (ORDER BY freq DESC, piece) AS rn
+    FROM useed0)
+  WHERE rn <= $seedSize),
+usingle AS MATERIALIZED (SELECT DISTINCT piece FROM usp WHERE length(piece) = 1),
+uv0 AS MATERIALIZED (SELECT piece, freq FROM utop
+  UNION ALL
+  SELECT s0.piece, s0.freq FROM useed0 s0 JOIN usingle USING (piece)
+  WHERE s0.piece NOT IN (SELECT piece FROM utop)),
+${(1 to rounds).map(dpRound).mkString(",\n")}"""
+  }
+
+  /** q223 oracle: the full unigram chain; output = the final
+    * vocabulary ranked (freq DESC, piece). */
+  private def q223UnigramOracle(rounds: Int = 2): String =
+    s"""WITH ${unigramCtes(rounds = rounds)}
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece) AS BIGINT)
+    AS rank,
+  piece, freq
+FROM uv$rounds ORDER BY rank"""
+
+  /** q224 oracle: the 6-merge BPE apply chain AND the unigram chain on
+    * the same word table, reduced to one corpus-level fertility row per
+    * method. */
+  private def q224TokenizerCompareOracle(bpeMerges: Int = 6,
+                                         rounds: Int = 2): String =
+    s"""WITH ${bpeRoundCtes(bpeMerges, minPairCount = 2, applyAll = true)},
+${unigramCtes(rounds = rounds)},
+wt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_subwords
+  FROM f$bpeMerges GROUP BY 1),
+uocc AS (SELECT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+bstat AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(n_subwords) AS BIGINT) AS n_tokens
+  FROM uocc JOIN wt USING (w)),
+ustat AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(n_pieces) AS BIGINT) AS n_tokens
+  FROM uocc JOIN un$rounds USING (w))
+SELECT method, n_words, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / n_words, 4) AS fertility
+FROM (SELECT 'bpe' AS method, * FROM bstat
+      UNION ALL SELECT 'unigram', * FROM ustat)
+ORDER BY method"""
 
   /** q118 oracle: the q32 signature machinery, asymmetric — new-batch
     * banded rows (split ≥ 90) joined against corpus banded rows

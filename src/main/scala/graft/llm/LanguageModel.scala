@@ -526,4 +526,176 @@ object LanguageModel {
         round(col("n_subword_tokens").cast("double") /
           col("n_words").cast("double"), 4).as("fertility"))
   }
+
+  /** UNIGRAM-LM (SentencePiece-style) subword tokenizer training — the
+    * probabilistic sibling of [[trainBpe]] (Kudo 2018, "Subword
+    * Regularization", §3; trained here with HARD EM / Viterbi counts,
+    * the deterministic variant whose every decision is an integer
+    * argmax and therefore oracle-replayable — soft-EM fractional counts
+    * would put unorderable float sums on the decision path):
+    *
+    *  1. SEED: every substring of length 1..`maxPieceLen` over the
+    *     distinct-word frame, occurrence-weighted by word count; the
+    *     top `seedSize` by (freq DESC, piece) plus ALL single
+    *     characters (coverage — every word must stay segmentable).
+    *  2. Per EM round: score each piece with a FIXED-POINT log
+    *     probability (round(ln(freq/total)·10⁶) as BIGINT — the one
+    *     libm call, rounded before any decision, the q110 convention),
+    *     Viterbi-segment every distinct word (DP over positions; the
+    *     argmax orders by (total DESC, start, piece) so ties are
+    *     engine-independent), recount pieces from the chosen
+    *     segmentations weighted by word counts, and rebuild the
+    *     vocabulary: pieces with nonzero count survive, unchosen
+    *     single characters floor at count 1 (never lose coverage) —
+    *     Kudo's prune step falling out of the recount.
+    *
+    * THE scale property is [[trainBpe]]'s: ONE corpus-scale word-count
+    * shuffle, then every EM round runs on the vocabulary-sized
+    * distinct-word frame (O(√corpus) under Zipf) — DP steps are
+    * bounded-window joins over that frame, localCheckpointed
+    * (constant-size plans, the 2^rounds blowup note on [[trainBpe]]).
+    * `maxWordLen` bounds the DP unroll; a corpus word over the cap
+    * fails LOUDLY (one 1-row metadata agg — silence would silently
+    * drop it from every count).
+    *
+    * Returns (finalVocab (piece, freq), lastSegPieceCount (w,
+    * n_pieces)) — the trained vocabulary and the per-word piece counts
+    * of the final segmentation (the fertility side). */
+  private[llm] def unigramCore(docs: DataFrame, seedSize: Int,
+                               rounds: Int, maxPieceLen: Int,
+                               maxWordLen: Int,
+                               storageLevel: StorageLevel)
+      : (DataFrame, DataFrame) = {
+    require(rounds >= 1 && seedSize >= 1 && maxPieceLen >= 1)
+    import org.apache.spark.sql.expressions.Window
+    def ckpt(df: DataFrame): DataFrame =
+      if (storageLevel == StorageLevel.NONE) df else df.localCheckpoint()
+    // the ONLY corpus-scale pass (trainBpe's contract)
+    val words = ckpt(docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt")))
+    val maxLen = words.agg(coalesce(max(length(col("w"))), lit(0)))
+      .head().getInt(0) // 1-row metadata agg: the loud cap check
+    require(maxLen <= maxWordLen,
+      s"unigram DP caps word length at $maxWordLen; corpus has $maxLen")
+    // the DP/walk loops only need the ACTUAL longest word (the cap is
+    // the contract bound; looping past maxLen would run empty rounds
+    // whose localCheckpoint fixed cost is the dominant term here)
+    // all candidate spans (w, i, j, piece), i exclusive-start 0-based,
+    // j = i + pieceLen — the DP's edge set, vocabulary-sized
+    val spans = ckpt(words.select(col("w"), col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(0, length(w) - 1),
+           i -> transform(sequence(1, least($maxPieceLen, length(w) - i)),
+           l -> named_struct('i', i, 'j', i + l,
+                             'piece', substr(w, i + 1, l)))))"""))
+        .as("sp"))
+      .select(col("w"), col("cnt"), col("sp.i").as("i"),
+        col("sp.j").as("j"), col("sp.piece").as("piece")))
+    val singles = spans.where(length(col("piece")) === 1)
+      .select("piece").distinct()
+    val seedCounts = spans.groupBy("piece").agg(sum("cnt").as("freq"))
+    val wSeed = Window.partitionBy(lit(1))
+      .orderBy(col("freq").desc, col("piece"))
+    var vocab = ckpt(seedCounts
+      .withColumn("rn", row_number().over(wSeed))
+      .where(col("rn") <= seedSize).drop("rn")
+      .unionByName(seedCounts.join(
+          seedCounts.withColumn("rn", row_number().over(wSeed))
+            .where(col("rn") <= seedSize).select("piece"),
+          Seq("piece"), "left_anti")
+        .where(length(col("piece")) === 1))
+      .dropDuplicates("piece"))
+    var lastSeg: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      // fixed-point log-prob scores; total via the broadcast-1-row
+      // pattern (no driver action on the data path)
+      val totals = vocab.agg(sum("freq").as("total"))
+      val scored = vocab.crossJoin(broadcast(totals))
+        .select(col("piece"),
+          round(log(col("freq").cast("double") /
+            col("total").cast("double")) * 1e6, 0).cast("long")
+            .as("score_fp"))
+      val sc = ckpt(spans.join(broadcast(scored), "piece"))
+      // Viterbi DP: best(w, 0) = 0; best(w, j) = argmax over in-vocab
+      // spans (i -> j) of best(w, i) + score(piece)
+      var bestAll = ckpt(words.select(col("w"), lit(0).as("j"),
+        lit(0L).as("best_fp"), lit(-1).as("bi"),
+        lit(null).cast("string").as("bpiece")))
+      (1 to maxLen).foreach { j =>
+        val wj = Window.partitionBy("w")
+          .orderBy(col("total").desc, col("i"), col("piece"))
+        val bj = sc.where(col("j") === j)
+          .join(bestAll.select(col("w"), col("j").as("i"),
+            col("best_fp").as("prev")), Seq("w", "i"))
+          .withColumn("total", col("prev") + col("score_fp"))
+          .withColumn("rn", row_number().over(wj)).where(col("rn") === 1)
+          .select(col("w"), lit(j).as("j"), col("total").as("best_fp"),
+            col("i").as("bi"), col("piece").as("bpiece"))
+        bestAll = ckpt(bestAll.unionByName(bj))
+      }
+      // walk the backpointers from each word's end; every visited node
+      // contributes its piece (multiplicity preserved via unionAll)
+      var cur = ckpt(bestAll.where(col("j") === length(col("w"))))
+      var segs = cur.select(col("w"), col("bpiece").as("piece"))
+      (1 until maxLen).foreach { _ =>
+        cur = ckpt(cur.where(col("bi") > 0)
+          .select(col("w"), col("bi").as("j"))
+          .join(bestAll, Seq("w", "j")))
+        segs = segs.unionAll(cur.select(col("w"), col("bpiece").as("piece")))
+      }
+      lastSeg = ckpt(segs)
+      val counts = lastSeg.join(words, "w")
+        .groupBy("piece").agg(sum("cnt").as("freq"))
+      vocab = ckpt(counts.unionByName(
+        singles.join(counts, Seq("piece"), "left_anti")
+          .select(col("piece"), lit(1L).as("freq"))))
+    }
+    (vocab, lastSeg.groupBy("w").agg(count(lit(1)).as("n_pieces")))
+  }
+
+  /** The trained unigram vocabulary, ranked — (rank, piece, freq) by
+    * (freq DESC, piece). See [[unigramCore]]. */
+  def trainUnigram(docs: DataFrame, seedSize: Int = 48, rounds: Int = 2,
+                   maxPieceLen: Int = 4, maxWordLen: Int = 12,
+                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (vocab, _) = unigramCore(docs, seedSize, rounds, maxPieceLen,
+      maxWordLen, storageLevel)
+    val w = Window.partitionBy(lit(1)).orderBy(col("freq").desc, col("piece"))
+    vocab.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("piece"), col("freq"))
+  }
+
+  /** Corpus-level tokenizer comparison — fertility (tokens per word)
+    * of the [[trainBpe]]/[[applyBpe]] merge tokenizer vs the
+    * [[unigramCore]] Viterbi tokenizer on the SAME corpus: one row per
+    * method (n_words, n_tokens, 4-dp fertility). The number vocabulary
+    * sizing decisions actually read, measured for both trainers. */
+  def tokenizerCompare(docs: DataFrame, bpeMerges: Int = 6,
+                       seedSize: Int = 48, rounds: Int = 2,
+                       maxPieceLen: Int = 4, maxWordLen: Int = 12,
+                       storageLevel: StorageLevel =
+                         StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val bpe = applyBpe(docs,
+        trainBpe(docs, bpeMerges, minPairCount = 2,
+          storageLevel = storageLevel),
+        bpeMerges, storageLevel = storageLevel)
+      .agg(sum("n_words").as("n_words"),
+        sum("n_subword_tokens").as("n_tokens"))
+      .select(lit("bpe").as("method"), col("n_words"), col("n_tokens"))
+    val (_, nPieces) = unigramCore(docs, seedSize, rounds, maxPieceLen,
+      maxWordLen, storageLevel)
+    val occ = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+    val uni = occ.join(nPieces, "w")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_tokens"))
+      .select(lit("unigram").as("method"), col("n_words"), col("n_tokens"))
+    bpe.unionByName(uni)
+      .select(col("method"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 4).as("fertility"))
+      .orderBy("method")
+  }
 }

@@ -598,6 +598,27 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training (q223,
+    * [[graft.llm.LanguageModel.unigramCore]]): substring seeding + two
+    * hard-EM (Viterbi) rounds over the distinct-word frame — Kudo
+    * 2018's probabilistic sibling of the q215 BPE trainer, with every
+    * decision an integer argmax on fixed-point log-probs so the oracle
+    * unrolls seed → score → DP → backwalk → recount round by round.
+    * Output: the final vocabulary ranked (freq DESC, piece). */
+  def unigramTrain(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.trainUnigram(table(s, dir, "documents"))
+      .orderBy("rank")
+
+  /** Tokenizer fertility comparison (q224,
+    * [[graft.llm.LanguageModel.tokenizerCompare]]): corpus-level
+    * tokens-per-word for the 6-merge BPE tokenizer (q215/q217) vs the
+    * trained unigram-LM Viterbi tokenizer (q223) on the same corpus —
+    * the sizing number the two trainers are compared by in practice.
+    * Both chains replay end-to-end in the oracle. */
+  def tokenizerCompare(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.tokenizerCompare(table(s, dir, "documents"))
+      .orderBy("method")
+
   /** Graph-walk ANN search (q216,
     * [[graft.llm.Similarity.graphSearchTopK]]): beam descent over the
     * q138 kNN graph — the NSW/HNSW-family leg that completes the ANN

@@ -122,6 +122,13 @@ class PlanAuditSpec extends SparkSpec {
                              // snapshot table) plus, on a cold cache,
                              // the q138/centroid build shapes — all
                              // literal-bounded or broadcast by design
+    "q223_unigram_train",    // the per-EM-round broadcast 1-row
+                             // vocab-total crossJoin (the q110 scalar
+                             // pattern); DP steps are equi joins on
+                             // (w, i) over the vocabulary-sized frame
+    "q224_tokenizer_compare", // q223's chain + the 1-row × 1-row
+                             // bpe/unigram stat-frame union — all
+                             // scalar-bounded
     "q156_hard_negatives",   // q34's designed broadcast-queries scan with
                              // the band filter fused into it — the filter
                              // drops the easy mass at scan time; no

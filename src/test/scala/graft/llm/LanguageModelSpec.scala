@@ -226,4 +226,57 @@ class LanguageModelSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
     assert(out == List((0L, 2L, 6L, 3.0), (1L, 2L, 8L, 4.0)))
   }
+
+  test("trainUnigram: hand-computed Viterbi on a tiny corpus — the " +
+    "frequent bigram wins one piece, unchosen singles floor at 1") {
+    // words: ab (x3), c (x1). Seed freqs: a=3, b=3, ab=3, c=1 (total 10).
+    // Round-1 scores (fixed-point ln): ab = a = b = round(ln(0.3)e6),
+    // c = round(ln(0.1)e6). Viterbi("ab"): [ab] = one ln(0.3) beats
+    // [a, b] = two -> piece "ab"; Viterbi("c") = [c]. Recount: ab=3,
+    // c=1; a, b unchosen -> floored at 1. Round 2 re-scores (total 6)
+    // and segments identically. Final vocab: ab=3 then a/b/c at 1.
+    val docs = Seq((0L, "ab ab c"), (1L, "ab")).toDF("doc_id", "text")
+    val out = LanguageModel.trainUnigram(docs)
+      .as[(Long, String, Long)].collect().toList
+    assert(out == List((1L, "ab", 3L), (2L, "a", 1L), (3L, "b", 1L),
+      (4L, "c", 1L)))
+  }
+
+  test("trainUnigram laws on the real corpus: singles always covered, " +
+    "partitioning-independent, over-cap words fail loudly") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val out = LanguageModel.trainUnigram(docs)
+      .as[(Long, String, Long)].collect().toList
+    // every single character of the corpus survives in the vocabulary
+    val chars = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length($"w") > 0)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))")).as("c"))
+      .distinct().as[String].collect().toSet
+    val pieces = out.map(_._2).toSet
+    assert(chars.subsetOf(pieces), s"missing: ${chars -- pieces}")
+    // freqs positive, ranks dense from 1, deterministic across layout
+    assert(out.map(_._1) == (1L to out.size))
+    assert(out.forall(_._3 >= 1L))
+    assert(LanguageModel.trainUnigram(docs.repartition(7))
+      .as[(Long, String, Long)].collect().toList == out)
+    // the DP cap is loud, never a silent drop
+    val long = Seq((0L, "a" * 13)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](LanguageModel.trainUnigram(long))
+  }
+
+  test("tokenizerCompare: both methods over the same words, fertility " +
+    "laws hold, hand corpus matches") {
+    // unigram tokenizes ab as ONE piece (see the hand test) -> corpus
+    // fertility (3*1 + 1*1) / 4 = 1.0; BPE with the (a,b) merge yields
+    // [ab, </w>] = 2 subwords per "ab" and [c, </w>] = 2 per "c" -> 2.0
+    val docs = Seq((0L, "ab ab c"), (1L, "ab")).toDF("doc_id", "text")
+    val out = LanguageModel.tokenizerCompare(docs, bpeMerges = 2)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(out.map(_._1) == List("bpe", "unigram"))
+    assert(out.forall(_._2 == 4L), s"word totals: $out")
+    assert(out.find(_._1 == "unigram").get._4 == 1.0)
+    val bpe = out.find(_._1 == "bpe").get
+    assert(bpe._4 >= 1.0 && bpe._4 <= 4.0)
+  }
 }
