@@ -316,6 +316,35 @@ class SnapshotSourceSpec extends SparkSpec {
       (0L until 20000L))
   }
 
+  test("vectorized (default) and row-path reads agree on every type, " +
+    "evolution null-fill included; the option switches paths") {
+    val dir = Files.createTempDirectory("graft-dsv2vec").toString
+    SnapshotTable.commit(spark,
+      (0L until 300L).map(i => (i, s"v$i", i.toDouble / 3, i.toFloat,
+        i % 2 == 0, i.toInt)).toDF("id", "s", "d", "f", "b", "i")
+        .repartition(3), dir)
+    SnapshotTable.commit(spark, // evolution: old files null-fill "tag"
+      (300L until 360L).map(i => (i, s"v$i", i.toDouble / 3, i.toFloat,
+        i % 2 == 0, i.toInt, s"t$i"))
+        .toDF("id", "s", "d", "f", "b", "i", "tag").repartition(2), dir)
+    def read(vectorized: Boolean) =
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("vectorizedRead", vectorized.toString).load(dir)
+    val vec = read(true)
+      .as[(Long, String, Double, Float, Boolean, Int, Option[String])]
+      .collect().toSet
+    val row = read(false)
+      .as[(Long, String, Double, Float, Boolean, Int, Option[String])]
+      .collect().toSet
+    assert(vec == row && vec.size == 360)
+    assert(vec.count(_._7.isEmpty) == 300) // null-fill identical
+    // the default path IS columnar (factory contract), row is the escape
+    assert(new SnapshotReaderFactory(read(true).schema, vectorized = true)
+      .supportColumnarReads(SnapshotFilePartition("x")))
+    assert(!new SnapshotReaderFactory(read(true).schema, vectorized = false)
+      .supportColumnarReads(SnapshotFilePartition("x")))
+  }
+
   test("footerSchema maps flat primitives for legacy manifests") {
     val dir = Files.createTempDirectory("graft-dsv2foot").toString
     Seq((1L, "a", 0.5, 3, true)).toDF("l", "s", "d", "i", "b")
