@@ -668,8 +668,14 @@ object LlmQueries {
         .digest(s"$dir|k5|t4|p8|c8|i2|portable".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)).toString
     if (graft.io.SnapshotTable.versions(s"$idx/edges").isEmpty)
-      Similarity.writeGraphIndex(table(s, dir, "embeddings"), idx,
+      try Similarity.writeGraphIndex(table(s, dir, "embeddings"), idx,
         hasher = graft.llm.PortableSeededHash)
+      catch {
+        // a RACING builder won the CAS commit: its artifact is the same
+        // deterministic content — read it instead of failing the query
+        case _: java.util.ConcurrentModificationException
+          if graft.io.SnapshotTable.versions(s"$idx/edges").nonEmpty =>
+      }
     idx
   }
 

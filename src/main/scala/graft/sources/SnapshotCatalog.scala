@@ -148,6 +148,11 @@ class SnapshotCatalog extends TableCatalog {
         require(add.fieldNames().length == 1,
           "ALTER TABLE ADD COLUMN: snapshot tables hold flat columns " +
             s"(got nested path ${add.fieldNames().mkString(".")})")
+        require(add.position() == null,
+          "ALTER TABLE ADD COLUMN ... FIRST/AFTER: evolved columns " +
+            "APPEND to the schema (older files null-fill by position-" +
+            "independent name lookup; honoring a position would lie " +
+            "about it)")
         StructField(add.fieldNames().head, add.dataType(), nullable = true)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${other.getClass.getSimpleName}: the snapshot " +

@@ -55,14 +55,15 @@ import graft.io.SnapshotTable
   * `files.maxPartitionBytes` contract) split into row-group-aligned
   * range partitions ([[SnapshotScan.split]]), so one huge compacted
   * file no longer serializes through a single task. Ranges are read
-  * executor-side with the public parquet-hadoop record API (footer →
-  * midpoint-in-range row groups → `GroupRecordConverter`) under the
-  * requested-column projection, so column pruning reaches the page
-  * level. Supported column types are the flat primitives the snapshot
-  * tier commits (long/int/double/float/boolean/string/binary/date/
-  * timestamp); the remaining production extension — vectorized
-  * columnar batches — slots into the reader factory
-  * (`supportColumnarReads`) without touching the planner. */
+  * executor-side VECTORIZED by default — Spark's own columnar parquet
+  * reader through the DSv2 `supportColumnarReads` seam
+  * ([[SnapshotColumnarReader]]; measured within ~1.35× of Spark's
+  * native parquet scan at 100×) — with the record-at-a-time
+  * parquet-hadoop Group path ([[ParquetGroupReader]]) kept as the
+  * `.option("vectorizedRead", false)` escape and parity baseline;
+  * column pruning reaches the page level either way. Supported column
+  * types are the flat primitives the snapshot tier commits
+  * (long/int/double/float/boolean/string/binary/date/timestamp). */
 class SnapshotSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = SnapshotSource.dir(options.asScala.toMap)

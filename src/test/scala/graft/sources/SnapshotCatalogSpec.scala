@@ -102,6 +102,8 @@ class SnapshotCatalogSpec extends SparkSpec {
     // (add-column is O(0) data work, the point of log-held schemas)
     intercept[Exception](
       spark.sql("ALTER TABLE tcat.alt ADD COLUMN id STRING")) // duplicate
+    intercept[Exception]( // positions would lie: evolution appends
+      spark.sql("ALTER TABLE tcat.alt ADD COLUMN z STRING FIRST"))
     intercept[Exception](
       spark.sql("ALTER TABLE tcat.alt DROP COLUMN lang"))
     intercept[Exception](
