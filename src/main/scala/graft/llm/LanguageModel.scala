@@ -551,12 +551,14 @@ object LanguageModel {
     *
     * THE scale property is [[trainBpe]]'s: ONE corpus-scale word-count
     * shuffle, then every EM round runs on the vocabulary-sized
-    * distinct-word frame (O(√corpus) under Zipf) — DP steps are
-    * bounded-window joins over that frame, localCheckpointed
-    * (constant-size plans, the 2^rounds blowup note on [[trainBpe]]).
-    * `maxWordLen` bounds the DP unroll; a corpus word over the cap
-    * fails LOUDLY (one 1-row metadata agg — silence would silently
-    * drop it from every count).
+    * distinct-word frame (O(√corpus) under Zipf) — the whole Viterbi
+    * DP + backpointer walk is ONE compiled expression pass per word
+    * (the word's scored spans collected into an array column), so a
+    * round costs one broadcast score join, one vocab-sized collect
+    * shuffle, and one recount shuffle — no per-position joins, no
+    * per-position checkpoints. `maxWordLen` caps word length; a corpus
+    * word over the cap fails LOUDLY (one 1-row metadata agg — silence
+    * would silently drop it from every count).
     *
     * Returns (finalVocab (piece, freq), lastSegPieceCount (w,
     * n_pieces)) — the trained vocabulary and the per-word piece counts
@@ -579,9 +581,6 @@ object LanguageModel {
       .head().getInt(0) // 1-row metadata agg: the loud cap check
     require(maxLen <= maxWordLen,
       s"unigram DP caps word length at $maxWordLen; corpus has $maxLen")
-    // the DP/walk loops only need the ACTUAL longest word (the cap is
-    // the contract bound; looping past maxLen would run empty rounds
-    // whose localCheckpoint fixed cost is the dominant term here)
     // all candidate spans (w, i, j, piece), i exclusive-start 0-based,
     // j = i + pieceLen — the DP's edge set, vocabulary-sized
     val spans = ckpt(words.select(col("w"), col("cnt"), explode(expr(
@@ -616,37 +615,82 @@ object LanguageModel {
           round(log(col("freq").cast("double") /
             col("total").cast("double")) * 1e6, 0).cast("long")
             .as("score_fp"))
-      val sc = ckpt(spans.join(broadcast(scored), "piece"))
+      val sc = spans.join(broadcast(scored), "piece")
       // Viterbi DP: best(w, 0) = 0; best(w, j) = argmax over in-vocab
-      // spans (i -> j) of best(w, i) + score(piece)
-      var bestAll = ckpt(words.select(col("w"), lit(0).as("j"),
-        lit(0L).as("best_fp"), lit(-1).as("bi"),
-        lit(null).cast("string").as("bpiece")))
-      (1 to maxLen).foreach { j =>
-        val wj = Window.partitionBy("w")
-          .orderBy(col("total").desc, col("i"), col("piece"))
-        val bj = sc.where(col("j") === j)
-          .join(bestAll.select(col("w"), col("j").as("i"),
-            col("best_fp").as("prev")), Seq("w", "i"))
-          .withColumn("total", col("prev") + col("score_fp"))
-          .withColumn("rn", row_number().over(wj)).where(col("rn") === 1)
-          .select(col("w"), lit(j).as("j"), col("total").as("best_fp"),
-            col("i").as("bi"), col("piece").as("bpiece"))
-        bestAll = ckpt(bestAll.unionByName(bj))
-      }
-      // walk the backpointers from each word's end; every visited node
-      // contributes its piece (multiplicity preserved via unionAll)
-      var cur = ckpt(bestAll.where(col("j") === length(col("w"))))
-      var segs = cur.select(col("w"), col("bpiece").as("piece"))
-      (1 until maxLen).foreach { _ =>
-        cur = ckpt(cur.where(col("bi") > 0)
-          .select(col("w"), col("bi").as("j"))
-          .join(bestAll, Seq("w", "j")))
-        segs = segs.unionAll(cur.select(col("w"), col("bpiece").as("piece")))
-      }
-      lastSeg = ckpt(segs)
-      val counts = lastSeg.join(words, "w")
-        .groupBy("piece").agg(sum("cnt").as("freq"))
+      // spans (i -> j) of best(w, i) + score(piece), argmax ordered by
+      // (total DESC, i, piece) — run as ONE COMPILED PASS per word:
+      // each word's scored spans collect into an array column and the
+      // whole position DP + backpointer walk happens inside a single
+      // expression over the vocabulary-sized word frame (the spans are
+      // ≤ maxWordLen·maxPieceLen elements, the DP O(len·|spans|) per
+      // row). The earlier per-position spelling was ~2·maxWordLen
+      // localCheckpointed join-rounds per EM round, whose fixed
+      // scheduling cost dwarfed the per-row work on any frame this
+      // size — and at 100 TB the word frame is still vocabulary-sized,
+      // so the fused pass keeps the corpus-FLAT property while deleting
+      // every per-position shuffle.
+      val arr = sc.groupBy(col("w"), col("cnt"))
+        .agg(collect_list(struct(col("i"), col("j"), col("piece"),
+          col("score_fp"))).as("sp"))
+      // dp: per reached position j, (fp = best score, bi = argmax start,
+      // bp = argmax piece); position 0 is the empty-prefix base case.
+      // An UNREACHABLE position contributes no element — candidates
+      // from it never form (the reachability the join-based spelling
+      // got from inner-joining bestAll). The argmax is an order-
+      // independent reduce (strict total order: (i, piece) is unique
+      // per span), so collect_list's nondeterministic order is safe.
+      val dpExpr =
+        """aggregate(
+          |  sequence(1, length(w)),
+          |  array(named_struct('j', 0, 'fp', CAST(0 AS BIGINT),
+          |                     'bi', -1, 'bp', CAST(NULL AS STRING))),
+          |  (acc, jj) -> concat(acc,
+          |    filter(
+          |      transform(
+          |        array(aggregate(
+          |          transform(
+          |            filter(sp, s -> s.j = jj
+          |              AND size(filter(acc, a -> a.j = s.i)) > 0),
+          |            s -> named_struct(
+          |              'total',
+          |              element_at(filter(acc, a -> a.j = s.i), 1).fp
+          |                + s.score_fp,
+          |              'i', s.i, 'piece', s.piece)),
+          |          CAST(NULL AS STRUCT<total: BIGINT, i: INT,
+          |                              piece: STRING>),
+          |          (b, c) -> CASE
+          |            WHEN b IS NULL THEN c
+          |            WHEN c.total > b.total THEN c
+          |            WHEN c.total = b.total AND (c.i < b.i
+          |              OR (c.i = b.i AND c.piece < b.piece)) THEN c
+          |            ELSE b END)),
+          |        best -> named_struct('j', jj, 'fp', best.total,
+          |                             'bi', best.i, 'bp', best.piece)),
+          |      x -> x.bp IS NOT NULL)))""".stripMargin
+      // backpointer walk from the word's end: each visited node
+      // contributes its piece; stops at position 0 (a word whose end is
+      // unreachable contributes nothing, matching the join spelling —
+      // floored singles make that impossible in practice)
+      val walkExpr =
+        """aggregate(
+          |  sequence(1, length(w)),
+          |  named_struct('cur', length(w),
+          |               'ps', CAST(array() AS ARRAY<STRING>)),
+          |  (st, x) -> CASE
+          |    WHEN st.cur <= 0
+          |      OR size(filter(dp, d -> d.j = st.cur)) = 0
+          |      THEN named_struct('cur', 0, 'ps', st.ps)
+          |    ELSE named_struct(
+          |      'cur', element_at(filter(dp, d -> d.j = st.cur), 1).bi,
+          |      'ps', concat(st.ps,
+          |        array(element_at(filter(dp, d -> d.j = st.cur), 1).bp)))
+          |    END,
+          |  st -> st.ps)""".stripMargin
+      val seg = arr.withColumn("dp", expr(dpExpr))
+        .withColumn("pieces", expr(walkExpr))
+      lastSeg = ckpt(seg.select(col("w"), col("cnt"),
+        explode(col("pieces")).as("piece")))
+      val counts = lastSeg.groupBy("piece").agg(sum("cnt").as("freq"))
       vocab = ckpt(counts.unionByName(
         singles.join(counts, Seq("piece"), "left_anti")
           .select(col("piece"), lit(1L).as("freq"))))
