@@ -253,6 +253,8 @@ object SparkEntry {
     "q215_bpe_train" -> LlmQueries.bpeTrain,
     "q216_graph_ann" -> LlmQueries.graphAnn,
     "q222_graph_ann_indexed" -> LlmQueries.graphAnnIndexed,
+    "q225_ivf_codebook_indexed" -> LlmQueries.ivfCodebookAnn,
+    "q226_pq_codebook_indexed" -> LlmQueries.pqCodebookAnn,
     "q223_unigram_train" -> LlmQueries.unigramTrain,
     "q224_tokenizer_compare" -> LlmQueries.tokenizerCompare,
     "q217_bpe_tokenize" -> LlmQueries.bpeTokenize,
@@ -2786,6 +2788,12 @@ ORDER BY d.doc_id""",
     "q215_bpe_train" -> q215BpeTrainOracle(merges = 8),
     "q216_graph_ann" -> q216GraphAnnOracle(),
     "q222_graph_ann_indexed" -> q222GraphAnnIndexedOracle(),
+    // q225/q226: the persisted-codebook searches are DEFINED to produce
+    // exactly the in-query q82/q124 outputs (the lifecycle changes, the
+    // math doesn't — deterministic fixed-point training), so they share
+    // those oracles: a fault in the artifact or the search mismatches.
+    "q225_ivf_codebook_indexed" -> q82IvfTrainedOracle,
+    "q226_pq_codebook_indexed" -> q124PqOracle,
     "q223_unigram_train" -> q223UnigramOracle(),
     "q224_tokenizer_compare" -> q224TokenizerCompareOracle(),
     "q217_bpe_tokenize" -> q217BpeTokenizeOracle(merges = 6),

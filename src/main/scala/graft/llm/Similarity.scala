@@ -899,7 +899,21 @@ object Similarity {
         expr(s"slice(embedding, ${s * dsub + 1}, $dsub)").as("embedding"))
     }.reduce(_ unionByName _)
     val (codes, cb) = kmeansTrainKeyed(sub, numCentroids, iters, hasher)
-    // codes: (s, vec_id, cid); cb: (s, cid, d, m)
+    pqSearch(queries, k, m, dims, codes, cb)
+  }
+
+  /** The SEARCH half of [[pqTopK]], split out so the subspace codebooks
+    * and code table can be a PERSISTED artifact ([[writePqCodebook]] /
+    * [[readPqCodebook]]): `codes` is the encoded corpus (s, vec_id,
+    * cid), `cb` the per-subspace integer centroid sums (s, cid, d, m).
+    * ADC search never touches the corpus floats — the entire read path
+    * is these two frames, which is precisely why the codebook artifact
+    * is the natural unit to persist. Bit-identical to the in-query form
+    * off the same training (SimilaritySpec pins it). */
+  def pqSearch(queries: DataFrame, k: Int, m: Int, dims: Int,
+               codes: DataFrame, cb: DataFrame): DataFrame = {
+    require(m > 0 && dims % m == 0, "dims must split evenly into m subspaces")
+    val dsub = dims / m
     val nm = cb.groupBy("s", "cid").agg(sum(col("m") * col("m")).as("nm"))
     val exq = queries.select(col("vec_id").as("query_id"),
         posexplode(col("embedding")).as(Seq("gd", "x")))
@@ -949,6 +963,21 @@ object Similarity {
                      numCentroids: Int = 8, iters: Int = 2, nprobe: Int = 2,
                      hasher: SeededHash = XxSeededHash): DataFrame = {
     val (assign, cent) = kmeansTrain(corpus, numCentroids, iters, hasher)
+    ivfSearchTrained(queries, corpus, k, assign, cent, nprobe)
+  }
+
+  /** The SEARCH half of [[ivfTopKTrained]], split out so the trained
+    * quantizer can be a PERSISTED artifact ([[writeIvfCodebook]] /
+    * [[readIvfCodebook]] — the q222 lifecycle applied to the q82
+    * trainer): `assign` is the inverted-list map (vec_id, cid), `cent`
+    * the integer centroid sums (cid, d, m). Off the same training the
+    * output is bit-identical to the in-query form (deterministic
+    * fixed-point math end to end; SimilaritySpec pins the equality), so
+    * a report that reads the codebook artifact keeps the in-query
+    * oracle verbatim and drops the per-query k-means cost. */
+  def ivfSearchTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+                       assign: DataFrame, cent: DataFrame,
+                       nprobe: Int = 2): DataFrame = {
     val nm = cent.groupBy("cid").agg(sum(col("m") * col("m")).as("nm"))
     // probe: rank cells per query by exact-integer cosine to the centroid
     val exq = queries
@@ -1335,6 +1364,9 @@ object Similarity {
                       hasher: SeededHash = XxSeededHash,
                       storageLevel: StorageLevel =
                         StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // cheap duplicate of graphSearchIndexed's guard: fail BEFORE the
+    // eager graph build below, not after paying for it
+    require(beam >= k, s"beam=$beam must be >= k=$k")
     val g = knnGraph(corpus, graphK, tables, planesPerTable,
       hasher = hasher, storageLevel = storageLevel)
     // materialize the (expensive) graph build ONCE before fanning out:
@@ -1471,4 +1503,62 @@ object Similarity {
     (spark.read.format("graft.sources.SnapshotSource").load(s"$dir/edges"),
       spark.read.format("graft.sources.SnapshotSource")
         .load(s"$dir/entries"))
+
+  /** Persist a TRAINED IVF quantizer: [[kmeansTrain]]'s centroid sums
+    * (`$dir/centroids`: cid, d, m) and inverted-list assignment
+    * (`$dir/assign`: vec_id, cid), each committed as a snapshot table
+    * through the DSv2 write surface — the q222 graph-artifact lifecycle
+    * applied to the LAST ANN family member that still trained per
+    * query. At 100 TB the k-means iterations (the corpus passes) run
+    * once per corpus refresh; every report serves
+    * [[ivfSearchTrained]] from these two frames. Deterministic
+    * fixed-point training ⇒ the artifact equals what any in-query
+    * training would produce, so consumers keep their oracles. */
+  def writeIvfCodebook(corpus: DataFrame, dir: String,
+                       numCentroids: Int = 8, iters: Int = 2,
+                       hasher: SeededHash = XxSeededHash): Unit = {
+    val (assign, cent) = kmeansTrain(corpus, numCentroids, iters, hasher)
+    cent.write.format("graft.sources.SnapshotSource")
+      .mode("overwrite").save(s"$dir/centroids")
+    assign.write.format("graft.sources.SnapshotSource")
+      .mode("overwrite").save(s"$dir/assign")
+  }
+
+  /** Load a [[writeIvfCodebook]] artifact: (assign, cent). */
+  def readIvfCodebook(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): (DataFrame, DataFrame) =
+    (spark.read.format("graft.sources.SnapshotSource").load(s"$dir/assign"),
+      spark.read.format("graft.sources.SnapshotSource")
+        .load(s"$dir/centroids"))
+
+  /** Persist a TRAINED PQ codebook: [[kmeansTrainKeyed]]'s per-subspace
+    * centroid sums (`$dir/codebook`: s, cid, d, m) and the encoded
+    * corpus (`$dir/codes`: s, vec_id, cid) as snapshot tables. The code
+    * table IS the 100 TB read path (ADC search never touches corpus
+    * floats, ~1/80 the bytes), so persisting it is persisting the
+    * index; the codebook is the m×numCentroids×dsub training output
+    * every query's dot tables broadcast against. */
+  def writePqCodebook(corpus: DataFrame, dir: String, m: Int = 4,
+                      dims: Int = 64, numCentroids: Int = 8,
+                      iters: Int = 2,
+                      hasher: SeededHash = XxSeededHash): Unit = {
+    require(m > 0 && dims % m == 0, "dims must split evenly into m subspaces")
+    val dsub = dims / m
+    val sub = (0 until m).map { s =>
+      corpus.select(lit(s).as("s"), col("vec_id"),
+        expr(s"slice(embedding, ${s * dsub + 1}, $dsub)").as("embedding"))
+    }.reduce(_ unionByName _)
+    val (codes, cb) = kmeansTrainKeyed(sub, numCentroids, iters, hasher)
+    cb.write.format("graft.sources.SnapshotSource")
+      .mode("overwrite").save(s"$dir/codebook")
+    codes.write.format("graft.sources.SnapshotSource")
+      .mode("overwrite").save(s"$dir/codes")
+  }
+
+  /** Load a [[writePqCodebook]] artifact: (codes, cb). */
+  def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): (DataFrame, DataFrame) =
+    (spark.read.format("graft.sources.SnapshotSource").load(s"$dir/codes"),
+      spark.read.format("graft.sources.SnapshotSource")
+        .load(s"$dir/codebook"))
 }

@@ -494,7 +494,11 @@ object LlmQueries {
     * shares q82's oracle. */
   def indexedIvfAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
-    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    // build-per-run by design (the labeled build-included twin); the
+    // directory still lands under the session-configurable artifact root
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.io.ArtifactCache.root(s)),
+      "graft-ivf").toString
     Similarity.writeIvfIndex(emb, idx, numCentroids = 8, iters = 2,
       hasher = graft.llm.PortableSeededHash)
     Similarity.ivfSearchIndexed(idx, emb.where(col("vec_id") < 10), k = 5,
@@ -656,34 +660,99 @@ object LlmQueries {
     * halves (graph build + k-means entries + beam rounds), so a fault
     * in either the persisted artifact or the search hash-mismatches. */
   /** Build-if-absent the persisted graph-ANN artifact for `dir`'s
-    * embeddings (q222's lifecycle), cached per (corpus dir, params)
-    * under the JVM temp root — deterministic content (portable hash,
+    * embeddings (q222's lifecycle) through [[graft.io.ArtifactCache]]:
+    * session-configurable root, cache key carrying the corpus CONTENT
+    * fingerprint (a corpus rebuilt in place misses instead of serving a
+    * stale index), completion gated on a marker written after the LAST
+    * table commit (a crash between the edges and entries commits
+    * rebuilds, never half-reads). Deterministic content (portable hash,
     * fixed-point k-means), so rebuild-on-miss is idempotent and any
     * consumer (q222's search, q131/q164's graph legs) may share it.
     * Returns the index directory. */
-  private def graphIndexDir(s: SparkSession, dir: String): String = {
-    val idx = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft-graphidx-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|k5|t4|p8|c8|i2|portable".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)).toString
-    if (graft.io.SnapshotTable.versions(s"$idx/edges").isEmpty)
-      try Similarity.writeGraphIndex(table(s, dir, "embeddings"), idx,
+  private def graphIndexDir(s: SparkSession, dir: String): String =
+    graft.io.ArtifactCache.cached(s, Seq("graphidx",
+        graft.io.ArtifactCache.fingerprint(s, s"$dir/embeddings.parquet"),
+        "k5", "t4", "p8", "c8", "i2", "portable")) { idx =>
+      Similarity.writeGraphIndex(table(s, dir, "embeddings"), idx,
         hasher = graft.llm.PortableSeededHash)
-      catch {
-        // a RACING builder won the CAS commit: its artifact is the same
-        // deterministic content — read it instead of failing the query
-        case _: java.util.ConcurrentModificationException
-          if graft.io.SnapshotTable.versions(s"$idx/edges").nonEmpty =>
-      }
-    idx
-  }
+    }
 
   def graphAnnIndexed(s: SparkSession, dir: String): DataFrame = {
     val emb = table(s, dir, "embeddings")
     val (edges, entries) = Similarity.readGraphIndex(s, graphIndexDir(s, dir))
     Similarity.graphSearchIndexed(emb.where(col("vec_id") < 10), emb,
         edges, entries, k = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  /** Build-if-absent the persisted TRAINED-IVF codebook artifact
+    * (q225's lifecycle — [[graft.llm.Similarity.writeIvfCodebook]]):
+    * the q82 k-means training committed once as snapshot tables, so
+    * reports ([[annRecall]]/[[retrievalMetrics]]) and the q225 witness
+    * search the artifact instead of re-training per query. Same cache
+    * contract as [[graphIndexDir]]. */
+  private def ivfCodebookDir(s: SparkSession, dir: String): String =
+    graft.io.ArtifactCache.cached(s, Seq("ivfcb",
+        graft.io.ArtifactCache.fingerprint(s, s"$dir/embeddings.parquet"),
+        "c8", "i2", "portable")) { idx =>
+      Similarity.writeIvfCodebook(table(s, dir, "embeddings"), idx,
+        numCentroids = 8, iters = 2,
+        hasher = graft.llm.PortableSeededHash)
+    }
+
+  /** Build-if-absent the persisted PQ codebook artifact (q226's
+    * lifecycle — [[graft.llm.Similarity.writePqCodebook]]). */
+  private def pqCodebookDir(s: SparkSession, dir: String): String =
+    graft.io.ArtifactCache.cached(s, Seq("pqcb",
+        graft.io.ArtifactCache.fingerprint(s, s"$dir/embeddings.parquet"),
+        "m4", "d64", "c8", "i2", "portable")) { idx =>
+      Similarity.writePqCodebook(table(s, dir, "embeddings"), idx,
+        m = 4, dims = 64, numCentroids = 8, iters = 2,
+        hasher = graft.llm.PortableSeededHash)
+    }
+
+  /** The q131/q164 `ivf_trained` leg served from the PERSISTED codebook
+    * artifact — bit-identical to the in-query [[Similarity
+    * .ivfTopKTrained]] (deterministic fixed-point training; q225's spec
+    * pins the equality), without re-running k-means inside every
+    * report. */
+  private def ivfTrainedLeg(s: SparkSession, dir: String, q: DataFrame,
+                            emb: DataFrame): DataFrame = {
+    val (assign, cent) = Similarity.readIvfCodebook(s, ivfCodebookDir(s, dir))
+    Similarity.ivfSearchTrained(q, emb, k = 5, assign, cent, nprobe = 2)
+  }
+
+  /** The q131/q164 `pq` leg served from the PERSISTED codebook
+    * artifact (see [[ivfTrainedLeg]]). */
+  private def pqLeg(s: SparkSession, dir: String, q: DataFrame): DataFrame = {
+    val (codes, cb) = Similarity.readPqCodebook(s, pqCodebookDir(s, dir))
+    Similarity.pqSearch(q, k = 5, m = 4, dims = 64, codes, cb)
+  }
+
+  /** Trained-IVF search over the PERSISTED codebook (q225): the q222
+    * registered witness applied to the q82 trainer — the k-means build
+    * runs ONCE into snapshot tables ([[ivfCodebookDir]]); the query
+    * probes the reloaded centroid sums and inverted lists. Output is
+    * defined to be q82's exactly (the lifecycle changes, the math
+    * doesn't), so it shares q82's oracle: a fault in either the
+    * persisted artifact or the probe hash-mismatches. */
+  def ivfCodebookAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val (assign, cent) = Similarity.readIvfCodebook(s, ivfCodebookDir(s, dir))
+    Similarity.ivfSearchTrained(emb.where(col("vec_id") < 10), emb, k = 5,
+        assign, cent, nprobe = 2)
+      .orderBy("query_id", "rn")
+  }
+
+  /** PQ/ADC search over the PERSISTED codebook (q226): q124's output
+    * served from the snapshot-table artifact — the corpus is read ONLY
+    * as its code table (the 1/80-bytes ADC property, now on disk).
+    * Shares q124's oracle. */
+  def pqCodebookAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+    val (codes, cb) = Similarity.readPqCodebook(s, pqCodebookDir(s, dir))
+    Similarity.pqSearch(emb.where(col("vec_id") < 10), k = 5, m = 4,
+        dims = 64, codes, cb)
       .orderBy("query_id", "rn")
   }
 
@@ -728,13 +797,14 @@ object LlmQueries {
       df.select(lit(name).as("method"), col("query_id"), col("neighbor_id"))
     val legs = Seq(
         leg("ivf", Similarity.ivfTopK(q, emb, k = 5, hasher = hasher)),
-        leg("ivf_trained", Similarity.ivfTopKTrained(q, emb, k = 5,
-          numCentroids = 8, iters = 2, nprobe = 2, hasher = hasher)),
+        // trained legs read their PERSISTED codebook artifacts (q225/
+        // q226's lifecycle) — no in-query k-means; output and oracle
+        // unchanged (deterministic training, equality spec-pinned)
+        leg("ivf_trained", ivfTrainedLeg(s, dir, q, emb)),
         leg("lsh", Similarity.lshTopK(q, emb, k = 5, hasher = hasher)),
         leg("lsh_multi", Similarity.lshTopKMulti(q, emb, k = 5,
           tables = 4, planesPerTable = 8, hasher = hasher)),
-        leg("pq", Similarity.pqTopK(q, emb, k = 5, m = 4, dims = 64,
-          numCentroids = 8, iters = 2, hasher = hasher)),
+        leg("pq", pqLeg(s, dir, q)),
         leg("sq", Similarity.quantizedTopK(q, emb, k = 5)),
         leg("graph", graphLeg(s, dir, q, emb)))
       .reduce(_ unionByName _)
@@ -791,13 +861,14 @@ object LlmQueries {
         col("rn").cast("long").as("rank"), col("neighbor_id"))
     val legs = Seq(
         leg("ivf", Similarity.ivfTopK(q, emb, k = 5, hasher = hasher)),
-        leg("ivf_trained", Similarity.ivfTopKTrained(q, emb, k = 5,
-          numCentroids = 8, iters = 2, nprobe = 2, hasher = hasher)),
+        // trained legs read their PERSISTED codebook artifacts (q225/
+        // q226's lifecycle) — no in-query k-means; output and oracle
+        // unchanged (deterministic training, equality spec-pinned)
+        leg("ivf_trained", ivfTrainedLeg(s, dir, q, emb)),
         leg("lsh", Similarity.lshTopK(q, emb, k = 5, hasher = hasher)),
         leg("lsh_multi", Similarity.lshTopKMulti(q, emb, k = 5,
           tables = 4, planesPerTable = 8, hasher = hasher)),
-        leg("pq", Similarity.pqTopK(q, emb, k = 5, m = 4, dims = 64,
-          numCentroids = 8, iters = 2, hasher = hasher)),
+        leg("pq", pqLeg(s, dir, q)),
         leg("sq", Similarity.quantizedTopK(q, emb, k = 5)),
         leg("graph", graphLeg(s, dir, q, emb)))
       .reduce(_ unionByName _)

@@ -660,4 +660,33 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.graphSearchTopK(q, emb, k = 5,
         hasher = PortableSeededHash)))
   }
+
+  test("q225/q226: persisted IVF + PQ codebooks — artifacts round-trip " +
+    "bit-exact and the codebook searches equal the in-query forms") {
+    val q = emb.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rn", "neighbor_id", "sim")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    // IVF: the artifact holds exactly what kmeansTrain produces
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivfcb").toString
+    Similarity.writeIvfCodebook(emb, ivfDir, hasher = PortableSeededHash)
+    val (assign, cent) = Similarity.readIvfCodebook(spark, ivfDir)
+    val (assignM, centM) = Similarity.kmeansTrain(emb,
+      hasher = PortableSeededHash)
+    assert(assign.as[(Long, Long)].collect().toSet ==
+      assignM.as[(Long, Long)].collect().toSet)
+    assert(cent.select("cid", "d", "m").as[(Long, Int, Long)]
+        .collect().toSet ==
+      centM.select("cid", "d", "m").as[(Long, Int, Long)].collect().toSet)
+    // search over the RELOADED artifact == the in-query trained form
+    assert(rows(Similarity.ivfSearchTrained(q, emb, k = 5, assign, cent)) ==
+      rows(Similarity.ivfTopKTrained(q, emb, k = 5,
+        hasher = PortableSeededHash)))
+    // PQ: codebook + code table round-trip, ADC search equality
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pqcb").toString
+    Similarity.writePqCodebook(emb, pqDir, hasher = PortableSeededHash)
+    val (codes, cb) = Similarity.readPqCodebook(spark, pqDir)
+    assert(rows(Similarity.pqSearch(q, k = 5, m = 4, dims = 64, codes, cb)) ==
+      rows(Similarity.pqTopK(q, emb, k = 5, hasher = PortableSeededHash)))
+  }
 }
