@@ -41,6 +41,12 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object SnapshotTable {
 
+  /** Manifest commit clock (epoch millis) — a `var` so deterministic
+    * tests inject a fixed sequence; production leaves wall-clock. The
+    * recorded timestamp is METADATA for `TIMESTAMP AS OF` / retention
+    * resolution, never on a query's data path. */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
   private def logDir(dir: String) = new File(dir, "_log")
   private def manifestFile(dir: String, v: Int) =
     new File(logDir(dir), f"v$v%05d.json")
@@ -78,7 +84,8 @@ object SnapshotTable {
       s""","schema_b64":"${Base64.getEncoder.encodeToString(
         st.json.getBytes(UTF_8))}""""
     }.getOrElse("")
-    val json = s"""{"version":$v,"action":"$action","files":[""" +
+    val json = s"""{"version":$v,"action":"$action","ts":${clock()}""" +
+      s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
       schemaJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
@@ -134,6 +141,37 @@ object SnapshotTable {
       case _ => None
     }
 
+  private val TsRe = """"ts":(\d+)""".r.unanchored
+
+  /** The commit wall-clock (epoch millis) recorded at `v`; None on a
+    * manifest that predates timestamped commits. */
+  def commitTimestamp(dir: String, v: Int): Option[Long] =
+    manifestJson(dir, v) match {
+      case TsRe(t) => Some(t.toLong)
+      case _ => None
+    }
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST version whose recorded
+    * commit timestamp is <= `tsMillis` (the Delta/Iceberg contract — a
+    * reader at time t sees what a query at time t saw). Versions
+    * predating timestamped manifests are not timestamp-addressable; a
+    * timestamp before the first timestamped commit refuses LOUDLY
+    * (silently serving the latest — or the earliest — table would be a
+    * wrong-answer generator). */
+  def resolveTimestamp(dir: String, tsMillis: Long): Int = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val stamped = vs.flatMap(v => commitTimestamp(dir, v).map(v -> _))
+    require(stamped.nonEmpty,
+      s"TIMESTAMP AS OF: no version in $dir records a commit " +
+        "timestamp (log predates timestamped manifests) — use VERSION AS OF")
+    val hit = stamped.filter(_._2 <= tsMillis)
+    require(hit.nonEmpty,
+      s"TIMESTAMP AS OF $tsMillis: before the table's first " +
+        s"timestamped commit (${stamped.head._2} at v${stamped.head._1})")
+    hit.last._1
+  }
+
   // ---- planning surface for EXTERNAL readers (the DSv2 source) ----
   // The log stays the single source of truth: a connector plans from
   // these and never lists directories or samples footers.
@@ -144,6 +182,13 @@ object SnapshotTable {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no snapshot log at $dir")
     val v = asOf.getOrElse(vs.last)
+    // below the retention horizon = the version EXISTED and was
+    // vacuumed: name the cause, not just "not in log" (the documented
+    // post-vacuum time-travel refusal)
+    require(v >= vs.head || v < 1,
+      s"version $v is below the retention horizon of $dir (oldest " +
+        s"retained: v${vs.head}) — it was removed by vacuum; " +
+        "time travel reaches only retained versions")
     require(vs.contains(v), s"version $v not in log (have $vs)")
     v
   }
@@ -301,6 +346,14 @@ object SnapshotTable {
 
   private val TxnRe =
     """"action":"[a-z]+@txn([A-Za-z0-9_-]+):epoch(-?\d+)"""".r.unanchored
+  // manifests written before the (queryId, epoch) ledger keyed actions
+  // as 'append@epoch<e>' with no query id; they parse to a sentinel id
+  // so a pre-upgrade table's epochs still dedup a replayed micro-batch
+  // instead of double-appending (the ledger must never read as empty
+  // just because the log predates the format)
+  private[io] val LegacyTxnQueryId = "<legacy>"
+  private val LegacyTxnRe =
+    """"action":"[a-z]+@epoch(-?\d+)"""".r.unanchored
   private val ActionRe = """"action":"([a-z]+)""".r.unanchored
 
   /** The commit kind recorded at `v` — "append" or "overwrite" (epoch
@@ -323,14 +376,22 @@ object SnapshotTable {
     * — Delta's txnAppId+version idempotence. O(versions) metadata
     * reads, never data. */
   def committedEpochs(dir: String, queryId: String): Set[Long] =
-    committedTxns(dir).collect { case (q, e) if q == queryId => e }
+    committedTxns(dir).collect {
+      // legacy epoch-only entries carried no query id: they can only
+      // have been written by the query that owned the table then, so
+      // they count for ANY asking query (erring toward skip — the
+      // alternative, ignoring them, double-appends a replayed epoch)
+      case (q, e) if q == queryId || q == LegacyTxnQueryId => e
+    }
 
   /** Every (queryId, epoch) pair recorded in the log — the full txn
-    * ledger [[committedEpochs]] filters. */
+    * ledger [[committedEpochs]] filters. Legacy 'append@epoch<e>'
+    * actions surface under [[LegacyTxnQueryId]]. */
   def committedTxns(dir: String): Set[(String, Long)] =
     versions(dir).flatMap { v =>
       manifestJson(dir, v) match {
         case TxnRe(qid, e) => Some((qid, e.toLong))
+        case LegacyTxnRe(e) => Some((LegacyTxnQueryId, e.toLong))
         case _ => None
       }
     }.toSet
@@ -671,13 +732,26 @@ object SnapshotTable {
       dir, overwrite = true, statsCol = statsCol)
 
   /** Retention: keep the newest `keep` versions, delete older manifests
-    * and every data file ONLY they reference. Returns the deleted data
-    * files. The deletion order is safe under readers of retained
-    * versions (their manifests and files are untouched); readers of
-    * dropped versions fail loudly on the missing manifest rather than
-    * silently scanning a partial file set. */
+    * and every data file ONLY they reference (an overwrite's orphaned
+    * pre-image files, a compaction's replaced small files). Returns the
+    * deleted data files.
+    *
+    * The retention GUARD: time travel INSIDE the horizon is never
+    * broken — a file referenced by ANY retained manifest survives (the
+    * `live` set), so every retained version stays exactly readable; and
+    * `keep >= 1` refuses the vacuum that would drop the current
+    * version. Readers BELOW the horizon fail LOUDLY with the vacuum
+    * named ([[resolveVersion]]'s horizon message; a streaming source
+    * positioned below it fails the same way in
+    * [[graft.sources.SnapshotMicroBatchStream]]) — never a silent
+    * partial scan.
+    *
+    * Small-manifest accumulation is the other chronic 100 TB failure
+    * mode next to small files ([[compact]]): a daily-append table's log
+    * grows one manifest per commit forever without this. */
   def vacuum(dir: String, keep: Int): Seq[String] = {
-    require(keep >= 1, "vacuum must keep at least the current version")
+    require(keep >= 1,
+      "vacuum must keep at least the current version (keep >= 1)")
     val vs = versions(dir)
     val (drop, retain) = vs.splitAt(math.max(0, vs.length - keep))
     val live = retain.flatMap(readManifest(dir, _)).toSet
@@ -685,6 +759,19 @@ object SnapshotTable {
     dead.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
     drop.foreach(v => Files.delete(manifestFile(dir, v).toPath))
     dead
+  }
+
+  /** [[vacuum]] by AGE (`VACUUM ... RETAIN`): drops versions whose
+    * recorded commit timestamp is <= `olderThanMillis`, always
+    * retaining the current version (the latest commit IS the table —
+    * age never vacuums it away). Versions predating timestamped
+    * manifests count as old. Returns the deleted data files. */
+  def vacuumOlderThan(dir: String, olderThanMillis: Long): Seq[String] = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val fresh = vs.count(v =>
+      commitTimestamp(dir, v).exists(_ > olderThanMillis))
+    vacuum(dir, math.max(fresh, 1))
   }
 
   /** Row-level change set between two versions, keyed by `idCol`:

@@ -6,7 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,11 +50,22 @@ import graft.io.SnapshotTable
   * each version with the schema it had then; every other ALTER verb
   * still refuses (drop/rename/retype silently corrupt readers of old
   * files). `VERSION AS OF` resolves through `loadTable(ident,
-  * version)`; `TIMESTAMP AS OF` is refused loudly (the manifest
-  * records no commit timestamps — a deliberate format choice, versions
-  * are the contract).
+  * version)`; `TIMESTAMP AS OF` through `loadTable(ident, timestamp)`
+  * against the commit wall-clock every manifest records
+  * ([[SnapshotTable.resolveTimestamp]]: latest version at-or-before t;
+  * pre-first-commit timestamps refuse loudly). Retention is the
+  * `vacuum` PROCEDURE (Spark 4's ProcedureCatalog CALL surface):
+  *
+  * {{{
+  *   CALL graft_cat.vacuum(`table` => 'events', keep => 3)
+  *   CALL graft_cat.vacuum(`table` => 'events', older_than_ms => t)
+  * }}}
+  *
+  * returning (deleted_files, oldest_retained) — see
+  * [[SnapshotTable.vacuum]] for the retention guard (time travel
+  * inside the horizon never breaks; readers below it fail loudly).
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -103,10 +117,17 @@ class SnapshotCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     table(ident, Some(version.toInt))
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "TIMESTAMP AS OF: the snapshot manifest records versions, not " +
-        "commit timestamps — use VERSION AS OF")
+  /** `TIMESTAMP AS OF <t>` — `timestamp` arrives in MICROseconds (the
+    * TableCatalog contract); manifests record millis. Floor division is
+    * exact for the at-or-before contract: a commit at m millis is
+    * visible to a query at t micros iff m*1000 <= t iff m <= t/1000. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    table(ident,
+      Some(SnapshotTable.resolveTimestamp(dir,
+        Math.floorDiv(timestamp, 1000L))))
+  }
 
   /** Stage one zero-row schema-bearing parquet file under `dir` and
     * append-commit it — the shared shape of CREATE TABLE (publishes an
@@ -192,5 +213,60 @@ class SnapshotCatalog extends TableCatalog {
     val fs = SnapshotSource.fs(src.toString)
     Option(dst.getParent).foreach(p => fs.mkdirs(p))
     require(fs.rename(src, dst), s"rename $from -> $to failed")
+  }
+
+  // ---- procedures (the CALL surface) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "vacuum"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty && ident.name() == "vacuum",
+      s"unknown procedure $ident — this catalog exposes vacuum(table, " +
+        "keep [, older_than_ms])")
+    new VacuumProcedure(this)
+  }
+
+  private[sources] def tableDir(name: String): String = {
+    val parts = name.split("\\.").toSeq
+    dirOf(Identifier.of(parts.init.toArray, parts.last))
+  }
+}
+
+/** `CALL <cat>.vacuum(table => '...', keep => n)` — the SQL spelling of
+  * snapshot retention (Spark 4 ProcedureCatalog): by version count
+  * (`keep`, [[SnapshotTable.vacuum]]) or by age (`older_than_ms`,
+  * [[SnapshotTable.vacuumOlderThan]] — wins when >= 0). One result row:
+  * (deleted_files, oldest_retained). */
+private[sources] class VacuumProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "delete data files and manifests outside the retention horizon"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build(),
+    ProcedureParameter.in("keep", IntegerType).defaultValue("1")
+      .comment("newest versions to retain (>= 1)").build(),
+    ProcedureParameter.in("older_than_ms", LongType).defaultValue("-1")
+      .comment("age horizon in epoch millis; wins when >= 0").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    val olderThan = input.getLong(2)
+    val deleted =
+      if (olderThan >= 0) SnapshotTable.vacuumOlderThan(dir, olderThan)
+      else SnapshotTable.vacuum(dir, input.getInt(1))
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("deleted_files", IntegerType, nullable = false),
+        StructField("oldest_retained", IntegerType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        InternalRow(deleted.size, SnapshotTable.versions(dir).head))
+    }
+    java.util.List.of(out).iterator()
   }
 }

@@ -96,6 +96,31 @@ object SnapshotSource {
   private lazy val baseConf = new Configuration()
   private[sources] def newConf(): Configuration = new Configuration(baseConf)
 
+  /** The session confs the parquet schema converter consumes, captured
+    * DRIVER-SIDE at reader-factory build and shipped to the executors:
+    * a session with non-default settings (case sensitivity, binary-as-
+    * string, timezone) must get the same read semantics through the
+    * vectorized snapshot path as through a native parquet scan — the
+    * executor has no session to ask, so pinning constants there would
+    * silently diverge. Rebase modes stay CORRECTED (the snapshot writer
+    * only emits modern TIMESTAMP(MICROS)/DATE logical types, so there
+    * is no legacy calendar to rebase). */
+  private[sources] def sessionReadConfs(): Map[String, String] = {
+    val c = org.apache.spark.sql.internal.SQLConf.get
+    Map(
+      "spark.sql.parquet.binaryAsString" ->
+        c.isParquetBinaryAsString.toString,
+      "spark.sql.parquet.int96AsTimestamp" ->
+        c.isParquetINT96AsTimestamp.toString,
+      "spark.sql.caseSensitive" -> c.caseSensitiveAnalysis.toString,
+      "spark.sql.parquet.inferTimestampNTZ.enabled" ->
+        c.getConfString("spark.sql.parquet.inferTimestampNTZ.enabled",
+          "true"),
+      "spark.sql.legacy.parquet.nanosAsLong" ->
+        c.getConfString("spark.sql.legacy.parquet.nanosAsLong", "false"),
+      "spark.sql.session.timeZone" -> c.sessionLocalTimeZone)
+  }
+
   /** The Hadoop filesystem owning `path` — every file operation in the
     * connector (staging deletes, aborts, catalog DROP/RENAME) resolves
     * through this instead of `java.io.File`, so the same code paths
@@ -164,8 +189,15 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // version resolution happens HERE, not at table construction — a
     // write-path table may target a directory whose log does not exist yet
-    val v = SnapshotTable.resolveVersion(dir,
-      props.get("versionAsOf").map(_.toInt))
+    require(!(props.contains("versionAsOf") && props.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    // timestampAsOf: epoch millis, resolved to the latest version whose
+    // commit timestamp is <= it (the Delta TIMESTAMP AS OF contract —
+    // see SnapshotTable.resolveTimestamp for the refusal cases)
+    val v = props.get("timestampAsOf")
+      .map(t => SnapshotTable.resolveTimestamp(dir, t.trim.toLong))
+      .getOrElse(SnapshotTable.resolveVersion(dir,
+        props.get("versionAsOf").map(_.toInt)))
     new SnapshotScanBuilder(dir, v, tableSchema, props)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -324,7 +356,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
     files.flatMap(SnapshotScan.split(_, maxSplitBytes))
       .toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required, vectorized)
+    new SnapshotReaderFactory(required, vectorized,
+      SnapshotSource.sessionReadConfs())
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new SnapshotMicroBatchStream(dir, required, startingVersion,
@@ -348,8 +381,12 @@ case class SnapshotVersionOffset(v: Int) extends StreamingOffset {
   *
   * The FIRST offset (no checkpoint yet) defaults to the LATEST version
   * at stream start — tail the table, don't replay 100 TB of history;
-  * `.option("startingVersion", v)` replays from after version `v`
-  * instead (`0` = the whole history — Delta's startingVersion escape).
+  * `.option("startingVersion", v)` replays from version `v` INCLUSIVE
+  * instead — the Delta convention for the identically-named option
+  * (this log's versions start at 1, so both `0` and `1` mean the whole
+  * history). A borrowed option name with shifted semantics is an
+  * off-by-one footgun for anyone porting a Delta pipeline, so the
+  * semantics are borrowed with the name.
   * Non-append versions (overwrite, CoW DELETE/UPDATE/MERGE rewrites,
   * compaction) rewrite history, which an append feed cannot represent:
   * they fail LOUDLY naming the way out — the same refusal Delta makes
@@ -369,8 +406,11 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
                                vectorized: Boolean = true)
     extends MicroBatchStream {
   override def initialOffset(): StreamingOffset =
-    SnapshotVersionOffset(startingVersion.getOrElse(
-      SnapshotTable.versions(dir).lastOption.getOrElse(0)))
+    // startingVersion=v feeds FROM v (offsets are exclusive lower
+    // bounds, so inclusive-of-v means positioning at v-1; clamped for
+    // v=0, which Delta users type for "everything")
+    SnapshotVersionOffset(startingVersion.map(v => math.max(v - 1, 0))
+      .getOrElse(SnapshotTable.versions(dir).lastOption.getOrElse(0)))
   override def latestOffset(): StreamingOffset =
     SnapshotVersionOffset(SnapshotTable.versions(dir).lastOption.getOrElse(0))
   override def deserializeOffset(json: String): StreamingOffset =
@@ -380,6 +420,17 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
       : Array[InputPartition] = {
     val from = start.asInstanceOf[SnapshotVersionOffset].v
     val until = end.asInstanceOf[SnapshotVersionOffset].v
+    // positioned BELOW the retention horizon (a vacuum removed versions
+    // this stream still needs): fail loudly naming the cause — feeding
+    // from the oldest retained version instead would silently skip
+    // rows, the unforgivable streaming failure
+    val oldest = SnapshotTable.versions(dir).headOption.getOrElse(1)
+    if (from + 1 < oldest && until >= from + 1)
+      throw new IllegalStateException(
+        s"stream positioned at version ${from + 1} below the retention " +
+          s"horizon of $dir (oldest retained: v$oldest) — the versions " +
+          "it needs were vacuumed; restart from a fresh checkpoint or " +
+          s"startingVersion >= $oldest")
     ((from + 1) to until).flatMap { v =>
       val action = SnapshotTable.readAction(dir, v)
       val feeds = action == "append" ||
@@ -401,7 +452,8 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
     }.toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required, vectorized)
+    new SnapshotReaderFactory(required, vectorized,
+      SnapshotSource.sessionReadConfs())
   override def commit(end: StreamingOffset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -413,7 +465,8 @@ case class SnapshotFilePartition(path: String, start: Long = 0L,
                                  length: Long = -1L) extends InputPartition
 
 class SnapshotReaderFactory(required: StructType,
-                            vectorized: Boolean = false)
+                            vectorized: Boolean = false,
+                            readConfs: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -434,7 +487,8 @@ class SnapshotReaderFactory(required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
-    new SnapshotColumnarReader(p.path, required, p.start, p.length)
+    new SnapshotColumnarReader(p.path, required, p.start, p.length,
+      readConfs)
   }
 }
 
@@ -447,7 +501,8 @@ class SnapshotReaderFactory(required: StructType,
   * CORRECTED — the snapshot writer only emits modern
   * TIMESTAMP(MICROS)/DATE logical types. */
 class SnapshotColumnarReader(path: String, required: StructType,
-                             start: Long, length: Long)
+                             start: Long, length: Long,
+                             readConfs: Map[String, String] = Map.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.hadoop.mapred.FileSplit // the old-API split Spark's reader base casts to
   import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -462,19 +517,31 @@ class SnapshotColumnarReader(path: String, required: StructType,
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
     // the session confs Spark's scan planner copies into the hadoop conf
     // for its own parquet readers (the schema converter reads them with
-    // no defaults); values match the graft session conventions
-    conf.set("spark.sql.parquet.binaryAsString", "false")
-    conf.set("spark.sql.parquet.int96AsTimestamp", "true")
-    conf.set("spark.sql.caseSensitive", "false")
-    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // no defaults): captured driver-side at scan build
+    // ([[SnapshotSource.sessionReadConfs]]) so a non-default session
+    // reads identically here and on a native parquet scan; the
+    // fallbacks only cover a factory built without a session (tests)
+    conf.set("spark.sql.parquet.binaryAsString",
+      readConfs.getOrElse("spark.sql.parquet.binaryAsString", "false"))
+    conf.set("spark.sql.parquet.int96AsTimestamp",
+      readConfs.getOrElse("spark.sql.parquet.int96AsTimestamp", "true"))
+    conf.set("spark.sql.caseSensitive",
+      readConfs.getOrElse("spark.sql.caseSensitive", "false"))
+    conf.set("spark.sql.parquet.inferTimestampNTZ.enabled",
+      readConfs.getOrElse(
+        "spark.sql.parquet.inferTimestampNTZ.enabled", "true"))
+    conf.set("spark.sql.legacy.parquet.nanosAsLong",
+      readConfs.getOrElse("spark.sql.legacy.parquet.nanosAsLong", "false"))
     val len =
       if (length >= 0) length
       else SnapshotSource.fs(path).getFileStatus(new Path(path)).getLen
     val split = new FileSplit(new Path(path), start, len,
       Array.empty[String])
+    // session timezone drives INT96 conversion only (the snapshot
+    // writer never emits INT96); rebase stays CORRECTED — modern types
+    val tz = readConfs.getOrElse("spark.sql.session.timeZone", "UTC")
     val r = new VectorizedParquetRecordReader(
-      java.time.ZoneId.of("UTC"), "CORRECTED", "UTC", "CORRECTED", "UTC",
+      java.time.ZoneId.of(tz), "CORRECTED", tz, "CORRECTED", tz,
       /* useOffHeap = */ false, /* capacity = */ 4096)
     r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
     r.initBatch(new StructType(), InternalRow.empty)

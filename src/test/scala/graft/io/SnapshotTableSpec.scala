@@ -452,4 +452,19 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotBloom.candidateFiles(dir2, "id", 7L).isEmpty)
     assert(SnapshotBloom.pointLookup(spark, dir2, "id", 7L).count() == 0)
   }
+
+  test("legacy 'append@epoch<e>' manifest actions still count in the " +
+    "exactly-once ledger (a pre-upgrade table must not read as empty)") {
+    val dir = Files.createTempDirectory("snap-legacytxn").toString
+    SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+    // hand-write a v2 manifest in the PRE-(queryId,epoch) action format
+    SnapshotTable.writeManifest(dir, 2, "append@epoch0",
+      SnapshotTable.readManifest(dir, 1))
+    assert(SnapshotTable.committedTxns(dir) ==
+      Set((SnapshotTable.LegacyTxnQueryId, 0L)))
+    // ANY query asking sees the legacy epoch as committed: the entry
+    // carried no query id, so skipping beats double-appending a replay
+    assert(SnapshotTable.committedEpochs(dir, "someQuery") == Set(0L))
+    assert(SnapshotTable.committedEpochs(dir, "otherQuery") == Set(0L))
+  }
 }

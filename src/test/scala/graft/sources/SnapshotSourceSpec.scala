@@ -247,9 +247,10 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("STREAMING source: startingVersion=v resumes after v, " +
-    "ignoreRewrites skips a rewrite and keeps feeding, and an " +
-    "overwrite FIRST commit feeds as the initial append") {
+  test("STREAMING source: startingVersion=v feeds from v INCLUSIVE " +
+    "(the Delta convention), ignoreRewrites skips a rewrite and keeps " +
+    "feeding, and an overwrite FIRST commit feeds as the initial " +
+    "append") {
     val dir = Files.createTempDirectory("graft-dsv2sv").toString
     // v1 is an OVERWRITE (a first commit in overwrite mode = initial
     // append — streamable, the q-ADVICE case)
@@ -257,7 +258,7 @@ class SnapshotSourceSpec extends SparkSpec {
       overwrite = true)
     SnapshotTable.commit(spark, (10L until 30L).toDF("id"), dir)
     val q = spark.readStream.format("graft.sources.SnapshotSource")
-      .option("startingVersion", 1) // skip v1, feed v2 onward
+      .option("startingVersion", 2) // inclusive: feed v2 onward
       .option("ignoreRewrites", true)
       .load(dir)
       .writeStream.format("memory").queryName("snap_sv")
@@ -355,5 +356,27 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(st.fields.map(f => f.name -> f.dataType).toMap == Map(
       "l" -> LongType, "s" -> StringType, "d" -> DoubleType,
       "i" -> IntegerType, "b" -> BooleanType))
+  }
+
+  test("vectorized read semantics follow the SESSION conf, not pinned " +
+    "constants: sessionReadConfs captures overrides at scan build and " +
+    "a non-default session still reads exactly") {
+    val dir = Files.createTempDirectory("graft-dsv2conf").toString
+    save((0L until 50L).toDF("id"), dir, "append")
+    val before = (spark.conf.get("spark.sql.caseSensitive"),
+      spark.conf.get("spark.sql.session.timeZone"))
+    try {
+      spark.conf.set("spark.sql.caseSensitive", "true")
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val confs = SnapshotSource.sessionReadConfs()
+      assert(confs("spark.sql.caseSensitive") == "true")
+      assert(confs("spark.sql.session.timeZone") == "America/New_York")
+      // and the default (vectorized) read path stays exact under the
+      // non-default session
+      assert(load(dir).as[Long].collect().sorted.toSeq == (0L until 50L))
+    } finally {
+      spark.conf.set("spark.sql.caseSensitive", before._1)
+      spark.conf.set("spark.sql.session.timeZone", before._2)
+    }
   }
 }
