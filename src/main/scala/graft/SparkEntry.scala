@@ -258,6 +258,8 @@ object SparkEntry {
     "q223_unigram_train" -> LlmQueries.unigramTrain,
     "q224_tokenizer_compare" -> LlmQueries.tokenizerCompare,
     "q217_bpe_tokenize" -> LlmQueries.bpeTokenize,
+    "q227_snapshot_time_travel" -> IoQueries.snapshotTimestampTravel,
+    "q228_snapshot_retention" -> IoQueries.snapshotRetention,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2797,6 +2799,49 @@ ORDER BY d.doc_id""",
     "q223_unigram_train" -> q223UnigramOracle(),
     "q224_tokenizer_compare" -> q224TokenizerCompareOracle(),
     "q217_bpe_tokenize" -> q217BpeTokenizeOracle(merges = 6),
+    // q227: TIMESTAMP AS OF resolution — leg 1 between-commits → v1
+    // (%4=0), leg 2 exact-boundary inclusive → v2 (%4 in (0,1)), leg 3
+    // past-the-last → v3 (the %5=0 overwrite), leg 4 the catalog SQL
+    // spelling of leg 1's instant → v1 again.
+    "q227_snapshot_time_travel" ->
+      """SELECT 1 AS leg, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_id,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 4 IN (0, 1)
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY leg""".stripMargin,
+    // q228: age-based vacuum at horizon t2 retains exactly {v3, v4} —
+    // leg 0 pins the procedure's oldest_retained = 3, leg 1 the
+    // retained overwrite (%5=0), leg 2 the current table (%5 in (0,3):
+    // the overwrite plus the append on top).
+    "q228_snapshot_retention" ->
+      """SELECT 0 AS leg, CAST(3 AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS sum_id, CAST(0 AS BIGINT) AS sum_chars
+        |UNION ALL
+        |SELECT 1, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 5 IN (0, 3)
+        |ORDER BY leg""".stripMargin,
     // q135: the q79 pipeline's train split semi-joined into the q125
     // manifest chain — thresholds re-derived on the deduped kept set.
     "q135_full_pipeline_manifest" ->

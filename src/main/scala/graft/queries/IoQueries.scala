@@ -599,6 +599,126 @@ object IoQueries {
     (t, graft.io.SnapshotTable.versions(t).last)
   }
 
+  /** `TIMESTAMP AS OF` time travel (q227,
+    * [[graft.io.SnapshotTable.resolveTimestamp]]): the time-travel
+    * spelling users type first. Three commits land at injected
+    * wall-clocks one minute apart (the clock is manifest METADATA — it
+    * never touches a data path — and is restored in a finally), then
+    * four reads pin the whole resolution contract: a timestamp BETWEEN
+    * commits resolves DOWN to the version a query at that instant saw
+    * (leg 1 → v1), an exact commit timestamp is INCLUSIVE (leg 2 → v2,
+    * the Delta at-or-before convention), a timestamp past the last
+    * commit reads the latest (leg 3 → v3 — including across the
+    * overwrite, so "latest at t" is never confused with "all files ever
+    * live at t"), and the catalog SQL spelling `TIMESTAMP AS OF`
+    * resolves identically through `loadTable(ident, timestampMicros)`
+    * (leg 4 → v1, micros→millis flooring exact on the boundary).
+    * Pre-first-commit and untimestamped-log refusals are spec-covered
+    * (they are exceptions, not rows). */
+  def snapshotTimestampTravel(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    s.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+    val name = "t_" + java.util.UUID.randomUUID.toString
+      .replace("-", "").take(12)
+    val t = s"$catalogRoot/$name"
+    val st = graft.io.SnapshotTable
+    val base = 1_000_000_000_000L // 2001-09-09T01:46:40Z
+    val saved = st.clock
+    try {
+      var tick = 0L
+      st.clock = () => { tick += 1; base + tick * 60_000L }
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(4L)) === 0), t)
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(4L)) === 1), t)
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 0), t,
+        overwrite = true)
+    } finally st.clock = saved
+    def read(tsMillis: Long) = s.read
+      .format("graft.sources.SnapshotSource")
+      .option("timestampAsOf", tsMillis).load(t)
+    def leg(n: Int, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("doc_id"), lit(0L)).as("sum_id"),
+          coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+        .select(lit(n.toLong).as("leg"), col("n_docs"), col("sum_id"),
+          col("sum_chars"))
+    try {
+      // timestamp_seconds(<long>) is timezone-free: the SQL leg pins
+      // the catalog resolution without depending on string-literal
+      // parsing under the session timezone
+      val sqlLeg = leg(4, s.sql(s"SELECT * FROM graft_cat.$name " +
+        s"TIMESTAMP AS OF timestamp_seconds(${base / 1000 + 60})"))
+      Seq(
+        leg(1, read(base + 90_000L)),  // between v1 and v2 → v1
+        leg(2, read(base + 120_000L)), // exact boundary → v2 (inclusive)
+        leg(3, read(base + 3_600_000L)), // past the last commit → v3
+        sqlLeg
+      ).reduce(_.unionAll(_)).orderBy("leg")
+        .localCheckpoint() // materialize before the table drops
+    } finally s.sql(s"DROP TABLE graft_cat.$name")
+  }
+
+  /** Guarded retention via the SQL `CALL` surface (q228,
+    * [[graft.io.SnapshotTable.vacuumOlderThan]]): the lakehouse
+    * lifecycle verb a daily-append 100 TB table cannot live without —
+    * without retention the log accumulates one manifest per commit and
+    * every superseded overwrite's data files forever. Four commits at
+    * injected wall-clocks, then `CALL graft_cat.vacuum(table => ...,
+    * older_than_ms => t2)` drops exactly the versions at-or-before the
+    * horizon (v1, v2) and keeps the overwrite (v3) and the append on
+    * top of it (v4). Leg 0 pins the procedure's `oldest_retained`
+    * answer (3 — the horizon landed where age said, never past the
+    * current version); legs 1/2 prove the retained history stays
+    * EXACTLY readable after the vacuum (`VERSION AS OF 3`, then the
+    * current table). The guard rails — below-horizon reads failing
+    * loudly with the vacuum named, `keep >= 1` refusing to drop the
+    * current version, a below-horizon streaming source erroring instead
+    * of silently skipping — are exceptions, spec-covered. */
+  def snapshotRetention(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    s.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+    val name = "t_" + java.util.UUID.randomUUID.toString
+      .replace("-", "").take(12)
+    val t = s"$catalogRoot/$name"
+    val st = graft.io.SnapshotTable
+    val base = 1_000_000_000_000L
+    val saved = st.clock
+    try {
+      var tick = 0L
+      st.clock = () => { tick += 1; base + tick * 60_000L }
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 0), t)
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 1), t)
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 0), t,
+        overwrite = true)
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 3), t)
+    } finally st.clock = saved
+    try {
+      val call = s.sql(s"CALL graft_cat.vacuum(`table` => '$name', " +
+        s"older_than_ms => ${base + 120_000L})")
+      // deleted_files COUNT is layout-dependent (a function of write
+      // partitioning, not semantics) — only oldest_retained is pinned
+      val leg0 = call.select(lit(0L).as("leg"),
+        col("oldest_retained").cast("long").as("n_docs"),
+        lit(0L).as("sum_id"), lit(0L).as("sum_chars"))
+      def leg(n: Int, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("doc_id"), lit(0L)).as("sum_id"),
+            coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+          .select(lit(n.toLong).as("leg"), col("n_docs"), col("sum_id"),
+            col("sum_chars"))
+      Seq(leg0,
+        leg(1, s.sql(s"SELECT * FROM graft_cat.$name VERSION AS OF 3")),
+        leg(2, s.sql(s"SELECT * FROM graft_cat.$name"))
+      ).reduce(_.unionAll(_)).orderBy("leg")
+        .localCheckpoint() // materialize before the table drops
+    } finally s.sql(s"DROP TABLE graft_cat.$name")
+  }
+
   /** Per-language profile of the pre-DML version and the latest version,
     * both read from the same log — the DML is a commit, not a mutation. */
   private def dmlProfile(s: SparkSession, t: String, preV: Int): DataFrame = {

@@ -453,6 +453,70 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotBloom.pointLookup(spark, dir2, "id", 7L).count() == 0)
   }
 
+  test("TIMESTAMP AS OF: between-commits resolves down, boundary is " +
+    "inclusive, future reads latest, pre-first and untimestamped logs " +
+    "refuse loudly") {
+    val dir = Files.createTempDirectory("snap-ts").toString
+    val saved = SnapshotTable.clock
+    try {
+      var tick = 0L
+      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
+      SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+      SnapshotTable.commit(spark, Seq((2L, "b")).toDF("id", "s"), dir)
+      SnapshotTable.commit(spark, Seq((9L, "z")).toDF("id", "s"), dir,
+        overwrite = true)
+    } finally SnapshotTable.clock = saved
+    assert(SnapshotTable.commitTimestamp(dir, 2).contains(2000L))
+    assert(SnapshotTable.resolveTimestamp(dir, 1500L) == 1)
+    assert(SnapshotTable.resolveTimestamp(dir, 2000L) == 2) // inclusive
+    assert(SnapshotTable.resolveTimestamp(dir, 999999L) == 3)
+    val pre = intercept[IllegalArgumentException](
+      SnapshotTable.resolveTimestamp(dir, 500L))
+    assert(pre.getMessage.contains("before the table's first"))
+    // a hand-written manifest with no ts field = a pre-upgrade log
+    val dir2 = Files.createTempDirectory("snap-notz").toString
+    SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir2)
+    val mf = new java.io.File(dir2, "_log/v00001.json")
+    val json = new String(Files.readAllBytes(mf.toPath))
+    Files.write(mf.toPath,
+      json.replaceAll(""""ts":\d+,""", "").getBytes)
+    val old = intercept[IllegalArgumentException](
+      SnapshotTable.resolveTimestamp(dir2, 999999L))
+    assert(old.getMessage.contains("use VERSION AS OF"))
+  }
+
+  test("vacuumOlderThan drops at-or-before the horizon, never the " +
+    "current version; retained versions stay exactly readable and " +
+    "below-horizon reads fail naming the vacuum") {
+    val dir = Files.createTempDirectory("snap-vage").toString
+    val saved = SnapshotTable.clock
+    try {
+      var tick = 0L
+      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
+      SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+      SnapshotTable.commit(spark, Seq((2L, "b")).toDF("id", "s"), dir)
+      SnapshotTable.commit(spark, Seq((9L, "z")).toDF("id", "s"), dir,
+        overwrite = true)
+      SnapshotTable.commit(spark, Seq((10L, "y")).toDF("id", "s"), dir)
+    } finally SnapshotTable.clock = saved
+    // horizon at v2's timestamp: v1, v2 drop; the overwrite and the
+    // append on top survive, exactly readable
+    val deleted = SnapshotTable.vacuumOlderThan(dir, 2000L)
+    assert(deleted.nonEmpty) // v1/v2's files are referenced nowhere else
+    assert(SnapshotTable.versions(dir) == Seq(3, 4))
+    assert(contents(dir, Some(3)) == Set((9L, "z")))
+    assert(contents(dir, None) == Set((9L, "z"), (10L, "y")))
+    val below = intercept[IllegalArgumentException](
+      SnapshotTable.readSnapshot(spark, dir, Some(2)).collect())
+    assert(below.getMessage.toLowerCase.contains("vacuum"))
+    // a horizon past every commit still keeps the current version: age
+    // never vacuums the table itself away
+    assert(SnapshotTable.vacuumOlderThan(dir, 999999L).isEmpty ||
+      SnapshotTable.versions(dir).nonEmpty)
+    assert(SnapshotTable.versions(dir) == Seq(4))
+    assert(contents(dir, None) == Set((9L, "z"), (10L, "y")))
+  }
+
   test("legacy 'append@epoch<e>' manifest actions still count in the " +
     "exactly-once ledger (a pre-upgrade table must not read as empty)") {
     val dir = Files.createTempDirectory("snap-legacytxn").toString

@@ -53,6 +53,68 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE tcat.ext")
   }
 
+  test("TIMESTAMP AS OF resolves through the catalog: at-or-before, " +
+    "boundary-inclusive, micros→millis flooring exact") {
+    root
+    val saved = SnapshotTable.clock
+    try {
+      var tick = 0L
+      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
+      spark.sql("CREATE TABLE tcat.tt (id BIGINT)") // v1 @ 1000 ms
+      SnapshotTable.commit(spark, (0L until 5L).toDF("id"),
+        s"$root/tt") // v2 @ 2000 ms
+      SnapshotTable.commit(spark, (5L until 7L).toDF("id"),
+        s"$root/tt") // v3 @ 3000 ms
+    } finally SnapshotTable.clock = saved
+    try {
+      def at(secs: Long): Long = spark.sql(
+        s"SELECT count(*) FROM tcat.tt TIMESTAMP AS OF " +
+          s"timestamp_seconds($secs)").as[Long].head()
+      assert(at(1) == 0)  // the empty CREATE commit
+      assert(at(2) == 5)  // boundary inclusive
+      assert(at(999) == 7) // future → latest
+      val pre = intercept[Exception](at(0))
+      assert(pre.getMessage.contains("before the table's first"))
+    } finally spark.sql("DROP TABLE tcat.tt")
+  }
+
+  test("CALL vacuum: keep => n prunes to the newest n; " +
+    "older_than_ms => t drops at-or-before t; result reports " +
+    "oldest_retained; keep => 0 refuses") {
+    root
+    val saved = SnapshotTable.clock
+    try {
+      var tick = 0L
+      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
+      spark.sql("CREATE TABLE tcat.vac (id BIGINT)") // v1
+      SnapshotTable.commit(spark, (0L until 5L).toDF("id"),
+        s"$root/vac") // v2
+      SnapshotTable.commit(spark, (5L until 9L).toDF("id"),
+        s"$root/vac", overwrite = true) // v3
+      SnapshotTable.commit(spark, (9L until 10L).toDF("id"),
+        s"$root/vac") // v4
+    } finally SnapshotTable.clock = saved
+    try {
+      // age horizon at v2: v1/v2 drop, the overwrite + append retain
+      val byAge = spark.sql("CALL tcat.vacuum(`table` => 'vac', " +
+        "older_than_ms => 2000)").collect().head
+      assert(byAge.getInt(1) == 3) // oldest_retained
+      assert(SnapshotTable.versions(s"$root/vac") == Seq(3, 4))
+      assert(spark.sql("SELECT count(*) FROM tcat.vac").as[Long]
+        .head() == 5)
+      // keep => 1 prunes to the current version only
+      val byKeep = spark.sql(
+        "CALL tcat.vacuum(`table` => 'vac', keep => 1)").collect().head
+      assert(byKeep.getInt(1) == 4)
+      assert(SnapshotTable.versions(s"$root/vac") == Seq(4))
+      assert(spark.sql("SELECT count(*) FROM tcat.vac").as[Long]
+        .head() == 5)
+      val bad = intercept[Exception](spark.sql(
+        "CALL tcat.vacuum(`table` => 'vac', keep => 0)").collect())
+      assert(bad.getMessage.contains("keep >= 1"))
+    } finally spark.sql("DROP TABLE tcat.vac")
+  }
+
   test("refusals: TIMESTAMP AS OF, untranslatable DELETE, DML on a " +
     "pinned version, bad segment names") {
     root

@@ -20,6 +20,28 @@ class SnapshotSourceSpec extends SparkSpec {
     asOf.fold(r)(v => r.option("versionAsOf", v.toString)).load(dir)
   }
 
+  test("timestampAsOf reader option resolves at-or-before and is " +
+    "mutually exclusive with versionAsOf") {
+    val dir = Files.createTempDirectory("graft-dsv2ts").toString
+    val saved = SnapshotTable.clock
+    try {
+      var tick = 0L
+      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
+      SnapshotTable.commit(spark, (0L until 3L).toDF("id"), dir)
+      SnapshotTable.commit(spark, (3L until 5L).toDF("id"), dir)
+    } finally SnapshotTable.clock = saved
+    def at(ms: Long): Long = spark.read
+      .format("graft.sources.SnapshotSource")
+      .option("timestampAsOf", ms).load(dir).count()
+    assert(at(1500L) == 3) // between commits → v1
+    assert(at(2000L) == 5) // boundary inclusive → v2
+    val both = intercept[Exception](spark.read
+      .format("graft.sources.SnapshotSource")
+      .option("timestampAsOf", 2000L).option("versionAsOf", 1)
+      .load(dir).collect())
+    assert(both.getMessage.contains("mutually exclusive"))
+  }
+
   test("latest and versionAsOf reads match the API reader") {
     val dir = Files.createTempDirectory("graft-dsv2snap").toString
     val rows = (0L until 200L).map(i => (i, s"s${i % 5}", i * 3))
