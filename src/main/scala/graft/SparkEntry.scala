@@ -260,6 +260,7 @@ object SparkEntry {
     "q217_bpe_tokenize" -> LlmQueries.bpeTokenize,
     "q227_snapshot_time_travel" -> IoQueries.snapshotTimestampTravel,
     "q228_snapshot_retention" -> IoQueries.snapshotRetention,
+    "q229_snapshot_restore" -> IoQueries.snapshotRestore,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2841,6 +2842,29 @@ ORDER BY d.doc_id""",
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
         |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
         |FROM documents WHERE doc_id % 5 IN (0, 3)
+        |ORDER BY leg""".stripMargin,
+    // q229: RESTORE rolls v3 (the bad overwrite: only doc_id 0) back to
+    // v2's content as a NEW v4 — leg 0 pins (restored_from=2,
+    // new_version=4), leg 1 = v4 = %3 in (0,1), leg 2 = the bad v3
+    // still in history, leg 3 = v5 appends %3=2 on top of the restore.
+    "q229_snapshot_restore" ->
+      """SELECT 0 AS leg, CAST(2 AS BIGINT) AS n_docs,
+        |  CAST(4 AS BIGINT) AS sum_id, CAST(0 AS BIGINT) AS sum_chars
+        |UNION ALL
+        |SELECT 1, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id = 0
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents
         |ORDER BY leg""".stripMargin,
     // q135: the q79 pipeline's train split semi-joined into the q125
     // manifest chain — thresholds re-derived on the deduped kept set.

@@ -774,6 +774,31 @@ object SnapshotTable {
     vacuum(dir, math.max(fresh, 1))
   }
 
+  /** RESTORE to version `v` (Delta's `RESTORE TABLE ... TO VERSION AS
+    * OF`): publishes a NEW commit whose content is exactly `v`'s.
+    * Metadata-only — the manifest re-references `v`'s immutable data
+    * files (with their recorded stats and schema), so rolling a 100 TB
+    * table back from a bad write costs one manifest write, zero data
+    * movement, and [[vacuum]]'s liveness scan protects the
+    * re-referenced files for as long as the restore commit is retained.
+    * Roll-FORWARD semantics: the bad version stays in history (still
+    * time-travelable, still diffable — the incident record) until
+    * retention drops it; nothing is ever rewritten in place. Refuses an
+    * unknown or already-vacuumed `v` loudly. Returns the new version. */
+  def restore(dir: String, v: Int): Int = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    require(vs.contains(v),
+      s"RESTORE: version $v is not in the log at $dir (retained: " +
+        s"${vs.mkString(", ")}) — vacuumed or never committed")
+    val next = vs.last + 1
+    val stats = for { c <- readStatsCol(dir, v); mm <- readStats(dir, v) }
+      yield (c, mm)
+    writeManifest(dir, next, s"overwrite@restore$v",
+      readManifest(dir, v), stats, readSchema(dir, v))
+    next
+  }
+
   /** Row-level change set between two versions, keyed by `idCol`:
     * (id, change ∈ added|removed). Two anti-joins — each one shuffle on
     * the key; at scale the common-prefix files of an append diff could

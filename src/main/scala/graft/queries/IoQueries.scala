@@ -719,6 +719,56 @@ object IoQueries {
     } finally s.sql(s"DROP TABLE graft_cat.$name")
   }
 
+  /** RESTORE after a bad write (q229, [[graft.io.SnapshotTable.restore]]
+    * + the `CALL graft_cat.restore(...)` SQL spelling): the rollback
+    * verb every lakehouse incident runbook starts with. Two good
+    * appends, then an overwrite that "lost" most of the table (the bad
+    * write), then `CALL restore(version => 2)` publishes v4 whose
+    * content is exactly v2's — METADATA-ONLY: the manifest re-references
+    * v2's immutable files, so rolling back a 100 TB table costs one
+    * manifest write and zero data movement. Leg 0 pins the procedure's
+    * (restored_from, new_version) answer; leg 1 reads the restored
+    * current table (== v2's content); leg 2 proves roll-FORWARD
+    * semantics — the bad v3 stays in history, still time-travelable,
+    * until retention drops it; leg 3 appends on top of the restore and
+    * reads the combined state (life goes on from the restored content,
+    * not the bad write). */
+  def snapshotRestore(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    s.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+    val name = "t_" + java.util.UUID.randomUUID.toString
+      .replace("-", "").take(12)
+    val t = s"$catalogRoot/$name"
+    val st = graft.io.SnapshotTable
+    st.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 0), t)
+    st.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 1), t)
+    st.commit(s, docs.where(col("doc_id") === 0), t, overwrite = true)
+    try {
+      val call = s.sql(
+        s"CALL graft_cat.restore(`table` => '$name', version => 2)")
+      val leg0 = call.select(lit(0L).as("leg"),
+        col("restored_from").cast("long").as("n_docs"),
+        col("new_version").cast("long").as("sum_id"),
+        lit(0L).as("sum_chars"))
+      def leg(n: Int, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("doc_id"), lit(0L)).as("sum_id"),
+            coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+          .select(lit(n.toLong).as("leg"), col("n_docs"), col("sum_id"),
+            col("sum_chars"))
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 2), t)
+      Seq(leg0,
+        leg(1, s.sql(s"SELECT * FROM graft_cat.$name VERSION AS OF 4")),
+        leg(2, s.sql(s"SELECT * FROM graft_cat.$name VERSION AS OF 3")),
+        leg(3, s.sql(s"SELECT * FROM graft_cat.$name"))
+      ).reduce(_.unionAll(_)).orderBy("leg")
+        .localCheckpoint() // materialize before the table drops
+    } finally s.sql(s"DROP TABLE graft_cat.$name")
+  }
+
   /** Per-language profile of the pre-DML version and the latest version,
     * both read from the same log — the DML is a commit, not a mutation. */
   private def dmlProfile(s: SparkSession, t: String, preV: Int): DataFrame = {

@@ -64,6 +64,10 @@ import graft.io.SnapshotTable
   * returning (deleted_files, oldest_retained) — see
   * [[SnapshotTable.vacuum]] for the retention guard (time travel
   * inside the horizon never breaks; readers below it fail loudly).
+  * Rollback is the `restore` procedure — `CALL
+  * graft_cat.restore(table => 'events', version => v)` publishes a
+  * metadata-only commit with version v's exact content
+  * ([[SnapshotTable.restore]]).
   */
 class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
@@ -218,14 +222,19 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   // ---- procedures (the CALL surface) ----
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "vacuum"))
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "vacuum"),
+      Identifier.of(Array.empty, "restore"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
-    require(ident.namespace().isEmpty && ident.name() == "vacuum",
-      s"unknown procedure $ident — this catalog exposes vacuum(table, " +
-        "keep [, older_than_ms])")
-    new VacuumProcedure(this)
+    require(ident.namespace().isEmpty, s"unknown procedure $ident")
+    ident.name() match {
+      case "vacuum" => new VacuumProcedure(this)
+      case "restore" => new RestoreProcedure(this)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure $other — this catalog exposes vacuum(table, " +
+          "keep [, older_than_ms]) and restore(table, version)")
+    }
   }
 
   private[sources] def tableDir(name: String): String = {
@@ -266,6 +275,39 @@ private[sources] class VacuumProcedure(cat: SnapshotCatalog)
         StructField("oldest_retained", IntegerType, nullable = false)))
       override def rows(): Array[InternalRow] = Array(
         InternalRow(deleted.size, SnapshotTable.versions(dir).head))
+    }
+    java.util.List.of(out).iterator()
+  }
+}
+
+/** `CALL <cat>.restore(table => '...', version => v)` — the SQL
+  * spelling of [[SnapshotTable.restore]]: publish a new commit whose
+  * content is exactly version `v`'s (metadata-only rollback; the bad
+  * version stays in history). One result row:
+  * (restored_from, new_version). */
+private[sources] class RestoreProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "restore"
+  override def description(): String =
+    "commit a new version whose content is exactly an older version's"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build(),
+    ProcedureParameter.in("version", IntegerType)
+      .comment("retained version to restore the table to").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    val from = input.getInt(1)
+    val next = SnapshotTable.restore(dir, from)
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("restored_from", IntegerType, nullable = false),
+        StructField("new_version", IntegerType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        InternalRow(from, next))
     }
     java.util.List.of(out).iterator()
   }

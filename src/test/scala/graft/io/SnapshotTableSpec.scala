@@ -517,6 +517,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(dir, None) == Set((9L, "z"), (10L, "y")))
   }
 
+  test("restore publishes a metadata-only commit with the target's " +
+    "content, keeps the bad version in history, carries stats, and " +
+    "refuses unknown or vacuumed versions") {
+    val dir = Files.createTempDirectory("snap-restore").toString
+    SnapshotTable.commitWithStats(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir,
+      statsCol = Some("id"))
+    SnapshotTable.commitWithStats(spark,
+      Seq((3L, "c")).toDF("id", "s"), dir, statsCol = Some("id"))
+    SnapshotTable.commitWithStats(spark,
+      Seq((9L, "z")).toDF("id", "s"), dir, overwrite = true,
+      statsCol = Some("id")) // the bad write
+    val nFilesBefore = Option(new java.io.File(dir, "data")
+      .listFiles()).map(_.length).getOrElse(0)
+    val v4 = SnapshotTable.restore(dir, 2)
+    assert(v4 == 4)
+    // metadata-only: no new data directory appeared
+    assert(Option(new java.io.File(dir, "data").listFiles())
+      .map(_.length).getOrElse(0) == nFilesBefore)
+    assert(contents(dir, None) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(contents(dir, Some(3)) == Set((9L, "z"))) // history intact
+    // the restored manifest carried v2's stats: a pruned range read
+    // still plans and answers exactly
+    assert(SnapshotTable.readSnapshotPruned(spark, dir, "id", 3L, 3L)
+      .as[(Long, String)].collect().toSet == Set((3L, "c")))
+    // appends continue from the restored content
+    SnapshotTable.commit(spark, Seq((10L, "y")).toDF("id", "s"), dir)
+    assert(contents(dir, None) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (10L, "y")))
+    intercept[IllegalArgumentException](SnapshotTable.restore(dir, 99))
+    // vacuum away v1..v3, then restoring to a dropped version refuses
+    SnapshotTable.vacuum(dir, keep = 2)
+    val gone = intercept[IllegalArgumentException](
+      SnapshotTable.restore(dir, 2))
+    assert(gone.getMessage.contains("vacuumed or never committed"))
+    // but restoring to a RETAINED version still works after the vacuum
+    assert(SnapshotTable.restore(dir, 4) == 6)
+    assert(contents(dir, None) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("legacy 'append@epoch<e>' manifest actions still count in the " +
     "exactly-once ledger (a pre-upgrade table must not read as empty)") {
     val dir = Files.createTempDirectory("snap-legacytxn").toString

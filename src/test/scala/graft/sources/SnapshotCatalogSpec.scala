@@ -115,6 +115,27 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE tcat.vac")
   }
 
+  test("CALL restore: rolls the table to an older version's content as " +
+    "a new commit; the streaming source treats it as a rewrite") {
+    root
+    spark.sql("CREATE TABLE tcat.res (id BIGINT)") // v1
+    SnapshotTable.commit(spark, (0L until 5L).toDF("id"),
+      s"$root/res") // v2
+    SnapshotTable.commit(spark, (99L until 100L).toDF("id"),
+      s"$root/res", overwrite = true) // v3, the bad write
+    try {
+      val r = spark.sql("CALL tcat.restore(`table` => 'res', " +
+        "version => 2)").collect().head
+      assert((r.getInt(0), r.getInt(1)) == (2, 4))
+      assert(spark.sql("SELECT count(*) FROM tcat.res").as[Long]
+        .head() == 5)
+      assert(spark.sql(
+        "SELECT count(*) FROM tcat.res VERSION AS OF 3").as[Long]
+        .head() == 1)
+      assert(SnapshotTable.readAction(s"$root/res", 4) == "overwrite")
+    } finally spark.sql("DROP TABLE tcat.res")
+  }
+
   test("refusals: TIMESTAMP AS OF, untranslatable DELETE, DML on a " +
     "pinned version, bad segment names") {
     root
