@@ -66,7 +66,8 @@ object SnapshotTable {
   private[io] def writeManifest(dir: String, v: Int, action: String,
                             files: Seq[String],
                             stats: Option[(String, Seq[(Long, Long)])] = None,
-                            schema: Option[StructType] = None)
+                            schema: Option[StructType] = None,
+                            knownRows: Map[String, Long] = Map.empty)
       : Unit = {
     val statsJson = stats.map { case (c, mm) =>
       require(mm.length == files.length,
@@ -74,6 +75,20 @@ object SnapshotTable {
       s""","stats_col":"$c","mins":[${mm.map(_._1).mkString(",")}],""" +
         s""""maxs":[${mm.map(_._2).mkString(",")}]"""
     }.getOrElse("")
+    // Per-file ROW COUNTS — the other half of manifest-planned metadata
+    // (Delta/Iceberg record them at write): count(*) and stats-column
+    // min/max answer from manifest bytes with ZERO data IO (the DSv2
+    // aggregate pushdown in SnapshotScanBuilder). Counts a caller
+    // carried (append/restore re-reference immutable files) are reused;
+    // only genuinely new files pay a footer read — metadata-only, no
+    // data pages. A count that cannot be read leaves rows unrecorded
+    // (readers decline pushdown rather than guess).
+    val rowsJson = {
+      val counts = files.map(f => knownRows.get(f).orElse(footerRows(dir, f)))
+      if (counts.forall(_.isDefined))
+        s""","rows":[${counts.map(_.get).mkString(",")}]"""
+      else ""
+    }
     // the TABLE SCHEMA lives in the log (the Delta insight): readers
     // plan with it instead of sampling parquet footers, which is what
     // makes add-column evolution O(0) data work — old files simply
@@ -87,7 +102,7 @@ object SnapshotTable {
     val json = s"""{"version":$v,"action":"$action","ts":${clock()}""" +
       s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
-      schemaJson + "}"
+      rowsJson + schemaJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
     // hard-link = the commit point, and a true COMPARE-AND-SWAP: link
@@ -108,9 +123,22 @@ object SnapshotTable {
     Files.deleteIfExists(tmp.toPath)
   }
 
+  /** The parquet footer's record count for `rel` under `dir`; None when
+    * the footer cannot be read (the manifest then simply omits row
+    * counts — readers decline metadata answers rather than guess). */
+  private def footerRows(dir: String, rel: String): Option[Long] =
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/$rel"),
+          new org.apache.hadoop.conf.Configuration()))
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private val FilesRe = """"files":\[([^\]]*)\]""".r.unanchored
   private val MinsRe = """"mins":\[([^\]]*)\]""".r.unanchored
   private val MaxsRe = """"maxs":\[([^\]]*)\]""".r.unanchored
+  private val RowsRe = """"rows":\[([^\]]*)\]""".r.unanchored
   private val StatsColRe = """"stats_col":"([^"]*)"""".r.unanchored
   private val SchemaRe = """"schema_b64":"([^"]*)"""".r.unanchored
 
@@ -226,6 +254,46 @@ object SnapshotTable {
     }
   }
 
+  /** Per-file row counts recorded at `v`, aligned with
+    * [[readManifest]]'s file order; None on a manifest that predates
+    * row-count recording. Readers use these for METADATA-ONLY answers
+    * (count(*) via the DSv2 aggregate pushdown) — a missing record
+    * declines the shortcut, never estimates. */
+  def readRows(dir: String, v: Int): Option[Seq[Long]] =
+    manifestJson(dir, v) match {
+      case RowsRe(rs) =>
+        Some(if (rs.isEmpty) Seq.empty
+             else rs.split(",").toSeq.map(_.toLong))
+      case _ => None
+    }
+
+  /** Manifest-only `count(*)` at `v` — the sum of recorded per-file row
+    * counts; None when any file predates row-count recording (decline,
+    * never estimate). At 100 TB this answers a table count from a few
+    * hundred manifest bytes instead of a full scan. */
+  def manifestCount(dir: String, v: Int): Option[Long] =
+    readRows(dir, v).map(_.sum)
+
+  /** Manifest-only global (min, max) of the stats column at `v`. Files
+    * with zero recorded rows are excluded (their stats slots are
+    * meaningless); requires row counts AND stats to be recorded and
+    * aligned, and at least one non-empty file — otherwise None. */
+  def manifestMinMax(dir: String, v: Int): Option[(String, Long, Long)] = {
+    val out = for {
+      c <- readStatsCol(dir, v)
+      mm <- readStats(dir, v)
+      rs <- readRows(dir, v)
+    } yield {
+      if (rs.length != mm.length) None
+      else {
+        val nz = mm.zip(rs).collect { case (p, n) if n > 0 => p }
+        if (nz.isEmpty) None
+        else Some((c, nz.map(_._1).min, nz.map(_._2).max))
+      }
+    }
+    out.flatten
+  }
+
   /** Commit `df` as the next version. `overwrite = false` appends to the
     * previous version's file set; `true` replaces it. Returns the new
     * version number. The data write lands under `data/v<n>/` (never
@@ -339,8 +407,14 @@ object SnapshotTable {
         s"txn query id '$qid' would corrupt the manifest action field") }
     val action = (if (overwrite) "overwrite" else "append") +
       txn.fold("") { case (qid, e) => s"@txn$qid:epoch$e" }
+    val carriedRows =
+      if (base.isEmpty) Map.empty[String, Long]
+      else readRows(dir, prev.last)
+        .map(rs => readManifest(dir, prev.last).zip(rs).toMap)
+        .getOrElse(Map.empty)
     writeManifest(dir, v, action, base ++ relFiles, fullStats,
-      evolvedSchemaFrom(dir, prev, writeSchema, overwrite))
+      evolvedSchemaFrom(dir, prev, writeSchema, overwrite),
+      knownRows = carriedRows)
     v
   }
 
@@ -439,8 +513,16 @@ object SnapshotTable {
         byFile(f.substring(f.lastIndexOf('/') + 1))
       })
     }
+    // carried base files keep their recorded counts — an append never
+    // re-reads the footers of the history it builds on
+    val carriedRows =
+      if (base.isEmpty) Map.empty[String, Long]
+      else readRows(dir, prev.last)
+        .map(rs => readManifest(dir, prev.last).zip(rs).toMap)
+        .getOrElse(Map.empty)
     writeManifest(dir, v, if (overwrite) "overwrite" else "append",
-      base ++ written, stats, evolvedSchema(dir, prev, df, overwrite))
+      base ++ written, stats, evolvedSchema(dir, prev, df, overwrite),
+      knownRows = carriedRows)
     v
   }
 
@@ -626,7 +708,12 @@ object SnapshotTable {
         byFile(f.substring(f.lastIndexOf('/') + 1))
       }))
     }
-    writeManifest(dir, v, action, untouched ++ written, stats, schema)
+    // extra entries are harmless: knownRows is consulted per manifest
+    // file, and a rewritten file's fresh name is never in the old map
+    val carriedRows = readRows(dir, prevV)
+      .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
+    writeManifest(dir, v, action, untouched ++ written, stats, schema,
+      knownRows = carriedRows)
     v
   }
 
@@ -794,8 +881,11 @@ object SnapshotTable {
     val next = vs.last + 1
     val stats = for { c <- readStatsCol(dir, v); mm <- readStats(dir, v) }
       yield (c, mm)
+    val files = readManifest(dir, v)
+    val carried = readRows(dir, v)
+      .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
     writeManifest(dir, next, s"overwrite@restore$v",
-      readManifest(dir, v), stats, readSchema(dir, v))
+      files, stats, readSchema(dir, v), knownRows = carried)
     next
   }
 

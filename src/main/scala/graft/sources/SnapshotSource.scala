@@ -18,8 +18,9 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => P
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -256,12 +257,13 @@ private[sources] object SnapshotDelete {
 class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
                           props: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val statsCol = SnapshotTable.statsColumn(dir, version)
   private var bounds: Option[(Long, Long)] = None
   private var pushed = Array.empty[Filter]
   private var required: StructType = tableSchema
+  private var aggResult: Option[(StructType, Array[Long])] = None
 
   private def longOf(v: Any): Option[Long] = v match {
     case l: java.lang.Long => Some(l)
@@ -300,7 +302,66 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
+  /** AGGREGATE pushdown to MANIFEST BYTES (the Delta/Iceberg
+    * metadata-only-query trick): an unfiltered, ungrouped `count(*)` /
+    * `min(statsCol)` / `max(statsCol)` answers from the per-file row
+    * counts and (min, max) stats the manifest records at commit time —
+    * ZERO data IO, no footer reads, one `LocalScan` row. Complete
+    * pushdown only: every aggregate in the query must translate, the
+    * manifest must record counts (pre-upgrade logs decline — never
+    * estimate), and no filter may have narrowed the scan (Spark keeps
+    * residual filters as plan nodes, which blocks aggregate pushdown
+    * before it reaches here; `bounds.isEmpty` double-guards). */
+  private def manifestAgg(agg: Aggregation)
+      : Option[(StructType, Array[Long])] = {
+    if (agg.groupByExpressions.nonEmpty || bounds.nonEmpty ||
+        pushed.nonEmpty) return None
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def col(f: AggregateFunc): Option[String] = f match {
+      case m: Min => ref(m.column())
+      case m: Max => ref(m.column())
+      case _ => None
+    }
+    val count = SnapshotTable.manifestCount(dir, version)
+    lazy val minMax = SnapshotTable.manifestMinMax(dir, version)
+    val vals = agg.aggregateExpressions().map {
+      case _: CountStar => count.map(("count(*)", LongType, false, _))
+      case m: Min => col(m).flatMap(c => minMax.collect {
+        case (`c`, lo, _) => (s"min($c)", LongType, true, lo)
+      })
+      case m: Max => col(m).flatMap(c => minMax.collect {
+        case (`c`, _, hi) => (s"max($c)", LongType, true, hi)
+      })
+      case _ => None
+    }
+    if (vals.exists(_.isEmpty)) None
+    else {
+      val vs = vals.map(_.get)
+      Some((StructType(vs.map(v => StructField(v._1, v._2, v._3)).toSeq),
+        vs.map(_._4)))
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    manifestAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val r = manifestAgg(agg)
+    aggResult = r.orElse(aggResult)
+    r.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, vals)) => SnapshotAggScan(schema, vals)
+    case None => buildFileScan()
+  }
+
+  private def buildFileScan(): Scan = {
     val files = SnapshotTable.manifestFiles(dir, version, bounds)
       .map(f => s"$dir/$f")
     SnapshotScan(dir, files, required, version,
@@ -311,6 +372,16 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
         .getOrElse(SnapshotScan.DefaultSplitBytes),
       props.get("vectorizedRead").forall(_.trim.toBoolean))
   }
+}
+
+/** The one pre-aggregated row a manifest-answered aggregate produces —
+  * Spark plans it as a `LocalTableScanExec`: the 100 TB `count(*)`
+  * never touches an executor. */
+case class SnapshotAggScan(schema: StructType, vals: Array[Long])
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(vals.map(_.asInstanceOf[Any])))
 }
 
 object SnapshotScan {

@@ -517,6 +517,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(contents(dir, None) == Set((9L, "z"), (10L, "y")))
   }
 
+  test("manifests record per-file row counts: appends carry history's " +
+    "counts, DML recounts only rewritten files, manifestCount/MinMax " +
+    "answer without data IO, pre-upgrade logs answer None") {
+    val dir = Files.createTempDirectory("snap-rows").toString
+    SnapshotTable.commitWithStats(spark,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("id", "s"), dir,
+      statsCol = Some("id"))
+    SnapshotTable.commitWithStats(spark,
+      (10L until 15L).map(i => (i, s"a$i")).toDF("id", "s"), dir,
+      statsCol = Some("id"))
+    assert(SnapshotTable.readRows(dir, 1).exists(_.sum == 10L))
+    assert(SnapshotTable.manifestCount(dir, 2).contains(15L))
+    assert(SnapshotTable.manifestMinMax(dir, 2).contains(("id", 0L, 14L)))
+    // CoW delete: counts stay exact after a partial rewrite
+    SnapshotTable.delete(spark, dir, col("id") < 3L)
+    assert(SnapshotTable.manifestCount(dir, 3).contains(12L))
+    // restore carries counts without touching data
+    SnapshotTable.restore(dir, 2)
+    assert(SnapshotTable.manifestCount(dir, 4).contains(15L))
+    // a pre-upgrade manifest answers None — decline, never estimate
+    val mf = new java.io.File(dir, "_log/v00002.json")
+    val json = new String(Files.readAllBytes(mf.toPath))
+    Files.write(mf.toPath,
+      json.replaceAll(""","rows":\[[^\]]*\]""", "").getBytes)
+    assert(SnapshotTable.manifestCount(dir, 2).isEmpty)
+    assert(SnapshotTable.manifestMinMax(dir, 2).isEmpty)
+  }
+
   test("restore publishes a metadata-only commit with the target's " +
     "content, keeps the bad version in history, carries stats, and " +
     "refuses unknown or vacuumed versions") {

@@ -20,6 +20,54 @@ class SnapshotSourceSpec extends SparkSpec {
     asOf.fold(r)(v => r.option("versionAsOf", v.toString)).load(dir)
   }
 
+  test("aggregate pushdown: unfiltered count/min/max answer from " +
+    "manifest bytes as a LocalTableScan; filters, grouping, and " +
+    "pre-upgrade logs fall back to the file scan") {
+    val dir = Files.createTempDirectory("graft-dsv2agg").toString
+    val rows = (0L until 200L).map(i => (i, i * 3)).toDF("id", "n")
+    SnapshotTable.commitWithStats(spark,
+      rows.where($"id" < 120).repartition(3), dir, statsCol = Some("id"))
+    SnapshotTable.commitWithStats(spark,
+      rows.where($"id" >= 120).repartition(2), dir, statsCol = Some("id"))
+    def isLocal(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    load(dir).createOrReplaceTempView("agg_t")
+    val pushed = spark.sql(
+      "SELECT count(*) AS n, min(id) AS mn, max(id) AS mx FROM agg_t")
+    assert(isLocal(pushed), pushed.queryExecution.executedPlan.toString)
+    assert(pushed.as[(Long, Long, Long)].head() == ((200L, 0L, 199L)))
+    // count alone pushes even without consulting stats
+    val justCount = spark.sql("SELECT count(*) AS n FROM agg_t")
+    assert(isLocal(justCount) && justCount.as[Long].head() == 200L)
+    // a filter keeps the row path and stays exact
+    val filtered = spark.sql(
+      "SELECT count(*) AS n FROM agg_t WHERE id % 2 = 0")
+    assert(!isLocal(filtered) && filtered.as[Long].head() == 100L)
+    // grouping declines
+    val grouped = spark.sql(
+      "SELECT id % 2 AS g, count(*) FROM agg_t GROUP BY 1")
+    assert(!isLocal(grouped) && grouped.count() == 2)
+    // min/max on a NON-stats column declines (no metadata to answer from)
+    val otherCol = spark.sql("SELECT min(n) AS mn FROM agg_t")
+    assert(!isLocal(otherCol) && otherCol.as[Long].head() == 0L)
+    // versionAsOf still answers from ITS manifest
+    val v1 = spark.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", 1).load(dir)
+    v1.createOrReplaceTempView("agg_v1")
+    val pushedV1 = spark.sql("SELECT count(*) AS n, max(id) AS mx FROM agg_v1")
+    assert(isLocal(pushedV1) &&
+      pushedV1.as[(Long, Long)].head() == ((120L, 119L)))
+    // a pre-upgrade manifest (no recorded rows) declines, never guesses
+    val mf = new java.io.File(dir, "_log/v00002.json")
+    val json = new String(Files.readAllBytes(mf.toPath))
+    Files.write(mf.toPath,
+      json.replaceAll(""","rows":\[[^\]]*\]""", "").getBytes)
+    load(dir).createOrReplaceTempView("agg_legacy")
+    val legacy = spark.sql("SELECT count(*) AS n FROM agg_legacy")
+    assert(!isLocal(legacy) && legacy.as[Long].head() == 200L)
+  }
+
   test("timestampAsOf reader option resolves at-or-before and is " +
     "mutually exclusive with versionAsOf") {
     val dir = Files.createTempDirectory("graft-dsv2ts").toString
