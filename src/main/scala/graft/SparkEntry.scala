@@ -261,6 +261,8 @@ object SparkEntry {
     "q227_snapshot_time_travel" -> IoQueries.snapshotTimestampTravel,
     "q228_snapshot_retention" -> IoQueries.snapshotRetention,
     "q229_snapshot_restore" -> IoQueries.snapshotRestore,
+    "q230_snapshot_agg_pushdown" -> IoQueries.snapshotAggPushdown,
+    "q231_unimax_budget" -> LlmQueries.unimaxReport,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2866,6 +2868,74 @@ ORDER BY d.doc_id""",
         |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
         |FROM documents
         |ORDER BY leg""".stripMargin,
+    // q230: manifest-answered aggregates — leg 1 = the whole corpus
+    // (v2 = evens + odds), leg 2 = v1 (evens only), leg 3 = the
+    // filtered row-path twin; pushdown changes the plan, never values.
+    "q230_snapshot_agg_pushdown" ->
+      """SELECT 1 AS leg, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT), CAST(min(doc_id) AS BIGINT),
+        |  CAST(max(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT), CAST(min(doc_id) AS BIGINT),
+        |  CAST(max(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY leg""".stripMargin,
+    // q231: UniMax water-filling replayed in integer arithmetic — the
+    // threshold rule, the rank-(t+1) share, and the epoch-major kept
+    // prefix (cum order = epoch, bucket, hash, doc_id flattened).
+    "q231_unimax_budget" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ${h("doc_id", 37)} AS h
+        |  FROM documents),
+        |pl AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens,
+        |    CAST(count(*) AS BIGINT) AS lang_docs
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS corpus_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_langs FROM pl),
+        |rk AS (SELECT pl.*, n_langs,
+        |    (corpus_tokens * 148) // 100 AS budget,
+        |    lang_tokens * 2 AS capacity,
+        |    CAST(row_number() OVER
+        |      (ORDER BY lang_tokens * 2, lang) AS BIGINT) AS k,
+        |    CAST(COALESCE(sum(lang_tokens * 2) OVER
+        |      (ORDER BY lang_tokens * 2, lang
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prefix
+        |  FROM pl, tot),
+        |rk2 AS (SELECT rk.*,
+        |    (budget - prefix) // (n_langs - k + 1) AS even_share FROM rk),
+        |tk AS (SELECT COALESCE(max(CASE WHEN capacity <= even_share
+        |    THEN k END), 0) AS tt FROM rk2),
+        |al AS (SELECT rk2.*, tt,
+        |    max(CASE WHEN k = tt + 1 THEN even_share END) OVER () AS share
+        |  FROM rk2, tk),
+        |alloc AS (SELECT lang, lang_docs, lang_tokens, capacity,
+        |    CAST(CASE WHEN k <= tt THEN capacity
+        |         ELSE greatest(share, 0) END AS BIGINT) AS alloc_tokens
+        |  FROM al),
+        |ex AS (SELECT b.*, e.epoch
+        |  FROM b CROSS JOIN (SELECT unnest(range(2)) AS epoch) e),
+        |cum AS (SELECT lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY epoch, h % 8, h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM ex),
+        |ks AS (SELECT c.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(c.n_tokens) AS BIGINT) AS kept_tokens
+        |  FROM cum c JOIN alloc a USING (lang)
+        |  WHERE c.cum <= a.alloc_tokens GROUP BY 1)
+        |SELECT a.lang, a.lang_docs, a.lang_tokens, a.capacity,
+        |  a.alloc_tokens,
+        |  CAST(COALESCE(ks.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(ks.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM alloc a LEFT JOIN ks USING (lang)
+        |ORDER BY lang""".stripMargin,
     // q135: the q79 pipeline's train split semi-joined into the q125
     // manifest chain — thresholds re-derived on the deduped kept set.
     "q135_full_pipeline_manifest" ->

@@ -514,4 +514,111 @@ object Sampling {
       coalesce(max(col("span_id")), lit(0L)).as("n_spans"),
       sum(when(col("msk"), 1L).otherwise(0L)).as("n_masked"))
   }
+
+  /** UniMax language-budget allocation + epoch-capped sampling (Chung
+    * et al. 2023 — the budget-driven successor to temperature
+    * sampling for multilingual pretraining mixes): given a total token
+    * budget B = floor(corpus_tokens * budgetNumer / budgetDenom) and a
+    * per-language epoch cap E, allocate B across languages by
+    * WATER-FILLING in ascending capacity order (capacity = E * the
+    * language's tokens): each language takes the smaller of its
+    * capacity and an even share of what remains; a low-resource
+    * language that cannot absorb its share caps at E epochs and the
+    * leftover redistributes to larger languages. The head is
+    * down-sampled, the tail is repeated — but never past E epochs (the
+    * failure mode temperature sampling has no guard for).
+    *
+    * All arithmetic is INTEGER (token counts, `div` floors), so the
+    * allocation is engine-exact. The threshold is DEFINED as
+    * t = max k with capacity_k <= (B - prefix_{k-1}) div (L - k + 1)
+    * (ascending capacity, ties by language); ranks <= t take their
+    * capacity, the rest take the share evaluated at rank t + 1 —
+    * floor remainders stay unallocated (documented, deterministic)
+    * rather than being smeared by fractional arithmetic.
+    *
+    * The allocation is then APPLIED: the corpus repeats epoch-major
+    * (epoch 0 first — whole passes before a partial one, the "repeat
+    * up to E times then truncate" the cap means), ordered inside each
+    * epoch by the seeded portable hash, and a language keeps its
+    * prefix with cumulative tokens <= its allocation. The cumulative
+    * sum is the q89/q109 two-phase bucketed prefix (per-(lang, epoch,
+    * bucket) window + broadcast bucket offsets) — no global window at
+    * any corpus size. Output: one row per language with corpus /
+    * capacity / allocation / kept-set numbers.
+    *
+    * Scale shape: one tokens-per-language shuffle (map-side combined
+    * to L rows), the water-fill on the L-row language frame
+    * (vocabulary-sized single-partition windows), and the kept-prefix
+    * scan over E corpus copies with bounded per-(lang, epoch, bucket)
+    * windows. */
+  def unimax(docs: DataFrame, idCol: Column, langCol: Column,
+             budgetNumer: Long, budgetDenom: Long, epochs: Int,
+             numBuckets: Int = 8, seed: Int = 37,
+             hasher: SeededHash = PortableSeededHash): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochs >= 1, "epoch cap must be >= 1")
+    require(budgetNumer >= 0 && budgetDenom > 0, "budget must be >= 0")
+    require(numBuckets > 0)
+    val h = hasher.hash(idCol, seed)
+    val base = docs.select(idCol.as("doc_id"), langCol.as("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      h.as("h"), pmod(h, lit(numBuckets.toLong)).as("bucket"))
+    val perLang = base.groupBy("lang")
+      .agg(sum("n_tokens").as("lang_tokens"),
+        count(lit(1)).cast("long").as("lang_docs"))
+    val totals = perLang.agg(sum("lang_tokens").as("corpus_tokens"),
+      count(lit(1)).cast("long").as("n_langs"))
+    // the language frame: <= a few hundred rows at ANY corpus size —
+    // single-partition windows are the right plan here
+    val wAsc = Window.orderBy("capacity", "lang")
+    val ranked = perLang.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        expr(s"(corpus_tokens * $budgetNumer) div $budgetDenom"))
+      .withColumn("capacity", col("lang_tokens") * epochs)
+      .withColumn("k", row_number().over(wAsc).cast("long"))
+      .withColumn("prefix", coalesce(sum("capacity").over(
+        wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("even_share",
+        expr("(budget - prefix) div (n_langs - k + 1)"))
+      .withColumn("takes_cap", col("capacity") <= col("even_share"))
+    val wAll = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val allocs = ranked
+      .withColumn("tt", coalesce(
+        max(when(col("takes_cap"), col("k"))).over(wAll), lit(0L)))
+      // every share-limited language receives the share evaluated at
+      // rank t+1 (re-deriving it per-row would drift by accumulated
+      // floor remainders); t = L means everything fit under its cap
+      .withColumn("share", max(when(col("k") === col("tt") + 1,
+        col("even_share"))).over(wAll))
+      .withColumn("alloc_tokens", when(col("k") <= col("tt"),
+        col("capacity")).otherwise(greatest(col("share"), lit(0L))))
+      .select("lang", "lang_docs", "lang_tokens", "capacity",
+        "alloc_tokens")
+    // apply: epoch-major repeats, two-phase bucketed prefix per lang
+    val copies = docs.sparkSession.range(epochs.toLong)
+      .select(col("id").as("epoch"))
+    val wB = Window.partitionBy("lang", "epoch", "bucket")
+      .orderBy("h", "doc_id")
+    val partial = base.crossJoin(broadcast(copies))
+      .withColumn("cum_b", sum("n_tokens").over(wB))
+    val offsets = partial.groupBy("lang", "epoch", "bucket")
+      .agg(max("cum_b").as("total_b"))
+      .withColumn("off", coalesce(sum("total_b").over(
+        Window.partitionBy("lang").orderBy("epoch", "bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "epoch", "bucket", "off")
+    val keptStats = partial
+      .join(broadcast(offsets), Seq("lang", "epoch", "bucket"))
+      .join(broadcast(allocs.select("lang", "alloc_tokens")), Seq("lang"))
+      .where(col("off") + col("cum_b") <= col("alloc_tokens"))
+      .groupBy("lang").agg(count(lit(1)).cast("long").as("n_kept"),
+        sum("n_tokens").as("kept_tokens"))
+    allocs.join(keptStats, Seq("lang"), "left")
+      .select(col("lang"), col("lang_docs"), col("lang_tokens"),
+        col("capacity"), col("alloc_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
 }

@@ -769,6 +769,45 @@ object IoQueries {
     } finally s.sql(s"DROP TABLE graft_cat.$name")
   }
 
+  /** Manifest-answered aggregates (q230,
+    * [[graft.sources.SnapshotScanBuilder]] aggregate pushdown +
+    * [[graft.io.SnapshotTable.manifestCount]]): the metadata-only-query
+    * tier Delta/Iceberg users lean on daily — an unfiltered `count(*)`
+    * / `min` / `max` of the stats column answers from the per-file row
+    * counts and (min, max) the manifest records at commit time, planned
+    * as ONE LocalScan row with ZERO data IO (at 100 TB: a few hundred
+    * manifest bytes instead of a full scan; the spec asserts the
+    * LocalTableScan plan). Leg 1 is the pushed-down read of the latest
+    * version; leg 2 time-travels the pushdown to v1's manifest; leg 3
+    * adds a predicate — which keeps the row path (a filtered aggregate
+    * must read rows) and must agree with the oracle exactly, proving
+    * the shortcut changes the plan, never the answer. */
+  def snapshotAggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snapagg").toString
+    val st = graft.io.SnapshotTable
+    st.commitWithStats(s,
+      docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+        .repartitionByRange(4, col("doc_id")), t, statsCol = Some("doc_id"))
+    st.commitWithStats(s,
+      docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+        .repartitionByRange(4, col("doc_id")), t, statsCol = Some("doc_id"))
+    s.read.format("graft.sources.SnapshotSource").load(t)
+      .createOrReplaceTempView("q230_snap")
+    s.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", 1).load(t)
+      .createOrReplaceTempView("q230_snap_v1")
+    val leg1 = s.sql("""SELECT 1 AS leg, count(*) AS n_docs,
+      min(doc_id) AS min_id, max(doc_id) AS max_id FROM q230_snap""")
+    val leg2 = s.sql("""SELECT 2 AS leg, count(*) AS n_docs,
+      min(doc_id) AS min_id, max(doc_id) AS max_id FROM q230_snap_v1""")
+    val leg3 = s.sql("""SELECT 3 AS leg, count(*) AS n_docs,
+      min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM q230_snap WHERE doc_id % 7 = 0""")
+    leg1.unionAll(leg2).unionAll(leg3).orderBy("leg")
+  }
+
   /** Per-language profile of the pre-DML version and the latest version,
     * both read from the same log — the DML is a commit, not a mutation. */
   private def dmlProfile(s: SparkSession, t: String, preV: Int): DataFrame = {

@@ -1022,6 +1022,22 @@ object LlmQueries {
         hasher = graft.llm.PortableSeededHash)
       .orderBy("doc_id")
 
+  /** UniMax epoch-capped language budgeting (q231,
+    * [[graft.llm.Sampling.unimax]]): the budget-driven multilingual
+    * mixing rule — B = floor(1.48 × corpus tokens) water-filled across
+    * languages with a 2-epoch cap. On this corpus the four low-resource
+    * languages cap at 2 epochs (they absorb less than an even share)
+    * and English — 41% of the corpus — takes the leftover,
+    * down-sampled below its natural share: both regimes of the
+    * allocation in one report, each engine-exact in integer
+    * arithmetic. */
+  def unimaxReport(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.unimax(table(s, dir, "documents"),
+      col("doc_id"), col("lang"),
+      budgetNumer = 148L, budgetDenom = 100L, epochs = 2,
+      numBuckets = 8, seed = 37,
+      hasher = graft.llm.PortableSeededHash)
+
   /** CCNet-style LM quality score (q110,
     * [[graft.llm.LanguageModel.ngramLogProbScore]]): per-document average
     * add-one-smoothed trigram log-probability under a count model

@@ -379,4 +379,56 @@ class SamplingSpec extends SparkSpec {
     assert(msgs(e).exists(m =>
       m != null && m.contains("monotone")), s"unexpected error: $e")
   }
+
+  test("unimax: water-filling allocation matches a hand-computed " +
+    "fill, kept prefixes respect allocations, epoch-major repeats") {
+    // 4 langs, 1 doc each for hand-math clarity: tokens 10/10/20/100
+    val rows = Seq(
+      (1L, "aa", ("t " * 10).trim),
+      (2L, "bb", ("t " * 10).trim),
+      (3L, "cc", ("t " * 20).trim),
+      (4L, "dd", ("t " * 100).trim)).toDF("doc_id", "lang", "text")
+    // total = 140, budget = 140*1/1 = 140, epochs = 2 ->
+    // capacities asc: aa 20, bb 20, cc 40, dd 200
+    // k=1: share 140/4 = 35 >= 20 -> aa takes 20
+    // k=2: (140-20)/3 = 40 >= 20 -> bb takes 20
+    // k=3: (140-40)/2 = 50 >= 40 -> cc takes 40
+    // k=4: (140-80)/1 = 60 <  200 -> dd share-limited to 60
+    val out = Sampling.unimax(rows, col("doc_id"), col("lang"),
+        budgetNumer = 1L, budgetDenom = 1L, epochs = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("aa") == (("aa", 1L, 10L, 20L, 20L, 2L, 20L)))
+    assert(out("bb") == (("bb", 1L, 10L, 20L, 20L, 2L, 20L)))
+    assert(out("cc") == (("cc", 1L, 20L, 40L, 40L, 2L, 40L)))
+    // dd: alloc 60 fits 0 full copies of its 100-token doc... the
+    // prefix rule keeps nothing (cum 100 > 60) — allocation bounds are
+    // never exceeded, even when granularity strands budget
+    assert(out("dd") == (("dd", 1L, 100L, 200L, 60L, 0L, 0L)))
+    // budget >= total capacity: every language caps at its capacity
+    val capped = Sampling.unimax(rows, col("doc_id"), col("lang"),
+        budgetNumer = 10L, budgetDenom = 1L, epochs = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(capped.forall(r => r._5 == r._4 && r._7 == r._4))
+    // zero budget keeps nothing
+    val zero = Sampling.unimax(rows, col("doc_id"), col("lang"),
+        budgetNumer = 0L, budgetDenom = 1L, epochs = 3)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(zero.forall(r => r._5 == 0L && r._6 == 0L))
+    // multi-doc lang: epoch-major order means full first passes before
+    // the partial second one — with alloc for exactly 1.5 epochs, every
+    // doc appears at least once before any appears twice
+    val multi = Seq.tabulate(6)(i =>
+      (10L + i, "mm", ("t " * 10).trim)).toDF("doc_id", "lang", "text")
+    val m = Sampling.unimax(multi, col("doc_id"), col("lang"),
+        budgetNumer = 3L, budgetDenom = 2L, epochs = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    // total 60, budget 90, capacity 120 -> share-limited to 90 = 9 docs
+    assert(m == (("mm", 6L, 60L, 120L, 90L, 9L, 90L)))
+    // corpus-frame determinism: same answer from a different partitioning
+    val repart = Sampling.unimax(multi.repartition(7), col("doc_id"),
+        col("lang"), budgetNumer = 3L, budgetDenom = 2L, epochs = 2)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    assert(repart == m)
+  }
 }
