@@ -263,6 +263,7 @@ object SparkEntry {
     "q229_snapshot_restore" -> IoQueries.snapshotRestore,
     "q230_snapshot_agg_pushdown" -> IoQueries.snapshotAggPushdown,
     "q231_unimax_budget" -> LlmQueries.unimaxReport,
+    "q232_snapshot_sql_dml" -> IoQueries.snapshotSqlDml,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2936,6 +2937,36 @@ ORDER BY d.doc_id""",
         |  CAST(COALESCE(ks.kept_tokens, 0) AS BIGINT) AS kept_tokens
         |FROM alloc a LEFT JOIN ks USING (lang)
         |ORDER BY lang""".stripMargin,
+    // q232: SQL UPDATE/MERGE as CASE arithmetic — v2 = the raw corpus,
+    // v3 = +1000 on %3=0, v4 = matched %5=0 rows at n_chars*10 (the
+    // MERGE update wins over the earlier UPDATE on %15=0) plus the
+    // %7=0 slice re-inserted under doc_id+1000000.
+    "q232_snapshot_sql_dml" ->
+      """SELECT 2 AS leg, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_id,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars +
+        |    CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 0 END), 0) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 4,
+        |  CAST(count(*) +
+        |    (SELECT count(*) FROM documents WHERE doc_id % 7 = 0)
+        |    AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) +
+        |    (SELECT coalesce(sum(doc_id + 1000000), 0) FROM documents
+        |     WHERE doc_id % 7 = 0) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars * 10
+        |    WHEN doc_id % 3 = 0 THEN n_chars + 1000
+        |    ELSE n_chars END), 0) +
+        |    (SELECT coalesce(sum(n_chars), 0) FROM documents
+        |     WHERE doc_id % 7 = 0) AS BIGINT)
+        |FROM documents
+        |ORDER BY leg""".stripMargin,
     // q135: the q79 pipeline's train split semi-joined into the q125
     // manifest chain — thresholds re-derived on the deduped kept set.
     "q135_full_pipeline_manifest" ->

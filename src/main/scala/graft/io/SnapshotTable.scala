@@ -691,10 +691,15 @@ object SnapshotTable {
       .map(f => s"$sub/${f.getName}").sorted.toSeq
 
   /** Publish a DML commit: carry untouched files' stats, recompute the
-    * rewritten files', write the manifest. */
-  private def publish(spark: SparkSession, dir: String, prevV: Int, v: Int,
+    * rewritten files', write the manifest. `writtenSub` is the staging
+    * dir the rewritten files live under (the API DML paths stage under
+    * the version dir; the SQL row-level write stages under its own
+    * write dir). */
+  private[graft] def publish(spark: SparkSession, dir: String, prevV: Int,
+                      v: Int,
                       untouched: Seq[String], written: Seq[String],
-                      action: String, schema: Option[StructType]): Int = {
+                      action: String, schema: Option[StructType],
+                      writtenSub: Option[String] = None): Int = {
     val files = readManifest(dir, prevV)
     val stats = readStatsCol(dir, prevV).map { c =>
       val prevStats = readStats(dir, prevV).get
@@ -703,7 +708,8 @@ object SnapshotTable {
       }.toMap
       val byFile =
         if (written.isEmpty) Map.empty[String, (Long, Long)]
-        else fileStats(spark, dir, f"data/v$v%05d", c)
+        else fileStats(spark, dir,
+          writtenSub.getOrElse(f"data/v$v%05d"), c)
       (c, (untouched.map(f => carried(f)) ++ written.map { f =>
         byFile(f.substring(f.lastIndexOf('/') + 1))
       }))

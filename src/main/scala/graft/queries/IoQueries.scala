@@ -808,6 +808,57 @@ object IoQueries {
     leg1.unionAll(leg2).unionAll(leg3).orderBy("leg")
   }
 
+  /** SQL UPDATE + MERGE INTO through the catalog (q232,
+    * [[graft.sources.SnapshotRowLevelOperation]]): the last two
+    * lakehouse DML verbs that previously existed only as API calls
+    * (q158/q159) now lower from PLAIN SQL through Spark's row-level
+    * operation machinery — a group-based copy-on-write rewrite
+    * published as one commit, with every pre-DML version still
+    * time-travelable. An UPDATE bumps one residue class, then a MERGE
+    * updates the matched slice and inserts brand-new keys; legs read
+    * each version's aggregates back through `VERSION AS OF`, so the
+    * oracle is pure CASE arithmetic over the source table. The rewrite
+    * reads and replaces ONLY the touched file groups — Spark's runtime
+    * group filter collects the condition's `_file` values, the scan
+    * narrows to them, and the commit carries every untouched file by
+    * reference (the API DML tier's touched-files contract, asserted
+    * file-level in SnapshotCatalogSpec). */
+  def snapshotSqlDml(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .createOrReplaceTempView("q232_src")
+    s.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+    val name = "t_" + java.util.UUID.randomUUID.toString
+      .replace("-", "").take(12)
+    s.sql(s"CREATE TABLE graft_cat.$name " +
+      "(doc_id BIGINT, source STRING, n_chars BIGINT)")
+    try {
+      s.sql(s"INSERT INTO graft_cat.$name SELECT * FROM q232_src")
+      s.sql(s"UPDATE graft_cat.$name SET n_chars = n_chars + 1000 " +
+        "WHERE doc_id % 3 = 0")
+      s.sql(s"""MERGE INTO graft_cat.$name t USING (
+          SELECT doc_id, source, n_chars FROM q232_src
+          WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, source, n_chars FROM q232_src
+          WHERE doc_id % 7 = 0) s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET t.n_chars = s.n_chars * 10
+        WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars)
+          VALUES (s.doc_id, s.source, s.n_chars)""")
+      val legs = (2 to 4).map { v =>
+        s.sql(s"""SELECT $v AS leg, count(*) AS n_docs,
+          coalesce(sum(doc_id), 0) AS sum_id,
+          coalesce(sum(n_chars), 0) AS sum_chars
+          FROM graft_cat.$name VERSION AS OF $v""")
+      }
+      legs.reduce(_.unionAll(_)).orderBy("leg")
+        .localCheckpoint() // materialize before the table drops
+    } finally s.sql(s"DROP TABLE graft_cat.$name")
+  }
+
   /** Per-language profile of the pre-DML version and the latest version,
     * both read from the same log — the DML is a commit, not a mutation. */
   private def dmlProfile(s: SparkSession, t: String, preV: Int): DataFrame = {

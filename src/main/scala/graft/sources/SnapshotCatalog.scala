@@ -28,6 +28,8 @@ import graft.io.SnapshotTable
   *   INSERT INTO graft_cat.events SELECT ...          -- append commit
   *   INSERT OVERWRITE graft_cat.events SELECT ...     -- overwrite commit
   *   DELETE FROM graft_cat.events WHERE id < 100      -- CoW delete commit
+  *   UPDATE graft_cat.events SET src = ... WHERE ...  -- row-level CoW
+  *   MERGE INTO graft_cat.events t USING s ON ...     -- row-level CoW
   *   ALTER TABLE graft_cat.events ADD COLUMN lang STRING -- metadata-only
   *   SELECT * FROM graft_cat.events VERSION AS OF 2   -- time travel
   * }}}

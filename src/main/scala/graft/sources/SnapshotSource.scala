@@ -17,11 +17,13 @@ import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -179,7 +181,20 @@ object SnapshotSource {
 }
 
 class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  /** `_file` — the data file a row lives in, the metadata column the
+    * row-level rewrites group by (Iceberg/Delta expose the same). A
+    * query can also select it directly (`SELECT _file, * FROM t`). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "path of the data file the row was read from"
+    })
   private val dir = SnapshotSource.dir(props)
   override def name(): String = s"graft_snapshot($dir)"
   override def schema(): StructType = tableSchema
@@ -223,6 +238,110 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
     SnapshotTable.delete(
       org.apache.spark.sql.SparkSession.active, dir, pred)
   }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` with a predicate the v1
+    * metadata path can't translate) — Spark's row-level-operation
+    * rewrite: the planner rebuilds the affected groups' content and
+    * this operation's write REPLACES them as one overwrite commit
+    * (GROUP-BASED copy-on-write, the Delta/Iceberg CoW mode; history
+    * stays time-travelable like every commit). The scan is the plain
+    * table scan, so the SQL verbs rewrite the FULL table — correct at
+    * any size, and the honest caveat: the API tier
+    * ([[graft.io.SnapshotTable.delete/update/merge]]) rewrites only
+    * TOUCHED files and is the 100 TB path; narrowing this SQL path
+    * needs `_file` metadata-column runtime filtering (the documented
+    * next step, not a semantics change). DML on a pinned version
+    * refuses at plan time — history is immutable. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(!props.contains("versionAsOf") &&
+      !props.contains("timestampAsOf"),
+      s"${info.command()} on a time-traveled read: history is immutable")
+    () => new SnapshotRowLevelOperation(dir, tableSchema, info.command(),
+      props)
+  }
+}
+
+/** Group-based (copy-on-write) row-level operation over the snapshot
+  * log: the scan reads the operation's pinned version — narrowed to the
+  * TOUCHED files when Spark plans runtime group filtering over the
+  * `_file` metadata column — and the write publishes one commit that
+  * carries every untouched file by reference and replaces exactly the
+  * scanned groups with the rebuilt rows (the API DML tier's
+  * touched-files contract, reached from plain SQL). */
+private[sources] class SnapshotRowLevelOperation(
+    dir: String, tableSchema: StructType, cmd: Command,
+    props: Map[String, String]) extends RowLevelOperation {
+  private val scanVersion = SnapshotTable.resolveVersion(dir)
+  private val state = new GroupFilterState(
+    SnapshotTable.manifestFiles(dir, scanVersion).map(f => s"$dir/$f"))
+  override def command(): Command = cmd
+  override def description(): String =
+    s"graft_snapshot CoW $cmd($dir)"
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new SnapshotScanBuilder(dir, scanVersion, tableSchema, props,
+      Some(state))
+  // requiring `_file` metadata puts the rewrite on Spark's
+  // data+metadata write path (the writer receives the PROJECTED data
+  // row — the raw ReplaceData row carries a leading __row_operation
+  // marker that must never reach a data file) and feeds the runtime
+  // group filter above
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new SnapshotReplaceGroupsWrite(
+          dir, info.schema(), scanVersion, state,
+          cmd.toString.toLowerCase)
+      }
+    }
+}
+
+/** The row-level replacement write: commits `(scanVersion's files −
+  * the scanned groups) + the staged rewrite` as one new version, with
+  * untouched files' stats carried and rewritten files' stats
+  * recomputed ([[SnapshotTable.publish]] — the exact mechanics of the
+  * API DML commits). Rewriting everything away leaves an empty but
+  * readable table (a zero-row schema-bearing file), matching the API
+  * delete convention. */
+private[sources] class SnapshotReplaceGroupsWrite(
+    dir: String, writeSchema: StructType, scanVersion: Int,
+    state: GroupFilterState, action: String) extends BatchWrite {
+  private val sub = s"data/w${java.util.UUID.randomUUID().toString.take(8)}"
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new SnapshotWriterFactory(dir, sub, writeSchema, -1)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case m: SnapshotCommitMsg if m.relPath != null => m.relPath
+    }.sorted.toSeq
+    val scannedRel = state.scanned.map(_.stripPrefix(s"$dir/")).toSet
+    val untouched = SnapshotTable.manifestFiles(dir, scanVersion)
+      .filterNot(scannedRel)
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (staged.isEmpty && untouched.isEmpty) {
+      val rel = s"$sub/part-empty.parquet"
+      new ParquetGroupWriter(s"$dir/$rel", writeSchema, -1).close()
+      val stats = SnapshotTable.statsColumn(dir, scanVersion)
+        .map(c => (c, Seq((Long.MaxValue, Long.MinValue))))
+      SnapshotTable.commitStagedFiles(dir, Seq(rel), writeSchema,
+        overwrite = true, stats): Unit
+    } else {
+      val v = SnapshotTable.versions(dir).last + 1
+      SnapshotTable.publish(spark, dir, scanVersion, v, untouched,
+        staged, action,
+        SnapshotTable.readSchema(dir, scanVersion).orElse(Some(writeSchema)),
+        writtenSub = Some(sub)): Unit
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SnapshotCommitMsg(rel, _, _, _) if rel != null =>
+        SnapshotSource.deleteQuiet(s"$dir/$rel")
+      case _ =>
+    }
 }
 
 /** v1 `Filter` → `Column` translation for the DELETE path — the
@@ -255,7 +374,8 @@ private[sources] object SnapshotDelete {
 }
 
 class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
-                          props: Map[String, String] = Map.empty)
+                          props: Map[String, String] = Map.empty,
+                          groupFilter: Option[GroupFilterState] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -370,8 +490,18 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       props.get("ignoreRewrites").exists(_.trim.toBoolean),
       props.get("maxSplitBytes").map(_.trim.toLong)
         .getOrElse(SnapshotScan.DefaultSplitBytes),
-      props.get("vectorizedRead").forall(_.trim.toBoolean))
+      props.get("vectorizedRead").forall(_.trim.toBoolean),
+      groupFilter)
   }
+}
+
+/** Shared driver-side state between a row-level operation's SCAN and
+  * its WRITE: the scan narrows `scanned` to the runtime-group-filtered
+  * file set (full paths); the write replaces exactly those files. The
+  * default — everything the scanned version holds — keeps the rewrite
+  * correct when the optimizer plans no group filter. */
+private[sources] final class GroupFilterState(val allFiles: Seq[String]) {
+  @volatile var scanned: Seq[String] = allFiles
 }
 
 /** The one pre-aggregated row a manifest-answered aggregate produces —
@@ -415,16 +545,57 @@ case class SnapshotScan(dir: String, files: Seq[String],
                         startingVersion: Option[Int] = None,
                         ignoreRewrites: Boolean = false,
                         maxSplitBytes: Long = SnapshotScan.DefaultSplitBytes,
-                        vectorized: Boolean = true)
-    extends Scan with Batch {
+                        vectorized: Boolean = true,
+                        groupFilter: Option[GroupFilterState] = None)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+  // runtime-group-filtered file set (row-level DML scans only; the
+  // optimizer calls filter() before planInputPartitions)
+  private var activeFiles: Seq[String] = files
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_snapshot v$version files=${files.size}" +
       prunedOn.fold("")(c => s" statsPruned=$c") +
       s" cols=${required.fieldNames.mkString(",")}"
+
+  /** RUNTIME GROUP FILTERING for the row-level DML path (Spark's
+    * `RowLevelOperationRuntimeGroupFiltering`): a pre-query finds the
+    * `_file` values the DML condition touches, and this scan narrows
+    * to exactly those files — the SQL UPDATE/MERGE/DELETE rewrite then
+    * reads and REPLACES only touched groups, the same touched-files
+    * contract as the API DML tier (at 100 TB the difference between a
+    * surgical commit and a full-table rewrite). Plain scans advertise
+    * no filterable attribute. */
+  override def filterAttributes(): Array[NamedReference] =
+    if (groupFilter.isDefined) Array(Expressions.column("_file"))
+    else Array.empty
+  override def filter(predicates: Array[Predicate]): Unit =
+    groupFilter.foreach { st =>
+      def ref(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case r: NamedReference => r.fieldNames().sameElements(
+            Array("_file"))
+          case _ => false
+        }
+      val keep: Option[Set[String]] = predicates.collectFirst {
+        case p if p.name() == "IN" && p.children().nonEmpty &&
+            ref(p.children().head) =>
+          p.children().drop(1).collect {
+            case l: Literal[_] => l.value().toString
+          }.toSet
+        case p if p.name() == "=" && p.children().length == 2 &&
+            ref(p.children().head) =>
+          p.children().drop(1).collect {
+            case l: Literal[_] => l.value().toString
+          }.toSet
+      }
+      keep.foreach { k =>
+        activeFiles = files.filter(k.contains)
+        st.scanned = activeFiles
+      }
+    }
   override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap(SnapshotScan.split(_, maxSplitBytes))
+    activeFiles.flatMap(SnapshotScan.split(_, maxSplitBytes))
       .toArray[InputPartition]
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required, vectorized,
@@ -539,10 +710,38 @@ class SnapshotReaderFactory(required: StructType,
                             vectorized: Boolean = false,
                             readConfs: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
+  // `_file` metadata column: constant per partition — the parquet
+  // readers see only the data columns, the wrapper splices the path in
+  private val fileIdx = required.fieldNames.indexOf("_file")
+  private val dataSchema =
+    if (fileIdx < 0) required
+    else StructType(required.filterNot(_.name == "_file"))
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
-    new ParquetGroupReader(p.path, required, p.start, p.length)
+    val base = new ParquetGroupReader(p.path, dataSchema, p.start, p.length)
+    if (fileIdx < 0) base
+    else new PartitionReader[InternalRow] {
+      private val path = UTF8String.fromString(p.path)
+      override def next(): Boolean = base.next()
+      override def get(): InternalRow = {
+        val r = base.get()
+        val out = new GenericInternalRow(required.length)
+        var i = 0
+        var j = 0
+        while (i < required.length) {
+          if (i == fileIdx) out.update(i, path)
+          else {
+            out.update(i,
+              if (r.isNullAt(j)) null else r.get(j, dataSchema(j).dataType))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      override def close(): Unit = base.close()
+    }
   }
   // VECTORIZED read path: Spark's own columnar parquet reader (the
   // engine behind every native parquet scan — decodes straight into
@@ -554,7 +753,7 @@ class SnapshotReaderFactory(required: StructType,
   // row path stays as the `.option("vectorizedRead", false)` escape and
   // the spec's parity baseline.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    vectorized
+    vectorized && fileIdx < 0 // `_file` scans take the row path
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]

@@ -51,6 +51,14 @@ class PlanAuditSpec extends SparkSpec {
     "q166_bm25_topk",        // broadcast 1-row corpus-stats scalar frame
                              // (n_docs, sum_dl) — the q48 pattern; the
                              // postings/df/dl joins are all equi
+    "q231_unimax_budget",    // two broadcast constant frames: the 1-row
+                             // (corpus_tokens, n_langs) scalar feeding
+                             // the L-row water-fill (the q48/q166
+                             // pattern), and the E-row epoch frame
+                             // (E = 2) fanning the corpus into its
+                             // epoch-major repeats; the corpus-sized
+                             // stages — per-lang token counts and the
+                             // kept-prefix windows — are equi shuffles
     "q171_bm25_indexed",     // same stats scalar, read from the 1-row
                              // index table
     "q179_corpus_datasheet", // three 1-row summary frames cross-joined

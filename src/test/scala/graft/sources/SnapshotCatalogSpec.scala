@@ -136,20 +136,87 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE tcat.res")
   }
 
-  test("refusals: TIMESTAMP AS OF, untranslatable DELETE, DML on a " +
-    "pinned version, bad segment names") {
+  test("row-level SQL DML rewrites ONLY the touched groups: runtime " +
+    "group filtering carries untouched files by reference") {
+    root
+    spark.sql("CREATE TABLE tcat.grp (id BIGINT, n BIGINT)")
+    // two separate INSERT commits = two disjoint file groups
+    spark.sql("INSERT INTO tcat.grp SELECT id, id * 2 FROM range(0, 50)")
+    spark.sql("INSERT INTO tcat.grp SELECT id, id * 2 FROM range(50, 100)")
+    try {
+      val dir = s"$root/grp"
+      val before = SnapshotTable.manifestFiles(dir, 3).toSet
+      val firstWave = SnapshotTable.manifestFiles(dir, 2).toSet
+      spark.sql("UPDATE tcat.grp SET n = n + 1000 WHERE id >= 50")
+      val after = SnapshotTable.manifestFiles(dir, 4).toSet
+      // untouched groups (the CREATE stub + the first INSERT's files)
+      // are carried by REFERENCE, not rewritten
+      assert(firstWave.subsetOf(after),
+        s"first wave not carried: ${firstWave -- after}")
+      // the touched second wave is gone from the new version
+      assert((before -- firstWave).intersect(after).isEmpty,
+        "touched files were carried instead of rewritten")
+      // and the answer is exact
+      assert(spark.sql("SELECT sum(n) FROM tcat.grp").as[Long].head() ==
+        (0L until 100L).map(_ * 2).sum + 50 * 1000)
+      assert(spark.sql(
+        "SELECT count(*) FROM tcat.grp WHERE n >= 1000").as[Long]
+        .head() == 50)
+    } finally spark.sql("DROP TABLE tcat.grp")
+  }
+
+  test("refusals: pre-first-commit TIMESTAMP AS OF and bad segment " +
+    "names; an untranslatable DELETE now lowers to the CoW row-level " +
+    "rewrite instead of refusing") {
     root
     spark.sql("CREATE TABLE tcat.ref (id BIGINT)")
     spark.sql("INSERT INTO tcat.ref VALUES (1), (2), (3)")
     intercept[Exception](spark.sql(
       "SELECT * FROM tcat.ref TIMESTAMP AS OF '2026-01-01'").collect())
-    // % is not a v1 Filter: canDeleteWhere says no, Spark errors loudly
-    // instead of deleting the wrong rows
-    intercept[Exception](spark.sql("DELETE FROM tcat.ref WHERE id % 2 = 0"))
-    assert(spark.sql("SELECT count(*) FROM tcat.ref").as[Long].head() == 3)
+    // % is not a v1 Filter: the metadata path declines, and the
+    // group-based row-level operation rewrites instead (pre-row-level
+    // this refused loudly; it must never silently delete WRONG rows)
+    spark.sql("DELETE FROM tcat.ref WHERE id % 2 = 0")
+    assert(spark.sql("SELECT * FROM tcat.ref ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 3L))
+    // pre-DML history intact
+    assert(spark.sql("SELECT count(*) FROM tcat.ref VERSION AS OF 2")
+      .as[Long].head() == 3)
     intercept[Exception](
       spark.sql("SELECT * FROM tcat.`../escape`").collect())
     spark.sql("DROP TABLE tcat.ref")
+  }
+
+  test("SQL UPDATE and MERGE INTO lower to the group-based CoW " +
+    "row-level operation; history stays; pinned-version DML refuses") {
+    root
+    spark.sql("CREATE TABLE tcat.dml (id BIGINT, s STRING, n BIGINT)")
+    spark.sql("INSERT INTO tcat.dml VALUES (1, 'a', 10), (2, 'b', 20), " +
+      "(3, 'c', 30)")
+    spark.sql("UPDATE tcat.dml SET n = n + 100, s = upper(s) " +
+      "WHERE id % 2 = 1")
+    assert(spark.sql("SELECT * FROM tcat.dml ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "A", 110L), (2L, "b", 20L), (3L, "C", 130L)))
+    Seq((2L, "B2", 200L), (9L, "i", 90L)).toDF("id", "s", "n")
+      .createOrReplaceTempView("dml_src")
+    spark.sql("""MERGE INTO tcat.dml t USING dml_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.s = s.s, t.n = s.n
+      WHEN NOT MATCHED THEN INSERT (id, s, n) VALUES (s.id, s.s, s.n)""")
+    assert(spark.sql("SELECT * FROM tcat.dml ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "A", 110L), (2L, "B2", 200L), (3L, "C", 130L),
+        (9L, "i", 90L)))
+    // every pre-DML version still reads as it was
+    assert(spark.sql("SELECT count(*) FROM tcat.dml VERSION AS OF 2")
+      .as[Long].head() == 3)
+    assert(spark.sql(
+      "SELECT sum(n) FROM tcat.dml VERSION AS OF 3").as[Long]
+      .head() == 260L) // post-UPDATE, pre-MERGE
+    // DML through a time-traveled reference refuses loudly
+    intercept[Exception](spark.sql(
+      "UPDATE tcat.dml VERSION AS OF 2 SET n = 0").collect())
+    spark.sql("DROP TABLE tcat.dml")
   }
 
   test("rename + listTables") {

@@ -68,6 +68,26 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(!isLocal(legacy) && legacy.as[Long].head() == 200L)
   }
 
+  test("_file metadata column: selectable by name, constant per data " +
+    "file, every value a manifest file") {
+    val dir = Files.createTempDirectory("graft-dsv2file").toString
+    SnapshotTable.commit(spark,
+      (0L until 40L).toDF("id").repartition(3), dir)
+    val got = load(dir).select(col("_file"), col("id"))
+      .as[(String, Long)].collect()
+    assert(got.length == 40)
+    assert(got.map(_._2).toSet == (0L until 40L).toSet)
+    val files = got.map(_._1).toSet
+    val manifest = SnapshotTable.manifestFiles(dir, 1)
+      .map(f => s"$dir/$f").toSet
+    assert(files.subsetOf(manifest) && files.size > 1)
+    // per-file constancy: every id maps to exactly one file, and ids
+    // sharing a file agree with a groupBy through the column
+    val perFile = load(dir).groupBy(col("_file")).count()
+      .as[(String, Long)].collect().toMap
+    assert(perFile.values.sum == 40L)
+  }
+
   test("timestampAsOf reader option resolves at-or-before and is " +
     "mutually exclusive with versionAsOf") {
     val dir = Files.createTempDirectory("graft-dsv2ts").toString
