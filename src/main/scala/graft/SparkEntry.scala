@@ -264,6 +264,8 @@ object SparkEntry {
     "q230_snapshot_agg_pushdown" -> IoQueries.snapshotAggPushdown,
     "q231_unimax_budget" -> LlmQueries.unimaxReport,
     "q232_snapshot_sql_dml" -> IoQueries.snapshotSqlDml,
+    "q233_unigram_shrink" -> LlmQueries.unigramShrinkTrain,
+    "q234_snapshot_history" -> IoQueries.snapshotHistory,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2801,6 +2803,7 @@ ORDER BY d.doc_id""",
     "q225_ivf_codebook_indexed" -> q82IvfTrainedOracle,
     "q226_pq_codebook_indexed" -> q124PqOracle,
     "q223_unigram_train" -> q223UnigramOracle(),
+    "q233_unigram_shrink" -> q233UnigramShrinkOracle(),
     "q224_tokenizer_compare" -> q224TokenizerCompareOracle(),
     "q217_bpe_tokenize" -> q217BpeTokenizeOracle(merges = 6),
     // q227: TIMESTAMP AS OF resolution — leg 1 between-commits → v1
@@ -2967,6 +2970,26 @@ ORDER BY d.doc_id""",
         |     WHERE doc_id % 7 = 0) AS BIGINT)
         |FROM documents
         |ORDER BY leg""".stripMargin,
+    // q234: DESCRIBE HISTORY from manifest bytes — actions, injected
+    // wall-clocks (minute k for version k past the fixed base), and
+    // recorded row counts per version.
+    "q234_snapshot_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+        |  CAST(1000000060000 AS BIGINT) AS ts_millis,
+        |  CAST(0 AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT 2, 'append', 1000000120000, CAST(count(*) AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 3, 'append', 1000000180000, CAST(count(*) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 4, 'overwrite', 1000000240000, CAST(count(*) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 5, 'delete', 1000000300000, CAST(count(*) AS BIGINT)
+        |FROM documents WHERE doc_id >= 100
+        |ORDER BY version""".stripMargin,
     // q135: the q79 pipeline's train split semi-joined into the q125
     // manifest chain — thresholds re-derived on the deduped kept set.
     "q135_full_pipeline_manifest" ->
@@ -3734,7 +3757,9 @@ FROM occ JOIN wt USING (w) GROUP BY 1 ORDER BY doc_id"""
     * Ends with uv{rounds} (the final vocabulary) and un{rounds}
     * (per-word piece counts of the final segmentation). */
   private def unigramCtes(seedSize: Int = 48, rounds: Int = 2,
-                          pieceLen: Int = 4, maxLen: Int = 12): String = {
+                          pieceLen: Int = 4, maxLen: Int = 12,
+                          shrinkTo: Option[Int] = None,
+                          shrinkKeepPct: Int = 80): String = {
     def dpRound(r: Int): String = {
       val dp = (1 to maxLen).map { j =>
         val froms = (math.max(0, j - pieceLen) until j).map { i =>
@@ -3781,10 +3806,17 @@ ucnt$r AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq
   FROM useg$r JOIN uwords USING (w) GROUP BY 1),
 un$r AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
   FROM useg$r GROUP BY 1),
-uv$r AS MATERIALIZED (SELECT piece, freq FROM ucnt$r
+uvraw$r AS MATERIALIZED (SELECT piece, freq FROM ucnt$r
   UNION ALL
   SELECT s.piece, CAST(1 AS BIGINT) FROM usingle s
-  WHERE s.piece NOT IN (SELECT piece FROM ucnt$r))"""
+  WHERE s.piece NOT IN (SELECT piece FROM ucnt$r)),
+uv$r AS MATERIALIZED (${shrinkTo.fold(
+        s"SELECT piece, freq FROM uvraw$r")(target =>
+        s"""SELECT piece, freq FROM (
+    SELECT *, row_number() OVER (ORDER BY freq DESC, piece) AS rn,
+           count(*) OVER () AS nv FROM uvraw$r)
+  WHERE rn <= greatest($target, (nv * $shrinkKeepPct) // 100)
+    OR length(piece) = 1""")})"""
     }
     s"""uwords AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -3812,6 +3844,18 @@ ${(1 to rounds).map(dpRound).mkString(",\n")}"""
     * vocabulary ranked (freq DESC, piece). */
   private def q223UnigramOracle(rounds: Int = 2): String =
     s"""WITH ${unigramCtes(rounds = rounds)}
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece) AS BIGINT)
+    AS rank,
+  piece, freq
+FROM uv$rounds ORDER BY rank"""
+
+  /** q233 oracle: the unigram chain with the per-round shrink rule
+    * (top max(target, floor(|V|·keepPct%)) by (freq DESC, piece),
+    * singles always kept) replayed verbatim. */
+  private def q233UnigramShrinkOracle(rounds: Int = 3, target: Int = 24,
+                                      keepPct: Int = 60): String =
+    s"""WITH ${unigramCtes(rounds = rounds, shrinkTo = Some(target),
+          shrinkKeepPct = keepPct)}
 SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece) AS BIGINT)
     AS rank,
   piece, freq

@@ -867,6 +867,24 @@ object SnapshotTable {
     vacuum(dir, math.max(fresh, 1))
   }
 
+  /** Table HISTORY (Delta's `DESCRIBE HISTORY`): one row per retained
+    * version, newest first — (version, action, commit ts millis or -1
+    * on a pre-timestamp manifest, file count, recorded row count or -1
+    * when the manifest predates row counts). Answered entirely from
+    * manifest bytes — at 100 TB the audit trail costs the log, never
+    * the data. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    vs.reverse.map { v =>
+      (v.toLong, readAction(dir, v),
+        commitTimestamp(dir, v).getOrElse(-1L),
+        readManifest(dir, v).length.toLong,
+        manifestCount(dir, v).getOrElse(-1L))
+    }.toDF("version", "action", "ts_millis", "n_files", "n_rows")
+  }
+
   /** RESTORE to version `v` (Delta's `RESTORE TABLE ... TO VERSION AS
     * OF`): publishes a NEW commit whose content is exactly `v`'s.
     * Metadata-only — the manifest re-references `v`'s immutable data

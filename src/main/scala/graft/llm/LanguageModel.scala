@@ -566,9 +566,14 @@ object LanguageModel {
   private[llm] def unigramCore(docs: DataFrame, seedSize: Int,
                                rounds: Int, maxPieceLen: Int,
                                maxWordLen: Int,
-                               storageLevel: StorageLevel)
+                               storageLevel: StorageLevel,
+                               shrinkTo: Option[Int] = None,
+                               shrinkKeepPct: Int = 80)
       : (DataFrame, DataFrame) = {
     require(rounds >= 1 && seedSize >= 1 && maxPieceLen >= 1)
+    require(shrinkKeepPct >= 1 && shrinkKeepPct <= 100,
+      "shrinkKeepPct must be in [1, 100]")
+    require(shrinkTo.forall(_ >= 1), "shrink target must be >= 1")
     import org.apache.spark.sql.expressions.Window
     def ckpt(df: DataFrame): DataFrame =
       if (storageLevel == StorageLevel.NONE) df else df.localCheckpoint()
@@ -691,9 +696,30 @@ object LanguageModel {
       lastSeg = ckpt(seg.select(col("w"), col("cnt"),
         explode(col("pieces")).as("piece")))
       val counts = lastSeg.groupBy("piece").agg(sum("cnt").as("freq"))
-      vocab = ckpt(counts.unionByName(
+      val rebuilt = counts.unionByName(
         singles.join(counts, Seq("piece"), "left_anti")
-          .select(col("piece"), lit(1L).as("freq"))))
+          .select(col("piece"), lit(1L).as("freq")))
+      // VOCABULARY SHRINK SCHEDULE (Kudo 2018 §3.2's outer loop,
+      // deterministic-integer variant): after each recount keep the
+      // top max(target, floor(|V|·keepPct/100)) pieces by
+      // (freq DESC, piece) — the gradual prune toward the target size —
+      // but ALWAYS keep single characters (coverage: every word must
+      // stay segmentable whatever gets pruned). Kudo ranks by
+      // likelihood loss; frequency rank is the engine-exact surrogate
+      // this integer-arithmetic trainer uses (documented, and what the
+      // oracle replays verbatim). |V| comes from a window count over
+      // the vocabulary-sized frame — no driver action on the path.
+      vocab = ckpt(shrinkTo.fold(rebuilt) { target =>
+        val wAll = Window.partitionBy(lit(1))
+        val wRank = wAll.orderBy(col("freq").desc, col("piece"))
+        rebuilt
+          .withColumn("nv", count(lit(1)).over(wAll))
+          .withColumn("rn", row_number().over(wRank))
+          .where(col("rn") <= greatest(lit(target.toLong),
+            expr(s"(nv * $shrinkKeepPct) div 100")) ||
+            length(col("piece")) === 1)
+          .drop("nv", "rn")
+      })
     }
     (vocab, lastSeg.groupBy("w").agg(count(lit(1)).as("n_pieces")))
   }
@@ -702,11 +728,12 @@ object LanguageModel {
     * (freq DESC, piece). See [[unigramCore]]. */
   def trainUnigram(docs: DataFrame, seedSize: Int = 48, rounds: Int = 2,
                    maxPieceLen: Int = 4, maxWordLen: Int = 12,
-                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+                   storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                   shrinkTo: Option[Int] = None, shrinkKeepPct: Int = 80)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (vocab, _) = unigramCore(docs, seedSize, rounds, maxPieceLen,
-      maxWordLen, storageLevel)
+      maxWordLen, storageLevel, shrinkTo, shrinkKeepPct)
     val w = Window.partitionBy(lit(1)).orderBy(col("freq").desc, col("piece"))
     vocab.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("piece"), col("freq"))

@@ -859,6 +859,50 @@ object IoQueries {
     } finally s.sql(s"DROP TABLE graft_cat.$name")
   }
 
+  /** Table history + OPTIMIZE through CALL (q234,
+    * [[graft.io.SnapshotTable.history]] /
+    * [[graft.sources.SnapshotCatalog]] `history`/`compact`
+    * procedures): the audit-trail verb (`DESCRIBE HISTORY`) answered
+    * from MANIFEST BYTES alone — version, commit kind, wall-clock, and
+    * the recorded row count per retained version, newest first, zero
+    * data IO. The staged lifecycle: CREATE (empty v1), two appends, a
+    * `CALL compact(num_files => 2)` OPTIMIZE (an overwrite commit —
+    * layout changes, content never), and a CoW DELETE; the history
+    * rows pin each version's action, injected wall-clock, and row
+    * count (file counts are layout-dependent and stay out of the
+    * oracle). */
+  def snapshotHistory(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    s.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+    val name = "t_" + java.util.UUID.randomUUID.toString
+      .replace("-", "").take(12)
+    val t = s"$catalogRoot/$name"
+    val st = graft.io.SnapshotTable
+    val base = 1_000_000_000_000L
+    val saved = st.clock
+    try {
+      var tick = 0L
+      st.clock = () => { tick += 1; base + tick * 60_000L }
+      s.sql(s"CREATE TABLE graft_cat.$name " +
+        "(doc_id BIGINT, source STRING, n_chars BIGINT)")
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0), t)
+      st.commit(s, docs.where(pmod(col("doc_id"), lit(2L)) === 1), t)
+      s.sql(s"CALL graft_cat.compact(`table` => '$name', " +
+        "num_files => 2)").collect()
+      s.sql(s"DELETE FROM graft_cat.$name WHERE doc_id < 100")
+    } finally st.clock = saved
+    try {
+      s.sql(s"CALL graft_cat.history(`table` => '$name')")
+        .select(col("version"), col("action"), col("ts_millis"),
+          col("n_rows"))
+        .orderBy("version")
+        .localCheckpoint() // materialize before the table drops
+    } finally s.sql(s"DROP TABLE graft_cat.$name")
+  }
+
   /** Per-language profile of the pre-DML version and the latest version,
     * both read from the same log — the DML is a commit, not a mutation. */
   private def dmlProfile(s: SparkSession, t: String, preV: Int): DataFrame = {

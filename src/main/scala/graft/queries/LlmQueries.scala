@@ -613,6 +613,20 @@ object LlmQueries {
     graft.llm.LanguageModel.trainUnigram(table(s, dir, "documents"))
       .orderBy("rank")
 
+  /** Unigram trainer with Kudo's vocabulary SHRINK SCHEDULE (q233,
+    * [[graft.llm.LanguageModel.trainUnigram]] `shrinkTo`): three EM
+    * rounds, each followed by a prune to the top
+    * max(24, floor(|V|·60%)) pieces by (freq DESC, piece) with single
+    * characters always kept — the gradual contraction toward a target
+    * vocabulary that production SentencePiece training runs (q223 is
+    * the fixed-vocabulary twin). Frequency rank is the deterministic
+    * integer surrogate for Kudo's likelihood-loss rank (documented at
+    * the trainer); the oracle replays every round's prune verbatim. */
+  def unigramShrinkTrain(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.trainUnigram(table(s, dir, "documents"),
+        rounds = 3, shrinkTo = Some(24), shrinkKeepPct = 60)
+      .orderBy("rank")
+
   /** Tokenizer fertility comparison (q224,
     * [[graft.llm.LanguageModel.tokenizerCompare]]): corpus-level
     * tokens-per-word for the 6-merge BPE tokenizer (q215/q217) vs the

@@ -225,7 +225,9 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(Array.empty, "vacuum"),
-      Identifier.of(Array.empty, "restore"))
+      Identifier.of(Array.empty, "restore"),
+      Identifier.of(Array.empty, "compact"),
+      Identifier.of(Array.empty, "history"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -233,9 +235,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
     ident.name() match {
       case "vacuum" => new VacuumProcedure(this)
       case "restore" => new RestoreProcedure(this)
+      case "compact" => new CompactProcedure(this)
+      case "history" => new HistoryProcedure(this)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other — this catalog exposes vacuum(table, " +
-          "keep [, older_than_ms]) and restore(table, version)")
+          "keep [, older_than_ms]), restore(table, version), " +
+          "compact(table, num_files [, stats_col]), and history(table)")
     }
   }
 
@@ -310,6 +315,85 @@ private[sources] class RestoreProcedure(cat: SnapshotCatalog)
         StructField("new_version", IntegerType, nullable = false)))
       override def rows(): Array[InternalRow] = Array(
         InternalRow(from, next))
+    }
+    java.util.List.of(out).iterator()
+  }
+}
+
+/** `CALL <cat>.compact(table => '...', num_files => n [, stats_col =>
+  * c])` — the SQL spelling of `OPTIMIZE` ([[SnapshotTable.compact]]):
+  * rewrite the visible content to n scan-sized files as an ordinary
+  * overwrite commit (layout changes, content never; history keeps the
+  * pre-compaction versions until vacuum). One result row:
+  * (new_version, n_files). */
+private[sources] class CompactProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "compact"
+  override def description(): String =
+    "rewrite the current content to num_files files (OPTIMIZE)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build(),
+    ProcedureParameter.in("num_files", IntegerType)
+      .comment("target file count (>= 1)").build(),
+    ProcedureParameter.in("stats_col", StringType).defaultValue("NULL")
+      .comment("long column to range-partition + record stats on")
+      .build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    val n = input.getInt(1)
+    require(n >= 1, "compact needs num_files >= 1")
+    val statsCol =
+      if (input.isNullAt(2)) None
+      else Some(input.getUTF8String(2).toString)
+    val v = SnapshotTable.compact(
+      org.apache.spark.sql.SparkSession.active, dir, n, statsCol)
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("new_version", IntegerType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        InternalRow(v, SnapshotTable.manifestFiles(dir, v).length))
+    }
+    java.util.List.of(out).iterator()
+  }
+}
+
+/** `CALL <cat>.history(table => '...')` — `DESCRIBE HISTORY`
+  * ([[SnapshotTable.history]]): one row per retained version, newest
+  * first, answered from manifest bytes alone:
+  * (version, action, ts_millis, n_files, n_rows). */
+private[sources] class HistoryProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "history"
+  override def description(): String =
+    "the table's commit history, newest first, from manifest bytes"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    val hist = SnapshotTable.versions(dir).reverse.map { v =>
+      InternalRow(v.toLong, org.apache.spark.unsafe.types.UTF8String
+          .fromString(SnapshotTable.readAction(dir, v)),
+        SnapshotTable.commitTimestamp(dir, v).getOrElse(-1L),
+        SnapshotTable.manifestFiles(dir, v).length.toLong,
+        SnapshotTable.manifestCount(dir, v).getOrElse(-1L))
+    }.toArray
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("action", StringType, nullable = false),
+        StructField("ts_millis", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] = hist
     }
     java.util.List.of(out).iterator()
   }

@@ -279,4 +279,35 @@ class LanguageModelSpec extends SparkSpec {
     val bpe = out.find(_._1 == "bpe").get
     assert(bpe._4 >= 1.0 && bpe._4 <= 4.0)
   }
+
+  test("trainUnigram shrink schedule: vocabulary contracts toward the " +
+    "target, singles always survive, default path unchanged") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val base = LanguageModel.trainUnigram(docs, rounds = 3)
+      .as[(Long, String, Long)].collect().toList
+    val shrunk = LanguageModel.trainUnigram(docs, rounds = 3,
+        shrinkTo = Some(24), shrinkKeepPct = 60)
+      .as[(Long, String, Long)].collect().toList
+    // the schedule prunes: strictly smaller than the unshrunk run
+    assert(shrunk.size < base.size, s"${shrunk.size} !< ${base.size}")
+    // coverage law: every corpus character still in the vocabulary
+    val chars = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length($"w") > 0)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))")).as("c"))
+      .distinct().as[String].collect().toSet
+    val pieces = shrunk.map(_._2).toSet
+    assert(chars.subsetOf(pieces), s"missing: ${chars -- pieces}")
+    // multi-char pieces respect the target bound: at most
+    // max(24, ...) NON-single survivors once the schedule bottoms out
+    val multi = shrunk.count(_._2.length > 1)
+    assert(multi <= 24, s"$multi multi-char pieces survived the prune")
+    // deterministic across layout
+    assert(LanguageModel.trainUnigram(docs.repartition(7), rounds = 3,
+        shrinkTo = Some(24), shrinkKeepPct = 60)
+      .as[(Long, String, Long)].collect().toList == shrunk)
+    // shrinkTo = None stays bit-for-bit the historical trainer
+    assert(LanguageModel.trainUnigram(docs, rounds = 3, shrinkTo = None)
+      .as[(Long, String, Long)].collect().toList == base)
+  }
 }

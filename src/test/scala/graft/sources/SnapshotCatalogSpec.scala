@@ -165,6 +165,40 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE tcat.grp")
   }
 
+  test("CALL compact + CALL history: OPTIMIZE via SQL and the " +
+    "manifest-bytes audit trail") {
+    root
+    val saved = SnapshotTable.clock
+    try {
+      var tick = 0L
+      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
+      spark.sql("CREATE TABLE tcat.hist (id BIGINT)") // v1 @ 1000
+      SnapshotTable.commit(spark,
+        (0L until 40L).toDF("id").repartition(4), s"$root/hist") // v2
+      SnapshotTable.commit(spark,
+        (40L until 60L).toDF("id").repartition(3), s"$root/hist") // v3
+      val c = spark.sql("CALL tcat.compact(`table` => 'hist', " +
+        "num_files => 2)").collect().head // v4
+      assert((c.getInt(0), c.getInt(1)) == (4, 2))
+    } finally SnapshotTable.clock = saved
+    try {
+      // compaction changed layout, never content
+      assert(spark.sql("SELECT count(*) FROM tcat.hist").as[Long]
+        .head() == 60)
+      val h = spark.sql("CALL tcat.history(`table` => 'hist')")
+        .as[(Long, String, Long, Long, Long)].collect().toList
+      assert(h.map(r => (r._1, r._2, r._3, r._5)) == List(
+        (4L, "overwrite", 4000L, 60L),
+        (3L, "append", 3000L, 60L),
+        (2L, "append", 2000L, 40L),
+        (1L, "append", 1000L, 0L)))
+      assert(h.head._4 == 2L) // the compacted version holds 2 files
+      // the API spelling agrees
+      assert(SnapshotTable.history(spark, s"$root/hist")
+        .as[(Long, String, Long, Long, Long)].collect().toList == h)
+    } finally spark.sql("DROP TABLE tcat.hist")
+  }
+
   test("refusals: pre-first-commit TIMESTAMP AS OF and bad segment " +
     "names; an untranslatable DELETE now lowers to the CoW row-level " +
     "rewrite instead of refusing") {
