@@ -2655,7 +2655,7 @@ ORDER BY d.doc_id""",
         |    n_chars
         |  FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'new', n_chars + 1
+        |  SELECT doc_id + 100000000, 'new', n_chars + 1
         |  FROM documents WHERE doc_id % 50 = 0)
         |SELECT 'after' AS phase, lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -2943,7 +2943,10 @@ ORDER BY d.doc_id""",
     // q232: SQL UPDATE/MERGE as CASE arithmetic — v2 = the raw corpus,
     // v3 = +1000 on %3=0, v4 = matched %5=0 rows at n_chars*10 (the
     // MERGE update wins over the earlier UPDATE on %15=0) plus the
-    // %7=0 slice re-inserted under doc_id+1000000.
+    // %7=0 slice re-inserted under doc_id+100000000 (an offset
+    // disjoint from corpus ids at every tested scale: +1e6 collided
+    // with the 100x corpus id space and tripped the MERGE cardinality
+    // guard loudly — the guard working, now avoided by construction).
     "q232_snapshot_sql_dml" ->
       """SELECT 2 AS leg, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_id,
@@ -2961,7 +2964,7 @@ ORDER BY d.doc_id""",
         |    (SELECT count(*) FROM documents WHERE doc_id % 7 = 0)
         |    AS BIGINT),
         |  CAST(coalesce(sum(doc_id), 0) +
-        |    (SELECT coalesce(sum(doc_id + 1000000), 0) FROM documents
+        |    (SELECT coalesce(sum(doc_id + 100000000), 0) FROM documents
         |     WHERE doc_id % 7 = 0) AS BIGINT),
         |  CAST(coalesce(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars * 10
         |    WHEN doc_id % 3 = 0 THEN n_chars + 1000

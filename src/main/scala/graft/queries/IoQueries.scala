@@ -540,7 +540,7 @@ object IoQueries {
       .select(col("doc_id"), lit("xx").as("lang"),
         lit(null).cast("long").as("n_chars"))
     val inserts = docs.where(pmod(col("doc_id"), lit(50L)) === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((col("doc_id") + 100000000L).as("doc_id"),
         lit("new").as("lang"), (col("n_chars") + 1L).cast("long").as("n_chars"))
     graft.io.SnapshotTable.merge(s, t, updates.unionByName(inserts),
       Seq("doc_id"))
@@ -842,7 +842,7 @@ object IoQueries {
           SELECT doc_id, source, n_chars FROM q232_src
           WHERE doc_id % 5 = 0
           UNION ALL
-          SELECT doc_id + 1000000, source, n_chars FROM q232_src
+          SELECT doc_id + 100000000, source, n_chars FROM q232_src
           WHERE doc_id % 7 = 0) s
         ON t.doc_id = s.doc_id
         WHEN MATCHED THEN UPDATE SET t.n_chars = s.n_chars * 10
