@@ -21,7 +21,7 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, S
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
@@ -547,7 +547,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
                         maxSplitBytes: Long = SnapshotScan.DefaultSplitBytes,
                         vectorized: Boolean = true,
                         groupFilter: Option[GroupFilterState] = None)
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
   // runtime-group-filtered file set (row-level DML scans only; the
   // optimizer calls filter() before planInputPartitions)
   private var activeFiles: Seq[String] = files
@@ -597,6 +598,45 @@ case class SnapshotScan(dir: String, files: Seq[String],
   override def planInputPartitions(): Array[InputPartition] =
     activeFiles.flatMap(SnapshotScan.split(_, maxSplitBytes))
       .toArray[InputPartition]
+
+  /** CBO-visible statistics from the MANIFEST: exact row counts (the
+    * per-file counts recorded at commit, summed over the files this
+    * scan actually plans — stats pruning included) and byte sizes from
+    * one `getFileStatus` per planned file (the same call [[split]]
+    * pays; at 10^6 files the sizes belong in the manifest — the noted
+    * production extension). Without this a DSv2 relation defaults to
+    * "unknown = huge" and a small snapshot dimension NEVER broadcasts:
+    * the join-strategy decision — THE 100 TB plan decision — would be
+    * wrong on every snapshot⋈fact join (SnapshotSourceSpec asserts the
+    * broadcast plan). Column pruning scales the byte estimate by the
+    * projected fraction of the schema's default row width, the same
+    * heuristic Spark's own file sources apply. */
+  override def estimateStatistics(): Statistics = {
+    val rel = activeFiles.map(_.stripPrefix(s"$dir/"))
+    val rows = SnapshotTable.readRows(dir, version).map { rs =>
+      val byFile = SnapshotTable.manifestFiles(dir, version).zip(rs).toMap
+      rel.flatMap(byFile.get).sum
+    }
+    val bytes = activeFiles.map { p =>
+      val path = new Path(p)
+      SnapshotSource.fs(p).getFileStatus(path).getLen
+    }.sum
+    val fullWidth = math.max(1, tableSchemaWidth)
+    val scaled = math.max(1L,
+      (bytes * math.min(fullWidth, requiredWidth)) / fullWidth)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
+  }
+  private def width(st: StructType): Int =
+    st.fields.map(_.dataType.defaultSize).sum
+  private lazy val tableSchemaWidth: Int = width(
+    SnapshotTable.readSchema(dir, version).getOrElse(required))
+  private lazy val requiredWidth: Int = width(required)
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required, vectorized,
       SnapshotSource.sessionReadConfs())

@@ -68,6 +68,31 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(!isLocal(legacy) && legacy.as[Long].head() == 200L)
   }
 
+  test("manifest statistics reach the optimizer: exact row counts, " +
+    "small byte estimates, and a snapshot dimension that BROADCASTS") {
+    val dir = Files.createTempDirectory("graft-dsv2stats").toString
+    SnapshotTable.commit(spark,
+      (0L until 100L).map(i => (i, s"n$i")).toDF("id", "name"), dir)
+    val dim = load(dir)
+    val stats = dim.queryExecution.optimizedPlan.stats
+    // exact rows from the manifest; bytes from file sizes — far under
+    // the broadcast threshold (without reported stats a DSv2 relation
+    // defaults to "unknown = huge" and never broadcasts)
+    assert(stats.rowCount.contains(BigInt(100)) ||
+      stats.sizeInBytes < 10L * 1024 * 1024,
+      s"stats not reported: $stats")
+    assert(stats.sizeInBytes < 10L * 1024 * 1024, s"too big: $stats")
+    val fact = spark.range(0, 10000L).select($"id", ($"id" % 100).as("k"))
+    val joined = fact.join(dim, fact("k") === dim("id"))
+    // the PRE-AQE physical plan already picks broadcast-hash from the
+    // reported statistics — the static join decision, not a runtime fix
+    val pre = joined.queryExecution.sparkPlan
+    assert(pre.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, pre.toString)
+    assert(joined.count() == 10000L)
+  }
+
   test("_file metadata column: selectable by name, constant per data " +
     "file, every value a manifest file") {
     val dir = Files.createTempDirectory("graft-dsv2file").toString
