@@ -200,6 +200,28 @@ object SnapshotTable {
     hit.last._1
   }
 
+  /** Streaming `startingTimestamp` resolution: the EARLIEST version
+    * whose commit timestamp is >= `tsMillis` (Delta's identically-named
+    * option — feed everything committed at or after t). Refuses loudly
+    * when every retained commit predates t (silently tailing instead
+    * would skip exactly the rows the caller asked to replay) and on
+    * logs that predate timestamped manifests. */
+  def resolveStartingTimestamp(dir: String, tsMillis: Long): Int = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val stamped = vs.flatMap(v => commitTimestamp(dir, v).map(v -> _))
+    require(stamped.nonEmpty,
+      s"startingTimestamp: no version in $dir records a commit " +
+        "timestamp (log predates timestamped manifests) — use " +
+        "startingVersion")
+    val hit = stamped.find(_._2 >= tsMillis)
+    require(hit.nonEmpty,
+      s"startingTimestamp $tsMillis: after the latest commit " +
+        s"(${stamped.last._2} at v${stamped.last._1}) — nothing to " +
+        "replay; omit the option to tail new commits")
+    hit.get._1
+  }
+
   // ---- planning surface for EXTERNAL readers (the DSv2 source) ----
   // The log stays the single source of truth: a connector plans from
   // these and never lists directories or samples footers.

@@ -484,6 +484,9 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
   private def buildFileScan(): Scan = {
     val files = SnapshotTable.manifestFiles(dir, version, bounds)
       .map(f => s"$dir/$f")
+    require(!(props.contains("startingVersion") &&
+      props.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     SnapshotScan(dir, files, required, version,
       statsCol.filter(_ => bounds.nonEmpty),
       props.get("startingVersion").map(_.trim.toInt),
@@ -491,7 +494,8 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       props.get("maxSplitBytes").map(_.trim.toLong)
         .getOrElse(SnapshotScan.DefaultSplitBytes),
       props.get("vectorizedRead").forall(_.trim.toBoolean),
-      groupFilter)
+      groupFilter,
+      props.get("startingTimestamp").map(_.trim.toLong))
   }
 }
 
@@ -546,7 +550,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
                         ignoreRewrites: Boolean = false,
                         maxSplitBytes: Long = SnapshotScan.DefaultSplitBytes,
                         vectorized: Boolean = true,
-                        groupFilter: Option[GroupFilterState] = None)
+                        groupFilter: Option[GroupFilterState] = None,
+                        startingTimestamp: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
   // runtime-group-filtered file set (row-level DML scans only; the
@@ -642,7 +647,13 @@ case class SnapshotScan(dir: String, files: Seq[String],
       SnapshotSource.sessionReadConfs())
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new SnapshotMicroBatchStream(dir, required, startingVersion,
+    // startingTimestamp resolves AT STREAM START to the earliest
+    // version committed at or after t (Delta's option, borrowed with
+    // its semantics like startingVersion was) — from there on, offsets
+    // are versions exactly as with an explicit startingVersion
+    new SnapshotMicroBatchStream(dir, required,
+      startingVersion.orElse(startingTimestamp.map(
+        SnapshotTable.resolveStartingTimestamp(dir, _))),
       ignoreRewrites, vectorized)
 }
 
@@ -669,6 +680,12 @@ case class SnapshotVersionOffset(v: Int) extends StreamingOffset {
   * history). A borrowed option name with shifted semantics is an
   * off-by-one footgun for anyone porting a Delta pipeline, so the
   * semantics are borrowed with the name.
+  * `.option("startingTimestamp", tMillis)` is the wall-clock spelling
+  * (Delta's other option, same semantics): replay from the EARLIEST
+  * version committed at or after t
+  * ([[graft.io.SnapshotTable.resolveStartingTimestamp]] — a timestamp
+  * past the latest commit refuses loudly rather than silently tailing,
+  * and the two starting options are mutually exclusive).
   * Non-append versions (overwrite, CoW DELETE/UPDATE/MERGE rewrites,
   * compaction) rewrite history, which an append feed cannot represent:
   * they fail LOUDLY naming the way out — the same refusal Delta makes

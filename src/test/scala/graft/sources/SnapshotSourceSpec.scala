@@ -362,6 +362,49 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("STREAMING source: startingTimestamp replays from the earliest " +
+    "commit at-or-after t; beyond-latest and mixed options refuse") {
+    val dir = Files.createTempDirectory("graft-dsv2st").toString
+    val saved = SnapshotTable.clock
+    try {
+      var tick = 0L
+      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
+      SnapshotTable.commit(spark, (0L until 5L).toDF("id"), dir)   // @1000
+      SnapshotTable.commit(spark, (5L until 9L).toDF("id"), dir)   // @2000
+      SnapshotTable.commit(spark, (9L until 12L).toDF("id"), dir)  // @3000
+    } finally SnapshotTable.clock = saved
+    // t = 1500 → earliest commit at-or-after = v2: replay v2 + v3
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingTimestamp", 1500L)
+      .load(dir)
+      .writeStream.format("memory").queryName("snap_st")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_st").as[Long].collect().sorted.toSeq ==
+        (5L until 12L))
+    } finally q.stop()
+    // a timestamp past the latest commit refuses loudly — tailing
+    // silently would skip exactly what the caller asked to replay
+    val late = intercept[Exception](
+      spark.readStream.format("graft.sources.SnapshotSource")
+        .option("startingTimestamp", 999999L).load(dir)
+        .writeStream.format("memory").queryName("snap_st_late")
+        .outputMode("append").start().processAllAvailable())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(late).exists(_.contains("nothing to replay")), late)
+    // mutually exclusive with startingVersion
+    val both = intercept[Exception](
+      spark.readStream.format("graft.sources.SnapshotSource")
+        .option("startingTimestamp", 1500L)
+        .option("startingVersion", 1).load(dir)
+        .writeStream.format("memory").queryName("snap_st_both")
+        .outputMode("append").start().processAllAvailable())
+    assert(msgs(both).exists(_.contains("mutually exclusive")), both)
+  }
+
   test("STREAMING source: startingVersion=v feeds from v INCLUSIVE " +
     "(the Delta convention), ignoreRewrites skips a rewrite and keeps " +
     "feeding, and an overwrite FIRST commit feeds as the initial " +
