@@ -26,7 +26,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -412,6 +412,14 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
         longOf(v).exists { l => narrow(Long.MinValue, l - 1); true }
       case LessThanOrEqual(`sc`, v) =>
         longOf(v).exists { l => narrow(Long.MinValue, l); true }
+      // IN-list: the [min, max] ENVELOPE of the values — sound (file
+      // stats are may-contain anyway, Spark re-applies the predicate
+      // row-level) and exactly the pruning a point-lookup batch gets
+      // from a range-clustered layout; the per-value set prune is the
+      // Bloom sidecar's job (q211)
+      case In(`sc`, vs) if vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
+        val ls = vs.flatMap(longOf)
+        narrow(ls.min, ls.max); true
       case _ => false
     }
     filters // all residual: Spark re-applies row-level

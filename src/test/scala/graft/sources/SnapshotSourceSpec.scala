@@ -184,6 +184,13 @@ class SnapshotSourceSpec extends SparkSpec {
     // the pruned set reaches explain as PushedFilters
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("graft_snapshot"), plan)
+    // IN-list prunes by the values' [min, max] envelope: a tight batch
+    // of point lookups touches ~1-2 range-clustered files, not 8
+    val inList = full.where($"id".isin(110L, 120L, 130L))
+    assert(inList.rdd.getNumPartitions < 4,
+      s"no IN pruning: ${inList.rdd.getNumPartitions} partitions")
+    assert(inList.as[(Long, Long)].collect().map(_._1).sorted.toSeq ==
+      Seq(110L, 120L, 130L))
   }
 
   test("bare projection (count(*)) and single-column pruning read " +
