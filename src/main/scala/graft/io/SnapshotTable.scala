@@ -41,11 +41,16 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object SnapshotTable {
 
-  /** Manifest commit clock (epoch millis) — a `var` so deterministic
-    * tests inject a fixed sequence; production leaves wall-clock. The
-    * recorded timestamp is METADATA for `TIMESTAMP AS OF` / retention
-    * resolution, never on a query's data path. */
-  private[graft] var clock: () => Long = () => System.currentTimeMillis()
+  /** Manifest commit clock (epoch millis) — a [[scala.util.DynamicVariable]]
+    * (thread-local scoping) so deterministic tests and the lifecycle
+    * queries inject a fixed sequence via `clock.withValue(...)` WITHOUT
+    * mutating global state: a concurrent commit to another table on a
+    * different thread keeps wall-clock, and an exception inside the
+    * scoped block restores automatically. The recorded timestamp is
+    * METADATA for `TIMESTAMP AS OF` / retention resolution, never on a
+    * query's data path. */
+  private[graft] val clock =
+    new scala.util.DynamicVariable[() => Long](() => System.currentTimeMillis())
 
   private def logDir(dir: String) = new File(dir, "_log")
   private def manifestFile(dir: String, v: Int) =
@@ -67,7 +72,8 @@ object SnapshotTable {
                             files: Seq[String],
                             stats: Option[(String, Seq[(Long, Long)])] = None,
                             schema: Option[StructType] = None,
-                            knownRows: Map[String, Long] = Map.empty)
+                            knownRows: Map[String, Long] = Map.empty,
+                            knownSizes: Map[String, Long] = Map.empty)
       : Unit = {
     val statsJson = stats.map { case (c, mm) =>
       require(mm.length == files.length,
@@ -99,10 +105,23 @@ object SnapshotTable {
       s""","schema_b64":"${Base64.getEncoder.encodeToString(
         st.json.getBytes(UTF_8))}""""
     }.getOrElse("")
-    val json = s"""{"version":$v,"action":"$action","ts":${clock()}""" +
+    // Per-file BYTE SIZES (Delta's add-file `size`): planning serves
+    // scan statistics and byte-range splits from MANIFEST BYTES instead
+    // of one getFileStatus per file per query — at 10^6 files on an
+    // object store the per-scan status storm is a planning stall and a
+    // listing-consistency hazard. Carried files reuse recorded sizes;
+    // only genuinely new files pay one status call AT COMMIT (O(new),
+    // once — not O(all files) per scan). Decline-never-guess like rows.
+    val sizesJson = {
+      val sizes = files.map(f => knownSizes.get(f).orElse(fileLen(dir, f)))
+      if (sizes.forall(_.isDefined))
+        s""","sizes":[${sizes.map(_.get).mkString(",")}]"""
+      else ""
+    }
+    val json = s"""{"version":$v,"action":"$action","ts":${clock.value()}""" +
       s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
-      rowsJson + schemaJson + "}"
+      rowsJson + sizesJson + schemaJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
     // hard-link = the commit point, and a true COMPARE-AND-SWAP: link
@@ -123,6 +142,15 @@ object SnapshotTable {
     Files.deleteIfExists(tmp.toPath)
   }
 
+  /** The SESSION's Hadoop configuration when a session is active (its
+    * credentials and fs implementations are what make a non-default
+    * filesystem reachable at all), a plain default otherwise (pure
+    * metadata utilities callable without a session). */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** The parquet footer's record count for `rel` under `dir`; None when
     * the footer cannot be read (the manifest then simply omits row
     * counts — readers decline metadata answers rather than guess). */
@@ -130,15 +158,24 @@ object SnapshotTable {
     try {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$dir/$rel"),
-          new org.apache.hadoop.conf.Configuration()))
+          new org.apache.hadoop.fs.Path(s"$dir/$rel"), hadoopConf()))
       try Some(r.getRecordCount) finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** `rel`'s byte length through the Hadoop FS (the commit-time size
+    * probe); None when it cannot be stat'd — the manifest then omits
+    * sizes and planning falls back per file. */
+  private def fileLen(dir: String, rel: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+      Some(p.getFileSystem(hadoopConf()).getFileStatus(p).getLen)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private val FilesRe = """"files":\[([^\]]*)\]""".r.unanchored
   private val MinsRe = """"mins":\[([^\]]*)\]""".r.unanchored
   private val MaxsRe = """"maxs":\[([^\]]*)\]""".r.unanchored
   private val RowsRe = """"rows":\[([^\]]*)\]""".r.unanchored
+  private val SizesRe = """"sizes":\[([^\]]*)\]""".r.unanchored
   private val StatsColRe = """"stats_col":"([^"]*)"""".r.unanchored
   private val SchemaRe = """"schema_b64":"([^"]*)"""".r.unanchored
 
@@ -289,6 +326,27 @@ object SnapshotTable {
       case _ => None
     }
 
+  /** Per-file byte sizes recorded at `v`, aligned with
+    * [[readManifest]]'s file order; None on a manifest that predates
+    * size recording. Scan planning serves statistics and byte-range
+    * splits from these — zero per-file status calls on a size-bearing
+    * table. */
+  def readSizes(dir: String, v: Int): Option[Seq[Long]] =
+    manifestJson(dir, v) match {
+      case SizesRe(ss) =>
+        Some(if (ss.isEmpty) Seq.empty
+             else ss.split(",").toSeq.map(_.toLong))
+      case _ => None
+    }
+
+  /** rel-path → recorded size map at `v` (empty for a pre-size
+    * manifest) — the carry source every commit path reuses so carried
+    * files never re-stat. */
+  private def sizeMap(dir: String, v: Int): Map[String, Long] =
+    readSizes(dir, v)
+      .map(ss => readManifest(dir, v).zip(ss).toMap)
+      .getOrElse(Map.empty)
+
   /** Manifest-only `count(*)` at `v` — the sum of recorded per-file row
     * counts; None when any file predates row-count recording (decline,
     * never estimate). At 100 TB this answers a table count from a few
@@ -436,7 +494,9 @@ object SnapshotTable {
         .getOrElse(Map.empty)
     writeManifest(dir, v, action, base ++ relFiles, fullStats,
       evolvedSchemaFrom(dir, prev, writeSchema, overwrite),
-      knownRows = carriedRows)
+      knownRows = carriedRows,
+      knownSizes = if (base.isEmpty) Map.empty
+                   else sizeMap(dir, prev.last))
     v
   }
 
@@ -544,7 +604,9 @@ object SnapshotTable {
         .getOrElse(Map.empty)
     writeManifest(dir, v, if (overwrite) "overwrite" else "append",
       base ++ written, stats, evolvedSchema(dir, prev, df, overwrite),
-      knownRows = carriedRows)
+      knownRows = carriedRows,
+      knownSizes = if (base.isEmpty) Map.empty
+                   else sizeMap(dir, prev.last))
     v
   }
 
@@ -657,8 +719,9 @@ object SnapshotTable {
     val touchedAbs = full.withColumn("_f", input_file_name())
       .join(broadcast(keyRows), keys, "left_semi")
       .select("_f").distinct().collect().map(_.getString(0)).toSet
-    val touched = files.filter(f => touchedAbs.exists(_.endsWith(f)))
-    val untouched = files.filterNot(touched.contains)
+    val touchedSet = resolveTouched(files, touchedAbs)
+    val touched = files.filter(touchedSet)
+    val untouched = files.filterNot(touchedSet)
     val v = prevV + 1
     val sub = f"data/v$v%05d"
     val base =
@@ -671,6 +734,23 @@ object SnapshotTable {
       .write.mode("overwrite").parquet(s"$dir/$sub")
     val written = listWritten(dir, sub)
     publish(spark, dir, prevV, v, untouched, written, "merge", schema)
+  }
+
+  /** Resolve the ABSOLUTE paths a touched-file scan collected back to
+    * the manifest's relative entries in O(|files| + |touched|): group
+    * manifest entries by bare file name once, then each absolute path
+    * looks up its name's (almost always singleton) candidate list and
+    * confirms by suffix. The naive `files.filter(f =>
+    * touchedAbs.exists(_.endsWith(f)))` is O(|files|·|touched|) string
+    * scans on the driver — ~10^9 `endsWith` calls for a wide MERGE on a
+    * million-file table. */
+  private def resolveTouched(files: Seq[String],
+                             touchedAbs: Set[String]): Set[String] = {
+    val byName = files.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
+    touchedAbs.flatMap { a =>
+      val name = a.substring(a.lastIndexOf('/') + 1)
+      byName.getOrElse(name, Nil).filter(a.endsWith)
+    }
   }
 
   /** Shared copy-on-write DML core: find the files with a predicate
@@ -687,8 +767,9 @@ object SnapshotTable {
     val touchedAbs = full.where(predicate)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
-    val touched = files.filter(f => touchedAbs.exists(_.endsWith(f)))
-    val untouched = files.filterNot(touched.contains)
+    val touchedSet = resolveTouched(files, touchedAbs)
+    val touched = files.filter(touchedSet)
+    val untouched = files.filterNot(touchedSet)
     val v = prevV + 1
     val schema = readSchema(dir, prevV)
     val written: Seq[String] =
@@ -732,8 +813,12 @@ object SnapshotTable {
         if (written.isEmpty) Map.empty[String, (Long, Long)]
         else fileStats(spark, dir,
           writtenSub.getOrElse(f"data/v$v%05d"), c)
+      // a zero-row written file (the rewrite-everything-away anchor)
+      // has no stats group: the (MaxValue, MinValue) sentinel prunes
+      // always — correct under may-contain semantics
       (c, (untouched.map(f => carried(f)) ++ written.map { f =>
-        byFile(f.substring(f.lastIndexOf('/') + 1))
+        byFile.getOrElse(f.substring(f.lastIndexOf('/') + 1),
+          (Long.MaxValue, Long.MinValue))
       }))
     }
     // extra entries are harmless: knownRows is consulted per manifest
@@ -741,7 +826,7 @@ object SnapshotTable {
     val carriedRows = readRows(dir, prevV)
       .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
     writeManifest(dir, v, action, untouched ++ written, stats, schema,
-      knownRows = carriedRows)
+      knownRows = carriedRows, knownSizes = sizeMap(dir, prevV))
     v
   }
 
@@ -931,7 +1016,8 @@ object SnapshotTable {
     val carried = readRows(dir, v)
       .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
     writeManifest(dir, next, s"overwrite@restore$v",
-      files, stats, readSchema(dir, v), knownRows = carried)
+      files, stats, readSchema(dir, v), knownRows = carried,
+      knownSizes = sizeMap(dir, v))
     next
   }
 

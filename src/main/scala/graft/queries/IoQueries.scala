@@ -626,15 +626,17 @@ object IoQueries {
     val t = s"$catalogRoot/$name"
     val st = graft.io.SnapshotTable
     val base = 1_000_000_000_000L // 2001-09-09T01:46:40Z
-    val saved = st.clock
-    try {
+    locally {
       var tick = 0L
-      st.clock = () => { tick += 1; base + tick * 60_000L }
-      st.commit(s, docs.where(pmod(col("doc_id"), lit(4L)) === 0), t)
-      st.commit(s, docs.where(pmod(col("doc_id"), lit(4L)) === 1), t)
-      st.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 0), t,
-        overwrite = true)
-    } finally st.clock = saved
+      // withValue scopes the injected clock to THIS thread and block —
+      // a concurrent commit to another table keeps wall-clock
+      st.clock.withValue(() => { tick += 1; base + tick * 60_000L }) {
+        st.commit(s, docs.where(pmod(col("doc_id"), lit(4L)) === 0), t)
+        st.commit(s, docs.where(pmod(col("doc_id"), lit(4L)) === 1), t)
+        st.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 0), t,
+          overwrite = true): Unit
+      }
+    }
     def read(tsMillis: Long) = s.read
       .format("graft.sources.SnapshotSource")
       .option("timestampAsOf", tsMillis).load(t)
@@ -687,16 +689,16 @@ object IoQueries {
     val t = s"$catalogRoot/$name"
     val st = graft.io.SnapshotTable
     val base = 1_000_000_000_000L
-    val saved = st.clock
-    try {
+    locally {
       var tick = 0L
-      st.clock = () => { tick += 1; base + tick * 60_000L }
-      st.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 0), t)
-      st.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 1), t)
-      st.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 0), t,
-        overwrite = true)
-      st.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 3), t)
-    } finally st.clock = saved
+      st.clock.withValue(() => { tick += 1; base + tick * 60_000L }) {
+        st.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 0), t)
+        st.commit(s, docs.where(pmod(col("doc_id"), lit(3L)) === 1), t)
+        st.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 0), t,
+          overwrite = true)
+        st.commit(s, docs.where(pmod(col("doc_id"), lit(5L)) === 3), t): Unit
+      }
+    }
     try {
       val call = s.sql(s"CALL graft_cat.vacuum(`table` => '$name', " +
         s"older_than_ms => ${base + 120_000L})")
@@ -882,18 +884,18 @@ object IoQueries {
     val t = s"$catalogRoot/$name"
     val st = graft.io.SnapshotTable
     val base = 1_000_000_000_000L
-    val saved = st.clock
-    try {
+    locally {
       var tick = 0L
-      st.clock = () => { tick += 1; base + tick * 60_000L }
-      s.sql(s"CREATE TABLE graft_cat.$name " +
-        "(doc_id BIGINT, source STRING, n_chars BIGINT)")
-      st.commit(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0), t)
-      st.commit(s, docs.where(pmod(col("doc_id"), lit(2L)) === 1), t)
-      s.sql(s"CALL graft_cat.compact(`table` => '$name', " +
-        "num_files => 2)").collect()
-      s.sql(s"DELETE FROM graft_cat.$name WHERE doc_id < 100")
-    } finally st.clock = saved
+      st.clock.withValue(() => { tick += 1; base + tick * 60_000L }) {
+        s.sql(s"CREATE TABLE graft_cat.$name " +
+          "(doc_id BIGINT, source STRING, n_chars BIGINT)")
+        st.commit(s, docs.where(pmod(col("doc_id"), lit(2L)) === 0), t)
+        st.commit(s, docs.where(pmod(col("doc_id"), lit(2L)) === 1), t)
+        s.sql(s"CALL graft_cat.compact(`table` => '$name', " +
+          "num_files => 2)").collect()
+        s.sql(s"DELETE FROM graft_cat.$name WHERE doc_id < 100"): Unit
+      }
+    }
     try {
       s.sql(s"CALL graft_cat.history(`table` => '$name')")
         .select(col("version"), col("action"), col("ts_millis"),

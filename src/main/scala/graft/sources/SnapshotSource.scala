@@ -314,27 +314,34 @@ private[sources] class SnapshotReplaceGroupsWrite(
       : DataWriterFactory =
     new SnapshotWriterFactory(dir, sub, writeSchema, -1)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect {
+    val staged0 = messages.collect {
       case m: SnapshotCommitMsg if m.relPath != null => m.relPath
     }.sorted.toSeq
     val scannedRel = state.scanned.map(_.stripPrefix(s"$dir/")).toSet
     val untouched = SnapshotTable.manifestFiles(dir, scanVersion)
       .filterNot(scannedRel)
     val spark = org.apache.spark.sql.SparkSession.active
-    if (staged.isEmpty && untouched.isEmpty) {
-      val rel = s"$sub/part-empty.parquet"
-      new ParquetGroupWriter(s"$dir/$rel", writeSchema, -1).close()
-      val stats = SnapshotTable.statsColumn(dir, scanVersion)
-        .map(c => (c, Seq((Long.MaxValue, Long.MinValue))))
-      SnapshotTable.commitStagedFiles(dir, Seq(rel), writeSchema,
-        overwrite = true, stats): Unit
-    } else {
-      val v = SnapshotTable.versions(dir).last + 1
-      SnapshotTable.publish(spark, dir, scanVersion, v, untouched,
-        staged, action,
-        SnapshotTable.readSchema(dir, scanVersion).orElse(Some(writeSchema)),
-        writtenSub = Some(sub)): Unit
-    }
+    val staged =
+      if (staged0.nonEmpty || untouched.nonEmpty) staged0
+      else {
+        // rewrote everything away: stage one zero-row schema-bearing
+        // anchor so the committed version stays readable (the API
+        // delete convention); publish gives its stats the always-prune
+        // sentinel
+        val rel = s"$sub/part-empty.parquet"
+        new ParquetGroupWriter(s"$dir/$rel", writeSchema, -1).close()
+        Seq(rel)
+      }
+    // publish at scanVersion + 1, NOT versions(dir).last + 1: the
+    // rewrite's untouched set was resolved against scanVersion, so a
+    // commit that landed in between would otherwise be silently
+    // dropped (lost update). Pinning the target version makes the
+    // manifest hard-link CAS refuse the race loudly instead — the same
+    // optimistic-concurrency contract as the API DML tier.
+    SnapshotTable.publish(spark, dir, scanVersion, scanVersion + 1,
+      untouched, staged, action,
+      SnapshotTable.readSchema(dir, scanVersion).orElse(Some(writeSchema)),
+      writtenSub = Some(sub)): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
@@ -450,10 +457,20 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
         Some(r.fieldNames()(0))
       case _ => None
     }
-    def col(f: AggregateFunc): Option[String] = f match {
-      case m: Min => ref(m.column())
-      case m: Max => ref(m.column())
-      case _ => None
+    // manifest stats are recorded via cast("long"), so a metadata
+    // min/max answer is only type-correct for a BIGINT column — an INT
+    // stats column must decline (Spark expects the column's own type
+    // from a complete pushdown; handing it a Long is a wrong-schema
+    // result, not an optimization)
+    def col(f: AggregateFunc): Option[String] = {
+      def longCol(c: String): Option[String] =
+        Some(c).filter(n => tableSchema.fields.exists(f0 =>
+          f0.name == n && f0.dataType == LongType))
+      f match {
+        case m: Min => ref(m.column()).flatMap(longCol)
+        case m: Max => ref(m.column()).flatMap(longCol)
+        case _ => None
+      }
     }
     val count = SnapshotTable.manifestCount(dir, version)
     lazy val minMax = SnapshotTable.manifestMinMax(dir, version)
@@ -492,6 +509,12 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
   private def buildFileScan(): Scan = {
     val files = SnapshotTable.manifestFiles(dir, version, bounds)
       .map(f => s"$dir/$f")
+    // recorded per-file byte sizes (absolute-path-keyed): splits and
+    // statistics plan from manifest bytes — zero status calls
+    val sizes: Map[String, Long] = SnapshotTable.readSizes(dir, version)
+      .map(ss => SnapshotTable.manifestFiles(dir, version)
+        .map(f => s"$dir/$f").zip(ss).toMap)
+      .getOrElse(Map.empty)
     require(!(props.contains("startingVersion") &&
       props.contains("startingTimestamp")),
       "startingVersion and startingTimestamp are mutually exclusive")
@@ -503,7 +526,8 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
         .getOrElse(SnapshotScan.DefaultSplitBytes),
       props.get("vectorizedRead").forall(_.trim.toBoolean),
       groupFilter,
-      props.get("startingTimestamp").map(_.trim.toLong))
+      props.get("startingTimestamp").map(_.trim.toLong),
+      sizes)
   }
 }
 
@@ -531,20 +555,28 @@ object SnapshotScan {
     * ~128 MB of parquet, the scan-parallelism contract. */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
+  /** Per-file `getFileStatus` calls paid at PLANNING time — the
+    * fallback counter the spec pins at zero for a size-bearing
+    * manifest (the whole point of recording sizes: planning a 10^6-file
+    * table must not issue 10^6 status RPCs per query). */
+  private[graft] val fsStatCalls = new java.util.concurrent.atomic.AtomicLong()
+
   /** Split one data file into byte-range partitions of ≤ `maxSplit`
     * bytes — a >128 MB file no longer serializes through one reader
     * task. Row groups are assigned to the split containing their
     * MIDPOINT offset (parquet-hadoop's `filterFileMetaDataByMidpoint`
     * range contract), so every row group is read by exactly one task
-    * whatever the split grid tiles. Costs
-    * one `getFileStatus` per file at planning time (what Spark's file
-    * index pays too); at 10^6 manifest files the per-file sizes belong
-    * IN the manifest (the Iceberg/Delta layout) — that is this seam's
-    * production extension, not a different mechanism. */
-  private[sources] def split(path: String, maxSplit: Long)
+    * whatever the split grid tiles. The file length comes from the
+    * MANIFEST (`knownLen` — recorded at commit, the Iceberg/Delta
+    * add-file `size`); only a pre-size legacy manifest pays the
+    * per-file `getFileStatus` fallback. */
+  private[sources] def split(path: String, maxSplit: Long,
+                             knownLen: Option[Long] = None)
       : Seq[SnapshotFilePartition] = {
-    val p = new Path(path)
-    val len = SnapshotSource.fs(path).getFileStatus(p).getLen
+    val len = knownLen.getOrElse {
+      fsStatCalls.incrementAndGet()
+      SnapshotSource.fs(path).getFileStatus(new Path(path)).getLen
+    }
     if (len <= maxSplit) Seq(SnapshotFilePartition(path))
     else (0L until len by maxSplit).map(off =>
       SnapshotFilePartition(path, off, math.min(maxSplit, len - off)))
@@ -559,7 +591,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
                         maxSplitBytes: Long = SnapshotScan.DefaultSplitBytes,
                         vectorized: Boolean = true,
                         groupFilter: Option[GroupFilterState] = None,
-                        startingTimestamp: Option[Long] = None)
+                        startingTimestamp: Option[Long] = None,
+                        fileSizes: Map[String, Long] = Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics {
   // runtime-group-filtered file set (row-level DML scans only; the
@@ -609,37 +642,50 @@ case class SnapshotScan(dir: String, files: Seq[String],
       }
     }
   override def planInputPartitions(): Array[InputPartition] =
-    activeFiles.flatMap(SnapshotScan.split(_, maxSplitBytes))
+    activeFiles.flatMap(f =>
+        SnapshotScan.split(f, maxSplitBytes, fileSizes.get(f)))
       .toArray[InputPartition]
 
-  /** CBO-visible statistics from the MANIFEST: exact row counts (the
-    * per-file counts recorded at commit, summed over the files this
-    * scan actually plans — stats pruning included) and byte sizes from
-    * one `getFileStatus` per planned file (the same call [[split]]
-    * pays; at 10^6 files the sizes belong in the manifest — the noted
-    * production extension). Without this a DSv2 relation defaults to
-    * "unknown = huge" and a small snapshot dimension NEVER broadcasts:
-    * the join-strategy decision — THE 100 TB plan decision — would be
-    * wrong on every snapshot⋈fact join (SnapshotSourceSpec asserts the
-    * broadcast plan). Column pruning scales the byte estimate by the
-    * projected fraction of the schema's default row width, the same
-    * heuristic Spark's own file sources apply. */
+  /** CBO-visible statistics SERVED FROM MANIFEST BYTES: exact row
+    * counts (the per-file counts recorded at commit, summed over the
+    * files this scan actually plans — stats pruning included) and byte
+    * sizes from the manifest's recorded per-file lengths — zero
+    * filesystem calls on a size-bearing table. Without this a DSv2
+    * relation defaults to "unknown = huge" and a small snapshot
+    * dimension NEVER broadcasts: the join-strategy decision — THE
+    * 100 TB plan decision — would be wrong on every snapshot⋈fact join
+    * (SnapshotSourceSpec asserts the broadcast plan). A pre-size legacy
+    * manifest falls back to best-effort per-file status (NonFatal-
+    * guarded: statistics estimation must never fail a query at plan
+    * time — e.g. a file vacuumed between manifest read and stat — so
+    * an unreadable size declines to "unknown" instead of throwing).
+    * Column pruning scales the byte estimate by the projected fraction
+    * of the schema's default row width, the same heuristic Spark's own
+    * file sources apply. */
   override def estimateStatistics(): Statistics = {
     val rel = activeFiles.map(_.stripPrefix(s"$dir/"))
     val rows = SnapshotTable.readRows(dir, version).map { rs =>
       val byFile = SnapshotTable.manifestFiles(dir, version).zip(rs).toMap
       rel.flatMap(byFile.get).sum
     }
-    val bytes = activeFiles.map { p =>
-      val path = new Path(p)
-      SnapshotSource.fs(p).getFileStatus(path).getLen
-    }.sum
+    def statLen(p: String): Option[Long] =
+      try {
+        SnapshotScan.fsStatCalls.incrementAndGet()
+        Some(SnapshotSource.fs(p).getFileStatus(new Path(p)).getLen)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val each = activeFiles.map(p => fileSizes.get(p).orElse(statLen(p)))
+    // decline, never guess: one unknown file makes the byte total
+    // unknown (a partial sum would under-estimate and could flip a
+    // join strategy the wrong way)
+    val bytes: Option[Long] =
+      if (each.forall(_.isDefined)) Some(each.flatten.sum) else None
     val fullWidth = math.max(1, tableSchemaWidth)
-    val scaled = math.max(1L,
-      (bytes * math.min(fullWidth, requiredWidth)) / fullWidth)
+    val scaled = bytes.map(b => math.max(1L,
+      (b * math.min(fullWidth, requiredWidth)) / fullWidth))
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(scaled)
+        scaled.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(
           java.util.OptionalLong.of)

@@ -457,15 +457,15 @@ class SnapshotTableSpec extends SparkSpec {
     "inclusive, future reads latest, pre-first and untimestamped logs " +
     "refuse loudly") {
     val dir = Files.createTempDirectory("snap-ts").toString
-    val saved = SnapshotTable.clock
-    try {
+    locally {
       var tick = 0L
-      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
-      SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)
-      SnapshotTable.commit(spark, Seq((2L, "b")).toDF("id", "s"), dir)
-      SnapshotTable.commit(spark, Seq((9L, "z")).toDF("id", "s"), dir,
-        overwrite = true)
-    } finally SnapshotTable.clock = saved
+      SnapshotTable.clock.withValue(() => { tick += 1; tick * 1000L }) {
+        SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+        SnapshotTable.commit(spark, Seq((2L, "b")).toDF("id", "s"), dir)
+        SnapshotTable.commit(spark, Seq((9L, "z")).toDF("id", "s"), dir,
+          overwrite = true): Unit
+      }
+    }
     assert(SnapshotTable.commitTimestamp(dir, 2).contains(2000L))
     assert(SnapshotTable.resolveTimestamp(dir, 1500L) == 1)
     assert(SnapshotTable.resolveTimestamp(dir, 2000L) == 2) // inclusive
@@ -489,16 +489,16 @@ class SnapshotTableSpec extends SparkSpec {
     "current version; retained versions stay exactly readable and " +
     "below-horizon reads fail naming the vacuum") {
     val dir = Files.createTempDirectory("snap-vage").toString
-    val saved = SnapshotTable.clock
-    try {
+    locally {
       var tick = 0L
-      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
-      SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)
-      SnapshotTable.commit(spark, Seq((2L, "b")).toDF("id", "s"), dir)
-      SnapshotTable.commit(spark, Seq((9L, "z")).toDF("id", "s"), dir,
-        overwrite = true)
-      SnapshotTable.commit(spark, Seq((10L, "y")).toDF("id", "s"), dir)
-    } finally SnapshotTable.clock = saved
+      SnapshotTable.clock.withValue(() => { tick += 1; tick * 1000L }) {
+        SnapshotTable.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)
+        SnapshotTable.commit(spark, Seq((2L, "b")).toDF("id", "s"), dir)
+        SnapshotTable.commit(spark, Seq((9L, "z")).toDF("id", "s"), dir,
+          overwrite = true)
+        SnapshotTable.commit(spark, Seq((10L, "y")).toDF("id", "s"), dir): Unit
+      }
+    }
     // horizon at v2's timestamp: v1, v2 drop; the overwrite and the
     // append on top survive, exactly readable
     val deleted = SnapshotTable.vacuumOlderThan(dir, 2000L)
@@ -543,6 +543,42 @@ class SnapshotTableSpec extends SparkSpec {
       json.replaceAll(""","rows":\[[^\]]*\]""", "").getBytes)
     assert(SnapshotTable.manifestCount(dir, 2).isEmpty)
     assert(SnapshotTable.manifestMinMax(dir, 2).isEmpty)
+  }
+
+  test("manifests record per-file byte sizes: appends/DML/restore " +
+    "carry them, every recorded size matches the file on disk, " +
+    "pre-upgrade logs answer None") {
+    val dir = Files.createTempDirectory("snap-sizes").toString
+    SnapshotTable.commit(spark,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("id", "s"), dir)
+    SnapshotTable.commit(spark,
+      (10L until 15L).map(i => (i, s"a$i")).toDF("id", "s"), dir)
+    def sizesMatchDisk(v: Int): Unit = {
+      val files = SnapshotTable.manifestFiles(dir, v)
+      val sizes = SnapshotTable.readSizes(dir, v)
+      assert(sizes.isDefined && sizes.get.length == files.length,
+        s"v$v sizes missing or misaligned")
+      files.zip(sizes.get).foreach { case (f, len) =>
+        assert(new java.io.File(s"$dir/$f").length() == len,
+          s"v$v: recorded $len != disk for $f")
+      }
+    }
+    sizesMatchDisk(1); sizesMatchDisk(2)
+    // CoW delete: untouched files carry sizes, rewritten files re-stat
+    SnapshotTable.delete(spark, dir, col("id") < 3L)
+    sizesMatchDisk(3)
+    // merge and restore carry without touching data
+    SnapshotTable.merge(spark, dir,
+      Seq((100L, "new")).toDF("id", "s"), Seq("id"))
+    sizesMatchDisk(4)
+    SnapshotTable.restore(dir, 2)
+    sizesMatchDisk(5)
+    // a pre-upgrade manifest answers None
+    val mf = new java.io.File(dir, "_log/v00002.json")
+    val json = new String(Files.readAllBytes(mf.toPath))
+    Files.write(mf.toPath,
+      json.replaceAll(""","sizes":\[[^\]]*\]""", "").getBytes)
+    assert(SnapshotTable.readSizes(dir, 2).isEmpty)
   }
 
   test("restore publishes a metadata-only commit with the target's " +

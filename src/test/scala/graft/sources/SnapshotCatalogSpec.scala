@@ -56,16 +56,16 @@ class SnapshotCatalogSpec extends SparkSpec {
   test("TIMESTAMP AS OF resolves through the catalog: at-or-before, " +
     "boundary-inclusive, micros→millis flooring exact") {
     root
-    val saved = SnapshotTable.clock
-    try {
+    locally {
       var tick = 0L
-      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
-      spark.sql("CREATE TABLE tcat.tt (id BIGINT)") // v1 @ 1000 ms
-      SnapshotTable.commit(spark, (0L until 5L).toDF("id"),
-        s"$root/tt") // v2 @ 2000 ms
-      SnapshotTable.commit(spark, (5L until 7L).toDF("id"),
-        s"$root/tt") // v3 @ 3000 ms
-    } finally SnapshotTable.clock = saved
+      SnapshotTable.clock.withValue(() => { tick += 1; tick * 1000L }) {
+        spark.sql("CREATE TABLE tcat.tt (id BIGINT)") // v1 @ 1000 ms
+        SnapshotTable.commit(spark, (0L until 5L).toDF("id"),
+          s"$root/tt") // v2 @ 2000 ms
+        SnapshotTable.commit(spark, (5L until 7L).toDF("id"),
+          s"$root/tt"): Unit // v3 @ 3000 ms
+      }
+    }
     try {
       def at(secs: Long): Long = spark.sql(
         s"SELECT count(*) FROM tcat.tt TIMESTAMP AS OF " +
@@ -82,18 +82,18 @@ class SnapshotCatalogSpec extends SparkSpec {
     "older_than_ms => t drops at-or-before t; result reports " +
     "oldest_retained; keep => 0 refuses") {
     root
-    val saved = SnapshotTable.clock
-    try {
+    locally {
       var tick = 0L
-      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
-      spark.sql("CREATE TABLE tcat.vac (id BIGINT)") // v1
-      SnapshotTable.commit(spark, (0L until 5L).toDF("id"),
-        s"$root/vac") // v2
-      SnapshotTable.commit(spark, (5L until 9L).toDF("id"),
-        s"$root/vac", overwrite = true) // v3
-      SnapshotTable.commit(spark, (9L until 10L).toDF("id"),
-        s"$root/vac") // v4
-    } finally SnapshotTable.clock = saved
+      SnapshotTable.clock.withValue(() => { tick += 1; tick * 1000L }) {
+        spark.sql("CREATE TABLE tcat.vac (id BIGINT)") // v1
+        SnapshotTable.commit(spark, (0L until 5L).toDF("id"),
+          s"$root/vac") // v2
+        SnapshotTable.commit(spark, (5L until 9L).toDF("id"),
+          s"$root/vac", overwrite = true) // v3
+        SnapshotTable.commit(spark, (9L until 10L).toDF("id"),
+          s"$root/vac"): Unit // v4
+      }
+    }
     try {
       // age horizon at v2: v1/v2 drop, the overwrite + append retain
       val byAge = spark.sql("CALL tcat.vacuum(`table` => 'vac', " +
@@ -168,19 +168,19 @@ class SnapshotCatalogSpec extends SparkSpec {
   test("CALL compact + CALL history: OPTIMIZE via SQL and the " +
     "manifest-bytes audit trail") {
     root
-    val saved = SnapshotTable.clock
-    try {
+    locally {
       var tick = 0L
-      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
-      spark.sql("CREATE TABLE tcat.hist (id BIGINT)") // v1 @ 1000
-      SnapshotTable.commit(spark,
-        (0L until 40L).toDF("id").repartition(4), s"$root/hist") // v2
-      SnapshotTable.commit(spark,
-        (40L until 60L).toDF("id").repartition(3), s"$root/hist") // v3
-      val c = spark.sql("CALL tcat.compact(`table` => 'hist', " +
-        "num_files => 2)").collect().head // v4
-      assert((c.getInt(0), c.getInt(1)) == (4, 2))
-    } finally SnapshotTable.clock = saved
+      SnapshotTable.clock.withValue(() => { tick += 1; tick * 1000L }) {
+        spark.sql("CREATE TABLE tcat.hist (id BIGINT)") // v1 @ 1000
+        SnapshotTable.commit(spark,
+          (0L until 40L).toDF("id").repartition(4), s"$root/hist") // v2
+        SnapshotTable.commit(spark,
+          (40L until 60L).toDF("id").repartition(3), s"$root/hist") // v3
+        val c = spark.sql("CALL tcat.compact(`table` => 'hist', " +
+          "num_files => 2)").collect().head // v4
+        assert((c.getInt(0), c.getInt(1)) == (4, 2))
+      }
+    }
     try {
       // compaction changed layout, never content
       assert(spark.sql("SELECT count(*) FROM tcat.hist").as[Long]

@@ -116,13 +116,13 @@ class SnapshotSourceSpec extends SparkSpec {
   test("timestampAsOf reader option resolves at-or-before and is " +
     "mutually exclusive with versionAsOf") {
     val dir = Files.createTempDirectory("graft-dsv2ts").toString
-    val saved = SnapshotTable.clock
-    try {
+    locally {
       var tick = 0L
-      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
-      SnapshotTable.commit(spark, (0L until 3L).toDF("id"), dir)
-      SnapshotTable.commit(spark, (3L until 5L).toDF("id"), dir)
-    } finally SnapshotTable.clock = saved
+      SnapshotTable.clock.withValue(() => { tick += 1; tick * 1000L }) {
+        SnapshotTable.commit(spark, (0L until 3L).toDF("id"), dir)
+        SnapshotTable.commit(spark, (3L until 5L).toDF("id"), dir): Unit
+      }
+    }
     def at(ms: Long): Long = spark.read
       .format("graft.sources.SnapshotSource")
       .option("timestampAsOf", ms).load(dir).count()
@@ -372,14 +372,14 @@ class SnapshotSourceSpec extends SparkSpec {
   test("STREAMING source: startingTimestamp replays from the earliest " +
     "commit at-or-after t; beyond-latest and mixed options refuse") {
     val dir = Files.createTempDirectory("graft-dsv2st").toString
-    val saved = SnapshotTable.clock
-    try {
+    locally {
       var tick = 0L
-      SnapshotTable.clock = () => { tick += 1; tick * 1000L }
-      SnapshotTable.commit(spark, (0L until 5L).toDF("id"), dir)   // @1000
-      SnapshotTable.commit(spark, (5L until 9L).toDF("id"), dir)   // @2000
-      SnapshotTable.commit(spark, (9L until 12L).toDF("id"), dir)  // @3000
-    } finally SnapshotTable.clock = saved
+      SnapshotTable.clock.withValue(() => { tick += 1; tick * 1000L }) {
+        SnapshotTable.commit(spark, (0L until 5L).toDF("id"), dir)   // @1000
+        SnapshotTable.commit(spark, (5L until 9L).toDF("id"), dir)   // @2000
+        SnapshotTable.commit(spark, (9L until 12L).toDF("id"), dir): Unit // @3000
+      }
+    }
     // t = 1500 → earliest commit at-or-after = v2: replay v2 + v3
     val q = spark.readStream.format("graft.sources.SnapshotSource")
       .option("startingTimestamp", 1500L)
@@ -480,6 +480,50 @@ class SnapshotSourceSpec extends SparkSpec {
       whole.select(sum("id")).as[Long].head())
     assert(split.select("id").as[Long].collect().sorted.toSeq ==
       (0L until 20000L))
+  }
+
+  test("planning serves file sizes from the MANIFEST: splits and " +
+    "statistics issue ZERO per-file status calls on a size-bearing " +
+    "table; a pre-size legacy manifest falls back (counted) and stays " +
+    "correct") {
+    val dir = Files.createTempDirectory("graft-dsv2size").toString
+    val rows = (0L until 20000L).map(i => (i, s"s$i%09d" * 3)).toDF("id", "s")
+    spark.conf.set("spark.hadoop.parquet.block.size", "4096")
+    try SnapshotTable.commit(spark, rows.coalesce(1), dir)
+    finally spark.conf.unset("spark.hadoop.parquet.block.size")
+    // the manifest records real byte lengths
+    val sizes = SnapshotTable.readSizes(dir, 1)
+    assert(sizes.isDefined && sizes.get.length == 1)
+    val rel = SnapshotTable.manifestFiles(dir, 1).head
+    assert(sizes.get.head == new java.io.File(s"$dir/$rel").length())
+    SnapshotScan.fsStatCalls.set(0L)
+    // split planning (small maxSplitBytes forces the length lookup)...
+    val split = spark.read.format("graft.sources.SnapshotSource")
+      .option("maxSplitBytes", (16 * 1024).toString).load(dir)
+    assert(split.rdd.getNumPartitions > 4)
+    assert(split.count() == 20000L)
+    // ...and CBO statistics (broadcast decision on a snapshot⋈fact
+    // join forces estimateStatistics) both plan from manifest bytes
+    val fact = (0L until 1000L).map(i => (i, i * 2)).toDF("id", "v")
+    val joined = split.join(fact, "id")
+    assert(joined.count() == 1000L)
+    assert(SnapshotScan.fsStatCalls.get() == 0L,
+      s"planning paid ${SnapshotScan.fsStatCalls.get()} status calls " +
+        "on a size-bearing manifest")
+    // legacy manifest (sizes hand-stripped): fallback stats the file,
+    // the read stays exactly correct
+    val mf = new java.io.File(dir, "_log/v00001.json")
+    val json = new String(Files.readAllBytes(mf.toPath))
+    Files.write(mf.toPath,
+      json.replaceAll(""","sizes":\[[^\]]*\]""", "").getBytes)
+    assert(SnapshotTable.readSizes(dir, 1).isEmpty)
+    // (sum, not count: an unfiltered count(*) is answered from
+    // manifest rows as a LocalScan and never plans files at all)
+    val legacy = spark.read.format("graft.sources.SnapshotSource")
+      .option("maxSplitBytes", (16 * 1024).toString).load(dir)
+    assert(legacy.select(sum("id")).as[Long].head() ==
+      (0L until 20000L).sum)
+    assert(SnapshotScan.fsStatCalls.get() > 0L)
   }
 
   test("vectorized (default) and row-path reads agree on every type, " +
