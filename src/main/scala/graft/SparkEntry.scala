@@ -266,6 +266,7 @@ object SparkEntry {
     "q232_snapshot_sql_dml" -> IoQueries.snapshotSqlDml,
     "q233_unigram_shrink" -> LlmQueries.unigramShrinkTrain,
     "q234_snapshot_history" -> IoQueries.snapshotHistory,
+    "q235_snapshot_multistats" -> IoQueries.snapshotMultiStats,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2888,6 +2889,24 @@ ORDER BY d.doc_id""",
         |SELECT 3, CAST(count(*) AS BIGINT), CAST(min(doc_id) AS BIGINT),
         |  CAST(max(doc_id) AS BIGINT)
         |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY leg""".stripMargin,
+    // q235: multi-column stats prune FILES only (may-contain) — the
+    // oracle is the plain filtered aggregate over the source table
+    "q235_snapshot_multistats" ->
+      """SELECT 1 AS leg, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_id,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 199
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE n_chars BETWEEN 100 AND 300
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE doc_id >= 200 AND n_chars BETWEEN 100 AND 300
         |ORDER BY leg""".stripMargin,
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept

@@ -70,17 +70,38 @@ object SnapshotTable {
     * not reachable deterministically through [[commit]]. */
   private[io] def writeManifest(dir: String, v: Int, action: String,
                             files: Seq[String],
-                            stats: Option[(String, Seq[(Long, Long)])] = None,
+                            stats: Seq[(String, Seq[(Long, Long)])] = Nil,
                             schema: Option[StructType] = None,
                             knownRows: Map[String, Long] = Map.empty,
                             knownSizes: Map[String, Long] = Map.empty)
       : Unit = {
-    val statsJson = stats.map { case (c, mm) =>
+    // MULTI-COLUMN min/max file stats: the FIRST column keeps the
+    // original stats_col/mins/maxs spelling (pre-multi manifests parse
+    // unchanged — it is also compact's range-cluster column); every
+    // further column rides as xcols + xmins<i>/xmaxs<i> arrays.
+    // Pruning consults EVERY recorded column (Iceberg records a stats
+    // map per file for the same reason: real query predicates rarely
+    // all hit one column).
+    stats.foreach { case (_, mm) =>
       require(mm.length == files.length,
         s"stats/files length mismatch: ${mm.length} != ${files.length}")
+    }
+    require(stats.map(_._1).distinct.length == stats.length,
+      s"duplicate stats columns: ${stats.map(_._1).mkString(",")}")
+    val statsJson = stats.headOption.map { case (c, mm) =>
       s""","stats_col":"$c","mins":[${mm.map(_._1).mkString(",")}],""" +
         s""""maxs":[${mm.map(_._2).mkString(",")}]"""
     }.getOrElse("")
+    val xstatsJson =
+      if (stats.length <= 1) ""
+      else {
+        val extra = stats.tail
+        s""","xcols":[${extra.map(e => "\"" + e._1 + "\"").mkString(",")}]""" +
+          extra.zipWithIndex.map { case ((_, mm), i) =>
+            s""","xmins$i":[${mm.map(_._1).mkString(",")}]""" +
+              s""","xmaxs$i":[${mm.map(_._2).mkString(",")}]"""
+          }.mkString
+      }
     // Per-file ROW COUNTS — the other half of manifest-planned metadata
     // (Delta/Iceberg record them at write): count(*) and stats-column
     // min/max answer from manifest bytes with ZERO data IO (the DSv2
@@ -121,7 +142,7 @@ object SnapshotTable {
     val json = s"""{"version":$v,"action":"$action","ts":${clock.value()}""" +
       s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
-      rowsJson + sizesJson + schemaJson + "}"
+      xstatsJson + rowsJson + sizesJson + schemaJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
     // hard-link = the commit point, and a true COMPARE-AND-SWAP: link
@@ -176,6 +197,11 @@ object SnapshotTable {
   private val MaxsRe = """"maxs":\[([^\]]*)\]""".r.unanchored
   private val RowsRe = """"rows":\[([^\]]*)\]""".r.unanchored
   private val SizesRe = """"sizes":\[([^\]]*)\]""".r.unanchored
+  private val XColsRe = """"xcols":\[([^\]]*)\]""".r.unanchored
+  private def xMinsRe(i: Int) =
+    (""""xmins""" + i + """":\[([^\]]*)\]""").r.unanchored
+  private def xMaxsRe(i: Int) =
+    (""""xmaxs""" + i + """":\[([^\]]*)\]""").r.unanchored
   private val StatsColRe = """"stats_col":"([^"]*)"""".r.unanchored
   private val SchemaRe = """"schema_b64":"([^"]*)"""".r.unanchored
 
@@ -281,8 +307,40 @@ object SnapshotTable {
   }
 
   /** The stats column recorded at `v`, if the version carries min/max
-    * file stats (the q154 skipping tier). */
+    * file stats (the q154 skipping tier). Multi-stats manifests answer
+    * their FIRST (range-cluster) column here. */
   def statsColumn(dir: String, v: Int): Option[String] = readStatsCol(dir, v)
+
+  /** EVERY stats column recorded at `v`, primary first. */
+  def statsColumns(dir: String, v: Int): Seq[String] =
+    readStatsCol(dir, v).toSeq ++ (manifestJson(dir, v) match {
+      case XColsRe(list) if list.nonEmpty =>
+        list.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      case _ => Nil
+    })
+
+  /** Per-file (min, max) of EVERY recorded stats column at `v`, primary
+    * first, each aligned with [[readManifest]]'s file order. */
+  private[graft] def readAllStats(dir: String, v: Int)
+      : Seq[(String, Seq[(Long, Long)])] = {
+    val cols = statsColumns(dir, v)
+    if (cols.isEmpty) Nil
+    else {
+      val json = manifestJson(dir, v)
+      def parse(minsRe: scala.util.matching.Regex,
+                maxsRe: scala.util.matching.Regex): Seq[(Long, Long)] =
+        (json, json) match {
+          case (minsRe(mins), maxsRe(maxs)) if mins.nonEmpty =>
+            mins.split(",").map(_.toLong)
+              .zip(maxs.split(",").map(_.toLong)).toSeq
+          case _ => Seq.empty
+        }
+      val primary = readStats(dir, v).map(cols.head -> _).toSeq
+      primary ++ cols.tail.zipWithIndex.map { case (c, i) =>
+        c -> parse(xMinsRe(i), xMaxsRe(i))
+      }.filter(_._2.nonEmpty)
+    }
+  }
 
   /** The version's manifest file list (table-root-relative paths),
     * stats-pruned to files that MAY intersect `[lo, hi]` on the
@@ -297,6 +355,27 @@ object SnapshotTable {
         case (f, (mn, mx)) if mx >= lo && mn <= hi => f
       }
       case None => files
+    }
+  }
+
+  /** [[manifestFiles]] pruned on EVERY filtered stats column at once:
+    * a file survives only if, for each (col → [lo, hi]) bound with
+    * recorded stats, its [min, max] intersects — predicates on
+    * different columns compound multiplicatively (the reason Iceberg
+    * records a stats map, not one column). Bounds on a column the
+    * version does not track are ignored (may-contain stays sound). */
+  def manifestFilesPruned(dir: String, v: Int,
+                          bounds: Map[String, (Long, Long)]): Seq[String] = {
+    val files = readManifest(dir, v)
+    if (bounds.isEmpty) return files
+    val tracked = readAllStats(dir, v).toMap
+    val active = bounds.toSeq.flatMap { case (c, b) =>
+      tracked.get(c).map(mm => (b, mm))
+    }
+    files.zipWithIndex.collect {
+      case (f, i) if active.forall { case ((lo, hi), mm) =>
+        val (mn, mx) = mm(i); mx >= lo && mn <= hi
+      } => f
     }
   }
 
@@ -354,25 +433,29 @@ object SnapshotTable {
   def manifestCount(dir: String, v: Int): Option[Long] =
     readRows(dir, v).map(_.sum)
 
-  /** Manifest-only global (min, max) of the stats column at `v`. Files
-    * with zero recorded rows are excluded (their stats slots are
-    * meaningless); requires row counts AND stats to be recorded and
+  /** Manifest-only global (min, max) of the PRIMARY stats column at
+    * `v`. Files with zero recorded rows are excluded (their stats slots
+    * are meaningless); requires row counts AND stats to be recorded and
     * aligned, and at least one non-empty file — otherwise None. */
-  def manifestMinMax(dir: String, v: Int): Option[(String, Long, Long)] = {
-    val out = for {
-      c <- readStatsCol(dir, v)
-      mm <- readStats(dir, v)
-      rs <- readRows(dir, v)
-    } yield {
-      if (rs.length != mm.length) None
-      else {
-        val nz = mm.zip(rs).collect { case (p, n) if n > 0 => p }
-        if (nz.isEmpty) None
-        else Some((c, nz.map(_._1).min, nz.map(_._2).max))
-      }
+  def manifestMinMax(dir: String, v: Int): Option[(String, Long, Long)] =
+    readStatsCol(dir, v).flatMap(c =>
+      manifestMinMaxAll(dir, v).get(c).map { case (lo, hi) => (c, lo, hi) })
+
+  /** Manifest-only global (min, max) per recorded stats column at `v`
+    * (the aggregate-pushdown source) — empty when row counts are
+    * unrecorded or every file is empty; zero-row files' slots are
+    * excluded per column. */
+  def manifestMinMaxAll(dir: String, v: Int): Map[String, (Long, Long)] =
+    readRows(dir, v).fold(Map.empty[String, (Long, Long)]) { rs =>
+      readAllStats(dir, v).flatMap { case (c, mm) =>
+        if (rs.length != mm.length) None
+        else {
+          val nz = mm.zip(rs).collect { case (p, n) if n > 0 => p }
+          if (nz.isEmpty) None
+          else Some(c -> (nz.map(_._1).min, nz.map(_._2).max))
+        }
+      }.toMap
     }
-    out.flatten
-  }
 
   /** Commit `df` as the next version. `overwrite = false` appends to the
     * previous version's file set; `true` replaces it. Returns the new
@@ -396,18 +479,26 @@ object SnapshotTable {
     * stats-bearing table requires every prior version to carry stats
     * (enforced; half-stated metadata would silently disable pruning). */
   /** One bounded metadata job over the files under `$dir/$sub`:
-    * per-file (min, max) of `c`, keyed by bare file name. */
+    * per-file (min, max) of EVERY column in `cols` (a single pass
+    * however many stats columns the table tracks), keyed by bare file
+    * name; values aligned with `cols`. */
   private def fileStats(spark: SparkSession, dir: String, sub: String,
-                        c: String): Map[String, (Long, Long)] = {
+                        cols: Seq[String])
+      : Map[String, Seq[(Long, Long)]] = {
     import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"mn_$c"),
+      max(col(c)).cast("long").as(s"mx_$c")))
     spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(c)).cast("long").as("mn"),
-        max(col(c)).cast("long").as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => (r.getString(0).substring(
-        r.getString(0).lastIndexOf('/') + 1),
-        (r.getLong(1), r.getLong(2)))).toMap
+      .map { r =>
+        val name = r.getString(0).substring(
+          r.getString(0).lastIndexOf('/') + 1)
+        name -> cols.indices.map(i =>
+          (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))).toSeq
+      }.toMap
   }
 
   /** The table schema the commit of `df` onto `prev` produces — SCHEMA
@@ -464,7 +555,7 @@ object SnapshotTable {
   def commitStagedFiles(dir: String, relFiles: Seq[String],
                         writeSchema: StructType,
                         overwrite: Boolean = false,
-                        stats: Option[(String, Seq[(Long, Long)])] = None,
+                        stats: Seq[(String, Seq[(Long, Long)])] = Nil,
                         txn: Option[(String, Long)] = None): Int = {
     require(relFiles.nonEmpty, "external commit with no staged files")
     logDir(dir).mkdirs()
@@ -473,15 +564,38 @@ object SnapshotTable {
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
       else readManifest(dir, prev.last)
+    // appends onto a stats-bearing version must cover EVERY column the
+    // base tracks (a column silently dropped would half-state the
+    // manifest and disable its pruning without a trace)
+    if (base.nonEmpty && stats.nonEmpty) {
+      val prevCols = statsColumns(dir, prev.last).toSet
+      val newCols = stats.map(_._1).toSet
+      require(prevCols.subsetOf(newCols),
+        s"append tracks stats for ${newCols.mkString(",")} but version " +
+          s"${prev.last} tracks ${prevCols.mkString(",")} — cover every " +
+          "base column or commit stats-free")
+    }
+    val prevAll: Map[String, Seq[(Long, Long)]] =
+      if (base.isEmpty) Map.empty else readAllStats(dir, prev.last).toMap
     val fullStats = stats.map { case (c, mm) =>
       require(mm.length == relFiles.length,
         s"stats/files length mismatch: ${mm.length} != ${relFiles.length}")
       val carried =
         if (base.isEmpty) Seq.empty
-        else readStats(dir, prev.last).getOrElse(throw new IllegalStateException(
-          s"append with statsCol=$c onto version ${prev.last} which has no stats"))
+        else prevAll.getOrElse(c, throw new IllegalStateException(
+          s"append with statsCol=$c onto version ${prev.last} which has no " +
+            "stats for it"))
       (c, carried ++ mm)
     }
+    // keep the base's column order on append (the primary — compact's
+    // range-cluster column — must not flip with a writer's option order)
+    val orderedStats =
+      if (base.isEmpty) fullStats
+      else {
+        val prevOrder = statsColumns(dir, prev.last).zipWithIndex.toMap
+        fullStats.sortBy { case (c, _) =>
+          prevOrder.getOrElse(c, Int.MaxValue) }
+      }
     txn.foreach { case (qid, _) =>
       require(qid.matches("[A-Za-z0-9_-]+"),
         s"txn query id '$qid' would corrupt the manifest action field") }
@@ -492,7 +606,7 @@ object SnapshotTable {
       else readRows(dir, prev.last)
         .map(rs => readManifest(dir, prev.last).zip(rs).toMap)
         .getOrElse(Map.empty)
-    writeManifest(dir, v, action, base ++ relFiles, fullStats,
+    writeManifest(dir, v, action, base ++ relFiles, orderedStats,
       evolvedSchemaFrom(dir, prev, writeSchema, overwrite),
       knownRows = carriedRows,
       knownSizes = if (base.isEmpty) Map.empty
@@ -564,13 +678,22 @@ object SnapshotTable {
 
   def commitWithStats(spark: SparkSession, df: DataFrame, dir: String,
                       overwrite: Boolean = false,
-                      statsCol: Option[String] = None): Int = {
+                      statsCol: Option[String] = None): Int =
+    commitMultiStats(spark, df, dir, overwrite, statsCol.toSeq)
+
+  /** [[commitWithStats]] tracking min/max stats for SEVERAL columns —
+    * one metadata pass whatever the column count; the first column is
+    * the primary (compact's range-cluster column), every column prunes
+    * at planning ([[manifestFilesPruned]] / the DSv2 scan builder). */
+  def commitMultiStats(spark: SparkSession, df: DataFrame, dir: String,
+                       overwrite: Boolean = false,
+                       statsCols: Seq[String] = Nil): Int = {
     logDir(dir).mkdirs()
     val prev = versions(dir)
     val v = prev.lastOption.getOrElse(0) + 1
     val sub = f"data/v$v%05d"
     df.write.mode("overwrite").parquet(s"$dir/$sub")
-    publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCol)
+    publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCols)
   }
 
   /** Publish a commit whose data files are already staged under `sub`:
@@ -580,21 +703,41 @@ object SnapshotTable {
   private def publishStaged(spark: SparkSession, df: DataFrame, dir: String,
                             prev: Seq[Int], v: Int, sub: String,
                             overwrite: Boolean,
-                            statsCol: Option[String]): Int = {
+                            statsCols: Seq[String]): Int = {
     val written = listWritten(dir, sub)
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
       else readManifest(dir, prev.last)
-    val stats = statsCol.map { c =>
-      val byFile = fileStats(spark, dir, sub, c)
-      val carried =
-        if (base.isEmpty) Seq.empty
-        else readStats(dir, prev.last).getOrElse(throw new IllegalStateException(
-          s"append with statsCol=$c onto version ${prev.last} which has no stats"))
-      (c, carried ++ written.map { f =>
-        byFile(f.substring(f.lastIndexOf('/') + 1))
-      })
+    if (base.nonEmpty && statsCols.nonEmpty) {
+      val prevCols = statsColumns(dir, prev.last).toSet
+      require(prevCols.subsetOf(statsCols.toSet),
+        s"append tracks stats for ${statsCols.mkString(",")} but version " +
+          s"${prev.last} tracks ${prevCols.mkString(",")} — cover every " +
+          "base column or commit stats-free")
     }
+    val prevAll: Map[String, Seq[(Long, Long)]] =
+      if (base.isEmpty) Map.empty else readAllStats(dir, prev.last).toMap
+    val ordered =
+      if (base.isEmpty) statsCols
+      else {
+        val prevOrder = statsColumns(dir, prev.last).zipWithIndex.toMap
+        statsCols.sortBy(c => prevOrder.getOrElse(c, Int.MaxValue))
+      }
+    val stats: Seq[(String, Seq[(Long, Long)])] =
+      if (ordered.isEmpty) Nil
+      else {
+        val byFile = fileStats(spark, dir, sub, ordered)
+        ordered.zipWithIndex.map { case (c, i) =>
+          val carried =
+            if (base.isEmpty) Seq.empty
+            else prevAll.getOrElse(c, throw new IllegalStateException(
+              s"append with statsCol=$c onto version ${prev.last} which " +
+                "has no stats for it"))
+          (c, carried ++ written.map { f =>
+            byFile(f.substring(f.lastIndexOf('/') + 1))(i)
+          })
+        }
+      }
     // carried base files keep their recorded counts — an append never
     // re-reads the footers of the history it builds on
     val carriedRows =
@@ -804,21 +947,23 @@ object SnapshotTable {
                       action: String, schema: Option[StructType],
                       writtenSub: Option[String] = None): Int = {
     val files = readManifest(dir, prevV)
-    val stats = readStatsCol(dir, prevV).map { c =>
-      val prevStats = readStats(dir, prevV).get
+    val untouchedSet = untouched.toSet
+    val prevAll = readAllStats(dir, prevV)
+    val cols = prevAll.map(_._1)
+    val byFile: Map[String, Seq[(Long, Long)]] =
+      if (cols.isEmpty || written.isEmpty) Map.empty
+      else fileStats(spark, dir,
+        writtenSub.getOrElse(f"data/v$v%05d"), cols)
+    val stats = prevAll.zipWithIndex.map { case ((c, prevStats), i) =>
       val carried = files.zip(prevStats).collect {
-        case (f, mm) if untouched.contains(f) => f -> mm
+        case (f, mm) if untouchedSet(f) => f -> mm
       }.toMap
-      val byFile =
-        if (written.isEmpty) Map.empty[String, (Long, Long)]
-        else fileStats(spark, dir,
-          writtenSub.getOrElse(f"data/v$v%05d"), c)
       // a zero-row written file (the rewrite-everything-away anchor)
       // has no stats group: the (MaxValue, MinValue) sentinel prunes
       // always — correct under may-contain semantics
       (c, (untouched.map(f => carried(f)) ++ written.map { f =>
-        byFile.getOrElse(f.substring(f.lastIndexOf('/') + 1),
-          (Long.MaxValue, Long.MinValue))
+        byFile.get(f.substring(f.lastIndexOf('/') + 1)).map(_(i))
+          .getOrElse((Long.MaxValue, Long.MinValue))
       }))
     }
     // extra entries are harmless: knownRows is consulted per manifest
@@ -873,8 +1018,8 @@ object SnapshotTable {
       (None, report)
     } else {
       // publish the STAGED files — what was audited is what readers see
-      (Some(publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCol)),
-        report)
+      (Some(publishStaged(spark, df, dir, prev, v, sub, overwrite,
+        statsCol.toSeq)), report)
     }
   }
 
@@ -896,6 +1041,23 @@ object SnapshotTable {
       readSnapshot(spark, dir, Some(v)).where(lit(false))
     else planRead(spark, dir, v, kept)
       .where(col(statsCol) >= lo && col(statsCol) <= hi)
+  }
+
+  /** [[readSnapshotPruned]] over SEVERAL columns at once: plans only
+    * the files whose recorded [min, max] intersects EVERY given bound
+    * (bounds on untracked columns are ignored — may-contain stays
+    * sound), then applies all row-level predicates. */
+  def readSnapshotPrunedMulti(spark: SparkSession, dir: String,
+                              bounds: Map[String, (Long, Long)],
+                              asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = resolveVersion(dir, asOf)
+    val kept = manifestFilesPruned(dir, v, bounds)
+    val pred = bounds.map { case (c, (lo, hi)) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    if (kept.isEmpty) readSnapshot(spark, dir, Some(v)).where(lit(false))
+    else planRead(spark, dir, v, kept).where(pred)
   }
 
   /** The table as of `asOf` (default: latest). Plans a parquet scan over
@@ -921,15 +1083,25 @@ object SnapshotTable {
     * Small-file accumulation is the chronic failure mode of daily
     * append logs at 100 TB: scan tasks per file, not per byte. */
   def compact(spark: SparkSession, dir: String, numFiles: Int,
-              statsCol: Option[String] = None): Int =
-    commitWithStats(spark,
-      // range-repartition on the stats column when given, so the
-      // compacted files carry TIGHT disjoint ranges (stats + layout
+              statsCol: Option[String] = None): Int = {
+    // the compacted version keeps tracking EVERY stats column the
+    // current version tracks (an OPTIMIZE that silently dropped a
+    // column's stats would disable its pruning without a trace);
+    // range-clustering stays single-column — the given one, else the
+    // table's primary
+    val cluster = statsCol.orElse(
+      statsColumn(dir, resolveVersion(dir)))
+    val cols = (cluster.toSeq ++
+      statsColumns(dir, resolveVersion(dir))).distinct
+    commitMultiStats(spark,
+      // range-repartition on the cluster column when there is one, so
+      // the compacted files carry TIGHT disjoint ranges (stats + layout
       // compound); plain repartition otherwise
-      statsCol.map(c => readSnapshot(spark, dir)
+      cluster.map(c => readSnapshot(spark, dir)
           .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(c)))
         .getOrElse(readSnapshot(spark, dir).repartition(numFiles)),
-      dir, overwrite = true, statsCol = statsCol)
+      dir, overwrite = true, statsCols = cols)
+  }
 
   /** Retention: keep the newest `keep` versions, delete older manifests
     * and every data file ONLY they reference (an overwrite's orphaned
@@ -1010,8 +1182,7 @@ object SnapshotTable {
       s"RESTORE: version $v is not in the log at $dir (retained: " +
         s"${vs.mkString(", ")}) — vacuumed or never committed")
     val next = vs.last + 1
-    val stats = for { c <- readStatsCol(dir, v); mm <- readStats(dir, v) }
-      yield (c, mm)
+    val stats = readAllStats(dir, v)
     val files = readManifest(dir, v)
     val carried = readRows(dir, v)
       .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)

@@ -810,6 +810,41 @@ object IoQueries {
     leg1.unionAll(leg2).unionAll(leg3).orderBy("leg")
   }
 
+  /** MULTI-COLUMN manifest stats (q235,
+    * [[graft.io.SnapshotTable.commitMultiStats]]): one commit tracks
+    * per-file (min, max) for doc_id AND n_chars, and planning prunes
+    * files on EVERY filtered column — predicates on different columns
+    * compound multiplicatively, which is why Iceberg records a stats
+    * map per file rather than one column (real predicates rarely all
+    * hit the cluster key). Leg 1 filters the primary (range-cluster)
+    * column, leg 2 filters ONLY the secondary column, leg 3 filters
+    * both; each leg is value-exact against the oracle — pruning is a
+    * may-contain file decision, never a row filter (the residual
+    * predicate re-applies row-level; SnapshotSourceSpec asserts the
+    * file-count drop plan-side). At 100 TB the second column turns a
+    * "scan 1/8th" plan into a "scan 1/64th" plan on compound
+    * predicates — metadata bytes, zero data IO. */
+  def snapshotMultiStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snapms").toString
+    val st = graft.io.SnapshotTable
+    // range-clustered on doc_id; n_chars stats ride along per file
+    st.commitMultiStats(s, docs.repartitionByRange(8, col("doc_id")), t,
+      statsCols = Seq("doc_id", "n_chars"))
+    s.read.format("graft.sources.SnapshotSource").load(t)
+      .createOrReplaceTempView("q235_snap")
+    def leg(n: Int, where: String) = s.sql(
+      s"""SELECT $n AS leg, count(*) AS n_docs,
+         |  coalesce(sum(doc_id), 0L) AS sum_id,
+         |  coalesce(sum(n_chars), 0L) AS sum_chars
+         |FROM q235_snap WHERE $where""".stripMargin)
+    leg(1, "doc_id BETWEEN 100 AND 199")
+      .unionAll(leg(2, "n_chars BETWEEN 100 AND 300"))
+      .unionAll(leg(3, "doc_id >= 200 AND n_chars BETWEEN 100 AND 300"))
+      .orderBy("leg")
+  }
+
   /** SQL UPDATE + MERGE INTO through the catalog (q232,
     * [[graft.sources.SnapshotRowLevelOperation]]): the last two
     * lakehouse DML verbs that previously existed only as API calls

@@ -144,7 +144,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   private def commitEmpty(dir: String, schema: StructType,
                           sub: String): Unit = {
     val rel = s"$sub/part-empty.parquet"
-    new ParquetGroupWriter(s"$dir/$rel", schema, -1).close()
+    new ParquetGroupWriter(s"$dir/$rel", schema, Array.empty).close()
     SnapshotTable.commitStagedFiles(dir, Seq(rel), schema): Unit
   }
 

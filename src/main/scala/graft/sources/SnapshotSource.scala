@@ -312,7 +312,7 @@ private[sources] class SnapshotReplaceGroupsWrite(
   private val sub = s"data/w${java.util.UUID.randomUUID().toString.take(8)}"
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new SnapshotWriterFactory(dir, sub, writeSchema, -1)
+    new SnapshotWriterFactory(dir, sub, writeSchema, Array.empty)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged0 = messages.collect {
       case m: SnapshotCommitMsg if m.relPath != null => m.relPath
@@ -329,7 +329,8 @@ private[sources] class SnapshotReplaceGroupsWrite(
         // delete convention); publish gives its stats the always-prune
         // sentinel
         val rel = s"$sub/part-empty.parquet"
-        new ParquetGroupWriter(s"$dir/$rel", writeSchema, -1).close()
+        new ParquetGroupWriter(s"$dir/$rel", writeSchema,
+          Array.empty).close()
         Seq(rel)
       }
     // publish at scanVersion + 1, NOT versions(dir).last + 1: the
@@ -386,8 +387,9 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private val statsCol = SnapshotTable.statsColumn(dir, version)
-  private var bounds: Option[(Long, Long)] = None
+  private val statsCols = SnapshotTable.statsColumns(dir, version).toSet
+  private val bounds =
+    scala.collection.mutable.Map.empty[String, (Long, Long)]
   private var pushed = Array.empty[Filter]
   private var required: StructType = tableSchema
   private var aggResult: Option[(StructType, Array[Long])] = None
@@ -398,35 +400,40 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
     case _ => None
   }
 
-  private def narrow(lo: Long, hi: Long): Unit = bounds = Some(bounds match {
-    case Some((a, b)) => (math.max(a, lo), math.min(b, hi))
-    case None => (lo, hi)
-  })
+  private def narrow(c: String, lo: Long, hi: Long): Unit =
+    bounds(c) = bounds.get(c) match {
+      case Some((a, b)) => (math.max(a, lo), math.min(b, hi))
+      case None => (lo, hi)
+    }
 
-  /** Stats-column range/equality filters narrow the FILE LIST; every
+  /** Range/equality filters on ANY recorded stats column narrow the
+    * FILE LIST — predicates on different columns compound (each column
+    * prunes independently and a file must survive them all); every
     * filter (including those) is returned as residual because file
     * stats are may-contain, not row-exact — the parquet row-group
     * contract. `pushedFilters` reports the pruning set for explain. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val sc = statsCol.getOrElse("")
+    def tracked(a: String): Boolean = statsCols.contains(a)
     pushed = filters.filter {
-      case EqualTo(`sc`, v) => longOf(v).exists { l => narrow(l, l); true }
-      case GreaterThan(`sc`, v) =>
-        longOf(v).exists { l => narrow(l + 1, Long.MaxValue); true }
-      case GreaterThanOrEqual(`sc`, v) =>
-        longOf(v).exists { l => narrow(l, Long.MaxValue); true }
-      case LessThan(`sc`, v) =>
-        longOf(v).exists { l => narrow(Long.MinValue, l - 1); true }
-      case LessThanOrEqual(`sc`, v) =>
-        longOf(v).exists { l => narrow(Long.MinValue, l); true }
+      case EqualTo(a, v) if tracked(a) =>
+        longOf(v).exists { l => narrow(a, l, l); true }
+      case GreaterThan(a, v) if tracked(a) =>
+        longOf(v).exists { l => narrow(a, l + 1, Long.MaxValue); true }
+      case GreaterThanOrEqual(a, v) if tracked(a) =>
+        longOf(v).exists { l => narrow(a, l, Long.MaxValue); true }
+      case LessThan(a, v) if tracked(a) =>
+        longOf(v).exists { l => narrow(a, Long.MinValue, l - 1); true }
+      case LessThanOrEqual(a, v) if tracked(a) =>
+        longOf(v).exists { l => narrow(a, Long.MinValue, l); true }
       // IN-list: the [min, max] ENVELOPE of the values — sound (file
       // stats are may-contain anyway, Spark re-applies the predicate
       // row-level) and exactly the pruning a point-lookup batch gets
       // from a range-clustered layout; the per-value set prune is the
       // Bloom sidecar's job (q211)
-      case In(`sc`, vs) if vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
+      case In(a, vs) if tracked(a) && vs.nonEmpty &&
+          vs.forall(longOf(_).isDefined) =>
         val ls = vs.flatMap(longOf)
-        narrow(ls.min, ls.max); true
+        narrow(a, ls.min, ls.max); true
       case _ => false
     }
     filters // all residual: Spark re-applies row-level
@@ -473,14 +480,14 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       }
     }
     val count = SnapshotTable.manifestCount(dir, version)
-    lazy val minMax = SnapshotTable.manifestMinMax(dir, version)
+    lazy val minMax = SnapshotTable.manifestMinMaxAll(dir, version)
     val vals = agg.aggregateExpressions().map {
       case _: CountStar => count.map(("count(*)", LongType, false, _))
-      case m: Min => col(m).flatMap(c => minMax.collect {
-        case (`c`, lo, _) => (s"min($c)", LongType, true, lo)
+      case m: Min => col(m).flatMap(c => minMax.get(c).map {
+        case (lo, _) => (s"min($c)", LongType, true, lo)
       })
-      case m: Max => col(m).flatMap(c => minMax.collect {
-        case (`c`, _, hi) => (s"max($c)", LongType, true, hi)
+      case m: Max => col(m).flatMap(c => minMax.get(c).map {
+        case (_, hi) => (s"max($c)", LongType, true, hi)
       })
       case _ => None
     }
@@ -507,7 +514,8 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
   }
 
   private def buildFileScan(): Scan = {
-    val files = SnapshotTable.manifestFiles(dir, version, bounds)
+    val files = SnapshotTable.manifestFilesPruned(dir, version,
+        bounds.toMap)
       .map(f => s"$dir/$f")
     // recorded per-file byte sizes (absolute-path-keyed): splits and
     // statistics plan from manifest bytes — zero status calls
@@ -519,7 +527,8 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       props.contains("startingTimestamp")),
       "startingVersion and startingTimestamp are mutually exclusive")
     SnapshotScan(dir, files, required, version,
-      statsCol.filter(_ => bounds.nonEmpty),
+      Option(bounds.keys.toSeq.sorted.mkString(","))
+        .filter(_.nonEmpty),
       props.get("startingVersion").map(_.trim.toInt),
       props.get("ignoreRewrites").exists(_.trim.toBoolean),
       props.get("maxSplitBytes").map(_.trim.toLong)
@@ -1059,15 +1068,20 @@ class ParquetGroupReader(path: String, required: StructType,
 class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
                            statsCol: Option[String], queryId: String)
     extends WriteBuilder with SupportsTruncate {
+  // `.option("statsCol", "a")` or `.option("statsCol", "a,b")` — a
+  // comma-separated list tracks min/max for every named column (the
+  // multi-column manifest stats tier); the first is the primary
+  private val statsCols: Seq[String] =
+    statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new SnapshotBatchWrite(dir, writeSchema, overwrite, statsCol)
+      new SnapshotBatchWrite(dir, writeSchema, overwrite, statsCols)
     override def toStreaming: StreamingWrite = {
       require(!overwrite,
         "snapshot streaming sink supports outputMode=append only")
-      new SnapshotStreamingWrite(dir, writeSchema, statsCol, queryId)
+      new SnapshotStreamingWrite(dir, writeSchema, statsCols, queryId)
     }
   }
 }
@@ -1088,17 +1102,14 @@ class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
   * its batches. An all-empty epoch commits nothing (no empty-version
   * litter). */
 class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
-                             statsCol: Option[String], queryId: String)
+                             statsCols: Seq[String], queryId: String)
     extends StreamingWrite {
   private val sub = s"data/s${java.util.UUID.randomUUID().toString.take(8)}"
-  private val statsIdx = statsCol.map { c =>
-    val i = writeSchema.fieldNames.indexOf(c)
-    require(i >= 0, s"statsCol $c not in write schema"); i
-  }.getOrElse(-1)
+  private val statsIdxs = SnapshotWrite.statsIndexes(writeSchema, statsCols)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new SnapshotStreamingWriterFactory(dir, sub, writeSchema, statsIdx)
+    new SnapshotStreamingWriterFactory(dir, sub, writeSchema, statsIdxs)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -1112,7 +1123,9 @@ class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
       msgs.foreach(m => SnapshotSource.deleteQuiet(s"$dir/${m.relPath}"))
       return
     }
-    val stats = statsCol.map(c => (c, msgs.toSeq.map(m => (m.mn, m.mx))))
+    val stats = statsCols.zipWithIndex.map { case (c, i) =>
+      (c, msgs.toSeq.map(m => (m.mns(i), m.mxs(i))))
+    }
     SnapshotTable.commitStagedFiles(dir, msgs.toSeq.map(_.relPath),
       writeSchema, overwrite = false, stats,
       txn = Some((queryId, epochId)))
@@ -1128,11 +1141,12 @@ class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
 }
 
 class SnapshotStreamingWriterFactory(dir: String, sub: String,
-                                     schema: StructType, statsIdx: Int)
+                                     schema: StructType,
+                                     statsIdxs: Array[Int])
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new SnapshotDataWriter(dir, s"$sub/e$epochId", schema, statsIdx,
+    new SnapshotDataWriter(dir, s"$sub/e$epochId", schema, statsIdxs,
       partitionId, taskId)
 }
 
@@ -1165,6 +1179,13 @@ object SnapshotWrite {
     new MessageType("spark_schema", fields: _*)
   }
 
+  /** Resolve stats column names to schema indexes, loudly. */
+  private[sources] def statsIndexes(schema: StructType,
+                                    cols: Seq[String]): Array[Int] =
+    cols.map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"statsCol $c not in write schema"); i
+    }.toArray
 }
 
 /** Streaming single-file parquet writer over the example-Group API —
@@ -1173,21 +1194,28 @@ object SnapshotWrite {
   * Shared by the executor [[SnapshotDataWriter]] and the driver-side
   * empty-commit fallback. */
 private[sources] class ParquetGroupWriter(path: String, schema: StructType,
-                                          statsIdx: Int) {
+                                          statsIdxs: Array[Int]) {
   private val msg = SnapshotWrite.messageType(schema)
   private val factory = new SimpleGroupFactory(msg)
   private val writer = ExampleParquetWriter
     .builder(HadoopOutputFile.fromPath(new Path(path),
       SnapshotSource.newConf()))
     .withType(msg).build()
-  var mn: Long = Long.MaxValue
-  var mx: Long = Long.MinValue
+  // schema index -> stats slot (-1 = untracked); min/max fold per slot
+  private val statSlot: Array[Int] = {
+    val s = Array.fill(schema.length)(-1)
+    statsIdxs.zipWithIndex.foreach { case (idx, slot) => s(idx) = slot }
+    s
+  }
+  val mns: Array[Long] = Array.fill(statsIdxs.length)(Long.MaxValue)
+  val mxs: Array[Long] = Array.fill(statsIdxs.length)(Long.MinValue)
   var rows: Long = 0L
 
   def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0
     while (i < schema.length) {
+      val slot = statSlot(i)
       if (!row.isNullAt(i)) {
         val f = schema(i)
         f.dataType match {
@@ -1203,16 +1231,17 @@ private[sources] class ParquetGroupWriter(path: String, schema: StructType,
           case other => throw new IllegalArgumentException(
             s"unsupported snapshot column type $other for ${f.name}")
         }
-        if (i == statsIdx) {
+        if (slot >= 0) {
           val v = f.dataType match {
             case LongType => row.getLong(i)
             case IntegerType => row.getInt(i).toLong
             case other => throw new IllegalArgumentException(
               s"statsCol must be long/int, got $other")
           }
-          mn = math.min(mn, v); mx = math.max(mx, v)
+          mns(slot) = math.min(mns(slot), v)
+          mxs(slot) = math.max(mxs(slot), v)
         }
-      } else if (i == statsIdx)
+      } else if (slot >= 0)
         throw new IllegalArgumentException(
           "statsCol may not contain NULLs (file min/max undefined)")
       i += 1
@@ -1224,23 +1253,21 @@ private[sources] class ParquetGroupWriter(path: String, schema: StructType,
   def close(): Unit = writer.close()
 }
 
-case class SnapshotCommitMsg(relPath: String, mn: Long, mx: Long,
+case class SnapshotCommitMsg(relPath: String, mns: Seq[Long],
+                             mxs: Seq[Long],
                              rows: Long) extends WriterCommitMessage
 
 class SnapshotBatchWrite(dir: String, writeSchema: StructType,
-                         overwrite: Boolean, statsCol: Option[String])
+                         overwrite: Boolean, statsCols: Seq[String])
     extends BatchWrite {
   // unique staging sub-dir: concurrent writers never collide on file
   // names, and nothing under data/ is live until a manifest names it
   private val sub = s"data/w${java.util.UUID.randomUUID().toString.take(8)}"
-  private val statsIdx = statsCol.map { c =>
-    val i = writeSchema.fieldNames.indexOf(c)
-    require(i >= 0, s"statsCol $c not in write schema"); i
-  }.getOrElse(-1)
+  private val statsIdxs = SnapshotWrite.statsIndexes(writeSchema, statsCols)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new SnapshotWriterFactory(dir, sub, writeSchema, statsIdx)
+    new SnapshotWriterFactory(dir, sub, writeSchema, statsIdxs)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect {
@@ -1253,15 +1280,17 @@ class SnapshotBatchWrite(dir: String, writeSchema: StructType,
         // so the committed version stays readable (delete() convention);
         // the parquet writer creates parent directories through the FS
         val rel = s"$sub/part-empty.parquet"
-        new ParquetGroupWriter(s"$dir/$rel", writeSchema, statsIdx).close()
-        Seq(SnapshotCommitMsg(rel, 0L, -1L, 0L))
+        new ParquetGroupWriter(s"$dir/$rel", writeSchema, statsIdxs).close()
+        Seq(SnapshotCommitMsg(rel, Seq.fill(statsIdxs.length)(0L),
+          Seq.fill(statsIdxs.length)(-1L), 0L))
       }
-    val stats = statsCol.map { c =>
+    val stats = statsCols.zipWithIndex.map { case (c, i) =>
       // an empty file's (MaxValue, MinValue) sentinel prunes always —
       // harmless and correct (may-contain semantics); normalize the
       // driver fallback's (0, -1) to the same always-prune shape
-      (c, staged.map(m => if (m.rows == 0L) (Long.MaxValue, Long.MinValue)
-                          else (m.mn, m.mx)))
+      (c, staged.map(m =>
+        if (m.rows == 0L) (Long.MaxValue, Long.MinValue)
+        else (m.mns(i), m.mxs(i))))
     }
     SnapshotTable.commitStagedFiles(dir, staged.map(_.relPath),
       writeSchema, overwrite, stats)
@@ -1276,10 +1305,10 @@ class SnapshotBatchWrite(dir: String, writeSchema: StructType,
 }
 
 class SnapshotWriterFactory(dir: String, sub: String, schema: StructType,
-                            statsIdx: Int) extends DataWriterFactory {
+                            statsIdxs: Array[Int]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new SnapshotDataWriter(dir, sub, schema, statsIdx, partitionId, taskId)
+    new SnapshotDataWriter(dir, sub, schema, statsIdxs, partitionId, taskId)
 }
 
 /** One parquet file per NON-EMPTY partition (empty partitions commit a
@@ -1290,17 +1319,19 @@ class SnapshotWriterFactory(dir: String, sub: String, schema: StructType,
   * path (create makes parents; executors on a real cluster stage
   * straight to the table's object store, never a local disk). */
 class SnapshotDataWriter(dir: String, sub: String, schema: StructType,
-                         statsIdx: Int, partitionId: Int, taskId: Long)
+                         statsIdxs: Array[Int], partitionId: Int,
+                         taskId: Long)
     extends DataWriter[InternalRow] {
   private val rel = f"$sub/part-$partitionId%05d-$taskId.parquet"
   private var w: ParquetGroupWriter = _
   override def write(row: InternalRow): Unit = {
-    if (w == null) w = new ParquetGroupWriter(s"$dir/$rel", schema, statsIdx)
+    if (w == null) w = new ParquetGroupWriter(s"$dir/$rel", schema, statsIdxs)
     w.write(row)
   }
   override def commit(): WriterCommitMessage =
-    if (w == null) SnapshotCommitMsg(null, 0L, -1L, 0L)
-    else { w.close(); SnapshotCommitMsg(rel, w.mn, w.mx, w.rows) }
+    if (w == null) SnapshotCommitMsg(null, Seq.empty, Seq.empty, 0L)
+    else { w.close(); SnapshotCommitMsg(rel, w.mns.toSeq, w.mxs.toSeq,
+      w.rows) }
   override def abort(): Unit = {
     if (w != null) w.close()
     SnapshotSource.deleteQuiet(s"$dir/$rel")

@@ -545,6 +545,69 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.manifestMinMax(dir, 2).isEmpty)
   }
 
+  test("multi-column manifest stats: two-predicate pruning compounds, " +
+    "appends/DML/restore carry every column, compact preserves the " +
+    "tracked set, results never change") {
+    val dir = Files.createTempDirectory("snap-mstats").toString
+    // b = a * 10: range-clustering on a also clusters b, so BOTH
+    // columns prune determinably
+    val df = (0L until 400L).map(i => (i, i * 10, s"r$i")).toDF("a", "b", "s")
+    SnapshotTable.commitMultiStats(spark,
+      df.repartitionByRange(8, col("a")), dir, statsCols = Seq("a", "b"))
+    assert(SnapshotTable.statsColumns(dir, 1) == Seq("a", "b"))
+    val all = SnapshotTable.manifestFiles(dir, 1)
+    // single-column bound prunes...
+    val onA = SnapshotTable.manifestFilesPruned(dir, 1,
+      Map("a" -> ((0L, 49L))))
+    assert(onA.nonEmpty && onA.length < all.length)
+    // ...and a second column's bound compounds (disjoint b-range)
+    val both = SnapshotTable.manifestFilesPruned(dir, 1,
+      Map("a" -> ((0L, 399L)), "b" -> ((3900L, 3990L))))
+    assert(both.nonEmpty && both.length < all.length)
+    // contradictory bounds prune everything
+    assert(SnapshotTable.manifestFilesPruned(dir, 1,
+      Map("a" -> ((0L, 49L)), "b" -> ((3900L, 3990L)))).isEmpty)
+    // pruned read = unpruned read (may-contain, never row-filtering)
+    val want = df.where(col("a") <= 120L && col("b") >= 500L)
+      .as[(Long, Long, String)].collect().toSet
+    val got = SnapshotTable.readSnapshotPrunedMulti(spark, dir,
+        Map("a" -> ((0L, 120L)), "b" -> ((500L, Long.MaxValue))))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want)
+    // append (multi-stats) carries both columns
+    SnapshotTable.commitMultiStats(spark,
+      (400L until 450L).map(i => (i, i * 10, s"r$i")).toDF("a", "b", "s"),
+      dir, statsCols = Seq("a", "b"))
+    assert(SnapshotTable.statsColumns(dir, 2) == Seq("a", "b"))
+    assert(SnapshotTable.readAllStats(dir, 2).forall(
+      _._2.length == SnapshotTable.manifestFiles(dir, 2).length))
+    // append covering only one base column refuses loudly
+    val half = intercept[IllegalArgumentException] {
+      SnapshotTable.commitMultiStats(spark,
+        (450L until 460L).map(i => (i, i * 10, s"r$i")).toDF("a", "b", "s"),
+        dir, statsCols = Seq("a"))
+    }
+    assert(half.getMessage.contains("cover every"))
+    // DML recomputes every column for rewritten files only
+    SnapshotTable.delete(spark, dir, col("a") < 10L)
+    assert(SnapshotTable.statsColumns(dir, 3) == Seq("a", "b"))
+    // post-DML pruning on b: the surviving band [100, 190] is present,
+    // and the deleted band [0, 89] (= a < 9) prunes to nothing because
+    // the rewrite re-tightened the touched file's recorded b-range
+    assert(SnapshotTable.manifestFilesPruned(dir, 3,
+      Map("b" -> ((100L, 190L)))).nonEmpty)
+    assert(SnapshotTable.manifestFilesPruned(dir, 3,
+      Map("b" -> ((0L, 89L)))).isEmpty)
+    // compact preserves the tracked set (clusters on the primary)
+    SnapshotTable.compact(spark, dir, numFiles = 3)
+    assert(SnapshotTable.statsColumns(dir, 4) == Seq("a", "b"))
+    assert(SnapshotTable.readSnapshot(spark, dir).count() == 440L)
+    // restore carries the whole stats map
+    SnapshotTable.restore(dir, 2)
+    assert(SnapshotTable.statsColumns(dir, 5) == Seq("a", "b"))
+    assert(SnapshotTable.readSnapshot(spark, dir).count() == 450L)
+  }
+
   test("manifests record per-file byte sizes: appends/DML/restore " +
     "carry them, every recorded size matches the file on disk, " +
     "pre-upgrade logs answer None") {

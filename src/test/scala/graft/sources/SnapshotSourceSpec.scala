@@ -193,6 +193,44 @@ class SnapshotSourceSpec extends SparkSpec {
       Seq(110L, 120L, 130L))
   }
 
+  test("MULTI-column stats: DSv2 predicates on every tracked column " +
+    "prune files, compound across columns, and write-path statsCol " +
+    "accepts a comma list") {
+    val dir = Files.createTempDirectory("graft-dsv2mprune").toString
+    // b = id * 10 so range-clustering on id clusters b too
+    val rows = (0L until 400L).map(i => (i, i * 10, i % 7))
+      .toDF("id", "b", "g")
+    SnapshotTable.commitMultiStats(spark,
+      rows.repartitionByRange(8, $"id"), dir, statsCols = Seq("id", "b"))
+    val full = load(dir)
+    assert(full.rdd.getNumPartitions == 8)
+    // a predicate on the SECOND column alone prunes
+    val onB = full.where($"b".between(1000L, 1490L))
+    assert(onB.rdd.getNumPartitions < 4,
+      s"no b pruning: ${onB.rdd.getNumPartitions} partitions")
+    assert(onB.count() == 50)
+    // predicates on both columns compound to the intersection
+    val both = full.where($"id" >= 100L && $"b" <= 1490L)
+    assert(both.rdd.getNumPartitions < 4,
+      s"no compound pruning: ${both.rdd.getNumPartitions} partitions")
+    assert(both.select(sum("id")).as[Long].head() == (100L to 149L).sum)
+    // min/max aggregate pushdown answers from EITHER column's stats
+    full.createOrReplaceTempView("mstats_t")
+    val agg = spark.sql("SELECT min(b) AS mn, max(b) AS mx FROM mstats_t")
+    assert(agg.queryExecution.executedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.as[(Long, Long)].head() == ((0L, 3990L)))
+    // DSv2 write path: .option("statsCol", "a,b") tracks both
+    val dir2 = Files.createTempDirectory("graft-dsv2mw").toString
+    rows.repartitionByRange(4, $"id").write
+      .format("graft.sources.SnapshotSource")
+      .option("statsCol", "id,b").mode("append").save(dir2)
+    assert(SnapshotTable.statsColumns(dir2, 1) == Seq("id", "b"))
+    val w = load(dir2).where($"b" < 500L)
+    assert(w.rdd.getNumPartitions < 3 && w.count() == 50)
+  }
+
   test("bare projection (count(*)) and single-column pruning read " +
     "without touching dropped columns") {
     val dir = Files.createTempDirectory("graft-dsv2cnt").toString
@@ -300,19 +338,21 @@ class SnapshotSourceSpec extends SparkSpec {
     val epochs = SnapshotTable.committedEpochs(dir, qid)
     assert(epochs.size == 2)
     val sw = new SnapshotStreamingWrite(dir,
-      load(dir).schema, statsCol = None, queryId = qid)
+      load(dir).schema, statsCols = Nil, queryId = qid)
     sw.commit(epochs.head,
-      Array(SnapshotCommitMsg("data/ghost.parquet", 0L, 0L, 1L)))
+      Array(SnapshotCommitMsg("data/ghost.parquet", Seq.empty, Seq.empty,
+        1L)))
     assert(SnapshotTable.versions(dir).size == 2, "replay double-committed")
     // a DIFFERENT query's epoch 0 must NOT collide with this one's:
     // dedup keys on the (queryId, epoch) PAIR, or a second stream with a
     // fresh checkpoint writing to the same table silently loses batches
     val other = new SnapshotStreamingWrite(dir,
-      load(dir).schema, statsCol = None, queryId = "otherquery")
+      load(dir).schema, statsCols = Nil, queryId = "otherquery")
     val rel = "data/sother/part-0.parquet"
-    new ParquetGroupWriter(s"$dir/$rel", load(dir).schema, -1).close()
+    new ParquetGroupWriter(s"$dir/$rel", load(dir).schema,
+      Array.empty).close()
     other.commit(epochs.head,
-      Array(SnapshotCommitMsg(rel, 0L, -1L, 0L)))
+      Array(SnapshotCommitMsg(rel, Seq.empty, Seq.empty, 0L)))
     assert(SnapshotTable.versions(dir).size == 3,
       "a second query's first epoch was silently dropped")
   }
