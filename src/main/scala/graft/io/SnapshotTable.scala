@@ -52,6 +52,11 @@ object SnapshotTable {
   private[graft] val clock =
     new scala.util.DynamicVariable[() => Long](() => System.currentTimeMillis())
 
+  // partition-tuple framing inside the base64 payload: values joined by
+  // \u0001, NULL spelled \u0000 (values may not contain either)
+  private val PartSep = "\u0001"
+  private val PartNull = "\u0000"
+
   private def logDir(dir: String) = new File(dir, "_log")
   private def manifestFile(dir: String, v: Int) =
     new File(logDir(dir), f"v$v%05d.json")
@@ -73,7 +78,9 @@ object SnapshotTable {
                             stats: Seq[(String, Seq[(Long, Long)])] = Nil,
                             schema: Option[StructType] = None,
                             knownRows: Map[String, Long] = Map.empty,
-                            knownSizes: Map[String, Long] = Map.empty)
+                            knownSizes: Map[String, Long] = Map.empty,
+                            parts: Option[(Seq[String],
+                              Seq[Seq[Option[String]]])] = None)
       : Unit = {
     // MULTI-COLUMN min/max file stats: the FIRST column keeps the
     // original stats_col/mins/maxs spelling (pre-multi manifests parse
@@ -139,10 +146,38 @@ object SnapshotTable {
         s""","sizes":[${sizes.map(_.get).mkString(",")}]"""
       else ""
     }
+    // HIVE-STYLE PARTITION COLUMNS (the Delta/Iceberg identity
+    // transform): the manifest records the partition column names and
+    // each file's exact value tuple — files are VALUE-PURE by
+    // construction ([[commitPartitioned]] writes one file set per
+    // value), so equality/IN predicates prune files exactly from
+    // manifest bytes. Unlike hive layout the partition column STAYS in
+    // the data files (partition-column-as-data, the reference's §3.1
+    // semantics — readers need no path reconstruction and RLE
+    // compresses a per-file constant to nothing). Value tuples are
+    // base64-framed (values may hold commas/quotes; base64's alphabet
+    // cannot collide with the manifest's regex parsing), columns joined
+    // by \u0001, NULL as a \u0000 marker.
+    val partsJson = parts.map { case (cols, vals) =>
+      require(vals.length == files.length,
+        s"pvals/files length mismatch: ${vals.length} != ${files.length}")
+      val encoded = vals.map { tuple =>
+        require(tuple.length == cols.length,
+          s"partition tuple arity ${tuple.length} != ${cols.length}")
+        tuple.foreach(_.foreach(s => require(
+          !s.contains(PartNull) && !s.contains(PartSep),
+          "partition values may not contain \\u0000/\\u0001")))
+        Base64.getEncoder.encodeToString(
+          tuple.map(_.getOrElse(PartNull)).mkString(PartSep)
+            .getBytes(UTF_8))
+      }
+      s""","pcols":[${cols.map(c => "\"" + c + "\"").mkString(",")}]""" +
+        s""","pvals":[${encoded.map(e => "\"" + e + "\"").mkString(",")}]"""
+    }.getOrElse("")
     val json = s"""{"version":$v,"action":"$action","ts":${clock.value()}""" +
       s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
-      xstatsJson + rowsJson + sizesJson + schemaJson + "}"
+      xstatsJson + rowsJson + sizesJson + partsJson + schemaJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
     // hard-link = the commit point, and a true COMPARE-AND-SWAP: link
@@ -198,6 +233,8 @@ object SnapshotTable {
   private val RowsRe = """"rows":\[([^\]]*)\]""".r.unanchored
   private val SizesRe = """"sizes":\[([^\]]*)\]""".r.unanchored
   private val XColsRe = """"xcols":\[([^\]]*)\]""".r.unanchored
+  private val PColsRe = """"pcols":\[([^\]]*)\]""".r.unanchored
+  private val PValsRe = """"pvals":\[([^\]]*)\]""".r.unanchored
   private def xMinsRe(i: Int) =
     (""""xmins""" + i + """":\[([^\]]*)\]""").r.unanchored
   private def xMaxsRe(i: Int) =
@@ -358,6 +395,35 @@ object SnapshotTable {
     }
   }
 
+  /** The hive-style partition columns recorded at `v` (empty for an
+    * unpartitioned version). */
+  def partitionColumns(dir: String, v: Int): Seq[String] =
+    manifestJson(dir, v) match {
+      case PColsRe(list) if list.nonEmpty =>
+        list.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      case _ => Nil
+    }
+
+  /** Per-file partition-value tuples at `v`, aligned with
+    * [[readManifest]]'s file order (None = the version is not
+    * partitioned). Each tuple is aligned with [[partitionColumns]];
+    * None inside a tuple = NULL partition value. */
+  def readPartValues(dir: String, v: Int)
+      : Option[Seq[Seq[Option[String]]]] =
+    manifestJson(dir, v) match {
+      case PValsRe(list) =>
+        Some(
+          if (list.isEmpty) Seq.empty
+          else list.split(",").toSeq.map { b64 =>
+            val raw = new String(Base64.getDecoder.decode(
+              b64.stripPrefix("\"").stripSuffix("\"")), UTF_8)
+            // -1: keep trailing empty values ("" is a legal value)
+            raw.split(PartSep, -1).toSeq.map(v =>
+              if (v == PartNull) None else Some(v))
+          })
+      case _ => None
+    }
+
   /** [[manifestFiles]] pruned on EVERY filtered stats column at once:
     * a file survives only if, for each (col → [lo, hi]) bound with
     * recorded stats, its [min, max] intersects — predicates on
@@ -365,16 +431,33 @@ object SnapshotTable {
     * records a stats map, not one column). Bounds on a column the
     * version does not track are ignored (may-contain stays sound). */
   def manifestFilesPruned(dir: String, v: Int,
-                          bounds: Map[String, (Long, Long)]): Seq[String] = {
+                          bounds: Map[String, (Long, Long)],
+                          partKeep: Map[String, Set[Option[String]]] =
+                            Map.empty): Seq[String] = {
     val files = readManifest(dir, v)
-    if (bounds.isEmpty) return files
+    if (bounds.isEmpty && partKeep.isEmpty) return files
     val tracked = readAllStats(dir, v).toMap
     val active = bounds.toSeq.flatMap { case (c, b) =>
       tracked.get(c).map(mm => (b, mm))
     }
+    // partition-value equality prune: a file survives only if its
+    // recorded tuple value is IN the kept set for every constrained
+    // partition column (constraints on non-partition columns are
+    // ignored — may-contain stays sound). Files are value-pure, so
+    // this prune is EXACT, not just may-contain.
+    val pcols = partitionColumns(dir, v)
+    val pvals = readPartValues(dir, v)
+    val activeParts: Seq[(Int, Set[Option[String]])] =
+      if (pvals.isEmpty) Nil
+      else partKeep.toSeq.flatMap { case (c, keep) =>
+        val i = pcols.indexOf(c)
+        if (i < 0) None else Some((i, keep))
+      }
     files.zipWithIndex.collect {
       case (f, i) if active.forall { case ((lo, hi), mm) =>
         val (mn, mx) = mm(i); mx >= lo && mn <= hi
+      } && activeParts.forall { case (pi, keep) =>
+        keep.contains(pvals.get(i)(pi))
       } => f
     }
   }
@@ -479,25 +562,38 @@ object SnapshotTable {
     * stats-bearing table requires every prior version to carry stats
     * (enforced; half-stated metadata would silently disable pruning). */
   /** One bounded metadata job over the files under `$dir/$sub`:
-    * per-file (min, max) of EVERY column in `cols` (a single pass
-    * however many stats columns the table tracks), keyed by bare file
-    * name; values aligned with `cols`. */
-  private def fileStats(spark: SparkSession, dir: String, sub: String,
-                        cols: Seq[String])
-      : Map[String, Seq[(Long, Long)]] = {
+    * per-file (min, max) of every stats column AND the per-file
+    * partition-value tuple (files are value-pure by construction, so
+    * min(cast(c as string)) IS the file's value; an all-NULL partition
+    * file answers None), keyed by bare file name. A single pass
+    * however many columns the table tracks. */
+  private def fileMeta(spark: SparkSession, dir: String, sub: String,
+                       statsCols: Seq[String], partCols: Seq[String])
+      : Map[String, (Seq[(Long, Long)], Seq[Option[String]])] = {
     import org.apache.spark.sql.functions._
-    val aggs = cols.flatMap(c => Seq(
+    val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"mn_$c"),
-      max(col(c)).cast("long").as(s"mx_$c")))
+      max(col(c)).cast("long").as(s"mx_$c"))) ++
+      partCols.map(c => min(col(c).cast("string")).as(s"pv_$c"))
     spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val name = r.getString(0).substring(
-          r.getString(0).lastIndexOf('/') + 1)
-        name -> cols.indices.map(i =>
+        // key by the FULL sub-relative path, not the bare name: a
+        // partitioned write reuses identical part-file names across
+        // partition directories (same task id + job uuid), so bare
+        // names collide
+        val abs = r.getString(0)
+        val idx = abs.indexOf(s"/$sub/")
+        require(idx >= 0, s"file $abs not under staging dir $sub")
+        val rel = abs.substring(idx + 1)
+        val stats = statsCols.indices.map(i =>
           (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))).toSeq
+        val base = 1 + 2 * statsCols.length
+        val parts = partCols.indices.map(j =>
+          Option(r.getString(base + j))).toSeq
+        rel -> ((stats, parts))
       }.toMap
   }
 
@@ -564,6 +660,14 @@ object SnapshotTable {
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
       else readManifest(dir, prev.last)
+    // externally staged writers (DSv2 INSERT, streaming sink) record no
+    // partition values: appending their files to a partitioned table
+    // would half-state the manifest — refuse toward the API tier
+    if (base.nonEmpty)
+      require(partitionColumns(dir, prev.last).isEmpty,
+        s"append to a PARTITIONED snapshot table at $dir must go " +
+          "through commitPartitioned (external writers record no " +
+          "partition values); overwrite resets partitioning")
     // appends onto a stats-bearing version must cover EVERY column the
     // base tracks (a column silently dropped would half-state the
     // manifest and disable its pruning without a trace)
@@ -696,6 +800,76 @@ object SnapshotTable {
     publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCols)
   }
 
+  private[graft] val PartDupPrefix = "__part_"
+
+  private def supportedPartType(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  /** The canonical string form of a partition value — the write side
+    * records `cast(col as string)` and the prune side converts typed
+    * predicate literals with THIS function; restricting partition
+    * columns to atomic types (string/integral/boolean/date) is what
+    * makes the two spellings agree exactly. */
+  private[graft] def partValueString(v: Any): String = v match {
+    case d: java.sql.Date => d.toString          // yyyy-MM-dd
+    case d: java.time.LocalDate => d.toString    // yyyy-MM-dd
+    case other => other.toString
+  }
+
+  /** Commit `df` HIVE-PARTITIONED by `partCols` (identity transform —
+    * the Delta/Iceberg table-partitioning model): the write lands one
+    * VALUE-PURE file set per partition tuple (a duplicated
+    * `__part_<c>` column drives `partitionBy`, so the real column
+    * STAYS in the data files — partition-column-as-data, the
+    * reference's §3.1 semantics, and readers need zero path
+    * reconstruction), and the manifest records each file's exact value
+    * tuple. Planning then prunes partitions from MANIFEST BYTES on
+    * equality/IN/IS NULL predicates — exact, not may-contain, because
+    * files are value-pure. Appends must keep the same partitioning
+    * (refused loudly otherwise); an overwrite may repartition the
+    * table. Stats columns compound with partitioning (`statsCols` —
+    * the same one-pass metadata job collects both). At 100 TB this is
+    * the first-order scan reducer: a daily-partitioned table answers a
+    * one-day query from one partition's files before stats or Blooms
+    * even run. */
+  def commitPartitioned(spark: SparkSession, df: DataFrame, dir: String,
+                        partCols: Seq[String],
+                        overwrite: Boolean = false,
+                        statsCols: Seq[String] = Nil): Int = {
+    require(partCols.nonEmpty, "commitPartitioned needs partition columns")
+    require(partCols.distinct.length == partCols.length,
+      s"duplicate partition columns: ${partCols.mkString(",")}")
+    partCols.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in ${df.columns.mkString(",")}"))
+      require(supportedPartType(f.dataType),
+        s"partition column '$c' has unsupported type " +
+          s"${f.dataType.simpleString} (atomic string/integral/boolean/" +
+          "date only — canonical string forms must round-trip)")
+    }
+    logDir(dir).mkdirs()
+    val prev = versions(dir)
+    val v = prev.lastOption.getOrElse(0) + 1
+    val sub = f"data/v$v%05d"
+    val dups = partCols.map(c => PartDupPrefix + c)
+    import org.apache.spark.sql.functions.col
+    df.select(df.columns.map(col) ++
+        partCols.zip(dups).map { case (c, d) => col(c).as(d) }: _*)
+      .write.mode("overwrite").partitionBy(dups: _*)
+      .parquet(s"$dir/$sub")
+    publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCols,
+      partCols)
+  }
+
   /** Publish a commit whose data files are already staged under `sub`:
     * list them, compute/carry stats, evolve the schema, write the
     * manifest. The rename inside [[writeManifest]] is the atomic
@@ -703,7 +877,8 @@ object SnapshotTable {
   private def publishStaged(spark: SparkSession, df: DataFrame, dir: String,
                             prev: Seq[Int], v: Int, sub: String,
                             overwrite: Boolean,
-                            statsCols: Seq[String]): Int = {
+                            statsCols: Seq[String],
+                            partCols: Seq[String] = Nil): Int = {
     val written = listWritten(dir, sub)
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
@@ -715,6 +890,19 @@ object SnapshotTable {
           s"${prev.last} tracks ${prevCols.mkString(",")} — cover every " +
           "base column or commit stats-free")
     }
+    // an append must keep the base's partitioning exactly: a version
+    // whose files mix partitioned and unpartitioned provenance could
+    // not record truthful per-file values, so it is refused, not
+    // half-stated (overwrite resets partitioning like schema/stats)
+    if (base.nonEmpty) {
+      val prevP = partitionColumns(dir, prev.last)
+      require(prevP == partCols,
+        s"append partitioned by [${partCols.mkString(",")}] onto " +
+          s"version ${prev.last} partitioned by [${prevP.mkString(",")}]" +
+          " — appends must keep the table's partitioning " +
+          "(commitPartitioned with the same columns); only an " +
+          "overwrite may repartition")
+    }
     val prevAll: Map[String, Seq[(Long, Long)]] =
       if (base.isEmpty) Map.empty else readAllStats(dir, prev.last).toMap
     val ordered =
@@ -723,20 +911,28 @@ object SnapshotTable {
         val prevOrder = statsColumns(dir, prev.last).zipWithIndex.toMap
         statsCols.sortBy(c => prevOrder.getOrElse(c, Int.MaxValue))
       }
+    val meta: Map[String, (Seq[(Long, Long)], Seq[Option[String]])] =
+      if (ordered.isEmpty && partCols.isEmpty) Map.empty
+      else fileMeta(spark, dir, sub, ordered, partCols)
     val stats: Seq[(String, Seq[(Long, Long)])] =
-      if (ordered.isEmpty) Nil
+      ordered.zipWithIndex.map { case (c, i) =>
+        val carried =
+          if (base.isEmpty) Seq.empty
+          else prevAll.getOrElse(c, throw new IllegalStateException(
+            s"append with statsCol=$c onto version ${prev.last} which " +
+              "has no stats for it"))
+        (c, carried ++ written.map(f => meta(f)._1(i)))
+      }
+    val parts: Option[(Seq[String], Seq[Seq[Option[String]]])] =
+      if (partCols.isEmpty) None
       else {
-        val byFile = fileStats(spark, dir, sub, ordered)
-        ordered.zipWithIndex.map { case (c, i) =>
-          val carried =
-            if (base.isEmpty) Seq.empty
-            else prevAll.getOrElse(c, throw new IllegalStateException(
-              s"append with statsCol=$c onto version ${prev.last} which " +
-                "has no stats for it"))
-          (c, carried ++ written.map { f =>
-            byFile(f.substring(f.lastIndexOf('/') + 1))(i)
-          })
-        }
+        val carried: Seq[Seq[Option[String]]] =
+          if (base.isEmpty) Seq.empty
+          else readPartValues(dir, prev.last).getOrElse(
+            throw new IllegalStateException(
+              s"version ${prev.last} declares partition columns but " +
+                "records no values"))
+        Some((partCols, carried ++ written.map(f => meta(f)._2)))
       }
     // carried base files keep their recorded counts — an append never
     // re-reads the footers of the history it builds on
@@ -749,7 +945,8 @@ object SnapshotTable {
       base ++ written, stats, evolvedSchema(dir, prev, df, overwrite),
       knownRows = carriedRows,
       knownSizes = if (base.isEmpty) Map.empty
-                   else sizeMap(dir, prev.last))
+                   else sizeMap(dir, prev.last),
+      parts = parts)
     v
   }
 
@@ -873,8 +1070,8 @@ object SnapshotTable {
         val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
         reader.parquet(touched.map(f => s"$dir/$f"): _*)
       }
-    graft.ops.Merge.upsert(base, src, keys)
-      .write.mode("overwrite").parquet(s"$dir/$sub")
+    writeMaybePartitioned(dir, prevV,
+      graft.ops.Merge.upsert(base, src, keys), sub)
     val written = listWritten(dir, sub)
     publish(spark, dir, prevV, v, untouched, written, "merge", schema)
   }
@@ -920,8 +1117,8 @@ object SnapshotTable {
       else {
         val sub = f"data/v$v%05d"
         val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        rewrite(reader.parquet(touched.map(f => s"$dir/$f"): _*))
-          .write.mode("overwrite").parquet(s"$dir/$sub")
+        writeMaybePartitioned(dir, prevV,
+          rewrite(reader.parquet(touched.map(f => s"$dir/$f"): _*)), sub)
         listWritten(dir, sub)
       }
     require(untouched.nonEmpty || written.nonEmpty,
@@ -929,12 +1126,41 @@ object SnapshotTable {
     publish(spark, dir, prevV, v, untouched, written, action, schema)
   }
 
+  /** Stage a DML rewrite's output under `$dir/$sub`, keeping the
+    * table's partition layout when it has one: the rewrite re-splits by
+    * partition value (the duplicated-column `partitionBy` trick of
+    * [[commitPartitioned]]), so rewritten files stay VALUE-PURE — an
+    * UPDATE that moves a row across partition values lands it in the
+    * right file set, and [[publish]] re-derives truthful per-file
+    * values from the written data. */
+  private def writeMaybePartitioned(dir: String, prevV: Int,
+                                    out: DataFrame, sub: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val pcols = partitionColumns(dir, prevV)
+    if (pcols.isEmpty) out.write.mode("overwrite").parquet(s"$dir/$sub")
+    else {
+      val dups = pcols.map(c => PartDupPrefix + c)
+      out.select(out.columns.map(col) ++
+          pcols.zip(dups).map { case (c, d) => col(c).as(d) }: _*)
+        .write.mode("overwrite").partitionBy(dups: _*)
+        .parquet(s"$dir/$sub")
+    }
+  }
+
   /** The parquet files a just-finished write landed under `$dir/$sub`,
-    * as manifest-relative paths. */
-  private def listWritten(dir: String, sub: String): Seq[String] =
-    Option(new File(dir, sub).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(f => s"$sub/${f.getName}").sorted.toSeq
+    * as manifest-relative paths — RECURSIVE, so a partitioned layout's
+    * `__part_c=v/part-*.parquet` leaves list too. */
+  private def listWritten(dir: String, sub: String): Seq[String] = {
+    def walk(f: File, rel: String): Seq[String] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      kids.flatMap { k =>
+        if (k.isDirectory) walk(k, s"$rel/${k.getName}")
+        else if (k.getName.endsWith(".parquet")) Seq(s"$rel/${k.getName}")
+        else Seq.empty
+      }.toSeq
+    }
+    walk(new File(dir, sub), sub).sorted
+  }
 
   /** Publish a DML commit: carry untouched files' stats, recompute the
     * rewritten files', write the manifest. `writtenSub` is the staging
@@ -950,10 +1176,11 @@ object SnapshotTable {
     val untouchedSet = untouched.toSet
     val prevAll = readAllStats(dir, prevV)
     val cols = prevAll.map(_._1)
-    val byFile: Map[String, Seq[(Long, Long)]] =
-      if (cols.isEmpty || written.isEmpty) Map.empty
-      else fileStats(spark, dir,
-        writtenSub.getOrElse(f"data/v$v%05d"), cols)
+    val pcols = partitionColumns(dir, prevV)
+    val meta: Map[String, (Seq[(Long, Long)], Seq[Option[String]])] =
+      if ((cols.isEmpty && pcols.isEmpty) || written.isEmpty) Map.empty
+      else fileMeta(spark, dir,
+        writtenSub.getOrElse(f"data/v$v%05d"), cols, pcols)
     val stats = prevAll.zipWithIndex.map { case ((c, prevStats), i) =>
       val carried = files.zip(prevStats).collect {
         case (f, mm) if untouchedSet(f) => f -> mm
@@ -962,16 +1189,36 @@ object SnapshotTable {
       // has no stats group: the (MaxValue, MinValue) sentinel prunes
       // always — correct under may-contain semantics
       (c, (untouched.map(f => carried(f)) ++ written.map { f =>
-        byFile.get(f.substring(f.lastIndexOf('/') + 1)).map(_(i))
+        meta.get(f).map(_._1(i))
           .getOrElse((Long.MaxValue, Long.MinValue))
       }))
     }
+    // partition values: untouched files carry their recorded tuples,
+    // rewritten files get values re-derived from the written data (the
+    // rewrite keeps value purity via writeMaybePartitioned); the
+    // zero-row anchor records an all-NULL tuple (prunes under any
+    // equality, matches nothing — it holds nothing)
+    val parts: Option[(Seq[String], Seq[Seq[Option[String]]])] =
+      if (pcols.isEmpty) None
+      else {
+        val carried = files.zip(readPartValues(dir, prevV).getOrElse(
+          throw new IllegalStateException(
+            s"version $prevV declares partition columns but records " +
+              "no values"))).collect {
+          case (f, t) if untouchedSet(f) => f -> t
+        }.toMap
+        Some((pcols, untouched.map(carried) ++ written.map { f =>
+          meta.get(f).map(_._2)
+            .getOrElse(Seq.fill(pcols.length)(None))
+        }))
+      }
     // extra entries are harmless: knownRows is consulted per manifest
     // file, and a rewritten file's fresh name is never in the old map
     val carriedRows = readRows(dir, prevV)
       .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
     writeManifest(dir, v, action, untouched ++ written, stats, schema,
-      knownRows = carriedRows, knownSizes = sizeMap(dir, prevV))
+      knownRows = carriedRows, knownSizes = sizeMap(dir, prevV),
+      parts = parts)
     v
   }
 
@@ -1043,6 +1290,34 @@ object SnapshotTable {
       .where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
+  /** Partition-pruned read: plans ONLY the files whose recorded
+    * partition tuple matches every (column → value) in `eq` (exact —
+    * files are value-pure), then re-applies the predicate row-level
+    * (defense in depth; it is free on a pruned scan). A `null` value
+    * selects the NULL partition. Keys must name partition columns of
+    * the version — a typo'd column would otherwise silently scan
+    * everything. (`partEq`, not `eq`: AnyRef.eq shadows.) */
+  def readSnapshotPartitioned(spark: SparkSession, dir: String,
+                              partEq: Map[String, Any],
+                              asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(partEq.nonEmpty, "readSnapshotPartitioned needs predicates")
+    val v = resolveVersion(dir, asOf)
+    val pcols = partitionColumns(dir, v)
+    partEq.keys.foreach(c => require(pcols.contains(c),
+      s"'$c' is not a partition column of v$v (have " +
+        s"${pcols.mkString(",")})"))
+    val keep = partEq.map { case (c, x) =>
+      c -> Set(Option(x).map(partValueString))
+    }
+    val kept = manifestFilesPruned(dir, v, Map.empty, keep)
+    val pred = partEq.map { case (c, x) =>
+      if (x == null) col(c).isNull else col(c) === lit(x)
+    }.reduce(_ && _)
+    if (kept.isEmpty) readSnapshot(spark, dir, Some(v)).where(lit(false))
+    else planRead(spark, dir, v, kept).where(pred)
+  }
+
   /** [[readSnapshotPruned]] over SEVERAL columns at once: plans only
     * the files whose recorded [min, max] intersects EVERY given bound
     * (bounds on untracked columns are ignored — may-contain stays
@@ -1084,16 +1359,24 @@ object SnapshotTable {
     * append logs at 100 TB: scan tasks per file, not per byte. */
   def compact(spark: SparkSession, dir: String, numFiles: Int,
               statsCol: Option[String] = None): Int = {
-    // the compacted version keeps tracking EVERY stats column the
-    // current version tracks (an OPTIMIZE that silently dropped a
-    // column's stats would disable its pruning without a trace);
-    // range-clustering stays single-column — the given one, else the
-    // table's primary
-    val cluster = statsCol.orElse(
-      statsColumn(dir, resolveVersion(dir)))
-    val cols = (cluster.toSeq ++
-      statsColumns(dir, resolveVersion(dir))).distinct
-    commitMultiStats(spark,
+    // the compacted version keeps tracking EVERY stats column AND the
+    // partitioning the current version carries (an OPTIMIZE that
+    // silently dropped either would disable its pruning without a
+    // trace); range-clustering stays single-column — the given one,
+    // else the table's primary
+    val cur = resolveVersion(dir)
+    val cluster = statsCol.orElse(statsColumn(dir, cur))
+    val cols = (cluster.toSeq ++ statsColumns(dir, cur)).distinct
+    val pcols = partitionColumns(dir, cur)
+    if (pcols.nonEmpty) {
+      // hash-split into <= numFiles tasks: each partition value lands
+      // in exactly one task, so partitionBy writes ~one file per value
+      import org.apache.spark.sql.functions.col
+      commitPartitioned(spark,
+        readSnapshot(spark, dir)
+          .repartition(numFiles, pcols.map(col): _*),
+        dir, pcols, overwrite = true, statsCols = cols)
+    } else commitMultiStats(spark,
       // range-repartition on the cluster column when there is one, so
       // the compacted files carry TIGHT disjoint ranges (stats + layout
       // compound); plain repartition otherwise
@@ -1186,9 +1469,11 @@ object SnapshotTable {
     val files = readManifest(dir, v)
     val carried = readRows(dir, v)
       .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
+    val parts = readPartValues(dir, v).map(pv =>
+      (partitionColumns(dir, v), pv))
     writeManifest(dir, next, s"overwrite@restore$v",
       files, stats, readSchema(dir, v), knownRows = carried,
-      knownSizes = sizeMap(dir, v))
+      knownSizes = sizeMap(dir, v), parts = parts)
     next
   }
 

@@ -845,6 +845,50 @@ object IoQueries {
       .orderBy("leg")
   }
 
+  /** HIVE-STYLE PARTITIONED snapshot table (q236,
+    * [[graft.io.SnapshotTable.commitPartitioned]]): the Delta/Iceberg
+    * identity-partitioning model on the snapshot log — one value-pure
+    * file set per partition value, the exact value tuple recorded in
+    * the manifest, and the partition column kept IN the data files
+    * (partition-column-as-data, the reference's §3.1 semantics:
+    * selecting the column needs no path reconstruction). Planning
+    * prunes partitions from manifest bytes on equality/IN — EXACT, not
+    * may-contain, because files are value-pure — and stats columns
+    * compound on top (leg 3 carries a partition equality AND a doc_id
+    * range, so the scan opens one partition's overlapping files only;
+    * SnapshotSourceSpec asserts the partition-count drop plan-side).
+    * Leg 1 = one-partition equality, leg 2 = IN over two partitions,
+    * leg 3 = partition ∧ range compound, leg 4 reads the partition
+    * column itself back from file bytes. At 100 TB this is the
+    * first-order scan reducer: a day-partitioned corpus answers a
+    * one-day query from one partition before stats or Blooms run. */
+  def snapshotPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snappart").toString
+    val st = graft.io.SnapshotTable
+    st.commitPartitioned(s, docs, t, Seq("source"),
+      statsCols = Seq("doc_id"))
+    s.read.format("graft.sources.SnapshotSource").load(t)
+      .createOrReplaceTempView("q236_snap")
+    def leg(n: Int, where: String) = s.sql(
+      s"""SELECT $n AS leg, count(*) AS n_docs,
+         |  coalesce(sum(doc_id), 0L) AS sum_id,
+         |  coalesce(sum(n_chars), 0L) AS sum_chars
+         |FROM q236_snap WHERE $where""".stripMargin)
+    val legs = leg(1, "source = 'src3'")
+      .unionAll(leg(2, "source IN ('src1', 'src8')"))
+      .unionAll(leg(3, "source = 'src5' AND doc_id >= 100"))
+    // leg 4: the partition column read back AS DATA (one group row per
+    // matched partition value, proving the column lives in file bytes)
+    val leg4 = s.sql(
+      """SELECT 4 AS leg, count(*) AS n_docs,
+        |  coalesce(sum(doc_id), 0L) AS sum_id,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS sum_chars
+        |FROM q236_snap WHERE source IN ('src2', 'src7')""".stripMargin)
+    legs.unionAll(leg4).orderBy("leg")
+  }
+
   /** SQL UPDATE + MERGE INTO through the catalog (q232,
     * [[graft.sources.SnapshotRowLevelOperation]]): the last two
     * lakehouse DML verbs that previously existed only as API calls

@@ -26,7 +26,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -257,6 +257,15 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
     require(!props.contains("versionAsOf") &&
       !props.contains("timestampAsOf"),
       s"${info.command()} on a time-traveled read: history is immutable")
+    // the SQL rewrite writes through the row-at-a-time DSv2 writer,
+    // which records no partition values — publishing its files onto a
+    // partitioned table would half-state the manifest; the API tier
+    // (SnapshotTable.delete/update/merge) IS partition-aware
+    require(SnapshotTable.partitionColumns(dir,
+        SnapshotTable.resolveVersion(dir)).isEmpty,
+      s"SQL ${info.command()} on a PARTITIONED snapshot table: use the " +
+        "API DML tier (SnapshotTable.delete/update/merge), which " +
+        "rewrites partition-aware")
     () => new SnapshotRowLevelOperation(dir, tableSchema, info.command(),
       props)
   }
@@ -388,8 +397,13 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private val statsCols = SnapshotTable.statsColumns(dir, version).toSet
+  private val partCols = SnapshotTable.partitionColumns(dir, version).toSet
   private val bounds =
     scala.collection.mutable.Map.empty[String, (Long, Long)]
+  // partition column -> surviving value set (None = the NULL partition);
+  // successive predicates intersect
+  private val partKeep =
+    scala.collection.mutable.Map.empty[String, Set[Option[String]]]
   private var pushed = Array.empty[Filter]
   private var required: StructType = tableSchema
   private var aggResult: Option[(StructType, Array[Long])] = None
@@ -406,6 +420,12 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       case None => (lo, hi)
     }
 
+  private def keepVals(c: String, vs: Set[Option[String]]): Unit =
+    partKeep(c) = partKeep.get(c).map(_.intersect(vs)).getOrElse(vs)
+
+  private def partLit(v: Any): Option[String] =
+    Option(v).map(SnapshotTable.partValueString)
+
   /** Range/equality filters on ANY recorded stats column narrow the
     * FILE LIST — predicates on different columns compound (each column
     * prunes independently and a file must survive them all); every
@@ -414,7 +434,18 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
     * contract. `pushedFilters` reports the pruning set for explain. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def tracked(a: String): Boolean = statsCols.contains(a)
+    def isPart(a: String): Boolean = partCols.contains(a)
     pushed = filters.filter {
+      // PARTITION pruning first (exact — files are value-pure); a
+      // column that is both partition and stats prunes by value here
+      case EqualTo(a, v) if isPart(a) && v != null =>
+        keepVals(a, Set(partLit(v))); true
+      case EqualNullSafe(a, v) if isPart(a) =>
+        keepVals(a, Set(partLit(v))); true
+      case In(a, vs) if isPart(a) && vs.nonEmpty =>
+        keepVals(a, vs.map(partLit).toSet); true
+      case IsNull(a) if isPart(a) =>
+        keepVals(a, Set(None)); true
       case EqualTo(a, v) if tracked(a) =>
         longOf(v).exists { l => narrow(a, l, l); true }
       case GreaterThan(a, v) if tracked(a) =>
@@ -515,7 +546,7 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
 
   private def buildFileScan(): Scan = {
     val files = SnapshotTable.manifestFilesPruned(dir, version,
-        bounds.toMap)
+        bounds.toMap, partKeep.toMap)
       .map(f => s"$dir/$f")
     // recorded per-file byte sizes (absolute-path-keyed): splits and
     // statistics plan from manifest bytes — zero status calls
@@ -527,8 +558,8 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       props.contains("startingTimestamp")),
       "startingVersion and startingTimestamp are mutually exclusive")
     SnapshotScan(dir, files, required, version,
-      Option(bounds.keys.toSeq.sorted.mkString(","))
-        .filter(_.nonEmpty),
+      Option((bounds.keys ++ partKeep.keys).toSeq.distinct.sorted
+        .mkString(",")).filter(_.nonEmpty),
       props.get("startingVersion").map(_.trim.toInt),
       props.get("ignoreRewrites").exists(_.trim.toBoolean),
       props.get("maxSplitBytes").map(_.trim.toLong)

@@ -545,6 +545,82 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.manifestMinMax(dir, 2).isEmpty)
   }
 
+  test("hive-style partition columns: value-pure files, exact manifest " +
+    "pruning, partition-column-as-data, DML/compact/restore keep the " +
+    "layout, append with different partitioning refuses") {
+    val dir = Files.createTempDirectory("snap-part").toString
+    val df = (0L until 300L).map(i =>
+      (i, s"src${i % 3}", i * 2)).toDF("id", "source", "n")
+    SnapshotTable.commitPartitioned(spark, df, dir, Seq("source"),
+      statsCols = Seq("id"))
+    assert(SnapshotTable.partitionColumns(dir, 1) == Seq("source"))
+    val files = SnapshotTable.manifestFiles(dir, 1)
+    val pvals = SnapshotTable.readPartValues(dir, 1).get
+    assert(pvals.length == files.length)
+    assert(pvals.flatten.flatten.toSet == Set("src0", "src1", "src2"))
+    // value purity: each file's recorded value matches ALL its rows
+    files.zip(pvals).foreach { case (f, Seq(v)) =>
+      val got = spark.read.parquet(s"$dir/$f").select("source")
+        .distinct().as[String].collect().toSeq
+      assert(got == Seq(v.get), s"$f not value-pure")
+    }
+    // partition-column-as-data: the column reads back from file bytes
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .where(col("source") === "src1").count() == 100L)
+    // exact pruning by value
+    val kept = SnapshotTable.manifestFilesPruned(dir, 1, Map.empty,
+      Map("source" -> Set(Option("src1"))))
+    assert(kept.nonEmpty && kept.length < files.length)
+    assert(kept.forall(f => files.zip(pvals).toMap.apply(f) ==
+      Seq(Some("src1"))))
+    // pruned read is value-exact
+    val got = SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("source" -> "src2")).as[(Long, String, Long)].collect().toSet
+    assert(got == df.where(col("source") === "src2")
+      .as[(Long, String, Long)].collect().toSet)
+    // append must keep the partitioning — same cols ok, others refuse
+    SnapshotTable.commitPartitioned(spark,
+      (300L until 330L).map(i => (i, s"src${i % 3}", i * 2))
+        .toDF("id", "source", "n"), dir, Seq("source"),
+      statsCols = Seq("id"))
+    assert(SnapshotTable.readPartValues(dir, 2).get.length ==
+      SnapshotTable.manifestFiles(dir, 2).length)
+    val wrongCols = intercept[IllegalArgumentException] {
+      SnapshotTable.commitPartitioned(spark,
+        (330L until 340L).map(i => (i, s"src${i % 3}", i * 2))
+          .toDF("id", "source", "n"), dir, Seq("id"))
+    }
+    assert(wrongCols.getMessage.contains("partitioned by"))
+    val plainAppend = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark,
+        (340L until 350L).map(i => (i, s"src${i % 3}", i * 2))
+          .toDF("id", "source", "n"), dir)
+    }
+    assert(plainAppend.getMessage.contains("partitioned"))
+    // CoW delete keeps value purity + carried values (+ an UPDATE that
+    // MOVES rows across partition values re-files them correctly)
+    SnapshotTable.delete(spark, dir, col("id") < 30L)
+    assert(SnapshotTable.partitionColumns(dir, 3) == Seq("source"))
+    assert(SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("source" -> "src0")).count() ==
+      df.where(col("source") === "src0" && col("id") >= 30L).count() + 10)
+    SnapshotTable.update(spark, dir, col("id") === 31L,
+      Map("source" -> lit("src2")))
+    val moved = SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("source" -> "src2")).where(col("id") === 31L)
+    assert(moved.count() == 1L)
+    // compact preserves partitioning and stats; restore carries values
+    SnapshotTable.compact(spark, dir, numFiles = 2)
+    val curV = SnapshotTable.versions(dir).last
+    assert(SnapshotTable.partitionColumns(dir, curV) == Seq("source"))
+    assert(SnapshotTable.statsColumns(dir, curV) == Seq("id"))
+    SnapshotTable.restore(dir, 2)
+    val resV = SnapshotTable.versions(dir).last
+    assert(SnapshotTable.partitionColumns(dir, resV) == Seq("source"))
+    assert(SnapshotTable.readPartValues(dir, resV).get.length ==
+      SnapshotTable.manifestFiles(dir, resV).length)
+  }
+
   test("multi-column manifest stats: two-predicate pruning compounds, " +
     "appends/DML/restore carry every column, compact preserves the " +
     "tracked set, results never change") {

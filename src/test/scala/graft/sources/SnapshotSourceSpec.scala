@@ -231,6 +231,46 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(w.rdd.getNumPartitions < 3 && w.count() == 50)
   }
 
+  test("PARTITIONED tables through DSv2: equality/IN/IS NULL prune " +
+    "partitions exactly at planning, answers stay value-exact, SQL " +
+    "DML refuses toward the partition-aware API tier") {
+    val dir = Files.createTempDirectory("graft-dsv2part").toString
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 5 == 4) null else s"g${i % 4}", i * 3))
+      .toDF("id", "grp", "n")
+    SnapshotTable.commitPartitioned(spark, rows, dir, Seq("grp"))
+    val full = load(dir)
+    val allParts = full.rdd.getNumPartitions
+    assert(allParts >= 5) // 4 values + the NULL partition
+    // equality prunes to one partition's files
+    val one = full.where($"grp" === "g1")
+    assert(one.rdd.getNumPartitions < allParts / 2,
+      s"no partition pruning: ${one.rdd.getNumPartitions} of $allParts")
+    assert(one.select(sum("id")).as[Long].head() ==
+      (0L until 300L).filter(i => i % 4 == 1 && i % 5 != 4).sum)
+    // IN keeps exactly the named partitions
+    val two = full.where($"grp".isin("g0", "g3"))
+    assert(two.rdd.getNumPartitions < allParts)
+    assert(two.count() ==
+      (0L until 300L).count(i => (i % 4 == 0 || i % 4 == 3) && i % 5 != 4))
+    // IS NULL selects the NULL partition
+    val nul = full.where($"grp".isNull)
+    assert(nul.rdd.getNumPartitions < allParts / 2)
+    assert(nul.count() == (0L until 300L).count(_ % 5 == 4))
+    // contradictory equalities prune everything, schema intact
+    val none = full.where($"grp" === "g1" && $"grp" === "g2")
+    assert(none.count() == 0L)
+    // SQL UPDATE refuses toward the API tier on a partitioned table
+    spark.conf.set("spark.sql.catalog.gpart_cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gpart_cat.root",
+      new java.io.File(dir).getParent)
+    val name = new java.io.File(dir).getName
+    val err = intercept[Exception](
+      spark.sql(s"UPDATE gpart_cat.`$name` SET n = 0 WHERE id = 1"))
+    assert(err.getMessage.contains("PARTITIONED"), err.getMessage)
+  }
+
   test("bare projection (count(*)) and single-column pruning read " +
     "without touching dropped columns") {
     val dir = Files.createTempDirectory("graft-dsv2cnt").toString
