@@ -267,6 +267,8 @@ object SparkEntry {
     "q233_unigram_shrink" -> LlmQueries.unigramShrinkTrain,
     "q234_snapshot_history" -> IoQueries.snapshotHistory,
     "q235_snapshot_multistats" -> IoQueries.snapshotMultiStats,
+    "q236_snapshot_partitioned" -> IoQueries.snapshotPartitioned,
+    "q237_unigram_soft" -> LlmQueries.unigramSoftTrain,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2805,6 +2807,7 @@ ORDER BY d.doc_id""",
     "q226_pq_codebook_indexed" -> q124PqOracle,
     "q223_unigram_train" -> q223UnigramOracle(),
     "q233_unigram_shrink" -> q233UnigramShrinkOracle(),
+    "q237_unigram_soft" -> q237UnigramSoftOracle(),
     "q224_tokenizer_compare" -> q224TokenizerCompareOracle(),
     "q217_bpe_tokenize" -> q217BpeTokenizeOracle(merges = 6),
     // q227: TIMESTAMP AS OF resolution — leg 1 between-commits → v1
@@ -2907,6 +2910,29 @@ ORDER BY d.doc_id""",
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
         |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
         |FROM documents WHERE doc_id >= 200 AND n_chars BETWEEN 100 AND 300
+        |ORDER BY leg""".stripMargin,
+    // q236: partition pruning changes the FILE SET only — the oracle is
+    // the plain filtered aggregate over the source table
+    "q236_snapshot_partitioned" ->
+      """SELECT 1 AS leg, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_id,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source = 'src3'
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE source IN ('src1', 'src8')
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |FROM documents WHERE source = 'src5' AND doc_id >= 100
+        |UNION ALL
+        |SELECT 4, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+        |  CAST(count(DISTINCT source) AS BIGINT)
+        |FROM documents WHERE source IN ('src2', 'src7')
         |ORDER BY leg""".stripMargin,
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept
@@ -3861,6 +3887,132 @@ uv0 AS MATERIALIZED (SELECT piece, freq FROM utop
   WHERE s0.piece NOT IN (SELECT piece FROM utop)),
 ${(1 to rounds).map(dpRound).mkString(",\n")}"""
   }
+
+  /** Shared CTE chain of the SOFT-EM unigram oracle (q237): the same
+    * word/span/seed tables as [[unigramCtes]] (seed counts ·10⁶), then
+    * `rounds` unrolled forward–backward rounds — fixed-point ln
+    * scores, a position-unrolled α recurrence whose log-sum-exp
+    * max-shifts and LEFT-FOLDS its exp terms in (start, piece) order
+    * (the exact float-add sequence the Spark expression executes — a
+    * deterministic fold is bit-reproducible), the mirrored β
+    * recurrence folding in (end, piece) order, per-span posteriors
+    * rounded to ·10⁶ BEFORE the occurrence-weighted BIGINT recount,
+    * and the rebuild rule (expected-nonzero pieces ∪ zero-rounded
+    * singles floored at 10⁶). */
+  private def unigramSoftCtes(seedSize: Int = 32, rounds: Int = 2,
+                              pieceLen: Int = 3, maxLen: Int = 12): String = {
+    // max-shifted fixed-point LSE over rows (w, <ordCols>, x),
+    // folding exp terms in ORDER BY <ordCols>
+    def lseSelect(src: String, ordCols: String, out: String): String =
+      s"""SELECT w, m + CAST(round(ln(list_reduce(
+         |      list_prepend(CAST(0 AS DOUBLE), exps),
+         |      (acc, e2) -> acc + e2)) * 1000000, 0) AS BIGINT) AS $out
+         |  FROM (
+         |    SELECT w, max(m) AS m, list(ex ORDER BY $ordCols) AS exps
+         |    FROM (
+         |      SELECT w, $ordCols, m,
+         |             exp(CAST(x - m AS DOUBLE) / 1000000.0) AS ex
+         |      FROM (SELECT w, $ordCols, x,
+         |                   max(x) OVER (PARTITION BY w) AS m
+         |            FROM $src) q1) q2
+         |    GROUP BY w) q3""".stripMargin
+    def softRound(r: Int): String = {
+      val fwd = (1 to maxLen).map { j =>
+        val legs = (math.max(0, j - pieceLen) until j).map { i =>
+          s"""SELECT e.w, e.i, e.piece, p.afp + e.score AS x
+    FROM ue$r e JOIN usa${r}_$i p ON p.w = e.w
+    WHERE e.j = $j AND e.i = $i"""
+        }.mkString("\n    UNION ALL ")
+        s"""usac${r}_$j AS MATERIALIZED (
+    $legs),
+usa${r}_$j AS MATERIALIZED (
+  ${lseSelect(s"usac${r}_$j", "i, piece", "afp")})"""
+      }.mkString(",\n")
+      val bwd = (0 until maxLen).reverse.map { j =>
+        val legs = ((j + 1) to math.min(j + pieceLen, maxLen)).map { k =>
+          s"""SELECT e.w, e.j AS jj, e.piece, b.bfp + e.score AS x
+    FROM ue$r e JOIN usb${r}_$k b ON b.w = e.w
+    WHERE e.i = $j AND e.j = $k"""
+        }.mkString("\n    UNION ALL ")
+        s"""usbc${r}_$j AS MATERIALIZED (
+    $legs),
+usb${r}_$j AS MATERIALIZED (
+  SELECT w, CAST(0 AS BIGINT) AS bfp FROM uwords WHERE length(w) = $j
+  UNION ALL
+  ${lseSelect(s"usbc${r}_$j", "jj, piece", "bfp")})"""
+      }.mkString(",\n")
+      val aAll = (0 to maxLen).map(j =>
+        s"SELECT w, $j AS pos, afp FROM usa${r}_$j")
+        .mkString("\n  UNION ALL ")
+      val bAll = (0 to maxLen).map(j =>
+        s"SELECT w, $j AS pos, bfp FROM usb${r}_$j")
+        .mkString("\n  UNION ALL ")
+      s"""ust$r AS MATERIALIZED (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM usv${r - 1}),
+ussc$r AS MATERIALIZED (SELECT piece,
+    CAST(round(ln(CAST(freq AS DOUBLE) / t.total) * 1000000, 0) AS BIGINT)
+      AS score
+  FROM usv${r - 1}, ust$r t),
+ue$r AS MATERIALIZED (SELECT s.w, s.i, s.j, s.piece, v.score
+  FROM usp s JOIN ussc$r v USING (piece)),
+usa${r}_0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS afp FROM uwords),
+usb${r}_$maxLen AS MATERIALIZED (
+  SELECT w, CAST(0 AS BIGINT) AS bfp FROM uwords WHERE length(w) = $maxLen),
+$fwd,
+$bwd,
+uaall$r AS MATERIALIZED (
+  $aAll),
+uball$r AS MATERIALIZED (
+  $bAll),
+uend$r AS MATERIALIZED (SELECT u.w, a.afp FROM uwords u
+  JOIN uaall$r a ON a.w = u.w AND a.pos = length(u.w)),
+ues$r AS MATERIALIZED (
+  SELECT e.w, e.piece,
+    CAST(round(exp(CAST(a.afp + e.score + b.bfp - t.afp AS DOUBLE)
+      / 1000000.0) * 1000000, 0) AS BIGINT) AS efp
+  FROM ue$r e
+  JOIN uaall$r a ON a.w = e.w AND a.pos = e.i
+  JOIN uball$r b ON b.w = e.w AND b.pos = e.j
+  JOIN uend$r t ON t.w = e.w),
+uscnt$r AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt * efp) AS BIGINT) AS freq
+  FROM ues$r JOIN uwords USING (w) GROUP BY 1),
+usv$r AS MATERIALIZED (
+  SELECT piece, freq FROM uscnt$r WHERE freq > 0
+  UNION ALL
+  SELECT s.piece, CAST(1000000 AS BIGINT) FROM usingle s
+  WHERE s.piece NOT IN (SELECT piece FROM uscnt$r WHERE freq > 0))"""
+    }
+    s"""uwords AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1),
+usp AS MATERIALIZED (SELECT w, cnt, i, i + l AS j, substr(w, i + 1, l) AS piece
+  FROM uwords,
+       LATERAL unnest(range(0, length(w))) AS a(i),
+       LATERAL unnest(range(1, 1 + least($pieceLen, length(w) - i)))
+         AS b(l)),
+useed0 AS MATERIALIZED (SELECT piece,
+    CAST(sum(cnt) * 1000000 AS BIGINT) AS freq
+  FROM usp GROUP BY 1),
+utop AS MATERIALIZED (SELECT piece, freq FROM (
+    SELECT *, row_number() OVER (ORDER BY freq DESC, piece) AS rn
+    FROM useed0)
+  WHERE rn <= $seedSize),
+usingle AS MATERIALIZED (SELECT DISTINCT piece FROM usp WHERE length(piece) = 1),
+usv0 AS MATERIALIZED (SELECT piece, freq FROM utop
+  UNION ALL
+  SELECT s0.piece, s0.freq FROM useed0 s0 JOIN usingle USING (piece)
+  WHERE s0.piece NOT IN (SELECT piece FROM utop)),
+${(1 to rounds).map(softRound).mkString(",\n")}"""
+  }
+
+  /** q237 oracle: the soft-EM chain; output = the final vocabulary of
+    * 10⁶-scaled expected counts, ranked (freq DESC, piece). */
+  private def q237UnigramSoftOracle(rounds: Int = 2): String =
+    s"""WITH ${unigramSoftCtes(rounds = rounds)}
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, piece) AS BIGINT)
+    AS rank,
+  piece, freq
+FROM usv$rounds ORDER BY rank"""
 
   /** q223 oracle: the full unigram chain; output = the final
     * vocabulary ranked (freq DESC, piece). */

@@ -739,6 +739,185 @@ object LanguageModel {
       .select(col("rank"), col("piece"), col("freq"))
   }
 
+  /** SOFT-EM (forward–backward) unigram-LM training — Kudo 2018 §3's
+    * actual E-step, the probabilistic sibling of [[unigramCore]]'s
+    * hard-EM/Viterbi twin (which stays the oracle-simplest variant):
+    * instead of counting only the single best segmentation, EVERY
+    * segmentation contributes its posterior probability, so a piece's
+    * new count is its EXPECTED occurrence count. Everything on the
+    * decision path is FIXED-POINT (the q110 convention):
+    *
+    *  - piece scores are round(ln(freq/total)·10⁶) BIGINTs;
+    *  - each log-sum-exp (the forward α and backward β recurrences)
+    *    max-shifts, folds its summands in sorted (start, piece) order
+    *    — a LEFT float fold over a deterministically-ordered list is
+    *    bit-reproducible, and the DuckDB oracle folds the identical
+    *    list in the identical order — and rounds back to fixed point
+    *    immediately;
+    *  - each span's expected count exp((α(i)+s+β(j)−α(end))/10⁶)
+    *    rounds to ·10⁶ BEFORE the occurrence-weighted recount, so the
+    *    recount itself is a pure BIGINT sum (order-free).
+    *
+    * Corpus-scale shape = unigramCore's: ONE word-count shuffle, then
+    * each EM round is one broadcast score join + ONE compiled
+    * forward–backward pass per distinct word (the spans collect into a
+    * sorted array column; both DPs and the expectation run inside a
+    * single expression) + one vocabulary-sized recount shuffle.
+    *
+    * Returns (vocab (piece, freq — the 10⁶-scaled expected count),
+    * firstSpanMass (w, mass_fp) — Σ of first-piece posteriors per
+    * word, ≈ 10⁶ by the EM mass law; the spec's invariant). */
+  private[llm] def unigramSoftCore(docs: DataFrame, seedSize: Int,
+                                   rounds: Int, maxPieceLen: Int,
+                                   maxWordLen: Int,
+                                   storageLevel: StorageLevel)
+      : (DataFrame, DataFrame) = {
+    require(rounds >= 1 && seedSize >= 1 && maxPieceLen >= 1)
+    import org.apache.spark.sql.expressions.Window
+    def ckpt(df: DataFrame): DataFrame =
+      if (storageLevel == StorageLevel.NONE) df else df.localCheckpoint()
+    val words = ckpt(docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt")))
+    val maxLen = words.agg(coalesce(max(length(col("w"))), lit(0)))
+      .head().getInt(0)
+    require(maxLen <= maxWordLen,
+      s"unigram DP caps word length at $maxWordLen; corpus has $maxLen")
+    val spans = ckpt(words.select(col("w"), col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(0, length(w) - 1),
+           i -> transform(sequence(1, least($maxPieceLen, length(w) - i)),
+           l -> named_struct('i', i, 'j', i + l,
+                             'piece', substr(w, i + 1, l)))))"""))
+        .as("sp"))
+      .select(col("w"), col("cnt"), col("sp.i").as("i"),
+        col("sp.j").as("j"), col("sp.piece").as("piece")))
+    val singles = spans.where(length(col("piece")) === 1)
+      .select("piece").distinct()
+    // seed counts in fixed point: integer occurrence counts ·10⁶
+    val seedCounts = spans.groupBy("piece")
+      .agg((sum("cnt") * lit(1000000L)).as("freq"))
+    val wSeed = Window.partitionBy(lit(1))
+      .orderBy(col("freq").desc, col("piece"))
+    var vocab = ckpt(seedCounts
+      .withColumn("rn", row_number().over(wSeed))
+      .where(col("rn") <= seedSize).drop("rn")
+      .unionByName(seedCounts.join(
+          seedCounts.withColumn("rn", row_number().over(wSeed))
+            .where(col("rn") <= seedSize).select("piece"),
+          Seq("piece"), "left_anti")
+        .where(length(col("piece")) === 1))
+      .dropDuplicates("piece"))
+    // forward α: position 0 is the base case; each reached position's
+    // log-prob is a fixed-point LSE over its incoming spans, summands
+    // folded in the pre-sorted span order (the array is sorted by
+    // (i, j, piece) at collect — a strict total order)
+    val lse = // max-shifted LSE over a BIGINT array `xs`, one libm
+      // ln + one exp per summand, rounded straight back to fixed point
+      """array_max(xs) + CAST(round(ln(aggregate(xs,
+        |    CAST(0 AS DOUBLE),
+        |    (a, x) -> a + exp(CAST(x - array_max(xs) AS DOUBLE)
+        |                      / 1000000.0D))) * 1000000.0D, 0)
+        |  AS BIGINT)""".stripMargin
+    val fwdExpr =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  array(named_struct('j', 0, 'afp', CAST(0 AS BIGINT))),
+         |  (acc, jj) -> concat(acc,
+         |    flatten(transform(
+         |      array(transform(
+         |        filter(sp, s -> s.j = jj
+         |          AND size(filter(acc, a -> a.j = s.i)) > 0),
+         |        s -> element_at(filter(acc, a -> a.j = s.i), 1).afp
+         |             + s.score_fp)),
+         |      xs -> CASE WHEN size(xs) = 0
+         |        THEN CAST(array() AS ARRAY<STRUCT<j: INT, afp: BIGINT>>)
+         |        ELSE array(named_struct('j', jj, 'afp', $lse))
+         |      END))))""".stripMargin
+    val bwdExpr =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  array(named_struct('j', length(w), 'bfp', CAST(0 AS BIGINT))),
+         |  (acc, k) -> concat(acc,
+         |    flatten(transform(
+         |      array(transform(
+         |        filter(sp, s -> s.i = length(w) - k
+         |          AND size(filter(acc, b -> b.j = s.j)) > 0),
+         |        s -> element_at(filter(acc, b -> b.j = s.j), 1).bfp
+         |             + s.score_fp)),
+         |      xs -> CASE WHEN size(xs) = 0
+         |        THEN CAST(array() AS ARRAY<STRUCT<j: INT, bfp: BIGINT>>)
+         |        ELSE array(named_struct('j', length(w) - k, 'bfp', $lse))
+         |      END))))""".stripMargin
+    // per-span posterior expectation, rounded to fixed point BEFORE
+    // the integer recount; spans with unreachable ends contribute none
+    val eExpr =
+      """CASE WHEN size(filter(dp, a -> a.j = length(w))) = 0
+        |  THEN CAST(array() AS
+        |    ARRAY<STRUCT<i: INT, piece: STRING, efp: BIGINT>>)
+        |  ELSE transform(
+        |    filter(sp, s ->
+        |      size(filter(dp, a -> a.j = s.i)) > 0 AND
+        |      size(filter(bp, b -> b.j = s.j)) > 0),
+        |    s -> named_struct('i', s.i, 'piece', s.piece, 'efp',
+        |      CAST(round(exp(CAST(
+        |        element_at(filter(dp, a -> a.j = s.i), 1).afp
+        |        + s.score_fp
+        |        + element_at(filter(bp, b -> b.j = s.j), 1).bfp
+        |        - element_at(filter(dp, a -> a.j = length(w)), 1).afp
+        |        AS DOUBLE) / 1000000.0D) * 1000000.0D, 0) AS BIGINT)))
+        |END""".stripMargin
+    var lastSeg: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val totals = vocab.agg(sum("freq").as("total"))
+      val scored = vocab.crossJoin(broadcast(totals))
+        .select(col("piece"),
+          round(log(col("freq").cast("double") /
+            col("total").cast("double")) * 1e6, 0).cast("long")
+            .as("score_fp"))
+      val sc = spans.join(broadcast(scored), "piece")
+      val arr = sc.groupBy(col("w"), col("cnt"))
+        .agg(sort_array(collect_list(struct(col("i"), col("j"),
+          col("piece"), col("score_fp")))).as("sp"))
+      val seg = arr.withColumn("dp", expr(fwdExpr))
+        .withColumn("bp", expr(bwdExpr))
+        .withColumn("es", expr(eExpr))
+      lastSeg = ckpt(seg.select(col("w"), col("cnt"),
+        explode(col("es")).as("e")))
+      val counts = lastSeg
+        .groupBy(col("e.piece").as("piece"))
+        .agg(sum(col("cnt") * col("e.efp")).as("freq"))
+        .where(col("freq") > 0L)
+      // rebuild: expected-nonzero pieces survive; singles that rounded
+      // to zero floor at count 1 (·10⁶) — coverage never lost
+      vocab = ckpt(counts.unionByName(
+        singles.join(counts, Seq("piece"), "left_anti")
+          .select(col("piece"), lit(1000000L).as("freq"))))
+    }
+    // EM mass law witness: per word, the posteriors of the FIRST piece
+    // (spans starting at 0) sum to 1 — Σ efp ≈ 10⁶ up to the per-span
+    // rounding; the spec pins the tolerance
+    val mass = lastSeg.where(col("e.i") === 0)
+      .groupBy("w").agg(sum(col("e.efp")).as("mass_fp"))
+    (vocab, mass)
+  }
+
+  /** The soft-EM-trained unigram vocabulary, ranked — (rank, piece,
+    * freq) by (freq DESC, piece), freq the 10⁶-scaled expected count.
+    * See [[unigramSoftCore]]. */
+  def trainUnigramSoft(docs: DataFrame, seedSize: Int = 48,
+                       rounds: Int = 2, maxPieceLen: Int = 4,
+                       maxWordLen: Int = 12,
+                       storageLevel: StorageLevel =
+                         StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (vocab, _) = unigramSoftCore(docs, seedSize, rounds, maxPieceLen,
+      maxWordLen, storageLevel)
+    val w = Window.partitionBy(lit(1)).orderBy(col("freq").desc, col("piece"))
+    vocab.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("piece"), col("freq"))
+  }
+
   /** Corpus-level tokenizer comparison — fertility (tokens per word)
     * of the [[trainBpe]]/[[applyBpe]] merge tokenizer vs the
     * [[unigramCore]] Viterbi tokenizer on the SAME corpus: one row per

@@ -627,6 +627,23 @@ object LlmQueries {
         rounds = 3, shrinkTo = Some(24), shrinkKeepPct = 60)
       .orderBy("rank")
 
+  /** SOFT-EM unigram trainer (q237,
+    * [[graft.llm.LanguageModel.unigramSoftCore]]): Kudo's actual
+    * forward–backward E-step — every segmentation contributes its
+    * posterior, counts become 10⁶-scaled EXPECTATIONS — next to
+    * q223's hard-EM/Viterbi twin. Every float step (the per-position
+    * log-sum-exp, the per-span posterior) rounds to fixed point
+    * immediately with its summands folded in a deterministic sorted
+    * order, so the DuckDB oracle replays the arithmetic bit-for-bit;
+    * the occurrence-weighted recount itself is a pure BIGINT sum.
+    * Same corpus-flat shape as q223: one word-count shuffle, then
+    * vocabulary-sized EM rounds with the whole DP as one compiled pass
+    * per word. */
+  def unigramSoftTrain(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.trainUnigramSoft(table(s, dir, "documents"),
+        seedSize = 32, rounds = 2, maxPieceLen = 3)
+      .orderBy("rank")
+
   /** Tokenizer fertility comparison (q224,
     * [[graft.llm.LanguageModel.tokenizerCompare]]): corpus-level
     * tokens-per-word for the 6-merge BPE tokenizer (q215/q217) vs the

@@ -265,6 +265,53 @@ class LanguageModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](LanguageModel.trainUnigram(long))
   }
 
+  test("unigramSoftCore: EM mass law (first-piece posteriors sum to 1 " +
+    "per word), hand corpus expectations, laws on the real corpus") {
+    import org.apache.spark.storage.StorageLevel
+    // hand corpus: words ab (x3), c (x1) — soft EM splits ab's mass
+    // between [ab] (p(ab)) and [a][b] (p(a)p(b)); with round-1 scores
+    // p(ab)=p(a)=p(b)=0.3: P([ab]) = 0.3 / (0.3 + 0.09) ≈ 0.769 —
+    // so soft counts are FRACTIONAL: freq(ab) ≈ 3·0.769·1e6, and a/b
+    // keep ≈ 3·0.231·1e6 each (never floored, unlike hard EM)
+    val docs = Seq((0L, "ab ab c"), (1L, "ab")).toDF("doc_id", "text")
+    val (vocab, mass) = LanguageModel.unigramSoftCore(docs,
+      seedSize = 48, rounds = 1, maxPieceLen = 4, maxWordLen = 12,
+      StorageLevel.NONE)
+    val byPiece = vocab.as[(String, Long)].collect().toMap
+    val pAb = 0.3 / (0.3 + 0.09)
+    assert(math.abs(byPiece("ab") - 3 * pAb * 1e6) < 10,
+      s"ab: ${byPiece("ab")}")
+    assert(math.abs(byPiece("a") - 3 * (1 - pAb) * 1e6) < 10,
+      s"a: ${byPiece("a")}")
+    assert(byPiece("c") == 1000000L)
+    // EM MASS LAW: per word, the posteriors of the possible FIRST
+    // pieces sum to exactly 1 (up to the per-span 1e-6 rounding)
+    val masses = mass.as[(String, Long)].collect()
+    assert(masses.nonEmpty && masses.forall { case (w, m) =>
+      math.abs(m - 1000000L) <= w.length * 2 })
+    // real corpus: mass law again, singles covered, deterministic
+    // across partitioning (the fixed-point fold is order-pinned)
+    val real = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val (v2, m2) = LanguageModel.unigramSoftCore(real,
+      seedSize = 32, rounds = 2, maxPieceLen = 3, maxWordLen = 12,
+      StorageLevel.NONE)
+    val out2 = v2.orderBy(col("freq").desc, col("piece"))
+      .as[(String, Long)].collect().toList
+    assert(m2.as[(String, Long)].collect().forall { case (w, m) =>
+      math.abs(m - 1000000L) <= w.length * 2 })
+    val chars = real.select(explode(split(col("text"), " ")).as("w"))
+      .where(length($"w") > 0)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))")).as("c"))
+      .distinct().as[String].collect().toSet
+    assert(chars.subsetOf(out2.map(_._1).toSet))
+    val (v3, _) = LanguageModel.unigramSoftCore(real.repartition(7),
+      seedSize = 32, rounds = 2, maxPieceLen = 3, maxWordLen = 12,
+      StorageLevel.NONE)
+    assert(v3.orderBy(col("freq").desc, col("piece"))
+      .as[(String, Long)].collect().toList == out2)
+  }
+
   test("tokenizerCompare: both methods over the same words, fertility " +
     "laws hold, hand corpus matches") {
     // unigram tokenizes ab as ONE piece (see the hand test) -> corpus
