@@ -7,10 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.io.api.Binary
@@ -1079,9 +1077,10 @@ class ParquetGroupReader(path: String, required: StructType,
   * [[graft.io.SnapshotTable.commit]]:
   *
   *  - executors stage one parquet file per non-empty partition under a
-  *    unique `data/w<uuid>` sub-directory (parquet-hadoop
-  *    ExampleParquetWriter — the writer twin of [[ParquetGroupReader]]);
-  *    nothing is visible until the manifest publishes;
+  *    unique `data/w<uuid>` sub-directory (the direct
+  *    [[SnapshotWriteSupport]] InternalRow→RecordConsumer path — no
+  *    per-row Group assembly); nothing is visible until the manifest
+  *    publishes;
   *  - `.option("statsCol", c)` folds per-file (min, max) of a long/int
   *    column INTO the writers while rows stream — the manifest stats
   *    tier (q154/q214 pruning) costs no post-hoc job;
@@ -1219,65 +1218,110 @@ object SnapshotWrite {
     }.toArray
 }
 
-/** Streaming single-file parquet writer over the example-Group API —
-  * rows go straight to the page writers (nothing buffers beyond
+/** Direct `InternalRow` → parquet `RecordConsumer` write support — the
+  * NATIVE write path that replaced the example-Group assembly: the
+  * Group path allocated a `SimpleGroup` plus one boxed value per field
+  * per row and re-dispatched on field NAME per add; this one emits
+  * each primitive straight to the column writers through the public
+  * `WriteSupport` API with zero per-row allocation (strings/binaries
+  * copy once out of the possibly-reused unsafe-row buffer — parquet's
+  * dictionary encoder retains `Binary` references past the call, so
+  * the bytes must be immutable). Flat primitives only, exactly the
+  * type set [[SnapshotWrite.messageType]] maps. */
+private[sources] class SnapshotWriteSupport(schema: StructType)
+    extends org.apache.parquet.hadoop.api.WriteSupport[InternalRow] {
+  private val msg = SnapshotWrite.messageType(schema)
+  private var consumer: org.apache.parquet.io.api.RecordConsumer = _
+  override def init(conf: Configuration)
+      : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
+    new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(msg,
+      java.util.Collections.emptyMap[String, String]())
+  override def prepareForWrite(
+      rc: org.apache.parquet.io.api.RecordConsumer): Unit = consumer = rc
+  override def write(row: InternalRow): Unit = {
+    consumer.startMessage()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema(i)
+        consumer.startField(f.name, i)
+        f.dataType match {
+          case LongType | TimestampType => consumer.addLong(row.getLong(i))
+          case IntegerType | DateType => consumer.addInteger(row.getInt(i))
+          case DoubleType => consumer.addDouble(row.getDouble(i))
+          case FloatType => consumer.addFloat(row.getFloat(i))
+          case BooleanType => consumer.addBoolean(row.getBoolean(i))
+          case StringType =>
+            // getBytes copies unless the UTF8String spans its whole
+            // backing array (never true inside a row buffer); the
+            // clone() guards the spanning case — Binary must own
+            // immutable bytes
+            val b = row.getUTF8String(i)
+            val arr = b.getBytes
+            consumer.addBinary(Binary.fromConstantByteArray(
+              if (b.getBaseObject.isInstanceOf[Array[Byte]] &&
+                  (b.getBaseObject eq arr)) arr.clone() else arr))
+          case BinaryType =>
+            consumer.addBinary(Binary.fromConstantByteArray(
+              row.getBinary(i).clone()))
+          case other => throw new IllegalArgumentException(
+            s"unsupported snapshot column type $other for ${f.name}")
+        }
+        consumer.endField(f.name, i)
+      }
+      i += 1
+    }
+    consumer.endMessage()
+  }
+}
+
+/** Streaming single-file parquet writer — rows go straight to the page
+  * writers through [[SnapshotWriteSupport]] (nothing buffers beyond
   * parquet's own row groups), per-file stats fold as rows pass.
   * Shared by the executor [[SnapshotDataWriter]] and the driver-side
   * empty-commit fallback. */
 private[sources] class ParquetGroupWriter(path: String, schema: StructType,
                                           statsIdxs: Array[Int]) {
-  private val msg = SnapshotWrite.messageType(schema)
-  private val factory = new SimpleGroupFactory(msg)
-  private val writer = ExampleParquetWriter
-    .builder(HadoopOutputFile.fromPath(new Path(path),
-      SnapshotSource.newConf()))
-    .withType(msg).build()
+  private val writer = {
+    class B(f: HadoopOutputFile) extends org.apache.parquet.hadoop
+        .ParquetWriter.Builder[InternalRow, B](f) {
+      override def self(): B = this
+      override def getWriteSupport(conf: Configuration)
+          : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+        new SnapshotWriteSupport(schema)
+    }
+    new B(HadoopOutputFile.fromPath(new Path(path),
+      SnapshotSource.newConf())).build()
+  }
   // schema index -> stats slot (-1 = untracked); min/max fold per slot
   private val statSlot: Array[Int] = {
     val s = Array.fill(schema.length)(-1)
     statsIdxs.zipWithIndex.foreach { case (idx, slot) => s(idx) = slot }
     s
   }
+  private val statTypes: Array[DataType] = schema.fields.map(_.dataType)
   val mns: Array[Long] = Array.fill(statsIdxs.length)(Long.MaxValue)
   val mxs: Array[Long] = Array.fill(statsIdxs.length)(Long.MinValue)
   var rows: Long = 0L
 
   def write(row: InternalRow): Unit = {
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.length) {
-      val slot = statSlot(i)
-      if (!row.isNullAt(i)) {
-        val f = schema(i)
-        f.dataType match {
-          case LongType | TimestampType => g.add(f.name, row.getLong(i))
-          case IntegerType | DateType => g.add(f.name, row.getInt(i))
-          case DoubleType => g.add(f.name, row.getDouble(i))
-          case FloatType => g.add(f.name, row.getFloat(i))
-          case BooleanType => g.add(f.name, row.getBoolean(i))
-          case StringType => g.add(f.name,
-            Binary.fromString(row.getUTF8String(i).toString))
-          case BinaryType => g.add(f.name,
-            Binary.fromConstantByteArray(row.getBinary(i)))
-          case other => throw new IllegalArgumentException(
-            s"unsupported snapshot column type $other for ${f.name}")
-        }
-        if (slot >= 0) {
-          val v = f.dataType match {
-            case LongType => row.getLong(i)
-            case IntegerType => row.getInt(i).toLong
-            case other => throw new IllegalArgumentException(
-              s"statsCol must be long/int, got $other")
-          }
-          mns(slot) = math.min(mns(slot), v)
-          mxs(slot) = math.max(mxs(slot), v)
-        }
-      } else if (slot >= 0)
+    var s = 0
+    while (s < statsIdxs.length) {
+      val i = statsIdxs(s)
+      if (row.isNullAt(i))
         throw new IllegalArgumentException(
           "statsCol may not contain NULLs (file min/max undefined)")
-      i += 1
+      val v = statTypes(i) match {
+        case LongType => row.getLong(i)
+        case IntegerType => row.getInt(i).toLong
+        case other => throw new IllegalArgumentException(
+          s"statsCol must be long/int, got $other")
+      }
+      mns(s) = math.min(mns(s), v)
+      mxs(s) = math.max(mxs(s), v)
+      s += 1
     }
-    writer.write(g)
+    writer.write(row)
     rows += 1
   }
 
