@@ -137,6 +137,10 @@ class PlanAuditSpec extends SparkSpec {
     "q224_tokenizer_compare", // q223's chain + the 1-row × 1-row
                              // bpe/unigram stat-frame union — all
                              // scalar-bounded
+    "q237_unigram_soft",     // the same per-EM-round broadcast 1-row
+                             // vocab-total crossJoin as q223; the
+                             // forward–backward DP is one compiled
+                             // expression per distinct word
     "q156_hard_negatives",   // q34's designed broadcast-queries scan with
                              // the band filter fused into it — the filter
                              // drops the easy mass at scan time; no
