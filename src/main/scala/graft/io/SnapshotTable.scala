@@ -1093,6 +1093,56 @@ object SnapshotTable {
     }
   }
 
+  /** METADATA-ONLY partition delete (Delta's partition-delete fast
+    * path): dropping whole partitions needs NO data scan and NO
+    * rewrite — files are value-pure and the manifest records each
+    * file's exact tuple, so `DELETE FROM t WHERE day = x` publishes a
+    * manifest that simply omits the matching partitions' files. At
+    * 100 TB this turns "drop yesterday's bad partition" from a
+    * touched-file rewrite into one manifest write, zero data IO; every
+    * prior version stays time-travelable as always. A `null` value
+    * selects the NULL partition. Deleting every file refuses (the
+    * cowRewrite convention — use an overwrite commit to empty a
+    * table); a match-nothing delete is a metadata no-op commit.
+    * Returns the new version. */
+  def deletePartitions(dir: String, partEq: Map[String, Any]): Int = {
+    require(partEq.nonEmpty, "deletePartitions needs predicates")
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val pcols = partitionColumns(dir, prevV)
+    partEq.keys.foreach(c => require(pcols.contains(c),
+      s"'$c' is not a partition column of v$prevV (have " +
+        s"${pcols.mkString(",")})"))
+    val files = readManifest(dir, prevV)
+    val pvals = readPartValues(dir, prevV).getOrElse(
+      throw new IllegalStateException(
+        s"version $prevV declares partition columns but records no values"))
+    val idx = partEq.map { case (c, x) =>
+      pcols.indexOf(c) -> Option(x).map(partValueString)
+    }
+    val dropped = files.zip(pvals).collect {
+      case (f, tuple) if idx.forall { case (i, v) => tuple(i) == v } => f
+    }.toSet
+    val keep = files.filterNot(dropped)
+    require(keep.nonEmpty,
+      s"partition delete would empty the table at $dir; use an " +
+        "overwrite commit")
+    val keepSet = keep.toSet
+    val stats = readAllStats(dir, prevV).map { case (c, mm) =>
+      (c, files.zip(mm).collect { case (f, s) if keepSet(f) => s })
+    }
+    val parts = Some((pcols, files.zip(pvals).collect {
+      case (f, t) if keepSet(f) => t
+    }))
+    val carriedRows = readRows(dir, prevV)
+      .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
+    writeManifest(dir, prevV + 1, "delete", keep, stats,
+      readSchema(dir, prevV), knownRows = carriedRows,
+      knownSizes = sizeMap(dir, prevV), parts = parts)
+    prevV + 1
+  }
+
   /** Shared copy-on-write DML core: find the files with a predicate
     * match, rewrite only those through `rewrite`, carry the rest. */
   private def cowRewrite(spark: SparkSession, dir: String,

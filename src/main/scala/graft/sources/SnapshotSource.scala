@@ -230,11 +230,40 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(props.get("versionAsOf").isEmpty,
       "DELETE on a VERSION AS OF read: history is immutable")
-    val pred = filters.flatMap(SnapshotDelete.toColumn)
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-    SnapshotTable.delete(
-      org.apache.spark.sql.SparkSession.active, dir, pred)
+    // METADATA-ONLY fast path: a delete whose every filter is an
+    // equality / IS NULL on a distinct PARTITION column drops whole
+    // value-pure partitions from the manifest — zero data IO, no scan
+    // (the Delta partition-delete; at 100 TB "drop the bad day" is one
+    // manifest write). Anything else — non-partition columns, IN
+    // lists, repeated columns — falls back to the partition-aware
+    // copy-on-write rewrite, which is always correct.
+    val latest = SnapshotTable.resolveVersion(dir)
+    val pcols = SnapshotTable.partitionColumns(dir, latest).toSet
+    val partEq: Option[Map[String, Any]] =
+      if (pcols.isEmpty || filters.isEmpty) None
+      else {
+        val kvs = filters.map {
+          case EqualTo(a, v) if pcols(a) && v != null => Some(a -> v)
+          case EqualNullSafe(a, v) if pcols(a) =>
+            Some(a -> v.asInstanceOf[Any])
+          case IsNull(a) if pcols(a) => Some(a -> (null: Any))
+          case _ => None
+        }
+        val flat = kvs.flatten
+        if (kvs.forall(_.isDefined) &&
+            flat.map(_._1).distinct.length == flat.length)
+          Some(flat.toMap)
+        else None
+      }
+    partEq match {
+      case Some(eqs) => SnapshotTable.deletePartitions(dir, eqs): Unit
+      case None =>
+        val pred = filters.flatMap(SnapshotDelete.toColumn)
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        SnapshotTable.delete(
+          org.apache.spark.sql.SparkSession.active, dir, pred): Unit
+    }
   }
 
   /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` with a predicate the v1
@@ -255,15 +284,21 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
     require(!props.contains("versionAsOf") &&
       !props.contains("timestampAsOf"),
       s"${info.command()} on a time-traveled read: history is immutable")
-    // the SQL rewrite writes through the row-at-a-time DSv2 writer,
-    // which records no partition values — publishing its files onto a
-    // partitioned table would half-state the manifest; the API tier
-    // (SnapshotTable.delete/update/merge) IS partition-aware
-    require(SnapshotTable.partitionColumns(dir,
-        SnapshotTable.resolveVersion(dir)).isEmpty,
-      s"SQL ${info.command()} on a PARTITIONED snapshot table: use the " +
-        "API DML tier (SnapshotTable.delete/update/merge), which " +
-        "rewrites partition-aware")
+    // the SQL rewrite writes through the DSv2 writer, which records no
+    // partition values — publishing its files onto a partitioned table
+    // would half-state the manifest; the API tier
+    // (SnapshotTable.delete/update/merge) IS partition-aware. DELETE
+    // must NOT refuse here: Spark builds the row-level plan at
+    // analysis even when the optimizer later takes the SupportsDelete
+    // metadata path (canDeleteWhere) — the partition-equality fast
+    // path. A DELETE that genuinely needs the row-level write refuses
+    // at write-build time instead.
+    if (info.command() != Command.DELETE)
+      require(SnapshotTable.partitionColumns(dir,
+          SnapshotTable.resolveVersion(dir)).isEmpty,
+        s"SQL ${info.command()} on a PARTITIONED snapshot table: use " +
+          "the API DML tier (SnapshotTable.delete/update/merge), which " +
+          "rewrites partition-aware")
     () => new SnapshotRowLevelOperation(dir, tableSchema, info.command(),
       props)
   }
@@ -298,10 +333,20 @@ private[sources] class SnapshotRowLevelOperation(
     Array(Expressions.column("_file"))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new SnapshotReplaceGroupsWrite(
-          dir, info.schema(), scanVersion, state,
-          cmd.toString.toLowerCase)
+      override def build(): Write = {
+        // reached only when the row-level rewrite will actually RUN
+        // (a translatable DELETE took the SupportsDelete metadata path
+        // long before this) — its writer records no partition values,
+        // so a partitioned table refuses toward the API tier
+        require(SnapshotTable.partitionColumns(dir, scanVersion).isEmpty,
+          s"SQL $cmd on a PARTITIONED snapshot table: use the API DML " +
+            "tier (SnapshotTable.delete/update/merge), which rewrites " +
+            "partition-aware")
+        new Write {
+          override def toBatch: BatchWrite = new SnapshotReplaceGroupsWrite(
+            dir, info.schema(), scanVersion, state,
+            cmd.toString.toLowerCase)
+        }
       }
     }
 }

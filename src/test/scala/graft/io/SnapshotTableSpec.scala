@@ -621,6 +621,85 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.manifestFiles(dir, resV).length)
   }
 
+  test("deletePartitions is METADATA-ONLY: whole partitions drop with " +
+    "zero data IO, stats/rows/sizes/values carry, refusals are loud") {
+    val dir = Files.createTempDirectory("snap-pdel").toString
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 5 == 4) null else s"g${i % 4}", i * 2))
+      .toDF("id", "grp", "n")
+    SnapshotTable.commitPartitioned(spark, df, dir, Seq("grp"),
+      statsCols = Seq("id"))
+    val before = SnapshotTable.manifestFiles(dir, 1)
+    def diskFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        Option(f.listFiles()).getOrElse(Array.empty).flatMap(k =>
+          if (k.isDirectory) walk(k)
+          else if (k.getName.endsWith(".parquet")) Seq(k.getPath)
+          else Seq.empty).toSeq
+      walk(new java.io.File(dir, "data")).toSet
+    }
+    val diskBefore = diskFiles()
+    val v2 = SnapshotTable.deletePartitions(dir, Map("grp" -> "g1"))
+    // METADATA-ONLY: no data file written or removed, manifest shrinks
+    assert(diskFiles() == diskBefore)
+    val after = SnapshotTable.manifestFiles(dir, v2)
+    assert(after.toSet.subsetOf(before.toSet) && after.length < before.length)
+    // content = the row-level delete's answer
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .as[(Long, String, Long)].collect().toSet ==
+      df.where(col("grp").isNull || col("grp") =!= "g1")
+        .as[(Long, String, Long)].collect().toSet)
+    // carried metadata stays aligned and usable
+    assert(SnapshotTable.readAllStats(dir, v2).forall(
+      _._2.length == after.length))
+    assert(SnapshotTable.readPartValues(dir, v2).get.length == after.length)
+    assert(SnapshotTable.manifestCount(dir, v2).contains(
+      df.where(col("grp").isNull || col("grp") =!= "g1").count()))
+    // NULL partition drops by null key; time travel keeps v1 whole
+    val v3 = SnapshotTable.deletePartitions(dir, Map("grp" -> null))
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .where(col("grp").isNull).count() == 0L)
+    assert(SnapshotTable.readSnapshot(spark, dir, Some(1)).count() == 300L)
+    // match-nothing = metadata no-op commit
+    val v4 = SnapshotTable.deletePartitions(dir, Map("grp" -> "nope"))
+    assert(SnapshotTable.manifestFiles(dir, v4) ==
+      SnapshotTable.manifestFiles(dir, v3))
+    // refusals: unknown column; emptying the table
+    intercept[IllegalArgumentException](
+      SnapshotTable.deletePartitions(dir, Map("id" -> 1L)))
+    val empty = intercept[IllegalArgumentException] {
+      Seq("g0", "g2", "g3").foldLeft(0)((_, g) =>
+        SnapshotTable.deletePartitions(dir, Map("grp" -> g)))
+    }
+    assert(empty.getMessage.contains("would empty"))
+  }
+
+  test("two-column partitioning: tuple purity, compound exact pruning, " +
+    "partition delete on one or both columns") {
+    val dir = Files.createTempDirectory("snap-part2").toString
+    val df = (0L until 240L).map(i =>
+      (i, s"s${i % 3}", (i % 2).toInt, i * 2)).toDF("id", "src", "b", "n")
+    SnapshotTable.commitPartitioned(spark, df, dir, Seq("src", "b"))
+    assert(SnapshotTable.partitionColumns(dir, 1) == Seq("src", "b"))
+    val got = SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("src" -> "s1", "b" -> 0)).as[(Long, String, Int, Long)]
+      .collect().toSet
+    assert(got == df.where(col("src") === "s1" && col("b") === 0)
+      .as[(Long, String, Int, Long)].collect().toSet)
+    // pruning on ONE of the two columns keeps all its b-values
+    val oneCol = SnapshotTable.manifestFilesPruned(dir, 1, Map.empty,
+      Map("src" -> Set(Option("s2"))))
+    assert(oneCol.nonEmpty &&
+      oneCol.length < SnapshotTable.manifestFiles(dir, 1).length)
+    // metadata delete of one (src, b) cell
+    SnapshotTable.deletePartitions(dir, Map("src" -> "s0", "b" -> 1))
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .where(col("src") === "s0" && col("b") === 1).count() == 0L)
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .where(col("src") === "s0" && col("b") === 0).count() ==
+      df.where(col("src") === "s0" && col("b") === 0).count())
+  }
+
   test("multi-column manifest stats: two-predicate pruning compounds, " +
     "appends/DML/restore carry every column, compact preserves the " +
     "tracked set, results never change") {

@@ -271,6 +271,64 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("PARTITIONED"), err.getMessage)
   }
 
+  test("SQL DELETE on a partition column is METADATA-ONLY (no data " +
+    "file touched); non-partition deletes still rewrite copy-on-write") {
+    val dir = Files.createTempDirectory("graft-dsv2pdel").toString
+    val rows = (0L until 200L).map(i => (i, s"g${i % 4}", i * 3))
+      .toDF("id", "grp", "n")
+    SnapshotTable.commitPartitioned(spark, rows, dir, Seq("grp"))
+    spark.conf.set("spark.sql.catalog.gdel_cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gdel_cat.root",
+      new java.io.File(dir).getParent)
+    val name = new java.io.File(dir).getName
+    def diskFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        Option(f.listFiles()).getOrElse(Array.empty).flatMap(k =>
+          if (k.isDirectory) walk(k)
+          else if (k.getName.endsWith(".parquet")) Seq(k.getPath)
+          else Seq.empty).toSeq
+      walk(new java.io.File(dir, "data")).toSet
+    }
+    val before = diskFiles()
+    spark.sql(s"DELETE FROM gdel_cat.`$name` WHERE grp = 'g2'")
+    // metadata-only: the filesystem is untouched, the answer exact
+    assert(diskFiles() == before)
+    assert(spark.sql(s"SELECT count(*) FROM gdel_cat.`$name`")
+      .as[Long].head() == 150L)
+    assert(SnapshotTable.manifestFiles(dir, 2).toSet
+      .subsetOf(SnapshotTable.manifestFiles(dir, 1).toSet))
+    // a non-partition predicate rewrites (new files appear), partition
+    // metadata stays truthful afterwards
+    spark.sql(s"DELETE FROM gdel_cat.`$name` WHERE id < 10")
+    assert(diskFiles() != before)
+    assert(spark.sql(s"SELECT count(*) FROM gdel_cat.`$name`")
+      .as[Long].head() ==
+      (0L until 200L).count(i => i % 4 != 2 && i >= 10))
+    val v3 = SnapshotTable.resolveVersion(dir)
+    assert(SnapshotTable.partitionColumns(dir, v3) == Seq("grp"))
+    assert(SnapshotTable.readPartValues(dir, v3).get.length ==
+      SnapshotTable.manifestFiles(dir, v3).length)
+  }
+
+  test("STREAMING source tails PARTITIONED appends: value-pure files " +
+    "feed incrementally with the partition column as data") {
+    val dir = Files.createTempDirectory("graft-dsv2pstream").toString
+    def batch(lo: Long, hi: Long) = (lo until hi).map(i =>
+      (i, s"g${i % 2}", i * 2)).toDF("id", "grp", "n")
+    SnapshotTable.commitPartitioned(spark, batch(0, 50), dir, Seq("grp"))
+    SnapshotTable.commitPartitioned(spark, batch(50, 80), dir, Seq("grp"))
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", 0).load(dir)
+      .writeStream.format("memory").queryName("pstream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT id, grp, n FROM pstream")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == batch(0, 80).as[(Long, String, Long)].collect().toSet)
+  }
+
   test("bare projection (count(*)) and single-column pruning read " +
     "without touching dropped columns") {
     val dir = Files.createTempDirectory("graft-dsv2cnt").toString
