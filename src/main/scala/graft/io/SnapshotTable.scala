@@ -652,7 +652,9 @@ object SnapshotTable {
                         writeSchema: StructType,
                         overwrite: Boolean = false,
                         stats: Seq[(String, Seq[(Long, Long)])] = Nil,
-                        txn: Option[(String, Long)] = None): Int = {
+                        txn: Option[(String, Long)] = None,
+                        parts: Option[(Seq[String],
+                          Seq[Seq[Option[String]]])] = None): Int = {
     require(relFiles.nonEmpty, "external commit with no staged files")
     logDir(dir).mkdirs()
     val prev = versions(dir)
@@ -660,14 +662,34 @@ object SnapshotTable {
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
       else readManifest(dir, prev.last)
-    // externally staged writers (DSv2 INSERT, streaming sink) record no
-    // partition values: appending their files to a partitioned table
-    // would half-state the manifest — refuse toward the API tier
-    if (base.nonEmpty)
-      require(partitionColumns(dir, prev.last).isEmpty,
-        s"append to a PARTITIONED snapshot table at $dir must go " +
-          "through commitPartitioned (external writers record no " +
-          "partition values); overwrite resets partitioning")
+    // partitioned-table append protocol for externally staged writers
+    // (DSv2 INSERT, streaming sink): the writer must declare the SAME
+    // partition columns and per-file value tuples (its tasks route
+    // rows into value-pure files) — a stats-free/values-free append
+    // onto a partitioned table would half-state the manifest and is
+    // refused toward the partition-aware paths
+    if (base.nonEmpty) {
+      val prevP = partitionColumns(dir, prev.last)
+      require(prevP == parts.map(_._1).getOrElse(Nil),
+        s"append partitioned by " +
+          s"[${parts.map(_._1).getOrElse(Nil).mkString(",")}] onto " +
+          s"version ${prev.last} partitioned by " +
+          s"[${prevP.mkString(",")}] — external writers must declare " +
+          "the table's partitioning (the DSv2 partitionBy option / " +
+          "partition-aware writers); only an overwrite repartitions")
+    }
+    val fullParts: Option[(Seq[String], Seq[Seq[Option[String]]])] =
+      parts.map { case (cols, vals) =>
+        require(vals.length == relFiles.length,
+          s"pvals/files length mismatch: ${vals.length} != ${relFiles.length}")
+        val carried: Seq[Seq[Option[String]]] =
+          if (base.isEmpty) Seq.empty
+          else readPartValues(dir, prev.last).getOrElse(
+            throw new IllegalStateException(
+              s"version ${prev.last} declares partition columns but " +
+                "records no values"))
+        (cols, carried ++ vals)
+      }
     // appends onto a stats-bearing version must cover EVERY column the
     // base tracks (a column silently dropped would half-state the
     // manifest and disable its pruning without a trace)
@@ -714,7 +736,8 @@ object SnapshotTable {
       evolvedSchemaFrom(dir, prev, writeSchema, overwrite),
       knownRows = carriedRows,
       knownSizes = if (base.isEmpty) Map.empty
-                   else sizeMap(dir, prev.last))
+                   else sizeMap(dir, prev.last),
+      parts = fullParts)
     v
   }
 
@@ -802,6 +825,25 @@ object SnapshotTable {
 
   private[graft] val PartDupPrefix = "__part_"
 
+  /** Shared partition-column validation (the API tier and the DSv2
+    * write builder): columns must exist in the schema, be distinct,
+    * and carry atomic types whose canonical string form round-trips. */
+  private[graft] def validatePartCols(schema: StructType,
+                                      partCols: Seq[String]): Unit = {
+    require(partCols.distinct.length == partCols.length,
+      s"duplicate partition columns: ${partCols.mkString(",")}")
+    partCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in " +
+            s"${schema.fieldNames.mkString(",")}"))
+      require(supportedPartType(f.dataType),
+        s"partition column '$c' has unsupported type " +
+          s"${f.dataType.simpleString} (atomic string/integral/boolean/" +
+          "date only — canonical string forms must round-trip)")
+    }
+  }
+
   private def supportedPartType(dt: DataType): Boolean = dt match {
     case org.apache.spark.sql.types.StringType |
          org.apache.spark.sql.types.IntegerType |
@@ -845,17 +887,7 @@ object SnapshotTable {
                         overwrite: Boolean = false,
                         statsCols: Seq[String] = Nil): Int = {
     require(partCols.nonEmpty, "commitPartitioned needs partition columns")
-    require(partCols.distinct.length == partCols.length,
-      s"duplicate partition columns: ${partCols.mkString(",")}")
-    partCols.foreach { c =>
-      val f = df.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column '$c' not in ${df.columns.mkString(",")}"))
-      require(supportedPartType(f.dataType),
-        s"partition column '$c' has unsupported type " +
-          s"${f.dataType.simpleString} (atomic string/integral/boolean/" +
-          "date only — canonical string forms must round-trip)")
-    }
+    validatePartCols(df.schema, partCols)
     logDir(dir).mkdirs()
     val prev = versions(dir)
     val v = prev.lastOption.getOrElse(0) + 1

@@ -216,7 +216,8 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(dir, info.schema(),
-      Option(info.options.get("statsCol")), info.queryId())
+      Option(info.options.get("statsCol")),
+      Option(info.options.get("partitionBy")), info.queryId())
 
   /** `DELETE FROM` lowers to the copy-on-write [[SnapshotTable.delete]]
     * — a new commit rewriting only the touched files; prior versions
@@ -366,9 +367,8 @@ private[sources] class SnapshotReplaceGroupsWrite(
       : DataWriterFactory =
     new SnapshotWriterFactory(dir, sub, writeSchema, Array.empty)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged0 = messages.collect {
-      case m: SnapshotCommitMsg if m.relPath != null => m.relPath
-    }.sorted.toSeq
+    val staged0 = messages.collect { case m: SnapshotCommitMsg => m }
+      .flatMap(_.files.map(_.relPath)).sorted.toSeq
     val scannedRel = state.scanned.map(_.stripPrefix(s"$dir/")).toSet
     val untouched = SnapshotTable.manifestFiles(dir, scanVersion)
       .filterNot(scannedRel)
@@ -397,11 +397,9 @@ private[sources] class SnapshotReplaceGroupsWrite(
       writtenSub = Some(sub)): Unit
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case SnapshotCommitMsg(rel, _, _, _) if rel != null =>
-        SnapshotSource.deleteQuiet(s"$dir/$rel")
-      case _ =>
-    }
+    messages.collect { case m: SnapshotCommitMsg => m }
+      .flatMap(_.files)
+      .foreach(f => SnapshotSource.deleteQuiet(s"$dir/${f.relPath}"))
 }
 
 /** v1 `Filter` → `Column` translation for the DELETE path — the
@@ -1141,7 +1139,8 @@ class ParquetGroupReader(path: String, required: StructType,
   * overwrite-by-true to truncate), mapping to the log's `overwrite`
   * action. */
 class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
-                           statsCol: Option[String], queryId: String)
+                           statsCol: Option[String],
+                           partitionBy: Option[String], queryId: String)
     extends WriteBuilder with SupportsTruncate {
   // `.option("statsCol", "a")` or `.option("statsCol", "a,b")` — a
   // comma-separated list tracks min/max for every named column (the
@@ -1150,13 +1149,44 @@ class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
     statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** The PARTITIONING this write commits under: appends to an existing
+    * partitioned table INHERIT its columns (an explicit
+    * `.option("partitionBy", ...)` must then match — a silent layout
+    * fork would half-state the manifest); overwrites and first commits
+    * take the option (comma-separated). Writers route rows into one
+    * value-pure file per tuple, so the manifest records exact values —
+    * the full partition tier (pruning, metadata DELETE) now works
+    * through plain `df.write`/`writeStream` with no API calls. */
+  private def resolvedPartCols(ow: Boolean): Seq[String] = {
+    val opt = partitionBy.toSeq.flatMap(_.split(','))
+      .map(_.trim).filter(_.nonEmpty)
+    val prevP =
+      if (SnapshotTable.versions(dir).isEmpty) Nil
+      else SnapshotTable.partitionColumns(dir,
+        SnapshotTable.resolveVersion(dir))
+    val cols =
+      if (ow || prevP.isEmpty) opt
+      else {
+        require(opt.isEmpty || opt == prevP,
+          s"write partitioned by [${opt.mkString(",")}] onto a table " +
+            s"partitioned by [${prevP.mkString(",")}] — appends keep " +
+            "the table's partitioning; only overwrite repartitions")
+        prevP
+      }
+    SnapshotTable.validatePartCols(writeSchema, cols)
+    cols
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new SnapshotBatchWrite(dir, writeSchema, overwrite, statsCols)
+      new SnapshotBatchWrite(dir, writeSchema, overwrite, statsCols,
+        resolvedPartCols(overwrite))
     override def toStreaming: StreamingWrite = {
       require(!overwrite,
         "snapshot streaming sink supports outputMode=append only")
-      new SnapshotStreamingWrite(dir, writeSchema, statsCols, queryId)
+      new SnapshotStreamingWrite(dir, writeSchema, statsCols,
+        resolvedPartCols(ow = false), queryId)
     }
   }
 }
@@ -1177,20 +1207,25 @@ class SnapshotWriteBuilder(dir: String, writeSchema: StructType,
   * its batches. An all-empty epoch commits nothing (no empty-version
   * litter). */
 class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
-                             statsCols: Seq[String], queryId: String)
+                             statsCols: Seq[String],
+                             partCols: Seq[String], queryId: String)
     extends StreamingWrite {
+  def this(dir: String, writeSchema: StructType, statsCols: Seq[String],
+           queryId: String) =
+    this(dir, writeSchema, statsCols, Nil, queryId)
   private val sub = s"data/s${java.util.UUID.randomUUID().toString.take(8)}"
   private val statsIdxs = SnapshotWrite.statsIndexes(writeSchema, statsCols)
+  private val partIdxs = SnapshotWrite.statsIndexes(writeSchema, partCols)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new SnapshotStreamingWriterFactory(dir, sub, writeSchema, statsIdxs)
+    new SnapshotStreamingWriterFactory(dir, sub, writeSchema, statsIdxs,
+      partIdxs)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
-    val msgs = messages.collect {
-      case m: SnapshotCommitMsg if m.relPath != null => m
-    }.sortBy(_.relPath)
+    val msgs = messages.collect { case m: SnapshotCommitMsg => m }
+      .flatMap(_.files).sortBy(_.relPath)
     if (msgs.isEmpty) return // empty epoch: no version
     if (SnapshotTable.committedEpochs(dir, queryId).contains(epochId)) {
       // replayed epoch whose commit landed: exactly-once means DROP the
@@ -1201,28 +1236,30 @@ class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
     val stats = statsCols.zipWithIndex.map { case (c, i) =>
       (c, msgs.toSeq.map(m => (m.mns(i), m.mxs(i))))
     }
+    val parts =
+      if (partCols.isEmpty) None
+      else Some((partCols, msgs.toSeq.map(_.pvals)))
     SnapshotTable.commitStagedFiles(dir, msgs.toSeq.map(_.relPath),
       writeSchema, overwrite = false, stats,
-      txn = Some((queryId, epochId)))
+      txn = Some((queryId, epochId)), parts = parts)
   }
 
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case SnapshotCommitMsg(rel, _, _, _) if rel != null =>
-        SnapshotSource.deleteQuiet(s"$dir/$rel")
-      case _ =>
-    }
+    messages.collect { case m: SnapshotCommitMsg => m }
+      .flatMap(_.files)
+      .foreach(f => SnapshotSource.deleteQuiet(s"$dir/${f.relPath}"))
 }
 
 class SnapshotStreamingWriterFactory(dir: String, sub: String,
                                      schema: StructType,
-                                     statsIdxs: Array[Int])
+                                     statsIdxs: Array[Int],
+                                     partIdxs: Array[Int] = Array.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new SnapshotDataWriter(dir, s"$sub/e$epochId", schema, statsIdxs,
-      partitionId, taskId)
+      partIdxs, partitionId, taskId)
 }
 
 object SnapshotWrite {
@@ -1373,26 +1410,37 @@ private[sources] class ParquetGroupWriter(path: String, schema: StructType,
   def close(): Unit = writer.close()
 }
 
-case class SnapshotCommitMsg(relPath: String, mns: Seq[Long],
-                             mxs: Seq[Long],
-                             rows: Long) extends WriterCommitMessage
+/** One staged data file's commit record: path, per-stats-column
+  * min/max folds, row count, and (on a partitioned write) the file's
+  * partition-value tuple — files are VALUE-PURE because the writer
+  * routes rows by tuple. */
+case class SnapshotFileMsg(relPath: String, mns: Seq[Long],
+                           mxs: Seq[Long], rows: Long,
+                           pvals: Seq[Option[String]] = Seq.empty)
+
+/** A writer task's commit message — a LIST of files: an unpartitioned
+  * task stages at most one, a partitioned task one per partition tuple
+  * it saw. */
+case class SnapshotCommitMsg(files: Seq[SnapshotFileMsg])
+    extends WriterCommitMessage
 
 class SnapshotBatchWrite(dir: String, writeSchema: StructType,
-                         overwrite: Boolean, statsCols: Seq[String])
+                         overwrite: Boolean, statsCols: Seq[String],
+                         partCols: Seq[String] = Nil)
     extends BatchWrite {
   // unique staging sub-dir: concurrent writers never collide on file
   // names, and nothing under data/ is live until a manifest names it
   private val sub = s"data/w${java.util.UUID.randomUUID().toString.take(8)}"
   private val statsIdxs = SnapshotWrite.statsIndexes(writeSchema, statsCols)
+  private val partIdxs = SnapshotWrite.statsIndexes(writeSchema, partCols)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new SnapshotWriterFactory(dir, sub, writeSchema, statsIdxs)
+    new SnapshotWriterFactory(dir, sub, writeSchema, statsIdxs, partIdxs)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val msgs = messages.collect {
-      case m: SnapshotCommitMsg if m.relPath != null => m
-    }.sortBy(_.relPath)
+    val msgs = messages.collect { case m: SnapshotCommitMsg => m }
+      .flatMap(_.files).sortBy(_.relPath)
     val staged =
       if (msgs.nonEmpty) msgs.toSeq
       else {
@@ -1401,8 +1449,9 @@ class SnapshotBatchWrite(dir: String, writeSchema: StructType,
         // the parquet writer creates parent directories through the FS
         val rel = s"$sub/part-empty.parquet"
         new ParquetGroupWriter(s"$dir/$rel", writeSchema, statsIdxs).close()
-        Seq(SnapshotCommitMsg(rel, Seq.fill(statsIdxs.length)(0L),
-          Seq.fill(statsIdxs.length)(-1L), 0L))
+        Seq(SnapshotFileMsg(rel, Seq.fill(statsIdxs.length)(0L),
+          Seq.fill(statsIdxs.length)(-1L), 0L,
+          Seq.fill(partCols.length)(None)))
       }
     val stats = statsCols.zipWithIndex.map { case (c, i) =>
       // an empty file's (MaxValue, MinValue) sentinel prunes always —
@@ -1412,48 +1461,86 @@ class SnapshotBatchWrite(dir: String, writeSchema: StructType,
         if (m.rows == 0L) (Long.MaxValue, Long.MinValue)
         else (m.mns(i), m.mxs(i))))
     }
+    val parts =
+      if (partCols.isEmpty) None
+      else Some((partCols, staged.map(_.pvals)))
     SnapshotTable.commitStagedFiles(dir, staged.map(_.relPath),
-      writeSchema, overwrite, stats)
+      writeSchema, overwrite, stats, parts = parts)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case SnapshotCommitMsg(rel, _, _, _) if rel != null =>
-        SnapshotSource.deleteQuiet(s"$dir/$rel")
-      case _ =>
-    }
+    messages.collect { case m: SnapshotCommitMsg => m }
+      .flatMap(_.files)
+      .foreach(f => SnapshotSource.deleteQuiet(s"$dir/${f.relPath}"))
 }
 
 class SnapshotWriterFactory(dir: String, sub: String, schema: StructType,
-                            statsIdxs: Array[Int]) extends DataWriterFactory {
+                            statsIdxs: Array[Int],
+                            partIdxs: Array[Int] = Array.empty)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new SnapshotDataWriter(dir, sub, schema, statsIdxs, partitionId, taskId)
+    new SnapshotDataWriter(dir, sub, schema, statsIdxs, partIdxs,
+      partitionId, taskId)
 }
 
-/** One parquet file per NON-EMPTY partition (empty partitions commit a
-  * null message — no zero-row file litter); the parquet writer opens
-  * lazily on the first row and rows stream straight through, stats
-  * folding as they pass — nothing buffers beyond parquet's row groups.
-  * All file I/O goes through the Hadoop FS resolved from the table
-  * path (create makes parents; executors on a real cluster stage
-  * straight to the table's object store, never a local disk). */
+/** One parquet file per NON-EMPTY task — or, on a PARTITIONED write,
+  * one VALUE-PURE file per partition tuple the task sees (rows route
+  * by tuple, so the manifest can record exact per-file values; the
+  * streaming-ingest-into-a-day-partitioned-table pattern): writers
+  * open lazily on the first row of each tuple and rows stream straight
+  * through, stats folding as they pass — nothing buffers beyond
+  * parquet's row groups. Empty tasks commit an empty message (no
+  * zero-row file litter). All file I/O goes through the Hadoop FS
+  * resolved from the table path (create makes parents; executors on a
+  * real cluster stage straight to the table's object store, never a
+  * local disk). */
 class SnapshotDataWriter(dir: String, sub: String, schema: StructType,
-                         statsIdxs: Array[Int], partitionId: Int,
-                         taskId: Long)
+                         statsIdxs: Array[Int], partIdxs: Array[Int],
+                         partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val rel = f"$sub/part-$partitionId%05d-$taskId.parquet"
-  private var w: ParquetGroupWriter = _
+  // tuple -> (relPath, writer); insertion-ordered so commit messages
+  // are deterministic given the task's row order
+  private val writers = scala.collection.mutable.LinkedHashMap
+    .empty[Seq[Option[String]], (String, ParquetGroupWriter)]
+
+  /** The canonical string of a partition value — must agree with
+    * `cast(col as string)` ([[graft.io.SnapshotTable.partValueString]]
+    * on the prune side); the type set is the one commitPartitioned
+    * admits. */
+  private def partVal(row: InternalRow, i: Int): Option[String] =
+    if (row.isNullAt(i)) None
+    else Some(schema(i).dataType match {
+      case StringType => row.getUTF8String(i).toString
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case ShortType => row.getShort(i).toString
+      case ByteType => row.getByte(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other for ${schema(i).name}")
+    })
+
   override def write(row: InternalRow): Unit = {
-    if (w == null) w = new ParquetGroupWriter(s"$dir/$rel", schema, statsIdxs)
+    val tuple: Seq[Option[String]] =
+      if (partIdxs.isEmpty) Seq.empty
+      else partIdxs.map(partVal(row, _)).toSeq
+    val (_, w) = writers.getOrElseUpdate(tuple, {
+      val rel =
+        f"$sub/part-$partitionId%05d-$taskId-f${writers.size}.parquet"
+      (rel, new ParquetGroupWriter(s"$dir/$rel", schema, statsIdxs))
+    })
     w.write(row)
   }
   override def commit(): WriterCommitMessage =
-    if (w == null) SnapshotCommitMsg(null, Seq.empty, Seq.empty, 0L)
-    else { w.close(); SnapshotCommitMsg(rel, w.mns.toSeq, w.mxs.toSeq,
-      w.rows) }
-  override def abort(): Unit = {
-    if (w != null) w.close()
+    SnapshotCommitMsg(writers.toSeq.map { case (tuple, (rel, w)) =>
+      w.close()
+      SnapshotFileMsg(rel, w.mns.toSeq, w.mxs.toSeq, w.rows, tuple)
+    })
+  override def abort(): Unit = writers.values.foreach { case (rel, w) =>
+    w.close()
     SnapshotSource.deleteQuiet(s"$dir/$rel")
   }
   override def close(): Unit = ()

@@ -311,6 +311,76 @@ class SnapshotSourceSpec extends SparkSpec {
       SnapshotTable.manifestFiles(dir, v3).length)
   }
 
+  test("PARTITIONED writes through plain df.write and writeStream: " +
+    "writers route rows into value-pure files, values land in the " +
+    "manifest, appends inherit the layout, mismatches refuse") {
+    val dir = Files.createTempDirectory("graft-dsv2pwrite").toString
+    val rows = (0L until 200L).map(i => (i, s"g${i % 3}", i * 2))
+      .toDF("id", "grp", "n")
+    // first commit declares the partitioning via the write option
+    rows.write.format("graft.sources.SnapshotSource")
+      .option("partitionBy", "grp").option("statsCol", "id")
+      .mode("append").save(dir)
+    assert(SnapshotTable.partitionColumns(dir, 1) == Seq("grp"))
+    val files1 = SnapshotTable.manifestFiles(dir, 1)
+    val pvals1 = SnapshotTable.readPartValues(dir, 1).get
+    assert(pvals1.length == files1.length)
+    assert(pvals1.flatten.flatten.toSet == Set("g0", "g1", "g2"))
+    // value purity straight from the writer's routing
+    files1.zip(pvals1).foreach { case (f, Seq(v)) =>
+      val got = spark.read.parquet(s"$dir/$f").select("grp")
+        .distinct().as[String].collect().toSeq
+      assert(got == Seq(v.get), s"$f not value-pure")
+    }
+    // an append with NO option inherits the table's partitioning
+    (200L until 230L).map(i => (i, s"g${i % 3}", i * 2))
+      .toDF("id", "grp", "n")
+      .write.format("graft.sources.SnapshotSource")
+      .option("statsCol", "id").mode("append").save(dir)
+    assert(SnapshotTable.partitionColumns(dir, 2) == Seq("grp"))
+    assert(SnapshotTable.readPartValues(dir, 2).get.length ==
+      SnapshotTable.manifestFiles(dir, 2).length)
+    // the written values immediately serve partition pruning + the
+    // metadata DELETE fast path
+    val full = load(dir)
+    val one = full.where($"grp" === "g1")
+    assert(one.rdd.getNumPartitions < full.rdd.getNumPartitions)
+    assert(one.count() == (0L until 230L).count(_ % 3 == 1))
+    SnapshotTable.deletePartitions(dir, Map("grp" -> "g0"))
+    assert(load(dir).count() == (0L until 230L).count(_ % 3 != 0))
+    // a mismatched explicit option refuses
+    val err = intercept[Exception] {
+      rows.write.format("graft.sources.SnapshotSource")
+        .option("partitionBy", "id").option("statsCol", "id")
+        .mode("append").save(dir)
+    }
+    assert(err.getMessage.contains("partitioned by"), err.getMessage)
+    // STREAMING sink into a fresh partitioned table: per-epoch appends
+    // carry values; content and layout exact
+    val dir2 = Files.createTempDirectory("graft-dsv2pstrm").toString
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String, Long)]
+    src.addData((0L until 40L).map(i => (i, s"g${i % 2}", i)): _*)
+    val q = src.toDF().toDF("id", "grp", "n")
+      .writeStream.format("graft.sources.SnapshotSource")
+      .option("partitionBy", "grp")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-pw-ck").toString)
+      .start(dir2)
+    try {
+      src.addData((40L until 70L).map(i => (i, s"g${i % 2}", i)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotTable.partitionColumns(dir2,
+      SnapshotTable.versions(dir2).last) == Seq("grp"))
+    assert(load(dir2).where($"grp" === "g1").count() ==
+      (0L until 70L).count(_ % 2 == 1))
+    assert(SnapshotTable.readPartValues(dir2,
+      SnapshotTable.versions(dir2).last).get.flatten.flatten.toSet ==
+      Set("g0", "g1"))
+  }
+
   test("STREAMING source tails PARTITIONED appends: value-pure files " +
     "feed incrementally with the partition column as data") {
     val dir = Files.createTempDirectory("graft-dsv2pstream").toString
@@ -438,8 +508,8 @@ class SnapshotSourceSpec extends SparkSpec {
     val sw = new SnapshotStreamingWrite(dir,
       load(dir).schema, statsCols = Nil, queryId = qid)
     sw.commit(epochs.head,
-      Array(SnapshotCommitMsg("data/ghost.parquet", Seq.empty, Seq.empty,
-        1L)))
+      Array(SnapshotCommitMsg(Seq(SnapshotFileMsg(
+        "data/ghost.parquet", Seq.empty, Seq.empty, 1L)))))
     assert(SnapshotTable.versions(dir).size == 2, "replay double-committed")
     // a DIFFERENT query's epoch 0 must NOT collide with this one's:
     // dedup keys on the (queryId, epoch) PAIR, or a second stream with a
@@ -450,7 +520,8 @@ class SnapshotSourceSpec extends SparkSpec {
     new ParquetGroupWriter(s"$dir/$rel", load(dir).schema,
       Array.empty).close()
     other.commit(epochs.head,
-      Array(SnapshotCommitMsg(rel, Seq.empty, Seq.empty, 0L)))
+      Array(SnapshotCommitMsg(Seq(SnapshotFileMsg(
+        rel, Seq.empty, Seq.empty, 0L)))))
     assert(SnapshotTable.versions(dir).size == 3,
       "a second query's first epoch was silently dropped")
   }
