@@ -1322,13 +1322,28 @@ object SnapshotTable {
                     rowChecks: Seq[graft.ops.Expectations.RowCheck],
                     uniqueChecks: Seq[graft.ops.Expectations.UniqueCheck] = Nil,
                     overwrite: Boolean = false,
-                    statsCol: Option[String] = None): (Option[Int], DataFrame) = {
+                    statsCol: Option[String] = None,
+                    partCols: Seq[String] = Nil): (Option[Int], DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    if (partCols.nonEmpty) validatePartCols(df.schema, partCols)
     logDir(dir).mkdirs()
     val prev = versions(dir)
     val v = prev.lastOption.getOrElse(0) + 1
     val sub = f"data/v$v%05d"
-    df.write.mode("overwrite").parquet(s"$dir/$sub")
+    // partitioned WAP: stage value-pure per-tuple file sets exactly
+    // like commitPartitioned (the audit then gates a partitioned
+    // publish — the daily day-partitioned ingest's promotion gate)
+    if (partCols.isEmpty)
+      df.write.mode("overwrite").parquet(s"$dir/$sub")
+    else {
+      val dups = partCols.map(c => PartDupPrefix + c)
+      df.select(df.columns.map(col) ++
+          partCols.zip(dups).map { case (c, d) => col(c).as(d) }: _*)
+        .write.mode("overwrite").partitionBy(dups: _*)
+        .parquet(s"$dir/$sub")
+    }
     val staged = spark.read.parquet(s"$dir/$sub")
+      .select(df.columns.map(col): _*) // drop the dup __part_* columns
     val checked = graft.ops.Expectations.check(staged, rowChecks, uniqueChecks)
     // materialize the report NOW (≤ #checks rows — the verdict, not the
     // data): its lineage must not reference the staged files, which a
@@ -1348,7 +1363,7 @@ object SnapshotTable {
     } else {
       // publish the STAGED files — what was audited is what readers see
       (Some(publishStaged(spark, df, dir, prev, v, sub, overwrite,
-        statsCol.toSeq)), report)
+        statsCol.toSeq, partCols)), report)
     }
   }
 

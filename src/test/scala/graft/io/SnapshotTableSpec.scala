@@ -327,6 +327,29 @@ class SnapshotTableSpec extends SparkSpec {
     assert(v3.isEmpty && SnapshotTable.versions(dir) == Seq(1))
   }
 
+  test("write-audit-publish on a PARTITIONED table: a passing audit " +
+    "publishes value-pure tuples, a failing audit unstages everything") {
+    val dir = Files.createTempDirectory("snap-wapp").toString
+    val checks = Seq(graft.ops.Expectations.RowCheck("n_nonneg", col("n") >= 0))
+    val good = (0L until 60L).map(i => (i, s"g${i % 3}", i))
+      .toDF("id", "grp", "n")
+    val (v1, r1) = SnapshotTable.commitAudited(spark, good, dir, checks,
+      partCols = Seq("grp"))
+    assert(v1.contains(1) && r1.where(!col("pass")).count() == 0)
+    assert(SnapshotTable.partitionColumns(dir, 1) == Seq("grp"))
+    assert(SnapshotTable.readPartValues(dir, 1).get.flatten.flatten.toSet ==
+      Set("g0", "g1", "g2"))
+    // the audited publish serves the partition tier at once
+    assert(SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("grp" -> "g1")).count() == 20L)
+    // failing audited partitioned append: unstaged, log intact
+    val bad = Seq((100L, "g0", -1L)).toDF("id", "grp", "n")
+    val (v2, _) = SnapshotTable.commitAudited(spark, bad, dir, checks,
+      partCols = Seq("grp"))
+    assert(v2.isEmpty && SnapshotTable.versions(dir) == Seq(1))
+    assert(SnapshotTable.readSnapshot(spark, dir).count() == 60L)
+  }
+
   test("model-based: random append/overwrite/delete/update/merge sequences " +
     "match an in-memory multiset model at every version") {
     val rnd = new scala.util.Random(20260814L)
