@@ -269,6 +269,7 @@ object SparkEntry {
     "q235_snapshot_multistats" -> IoQueries.snapshotMultiStats,
     "q236_snapshot_partitioned" -> IoQueries.snapshotPartitioned,
     "q237_unigram_soft" -> LlmQueries.unigramSoftTrain,
+    "q238_show_partitions" -> IoQueries.snapshotShowPartitions,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2934,6 +2935,13 @@ ORDER BY d.doc_id""",
         |  CAST(count(DISTINCT source) AS BIGINT)
         |FROM documents WHERE source IN ('src2', 'src7')
         |ORDER BY leg""".stripMargin,
+    // q238: the partition inventory is manifest metadata; its semantic
+    // content is exactly the source table's GROUP BY (file counts are
+    // layout and stay out of the oracle)
+    "q238_show_partitions" ->
+      """SELECT concat('source=', source) AS partition,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents GROUP BY 1 ORDER BY partition""".stripMargin,
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept
     // prefix (cum order = epoch, bucket, hash, doc_id flattened).

@@ -1544,6 +1544,40 @@ object SnapshotTable {
     }.toDF("version", "action", "ts_millis", "n_files", "n_rows")
   }
 
+  /** SHOW PARTITIONS, answered from MANIFEST BYTES (zero data IO —
+    * at 100 TB the partition inventory costs the log, never the data):
+    * one (partition, n_files, n_rows) tuple per recorded partition
+    * value at `asOf`, rendered hive-style `c=v[/c2=v2]` with NULL as
+    * `__NULL__`; n_rows is -1 when the manifest predates row counts
+    * (decline, never estimate). Refuses unpartitioned tables loudly —
+    * an empty inventory would read as "no data". */
+  def partitionSummary(dir: String, asOf: Option[Int] = None)
+      : Seq[(String, Long, Long)] = {
+    val v = resolveVersion(dir, asOf)
+    val pcols = partitionColumns(dir, v)
+    require(pcols.nonEmpty, s"table at $dir is not partitioned")
+    val files = readManifest(dir, v)
+    val pvals = readPartValues(dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"version $v declares partition columns but records no values"))
+    val rows = readRows(dir, v)
+    files.indices.groupBy(pvals(_)).toSeq.map { case (tuple, idxs) =>
+      val render = pcols.zip(tuple).map { case (c, t) =>
+        s"$c=${t.getOrElse("__NULL__")}"
+      }.mkString("/")
+      (render, idxs.length.toLong,
+        rows.fold(-1L)(rs => idxs.map(rs(_)).sum))
+    }.sortBy(_._1)
+  }
+
+  /** [[partitionSummary]] as a DataFrame —
+    * (partition, n_files, n_rows). */
+  def partitions(spark: SparkSession, dir: String,
+                 asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    partitionSummary(dir, asOf).toDF("partition", "n_files", "n_rows")
+  }
+
   /** RESTORE to version `v` (Delta's `RESTORE TABLE ... TO VERSION AS
     * OF`): publishes a NEW commit whose content is exactly `v`'s.
     * Metadata-only — the manifest re-references `v`'s immutable data

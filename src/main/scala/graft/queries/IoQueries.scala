@@ -889,6 +889,39 @@ object IoQueries {
     legs.unionAll(leg4).orderBy("leg")
   }
 
+  /** SHOW PARTITIONS from manifest bytes through the full SQL story
+    * (q238): `CREATE TABLE ... PARTITIONED BY (source)` declares the
+    * layout in the empty v1, a plain `INSERT INTO` inherits it (the
+    * DSv2 writers route rows into value-pure per-tuple files and
+    * record exact values), and `CALL graft_cat.partitions(...)`
+    * answers the partition inventory — value, file count, row count —
+    * from MANIFEST BYTES with zero data IO (at 100 TB the inventory
+    * costs the log, never the data). Output = (partition, n_rows) for
+    * non-empty tuples; file counts are layout, not semantics, so the
+    * oracle is the plain GROUP BY over the source table. */
+  def snapshotShowPartitions(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .createOrReplaceTempView("q238_src")
+    s.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+    val name = "t_" + java.util.UUID.randomUUID.toString
+      .replace("-", "").take(12)
+    s.sql(s"CREATE TABLE graft_cat.$name " +
+      "(doc_id BIGINT, source STRING, n_chars BIGINT) " +
+      "PARTITIONED BY (source)")
+    try {
+      s.sql(s"INSERT INTO graft_cat.$name " +
+        "SELECT doc_id, source, n_chars FROM q238_src")
+      s.sql(s"CALL graft_cat.partitions(`table` => '$name')")
+        .where(col("n_rows") > 0)
+        .select(col("partition"), col("n_rows"))
+        .orderBy("partition")
+        .localCheckpoint() // materialize before the table drops
+    } finally s.sql(s"DROP TABLE graft_cat.$name")
+  }
+
   /** SQL UPDATE + MERGE INTO through the catalog (q232,
     * [[graft.sources.SnapshotRowLevelOperation]]): the last two
     * lakehouse DML verbs that previously existed only as API calls

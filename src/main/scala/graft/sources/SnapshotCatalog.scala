@@ -140,21 +140,43 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
     * empty readable v1) and ALTER ADD COLUMN (publishes a
     * schema-evolving empty version): the parquet writer creates parent
     * directories through the FS, and [[SnapshotTable.commitStagedFiles]]
-    * evolves/validates the schema under the add-column-only rule. */
+    * evolves/validates the schema under the add-column-only rule. A
+    * partitioned CREATE records the columns in v1 (the anchor file's
+    * tuple is all-NULL — it holds nothing), so every later INSERT
+    * inherits the declared layout through the write builder. */
   private def commitEmpty(dir: String, schema: StructType,
-                          sub: String): Unit = {
+                          sub: String, partCols: Seq[String] = Nil): Unit = {
     val rel = s"$sub/part-empty.parquet"
     new ParquetGroupWriter(s"$dir/$rel", schema, Array.empty).close()
-    SnapshotTable.commitStagedFiles(dir, Seq(rel), schema): Unit
+    val parts =
+      if (partCols.isEmpty) None
+      else Some((partCols, Seq(Seq.fill(partCols.length)(
+        None: Option[String]))))
+    SnapshotTable.commitStagedFiles(dir, Seq(rel), schema,
+      parts = parts): Unit
   }
 
+  /** `CREATE TABLE ... PARTITIONED BY (c, ...)` — IDENTITY transforms
+    * only (the snapshot tier's hive-style partitioning; bucket/days/
+    * hours transforms refuse loudly): the declared columns land in the
+    * empty v1 manifest and every subsequent `INSERT INTO` inherits the
+    * layout — the full SQL story (CREATE PARTITIONED BY → INSERT →
+    * pruned SELECT → metadata-only partition DELETE) with no API
+    * calls. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "snapshot tables do not record partition transforms")
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      require(t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+        s"snapshot tables partition by IDENTITY column transforms " +
+          s"only, got $t")
+      t.references()(0).fieldNames()(0)
+    }
+    if (partCols.nonEmpty)
+      SnapshotTable.validatePartCols(schema, partCols)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    commitEmpty(dirOf(ident), schema, "data/w_create")
+    commitEmpty(dirOf(ident), schema, "data/w_create", partCols)
     table(ident, None)
   }
 
@@ -191,8 +213,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
         s"ALTER TABLE on a pre-schema legacy log at $dir"))
     val dup = added.map(_.name).find(n => base.fieldNames.contains(n))
     require(dup.isEmpty, s"ALTER TABLE ADD COLUMN: '${dup.get}' exists")
+    // a partitioned table's evolving empty append declares the SAME
+    // partitioning (the append protocol); the anchor's tuple is NULL
     commitEmpty(dir, StructType(base.fields ++ added),
-      s"data/w_alter${SnapshotTable.versions(dir).last + 1}")
+      s"data/w_alter${SnapshotTable.versions(dir).last + 1}",
+      SnapshotTable.partitionColumns(dir,
+        SnapshotTable.resolveVersion(dir)))
     table(ident, None)
   }
 
@@ -224,7 +250,9 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   // ---- procedures (the CALL surface) ----
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "vacuum"),
+    if (namespace.isEmpty) Array(
+      Identifier.of(Array.empty, "partitions"),
+      Identifier.of(Array.empty, "vacuum"),
       Identifier.of(Array.empty, "restore"),
       Identifier.of(Array.empty, "compact"),
       Identifier.of(Array.empty, "history"))
@@ -237,8 +265,10 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       case "restore" => new RestoreProcedure(this)
       case "compact" => new CompactProcedure(this)
       case "history" => new HistoryProcedure(this)
+      case "partitions" => new PartitionsProcedure(this)
       case other => throw new IllegalArgumentException(
-        s"unknown procedure $other — this catalog exposes vacuum(table, " +
+        s"unknown procedure $other — this catalog exposes partitions" +
+          "(table), vacuum(table, " +
           "keep [, older_than_ms]), restore(table, version), " +
           "compact(table, num_files [, stats_col]), and history(table)")
     }
@@ -366,6 +396,38 @@ private[sources] class CompactProcedure(cat: SnapshotCatalog)
   * ([[SnapshotTable.history]]): one row per retained version, newest
   * first, answered from manifest bytes alone:
   * (version, action, ts_millis, n_files, n_rows). */
+/** `CALL <cat>.partitions(table => '...')` — SHOW PARTITIONS from
+  * manifest bytes ([[graft.io.SnapshotTable.partitionSummary]]): one
+  * (partition, n_files, n_rows) row per recorded value tuple, zero
+  * data IO. */
+private[sources] class PartitionsProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "partitions"
+  override def description(): String =
+    "the table's partition inventory from manifest bytes"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    val parts = SnapshotTable.partitionSummary(dir).map {
+      case (p, nf, nr) => InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(p), nf, nr)
+    }.toArray
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("partition", StringType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] = parts
+    }
+    java.util.List.of(out).iterator()
+  }
+}
+
 private[sources] class HistoryProcedure(cat: SnapshotCatalog)
     extends UnboundProcedure with BoundProcedure {
   import org.apache.spark.sql.types._

@@ -196,6 +196,14 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
   private val dir = SnapshotSource.dir(props)
   override def name(): String = s"graft_snapshot($dir)"
   override def schema(): StructType = tableSchema
+  /** The table's hive-style partition columns as identity transforms
+    * (introspection: DESCRIBE-style surfaces read this); empty for an
+    * unpartitioned or not-yet-created table. */
+  override def partitioning(): Array[Transform] =
+    try SnapshotTable.partitionColumns(dir,
+        SnapshotTable.resolveVersion(dir))
+      .map(Expressions.identity).toArray
+    catch { case scala.util.control.NonFatal(_) => Array.empty }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,

@@ -53,6 +53,57 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE tcat.ext")
   }
 
+  test("CREATE TABLE ... PARTITIONED BY: INSERTs inherit the layout, " +
+    "SELECT prunes partitions, DELETE on the column is metadata-only, " +
+    "ALTER ADD COLUMN keeps the layout, non-identity transforms refuse") {
+    root
+    spark.sql("CREATE TABLE tcat.pt (id BIGINT, grp STRING, n BIGINT) " +
+      "PARTITIONED BY (grp)")
+    try {
+      val dir = s"$root/pt"
+      assert(SnapshotTable.partitionColumns(dir, 1) == Seq("grp"))
+      spark.sql("INSERT INTO tcat.pt SELECT id, concat('g', " +
+        "CAST(id % 3 AS STRING)) AS grp, id * 2 AS n FROM range(90)")
+      val v2 = SnapshotTable.resolveVersion(dir)
+      assert(SnapshotTable.partitionColumns(dir, v2) == Seq("grp"))
+      assert(SnapshotTable.readPartValues(dir, v2).get.flatten.flatten
+        .toSet == Set("g0", "g1", "g2"))
+      // pruned SELECT
+      assert(spark.sql(
+        "SELECT count(*) FROM tcat.pt WHERE grp = 'g1'")
+        .as[Long].head() == 30L)
+      // metadata-only partition DELETE through SQL
+      def diskFiles(): Set[String] = {
+        def walk(f: java.io.File): Seq[String] =
+          Option(f.listFiles()).getOrElse(Array.empty).flatMap(k =>
+            if (k.isDirectory) walk(k)
+            else if (k.getName.endsWith(".parquet")) Seq(k.getPath)
+            else Seq.empty).toSeq
+        walk(new java.io.File(dir, "data")).toSet
+      }
+      val before = diskFiles()
+      spark.sql("DELETE FROM tcat.pt WHERE grp = 'g0'")
+      assert(diskFiles() == before) // nothing rewritten or removed
+      assert(spark.sql("SELECT count(*) FROM tcat.pt")
+        .as[Long].head() == 60L)
+      // ALTER ADD COLUMN keeps the declared layout
+      spark.sql("ALTER TABLE tcat.pt ADD COLUMN note STRING")
+      val v4 = SnapshotTable.resolveVersion(dir)
+      assert(SnapshotTable.partitionColumns(dir, v4) == Seq("grp"))
+      spark.sql("INSERT INTO tcat.pt SELECT id, 'g9' AS grp, 0L AS n, " +
+        "'x' AS note FROM range(5)")
+      assert(spark.sql(
+        "SELECT count(*) FROM tcat.pt WHERE grp = 'g9'")
+        .as[Long].head() == 5L)
+      // non-identity transforms refuse loudly
+      val err = intercept[Exception](spark.sql(
+        "CREATE TABLE tcat.ptbad (id BIGINT, ts TIMESTAMP) " +
+          "PARTITIONED BY (days(ts))"))
+      assert(err.getMessage.toLowerCase.contains("identity"),
+        err.getMessage)
+    } finally spark.sql("DROP TABLE tcat.pt")
+  }
+
   test("TIMESTAMP AS OF resolves through the catalog: at-or-before, " +
     "boundary-inclusive, micros→millis flooring exact") {
     root
