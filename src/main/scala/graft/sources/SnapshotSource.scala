@@ -1262,12 +1262,14 @@ class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
 class SnapshotStreamingWriterFactory(dir: String, sub: String,
                                      schema: StructType,
                                      statsIdxs: Array[Int],
-                                     partIdxs: Array[Int] = Array.empty)
+                                     partIdxs: Array[Int] = Array.empty,
+                                     maxOpenWriters: Int =
+                                       SnapshotWrite.defaultMaxOpenWriters)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new SnapshotDataWriter(dir, s"$sub/e$epochId", schema, statsIdxs,
-      partIdxs, partitionId, taskId)
+      partIdxs, partitionId, taskId, maxOpenWriters)
 }
 
 object SnapshotWrite {
@@ -1306,6 +1308,15 @@ object SnapshotWrite {
       val i = schema.fieldNames.indexOf(c)
       require(i >= 0, s"statsCol $c not in write schema"); i
     }.toArray
+
+  /** Per-task open-writer cap for partitioned writes, read DRIVER-SIDE
+    * from `spark.graft.maxOpenPartitionWriters` (each open writer
+    * buffers a parquet row group; the cap turns the silent partitionBy
+    * OOM into a loud, named error). */
+  private[sources] def defaultMaxOpenWriters: Int =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.maxOpenPartitionWriters", "64").toInt
+    catch { case scala.util.control.NonFatal(_) => 64 }
 }
 
 /** Direct `InternalRow` → parquet `RecordConsumer` write support — the
@@ -1484,12 +1495,14 @@ class SnapshotBatchWrite(dir: String, writeSchema: StructType,
 
 class SnapshotWriterFactory(dir: String, sub: String, schema: StructType,
                             statsIdxs: Array[Int],
-                            partIdxs: Array[Int] = Array.empty)
+                            partIdxs: Array[Int] = Array.empty,
+                            maxOpenWriters: Int =
+                              SnapshotWrite.defaultMaxOpenWriters)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new SnapshotDataWriter(dir, sub, schema, statsIdxs, partIdxs,
-      partitionId, taskId)
+      partitionId, taskId, maxOpenWriters)
 }
 
 /** One parquet file per NON-EMPTY task — or, on a PARTITIONED write,
@@ -1505,7 +1518,9 @@ class SnapshotWriterFactory(dir: String, sub: String, schema: StructType,
   * local disk). */
 class SnapshotDataWriter(dir: String, sub: String, schema: StructType,
                          statsIdxs: Array[Int], partIdxs: Array[Int],
-                         partitionId: Int, taskId: Long)
+                         partitionId: Int, taskId: Long,
+                         maxOpenWriters: Int =
+                           SnapshotWrite.defaultMaxOpenWriters)
     extends DataWriter[InternalRow] {
   // tuple -> (relPath, writer); insertion-ordered so commit messages
   // are deterministic given the task's row order
@@ -1536,6 +1551,15 @@ class SnapshotDataWriter(dir: String, sub: String, schema: StructType,
       if (partIdxs.isEmpty) Seq.empty
       else partIdxs.map(partVal(row, _)).toSeq
     val (_, w) = writers.getOrElseUpdate(tuple, {
+      // each open writer buffers up to a parquet row group: a task
+      // seeing unbounded distinct tuples is the classic partitionBy
+      // OOM — fail LOUDLY naming the fix (co-locate tuples per task)
+      // instead of dying on the executor heap
+      require(writers.size < maxOpenWriters,
+        s"task saw > $maxOpenWriters distinct partition tuples — " +
+          "repartition by the partition columns before writing (each " +
+          "value then lands in one task), or raise " +
+          "spark.graft.maxOpenPartitionWriters")
       val rel =
         f"$sub/part-$partitionId%05d-$taskId-f${writers.size}.parquet"
       (rel, new ParquetGroupWriter(s"$dir/$rel", schema, statsIdxs))
