@@ -1483,6 +1483,54 @@ object SnapshotTable {
       dir, overwrite = true, statsCols = cols)
   }
 
+  /** Compact ONE PARTITION's files (`OPTIMIZE t WHERE day = x`): the
+    * streaming partitioned sink appends one file per partition value
+    * per epoch, so small files accumulate PER PARTITION — and the hot
+    * partition (today) is the one worth compacting while history's
+    * files stay byte-identical and carried by reference. Reads only
+    * the matching partition's files, rewrites them into `numFiles`
+    * value-pure files, publishes one commit; stats/rows/sizes/tuples
+    * recompute for the rewritten files and carry for every other.
+    * Content-identical by construction. At 100 TB this is the ONLY
+    * affordable OPTIMIZE cadence: full-table compaction rewrites
+    * everything for a problem one partition has. */
+  def compactPartition(spark: SparkSession, dir: String,
+                       partEq: Map[String, Any],
+                       numFiles: Int = 1): Int = {
+    require(partEq.nonEmpty, "compactPartition needs predicates")
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val pcols = partitionColumns(dir, prevV)
+    partEq.keys.foreach(c => require(pcols.contains(c),
+      s"'$c' is not a partition column of v$prevV (have " +
+        s"${pcols.mkString(",")})"))
+    val files = readManifest(dir, prevV)
+    val pvals = readPartValues(dir, prevV).getOrElse(
+      throw new IllegalStateException(
+        s"version $prevV declares partition columns but records no values"))
+    val idx = partEq.map { case (c, x) =>
+      pcols.indexOf(c) -> Option(x).map(partValueString)
+    }
+    val touched = files.zip(pvals).collect {
+      case (f, tuple) if idx.forall { case (i, v) => tuple(i) == v } => f
+    }
+    require(touched.nonEmpty,
+      s"no files in partition ${partEq.mkString(",")} at v$prevV")
+    val touchedSet = touched.toSet
+    val untouched = files.filterNot(touchedSet)
+    val v = prevV + 1
+    val sub = f"data/v$v%05d"
+    val schema = readSchema(dir, prevV)
+    val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+    writeMaybePartitioned(dir, prevV,
+      reader.parquet(touched.map(f => s"$dir/$f"): _*)
+        .repartition(numFiles), sub)
+    publish(spark, dir, prevV, v, untouched, listWritten(dir, sub),
+      "compact", schema)
+  }
+
   /** Retention: keep the newest `keep` versions, delete older manifests
     * and every data file ONLY they reference (an overwrite's orphaned
     * pre-image files, a compaction's replaced small files). Returns the

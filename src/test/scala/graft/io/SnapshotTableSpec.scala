@@ -697,6 +697,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(empty.getMessage.contains("would empty"))
   }
 
+  test("compactPartition: one partition's small files collapse, every " +
+    "other file carried byte-identical, content never changes") {
+    val dir = Files.createTempDirectory("snap-pcompact").toString
+    // streaming-ingest shape: several partitioned appends = small
+    // files accumulating per partition value
+    (0 until 4).foreach { b =>
+      SnapshotTable.commitPartitioned(spark,
+        (b * 60L until (b + 1) * 60L).map(i => (i, s"g${i % 3}", i * 2))
+          .toDF("id", "grp", "n"), dir, Seq("grp"))
+    }
+    val v0 = SnapshotTable.versions(dir).last
+    def filesOf(v: Int, g: String): Seq[String] = {
+      val fs = SnapshotTable.manifestFiles(dir, v)
+      val pv = SnapshotTable.readPartValues(dir, v).get
+      fs.zip(pv).collect { case (f, Seq(Some(`g`))) => f }
+    }
+    assert(filesOf(v0, "g1").length >= 4) // one per append
+    val others0 = SnapshotTable.manifestFiles(dir, v0)
+      .filterNot(filesOf(v0, "g1").toSet)
+    val before = SnapshotTable.readSnapshot(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    val v1 = SnapshotTable.compactPartition(spark, dir,
+      Map("grp" -> "g1"), numFiles = 1)
+    // g1 collapsed to one file; every other file carried BY REFERENCE
+    assert(filesOf(v1, "g1").length == 1)
+    assert(SnapshotTable.manifestFiles(dir, v1)
+      .filterNot(filesOf(v1, "g1").toSet).toSet == others0.toSet)
+    // content identical; pruning still exact; metadata carried
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .as[(Long, String, Long)].collect().toSet == before)
+    assert(SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("grp" -> "g1")).count() == (0L until 240L).count(_ % 3 == 1))
+    assert(SnapshotTable.manifestCount(dir, v1).contains(240L))
+    // unknown partition column / empty partition refuse loudly
+    intercept[IllegalArgumentException](
+      SnapshotTable.compactPartition(spark, dir, Map("id" -> 1L)))
+    intercept[IllegalArgumentException](
+      SnapshotTable.compactPartition(spark, dir, Map("grp" -> "nope")))
+  }
+
   test("two-column partitioning: tuple purity, compound exact pruning, " +
     "partition delete on one or both columns") {
     val dir = Files.createTempDirectory("snap-part2").toString
