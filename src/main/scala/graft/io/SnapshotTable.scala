@@ -1054,9 +1054,10 @@ object SnapshotTable {
     * SEMI-JOIN instead of a predicate: any file holding a source key
     * rewrites (its survivors upserted together with ALL source rows —
     * unmatched keys insert into the same rewrite), every other file
-    * carries by reference. With manifest stats on the key column the
-    * semi-join could first prune candidate files to the source's key
-    * range — the [[readSnapshotPruned]] skipping applied to DML.
+    * carries by reference. With manifest stats on a key column the
+    * semi-join scans only the files overlapping the source keys'
+    * [min, max] envelope — the [[readSnapshotPruned]] skipping applied
+    * to DML (a narrow-key delta MERGE never scans the whole table).
     * `source` must carry exactly the table's columns (the upsert core
     * is column-wise; add-column merges are [[commit]] evolution's job);
     * a source with duplicate keys is refused — MERGE's "multiple rows
@@ -1088,7 +1089,35 @@ object SnapshotTable {
     require(dupKeys == 0,
       s"merge source has duplicate keys on (${keys.mkString(",")})")
     val keyRows = src.select(keys.map(col): _*).distinct()
-    val touchedAbs = full.withColumn("_f", input_file_name())
+    // STATS-PRUNED touched-file discovery: when the manifest records
+    // min/max for a key column, a file whose range misses the source
+    // keys' [min, max] envelope cannot hold a match — the semi-join
+    // scans only the overlapping candidates instead of the whole
+    // table (the q154 skipping tier applied to DML; at 100 TB a
+    // narrow-key-range delta MERGE stops paying a full-table scan).
+    // May-contain pruning only narrows the candidate set; unmatched
+    // keys still insert through the rewrite regardless.
+    val statsKeys = keys.filter(statsColumns(dir, prevV).contains)
+    val candidates: Seq[String] =
+      if (statsKeys.isEmpty) files
+      else {
+        val aggs = statsKeys.flatMap(k => Seq(
+          min(col(k)).cast("long").as(s"mn_$k"),
+          max(col(k)).cast("long").as(s"mx_$k")))
+        val env = src.agg(aggs.head, aggs.tail: _*).head()
+        val bounds = statsKeys.zipWithIndex.flatMap { case (k, i) =>
+          // an all-NULL or empty source has no envelope: skip the
+          // column (prune stays sound)
+          if (env.isNullAt(2 * i)) None
+          else Some(k -> ((env.getLong(2 * i), env.getLong(2 * i + 1))))
+        }.toMap
+        manifestFilesPruned(dir, prevV, bounds)
+      }
+    val scanBase =
+      if (candidates.length == files.length) full
+      else if (candidates.isEmpty) full.where(lit(false))
+      else planRead(spark, dir, prevV, candidates)
+    val touchedAbs = scanBase.withColumn("_f", input_file_name())
       .join(broadcast(keyRows), keys, "left_semi")
       .select("_f").distinct().collect().map(_.getString(0)).toSet
     val touchedSet = resolveTouched(files, touchedAbs)

@@ -697,6 +697,40 @@ class SnapshotTableSpec extends SparkSpec {
     assert(empty.getMessage.contains("would empty"))
   }
 
+  test("MERGE prunes touched-file discovery by key-column stats: files " +
+    "outside the source key envelope carry by reference") {
+    val dir = Files.createTempDirectory("snap-mprune").toString
+    SnapshotTable.commitWithStats(spark,
+      (0L until 400L).map(i => (i, s"a$i")).toDF("id", "s")
+        .repartitionByRange(8, col("id")),
+      dir, statsCol = Some("id"))
+    val files1 = SnapshotTable.manifestFiles(dir, 1)
+    // a narrow-range delta: keys 100..119 + one brand-new key
+    val delta = ((100L until 120L).map(i => (i, s"UP$i")) :+
+      ((1000L, "NEW"))).toDF("id", "s")
+    SnapshotTable.merge(spark, dir, delta, Seq("id"))
+    val files2 = SnapshotTable.manifestFiles(dir, 2)
+    val carried = files2.toSet.intersect(files1.toSet)
+    // range-clustered into 8 files: the 20-wide band + key 1000 touch
+    // at most 2-3; the rest MUST carry by reference (file identity)
+    assert(carried.size >= 5,
+      s"only ${carried.size} of ${files1.size} carried")
+    // content exact: matched keys updated, the new key inserted
+    val got = SnapshotTable.readSnapshot(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 401)
+    assert(got(110L) == "UP110" && got(1000L) == "NEW" &&
+      got(50L) == "a50")
+    // an all-NULL-envelope / no-stats table still merges (no pruning)
+    val dir2 = Files.createTempDirectory("snap-mprune2").toString
+    SnapshotTable.commit(spark,
+      (0L until 50L).map(i => (i, s"a$i")).toDF("id", "s"), dir2)
+    SnapshotTable.merge(spark, dir2,
+      Seq((7L, "X")).toDF("id", "s"), Seq("id"))
+    assert(SnapshotTable.readSnapshot(spark, dir2)
+      .as[(Long, String)].collect().toMap.apply(7L) == "X")
+  }
+
   test("compactPartition: one partition's small files collapse, every " +
     "other file carried byte-identical, content never changes") {
     val dir = Files.createTempDirectory("snap-pcompact").toString
