@@ -1097,7 +1097,13 @@ object SnapshotTable {
     // narrow-key-range delta MERGE stops paying a full-table scan).
     // May-contain pruning only narrows the candidate set; unmatched
     // keys still insert through the rewrite regardless.
-    val statsKeys = keys.filter(statsColumns(dir, prevV).contains)
+    // the envelope agg is one (tiny) extra Spark job: below ~16 files
+    // the full candidate scan is a single task wave anyway, so the
+    // prune can only add latency — engage it where it pays (the
+    // AutoRoute convention: measured-threshold dispatch, not faith)
+    val statsKeys =
+      if (files.length < 16) Nil
+      else keys.filter(statsColumns(dir, prevV).contains)
     val candidates: Seq[String] =
       if (statsKeys.isEmpty) files
       else {

@@ -700,20 +700,23 @@ class SnapshotTableSpec extends SparkSpec {
   test("MERGE prunes touched-file discovery by key-column stats: files " +
     "outside the source key envelope carry by reference") {
     val dir = Files.createTempDirectory("snap-mprune").toString
+    // 20 range-clustered files: ABOVE the >=16-file engage threshold,
+    // so the envelope prune actually runs
     SnapshotTable.commitWithStats(spark,
       (0L until 400L).map(i => (i, s"a$i")).toDF("id", "s")
-        .repartitionByRange(8, col("id")),
+        .repartitionByRange(20, col("id")),
       dir, statsCol = Some("id"))
     val files1 = SnapshotTable.manifestFiles(dir, 1)
+    assert(files1.length >= 16)
     // a narrow-range delta: keys 100..119 + one brand-new key
     val delta = ((100L until 120L).map(i => (i, s"UP$i")) :+
       ((1000L, "NEW"))).toDF("id", "s")
     SnapshotTable.merge(spark, dir, delta, Seq("id"))
     val files2 = SnapshotTable.manifestFiles(dir, 2)
     val carried = files2.toSet.intersect(files1.toSet)
-    // range-clustered into 8 files: the 20-wide band + key 1000 touch
-    // at most 2-3; the rest MUST carry by reference (file identity)
-    assert(carried.size >= 5,
+    // the 20-wide band + key 1000 touch ~2-3 of 20 files; the rest
+    // MUST carry by reference (file identity)
+    assert(carried.size >= files1.length - 4,
       s"only ${carried.size} of ${files1.size} carried")
     // content exact: matched keys updated, the new key inserted
     val got = SnapshotTable.readSnapshot(spark, dir)
