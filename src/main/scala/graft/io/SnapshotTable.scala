@@ -1172,24 +1172,35 @@ object SnapshotTable {
     * cowRewrite convention — use an overwrite commit to empty a
     * table); a match-nothing delete is a metadata no-op commit.
     * Returns the new version. */
-  def deletePartitions(dir: String, partEq: Map[String, Any]): Int = {
-    require(partEq.nonEmpty, "deletePartitions needs predicates")
+  def deletePartitions(dir: String, partEq: Map[String, Any]): Int =
+    deletePartitionsIn(dir, partEq.view.mapValues(Seq(_)).toMap)
+
+  /** [[deletePartitions]] with IN-list semantics: a file drops when
+    * every constrained column's recorded value is IN the given set —
+    * `DELETE FROM t WHERE day IN (d1, d2)` as ONE metadata-only
+    * commit. */
+  def deletePartitionsIn(dir: String,
+                         partIn: Map[String, Seq[Any]]): Int = {
+    require(partIn.nonEmpty, "deletePartitions needs predicates")
+    require(partIn.values.forall(_.nonEmpty),
+      "deletePartitions: an empty IN-set matches nothing")
     val vs = versions(dir)
     require(vs.nonEmpty, s"no snapshot log at $dir")
     val prevV = vs.last
     val pcols = partitionColumns(dir, prevV)
-    partEq.keys.foreach(c => require(pcols.contains(c),
+    partIn.keys.foreach(c => require(pcols.contains(c),
       s"'$c' is not a partition column of v$prevV (have " +
         s"${pcols.mkString(",")})"))
     val files = readManifest(dir, prevV)
     val pvals = readPartValues(dir, prevV).getOrElse(
       throw new IllegalStateException(
         s"version $prevV declares partition columns but records no values"))
-    val idx = partEq.map { case (c, x) =>
-      pcols.indexOf(c) -> Option(x).map(partValueString)
+    val idx = partIn.map { case (c, xs) =>
+      pcols.indexOf(c) -> xs.map(x => Option(x).map(partValueString)).toSet
     }
     val dropped = files.zip(pvals).collect {
-      case (f, tuple) if idx.forall { case (i, v) => tuple(i) == v } => f
+      case (f, tuple) if idx.forall { case (i, set) =>
+        set.contains(tuple(i)) } => f
     }.toSet
     val keep = files.filterNot(dropped)
     require(keep.nonEmpty,

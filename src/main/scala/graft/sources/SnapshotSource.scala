@@ -248,14 +248,20 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
     // copy-on-write rewrite, which is always correct.
     val latest = SnapshotTable.resolveVersion(dir)
     val pcols = SnapshotTable.partitionColumns(dir, latest).toSet
-    val partEq: Option[Map[String, Any]] =
+    val partIn: Option[Map[String, Seq[Any]]] =
       if (pcols.isEmpty || filters.isEmpty) None
       else {
-        val kvs = filters.map {
-          case EqualTo(a, v) if pcols(a) && v != null => Some(a -> v)
+        val kvs: Array[Option[(String, Seq[Any])]] = filters.map {
+          case EqualTo(a, v) if pcols(a) && v != null =>
+            Some(a -> Seq[Any](v))
           case EqualNullSafe(a, v) if pcols(a) =>
-            Some(a -> v.asInstanceOf[Any])
-          case IsNull(a) if pcols(a) => Some(a -> (null: Any))
+            Some(a -> Seq[Any](v))
+          case IsNull(a) if pcols(a) => Some(a -> Seq[Any](null))
+          // IN on a partition column: `a IN (..., NULL)` never matches
+          // the NULL partition under SQL semantics — drop null elements
+          // from the kept set
+          case In(a, vs) if pcols(a) && vs.exists(_ != null) =>
+            Some(a -> vs.filter(_ != null).toSeq)
           case _ => None
         }
         val flat = kvs.flatten
@@ -264,8 +270,9 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
           Some(flat.toMap)
         else None
       }
-    partEq match {
-      case Some(eqs) => SnapshotTable.deletePartitions(dir, eqs): Unit
+    partIn match {
+      case Some(sets) =>
+        SnapshotTable.deletePartitionsIn(dir, sets): Unit
       case None =>
         val pred = filters.flatMap(SnapshotDelete.toColumn)
           .reduceOption(_ && _)

@@ -298,13 +298,20 @@ class SnapshotSourceSpec extends SparkSpec {
       .as[Long].head() == 150L)
     assert(SnapshotTable.manifestFiles(dir, 2).toSet
       .subsetOf(SnapshotTable.manifestFiles(dir, 1).toSet))
+    // IN-list on the partition column: still metadata-only, one commit
+    val afterEq = diskFiles()
+    spark.sql(s"DELETE FROM gdel_cat.`$name` WHERE grp IN ('g0', 'g3')")
+    assert(diskFiles() == afterEq)
+    assert(spark.sql(s"SELECT count(*) FROM gdel_cat.`$name`")
+      .as[Long].head() == 50L) // only g1 remains
+    assert(SnapshotTable.resolveVersion(dir) == 3)
     // a non-partition predicate rewrites (new files appear), partition
     // metadata stays truthful afterwards
     spark.sql(s"DELETE FROM gdel_cat.`$name` WHERE id < 10")
     assert(diskFiles() != before)
     assert(spark.sql(s"SELECT count(*) FROM gdel_cat.`$name`")
       .as[Long].head() ==
-      (0L until 200L).count(i => i % 4 != 2 && i >= 10))
+      (0L until 200L).count(i => i % 4 == 1 && i >= 10))
     val v3 = SnapshotTable.resolveVersion(dir)
     assert(SnapshotTable.partitionColumns(dir, v3) == Seq("grp"))
     assert(SnapshotTable.readPartValues(dir, v3).get.length ==
