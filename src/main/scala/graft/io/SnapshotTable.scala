@@ -561,6 +561,19 @@ object SnapshotTable {
     * On append, carried-forward files keep their recorded stats — a
     * stats-bearing table requires every prior version to carry stats
     * (enforced; half-stated metadata would silently disable pruning). */
+  /** `input_file_name()` returns a URL-ENCODED URI (Spark encodes the
+    * path when it builds the file index), while manifests, staging
+    * listings, and on-disk names carry the raw (hive-escaped) form —
+    * decode before any comparison against manifest entries, or any
+    * path with a space/%/'='-bearing partition value breaks the match.
+    * Falls back to the raw string when it is not a parseable URI (then
+    * it was never encoded to begin with). */
+  private def decodeScanPath(abs: String): String =
+    try {
+      val p = new java.net.URI(abs).getPath
+      if (p == null) abs else p
+    } catch { case _: java.net.URISyntaxException => abs }
+
   /** One bounded metadata job over the files under `$dir/$sub`:
     * per-file (min, max) of every stats column AND the per-file
     * partition-value tuple (files are value-pure by construction, so
@@ -583,8 +596,12 @@ object SnapshotTable {
         // key by the FULL sub-relative path, not the bare name: a
         // partitioned write reuses identical part-file names across
         // partition directories (same task id + job uuid), so bare
-        // names collide
-        val abs = r.getString(0)
+        // names collide. DECODE first — input_file_name() returns a
+        // URL-encoded URI while the manifest records on-disk
+        // (hive-escaped) names; a partition value with a space/%/=
+        // would otherwise miss the lookup and silently corrupt
+        // stats/tuples downstream
+        val abs = decodeScanPath(r.getString(0))
         val idx = abs.indexOf(s"/$sub/")
         require(idx >= 0, s"file $abs not under staging dir $sub")
         val rel = abs.substring(idx + 1)
@@ -1154,7 +1171,12 @@ object SnapshotTable {
   private def resolveTouched(files: Seq[String],
                              touchedAbs: Set[String]): Set[String] = {
     val byName = files.groupBy(f => f.substring(f.lastIndexOf('/') + 1))
-    touchedAbs.flatMap { a =>
+    touchedAbs.flatMap { raw =>
+      // the scan-side names are URL-encoded input_file_name() output,
+      // the manifest entries on-disk names — decode before matching or
+      // escaped partition dirs silently resolve as untouched (a DML
+      // no-op on exactly the rows that were asked for)
+      val a = decodeScanPath(raw)
       val name = a.substring(a.lastIndexOf('/') + 1)
       byName.getOrElse(name, Nil).filter(a.endsWith)
     }
@@ -1245,9 +1267,20 @@ object SnapshotTable {
       else {
         val sub = f"data/v$v%05d"
         val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        writeMaybePartitioned(dir, prevV,
-          rewrite(reader.parquet(touched.map(f => s"$dir/$f"): _*)), sub)
-        listWritten(dir, sub)
+        val out = rewrite(reader.parquet(touched.map(f => s"$dir/$f"): _*))
+        writeMaybePartitioned(dir, prevV, out, sub)
+        val w = listWritten(dir, sub)
+        if (w.nonEmpty) w
+        else {
+          // a PARTITIONED dynamic write emits NO files when the rewrite
+          // deleted every row — materialize the zero-row anchor
+          // explicitly (plain parquet: the anchor holds no rows, so
+          // value purity is moot; publish records its sentinel stats
+          // and all-NULL tuple), so a full delete publishes the
+          // emptied state instead of refusing
+          out.limit(0).write.mode("append").parquet(s"$dir/$sub")
+          listWritten(dir, sub)
+        }
       }
     require(untouched.nonEmpty || written.nonEmpty,
       s"$action would empty the table at $dir; use an overwrite commit")
@@ -1309,6 +1342,20 @@ object SnapshotTable {
       if ((cols.isEmpty && pcols.isEmpty) || written.isEmpty) Map.empty
       else fileMeta(spark, dir,
         writtenSub.getOrElse(f"data/v$v%05d"), cols, pcols)
+    // only the ZERO-ROW anchor file may legitimately miss the meta map
+    // (no rows → no group); a data-bearing miss means the scan path and
+    // the listing disagree on a file's name, and falling through to the
+    // always-prune sentinel / all-NULL tuple would silently drop its
+    // rows from pruned reads — fail loudly instead (one footer read per
+    // miss; misses are the rare anchor case)
+    if (meta.nonEmpty) written.filterNot(meta.contains).foreach { f =>
+      footerRows(dir, f).filter(_ > 0L).foreach { n =>
+        throw new IllegalStateException(
+          s"commit meta miss: written file $f holds $n rows but " +
+            "produced no stats/partition group — scan-vs-listing path " +
+            "mismatch would corrupt manifest pruning")
+      }
+    }
     val stats = prevAll.zipWithIndex.map { case ((c, prevStats), i) =>
       val carried = files.zip(prevStats).collect {
         case (f, mm) if untouchedSet(f) => f -> mm

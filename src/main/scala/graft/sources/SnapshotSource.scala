@@ -270,15 +270,26 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
           Some(flat.toMap)
         else None
       }
+    def cow(): Unit = {
+      val pred = filters.flatMap(SnapshotDelete.toColumn)
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      SnapshotTable.delete(
+        org.apache.spark.sql.SparkSession.active, dir, pred): Unit
+    }
     partIn match {
       case Some(sets) =>
-        SnapshotTable.deletePartitionsIn(dir, sets): Unit
-      case None =>
-        val pred = filters.flatMap(SnapshotDelete.toColumn)
-          .reduceOption(_ && _)
-          .getOrElse(org.apache.spark.sql.functions.lit(true))
-        SnapshotTable.delete(
-          org.apache.spark.sql.SparkSession.active, dir, pred): Unit
+        // the metadata path REFUSES a delete that would empty the
+        // table (the manifest convention); SQL must not surface that
+        // refusal — fall back to the copy-on-write path, whose
+        // zero-row anchor file represents an emptied table correctly
+        try SnapshotTable.deletePartitionsIn(dir, sets): Unit
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("would empty the table") => cow()
+        }
+      case None => cow()
     }
   }
 
@@ -498,8 +509,13 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
         keepVals(a, Set(partLit(v))); true
       case EqualNullSafe(a, v) if isPart(a) =>
         keepVals(a, Set(partLit(v))); true
+      // SQL `a IN (..., NULL)` never matches NULL rows — drop null
+      // elements (keeping them would retain the NULL partition's
+      // files: sound but needlessly over-inclusive, and inconsistent
+      // with the deleteWhere fast path). An all-NULL list keeps zero
+      // partitions — exactly the rows the predicate matches.
       case In(a, vs) if isPart(a) && vs.nonEmpty =>
-        keepVals(a, vs.map(partLit).toSet); true
+        keepVals(a, vs.filter(_ != null).map(partLit).toSet); true
       case IsNull(a) if isPart(a) =>
         keepVals(a, Set(None)); true
       case EqualTo(a, v) if tracked(a) =>

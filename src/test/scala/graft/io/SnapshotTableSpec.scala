@@ -644,6 +644,42 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.manifestFiles(dir, resV).length)
   }
 
+  test("partition values needing path escaping (space, %, =, #): " +
+    "commit, pruned reads, DML touch resolution, and metadata delete " +
+    "all survive the URL-encoding skew between scan and disk") {
+    val dir = Files.createTempDirectory("snap-esc").toString
+    val vals = Seq("a b", "p%q", "x=y", "h#1")
+    val df = (0L until 200L).map(i =>
+      (i, vals((i % 4).toInt), i * 3)).toDF("id", "source", "n")
+    SnapshotTable.commitPartitioned(spark, df, dir, Seq("source"),
+      statsCols = Seq("id"))
+    // recorded tuples are the RAW values, not escaped path fragments
+    assert(SnapshotTable.readPartValues(dir, 1).get
+      .flatten.flatten.toSet == vals.toSet)
+    // exact prune + read of an escaping-needing partition
+    assert(SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("source" -> "a b")).count() == 50L)
+    // CoW DML resolves touched files inside escaped partition dirs —
+    // pre-fix this silently no-opped (touched resolved as untouched)
+    SnapshotTable.delete(spark, dir, col("id") < 8L) // 2 rows per value
+    assert(SnapshotTable.readSnapshot(spark, dir).count() == 192L)
+    assert(SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("source" -> "p%q")).count() == 48L)
+    // UPDATE moving a row INTO an escaped partition files it truthfully
+    SnapshotTable.update(spark, dir, col("id") === 101L,
+      Map("source" -> lit("a b")))
+    assert(SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("source" -> "a b")).where(col("id") === 101L).count() == 1L)
+    assert(SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("source" -> "a b")).count() == 49L)
+    // metadata-only delete addresses escaped values by RAW value
+    SnapshotTable.deletePartitions(dir, Map("source" -> "x=y"))
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .where(col("source") === "x=y").count() == 0L)
+    assert(SnapshotTable.readSnapshot(spark, dir).count() == 192L + 1L -
+      1L - 48L) // 192 after delete, ±1 moved row net zero, minus x=y's 48
+  }
+
   test("deletePartitions is METADATA-ONLY: whole partitions drop with " +
     "zero data IO, stats/rows/sizes/values carry, refusals are loud") {
     val dir = Files.createTempDirectory("snap-pdel").toString

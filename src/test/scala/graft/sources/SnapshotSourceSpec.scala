@@ -257,6 +257,14 @@ class SnapshotSourceSpec extends SparkSpec {
     val nul = full.where($"grp".isNull)
     assert(nul.rdd.getNumPartitions < allParts / 2)
     assert(nul.count() == (0L until 300L).count(_ % 5 == 4))
+    // IN with a NULL element: SQL `IN (..., NULL)` never matches NULL
+    // rows — the prune drops the null literal (NULL partition's files
+    // excluded, same footprint as the null-free list), answers exact
+    val inNull = full.where($"grp".isin("g1", null))
+    assert(inNull.rdd.getNumPartitions == one.rdd.getNumPartitions,
+      s"IN(..., NULL) kept extra partitions: " +
+        s"${inNull.rdd.getNumPartitions} vs ${one.rdd.getNumPartitions}")
+    assert(inNull.count() == one.count())
     // contradictory equalities prune everything, schema intact
     val none = full.where($"grp" === "g1" && $"grp" === "g2")
     assert(none.count() == 0L)
@@ -316,6 +324,14 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(SnapshotTable.partitionColumns(dir, v3) == Seq("grp"))
     assert(SnapshotTable.readPartValues(dir, v3).get.length ==
       SnapshotTable.manifestFiles(dir, v3).length)
+    // a partition delete that would EMPTY the table must not surface
+    // the metadata path's refusal — it falls back to copy-on-write
+    // (zero-row anchor), and the table reads empty afterwards
+    spark.sql(s"DELETE FROM gdel_cat.`$name` WHERE grp = 'g1'")
+    assert(spark.sql(s"SELECT count(*) FROM gdel_cat.`$name`")
+      .as[Long].head() == 0L)
+    assert(SnapshotTable.partitionColumns(dir,
+      SnapshotTable.resolveVersion(dir)) == Seq("grp"))
   }
 
   test("PARTITIONED writes through plain df.write and writeStream: " +
