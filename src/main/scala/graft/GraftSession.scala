@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   *    `tools.CapFlood` measures why that matters).
   *  - **Runtime bloom-filter join pruning**: semi-join reduction for the
   *    fact-fact joins (q03/q23-shape) at 100 TB.
+  *  - **V2 bucketing (storage-partitioned joins)**: snapshot tables
+  *    partitioned on the same key join — and aggregate on that key —
+  *    with zero shuffle exchanges (the scan reports
+  *    `KeyGroupedPartitioning` from manifest bytes).
   *  - **RocksDB state store**: bounded-memory streaming state — the
   *    provider the gated stream queries (q83/q85) run on.
   *  - **Extension registration**: the native expressions
@@ -35,6 +39,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // storage-partitioned joins: a DSv2 scan reporting
+      // KeyGroupedPartitioning (the snapshot source over a partitioned
+      // table) joins/aggregates on its partition key with no exchange
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")

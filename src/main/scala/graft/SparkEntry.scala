@@ -270,6 +270,8 @@ object SparkEntry {
     "q236_snapshot_partitioned" -> IoQueries.snapshotPartitioned,
     "q237_unigram_soft" -> LlmQueries.unigramSoftTrain,
     "q238_show_partitions" -> IoQueries.snapshotShowPartitions,
+    "q239_snapshot_embeddings" -> IoQueries.snapshotEmbeddings,
+    "q240_snapshot_spj" -> IoQueries.snapshotSpjJoin,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2942,6 +2944,42 @@ ORDER BY d.doc_id""",
       """SELECT concat('source=', source) AS partition,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM documents GROUP BY 1 ORDER BY partition""".stripMargin,
+    // q239: leg 1 replays the q34 exact brute-force top-5 (v1 of the
+    // snapshot table IS the raw embeddings table — arrays roundtrip
+    // bit-exact through the native writer); leg 2 checksums the
+    // latest version = raw ∪ ten shifted-id clones.
+    "q239_snapshot_embeddings" ->
+      """WITH v2 AS (SELECT vec_id, embedding FROM embeddings
+     UNION ALL
+     SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10),
+q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 10),
+s AS (SELECT query_id, vec_id AS neighbor_id,
+        list_cosine_similarity(q_emb, embedding) AS sim
+      FROM q, embeddings WHERE vec_id <> query_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn FROM s)
+SELECT CAST(1 AS BIGINT) AS leg, query_id, rn, neighbor_id,
+  round(sim, 4) AS sim
+FROM r WHERE rn <= 5
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(-1 AS BIGINT), count(*),
+  CAST(sum(vec_id) + sum(len(embedding)) AS BIGINT), 0.0
+FROM v2
+ORDER BY leg, query_id, rn""",
+    // q240: the storage-partitioned join is a PLAN property (zero
+    // exchanges — pinned by the spec); its semantics are the plain
+    // join + aggregate below.
+    "q240_snapshot_spj" ->
+      """WITH dim AS (SELECT source, min(doc_id) AS src_min,
+       CAST(count(*) AS BIGINT) AS src_docs
+     FROM documents GROUP BY 1)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN d.doc_id > m.src_min THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_after_min,
+  CAST(sum(d.n_chars) + max(m.src_docs) AS BIGINT) AS checksum
+FROM documents d JOIN dim m USING (source)
+GROUP BY d.source ORDER BY d.source""",
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept
     // prefix (cum order = epoch, bucket, hash, doc_id flattened).

@@ -922,6 +922,79 @@ object IoQueries {
     } finally s.sql(s"DROP TABLE graft_cat.$name")
   }
 
+  /** EMBEDDINGS in the lakehouse tier (q239): the engine's own ANN
+    * corpus lives in a snapshot table — the native DSv2 writer commits
+    * the `embeddings` table with its `array<float>` column intact
+    * (v1), appends exact clones of the ten query vectors under shifted
+    * ids (v2), and the probe runs over SNAPSHOT SCANS. Leg 1 is the
+    * exact brute-force top-5 on `VERSION AS OF 1` — the float arrays
+    * roundtrip bit-exact through the native writer and the vectorized
+    * nested read, so the sims match the raw-parquet oracle to the
+    * digit. Leg 2 is an integrity checksum over the LATEST version
+    * (row count + id sum + summed array lengths) proving the appended
+    * clones are visible and their arrays arrived whole. Before nested
+    * writer support this whole query refused at write time — arrays
+    * could not enter the snapshot tier at all. */
+  def snapshotEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val t = Files.createTempDirectory("graft-snapemb").toString
+    emb.write.format("graft.sources.SnapshotSource")
+      .mode("append").save(t)
+    emb.where(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .write.format("graft.sources.SnapshotSource")
+      .mode("append").save(t)
+    val v1 = s.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", 1).load(t)
+    val latest = s.read.format("graft.sources.SnapshotSource").load(t)
+    val leg1 = graft.llm.Similarity
+      .bruteForceTopK(v1.where(col("vec_id") < 10), v1, k = 5)
+      .select(lit(1L).as("leg"), col("query_id"), col("rn"),
+        col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    val leg2 = latest.agg(
+        count(lit(1)).as("rn"),
+        (sum(col("vec_id")) + sum(size(col("embedding")).cast("long")))
+          .as("neighbor_id"))
+      .select(lit(2L).as("leg"), lit(-1L).as("query_id"), col("rn"),
+        col("neighbor_id"), lit(0.0).as("sim"))
+    leg1.unionAll(leg2).orderBy("leg", "query_id", "rn")
+  }
+
+  /** STORAGE-PARTITIONED JOIN (q240): two snapshot tables partitioned
+    * on `source` — the document corpus and a one-row-per-source
+    * dimension — join and aggregate on the partition key with ZERO
+    * shuffle exchanges: both scans report `KeyGroupedPartitioning`
+    * from manifest bytes ([[graft.sources.SnapshotScan
+    * .outputPartitioning]]), so Spark plans the sort-merge join
+    * exchange-free and the post-join groupBy reuses the same
+    * clustering (the spec pins the no-Exchange plan; the `merge` hint
+    * keeps the bench exercising the SPJ path instead of broadcasting
+    * the small dimension). At 100 TB this deletes the shuffle of BOTH
+    * sides of every co-partitioned fact⋈fact join — the single
+    * largest cost in a partitioned-lakehouse join pipeline. */
+  def snapshotSpjJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val dim = docs.groupBy("source")
+      .agg(min(col("doc_id")).as("src_min"),
+        count(lit(1)).as("src_docs"))
+    val tA = Files.createTempDirectory("graft-spja").toString
+    val tB = Files.createTempDirectory("graft-spjb").toString
+    val st = graft.io.SnapshotTable
+    st.commitPartitioned(s, docs, tA, Seq("source"))
+    st.commitPartitioned(s, dim, tB, Seq("source"))
+    val a = s.read.format("graft.sources.SnapshotSource").load(tA)
+    val b = s.read.format("graft.sources.SnapshotSource").load(tB)
+    a.hint("merge").join(b, "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") > col("src_min"), 1L).otherwise(0L))
+          .as("n_after_min"),
+        (sum(col("n_chars")) + max(col("src_docs"))).as("checksum"))
+      .orderBy("source")
+  }
+
   /** SQL UPDATE + MERGE INTO through the catalog (q232,
     * [[graft.sources.SnapshotRowLevelOperation]]): the last two
     * lakehouse DML verbs that previously existed only as API calls

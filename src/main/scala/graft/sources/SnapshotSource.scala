@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.io.api.Binary
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => PTypes}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type => ParquetType, Types => PTypes}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
@@ -139,41 +139,60 @@ object SnapshotSource {
     fs(path).delete(p, false): Unit
   }
 
-  /** Flat-primitive MessageType → StructType for legacy manifests; the
-    * same type set the reader supports. */
+  /** Parquet MessageType → StructType for legacy manifests — the exact
+    * inverse of [[SnapshotWrite.parquetType]], nested standard layouts
+    * (LIST/MAP/group) included. */
+  private[sources] def catalystType(
+      f: org.apache.parquet.schema.Type): DataType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    if (f.isPrimitive) {
+      val p = f.asPrimitiveType()
+      val logical = p.getLogicalTypeAnnotation
+      p.getPrimitiveTypeName match {
+        case INT64
+          if logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+          TimestampType
+        case INT64 => LongType
+        case INT32
+          if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+          DateType
+        case INT32 => IntegerType
+        case DOUBLE => DoubleType
+        case FLOAT => FloatType
+        case BOOLEAN => BooleanType
+        case BINARY
+          if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+          StringType
+        case BINARY => BinaryType
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported parquet type $other for ${f.getName}")
+      }
+    } else {
+      val gt = f.asGroupType()
+      gt.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          val wrapper = gt.getType(0).asGroupType() // repeated `list`
+          ArrayType(catalystType(wrapper.getType(0)), containsNull = true)
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          val kv = gt.getType(0).asGroupType() // repeated `key_value`
+          MapType(catalystType(kv.getType(0)), catalystType(kv.getType(1)),
+            valueContainsNull = true)
+        case _ =>
+          StructType(gt.getFields.asScala.map(c =>
+            StructField(c.getName, catalystType(c), nullable = true)).toSeq)
+      }
+    }
+  }
+
   private[sources] def footerSchema(file: String): StructType = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), newConf()))
     try {
       val msg = reader.getFooter.getFileMetaData.getSchema
-      StructType(msg.getFields.asScala.map { f =>
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-        import org.apache.parquet.schema.LogicalTypeAnnotation
-        require(f.isPrimitive, s"unsupported nested column ${f.getName}")
-        val p = f.asPrimitiveType()
-        val logical = p.getLogicalTypeAnnotation
-        val dt = p.getPrimitiveTypeName match {
-          case INT64
-            if logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
-            TimestampType
-          case INT64 => LongType
-          case INT32
-            if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
-            DateType
-          case INT32 => IntegerType
-          case DOUBLE => DoubleType
-          case FLOAT => FloatType
-          case BOOLEAN => BooleanType
-          case BINARY
-            if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
-            StringType
-          case BINARY => BinaryType
-          case other =>
-            throw new IllegalArgumentException(
-              s"unsupported parquet type $other for ${f.getName}")
-        }
-        StructField(f.getName, dt, nullable = true)
-      }.toSeq)
+      StructType(msg.getFields.asScala.map(f =>
+        StructField(f.getName, catalystType(f), nullable = true)).toSeq)
     } finally reader.close()
   }
 }
@@ -629,6 +648,18 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
     require(!(props.contains("startingVersion") &&
       props.contains("startingTimestamp")),
       "startingVersion and startingTimestamp are mutually exclusive")
+    // partition tuples for the storage-partitioned-join report: typed
+    // per-file keys let two same-keyed snapshot tables join (and the
+    // key-grouped aggregate run) with zero exchanges
+    val pcolsSeq = SnapshotTable.partitionColumns(dir, version)
+    val partSchema = StructType(pcolsSeq.flatMap(c =>
+      tableSchema.fields.find(_.name == c)))
+    val partTuples: Map[String, Seq[Option[String]]] =
+      if (pcolsSeq.isEmpty) Map.empty
+      else SnapshotTable.readPartValues(dir, version)
+        .map(pv => SnapshotTable.manifestFiles(dir, version)
+          .map(f => s"$dir/$f").zip(pv).toMap)
+        .getOrElse(Map.empty)
     SnapshotScan(dir, files, required, version,
       Option((bounds.keys ++ partKeep.keys).toSeq.distinct.sorted
         .mkString(",")).filter(_.nonEmpty),
@@ -639,7 +670,10 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       props.get("vectorizedRead").forall(_.trim.toBoolean),
       groupFilter,
       props.get("startingTimestamp").map(_.trim.toLong),
-      sizes)
+      sizes,
+      if (partSchema.length == pcolsSeq.length) partSchema
+      else new StructType(), // a column missing from the schema: decline
+      partTuples)
   }
 }
 
@@ -673,6 +707,24 @@ object SnapshotScan {
     * table must not issue 10^6 status RPCs per query). */
   private[graft] val fsStatCalls = new java.util.concurrent.atomic.AtomicLong()
 
+  /** A recorded partition-value string re-typed to the column's
+    * Catalyst type (the inverse of
+    * [[graft.io.SnapshotTable.partValueString]]); None for types this
+    * source does not re-type — the scan then declines to report
+    * key-grouped partitioning rather than mis-key a join. */
+  private[sources] def typedPartValue(dt: DataType, s: String)
+      : Option[Any] = dt match {
+    case StringType => Some(UTF8String.fromString(s))
+    case LongType => s.toLongOption
+    case IntegerType => s.toIntOption
+    case BooleanType => s.toBooleanOption
+    case DateType => try {
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(java.sql.Date.valueOf(s)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
+  }
+
   /** Split one data file into byte-range partitions of ≤ `maxSplit`
     * bytes — a >128 MB file no longer serializes through one reader
     * task. Row groups are assigned to the split containing their
@@ -704,9 +756,13 @@ case class SnapshotScan(dir: String, files: Seq[String],
                         vectorized: Boolean = true,
                         groupFilter: Option[GroupFilterState] = None,
                         startingTimestamp: Option[Long] = None,
-                        fileSizes: Map[String, Long] = Map.empty)
+                        fileSizes: Map[String, Long] = Map.empty,
+                        partSchema: StructType = new StructType(),
+                        partTuples: Map[String, Seq[Option[String]]] =
+                          Map.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   // runtime-group-filtered file set (row-level DML scans only; the
   // optimizer calls filter() before planInputPartitions)
   private var activeFiles: Seq[String] = files
@@ -753,10 +809,67 @@ case class SnapshotScan(dir: String, files: Seq[String],
         st.scanned = activeFiles
       }
     }
+  /** STORAGE-PARTITIONED JOIN (the Iceberg SPJ contract): a
+    * hive-partitioned snapshot scan reports `KeyGroupedPartitioning`
+    * over its partition columns and every file partition carries its
+    * typed tuple — two snapshot tables partitioned on the same key
+    * then join with NO exchange on either side (and a `groupBy` on the
+    * partition key aggregates exchange-free), which at 100 TB deletes
+    * the single biggest cost of a fact⋈fact co-partitioned join.
+    * Reported only when the report is KNOWN sound: a plain scan (no
+    * runtime group filter), every planned file with a recorded tuple,
+    * partition columns present in the projected schema (Spark resolves
+    * the clustering references against the scan output), and tuple
+    * types this source can re-type from their recorded strings.
+    * Activation additionally needs `spark.sql.sources.v2.bucketing
+    * .enabled` ([[graft.GraftSession]] sets it). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val reportable = partSchema.nonEmpty && groupFilter.isEmpty &&
+      partSchema.fieldNames.forall(required.fieldNames.contains) &&
+      activeFiles.nonEmpty && activeFiles.forall(f => typedKey(f) != null)
+    if (reportable)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          partSchema.fieldNames
+            .map(Expressions.identity(_)
+              : org.apache.spark.sql.connector.expressions.Expression),
+          activeFiles.map(partTuples).distinct.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(planInputPartitions().length)
+  }
+
+  /** The file's recorded tuple re-typed to the partition columns'
+    * Catalyst types; null when any value's type cannot be re-typed
+    * (the scan then reports `UnknownPartitioning` — decline, never
+    * mis-key a join). */
+  private def typedKey(file: String): InternalRow =
+    partTuples.get(file) match {
+      case None => null
+      case Some(tuple) =>
+        val vals = new Array[Any](tuple.length)
+        var i = 0
+        while (i < tuple.length) {
+          tuple(i) match {
+            case None => vals(i) = null
+            case Some(s) =>
+              SnapshotScan.typedPartValue(partSchema(i).dataType, s) match {
+                case Some(v) => vals(i) = v
+                case None => return null
+              }
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    activeFiles.flatMap(f =>
-        SnapshotScan.split(f, maxSplitBytes, fileSizes.get(f)))
-      .toArray[InputPartition]
+    activeFiles.flatMap { f =>
+      val key = if (partSchema.isEmpty) null else typedKey(f)
+      SnapshotScan.split(f, maxSplitBytes, fileSizes.get(f))
+        .map(p => if (key == null) p else p.copy(partKey = key))
+    }.toArray[InputPartition]
 
   /** CBO-visible statistics SERVED FROM MANIFEST BYTES: exact row
     * counts (the per-file counts recorded at commit, summed over the
@@ -925,9 +1038,20 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
 
 /** One reader task's byte range of one data file. `length = -1` means
   * the whole file (the un-split fast path — no status RPC was paid for
-  * it, so the end offset is unknown and unneeded). */
+  * it, so the end offset is unknown and unneeded). `partKey` is the
+  * file's TYPED partition tuple when the table is hive-partitioned
+  * (files are value-pure, so every split of a file shares it) — the
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] half of the
+  * storage-partitioned-join contract; null on unpartitioned scans,
+  * where the scan never reports `KeyGroupedPartitioning` and Spark
+  * never asks. */
 case class SnapshotFilePartition(path: String, start: Long = 0L,
-                                 length: Long = -1L) extends InputPartition
+                                 length: Long = -1L,
+                                 partKey: InternalRow = null)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = partKey
+}
 
 class SnapshotReaderFactory(required: StructType,
                             vectorized: Boolean = false,
@@ -1124,21 +1248,71 @@ class ParquetGroupReader(path: String, required: StructType,
       vals(i) =
         if (!fileSchema.containsField(f.name) ||
           g.getFieldRepetitionCount(f.name) == 0) null
-        else f.dataType match {
-          case LongType | TimestampType => g.getLong(f.name, 0)
-          case IntegerType | DateType => g.getInteger(f.name, 0)
-          case DoubleType => g.getDouble(f.name, 0)
-          case FloatType => g.getFloat(f.name, 0)
-          case BooleanType => g.getBoolean(f.name, 0)
-          case StringType => UTF8String.fromString(g.getString(f.name, 0))
-          case BinaryType => g.getBinary(f.name, 0).getBytes
-          case other => throw new IllegalArgumentException(
-            s"unsupported snapshot column type $other for ${f.name}")
-        }
+        else value(g, g.getType.getFieldIndex(f.name), 0, f.dataType)
       i += 1
     }
     new GenericInternalRow(vals)
   }
+
+  /** One assembled value out of the example `Group`, recursing through
+    * the standard nested layouts ([[SnapshotWrite.parquetType]]):
+    * LIST → `list` wrappers each holding an optional `element`, MAP →
+    * repeated `key_value` pairs, struct → positional fields (nested
+    * shapes are written whole — top-level columns are the evolution
+    * unit, so positions inside a nested group are stable). */
+  private def value(g: Group, idx: Int, pos: Int, dt: DataType): Any =
+    dt match {
+      case LongType | TimestampType => g.getLong(idx, pos)
+      case IntegerType | DateType => g.getInteger(idx, pos)
+      case DoubleType => g.getDouble(idx, pos)
+      case FloatType => g.getFloat(idx, pos)
+      case BooleanType => g.getBoolean(idx, pos)
+      case StringType => UTF8String.fromString(g.getString(idx, pos))
+      case BinaryType => g.getBinary(idx, pos).getBytes
+      case ArrayType(et, _) =>
+        val lg = g.getGroup(idx, pos)
+        val n = lg.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val w = lg.getGroup(0, j)
+          out(j) =
+            if (w.getFieldRepetitionCount(0) == 0) null
+            else value(w, 0, 0, et)
+          j += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case MapType(kt, vt, _) =>
+        val mg = g.getGroup(idx, pos)
+        val n = mg.getFieldRepetitionCount(0)
+        val ks = new Array[Any](n)
+        val vs = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val kv = mg.getGroup(0, j)
+          ks(j) = value(kv, 0, 0, kt)
+          vs(j) =
+            if (kv.getFieldRepetitionCount(1) == 0) null
+            else value(kv, 1, 0, vt)
+          j += 1
+        }
+        new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+      case st: StructType =>
+        val sg = g.getGroup(idx, pos)
+        val out = new Array[Any](st.length)
+        var j = 0
+        while (j < st.length) {
+          out(j) =
+            if (sg.getFieldRepetitionCount(j) == 0) null
+            else value(sg, j, 0, st(j).dataType)
+          j += 1
+        }
+        new GenericInternalRow(out)
+      case other => throw new IllegalArgumentException(
+        s"unsupported snapshot column type $other")
+    }
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
@@ -1296,33 +1470,62 @@ class SnapshotStreamingWriterFactory(dir: String, sub: String,
 }
 
 object SnapshotWrite {
-  /** Flat-primitive StructType → parquet MessageType, the exact inverse
-    * of [[SnapshotSource.footerSchema]] (all fields optional — the
-    * snapshot tier records every column nullable). */
-  private[sources] def messageType(schema: StructType): MessageType = {
+  /** Catalyst type → parquet type, the exact inverse of
+    * [[SnapshotSource.footerSchema]] (all fields and nested values
+    * optional — the snapshot tier records every column nullable; map
+    * keys are the one required slot, Catalyst never nulls them).
+    * Nested types take the STANDARD parquet layouts — 3-level
+    * `LIST/list/element` and `MAP/key_value/{key,value}` — which is
+    * what Spark's own parquet writer emits and both snapshot read
+    * paths (vectorized and row) reassemble. */
+  private[sources] def parquetType(name: String, dt: DataType,
+      rep: ParquetType.Repetition = ParquetType.Repetition.OPTIONAL)
+      : ParquetType = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val fields = schema.fields.map { f =>
-      val b = f.dataType match {
-        case LongType => PTypes.optional(INT64)
-        case TimestampType => PTypes.optional(INT64).as(
-          LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case IntegerType => PTypes.optional(INT32)
-        case DateType =>
-          PTypes.optional(INT32).as(LogicalTypeAnnotation.dateType())
-        case DoubleType => PTypes.optional(DOUBLE)
-        case FloatType => PTypes.optional(FLOAT)
-        case BooleanType => PTypes.optional(BOOLEAN)
-        case StringType =>
-          PTypes.optional(BINARY).as(LogicalTypeAnnotation.stringType())
-        case BinaryType => PTypes.optional(BINARY)
-        case other => throw new IllegalArgumentException(
-          s"unsupported snapshot column type $other for ${f.name}")
-      }
-      b.named(f.name)
+    def prim(t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName) =
+      PTypes.primitive(t, rep)
+    dt match {
+      case LongType => prim(INT64).named(name)
+      case TimestampType => prim(INT64).as(
+        LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case IntegerType => prim(INT32).named(name)
+      case DateType =>
+        prim(INT32).as(LogicalTypeAnnotation.dateType()).named(name)
+      case DoubleType => prim(DOUBLE).named(name)
+      case FloatType => prim(FLOAT).named(name)
+      case BooleanType => prim(BOOLEAN).named(name)
+      case StringType =>
+        prim(BINARY).as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType => prim(BINARY).named(name)
+      case ArrayType(et, _) =>
+        PTypes.buildGroup(rep)
+          .as(LogicalTypeAnnotation.listType())
+          .addField(PTypes.repeatedGroup()
+            .addField(parquetType("element", et))
+            .named("list"))
+          .named(name)
+      case MapType(kt, vt, _) =>
+        PTypes.buildGroup(rep)
+          .as(LogicalTypeAnnotation.mapType())
+          .addField(PTypes.repeatedGroup()
+            .addField(parquetType("key", kt,
+              ParquetType.Repetition.REQUIRED))
+            .addField(parquetType("value", vt))
+            .named("key_value"))
+          .named(name)
+      case st: StructType =>
+        st.fields.foldLeft(PTypes.buildGroup(rep)) { (g, f) =>
+          g.addField(parquetType(f.name, f.dataType))
+        }.named(name)
+      case other => throw new IllegalArgumentException(
+        s"unsupported snapshot column type $other for $name")
     }
-    new MessageType("spark_schema", fields: _*)
   }
+
+  private[sources] def messageType(schema: StructType): MessageType =
+    new MessageType("spark_schema",
+      schema.fields.map(f => parquetType(f.name, f.dataType)): _*)
 
   /** Resolve stats column names to schema indexes, loudly. */
   private[sources] def statsIndexes(schema: StructType,
@@ -1347,15 +1550,123 @@ object SnapshotWrite {
   * Group path allocated a `SimpleGroup` plus one boxed value per field
   * per row and re-dispatched on field NAME per add; this one emits
   * each primitive straight to the column writers through the public
-  * `WriteSupport` API with zero per-row allocation (strings/binaries
-  * copy once out of the possibly-reused unsafe-row buffer — parquet's
-  * dictionary encoder retains `Binary` references past the call, so
-  * the bytes must be immutable). Flat primitives only, exactly the
-  * type set [[SnapshotWrite.messageType]] maps. */
+  * `WriteSupport` API with zero per-row allocation on the flat path
+  * (strings/binaries copy once out of the possibly-reused unsafe-row
+  * buffer — parquet's dictionary encoder retains `Binary` references
+  * past the call, so the bytes must be immutable). Per-type emitters
+  * are resolved ONCE at construction into closures over
+  * `SpecializedGetters` — rows, struct fields, array elements, and map
+  * sides all share them, which is how nested values recurse without
+  * re-dispatching on type per row. Nested values emit the standard
+  * 3-level `LIST/list/element` and `MAP/key_value` shapes
+  * [[SnapshotWrite.parquetType]] declares. */
 private[sources] class SnapshotWriteSupport(schema: StructType)
     extends org.apache.parquet.hadoop.api.WriteSupport[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
   private val msg = SnapshotWrite.messageType(schema)
   private var consumer: org.apache.parquet.io.api.RecordConsumer = _
+
+  private type VWriter = (SpecializedGetters, Int) => Unit
+
+  private def immutableUtf8(g: SpecializedGetters, i: Int): Array[Byte] = {
+    // getBytes copies unless the UTF8String spans its whole backing
+    // array (never true inside a row buffer); the clone() guards the
+    // spanning case — Binary must own immutable bytes
+    val b = g.getUTF8String(i)
+    val arr = b.getBytes
+    if (b.getBaseObject.isInstanceOf[Array[Byte]] &&
+        (b.getBaseObject eq arr)) arr.clone() else arr
+  }
+
+  private def writerFor(dt: DataType): VWriter = dt match {
+    case LongType | TimestampType =>
+      (g, i) => consumer.addLong(g.getLong(i))
+    case IntegerType | DateType =>
+      (g, i) => consumer.addInteger(g.getInt(i))
+    case DoubleType => (g, i) => consumer.addDouble(g.getDouble(i))
+    case FloatType => (g, i) => consumer.addFloat(g.getFloat(i))
+    case BooleanType => (g, i) => consumer.addBoolean(g.getBoolean(i))
+    case StringType => (g, i) =>
+      consumer.addBinary(Binary.fromConstantByteArray(immutableUtf8(g, i)))
+    case BinaryType => (g, i) =>
+      consumer.addBinary(Binary.fromConstantByteArray(
+        g.getBinary(i).clone()))
+    case ArrayType(et, _) =>
+      val ew = writerFor(et)
+      (g, i) => {
+        val arr = g.getArray(i)
+        consumer.startGroup()
+        val n = arr.numElements()
+        if (n > 0) { // an EMPTY list is a group with no `list` field
+          consumer.startField("list", 0)
+          var j = 0
+          while (j < n) {
+            consumer.startGroup()
+            if (!arr.isNullAt(j)) {
+              consumer.startField("element", 0)
+              ew(arr, j)
+              consumer.endField("element", 0)
+            }
+            consumer.endGroup()
+            j += 1
+          }
+          consumer.endField("list", 0)
+        }
+        consumer.endGroup()
+      }
+    case MapType(kt, vt, _) =>
+      val kw = writerFor(kt)
+      val vw = writerFor(vt)
+      (g, i) => {
+        val m = g.getMap(i)
+        consumer.startGroup()
+        val n = m.numElements()
+        if (n > 0) {
+          consumer.startField("key_value", 0)
+          val ks = m.keyArray()
+          val vs = m.valueArray()
+          var j = 0
+          while (j < n) {
+            consumer.startGroup()
+            consumer.startField("key", 0) // Catalyst map keys: never null
+            kw(ks, j)
+            consumer.endField("key", 0)
+            if (!vs.isNullAt(j)) {
+              consumer.startField("value", 1)
+              vw(vs, j)
+              consumer.endField("value", 1)
+            }
+            consumer.endGroup()
+            j += 1
+          }
+          consumer.endField("key_value", 0)
+        }
+        consumer.endGroup()
+      }
+    case st: StructType =>
+      val names = st.fieldNames
+      val fws = st.fields.map(f => writerFor(f.dataType))
+      (g, i) => {
+        val row = g.getStruct(i, names.length)
+        consumer.startGroup()
+        var j = 0
+        while (j < names.length) {
+          if (!row.isNullAt(j)) {
+            consumer.startField(names(j), j)
+            fws(j)(row, j)
+            consumer.endField(names(j), j)
+          }
+          j += 1
+        }
+        consumer.endGroup()
+      }
+    case other => throw new IllegalArgumentException(
+      s"unsupported snapshot column type $other")
+  }
+
+  private val topNames = schema.fieldNames
+  private val topWriters = schema.fields.map(f => writerFor(f.dataType))
+
   override def init(conf: Configuration)
       : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
     new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(msg,
@@ -1365,33 +1676,11 @@ private[sources] class SnapshotWriteSupport(schema: StructType)
   override def write(row: InternalRow): Unit = {
     consumer.startMessage()
     var i = 0
-    while (i < schema.length) {
+    while (i < topNames.length) {
       if (!row.isNullAt(i)) {
-        val f = schema(i)
-        consumer.startField(f.name, i)
-        f.dataType match {
-          case LongType | TimestampType => consumer.addLong(row.getLong(i))
-          case IntegerType | DateType => consumer.addInteger(row.getInt(i))
-          case DoubleType => consumer.addDouble(row.getDouble(i))
-          case FloatType => consumer.addFloat(row.getFloat(i))
-          case BooleanType => consumer.addBoolean(row.getBoolean(i))
-          case StringType =>
-            // getBytes copies unless the UTF8String spans its whole
-            // backing array (never true inside a row buffer); the
-            // clone() guards the spanning case — Binary must own
-            // immutable bytes
-            val b = row.getUTF8String(i)
-            val arr = b.getBytes
-            consumer.addBinary(Binary.fromConstantByteArray(
-              if (b.getBaseObject.isInstanceOf[Array[Byte]] &&
-                  (b.getBaseObject eq arr)) arr.clone() else arr))
-          case BinaryType =>
-            consumer.addBinary(Binary.fromConstantByteArray(
-              row.getBinary(i).clone()))
-          case other => throw new IllegalArgumentException(
-            s"unsupported snapshot column type $other for ${f.name}")
-        }
-        consumer.endField(f.name, i)
+        consumer.startField(topNames(i), i)
+        topWriters(i)(row, i)
+        consumer.endField(topNames(i), i)
       }
       i += 1
     }

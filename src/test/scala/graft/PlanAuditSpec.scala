@@ -23,6 +23,9 @@ class PlanAuditSpec extends SparkSpec {
   /** Queries where a BroadcastNestedLoopJoin is the intended plan. */
   private val allowedBnlj = Set(
     "q34_cosine_topk",       // exact brute-force ground truth (broadcast queries)
+    "q239_snapshot_embeddings", // q34's broadcast-queries exact probe run
+                             // over the snapshot scan (ten query rows
+                             // broadcast; the corpus side never shuffles)
     "q47_embedding_neardup", // exact all-pairs ground truth twin of q35
     "q35_ann_lsh",           // broadcast plane-weight table
     "q35b_ann_ivf",          // broadcast centroid table

@@ -279,6 +279,50 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("PARTITIONED"), err.getMessage)
   }
 
+  test("STORAGE-PARTITIONED JOIN: two snapshot tables partitioned on " +
+    "the same key join AND aggregate on it with ZERO exchanges; the " +
+    "report declines on unpartitioned scans and missing projections") {
+    val dirA = Files.createTempDirectory("graft-spjA").toString
+    val dirB = Files.createTempDirectory("graft-spjB").toString
+    val rows = (0L until 400L).map(i => (i, s"g${i % 5}", i * 2))
+      .toDF("id", "grp", "n")
+    val dim = (0 until 5).map(k => (s"g$k", k * 100L)).toDF("grp", "bonus")
+    SnapshotTable.commitPartitioned(spark, rows, dirA, Seq("grp"))
+    SnapshotTable.commitPartitioned(spark, dim, dirB, Seq("grp"))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val before = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = load(dirA).join(load(dirB), "grp")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"n" + $"bonus").as("s"))
+      val got = joined.as[(String, Long, Long)].collect().toSet
+      val want = (0 until 5).map { k =>
+        val ids = (0L until 400L).filter(_ % 5 == k)
+        (s"g$k", ids.size.toLong, ids.map(_ * 2 + k * 100L).sum)
+      }.toSet
+      assert(got == want)
+      // the whole executed plan — join AND aggregate — has no
+      // exchange of any kind (inspect AFTER execution: AQE finalizes)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected zero exchanges:\n$plan")
+      // an unpartitioned table reports no key grouping (decline path)
+      val dirC = Files.createTempDirectory("graft-spjC").toString
+      SnapshotTable.commit(spark, dim, dirC)
+      val mixed = load(dirA).join(load(dirC), "grp").groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"))
+      assert(mixed.as[(String, Long)].collect().toMap
+        .forall { case (g, n) => n == 80L && g.startsWith("g") })
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SQL DELETE on a partition column is METADATA-ONLY (no data " +
     "file touched); non-partition deletes still rewrite copy-on-write") {
     val dir = Files.createTempDirectory("graft-dsv2pdel").toString
@@ -785,6 +829,54 @@ class SnapshotSourceSpec extends SparkSpec {
       .supportColumnarReads(SnapshotFilePartition("x")))
     assert(!new SnapshotReaderFactory(read(true).schema, vectorized = false)
       .supportColumnarReads(SnapshotFilePartition("x")))
+  }
+
+  test("NESTED types through the native snapshot writer: arrays, maps, " +
+    "structs (incl. empty / null / null-element shapes) roundtrip " +
+    "bit-exact through BOTH read paths, and footerSchema inverts them") {
+    val dir = Files.createTempDirectory("graft-dsv2nest").toString
+    val rows: Seq[(Long, Seq[Float], Option[Seq[String]], Map[String, Long],
+        (Long, String), Seq[Option[Long]])] =
+      (0L until 200L).map { i =>
+        (i,
+          Seq(i.toFloat, i * 0.5f, -i.toFloat),
+          i % 7 match {
+            case 0 => None                    // null array
+            case 1 => Some(Seq.empty[String]) // empty array
+            case _ => Some(Seq(s"a$i", s"b$i"))
+          },
+          if (i % 5 == 0) Map.empty[String, Long]
+          else Map(s"k$i" -> i, "shared" -> (i * 2)),
+          (i * 3, s"s$i"),
+          Seq(Some(i), None, Some(i + 1))) // null ELEMENTS
+      }
+    val df = rows.toDF("id", "emb", "tags", "counts", "st", "opt")
+    df.write.format("graft.sources.SnapshotSource")
+      .mode("append").save(dir)
+    def read(vectorized: Boolean) =
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("vectorizedRead", vectorized.toString).load(dir)
+    val vec = read(true).as[(Long, Seq[Float], Option[Seq[String]],
+      Map[String, Long], (Long, String), Seq[Option[Long]])]
+      .collect().toSet
+    val row = read(false).as[(Long, Seq[Float], Option[Seq[String]],
+      Map[String, Long], (Long, String), Seq[Option[Long]])]
+      .collect().toSet
+    assert(vec == rows.toSet, "vectorized path diverged")
+    assert(row == rows.toSet, "row path diverged")
+    // footerSchema (the legacy-manifest fallback) inverts the layout
+    val file = SnapshotTable.manifestFiles(dir, 1).head
+    val st = SnapshotSource.footerSchema(s"$dir/$file")
+    assert(st("emb").dataType == ArrayType(FloatType, containsNull = true))
+    assert(st("tags").dataType ==
+      ArrayType(StringType, containsNull = true))
+    assert(st("counts").dataType ==
+      MapType(StringType, LongType, valueContainsNull = true))
+    assert(st("st").dataType.isInstanceOf[StructType])
+    // array column survives an SQL aggregate over the snapshot scan
+    read(true).createOrReplaceTempView("nest_t")
+    assert(spark.sql(
+      "SELECT sum(size(emb)) FROM nest_t").as[Long].head() == 600L)
   }
 
   test("footerSchema maps flat primitives for legacy manifests") {
