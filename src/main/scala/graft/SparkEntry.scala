@@ -272,6 +272,7 @@ object SparkEntry {
     "q238_show_partitions" -> IoQueries.snapshotShowPartitions,
     "q239_snapshot_embeddings" -> IoQueries.snapshotEmbeddings,
     "q240_snapshot_spj" -> IoQueries.snapshotSpjJoin,
+    "q241_snapshot_spec_evolution" -> IoQueries.snapshotSpecEvolution,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2980,6 +2981,21 @@ SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(d.n_chars) + max(m.src_docs) AS BIGINT) AS checksum
 FROM documents d JOIN dim m USING (source)
 GROUP BY d.source ORDER BY d.source""",
+    // q241: spec evolution is a METADATA property (which files can be
+    // pruned); the row semantics are plain slices of the corpus —
+    // leg 1 everything, leg 2 one source across the spec boundary,
+    // leg 3 the even-id pre-evolution half.
+    "q241_snapshot_spec_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+UNION ALL
+SELECT CAST(2 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(sum(n_chars) AS BIGINT) FROM documents WHERE source = 'src3'
+UNION ALL
+SELECT CAST(3 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id % 2 = 0
+ORDER BY leg""",
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept
     // prefix (cum order = epoch, bucket, hash, doc_id flattened).

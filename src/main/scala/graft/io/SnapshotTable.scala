@@ -56,6 +56,20 @@ object SnapshotTable {
   // \u0001, NULL spelled \u0000 (values may not contain either)
   private val PartSep = "\u0001"
   private val PartNull = "\u0000"
+  // the PARTITION-SPEC-EVOLUTION marker: a file written before the
+  // current spec recorded no value for this column -- it survives every
+  // partition prune (may-contain) until a rewrite re-derives its true
+  // values, Iceberg's old-files-keep-their-spec semantics flattened
+  // onto one tuple shape
+  private val PartUnknown = "\u0002"
+
+  /** True when this recorded value is the spec-evolution UNKNOWN marker
+    * (the file predates the current spec for this column): exact
+    * pruning must decline and metadata DML must refuse toward
+    * copy-on-write for such files. */
+  private[graft] def isUnknownPart(v: Option[String]): Boolean =
+    v.contains(PartUnknown)
+  private[graft] def unknownPart: Option[String] = Some(PartUnknown)
 
   private def logDir(dir: String) = new File(dir, "_log")
   private def manifestFile(dir: String, v: Int) =
@@ -165,8 +179,9 @@ object SnapshotTable {
         require(tuple.length == cols.length,
           s"partition tuple arity ${tuple.length} != ${cols.length}")
         tuple.foreach(_.foreach(s => require(
-          !s.contains(PartNull) && !s.contains(PartSep),
-          "partition values may not contain \\u0000/\\u0001")))
+          !s.contains(PartNull) && !s.contains(PartSep) &&
+            (s == PartUnknown || !s.contains(PartUnknown)),
+          "partition values may not contain \\u0000/\\u0001/\\u0002")))
         Base64.getEncoder.encodeToString(
           tuple.map(_.getOrElse(PartNull)).mkString(PartSep)
             .getBytes(UTF_8))
@@ -457,7 +472,10 @@ object SnapshotTable {
       case (f, i) if active.forall { case ((lo, hi), mm) =>
         val (mn, mx) = mm(i); mx >= lo && mn <= hi
       } && activeParts.forall { case (pi, keep) =>
-        keep.contains(pvals.get(i)(pi))
+        // an UNKNOWN value (pre-evolution file) cannot be pruned: the
+        // file may hold any value of this column (may-contain stays
+        // sound; callers keep answers exact with a residual row filter)
+        keep.contains(pvals.get(i)(pi)) || isUnknownPart(pvals.get(i)(pi))
       } => f
     }
   }
@@ -902,7 +920,8 @@ object SnapshotTable {
   def commitPartitioned(spark: SparkSession, df: DataFrame, dir: String,
                         partCols: Seq[String],
                         overwrite: Boolean = false,
-                        statsCols: Seq[String] = Nil): Int = {
+                        statsCols: Seq[String] = Nil,
+                        evolveSpec: Boolean = false): Int = {
     require(partCols.nonEmpty, "commitPartitioned needs partition columns")
     validatePartCols(df.schema, partCols)
     logDir(dir).mkdirs()
@@ -916,7 +935,7 @@ object SnapshotTable {
       .write.mode("overwrite").partitionBy(dups: _*)
       .parquet(s"$dir/$sub")
     publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCols,
-      partCols)
+      partCols, evolveSpec)
   }
 
   /** Publish a commit whose data files are already staged under `sub`:
@@ -927,7 +946,8 @@ object SnapshotTable {
                             prev: Seq[Int], v: Int, sub: String,
                             overwrite: Boolean,
                             statsCols: Seq[String],
-                            partCols: Seq[String] = Nil): Int = {
+                            partCols: Seq[String] = Nil,
+                            evolveSpec: Boolean = false): Int = {
     val written = listWritten(dir, sub)
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
@@ -939,18 +959,22 @@ object SnapshotTable {
           s"${prev.last} tracks ${prevCols.mkString(",")} — cover every " +
           "base column or commit stats-free")
     }
-    // an append must keep the base's partitioning exactly: a version
-    // whose files mix partitioned and unpartitioned provenance could
-    // not record truthful per-file values, so it is refused, not
-    // half-stated (overwrite resets partitioning like schema/stats)
-    if (base.nonEmpty) {
-      val prevP = partitionColumns(dir, prev.last)
-      require(prevP == partCols,
+    // an append must keep the base's partitioning exactly — UNLESS the
+    // caller declares PARTITION-SPEC EVOLUTION (evolveSpec): the new
+    // spec applies from this commit on, new files record exact values,
+    // and carried files keep what THEIR spec recorded (columns the old
+    // spec lacked become the UNKNOWN marker — never prunable, never
+    // wrong; a later rewrite re-derives true values). Old data is
+    // never rewritten — the point of spec evolution at 100 TB.
+    val prevP = if (base.isEmpty) Nil else partitionColumns(dir, prev.last)
+    if (base.nonEmpty && prevP != partCols) {
+      require(evolveSpec,
         s"append partitioned by [${partCols.mkString(",")}] onto " +
           s"version ${prev.last} partitioned by [${prevP.mkString(",")}]" +
           " — appends must keep the table's partitioning " +
           "(commitPartitioned with the same columns); only an " +
-          "overwrite may repartition")
+          "overwrite may repartition, or pass evolveSpec=true to " +
+          "declare a NEW spec (old files keep their recorded tuples)")
     }
     val prevAll: Map[String, Seq[(Long, Long)]] =
       if (base.isEmpty) Map.empty else readAllStats(dir, prev.last).toMap
@@ -977,10 +1001,23 @@ object SnapshotTable {
       else {
         val carried: Seq[Seq[Option[String]]] =
           if (base.isEmpty) Seq.empty
-          else readPartValues(dir, prev.last).getOrElse(
-            throw new IllegalStateException(
-              s"version ${prev.last} declares partition columns but " +
-                "records no values"))
+          else if (prevP == partCols)
+            readPartValues(dir, prev.last).getOrElse(
+              throw new IllegalStateException(
+                s"version ${prev.last} declares partition columns but " +
+                  "records no values"))
+          else {
+            // SPEC EVOLUTION: remap each carried file's tuple onto the
+            // NEW spec — columns the old spec also recorded keep their
+            // exact values (still prunable), columns it lacked become
+            // UNKNOWN (this file survives every prune on them)
+            val old: Seq[Seq[Option[String]]] =
+              readPartValues(dir, prev.last)
+                .getOrElse(base.map(_ => Seq.empty[Option[String]]))
+            val oldIdx = prevP.zipWithIndex.toMap
+            old.map(t => partCols.map(c =>
+              oldIdx.get(c).map(t).getOrElse(unknownPart)))
+          }
         Some((partCols, carried ++ written.map(f => meta(f)._2)))
       }
     // carried base files keep their recorded counts — an append never
@@ -1219,6 +1256,16 @@ object SnapshotTable {
         s"version $prevV declares partition columns but records no values"))
     val idx = partIn.map { case (c, xs) =>
       pcols.indexOf(c) -> xs.map(x => Option(x).map(partValueString)).toSet
+    }
+    // a pre-evolution file with an UNKNOWN value in a constrained
+    // column cannot be decided from metadata — it may hold matching
+    // rows the drop would have to remove. Refuse toward the
+    // copy-on-write path instead of silently under-deleting.
+    files.zip(pvals).foreach { case (f, tuple) =>
+      idx.keys.foreach(i => require(!isUnknownPart(tuple(i)),
+        s"partition delete cannot decide file $f from metadata: its " +
+          s"'${pcols(i)}' value predates the current partition spec " +
+          "(unknown) — use a copy-on-write delete"))
     }
     val dropped = files.zip(pvals).collect {
       case (f, tuple) if idx.forall { case (i, set) =>
@@ -1704,7 +1751,8 @@ object SnapshotTable {
     val rows = readRows(dir, v)
     files.indices.groupBy(pvals(_)).toSeq.map { case (tuple, idxs) =>
       val render = pcols.zip(tuple).map { case (c, t) =>
-        s"$c=${t.getOrElse("__NULL__")}"
+        if (isUnknownPart(t)) s"$c=__UNKNOWN__" // pre-evolution files
+        else s"$c=${t.getOrElse("__NULL__")}"
       }.mkString("/")
       (render, idxs.length.toLong,
         rows.fold(-1L)(rs => idxs.map(rs(_)).sum))

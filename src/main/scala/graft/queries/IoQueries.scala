@@ -973,6 +973,38 @@ object IoQueries {
     * the small dimension). At 100 TB this deletes the shuffle of BOTH
     * sides of every co-partitioned fact⋈fact join — the single
     * largest cost in a partitioned-lakehouse join pipeline. */
+  /** PARTITION-SPEC EVOLUTION (q241): v1 commits half the corpus
+    * UNPARTITIONED, v2 declares `PARTITIONED BY (source)` via
+    * `evolveSpec` and appends the other half — old files keep UNKNOWN
+    * tuples (they survive every partition prune; the residual row
+    * filter keeps answers exact), new files prune exactly, and no old
+    * byte is rewritten (the point of spec evolution at 100 TB). Legs:
+    * (1) the full read across the spec boundary, (2) a
+    * partition-pruned read that must still see the pre-evolution rows
+    * of that value, (3) the pre-evolution version time-traveled with
+    * its own spec-free manifest. */
+  def snapshotSpecEvolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snapevo").toString
+    val st = graft.io.SnapshotTable
+    st.commit(s, docs.where(col("doc_id") % 2 === 0), t)
+    st.commitPartitioned(s, docs.where(col("doc_id") % 2 === 1), t,
+      Seq("source"), evolveSpec = true)
+    def agg(leg: Int, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(leg.toLong).as("leg"), col("n_docs"), col("sum_id"),
+          col("sum_chars"))
+    val full = s.read.format("graft.sources.SnapshotSource").load(t)
+    val leg1 = agg(1, full)
+    val leg2 = agg(2, full.where(col("source") === "src3"))
+    val leg3 = agg(3, s.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", 1).load(t))
+    leg1.unionAll(leg2).unionAll(leg3).orderBy("leg")
+  }
+
   def snapshotSpjJoin(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))

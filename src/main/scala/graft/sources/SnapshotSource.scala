@@ -302,11 +302,15 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
         // table (the manifest convention); SQL must not surface that
         // refusal — fall back to the copy-on-write path, whose
         // zero-row anchor file represents an emptied table correctly
+        // ... and a pre-evolution file with an unknown value for a
+        // constrained column cannot be decided from metadata — both
+        // refusals route to the always-correct copy-on-write rewrite
         try SnapshotTable.deletePartitionsIn(dir, sets): Unit
         catch {
           case e: IllegalArgumentException
               if e.getMessage != null &&
-                e.getMessage.contains("would empty the table") => cow()
+                (e.getMessage.contains("would empty the table") ||
+                  e.getMessage.contains("cannot decide file")) => cow()
         }
       case None => cow()
     }
@@ -658,7 +662,12 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       if (pcolsSeq.isEmpty) Map.empty
       else SnapshotTable.readPartValues(dir, version)
         .map(pv => SnapshotTable.manifestFiles(dir, version)
-          .map(f => s"$dir/$f").zip(pv).toMap)
+          .map(f => s"$dir/$f").zip(pv)
+          // a pre-evolution file's UNKNOWN tuple cannot key a
+          // storage-partitioned join: leave it out, and the scan's
+          // all-files-keyed guard declines the whole report
+          .filterNot(_._2.exists(SnapshotTable.isUnknownPart))
+          .toMap)
         .getOrElse(Map.empty)
     SnapshotScan(dir, files, required, version,
       Option((bounds.keys ++ partKeep.keys).toSeq.distinct.sorted

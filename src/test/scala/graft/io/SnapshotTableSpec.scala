@@ -644,6 +644,69 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.manifestFiles(dir, resV).length)
   }
 
+  test("PARTITION-SPEC EVOLUTION: a later commit declares a NEW spec; " +
+    "old files keep UNKNOWN tuples (never pruned, never wrong), new " +
+    "files prune exactly, metadata delete refuses toward CoW, and a " +
+    "rewrite repairs the unknowns") {
+    val dir = Files.createTempDirectory("snap-evo").toString
+    val mk = (lo: Long, hi: Long) => (lo until hi)
+      .map(i => (i, s"s${i % 3}", i * 2)).toDF("id", "src", "n")
+    // v1: unpartitioned history
+    SnapshotTable.commit(spark, mk(0L, 120L), dir)
+    // a plain append with a different spec still refuses...
+    val refuse = intercept[IllegalArgumentException] {
+      SnapshotTable.commitPartitioned(spark, mk(120L, 121L), dir,
+        Seq("src"))
+    }
+    assert(refuse.getMessage.contains("evolveSpec"))
+    // ...but declared evolution is accepted: v2 partitions NEW data
+    SnapshotTable.commitPartitioned(spark, mk(120L, 240L), dir,
+      Seq("src"), evolveSpec = true)
+    assert(SnapshotTable.partitionColumns(dir, 2) == Seq("src"))
+    // full read across the spec boundary
+    assert(SnapshotTable.readSnapshot(spark, dir).count() == 240L)
+    // exact partitioned read: old files scanned + residual-filtered
+    assert(SnapshotTable.readSnapshotPartitioned(spark, dir,
+      Map("src" -> "s1")).count() == (0L until 240L).count(_ % 3 == 1))
+    // pruning keeps EVERY pre-evolution file (unknown = may-contain)
+    // and still drops the new files of other values
+    val v1files = SnapshotTable.manifestFiles(dir, 1).toSet
+    val all = SnapshotTable.manifestFiles(dir, 2)
+    val kept = SnapshotTable.manifestFilesPruned(dir, 2, Map.empty,
+      Map("src" -> Set(Option("s1"))))
+    assert(v1files.subsetOf(kept.toSet))
+    assert(kept.length < all.length)
+    // the inventory names the pre-evolution slice
+    assert(SnapshotTable.partitionSummary(dir).exists(
+      _._1.contains("__UNKNOWN__")))
+    // DSv2 route: pruned read stays exact over the mixed manifest
+    val ds = spark.read.format("graft.sources.SnapshotSource").load(dir)
+    assert(ds.where(col("src") === "s2").count() ==
+      (0L until 240L).count(_ % 3 == 2))
+    // metadata partition delete cannot decide pre-evolution files
+    val und = intercept[IllegalArgumentException] {
+      SnapshotTable.deletePartitions(dir, Map("src" -> "s0"))
+    }
+    assert(und.getMessage.contains("cannot decide"))
+    // SQL DELETE falls back to copy-on-write and answers exactly
+    spark.conf.set("spark.sql.catalog.gevo_cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gevo_cat.root",
+      new java.io.File(dir).getParent)
+    val name = new java.io.File(dir).getName
+    spark.sql(s"DELETE FROM gevo_cat.`$name` WHERE src = 's0'")
+    assert(SnapshotTable.readSnapshot(spark, dir).count() ==
+      (0L until 240L).count(_ % 3 != 0))
+    // the rewrite repaired every touched file's tuple: v1 files all
+    // held s0 rows, so every unknown is gone and pruning is exact again
+    val vN = SnapshotTable.versions(dir).last
+    assert(SnapshotTable.readPartValues(dir, vN).get
+      .forall(!_.exists(SnapshotTable.isUnknownPart)))
+    // v1 stays time-travelable with its own (spec-free) manifest
+    assert(SnapshotTable.readSnapshot(spark, dir, Some(1)).count() == 120L)
+    assert(SnapshotTable.partitionColumns(dir, 1).isEmpty)
+  }
+
   test("partition values needing path escaping (space, %, =, #): " +
     "commit, pruned reads, DML touch resolution, and metadata delete " +
     "all survive the URL-encoding skew between scan and disk") {
