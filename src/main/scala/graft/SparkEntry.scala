@@ -273,6 +273,7 @@ object SparkEntry {
     "q239_snapshot_embeddings" -> IoQueries.snapshotEmbeddings,
     "q240_snapshot_spj" -> IoQueries.snapshotSpjJoin,
     "q241_snapshot_spec_evolution" -> IoQueries.snapshotSpecEvolution,
+    "q242_snapshot_change_feed" -> IoQueries.snapshotChangeFeed,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2996,6 +2997,38 @@ UNION ALL
 SELECT CAST(3 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
   CAST(sum(n_chars) AS BIGINT) FROM documents WHERE doc_id % 2 = 0
 ORDER BY leg""",
+    // q242: the change feed replayed as a DIRECT VERSION DIFF — v1 =
+    // all inserts, v2 = the deleted residue class, v3 = the merge's
+    // pre/post images over the post-delete base plus its inserts
+    // (keys absent from the base: brand-new ids AND the ones v2
+    // deleted).
+    "q242_snapshot_change_feed" ->
+      """WITH b AS (SELECT doc_id, source, n_chars FROM documents
+       WHERE doc_id % 10 <> 3),
+s AS (SELECT doc_id, source, n_chars + 1000 AS n_chars FROM documents
+        WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 100000000, source, n_chars FROM documents
+        WHERE doc_id < 5),
+feed AS (
+  SELECT 1 AS commit_version, 'insert' AS change_type, doc_id, n_chars
+  FROM documents
+  UNION ALL
+  SELECT 2, 'delete', doc_id, n_chars FROM documents
+  WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT 3, 'update_preimage', doc_id, n_chars FROM b
+  WHERE doc_id IN (SELECT doc_id FROM s)
+  UNION ALL
+  SELECT 3, 'update_postimage', doc_id, n_chars FROM s
+  WHERE doc_id IN (SELECT doc_id FROM b)
+  UNION ALL
+  SELECT 3, 'insert', doc_id, n_chars FROM s
+  WHERE doc_id NOT IN (SELECT doc_id FROM b))
+SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""",
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept
     // prefix (cum order = epoch, bucket, hash, doc_id flattened).

@@ -52,6 +52,16 @@ object SnapshotTable {
   private[graft] val clock =
     new scala.util.DynamicVariable[() => Long](() => System.currentTimeMillis())
 
+  /** Whether the commit being written CHANGES the table's logical
+    * content (Delta's per-action `dataChange` bit, hoisted to the
+    * commit): compaction publishes an overwrite whose rows are
+    * identical to the previous version, and the change feed must skip
+    * it rather than refuse or re-emit 100 TB as inserts. Scoped like
+    * [[clock]] — rewrite-only maintenance wraps its commit in
+    * `dataChange.withValue(false)`. */
+  private[io] val dataChange =
+    new scala.util.DynamicVariable[Boolean](true)
+
   // partition-tuple framing inside the base64 payload: values joined by
   // \u0001, NULL spelled \u0000 (values may not contain either)
   private val PartSep = "\u0001"
@@ -189,8 +199,9 @@ object SnapshotTable {
       s""","pcols":[${cols.map(c => "\"" + c + "\"").mkString(",")}]""" +
         s""","pvals":[${encoded.map(e => "\"" + e + "\"").mkString(",")}]"""
     }.getOrElse("")
+    val dcJson = if (dataChange.value) "" else ""","dataChange":false"""
     val json = s"""{"version":$v,"action":"$action","ts":${clock.value()}""" +
-      s""","files":[""" +
+      dcJson + s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
       xstatsJson + rowsJson + sizesJson + partsJson + schemaJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
@@ -798,6 +809,13 @@ object SnapshotTable {
         s"corrupt manifest v$v in $dir: $json")
     }
 
+  /** Whether version `v` changed the table's logical content — false
+    * only for rewrite-only maintenance commits (compaction) that
+    * recorded `dataChange:false`; absent (legacy/normal manifests)
+    * means true. */
+  def isDataChange(dir: String, v: Int): Boolean =
+    !manifestJson(dir, v).contains(""""dataChange":false""")
+
   /** Stream epochs already committed to the log BY `queryId` — the
     * exactly-once check for the streaming writer: a replayed
     * micro-batch (sink retry after a commit that DID land) finds its
@@ -1191,6 +1209,22 @@ object SnapshotTable {
         val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
         reader.parquet(touched.map(f => s"$dir/$f"): _*)
       }
+    // CHANGE-DATA-FEED sidecar: a source key that matches the base at
+    // all matches inside a TOUCHED file (touched discovery is the
+    // key-membership scan), so matched pre/postimages and the
+    // unmatched-key inserts all derive from `base` (the touched reads)
+    // and the small `src` — no extra full-table pass
+    if (changeFeedEnabled(dir)) {
+      val ct = "_change_type"
+      val touchedKeys = base.select(keys.map(col): _*).distinct()
+      val pre = base.join(broadcast(keyRows), keys, "left_semi")
+        .withColumn(ct, lit("update_preimage"))
+      val post = src.join(touchedKeys, keys, "left_semi")
+        .withColumn(ct, lit("update_postimage"))
+      val ins = src.join(touchedKeys, keys, "left_anti")
+        .withColumn(ct, lit("insert"))
+      writeChanges(pre.unionByName(post).unionByName(ins), dir, v)
+    }
     writeMaybePartitioned(dir, prevV,
       graft.ops.Merge.upsert(base, src, keys), sub)
     val written = listWritten(dir, sub)
@@ -1314,7 +1348,29 @@ object SnapshotTable {
       else {
         val sub = f"data/v$v%05d"
         val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        val out = rewrite(reader.parquet(touched.map(f => s"$dir/$f"): _*))
+        val src = reader.parquet(touched.map(f => s"$dir/$f"): _*)
+        val out = rewrite(src)
+        // CHANGE-DATA-FEED sidecar (when the table enabled it): the
+        // rewrite already reads exactly the touched rows, so the
+        // row-level changes cost one more pass over only those files.
+        // Postimages reuse the SAME rewrite expression filtered to the
+        // predicate — change semantics match the commit by
+        // construction, never by a parallel re-implementation.
+        if (changeFeedEnabled(dir)) {
+          val ct = "_change_type"
+          val changed = action match {
+            case "delete" =>
+              Some(src.where(predicate)
+                .withColumn(ct, lit("delete")))
+            case "update" =>
+              Some(src.where(predicate)
+                .withColumn(ct, lit("update_preimage"))
+                .unionByName(rewrite(src).where(predicate)
+                  .withColumn(ct, lit("update_postimage"))))
+            case _ => None
+          }
+          changed.foreach(writeChanges(_, dir, v))
+        }
         writeMaybePartitioned(dir, prevV, out, sub)
         val w = listWritten(dir, sub)
         if (w.nonEmpty) w
@@ -1605,6 +1661,7 @@ object SnapshotTable {
     val cluster = statsCol.orElse(statsColumn(dir, cur))
     val cols = (cluster.toSeq ++ statsColumns(dir, cur)).distinct
     val pcols = partitionColumns(dir, cur)
+    dataChange.withValue(false) { // rewrite-only: the feed skips it
     if (pcols.nonEmpty) {
       // hash-split into <= numFiles tasks: each partition value lands
       // in exactly one task, so partitionBy writes ~one file per value
@@ -1621,6 +1678,7 @@ object SnapshotTable {
           .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(c)))
         .getOrElse(readSnapshot(spark, dir).repartition(numFiles)),
       dir, overwrite = true, statsCols = cols)
+    }
   }
 
   /** Compact ONE PARTITION's files (`OPTIMIZE t WHERE day = x`): the
@@ -1765,6 +1823,119 @@ object SnapshotTable {
                  asOf: Option[Int] = None): DataFrame = {
     import spark.implicits._
     partitionSummary(dir, asOf).toDF("partition", "n_files", "n_rows")
+  }
+
+  // ------------------------------------------------------------------
+  // CHANGE-DATA-FEED (Delta's CDF, Iceberg's changelog): row-level
+  // changes per commit. Appends and metadata partition deletes need no
+  // extra storage — the log already knows the added/dropped files and
+  // immutable files ARE their rows. Only the CoW rewrites (DELETE/
+  // UPDATE/MERGE) are ambiguous at the file level, so exactly those
+  // persist a `_changes/vNNNNN` sidecar at commit time (opt-in via
+  // [[enableChangeFeed]] — the sidecar costs one extra pass over only
+  // the touched files). At 100 TB the feed turns "recompute downstream
+  // aggregates from scratch" into "apply this commit's delta".
+  // ------------------------------------------------------------------
+
+  /** Opt this table into recording DML change sidecars (marker file;
+    * takes effect for commits AFTER the call — earlier DML versions
+    * have no sidecar and the feed refuses them loudly). */
+  def enableChangeFeed(dir: String): Unit = {
+    logDir(dir).mkdirs()
+    java.nio.file.Files.write(new File(logDir(dir), "_cdf").toPath,
+      Array.emptyByteArray): Unit
+  }
+
+  def changeFeedEnabled(dir: String): Boolean =
+    new File(logDir(dir), "_cdf").exists()
+
+  /** Persist a DML commit's row-level changes (table columns +
+    * `_change_type`) under the version's sidecar directory. Written
+    * BEFORE the manifest rename — an aborted commit leaves at worst an
+    * orphan sidecar for a version that never published, which the next
+    * attempt overwrites. */
+  private def writeChanges(df: DataFrame, dir: String, v: Int): Unit =
+    df.write.mode("overwrite").parquet(f"$dir/_changes/v$v%05d")
+
+  /** The sidecar parquet files of version `v` (absolute paths; empty
+    * when the version recorded none). */
+  private[graft] def changeFiles(dir: String, v: Int): Seq[String] = {
+    val d = new File(dir, f"_changes/v$v%05d")
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq.sorted
+  }
+
+  /** The row-level CHANGE FEED of versions `[startingVersion,
+    * endingVersion]` (default: through latest): table columns +
+    * `_change_type` ('insert' | 'delete' | 'update_preimage' |
+    * 'update_postimage') + `_commit_version`. Appends feed their added
+    * files as inserts, metadata partition deletes feed the dropped
+    * files as deletes, CoW DML feeds its recorded sidecar, and
+    * compaction feeds nothing (no logical change). A DML version
+    * without a sidecar — or an overwrite/restore, whose row-level
+    * delta is not derivable — refuses loudly rather than emit a wrong
+    * feed. */
+  def readChangeFeed(spark: SparkSession, dir: String,
+                     startingVersion: Int,
+                     endingVersion: Option[Int] = None): DataFrame = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val hi = endingVersion.getOrElse(vs.last)
+    val range = vs.filter(v => v >= startingVersion && v <= hi)
+    require(range.nonEmpty,
+      s"no versions in [$startingVersion, $hi] at $dir")
+    range.map(v => changesOf(spark, dir, v))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def changesOf(spark: SparkSession, dir: String,
+                        v: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ct = "_change_type"
+    val action = readAction(dir, v)
+    val files = readManifest(dir, v)
+    val prevFiles: Seq[String] =
+      if (v == 1 || !versions(dir).contains(v - 1)) Seq.empty
+      else readManifest(dir, v - 1)
+    val added = files.filterNot(prevFiles.toSet)
+    val removed = prevFiles.filterNot(files.toSet)
+    def frame(fs: Seq[String], changeType: String,
+              schemaV: Int): DataFrame = {
+      val r = readSchema(dir, schemaV).map(spark.read.schema(_))
+        .getOrElse(spark.read)
+      if (fs.isEmpty)
+        planRead(spark, dir, v, files).where(lit(false))
+          .withColumn(ct, lit(changeType))
+      else r.parquet(fs.map(f => s"$dir/$f"): _*)
+        .withColumn(ct, lit(changeType))
+    }
+    val changes = action match {
+      case _ if !isDataChange(dir, v) =>
+        // rewrite-only maintenance (compaction): identical rows, no
+        // logical change to feed
+        frame(Seq.empty, "insert", v)
+      case "append" => frame(added, "insert", v)
+      case "overwrite" if v == 1 => frame(added, "insert", v)
+      case "delete" | "update" | "merge" =>
+        val sidecar = changeFiles(dir, v)
+        if (sidecar.nonEmpty) spark.read.parquet(sidecar: _*)
+        else if (action == "delete" && added.isEmpty)
+          // METADATA partition delete: whole value-pure files dropped,
+          // so the dropped files' rows ARE the deleted rows — no
+          // sidecar needed, zero extra cost was paid at commit
+          frame(removed, "delete", v - 1)
+        else throw new IllegalStateException(
+          s"version $v is '$action' but recorded no change sidecar — " +
+            "call SnapshotTable.enableChangeFeed BEFORE the DML, or " +
+            s"read the feed from a version above $v")
+      case compactLike if compactLike == "compact" =>
+        frame(Seq.empty, "insert", v).where(lit(false)) // no logical change
+      case other => throw new IllegalStateException(
+        s"version $v is '$other': the change feed covers append, DML " +
+          "and compaction commits — an overwrite/restore's row-level " +
+          "delta is not derivable")
+    }
+    changes.withColumn("_commit_version", lit(v.toLong))
   }
 
   /** RESTORE to version `v` (Delta's `RESTORE TABLE ... TO VERSION AS

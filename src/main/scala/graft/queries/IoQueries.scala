@@ -961,6 +961,40 @@ object IoQueries {
     leg1.unionAll(leg2).orderBy("leg", "query_id", "rn")
   }
 
+  /** CHANGE-DATA-FEED (q242): the row-level change stream of a
+    * snapshot table's history — v1 appends the corpus, v2 CoW-deletes
+    * a residue class, v3 MERGEs an update batch (which also
+    * re-inserts keys the delete removed and inserts brand-new ones) —
+    * read back with [[graft.io.SnapshotTable.readChangeFeed]] and
+    * aggregated per (version, change type). The oracle recomputes
+    * every leg as plain slice arithmetic over the source table, i.e.
+    * a direct version-diff: any drift in what the DML sidecars record
+    * (pre vs post images, insert classification, delete scope) moves
+    * a count or a sum and hash-mismatches. At 100 TB the feed is what
+    * turns downstream refreshes from full recomputes into
+    * apply-the-delta. */
+  def snapshotChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snapcdf").toString
+    val st = graft.io.SnapshotTable
+    st.enableChangeFeed(t)
+    st.commit(s, docs, t)                                       // v1
+    st.delete(s, t, col("doc_id") % 10 === 3)                   // v2
+    val src = docs.where(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .unionByName(docs.where(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 100000000L))
+    st.merge(s, t, src, Seq("doc_id"))                          // v3
+    st.readChangeFeed(s, t, 1)
+      .groupBy(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("commit_version", "change_type")
+  }
+
   /** STORAGE-PARTITIONED JOIN (q240): two snapshot tables partitioned
     * on `source` — the document corpus and a one-row-per-source
     * dimension — join and aggregate on the partition key with ZERO

@@ -70,10 +70,16 @@ class SnapshotSource extends TableProvider {
     val dir = SnapshotSource.dir(options.asScala.toMap)
     val v = SnapshotTable.resolveVersion(dir,
       Option(options.get("versionAsOf")).map(_.toInt))
-    SnapshotTable.readSchema(dir, v).getOrElse(
+    val base = SnapshotTable.readSchema(dir, v).getOrElse(
       // legacy pre-schema manifest: infer from the first file's footer
       SnapshotSource.footerSchema(
         s"$dir/${SnapshotTable.manifestFiles(dir, v).head}"))
+    // CHANGE-DATA-FEED reads carry the change metadata as columns
+    if (Option(options.get("readChangeFeed")).exists(_.trim.toBoolean))
+      StructType(base.fields :+
+        StructField("_change_type", StringType, nullable = false) :+
+        StructField("_commit_version", LongType, nullable = false))
+    else base
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -682,7 +688,8 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       sizes,
       if (partSchema.length == pcolsSeq.length) partSchema
       else new StructType(), // a column missing from the schema: decline
-      partTuples)
+      partTuples,
+      props.get("readChangeFeed").exists(_.trim.toBoolean))
   }
 }
 
@@ -768,7 +775,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
                         fileSizes: Map[String, Long] = Map.empty,
                         partSchema: StructType = new StructType(),
                         partTuples: Map[String, Seq[Option[String]]] =
-                          Map.empty)
+                          Map.empty,
+                        changeFeed: Boolean = false)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -873,12 +881,16 @@ case class SnapshotScan(dir: String, files: Seq[String],
         new GenericInternalRow(vals)
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(!changeFeed,
+      "readChangeFeed is a STREAMING option (spark.readStream) — batch " +
+        "change reads go through SnapshotTable.readChangeFeed")
     activeFiles.flatMap { f =>
       val key = if (partSchema.isEmpty) null else typedKey(f)
       SnapshotScan.split(f, maxSplitBytes, fileSizes.get(f))
         .map(p => if (key == null) p else p.copy(partKey = key))
     }.toArray[InputPartition]
+  }
 
   /** CBO-visible statistics SERVED FROM MANIFEST BYTES: exact row
     * counts (the per-file counts recorded at commit, summed over the
@@ -942,7 +954,7 @@ case class SnapshotScan(dir: String, files: Seq[String],
     new SnapshotMicroBatchStream(dir, required,
       startingVersion.orElse(startingTimestamp.map(
         SnapshotTable.resolveStartingTimestamp(dir, _))),
-      ignoreRewrites, vectorized)
+      ignoreRewrites, vectorized, changeFeed)
 }
 
 /** Offset = a snapshot VERSION — the log is already a totally-ordered
@@ -990,7 +1002,8 @@ case class SnapshotVersionOffset(v: Int) extends StreamingOffset {
 class SnapshotMicroBatchStream(dir: String, required: StructType,
                                startingVersion: Option[Int] = None,
                                ignoreRewrites: Boolean = false,
-                               vectorized: Boolean = true)
+                               vectorized: Boolean = true,
+                               changeFeed: Boolean = false)
     extends MicroBatchStream {
   override def initialOffset(): StreamingOffset =
     // startingVersion=v feeds FROM v (offsets are exclusive lower
@@ -1018,6 +1031,9 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
           s"horizon of $dir (oldest retained: v$oldest) — the versions " +
           "it needs were vacuumed; restart from a fresh checkpoint or " +
           s"startingVersion >= $oldest")
+    if (changeFeed)
+      return ((from + 1) to until).flatMap(v =>
+        cdfPartitions(v)).toArray[InputPartition]
     ((from + 1) to until).flatMap { v =>
       val action = SnapshotTable.readAction(dir, v)
       val feeds = action == "append" ||
@@ -1038,11 +1054,101 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
       }
     }.toArray[InputPartition]
   }
+  /** One micro-batch slice of the CHANGE FEED: appends feed their
+    * added files as constant-'insert' partitions, CoW DML feeds its
+    * recorded `_changes` sidecar (change type lives in the file
+    * bytes), metadata partition deletes feed the dropped files as
+    * constant-'delete' partitions, compaction feeds nothing. A DML
+    * version without a sidecar — or an overwrite/restore — fails
+    * loudly: a silently wrong feed is the unforgivable failure. */
+  private def cdfPartitions(v: Int): Seq[InputPartition] = {
+    val action = SnapshotTable.readAction(dir, v)
+    val files = SnapshotTable.manifestFiles(dir, v)
+    val prevFiles: Seq[String] =
+      if (v == 1 || !SnapshotTable.versions(dir).contains(v - 1)) Seq.empty
+      else SnapshotTable.manifestFiles(dir, v - 1)
+    val added = files.filterNot(prevFiles.toSet)
+    val removed = prevFiles.filterNot(files.toSet)
+    action match {
+      case _ if !SnapshotTable.isDataChange(dir, v) =>
+        Seq.empty // rewrite-only maintenance: no logical change
+      case "append" =>
+        added.map(f => CdfFilePartition(s"$dir/$f", Some("insert"), v))
+      case "overwrite" if v == 1 =>
+        added.map(f => CdfFilePartition(s"$dir/$f", Some("insert"), v))
+      case "compact" => Seq.empty // rewrite-only: no logical change
+      case "delete" | "update" | "merge" =>
+        val sidecar = SnapshotTable.changeFiles(dir, v)
+        if (sidecar.nonEmpty)
+          sidecar.map(f => CdfFilePartition(f, None, v))
+        else if (action == "delete" && added.isEmpty)
+          removed.map(f => CdfFilePartition(s"$dir/$f", Some("delete"), v))
+        else throw new IllegalStateException(
+          s"version $v is '$action' but recorded no change sidecar — " +
+            "call SnapshotTable.enableChangeFeed BEFORE the DML, or " +
+            s"start the feed above v$v")
+      case other => throw new IllegalStateException(
+        s"version $v is '$other': the change feed covers append, DML " +
+          "and compaction commits — an overwrite/restore's row-level " +
+          "delta is not derivable")
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required, vectorized,
+    if (changeFeed) new CdfReaderFactory(required)
+    else new SnapshotReaderFactory(required, vectorized,
       SnapshotSource.sessionReadConfs())
   override def commit(end: StreamingOffset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** One change-feed file: a data file read under a CONSTANT change type
+  * (append/metadata-delete versions) or a DML sidecar whose
+  * `_change_type` lives in the file bytes (`changeType = None`);
+  * `version` is spliced in as `_commit_version` either way. */
+case class CdfFilePartition(path: String, changeType: Option[String],
+                            version: Long) extends InputPartition
+
+/** Reader for change-feed partitions: the parquet bytes provide the
+  * data columns (plus `_change_type` for sidecars), the wrapper
+  * splices the constants — same pattern as the `_file` metadata
+  * column. Row path only: feed batches are commit-sized deltas, not
+  * scan-bound table reads. */
+class CdfReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdfFilePartition]
+    val ctIdx = required.fieldNames.indexOf("_change_type")
+    val cvIdx = required.fieldNames.indexOf("_commit_version")
+    val spliceCt = ctIdx >= 0 && p.changeType.isDefined
+    val fileSchema = StructType(required.zipWithIndex.collect {
+      case (f, i) if i != cvIdx && !(i == ctIdx && spliceCt) => f
+    })
+    val base = new ParquetGroupReader(p.path, fileSchema)
+    if (ctIdx < 0 && cvIdx < 0) base
+    else new PartitionReader[InternalRow] {
+      private val ctVal =
+        p.changeType.map(UTF8String.fromString).orNull
+      override def next(): Boolean = base.next()
+      override def get(): InternalRow = {
+        val r = base.get()
+        val out = new GenericInternalRow(required.length)
+        var i = 0
+        var j = 0
+        while (i < required.length) {
+          if (i == cvIdx) out.update(i, p.version)
+          else if (i == ctIdx && spliceCt) out.update(i, ctVal)
+          else {
+            out.update(i, r.get(j, required(i).dataType))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      override def close(): Unit = base.close()
+    }
+  }
 }
 
 /** One reader task's byte range of one data file. `length = -1` means

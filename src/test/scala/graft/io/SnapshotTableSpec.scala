@@ -644,6 +644,76 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.manifestFiles(dir, resV).length)
   }
 
+  test("CHANGE-DATA-FEED: appends feed inserts, CoW delete/update/merge " +
+    "feed recorded pre/post images, metadata partition delete feeds " +
+    "dropped files, compaction feeds nothing, un-recorded DML refuses") {
+    val dir = Files.createTempDirectory("snap-cdf").toString
+    SnapshotTable.enableChangeFeed(dir)
+    val v1 = (0L until 100L).map(i => (i, s"g${i % 4}", i * 2))
+      .toDF("id", "grp", "n")
+    SnapshotTable.commit(spark, v1, dir)                      // v1 append
+    SnapshotTable.delete(spark, dir, col("id") < 10L)         // v2 delete
+    SnapshotTable.update(spark, dir, col("id") === 50L,       // v3 update
+      Map("n" -> lit(999L)))
+    val src = Seq((20L, "gX", -1L), (21L, "gX", -2L),         // 2 matched
+      (500L, "gN", 1L), (501L, "gN", 2L))                     // 2 new
+      .toDF("id", "grp", "n")
+    SnapshotTable.merge(spark, dir, src, Seq("id"))           // v4 merge
+    SnapshotTable.compact(spark, dir, numFiles = 1)           // v5 compact
+    val feed = SnapshotTable.readChangeFeed(spark, dir, 1)
+      .select("id", "grp", "n", "_change_type", "_commit_version")
+      .as[(Long, String, Long, String, Long)].collect()
+    val byV = feed.groupBy(_._5)
+    assert(byV(1L).forall(_._4 == "insert") && byV(1L).length == 100)
+    assert(byV(2L).forall(r => r._4 == "delete" && r._1 < 10L) &&
+      byV(2L).length == 10)
+    assert(byV(3L).map(r => (r._4, r._3)).toSet ==
+      Set(("update_preimage", 100L), ("update_postimage", 999L)))
+    assert(byV(4L).count(_._4 == "update_preimage") == 2)
+    assert(byV(4L).count(_._4 == "update_postimage") == 2)
+    assert(byV(4L).filter(_._4 == "insert").map(_._1).toSet ==
+      Set(500L, 501L))
+    assert(!byV.contains(5L)) // compaction: no logical change
+    // REPLAY: key-wise last change reconstructs the latest version
+    val replayed = feed.filter(r =>
+        r._4 == "insert" || r._4 == "update_postimage" || r._4 == "delete")
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._5) }
+      .filter(_._4 != "delete").map(r => (r._1, r._2, r._3)).toSet
+    val latest = SnapshotTable.readSnapshot(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(replayed == latest)
+    // STREAMING: the same feed through readStream + readChangeFeed
+    val q = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(dir)
+      .writeStream.format("memory").queryName("cdfstream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT id, grp, n, _change_type, _commit_version FROM cdfstream")
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    assert(streamed == feed.toSet)
+    // METADATA partition delete: dropped files feed as deletes, no
+    // sidecar was ever written
+    val dir2 = Files.createTempDirectory("snap-cdf2").toString
+    SnapshotTable.enableChangeFeed(dir2)
+    SnapshotTable.commitPartitioned(spark, v1, dir2, Seq("grp"))
+    SnapshotTable.deletePartitions(dir2, Map("grp" -> "g1"))
+    val feed2 = SnapshotTable.readChangeFeed(spark, dir2, 2)
+    assert(feed2.where(col("_change_type") === "delete").count() == 25L)
+    assert(SnapshotTable.changeFiles(dir2, 2).isEmpty)
+    // a DML version recorded before enabling the feed refuses loudly
+    val dir3 = Files.createTempDirectory("snap-cdf3").toString
+    SnapshotTable.commit(spark, v1, dir3)
+    SnapshotTable.update(spark, dir3, col("id") === 1L,
+      Map("n" -> lit(0L)))
+    val err = intercept[IllegalStateException] {
+      SnapshotTable.readChangeFeed(spark, dir3, 1).collect()
+    }
+    assert(err.getMessage.contains("no change sidecar"))
+  }
+
   test("PARTITION-SPEC EVOLUTION: a later commit declares a NEW spec; " +
     "old files keep UNKNOWN tuples (never pruned, never wrong), new " +
     "files prune exactly, metadata delete refuses toward CoW, and a " +
