@@ -274,6 +274,7 @@ object SparkEntry {
     "q240_snapshot_spj" -> IoQueries.snapshotSpjJoin,
     "q241_snapshot_spec_evolution" -> IoQueries.snapshotSpecEvolution,
     "q242_snapshot_change_feed" -> IoQueries.snapshotChangeFeed,
+    "q243_snapshot_null_stats" -> IoQueries.snapshotNullStats,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3029,6 +3030,23 @@ SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
   count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""",
+    // q243: null-count pruning changes the FILE SET only — the
+    // semantics are the plain null-predicate slices.
+    "q243_snapshot_null_stats" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+       CASE WHEN doc_id % 10 < 5 THEN n_chars END AS opt_val
+     FROM documents)
+SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+  CAST(coalesce(sum(opt_val), 0) AS BIGINT) AS sum_opt FROM d
+UNION ALL
+SELECT CAST(2 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(coalesce(sum(opt_val), 0) AS BIGINT) FROM d
+WHERE opt_val IS NOT NULL
+UNION ALL
+SELECT CAST(3 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(0 AS BIGINT) FROM d WHERE opt_val IS NULL
+ORDER BY leg""",
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept
     // prefix (cum order = epoch, bucket, hash, doc_id flattened).

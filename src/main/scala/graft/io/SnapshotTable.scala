@@ -104,7 +104,8 @@ object SnapshotTable {
                             knownRows: Map[String, Long] = Map.empty,
                             knownSizes: Map[String, Long] = Map.empty,
                             parts: Option[(Seq[String],
-                              Seq[Seq[Option[String]]])] = None)
+                              Seq[Seq[Option[String]]])] = None,
+                            nulls: Seq[(String, Seq[Long])] = Nil)
       : Unit = {
     // MULTI-COLUMN min/max file stats: the FIRST column keeps the
     // original stats_col/mins/maxs spelling (pre-multi manifests parse
@@ -131,6 +132,22 @@ object SnapshotTable {
           extra.zipWithIndex.map { case ((_, mm), i) =>
             s""","xmins$i":[${mm.map(_._1).mkString(",")}]""" +
               s""","xmaxs$i":[${mm.map(_._2).mkString(",")}]"""
+          }.mkString
+      }
+    // Per-file NULL COUNTS per stats column (`ncols` + `nulls<i>`
+    // arrays): IS NULL prunes to files with nullCount > 0, IS NOT NULL
+    // to files with nullCount < rows — the Iceberg null_value_counts
+    // tier. Written only for columns whose count is known for EVERY
+    // file (decline, never half-state).
+    val nullsJson =
+      if (nulls.isEmpty) ""
+      else {
+        nulls.foreach { case (c, ns) => require(ns.length == files.length,
+          s"nulls/files length mismatch for $c: " +
+            s"${ns.length} != ${files.length}") }
+        s""","ncols":[${nulls.map(n => "\"" + n._1 + "\"").mkString(",")}]""" +
+          nulls.zipWithIndex.map { case ((_, ns), i) =>
+            s""","nulls$i":[${ns.mkString(",")}]"""
           }.mkString
       }
     // Per-file ROW COUNTS — the other half of manifest-planned metadata
@@ -203,7 +220,8 @@ object SnapshotTable {
     val json = s"""{"version":$v,"action":"$action","ts":${clock.value()}""" +
       dcJson + s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
-      xstatsJson + rowsJson + sizesJson + partsJson + schemaJson + "}"
+      xstatsJson + nullsJson + rowsJson + sizesJson + partsJson +
+      schemaJson + "}"
     val tmp = new File(logDir(dir), s".v$v.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
     // hard-link = the commit point, and a true COMPARE-AND-SWAP: link
@@ -259,6 +277,28 @@ object SnapshotTable {
   private val RowsRe = """"rows":\[([^\]]*)\]""".r.unanchored
   private val SizesRe = """"sizes":\[([^\]]*)\]""".r.unanchored
   private val XColsRe = """"xcols":\[([^\]]*)\]""".r.unanchored
+  private val NColsRe = """"ncols":\[([^\]]*)\]""".r.unanchored
+  private def nullsRe(i: Int) =
+    (""""nulls""" + i + """":\[([^\]]*)\]""").r.unanchored
+
+  /** Per-file NULL COUNTS per stats column at `v`, aligned with
+    * [[readManifest]]'s file order; empty for manifests that predate
+    * the tier (readers then decline null-predicate pruning). */
+  private[graft] def readNullCounts(dir: String, v: Int)
+      : Map[String, Seq[Long]] = {
+    val json = manifestJson(dir, v)
+    json match {
+      case NColsRe(list) if list.nonEmpty =>
+        list.split(",").toSeq
+          .map(_.stripPrefix("\"").stripSuffix("\"")).zipWithIndex
+          .flatMap { case (c, i) =>
+            nullsRe(i).findFirstMatchIn(json)
+              .filter(_.group(1).nonEmpty)
+              .map(m => c -> m.group(1).split(",").map(_.toLong).toSeq)
+          }.toMap
+      case _ => Map.empty
+    }
+  }
   private val PColsRe = """"pcols":\[([^\]]*)\]""".r.unanchored
   private val PValsRe = """"pvals":\[([^\]]*)\]""".r.unanchored
   private def xMinsRe(i: Int) =
@@ -459,13 +499,26 @@ object SnapshotTable {
   def manifestFilesPruned(dir: String, v: Int,
                           bounds: Map[String, (Long, Long)],
                           partKeep: Map[String, Set[Option[String]]] =
+                            Map.empty,
+                          nullKeep: Map[String, Boolean] =
                             Map.empty): Seq[String] = {
     val files = readManifest(dir, v)
-    if (bounds.isEmpty && partKeep.isEmpty) return files
+    if (bounds.isEmpty && partKeep.isEmpty && nullKeep.isEmpty)
+      return files
     val tracked = readAllStats(dir, v).toMap
     val active = bounds.toSeq.flatMap { case (c, b) =>
       tracked.get(c).map(mm => (b, mm))
     }
+    // null-predicate prune: IS NULL keeps files with nullCount > 0,
+    // IS NOT NULL keeps files with nullCount < rows (all-null files
+    // drop); a column without recorded counts — or IS NOT NULL without
+    // per-file rows — declines (may-contain stays sound)
+    val ncounts = readNullCounts(dir, v)
+    val rowsRec = readRows(dir, v)
+    val activeNulls: Seq[(Seq[Long], Boolean)] =
+      nullKeep.toSeq.flatMap { case (c, wantNull) =>
+        ncounts.get(c).map(ns => (ns, wantNull))
+      }
     // partition-value equality prune: a file survives only if its
     // recorded tuple value is IN the kept set for every constrained
     // partition column (constraints on non-partition columns are
@@ -487,6 +540,9 @@ object SnapshotTable {
         // file may hold any value of this column (may-contain stays
         // sound; callers keep answers exact with a residual row filter)
         keep.contains(pvals.get(i)(pi)) || isUnknownPart(pvals.get(i)(pi))
+      } && activeNulls.forall { case (ns, wantNull) =>
+        if (wantNull) ns(i) > 0L
+        else rowsRec.forall(rs => ns(i) < rs(i))
       } => f
     }
   }
@@ -611,12 +667,17 @@ object SnapshotTable {
     * however many columns the table tracks. */
   private def fileMeta(spark: SparkSession, dir: String, sub: String,
                        statsCols: Seq[String], partCols: Seq[String])
-      : Map[String, (Seq[(Long, Long)], Seq[Option[String]])] = {
+      : Map[String, (Seq[(Long, Long)], Seq[Option[String]], Seq[Long])] = {
     import org.apache.spark.sql.functions._
+    // NULL COUNTS ride the same single pass: count(*) - count(c) per
+    // stats column — the IS NULL / IS NOT NULL pruning tier costs no
+    // extra job at commit
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"mn_$c"),
       max(col(c)).cast("long").as(s"mx_$c"))) ++
-      partCols.map(c => min(col(c).cast("string")).as(s"pv_$c"))
+      partCols.map(c => min(col(c).cast("string")).as(s"pv_$c")) ++
+      (count(lit(1)).as("cnt") +:
+        statsCols.map(c => count(col(c)).as(s"nn_$c")))
     spark.read.parquet(s"$dir/$sub")
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -634,12 +695,21 @@ object SnapshotTable {
         val idx = abs.indexOf(s"/$sub/")
         require(idx >= 0, s"file $abs not under staging dir $sub")
         val rel = abs.substring(idx + 1)
-        val stats = statsCols.indices.map(i =>
-          (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))).toSeq
+        val stats = statsCols.indices.map { i =>
+          // an ALL-NULL file has no min/max: the always-prune sentinel
+          // is exactly right — no range predicate can match it (its
+          // rows surface through IS NULL, which the null counts serve)
+          if (r.isNullAt(1 + 2 * i)) (Long.MaxValue, Long.MinValue)
+          else (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+        }.toSeq
         val base = 1 + 2 * statsCols.length
         val parts = partCols.indices.map(j =>
           Option(r.getString(base + j))).toSeq
-        rel -> ((stats, parts))
+        val cntAt = base + partCols.length
+        val cnt = r.getLong(cntAt)
+        val nulls = statsCols.indices.map(i =>
+          cnt - r.getLong(cntAt + 1 + i)).toSeq
+        rel -> ((stats, parts, nulls))
       }.toMap
   }
 
@@ -1002,7 +1072,8 @@ object SnapshotTable {
         val prevOrder = statsColumns(dir, prev.last).zipWithIndex.toMap
         statsCols.sortBy(c => prevOrder.getOrElse(c, Int.MaxValue))
       }
-    val meta: Map[String, (Seq[(Long, Long)], Seq[Option[String]])] =
+    val meta: Map[String,
+        (Seq[(Long, Long)], Seq[Option[String]], Seq[Long])] =
       if (ordered.isEmpty && partCols.isEmpty) Map.empty
       else fileMeta(spark, dir, sub, ordered, partCols)
     val stats: Seq[(String, Seq[(Long, Long)])] =
@@ -1038,6 +1109,17 @@ object SnapshotTable {
           }
         Some((partCols, carried ++ written.map(f => meta(f)._2)))
       }
+    // null counts carry by column: a column the base recorded keeps
+    // its tier (fresh files from the same fileMeta pass), one it
+    // didn't declines — never half-stated
+    val prevNulls: Map[String, Seq[Long]] =
+      if (base.isEmpty) Map.empty else readNullCounts(dir, prev.last)
+    val nulls: Seq[(String, Seq[Long])] = ordered.zipWithIndex.flatMap {
+      case (c, i) =>
+        val carriedNs: Option[Seq[Long]] =
+          if (base.isEmpty) Some(Seq.empty) else prevNulls.get(c)
+        carriedNs.map(ns => (c, ns ++ written.map(f => meta(f)._3(i))))
+    }
     // carried base files keep their recorded counts — an append never
     // re-reads the footers of the history it builds on
     val carriedRows =
@@ -1050,7 +1132,7 @@ object SnapshotTable {
       knownRows = carriedRows,
       knownSizes = if (base.isEmpty) Map.empty
                    else sizeMap(dir, prev.last),
-      parts = parts)
+      parts = parts, nulls = nulls)
     v
   }
 
@@ -1318,9 +1400,12 @@ object SnapshotTable {
     }))
     val carriedRows = readRows(dir, prevV)
       .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
+    val nulls = readNullCounts(dir, prevV).toSeq.map { case (c, ns) =>
+      (c, files.zip(ns).collect { case (f, n) if keepSet(f) => n })
+    }
     writeManifest(dir, prevV + 1, "delete", keep, stats,
       readSchema(dir, prevV), knownRows = carriedRows,
-      knownSizes = sizeMap(dir, prevV), parts = parts)
+      knownSizes = sizeMap(dir, prevV), parts = parts, nulls = nulls)
     prevV + 1
   }
 
@@ -1441,7 +1526,8 @@ object SnapshotTable {
     val prevAll = readAllStats(dir, prevV)
     val cols = prevAll.map(_._1)
     val pcols = partitionColumns(dir, prevV)
-    val meta: Map[String, (Seq[(Long, Long)], Seq[Option[String]])] =
+    val meta: Map[String,
+        (Seq[(Long, Long)], Seq[Option[String]], Seq[Long])] =
       if ((cols.isEmpty && pcols.isEmpty) || written.isEmpty) Map.empty
       else fileMeta(spark, dir,
         writtenSub.getOrElse(f"data/v$v%05d"), cols, pcols)
@@ -1490,13 +1576,25 @@ object SnapshotTable {
             .getOrElse(Seq.fill(pcols.length)(None))
         }))
       }
+    // null counts: untouched files carry, rewritten files answer from
+    // the same fileMeta pass (a zero-row anchor holds zero nulls);
+    // columns the previous version never recorded decline
+    val prevNulls = readNullCounts(dir, prevV)
+    val nulls: Seq[(String, Seq[Long])] = cols.zipWithIndex.flatMap {
+      case (c, i) =>
+        prevNulls.get(c).map { ns =>
+          val byFile = files.zip(ns).toMap
+          (c, untouched.map(byFile) ++ written.map(f =>
+            meta.get(f).map(_._3(i)).getOrElse(0L)))
+        }
+    }
     // extra entries are harmless: knownRows is consulted per manifest
     // file, and a rewritten file's fresh name is never in the old map
     val carriedRows = readRows(dir, prevV)
       .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
     writeManifest(dir, v, action, untouched ++ written, stats, schema,
       knownRows = carriedRows, knownSizes = sizeMap(dir, prevV),
-      parts = parts)
+      parts = parts, nulls = nulls)
     v
   }
 
@@ -1964,7 +2062,8 @@ object SnapshotTable {
       (partitionColumns(dir, v), pv))
     writeManifest(dir, next, s"overwrite@restore$v",
       files, stats, readSchema(dir, v), knownRows = carried,
-      knownSizes = sizeMap(dir, v), parts = parts)
+      knownSizes = sizeMap(dir, v), parts = parts,
+      nulls = readNullCounts(dir, v).toSeq)
     next
   }
 

@@ -961,6 +961,40 @@ object IoQueries {
     leg1.unionAll(leg2).orderBy("leg", "query_id", "rn")
   }
 
+  /** NULL-COUNT manifest stats (q243): per-file null counts ride the
+    * same single commit-time metadata pass as min/max, so `IS NULL`
+    * prunes to the files recording nulls and `IS NOT NULL` drops
+    * all-null files — Iceberg's null_value_counts tier. The corpus is
+    * range-clustered on the residue that decides nullability, so the
+    * null rows are file-localized and both predicates actually skip
+    * files (the spec pins the partition counts; this query pins the
+    * answers). Bonus: Spark pushes an `IsNotNull` beside every
+    * comparison, so ordinary range queries shed all-null files for
+    * free. */
+  def snapshotNullStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("opt_val",
+        when(col("doc_id") % 10 < 5, col("n_chars"))
+          .otherwise(lit(null).cast("long")))
+    val t = Files.createTempDirectory("graft-snapnull").toString
+    val st = graft.io.SnapshotTable
+    st.commitMultiStats(s,
+      docs.repartitionByRange(4, col("doc_id") % 10), t,
+      statsCols = Seq("doc_id", "opt_val"))
+    val tdf = s.read.format("graft.sources.SnapshotSource").load(t)
+    def leg(n: Int, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"),
+          coalesce(sum(col("opt_val")), lit(0L)).as("sum_opt"))
+        .select(lit(n.toLong).as("leg"), col("n_docs"), col("sum_id"),
+          col("sum_opt"))
+    leg(1, tdf)
+      .unionAll(leg(2, tdf.where(col("opt_val").isNotNull)))
+      .unionAll(leg(3, tdf.where(col("opt_val").isNull)))
+      .orderBy("leg")
+  }
+
   /** CHANGE-DATA-FEED (q242): the row-level change stream of a
     * snapshot table's history — v1 appends the corpus, v2 CoW-deletes
     * a residue class, v3 MERGEs an update batch (which also

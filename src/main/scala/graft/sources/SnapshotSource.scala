@@ -24,7 +24,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterF
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -500,6 +500,11 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
   // successive predicates intersect
   private val partKeep =
     scala.collection.mutable.Map.empty[String, Set[Option[String]]]
+  // stats column -> null-predicate prune (true = IS NULL keeps files
+  // with nulls, false = IS NOT NULL keeps files with non-nulls). A
+  // contradictory conjunction (both on one column) matches no rows;
+  // pruning on either is sound — the residual row filter is exact.
+  private val nullKeep = scala.collection.mutable.Map.empty[String, Boolean]
   private var pushed = Array.empty[Filter]
   private var required: StructType = tableSchema
   private var aggResult: Option[(StructType, Array[Long])] = None
@@ -547,6 +552,13 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
         keepVals(a, vs.filter(_ != null).map(partLit).toSet); true
       case IsNull(a) if isPart(a) =>
         keepVals(a, Set(None)); true
+      // NULL-predicate file pruning from the manifest's per-column
+      // null counts: IS NULL skips files recording zero nulls,
+      // IS NOT NULL skips all-null files (Spark pushes an IsNotNull
+      // next to every comparison, so this also trims all-null files
+      // from ordinary range queries for free)
+      case IsNull(a) if tracked(a) => nullKeep(a) = true; true
+      case IsNotNull(a) if tracked(a) => nullKeep(a) = false; true
       case EqualTo(a, v) if tracked(a) =>
         longOf(v).exists { l => narrow(a, l, l); true }
       case GreaterThan(a, v) if tracked(a) =>
@@ -647,7 +659,7 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
 
   private def buildFileScan(): Scan = {
     val files = SnapshotTable.manifestFilesPruned(dir, version,
-        bounds.toMap, partKeep.toMap)
+        bounds.toMap, partKeep.toMap, nullKeep.toMap)
       .map(f => s"$dir/$f")
     // recorded per-file byte sizes (absolute-path-keyed): splits and
     // statistics plan from manifest bytes — zero status calls

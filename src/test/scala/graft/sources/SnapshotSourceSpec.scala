@@ -279,6 +279,50 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("PARTITIONED"), err.getMessage)
   }
 
+  test("NULL-COUNT stats: IS NULL / IS NOT NULL prune files from " +
+    "manifest null counts, answers stay exact, counts carry through " +
+    "append and DML, pre-tier manifests decline") {
+    val dir = Files.createTempDirectory("graft-dsv2null").toString
+    // nulls file-localized: range-cluster on the residue that decides
+    // nullability (opt null iff id % 10 >= 5)
+    val rows = (0L until 400L).map(i =>
+      (i, i % 10, if (i % 10 < 5) Some(i * 3) else None))
+      .toDF("id", "r10", "opt")
+    SnapshotTable.commitMultiStats(spark,
+      rows.repartitionByRange(4, $"r10"), dir,
+      statsCols = Seq("id", "opt"))
+    assert(SnapshotTable.readNullCounts(dir, 1).contains("opt"))
+    val full = load(dir)
+    val allParts = full.rdd.getNumPartitions
+    val nn = full.where($"opt".isNotNull)
+    val nl = full.where($"opt".isNull)
+    assert(nn.rdd.getNumPartitions < allParts,
+      s"IS NOT NULL did not prune: ${nn.rdd.getNumPartitions}/$allParts")
+    assert(nl.rdd.getNumPartitions < allParts,
+      s"IS NULL did not prune: ${nl.rdd.getNumPartitions}/$allParts")
+    assert(nn.count() == 200L && nl.count() == 200L)
+    assert(nn.select(sum($"opt")).as[Long].head() ==
+      (0L until 400L).filter(_ % 10 < 5).map(_ * 3).sum)
+    // counts CARRY: append keeps the tier, CoW delete re-derives for
+    // rewritten files and carries the rest
+    SnapshotTable.commitMultiStats(spark,
+      (400L until 440L).map(i => (i, i % 10,
+        if (i % 10 < 5) Some(i * 3) else None)).toDF("id", "r10", "opt")
+        .repartitionByRange(2, $"r10"),
+      dir, statsCols = Seq("id", "opt"))
+    assert(SnapshotTable.readNullCounts(dir, 2)("opt").sum == 220L)
+    SnapshotTable.delete(spark, dir, $"id" === 7L) // a null-opt row
+    assert(SnapshotTable.readNullCounts(dir, 3)("opt").sum == 219L)
+    assert(load(dir).where($"opt".isNull).count() == 219L)
+    // pre-tier manifests (no ncols) decline: prune keeps everything
+    val legacy = Files.createTempDirectory("graft-dsv2null2").toString
+    SnapshotTable.commit(spark, rows, legacy)
+    assert(SnapshotTable.readNullCounts(legacy, 1).isEmpty)
+    assert(SnapshotTable.manifestFilesPruned(legacy, 1, Map.empty,
+      Map.empty, Map("opt" -> true)).length ==
+      SnapshotTable.manifestFiles(legacy, 1).length)
+  }
+
   test("STORAGE-PARTITIONED JOIN: two snapshot tables partitioned on " +
     "the same key join AND aggregate on it with ZERO exchanges; the " +
     "report declines on unpartitioned scans and missing projections") {
