@@ -770,7 +770,8 @@ object SnapshotTable {
                         stats: Seq[(String, Seq[(Long, Long)])] = Nil,
                         txn: Option[(String, Long)] = None,
                         parts: Option[(Seq[String],
-                          Seq[Seq[Option[String]]])] = None): Int = {
+                          Seq[Seq[Option[String]]])] = None,
+                        nulls: Seq[(String, Seq[Long])] = Nil): Int = {
     require(relFiles.nonEmpty, "external commit with no staged files")
     logDir(dir).mkdirs()
     val prev = versions(dir)
@@ -848,12 +849,22 @@ object SnapshotTable {
       else readRows(dir, prev.last)
         .map(rs => readManifest(dir, prev.last).zip(rs).toMap)
         .getOrElse(Map.empty)
+    // null counts: carried by column like stats; a column the base
+    // never recorded declines rather than half-state
+    val prevNulls: Map[String, Seq[Long]] =
+      if (base.isEmpty) Map.empty else readNullCounts(dir, prev.last)
+    val fullNulls: Seq[(String, Seq[Long])] = nulls.flatMap {
+      case (c, ns) =>
+        val carriedNs: Option[Seq[Long]] =
+          if (base.isEmpty) Some(Seq.empty) else prevNulls.get(c)
+        carriedNs.map(cs => (c, cs ++ ns))
+    }
     writeManifest(dir, v, action, base ++ relFiles, orderedStats,
       evolvedSchemaFrom(dir, prev, writeSchema, overwrite),
       knownRows = carriedRows,
       knownSizes = if (base.isEmpty) Map.empty
                    else sizeMap(dir, prev.last),
-      parts = fullParts)
+      parts = fullParts, nulls = fullNulls)
     v
   }
 
@@ -1853,6 +1864,15 @@ object SnapshotTable {
     val live = retain.flatMap(readManifest(dir, _)).toSet
     val dead = (drop.flatMap(readManifest(dir, _)).toSet -- live).toSeq.sorted
     dead.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+    // change-feed sidecars follow their version's retention: a
+    // vacuumed version can no longer anchor a feed read, so its
+    // recorded changes go with it
+    drop.foreach { v =>
+      val d = new File(dir, f"_changes/v$v%05d")
+      Option(d.listFiles()).getOrElse(Array.empty[File])
+        .foreach(f => Files.deleteIfExists(f.toPath))
+      if (d.isDirectory) d.delete(): Unit
+    }
     drop.foreach(v => Files.delete(manifestFile(dir, v).toPath))
     dead
   }

@@ -865,8 +865,11 @@ case class SnapshotScan(dir: String, files: Seq[String],
               : org.apache.spark.sql.connector.expressions.Expression),
           activeFiles.map(partTuples).distinct.size)
     else
+      // Spark's partitioning rule only inspects KeyGroupedPartitioning;
+      // for Unknown it derives the physical partitioning from the
+      // planned partitions themselves — don't plan them twice here
       new org.apache.spark.sql.connector.read.partitioning
-        .UnknownPartitioning(planInputPartitions().length)
+        .UnknownPartitioning(0)
   }
 
   /** The file's recorded tuple re-typed to the partition columns'
@@ -1566,14 +1569,20 @@ class SnapshotStreamingWrite(dir: String, writeSchema: StructType,
       return
     }
     val stats = statsCols.zipWithIndex.map { case (c, i) =>
-      (c, msgs.toSeq.map(m => (m.mns(i), m.mxs(i))))
+      (c, msgs.toSeq.map(m =>
+        if (m.rows == 0L || m.mns(i) == Long.MaxValue)
+          (Long.MaxValue, Long.MinValue) // empty/all-null: always-prune
+        else (m.mns(i), m.mxs(i))))
+    }
+    val nulls = statsCols.zipWithIndex.map { case (c, i) =>
+      (c, msgs.toSeq.map(m => if (m.nulls.isEmpty) 0L else m.nulls(i)))
     }
     val parts =
       if (partCols.isEmpty) None
       else Some((partCols, msgs.toSeq.map(_.pvals)))
     SnapshotTable.commitStagedFiles(dir, msgs.toSeq.map(_.relPath),
       writeSchema, overwrite = false, stats,
-      txn = Some((queryId, epochId)), parts = parts)
+      txn = Some((queryId, epochId)), parts = parts, nulls = nulls)
   }
 
   override def abort(epochId: Long,
@@ -1842,23 +1851,28 @@ private[sources] class ParquetGroupWriter(path: String, schema: StructType,
   private val statTypes: Array[DataType] = schema.fields.map(_.dataType)
   val mns: Array[Long] = Array.fill(statsIdxs.length)(Long.MaxValue)
   val mxs: Array[Long] = Array.fill(statsIdxs.length)(Long.MinValue)
+  val nulls: Array[Long] = Array.fill(statsIdxs.length)(0L)
   var rows: Long = 0L
 
   def write(row: InternalRow): Unit = {
     var s = 0
     while (s < statsIdxs.length) {
       val i = statsIdxs(s)
-      if (row.isNullAt(i))
-        throw new IllegalArgumentException(
-          "statsCol may not contain NULLs (file min/max undefined)")
-      val v = statTypes(i) match {
-        case LongType => row.getLong(i)
-        case IntegerType => row.getInt(i).toLong
-        case other => throw new IllegalArgumentException(
-          s"statsCol must be long/int, got $other")
+      // NULLs fold into the per-file null count (the IS NULL pruning
+      // tier) and stay out of min/max — SQL min/max semantics; an
+      // all-null file keeps the always-prune (MaxValue, MinValue)
+      // sentinel, which no range predicate matches
+      if (row.isNullAt(i)) nulls(s) += 1
+      else {
+        val v = statTypes(i) match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case other => throw new IllegalArgumentException(
+            s"statsCol must be long/int, got $other")
+        }
+        mns(s) = math.min(mns(s), v)
+        mxs(s) = math.max(mxs(s), v)
       }
-      mns(s) = math.min(mns(s), v)
-      mxs(s) = math.max(mxs(s), v)
       s += 1
     }
     writer.write(row)
@@ -1874,7 +1888,8 @@ private[sources] class ParquetGroupWriter(path: String, schema: StructType,
   * routes rows by tuple. */
 case class SnapshotFileMsg(relPath: String, mns: Seq[Long],
                            mxs: Seq[Long], rows: Long,
-                           pvals: Seq[Option[String]] = Seq.empty)
+                           pvals: Seq[Option[String]] = Seq.empty,
+                           nulls: Seq[Long] = Seq.empty)
 
 /** A writer task's commit message — a LIST of files: an unpartitioned
   * task stages at most one, a partitioned task one per partition tuple
@@ -1909,21 +1924,26 @@ class SnapshotBatchWrite(dir: String, writeSchema: StructType,
         new ParquetGroupWriter(s"$dir/$rel", writeSchema, statsIdxs).close()
         Seq(SnapshotFileMsg(rel, Seq.fill(statsIdxs.length)(0L),
           Seq.fill(statsIdxs.length)(-1L), 0L,
-          Seq.fill(partCols.length)(None)))
+          Seq.fill(partCols.length)(None),
+          Seq.fill(statsIdxs.length)(0L)))
       }
     val stats = statsCols.zipWithIndex.map { case (c, i) =>
-      // an empty file's (MaxValue, MinValue) sentinel prunes always —
-      // harmless and correct (may-contain semantics); normalize the
-      // driver fallback's (0, -1) to the same always-prune shape
+      // an empty or ALL-NULL file's (MaxValue, MinValue) sentinel
+      // prunes always — harmless and correct (may-contain semantics);
+      // normalize the driver fallback's (0, -1) to the same shape
       (c, staged.map(m =>
-        if (m.rows == 0L) (Long.MaxValue, Long.MinValue)
+        if (m.rows == 0L || m.mns(i) == Long.MaxValue)
+          (Long.MaxValue, Long.MinValue)
         else (m.mns(i), m.mxs(i))))
+    }
+    val nulls = statsCols.zipWithIndex.map { case (c, i) =>
+      (c, staged.map(m => if (m.nulls.isEmpty) 0L else m.nulls(i)))
     }
     val parts =
       if (partCols.isEmpty) None
       else Some((partCols, staged.map(_.pvals)))
     SnapshotTable.commitStagedFiles(dir, staged.map(_.relPath),
-      writeSchema, overwrite, stats, parts = parts)
+      writeSchema, overwrite, stats, parts = parts, nulls = nulls)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2008,7 +2028,8 @@ class SnapshotDataWriter(dir: String, sub: String, schema: StructType,
   override def commit(): WriterCommitMessage =
     SnapshotCommitMsg(writers.toSeq.map { case (tuple, (rel, w)) =>
       w.close()
-      SnapshotFileMsg(rel, w.mns.toSeq, w.mxs.toSeq, w.rows, tuple)
+      SnapshotFileMsg(rel, w.mns.toSeq, w.mxs.toSeq, w.rows, tuple,
+        w.nulls.toSeq)
     })
   override def abort(): Unit = writers.values.foreach { case (rel, w) =>
     w.close()

@@ -703,6 +703,13 @@ class SnapshotTableSpec extends SparkSpec {
     val feed2 = SnapshotTable.readChangeFeed(spark, dir2, 2)
     assert(feed2.where(col("_change_type") === "delete").count() == 25L)
     assert(SnapshotTable.changeFiles(dir2, 2).isEmpty)
+    // vacuum removes dropped versions' sidecars with them; the feed
+    // still reads from retained versions
+    SnapshotTable.vacuum(dir, 2) // keeps v4 (merge) + v5 (compact)
+    assert(SnapshotTable.changeFiles(dir, 2).isEmpty &&
+      SnapshotTable.changeFiles(dir, 3).isEmpty)
+    assert(SnapshotTable.readChangeFeed(spark, dir, 4)
+      .where(col("_change_type") === "insert").count() == 2L)
     // a DML version recorded before enabling the feed refuses loudly
     val dir3 = Files.createTempDirectory("snap-cdf3").toString
     SnapshotTable.commit(spark, v1, dir3)

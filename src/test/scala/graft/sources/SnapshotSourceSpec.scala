@@ -314,6 +314,19 @@ class SnapshotSourceSpec extends SparkSpec {
     SnapshotTable.delete(spark, dir, $"id" === 7L) // a null-opt row
     assert(SnapshotTable.readNullCounts(dir, 3)("opt").sum == 219L)
     assert(load(dir).where($"opt".isNull).count() == 219L)
+    // the DSv2 WRITE surface records null counts too (writer-side
+    // fold — NULLs in a stats column are legal now; an all-null file
+    // records the always-prune min/max sentinel)
+    val dirW = Files.createTempDirectory("graft-dsv2null3").toString
+    rows.repartitionByRange(4, $"r10").write
+      .format("graft.sources.SnapshotSource")
+      .option("statsCol", "id,opt").mode("append").save(dirW)
+    assert(SnapshotTable.readNullCounts(dirW, 1)("opt").sum == 200L)
+    val wf = load(dirW)
+    assert(wf.where($"opt".isNull).rdd.getNumPartitions <
+      wf.rdd.getNumPartitions)
+    assert(wf.where($"opt".isNull).count() == 200L)
+    assert(wf.where($"opt".isNotNull).count() == 200L)
     // pre-tier manifests (no ncols) decline: prune keeps everything
     val legacy = Files.createTempDirectory("graft-dsv2null2").toString
     SnapshotTable.commit(spark, rows, legacy)
