@@ -701,7 +701,8 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       if (partSchema.length == pcolsSeq.length) partSchema
       else new StructType(), // a column missing from the schema: decline
       partTuples,
-      props.get("readChangeFeed").exists(_.trim.toBoolean))
+      props.get("readChangeFeed").exists(_.trim.toBoolean),
+      props.get("endingVersion").map(_.trim.toInt))
   }
 }
 
@@ -788,7 +789,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
                         partSchema: StructType = new StructType(),
                         partTuples: Map[String, Seq[Option[String]]] =
                           Map.empty,
-                        changeFeed: Boolean = false)
+                        changeFeed: Boolean = false,
+                        endingVersion: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -855,6 +857,7 @@ case class SnapshotScan(dir: String, files: Seq[String],
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val reportable = partSchema.nonEmpty && groupFilter.isEmpty &&
+      !changeFeed && // feed partitions carry no keys
       partSchema.fieldNames.forall(required.fieldNames.contains) &&
       activeFiles.nonEmpty && activeFiles.forall(f => typedKey(f) != null)
     if (reportable)
@@ -896,16 +899,25 @@ case class SnapshotScan(dir: String, files: Seq[String],
         new GenericInternalRow(vals)
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    require(!changeFeed,
-      "readChangeFeed is a STREAMING option (spark.readStream) — batch " +
-        "change reads go through SnapshotTable.readChangeFeed")
-    activeFiles.flatMap { f =>
+  override def planInputPartitions(): Array[InputPartition] =
+    if (changeFeed) {
+      // BATCH change-feed read (`spark.read` / `CREATE VIEW ... USING`
+      // with readChangeFeed + startingVersion [+ endingVersion]): the
+      // same per-version file partitions the streaming feed plans,
+      // over the requested range in one batch — the SQL-reachable,
+      // fully distributed spelling (feed rows never collect on the
+      // driver)
+      val vs = SnapshotTable.versions(dir)
+      val from = startingVersion.getOrElse(vs.headOption.getOrElse(1))
+      val until = endingVersion.getOrElse(vs.lastOption.getOrElse(0))
+      vs.filter(v => v >= from && v <= until)
+        .flatMap(v => SnapshotCdf.partitions(dir, v))
+        .toArray[InputPartition]
+    } else activeFiles.flatMap { f =>
       val key = if (partSchema.isEmpty) null else typedKey(f)
       SnapshotScan.split(f, maxSplitBytes, fileSizes.get(f))
         .map(p => if (key == null) p else p.copy(partKey = key))
     }.toArray[InputPartition]
-  }
 
   /** CBO-visible statistics SERVED FROM MANIFEST BYTES: exact row
     * counts (the per-file counts recorded at commit, summed over the
@@ -924,6 +936,12 @@ case class SnapshotScan(dir: String, files: Seq[String],
     * of the schema's default row width, the same heuristic Spark's own
     * file sources apply. */
   override def estimateStatistics(): Statistics = {
+    if (changeFeed) return new Statistics { // a feed's size is not the
+      override def sizeInBytes(): java.util.OptionalLong = // table's —
+        java.util.OptionalLong.empty()                     // decline
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
     val rel = activeFiles.map(_.stripPrefix(s"$dir/"))
     val rows = SnapshotTable.readRows(dir, version).map { rs =>
       val byFile = SnapshotTable.manifestFiles(dir, version).zip(rs).toMap
@@ -958,7 +976,8 @@ case class SnapshotScan(dir: String, files: Seq[String],
     SnapshotTable.readSchema(dir, version).getOrElse(required))
   private lazy val requiredWidth: Int = width(required)
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required, vectorized,
+    if (changeFeed) new CdfReaderFactory(required)
+    else new SnapshotReaderFactory(required, vectorized,
       SnapshotSource.sessionReadConfs())
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
@@ -1069,14 +1088,35 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
       }
     }.toArray[InputPartition]
   }
-  /** One micro-batch slice of the CHANGE FEED: appends feed their
-    * added files as constant-'insert' partitions, CoW DML feeds its
-    * recorded `_changes` sidecar (change type lives in the file
-    * bytes), metadata partition deletes feed the dropped files as
-    * constant-'delete' partitions, compaction feeds nothing. A DML
-    * version without a sidecar — or an overwrite/restore — fails
-    * loudly: a silently wrong feed is the unforgivable failure. */
-  private def cdfPartitions(v: Int): Seq[InputPartition] = {
+  private def cdfPartitions(v: Int): Seq[InputPartition] =
+    SnapshotCdf.partitions(dir, v)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (changeFeed) new CdfReaderFactory(required)
+    else new SnapshotReaderFactory(required, vectorized,
+      SnapshotSource.sessionReadConfs())
+  override def commit(end: StreamingOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One change-feed file: a data file read under a CONSTANT change type
+  * (append/metadata-delete versions) or a DML sidecar whose
+  * `_change_type` lives in the file bytes (`changeType = None`);
+  * `version` is spliced in as `_commit_version` either way. */
+case class CdfFilePartition(path: String, changeType: Option[String],
+                            version: Long) extends InputPartition
+
+/** Change-feed planning shared by the STREAMING source, the SQL
+  * `CALL changes(...)` procedure, and (logic-wise) the batch API:
+  * appends feed their added files as constant-'insert' partitions,
+  * CoW DML feeds its recorded `_changes` sidecar (change type lives in
+  * the file bytes), metadata partition deletes feed the dropped files
+  * as constant-'delete' partitions, rewrite-only maintenance feeds
+  * nothing. A DML version without a sidecar — or an overwrite/restore
+  * — fails loudly: a silently wrong feed is the unforgivable
+  * failure. */
+private[sources] object SnapshotCdf {
+  def partitions(dir: String, v: Int): Seq[InputPartition] = {
     val action = SnapshotTable.readAction(dir, v)
     val files = SnapshotTable.manifestFiles(dir, v)
     val prevFiles: Seq[String] =
@@ -1109,20 +1149,14 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    if (changeFeed) new CdfReaderFactory(required)
-    else new SnapshotReaderFactory(required, vectorized,
-      SnapshotSource.sessionReadConfs())
-  override def commit(end: StreamingOffset): Unit = ()
-  override def stop(): Unit = ()
+  /** The feed's read schema: the table's columns plus the change
+    * metadata. */
+  def schemaOf(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
 }
 
-/** One change-feed file: a data file read under a CONSTANT change type
-  * (append/metadata-delete versions) or a DML sidecar whose
-  * `_change_type` lives in the file bytes (`changeType = None`);
-  * `version` is spliced in as `_commit_version` either way. */
-case class CdfFilePartition(path: String, changeType: Option[String],
-                            version: Long) extends InputPartition
 
 /** Reader for change-feed partitions: the parquet bytes provide the
   * data columns (plus `_change_type` for sidecars), the wrapper

@@ -703,6 +703,21 @@ class SnapshotTableSpec extends SparkSpec {
     val feed2 = SnapshotTable.readChangeFeed(spark, dir2, 2)
     assert(feed2.where(col("_change_type") === "delete").count() == 25L)
     assert(SnapshotTable.changeFiles(dir2, 2).isEmpty)
+    // BATCH SQL spelling: a USING view (or spark.read) with
+    // readChangeFeed reads the same feed, fully distributed
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdf_v USING " +
+      s"graft.sources.SnapshotSource OPTIONS (path '$dir', " +
+      "readChangeFeed 'true', startingVersion '1')")
+    val viaSql = spark.sql(
+      "SELECT id, grp, n, _change_type, _commit_version FROM cdf_v")
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    assert(viaSql == feed.toSet)
+    // ... and an endingVersion bound cuts the range
+    val bounded = spark.read.format("graft.sources.SnapshotSource")
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .option("endingVersion", 3).load(dir)
+    assert(bounded.select("_commit_version").distinct()
+      .as[Long].collect().toSet == Set(2L, 3L))
     // vacuum removes dropped versions' sidecars with them; the feed
     // still reads from retained versions
     SnapshotTable.vacuum(dir, 2) // keeps v4 (merge) + v5 (compact)
