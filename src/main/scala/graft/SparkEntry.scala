@@ -275,6 +275,7 @@ object SparkEntry {
     "q241_snapshot_spec_evolution" -> IoQueries.snapshotSpecEvolution,
     "q242_snapshot_change_feed" -> IoQueries.snapshotChangeFeed,
     "q243_snapshot_null_stats" -> IoQueries.snapshotNullStats,
+    "q244_change_feed_incremental" -> IoQueries.changeFeedIncremental,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3047,6 +3048,25 @@ UNION ALL
 SELECT CAST(3 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
   CAST(0 AS BIGINT) FROM d WHERE opt_val IS NULL
 ORDER BY leg""",
+    // q244: the Spark side MAINTAINS the aggregate from the change
+    // feed; the oracle recomputes the LATEST state directly (upsert
+    // semantics: matched keys replaced, unmatched inserted). A hash
+    // match proves incremental maintenance ≡ recompute.
+    "q244_change_feed_incremental" ->
+      """WITH after2 AS (SELECT doc_id, source, n_chars FROM documents
+       WHERE doc_id % 9 <> 2),
+s AS (SELECT doc_id, source, n_chars + 500 AS n_chars FROM documents
+        WHERE doc_id % 6 = 0
+      UNION ALL
+      SELECT doc_id + 100000000, source, n_chars FROM documents
+        WHERE doc_id < 8),
+final AS (SELECT a.doc_id, a.source, a.n_chars FROM after2 a
+          WHERE a.doc_id NOT IN (SELECT doc_id FROM s)
+          UNION ALL
+          SELECT doc_id, source, n_chars FROM s)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM final GROUP BY source ORDER BY source""",
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept
     // prefix (cum order = epoch, bucket, hash, doc_id flattened).

@@ -961,6 +961,46 @@ object IoQueries {
     leg1.unionAll(leg2).orderBy("leg", "query_id", "rn")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE from the change feed (q244) —
+    * the use case the feed exists for: a downstream per-source
+    * aggregate is materialized once at v1, then MAINTAINED by applying
+    * each commit's signed delta (insert/update_postimage count +1,
+    * delete/update_preimage count −1) instead of recomputing from the
+    * table. The output is the MAINTAINED aggregate; the oracle is the
+    * DIRECT aggregate of the latest version — a hash match proves
+    * apply-the-delta ≡ recompute, which at 100 TB is the difference
+    * between touching the commit's delta and rescanning the corpus. */
+  def changeFeedIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-snapinc").toString
+    val st = graft.io.SnapshotTable
+    st.enableChangeFeed(t)
+    st.commit(s, docs, t)                                      // v1
+    st.delete(s, t, col("doc_id") % 9 === 2)                   // v2
+    val src = docs.where(col("doc_id") % 6 === 0)
+      .withColumn("n_chars", col("n_chars") + 500L)
+      .unionByName(docs.where(col("doc_id") < 8)
+        .withColumn("doc_id", col("doc_id") + 100000000L))
+    st.merge(s, t, src, Seq("doc_id"))                         // v3
+    val base = s.read.format("graft.sources.SnapshotSource")
+      .option("versionAsOf", 1).load(t)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n0"), sum(col("n_chars")).as("sc0"))
+    val delta = st.readChangeFeed(s, t, 2)
+      .withColumn("sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy("source")
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign") * col("n_chars")).as("dsc"))
+    base.join(delta, Seq("source"), "left")
+      .select(col("source"),
+        (col("n0") + coalesce(col("dn"), lit(0L))).as("n_docs"),
+        (col("sc0") + coalesce(col("dsc"), lit(0L))).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** NULL-COUNT manifest stats (q243): per-file null counts ride the
     * same single commit-time metadata pass as min/max, so `IS NULL`
     * prunes to the files recording nulls and `IS NOT NULL` drops
