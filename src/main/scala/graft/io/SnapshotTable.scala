@@ -308,8 +308,37 @@ object SnapshotTable {
   private val StatsColRe = """"stats_col":"([^"]*)"""".r.unanchored
   private val SchemaRe = """"schema_b64":"([^"]*)"""".r.unanchored
 
-  private def manifestJson(dir: String, v: Int): String =
-    new String(Files.readAllBytes(manifestFile(dir, v).toPath), UTF_8)
+  /** Small (mtime, length)-validated LRU over raw manifest bytes: one
+    * PLANNING pass consults the same manifest many times (file list,
+    * stats, partition values, null counts, row counts each re-read it)
+    * — at 10^6 files that is re-reading a ~100 MB JSON five-plus times
+    * per query. Manifests are immutable once CAS-published, so the
+    * validation stamp only exists for vacuumed files (entry dies with
+    * the file) and tests that rewrite a manifest in place (stamp
+    * changes → reload). Bounded at 64 entries; thread-safe via the
+    * map's own lock (the driver-side metadata path, never per-row). */
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, (Long, Long, String)](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, String)]): Boolean =
+        size() > 64
+    }
+
+  private def manifestJson(dir: String, v: Int): String = {
+    val f = manifestFile(dir, v)
+    val key = f.getAbsolutePath
+    val (mtime, len) = (f.lastModified(), f.length())
+    manifestCache.synchronized {
+      manifestCache.get(key) match {
+        case (m, l, json) if m == mtime && l == len => json
+        case _ =>
+          val json = new String(Files.readAllBytes(f.toPath), UTF_8)
+          manifestCache.put(key, (mtime, len, json))
+          json
+      }
+    }
+  }
 
   private[io] def readManifest(dir: String, v: Int): Seq[String] =
     manifestJson(dir, v) match {
