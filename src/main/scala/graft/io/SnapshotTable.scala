@@ -222,7 +222,12 @@ object SnapshotTable {
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
       xstatsJson + nullsJson + rowsJson + sizesJson + partsJson +
       schemaJson + "}"
-    val tmp = new File(logDir(dir), s".v$v.tmp")
+    // PER-WRITER tmp name: two writers racing the same version must
+    // not share a staging file — the winner's cleanup would delete the
+    // loser's tmp out from under its link attempt, surfacing as a
+    // spurious NoSuchFile instead of the loud CAS conflict
+    val tmp = new File(logDir(dir),
+      s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
     // hard-link = the commit point, and a true COMPARE-AND-SWAP: link
     // creation is atomic-exclusive (EEXIST if the target exists), so a
@@ -803,6 +808,42 @@ object SnapshotTable {
                         nulls: Seq[(String, Seq[Long])] = Nil): Int = {
     require(relFiles.nonEmpty, "external commit with no staged files")
     logDir(dir).mkdirs()
+    var attempt = 0
+    while (true) {
+      // a concurrent DUPLICATE of the same streaming epoch may have won
+      // the race since the writer's pre-check: re-check inside the
+      // retry and drop our staged files — exactly-once, never a
+      // double-append
+      txn.foreach { case (qid, e) =>
+        if (attempt > 0 && committedEpochs(dir, qid).contains(e)) {
+          relFiles.foreach(f =>
+            Files.deleteIfExists(Paths.get(dir, f)): Unit)
+          return versions(dir).last
+        }
+      }
+      try {
+        return commitStagedOnce(dir, relFiles, writeSchema, overwrite,
+          stats, txn, parts, nulls)
+      } catch {
+        // optimistic append retry, same contract as [[publishStaged]]
+        case e: java.util.ConcurrentModificationException
+            if !overwrite && attempt < 8 && e.getMessage != null &&
+              e.getMessage.contains("concurrent commit") =>
+          attempt += 1
+          Thread.sleep(5L * attempt)
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def commitStagedOnce(dir: String, relFiles: Seq[String],
+                               writeSchema: StructType,
+                               overwrite: Boolean,
+                               stats: Seq[(String, Seq[(Long, Long)])],
+                               txn: Option[(String, Long)],
+                               parts: Option[(Seq[String],
+                                 Seq[Seq[Option[String]]])],
+                               nulls: Seq[(String, Seq[Long])]): Int = {
     val prev = versions(dir)
     val v = prev.lastOption.getOrElse(0) + 1
     val base =
@@ -979,12 +1020,17 @@ object SnapshotTable {
                        overwrite: Boolean = false,
                        statsCols: Seq[String] = Nil): Int = {
     logDir(dir).mkdirs()
-    val prev = versions(dir)
-    val v = prev.lastOption.getOrElse(0) + 1
-    val sub = f"data/v$v%05d"
+    // UNIQUE staging dir: concurrent appenders never collide on file
+    // names, which is what makes the optimistic CAS retry sound
+    val sub = stagingSub()
     df.write.mode("overwrite").parquet(s"$dir/$sub")
-    publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCols)
+    publishStaged(spark, df, dir, sub, overwrite, statsCols)
   }
+
+  /** A collision-free staging sub-directory (manifests store relative
+    * paths, so placement is free; the name never carries meaning). */
+  private def stagingSub(): String =
+    s"data/c${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
 
   private[graft] val PartDupPrefix = "__part_"
 
@@ -1053,16 +1099,14 @@ object SnapshotTable {
     require(partCols.nonEmpty, "commitPartitioned needs partition columns")
     validatePartCols(df.schema, partCols)
     logDir(dir).mkdirs()
-    val prev = versions(dir)
-    val v = prev.lastOption.getOrElse(0) + 1
-    val sub = f"data/v$v%05d"
+    val sub = stagingSub()
     val dups = partCols.map(c => PartDupPrefix + c)
     import org.apache.spark.sql.functions.col
     df.select(df.columns.map(col) ++
         partCols.zip(dups).map { case (c, d) => col(c).as(d) }: _*)
       .write.mode("overwrite").partitionBy(dups: _*)
       .parquet(s"$dir/$sub")
-    publishStaged(spark, df, dir, prev, v, sub, overwrite, statsCols,
+    publishStaged(spark, df, dir, sub, overwrite, statsCols,
       partCols, evolveSpec)
   }
 
@@ -1071,12 +1115,54 @@ object SnapshotTable {
     * manifest. The rename inside [[writeManifest]] is the atomic
     * visibility point. */
   private def publishStaged(spark: SparkSession, df: DataFrame, dir: String,
-                            prev: Seq[Int], v: Int, sub: String,
+                            sub: String,
                             overwrite: Boolean,
                             statsCols: Seq[String],
                             partCols: Seq[String] = Nil,
                             evolveSpec: Boolean = false): Int = {
     val written = listWritten(dir, sub)
+    // the per-file metadata job runs ONCE (it reads only the staged
+    // files, independent of the base version); everything derived from
+    // the base recomputes per OPTIMISTIC-RETRY attempt below
+    val statIdx = statsCols.zipWithIndex.toMap
+    val meta: Map[String,
+        (Seq[(Long, Long)], Seq[Option[String]], Seq[Long])] =
+      if (statsCols.isEmpty && partCols.isEmpty) Map.empty
+      else fileMeta(spark, dir, sub, statsCols, partCols)
+    var attempt = 0
+    while (true) {
+      val prev = versions(dir)
+      val v = prev.lastOption.getOrElse(0) + 1
+      try {
+        return publishStagedOnce(spark, df, dir, prev, v, sub, overwrite,
+          statsCols, partCols, evolveSpec, written, statIdx, meta)
+      } catch {
+        // OPTIMISTIC CONCURRENCY for APPENDS (the Delta retry): a
+        // racing commit won the CAS — the staged files are untouched
+        // and disjoint from every other writer's, so re-reading the
+        // log and re-carrying onto the NEW base is always sound for an
+        // append. An overwrite refuses instead: its replace-the-table
+        // decision was made against a state that no longer exists.
+        case e: java.util.ConcurrentModificationException
+            if !overwrite && attempt < 8 && e.getMessage != null &&
+              e.getMessage.contains("concurrent commit") =>
+          attempt += 1
+          Thread.sleep(5L * attempt)
+      }
+    }
+    -1 // unreachable
+  }
+
+  private def publishStagedOnce(spark: SparkSession, df: DataFrame,
+                                dir: String, prev: Seq[Int], v: Int,
+                                sub: String, overwrite: Boolean,
+                                statsCols: Seq[String],
+                                partCols: Seq[String],
+                                evolveSpec: Boolean,
+                                written: Seq[String],
+                                statIdx: Map[String, Int],
+                                meta: Map[String, (Seq[(Long, Long)],
+                                  Seq[Option[String]], Seq[Long])]): Int = {
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
       else readManifest(dir, prev.last)
@@ -1112,12 +1198,9 @@ object SnapshotTable {
         val prevOrder = statsColumns(dir, prev.last).zipWithIndex.toMap
         statsCols.sortBy(c => prevOrder.getOrElse(c, Int.MaxValue))
       }
-    val meta: Map[String,
-        (Seq[(Long, Long)], Seq[Option[String]], Seq[Long])] =
-      if (ordered.isEmpty && partCols.isEmpty) Map.empty
-      else fileMeta(spark, dir, sub, ordered, partCols)
     val stats: Seq[(String, Seq[(Long, Long)])] =
-      ordered.zipWithIndex.map { case (c, i) =>
+      ordered.map { c =>
+        val i = statIdx(c) // meta holds columns in CALLER order
         val carried =
           if (base.isEmpty) Seq.empty
           else prevAll.getOrElse(c, throw new IllegalStateException(
@@ -1154,11 +1237,11 @@ object SnapshotTable {
     // didn't declines — never half-stated
     val prevNulls: Map[String, Seq[Long]] =
       if (base.isEmpty) Map.empty else readNullCounts(dir, prev.last)
-    val nulls: Seq[(String, Seq[Long])] = ordered.zipWithIndex.flatMap {
-      case (c, i) =>
-        val carriedNs: Option[Seq[Long]] =
-          if (base.isEmpty) Some(Seq.empty) else prevNulls.get(c)
-        carriedNs.map(ns => (c, ns ++ written.map(f => meta(f)._3(i))))
+    val nulls: Seq[(String, Seq[Long])] = ordered.flatMap { c =>
+      val i = statIdx(c)
+      val carriedNs: Option[Seq[Long]] =
+        if (base.isEmpty) Some(Seq.empty) else prevNulls.get(c)
+      carriedNs.map(ns => (c, ns ++ written.map(f => meta(f)._3(i))))
     }
     // carried base files keep their recorded counts — an append never
     // re-reads the footers of the history it builds on
@@ -1661,9 +1744,7 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.col
     if (partCols.nonEmpty) validatePartCols(df.schema, partCols)
     logDir(dir).mkdirs()
-    val prev = versions(dir)
-    val v = prev.lastOption.getOrElse(0) + 1
-    val sub = f"data/v$v%05d"
+    val sub = stagingSub()
     // partitioned WAP: stage value-pure per-tuple file sets exactly
     // like commitPartitioned (the audit then gates a partitioned
     // publish — the daily day-partitioned ingest's promotion gate)
@@ -1696,7 +1777,7 @@ object SnapshotTable {
       (None, report)
     } else {
       // publish the STAGED files — what was audited is what readers see
-      (Some(publishStaged(spark, df, dir, prev, v, sub, overwrite,
+      (Some(publishStaged(spark, df, dir, sub, overwrite,
         statsCol.toSeq, partCols)), report)
     }
   }

@@ -644,6 +644,45 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.manifestFiles(dir, resV).length)
   }
 
+  test("CONCURRENT appends: optimistic CAS retry — racing commits all " +
+    "succeed with stats carried onto whichever base won; the final " +
+    "table is the union and every intermediate version time-travels") {
+    val dir = Files.createTempDirectory("snap-conc").toString
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = (0 until n).map { k =>
+      scala.concurrent.Future {
+        SnapshotTable.commitMultiStats(spark,
+          (0L until 50L).map(i => (k * 1000L + i, s"t$k"))
+            .toDF("id", "tag"),
+          dir, statsCols = Seq("id"))
+      }
+    }
+    val vs = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(180, "seconds"))
+    pool.shutdown()
+    assert(vs.sorted == (1 to n), s"versions: $vs")
+    assert(SnapshotTable.readSnapshot(spark, dir).count() == n * 50L)
+    assert(SnapshotTable.readSnapshot(spark, dir)
+      .select("tag").distinct().count() == n.toLong)
+    // the log is a strict chain: each version adds exactly one batch,
+    // stats cover every file at every version
+    (1 to n).foreach { v =>
+      assert(SnapshotTable.readSnapshot(spark, dir, Some(v)).count() ==
+        v * 50L)
+      assert(SnapshotTable.readAllStats(dir, v).head._2.length ==
+        SnapshotTable.manifestFiles(dir, v).length)
+    }
+    // overwrite does NOT retry: losing the race surfaces loudly
+    // (decide-against-stale-state must not silently replace new data)
+    // — simulated by publishing a conflicting version mid-flight is
+    // not deterministically schedulable here; the contract is pinned
+    // by the retry guard matching appends only (source-reviewed).
+  }
+
   test("CHANGE-DATA-FEED: appends feed inserts, CoW delete/update/merge " +
     "feed recorded pre/post images, metadata partition delete feeds " +
     "dropped files, compaction feeds nothing, un-recorded DML refuses") {
