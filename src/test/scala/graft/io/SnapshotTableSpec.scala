@@ -764,6 +764,17 @@ class SnapshotTableSpec extends SparkSpec {
       SnapshotTable.changeFiles(dir, 3).isEmpty)
     assert(SnapshotTable.readChangeFeed(spark, dir, 4)
       .where(col("_change_type") === "insert").count() == 2L)
+    // a spec-EVOLUTION commit is an append to the feed: its added
+    // files feed as inserts, the carried (unknown-tuple) files do not
+    // re-feed
+    val dir4 = Files.createTempDirectory("snap-cdf4").toString
+    SnapshotTable.enableChangeFeed(dir4)
+    SnapshotTable.commit(spark, v1.where(col("id") < 40L), dir4)
+    SnapshotTable.commitPartitioned(spark, v1.where(col("id") >= 40L),
+      dir4, Seq("grp"), evolveSpec = true)
+    val f4 = SnapshotTable.readChangeFeed(spark, dir4, 1)
+    assert(f4.where(col("_change_type") === "insert").count() == 100L)
+    assert(f4.where(col("_commit_version") === 2L).count() == 60L)
     // a DML version recorded before enabling the feed refuses loudly
     val dir3 = Files.createTempDirectory("snap-cdf3").toString
     SnapshotTable.commit(spark, v1, dir3)

@@ -374,6 +374,16 @@ class SnapshotSourceSpec extends SparkSpec {
         .agg(count(lit(1)).as("n_rows"))
       assert(mixed.as[(String, Long)].collect().toMap
         .forall { case (g, n) => n == 80L && g.startsWith("g") })
+      // MISMATCHED partition value sets (dim lacks g4): answers stay
+      // exact whatever plan Spark picks for the asymmetric SPJ
+      val dirD = Files.createTempDirectory("graft-spjD").toString
+      SnapshotTable.commitPartitioned(spark,
+        (0 until 4).map(k => (s"g$k", k * 100L)).toDF("grp", "bonus"),
+        dirD, Seq("grp"))
+      val jm = load(dirA).join(load(dirD), "grp")
+        .groupBy("grp").agg(count(lit(1)).as("n_rows"))
+      assert(jm.as[(String, Long)].collect().toMap ==
+        (0 until 4).map(k => s"g$k" -> 80L).toMap)
     } finally before.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
