@@ -2063,6 +2063,14 @@ object SnapshotTable {
   // [[enableChangeFeed]] — the sidecar costs one extra pass over only
   // the touched files). At 100 TB the feed turns "recompute downstream
   // aggregates from scratch" into "apply this commit's delta".
+  //
+  // CONTRACT NOTE: SQL UPDATE/MERGE lower through Spark's group-based
+  // row-level rewrite, whose write sees only the replacement rows —
+  // pre/post images are not derivable there without keys, so those
+  // versions record no sidecar and the feed REFUSES them at read
+  // (loudly, naming the fix). CDF-enabled tables should run
+  // update/merge through this API tier; SQL DELETE is fine (it routes
+  // through the sidecar-recording delete or the metadata path).
   // ------------------------------------------------------------------
 
   /** Opt this table into recording DML change sidecars (marker file;
