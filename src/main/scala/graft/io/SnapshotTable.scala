@@ -739,6 +739,18 @@ object SnapshotTable {
         val base = 1 + 2 * statsCols.length
         val parts = partCols.indices.map(j =>
           Option(r.getString(base + j))).toSeq
+        // a DATA value equal to the reserved  spec-evolution
+        // marker must never be recorded as a tuple value: it would be
+        // indistinguishable from a genuine UNKNOWN — permanently
+        // unprunable, spuriously refused by metadata DML, rendered
+        // __UNKNOWN__. Only the carry remap (which never passes
+        // through fileMeta) may inject the marker.
+        parts.zipWithIndex.foreach { case (p, j) =>
+          require(!isUnknownPart(p),
+            s"partition column '${partCols(j)}' of file $rel holds a " +
+              "value equal to the reserved spec-evolution marker " +
+              "(\\u0002) — this in-band value cannot be committed")
+        }
         val cntAt = base + partCols.length
         val cnt = r.getLong(cntAt)
         val nulls = statsCols.indices.map(i =>
@@ -1422,9 +1434,17 @@ object SnapshotTable {
     if (changeFeedEnabled(dir)) {
       val ct = "_change_type"
       val touchedKeys = base.select(keys.map(col): _*).distinct()
-      val pre = base.join(broadcast(keyRows), keys, "left_semi")
-        .withColumn(ct, lit("update_preimage"))
-      val post = src.join(touchedKeys, keys, "left_semi")
+      val matchedBase = base.join(broadcast(keyRows), keys, "left_semi")
+      val matchedSrc = src.join(touchedKeys, keys, "left_semi")
+      val pre = matchedBase.withColumn(ct, lit("update_preimage"))
+      // postimages are the COMMITTED rows for the matched keys — derive
+      // them with the same column-wise coalesce the commit applies
+      // (Merge.upsert restricted to matched keys): a NULL source column
+      // keeps the base value, so recording the raw source rows would
+      // put NULLs in the feed that the table rows don't carry, and any
+      // incremental consumer (the q244 pattern) would silently drift
+      val post = graft.ops.Merge.upsert(matchedBase, matchedSrc, keys)
+        .select(src.columns.map(col): _*)
         .withColumn(ct, lit("update_postimage"))
       val ins = src.join(touchedKeys, keys, "left_anti")
         .withColumn(ct, lit("insert"))
@@ -1561,9 +1581,15 @@ object SnapshotTable {
         // CHANGE-DATA-FEED sidecar (when the table enabled it): the
         // rewrite already reads exactly the touched rows, so the
         // row-level changes cost one more pass over only those files.
-        // Postimages reuse the SAME rewrite expression filtered to the
-        // predicate — change semantics match the commit by
-        // construction, never by a parallel re-implementation.
+        // Postimages reuse the SAME rewrite expression applied to the
+        // predicate-FILTERED rows — filter FIRST, then rewrite: the
+        // predicate must see pre-assignment values (an UPDATE whose
+        // predicate references an assigned column, `SET n=999 WHERE
+        // n=100`, matches on the OLD value; rewriting first and
+        // filtering after would re-evaluate it on the new values and
+        // record a wrong/empty postimage set). Assignments apply where
+        // the predicate held, so rewrite(filtered) is exactly the
+        // committed updated rows.
         if (changeFeedEnabled(dir)) {
           val ct = "_change_type"
           val changed = action match {
@@ -1573,7 +1599,7 @@ object SnapshotTable {
             case "update" =>
               Some(src.where(predicate)
                 .withColumn(ct, lit("update_preimage"))
-                .unionByName(rewrite(src).where(predicate)
+                .unionByName(rewrite(src.where(predicate))
                   .withColumn(ct, lit("update_postimage"))))
             case _ => None
           }
@@ -2128,49 +2154,29 @@ object SnapshotTable {
                         v: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val ct = "_change_type"
-    val action = readAction(dir, v)
-    val files = readManifest(dir, v)
-    val prevFiles: Seq[String] =
-      if (v == 1 || !versions(dir).contains(v - 1)) Seq.empty
-      else readManifest(dir, v - 1)
-    val added = files.filterNot(prevFiles.toSet)
-    val removed = prevFiles.filterNot(files.toSet)
-    def frame(fs: Seq[String], changeType: String,
-              schemaV: Int): DataFrame = {
-      val r = readSchema(dir, schemaV).map(spark.read.schema(_))
-        .getOrElse(spark.read)
-      if (fs.isEmpty)
-        planRead(spark, dir, v, files).where(lit(false))
-          .withColumn(ct, lit(changeType))
-      else r.parquet(fs.map(f => s"$dir/$f"): _*)
-        .withColumn(ct, lit(changeType))
-    }
-    val changes = action match {
-      case _ if !isDataChange(dir, v) =>
-        // rewrite-only maintenance (compaction): identical rows, no
-        // logical change to feed
-        frame(Seq.empty, "insert", v)
-      case "append" => frame(added, "insert", v)
-      case "overwrite" if v == 1 => frame(added, "insert", v)
-      case "delete" | "update" | "merge" =>
-        val sidecar = changeFiles(dir, v)
-        if (sidecar.nonEmpty) spark.read.parquet(sidecar: _*)
-        else if (action == "delete" && added.isEmpty)
-          // METADATA partition delete: whole value-pure files dropped,
-          // so the dropped files' rows ARE the deleted rows — no
-          // sidecar needed, zero extra cost was paid at commit
-          frame(removed, "delete", v - 1)
-        else throw new IllegalStateException(
-          s"version $v is '$action' but recorded no change sidecar — " +
-            "call SnapshotTable.enableChangeFeed BEFORE the DML, or " +
-            s"read the feed from a version above $v")
-      case compactLike if compactLike == "compact" =>
-        frame(Seq.empty, "insert", v).where(lit(false)) // no logical change
-      case other => throw new IllegalStateException(
-        s"version $v is '$other': the change feed covers append, DML " +
-          "and compaction commits — an overwrite/restore's row-level " +
-          "delta is not derivable")
-    }
+    // per-version classification lives in ONE place —
+    // [[graft.sources.SnapshotCdf.partitions]] (shared with the
+    // streaming source and the SQL view path); this batch API only
+    // assembles its file lists into a DataFrame, so the three read
+    // paths cannot drift on what a version feeds
+    val parts = graft.sources.SnapshotCdf.partitions(dir, v)
+    val reader = readSchema(dir, v).map(spark.read.schema(_))
+      .getOrElse(spark.read)
+    val changes =
+      if (parts.isEmpty)
+        planRead(spark, dir, v, readManifest(dir, v)).where(lit(false))
+          .withColumn(ct, lit("insert"))
+      else {
+        val (sidecars, consts) = parts.partition(_.changeType.isEmpty)
+        val sidecarDf =
+          if (sidecars.isEmpty) Nil
+          else Seq(spark.read.parquet(sidecars.map(_.path): _*))
+        val constDfs = consts.groupBy(_.changeType.get).toSeq
+          .sortBy(_._1).map { case (t, ps) =>
+            reader.parquet(ps.map(_.path): _*).withColumn(ct, lit(t))
+          }
+        (sidecarDf ++ constDfs).reduce(_.unionByName(_))
+      }
     changes.withColumn("_commit_version", lit(v.toLong))
   }
 

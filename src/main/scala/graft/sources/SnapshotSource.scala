@@ -1107,23 +1107,34 @@ case class CdfFilePartition(path: String, changeType: Option[String],
                             version: Long) extends InputPartition
 
 /** Change-feed planning shared by the STREAMING source, the SQL
-  * `CALL changes(...)` procedure, and (logic-wise) the batch API:
-  * appends feed their added files as constant-'insert' partitions,
-  * CoW DML feeds its recorded `_changes` sidecar (change type lives in
-  * the file bytes), metadata partition deletes feed the dropped files
-  * as constant-'delete' partitions, rewrite-only maintenance feeds
-  * nothing. A DML version without a sidecar — or an overwrite/restore
-  * — fails loudly: a silently wrong feed is the unforgivable
-  * failure. */
-private[sources] object SnapshotCdf {
-  def partitions(dir: String, v: Int): Seq[InputPartition] = {
+  * `CALL changes(...)` procedure, and the batch API
+  * ([[graft.io.SnapshotTable.readChangeFeed]] derives its per-version
+  * file sets here — ONE classification, so the three read paths cannot
+  * drift): appends feed their added files as constant-'insert'
+  * partitions, CoW DML feeds its recorded `_changes` sidecar (change
+  * type lives in the file bytes), metadata partition deletes feed the
+  * dropped files as constant-'delete' partitions, rewrite-only
+  * maintenance feeds nothing. A DML version without a sidecar — or an
+  * overwrite/restore — fails loudly: a silently wrong feed is the
+  * unforgivable failure. */
+private[graft] object SnapshotCdf {
+  def partitions(dir: String, v: Int): Seq[CdfFilePartition] = {
     val action = SnapshotTable.readAction(dir, v)
     val files = SnapshotTable.manifestFiles(dir, v)
-    val prevFiles: Seq[String] =
-      if (v == 1 || !SnapshotTable.versions(dir).contains(v - 1)) Seq.empty
+    // a vacuumed v-1 means v's file-level delta is NOT derivable —
+    // diffing against an empty base would feed every carried-forward
+    // file as 'insert', silently duplicating history into the feed.
+    // Evaluated LAZILY: sidecar-recorded DML never needs the diff, so
+    // it keeps feeding even at the retention horizon.
+    lazy val prevFiles: Seq[String] =
+      if (v == 1) Seq.empty
+      else if (!SnapshotTable.versions(dir).contains(v - 1))
+        throw new IllegalStateException(
+          s"version ${v - 1} of $dir was vacuumed — version $v's " +
+            s"row-level delta is not derivable; start the feed above v$v")
       else SnapshotTable.manifestFiles(dir, v - 1)
-    val added = files.filterNot(prevFiles.toSet)
-    val removed = prevFiles.filterNot(files.toSet)
+    lazy val added = files.filterNot(prevFiles.toSet)
+    lazy val removed = prevFiles.filterNot(files.toSet)
     action match {
       case _ if !SnapshotTable.isDataChange(dir, v) =>
         Seq.empty // rewrite-only maintenance: no logical change

@@ -786,6 +786,108 @@ class SnapshotTableSpec extends SparkSpec {
     assert(err.getMessage.contains("no change sidecar"))
   }
 
+  test("CDF postimages are the COMMITTED rows: an UPDATE whose " +
+    "predicate references the assigned column still records the new " +
+    "values, and a MERGE with a partial-row source records the " +
+    "coalesced rows, not the raw source") {
+    val dir = Files.createTempDirectory("snap-cdf-post").toString
+    SnapshotTable.enableChangeFeed(dir)
+    val v1 = (0L until 40L).map(i => (i, s"g${i % 4}", i * 10))
+      .toDF("id", "grp", "n")
+    SnapshotTable.commit(spark, v1, dir)
+    // the canonical shape: SET n=999 WHERE n=100 — the predicate is on
+    // the ASSIGNED column and must see PRE-assignment values; the
+    // postimage is the committed (new) value
+    SnapshotTable.update(spark, dir, col("n") === 100L,
+      Map("n" -> lit(999L)))                                     // v2
+    val f2 = SnapshotTable.readChangeFeed(spark, dir, 2, Some(2))
+      .select("id", "n", "_change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(f2 == Set((10L, 100L, "update_preimage"),
+      (10L, 999L, "update_postimage")), s"got $f2")
+    // MERGE with a PARTIAL source row (NULL column keeps the base
+    // value): the feed's postimage must equal the committed table row
+    val src = Seq((20L, null.asInstanceOf[String], -1L),
+      (900L, "gZ", 5L)).toDF("id", "grp", "n")
+    SnapshotTable.merge(spark, dir, src, Seq("id"))              // v3
+    val table3 = SnapshotTable.readSnapshot(spark, dir)
+      .where(col("id") === 20L).as[(Long, String, Long)].collect().head
+    assert(table3 == ((20L, "g0", -1L))) // grp kept from base
+    val f3 = SnapshotTable.readChangeFeed(spark, dir, 3, Some(3))
+      .select("id", "grp", "n", "_change_type")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(f3 == Set((20L, "g0", 200L, "update_preimage"),
+      (20L, "g0", -1L, "update_postimage"),
+      (900L, "gZ", 5L, "insert")), s"got $f3")
+    // replaying the feed onto v1 reproduces the committed table
+    val feedAll = SnapshotTable.readChangeFeed(spark, dir, 2)
+      .select("id", "grp", "n", "_change_type", "_commit_version")
+      .as[(Long, String, Long, String, Long)].collect()
+    val replay = (v1.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap ++ feedAll
+      .filter(r => r._4 == "insert" || r._4 == "update_postimage")
+      .map(r => r._1 -> ((r._1, r._2, r._3))).toMap).values.toSet
+    assert(replay == SnapshotTable.readSnapshot(spark, dir)
+      .as[(Long, String, Long)].collect().toSet)
+  }
+
+  test("CDF at the retention horizon: a version whose v-1 manifest was " +
+    "vacuumed refuses (its delta is not derivable) instead of feeding " +
+    "carried files as inserts; sidecar-recorded DML still feeds") {
+    val dir = Files.createTempDirectory("snap-cdf-vac").toString
+    SnapshotTable.enableChangeFeed(dir)
+    val mk = (lo: Long, hi: Long) =>
+      (lo until hi).map(i => (i, i * 2)).toDF("id", "n")
+    SnapshotTable.commit(spark, mk(0L, 20L), dir)   // v1 append
+    SnapshotTable.commit(spark, mk(20L, 40L), dir)  // v2 append
+    SnapshotTable.delete(spark, dir, col("id") < 5L) // v3 delete (sidecar)
+    SnapshotTable.commit(spark, mk(40L, 60L), dir)  // v4 append
+    SnapshotTable.vacuum(dir, 3)                    // keeps v2..v4
+    // v2 is an append whose v1 manifest is gone: diffing against an
+    // empty base would duplicate v1's rows into the feed — refuse
+    val err = intercept[IllegalStateException] {
+      SnapshotTable.readChangeFeed(spark, dir, 2, Some(2)).collect()
+    }
+    assert(err.getMessage.contains("vacuumed"), err.getMessage)
+    // v3's sidecar needs no v2 diff; v4 diffs against retained v3
+    assert(SnapshotTable.readChangeFeed(spark, dir, 3, Some(3))
+      .where(col("_change_type") === "delete").count() == 5L)
+    assert(SnapshotTable.readChangeFeed(spark, dir, 4)
+      .where(col("_change_type") === "insert").count() == 20L)
+    // the streaming CDF path classifies through the SAME code and
+    // refuses identically
+    val err2 = intercept[Exception] {
+      val q = spark.readStream.format("graft.sources.SnapshotSource")
+        .option("readChangeFeed", "true").option("startingVersion", 2)
+        .load(dir)
+        .writeStream.format("memory").queryName("cdfvac")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      throw new IllegalStateException("stream should have failed")
+    }
+    assert(err2.getMessage.contains("vacuumed") ||
+      Option(err2.getCause).exists(_.getMessage.contains("vacuumed")))
+  }
+
+  test("a DATA value equal to the reserved spec-evolution marker " +
+    "(u0002) in a partition column refuses at commit — it would be " +
+    "indistinguishable from a genuine UNKNOWN tuple") {
+    val dir = Files.createTempDirectory("snap-inband").toString
+    val bad = Seq((1L, ""), (2L, "ok")).toDF("id", "src")
+    val err = intercept[Exception] {
+      SnapshotTable.commitPartitioned(spark, bad, dir, Seq("src"))
+    }
+    assert(err.getMessage.contains("spec-evolution marker"),
+      err.getMessage)
+    // ...and genuine evolution UNKNOWNs still commit fine afterwards
+    val ok = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
+    SnapshotTable.commit(spark, ok, dir)
+    SnapshotTable.commitPartitioned(spark, Seq((3L, "c")).toDF("id", "src"),
+      dir, Seq("src"), evolveSpec = true)
+    assert(SnapshotTable.readSnapshot(spark, dir).count() == 3L)
+  }
+
   test("PARTITION-SPEC EVOLUTION: a later commit declares a NEW spec; " +
     "old files keep UNKNOWN tuples (never pruned, never wrong), new " +
     "files prune exactly, metadata delete refuses toward CoW, and a " +
