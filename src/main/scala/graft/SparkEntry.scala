@@ -276,6 +276,7 @@ object SparkEntry {
     "q242_snapshot_change_feed" -> IoQueries.snapshotChangeFeed,
     "q243_snapshot_null_stats" -> IoQueries.snapshotNullStats,
     "q244_change_feed_incremental" -> IoQueries.changeFeedIncremental,
+    "q245_sql_dml_change_feed" -> IoQueries.snapshotSqlDmlChangeFeed,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3067,6 +3068,47 @@ final AS (SELECT a.doc_id, a.source, a.n_chars FROM after2 a
 SELECT source, count(*) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM final GROUP BY source ORDER BY source""",
+    // q245: the SQL-path change feed replayed as slice arithmetic —
+    // v2 = all inserts; v3 = the UPDATE's pre/postimages (predicate
+    // on the ASSIGNED column, evaluated pre-assignment); v4 = the
+    // MERGE's net delta (matched rows feed as delete+insert, new keys
+    // as insert); v5 = the matched-DELETE merge's vanished rows at
+    // their v4 values.
+    "q245_sql_dml_change_feed" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+v3 AS (SELECT doc_id,
+         CASE WHEN n_chars % 10 = 3 THEN 77777 ELSE n_chars END AS n_chars,
+         n_chars AS orig
+       FROM d),
+v4 AS (SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN orig * 10 + 3 ELSE n_chars END
+           AS n_chars
+       FROM v3
+       UNION ALL
+       SELECT doc_id + 100000000, n_chars FROM d WHERE doc_id % 7 = 0),
+feed AS (
+  SELECT 2 AS commit_version, 'insert' AS change_type, doc_id, n_chars
+  FROM d
+  UNION ALL
+  SELECT 3, 'update_preimage', doc_id, n_chars FROM d
+  WHERE n_chars % 10 = 3
+  UNION ALL
+  SELECT 3, 'update_postimage', doc_id, 77777 FROM d
+  WHERE n_chars % 10 = 3
+  UNION ALL
+  SELECT 4, 'delete', doc_id, n_chars FROM v3 WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 4, 'insert', doc_id, orig * 10 + 3 FROM v3 WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 4, 'insert', doc_id + 100000000, n_chars FROM d
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 5, 'delete', doc_id, n_chars FROM v4 WHERE doc_id % 11 = 0
+    AND doc_id < 100000000)
+SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""",
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept
     // prefix (cum order = epoch, bucket, hash, doc_id flattened).

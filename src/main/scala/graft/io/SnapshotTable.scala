@@ -2091,12 +2091,16 @@ object SnapshotTable {
   // aggregates from scratch" into "apply this commit's delta".
   //
   // CONTRACT NOTE: SQL UPDATE/MERGE lower through Spark's group-based
-  // row-level rewrite, whose write sees only the replacement rows —
-  // pre/post images are not derivable there without keys, so those
-  // versions record no sidecar and the feed REFUSES them at read
-  // (loudly, naming the fix). CDF-enabled tables should run
-  // update/merge through this API tier; SQL DELETE is fine (it routes
-  // through the sidecar-recording delete or the metadata path).
+  // row-level rewrite, whose write sees only the replacement rows.
+  // Their sidecar is derived at commit as the NET multiset diff of
+  // scanned-vs-staged rows ([[graft.sources.SnapshotReplaceGroupsWrite]]):
+  // SQL UPDATE feeds exact update_pre/postimages (net of
+  // value-preserving pairs), SQL MERGE feeds 'delete'/'insert' pairs —
+  // the same +/- algebra, but unpaired (the ON keys never reach the
+  // write). When per-key pre/post pairing matters, use this API tier;
+  // SQL DELETE routes through the sidecar-recording delete or the
+  // metadata path either way. A map-typed schema (no set ops) records
+  // no SQL-path sidecar and keeps the refuse-at-read contract.
   // ------------------------------------------------------------------
 
   /** Opt this table into recording DML change sidecars (marker file;
@@ -2115,9 +2119,19 @@ object SnapshotTable {
     * `_change_type`) under the version's sidecar directory. Written
     * BEFORE the manifest rename — an aborted commit leaves at worst an
     * orphan sidecar for a version that never published, which the next
-    * attempt overwrites. */
-  private def writeChanges(df: DataFrame, dir: String, v: Int): Unit =
-    df.write.mode("overwrite").parquet(f"$dir/_changes/v$v%05d")
+    * attempt overwrites. An all-empty change set still materializes a
+    * zero-row anchor file: "this version recorded NO changes" must stay
+    * distinguishable from "this version recorded no sidecar" (the feed
+    * refuses the latter), and Spark writes no part files for a
+    * shuffled-empty frame. */
+  private[graft] def writeChanges(df: DataFrame, dir: String,
+                                  v: Int): Unit = {
+    val out = f"$dir/_changes/v$v%05d"
+    df.write.mode("overwrite").parquet(out)
+    if (!Option(new File(out).listFiles()).getOrElse(Array.empty[File])
+        .exists(_.getName.endsWith(".parquet")))
+      df.limit(0).repartition(1).write.mode("append").parquet(out)
+  }
 
   /** The sidecar parquet files of version `v` (absolute paths; empty
     * when the version recorded none). */

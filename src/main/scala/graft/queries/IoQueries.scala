@@ -1186,6 +1186,63 @@ object IoQueries {
     } finally s.sql(s"DROP TABLE graft_cat.$name")
   }
 
+  /** SQL-path CHANGE-DATA-FEED (q245,
+    * [[graft.sources.SnapshotReplaceGroupsWrite]]): the headline SQL
+    * DML verbs (q232) and the change feed (q242) compose — SQL
+    * UPDATE/MERGE versions now record sidecars derived at commit as
+    * the net multiset diff of scanned-vs-staged rows, so a downstream
+    * incremental consumer works whichever tier issued the DML. The
+    * lifecycle: INSERT (v2 appends feed as inserts), an UPDATE whose
+    * predicate references the ASSIGNED column (the postimage trap —
+    * it must be evaluated on pre-assignment values), a MERGE mixing
+    * matched updates and brand-new inserts (feeds the net delta as
+    * delete/insert — the ON keys never reach the write, so pre/post
+    * pairing is the API tier's job), and a MERGE WHEN MATCHED THEN
+    * DELETE. The oracle replays every leg as slice arithmetic over
+    * the source table; any drift in what the sidecars record moves a
+    * count or a sum and hash-mismatches. */
+  def snapshotSqlDmlChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .createOrReplaceTempView("q245_src")
+    s.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+    val name = "t_" + java.util.UUID.randomUUID.toString
+      .replace("-", "").take(12)
+    s.sql(s"CREATE TABLE graft_cat.$name " +
+      "(doc_id BIGINT, source STRING, n_chars BIGINT)")   // v1 (empty)
+    graft.io.SnapshotTable.enableChangeFeed(s"$catalogRoot/$name")
+    try {
+      s.sql(s"INSERT INTO graft_cat.$name SELECT * FROM q245_src") // v2
+      s.sql(s"UPDATE graft_cat.$name SET n_chars = 77777 " +
+        "WHERE n_chars % 10 = 3")                                  // v3
+      s.sql(s"""MERGE INTO graft_cat.$name t USING (
+          SELECT doc_id, source, n_chars FROM q245_src
+          WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 100000000, source, n_chars FROM q245_src
+          WHERE doc_id % 7 = 0) s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET t.n_chars = s.n_chars * 10 + 3
+        WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars)
+          VALUES (s.doc_id, s.source, s.n_chars)""")               // v4
+      s.sql(s"""MERGE INTO graft_cat.$name t USING (
+          SELECT doc_id FROM q245_src WHERE doc_id % 11 = 0) s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN DELETE""")                               // v5
+      graft.io.SnapshotTable
+        .readChangeFeed(s, s"$catalogRoot/$name", 2)
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("commit_version", "change_type")
+        .localCheckpoint() // materialize before the table drops
+    } finally s.sql(s"DROP TABLE graft_cat.$name")
+  }
+
   /** Table history + OPTIMIZE through CALL (q234,
     * [[graft.io.SnapshotTable.history]] /
     * [[graft.sources.SnapshotCatalog]] `history`/`compact`

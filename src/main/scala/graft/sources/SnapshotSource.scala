@@ -440,6 +440,61 @@ private[sources] class SnapshotReplaceGroupsWrite(
           Array.empty).close()
         Seq(rel)
       }
+    // CHANGE-DATA-FEED sidecar for the SQL path: the group-based
+    // rewrite hands the writer only replacement rows (no per-row
+    // operation, no keys), so the row-level changes are derived at
+    // commit as the NET MULTISET DIFF between the scanned groups'
+    // original rows and the staged replacement rows — exceptAll both
+    // ways, one extra pass over only the touched+staged files.
+    //  - DELETE: vanished rows are the deleted rows ('delete').
+    //  - UPDATE: row count is preserved and every change is in-place,
+    //    so vanished rows are exactly the preimages and new rows the
+    //    postimages ('update_preimage'/'update_postimage'); a pair
+    //    whose new value equals another row's old value cancels
+    //    symmetrically — the feed records the commit's net row delta.
+    //  - MERGE: an arbitrary WHEN-clause mix deletes, updates and
+    //    inserts in one commit; without the ON keys the vanished/new
+    //    rows cannot be paired into pre/postimages, so they feed as
+    //    'delete'/'insert' — the same +/- algebra every incremental
+    //    consumer applies (Delta's update is also a -pre/+post pair);
+    //    the API tier (SnapshotTable.merge) records precise
+    //    update_pre/postimages when the pairing matters.
+    // (map-typed columns cannot run set operations — such a schema
+    // skips the sidecar and keeps the refuse-at-read contract)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+    if (SnapshotTable.changeFeedEnabled(dir) &&
+        !writeSchema.fields.exists(f => hasMap(f.dataType))) {
+      import org.apache.spark.sql.functions.lit
+      val dataSchema = SnapshotTable.readSchema(dir, scanVersion)
+        .getOrElse(writeSchema)
+      val reader = spark.read.schema(dataSchema)
+      def readOr(paths: Seq[String]) =
+        if (paths.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            dataSchema)
+        else reader.parquet(paths: _*)
+      val before = readOr(state.scanned)
+      val after = readOr(staged.map(f => s"$dir/$f"))
+      val gone = before.exceptAll(after)
+      val fresh = after.exceptAll(before)
+      val ct = "_change_type"
+      val changes = action match {
+        case "delete" => gone.withColumn(ct, lit("delete"))
+        case "update" =>
+          gone.withColumn(ct, lit("update_preimage"))
+            .unionByName(fresh.withColumn(ct, lit("update_postimage")))
+        case _ =>
+          gone.withColumn(ct, lit("delete"))
+            .unionByName(fresh.withColumn(ct, lit("insert")))
+      }
+      SnapshotTable.writeChanges(changes, dir, scanVersion + 1)
+    }
     // publish at scanVersion + 1, NOT versions(dir).last + 1: the
     // rewrite's untouched set was resolved against scanVersion, so a
     // commit that landed in between would otherwise be silently
@@ -1149,6 +1204,8 @@ private[graft] object SnapshotCdf {
           sidecar.map(f => CdfFilePartition(f, None, v))
         else if (action == "delete" && added.isEmpty)
           removed.map(f => CdfFilePartition(s"$dir/$f", Some("delete"), v))
+        else if (added.isEmpty && removed.isEmpty)
+          Seq.empty // no-op DML (matched nothing): no rows changed
         else throw new IllegalStateException(
           s"version $v is '$action' but recorded no change sidecar — " +
             "call SnapshotTable.enableChangeFeed BEFORE the DML, or " +

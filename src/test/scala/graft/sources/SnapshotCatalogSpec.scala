@@ -304,6 +304,61 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE tcat.dml")
   }
 
+  test("SQL UPDATE/MERGE record change-feed sidecars: UPDATE feeds " +
+    "exact pre/postimages, MERGE feeds the net row delta as " +
+    "delete/insert, and the feed replays onto the committed table") {
+    root
+    spark.sql("CREATE TABLE tcat.cdfsql (id BIGINT, s STRING, n BIGINT)")
+    SnapshotTable.enableChangeFeed(s"$root/cdfsql")
+    spark.sql("INSERT INTO tcat.cdfsql VALUES (1, 'a', 100), " +
+      "(2, 'b', 20), (3, 'c', 30)")                              // v2
+    // predicate on the ASSIGNED column — the canonical postimage trap
+    spark.sql("UPDATE tcat.cdfsql SET n = 999 WHERE n = 100")    // v3
+    val f3 = SnapshotTable.readChangeFeed(spark, s"$root/cdfsql", 3, Some(3))
+      .select("id", "n", "_change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(f3 == Set((1L, 100L, "update_preimage"),
+      (1L, 999L, "update_postimage")), s"got $f3")
+    // MERGE mixing update + insert + delete in one commit
+    Seq((2L, "B", 200L), (9L, "i", 90L)).toDF("id", "s", "n")
+      .createOrReplaceTempView("cdfsql_src")
+    spark.sql("""MERGE INTO tcat.cdfsql t USING cdfsql_src s ON t.id = s.id
+      WHEN MATCHED AND t.id = 2 THEN UPDATE SET t.s = s.s, t.n = s.n
+      WHEN NOT MATCHED THEN INSERT (id, s, n) VALUES (s.id, s.s, s.n)""")
+    val f4 = SnapshotTable.readChangeFeed(spark, s"$root/cdfsql", 4, Some(4))
+      .select("id", "s", "n", "_change_type")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(f4 == Set((2L, "b", 20L, "delete"),
+      (2L, "B", 200L, "insert"), (9L, "i", 90L, "insert")), s"got $f4")
+    // a MERGE WHEN MATCHED THEN DELETE also feeds its vanished rows
+    Seq((3L, "x", 0L)).toDF("id", "s", "n")
+      .createOrReplaceTempView("cdfsql_del")
+    spark.sql("""MERGE INTO tcat.cdfsql t USING cdfsql_del s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    val f5 = SnapshotTable.readChangeFeed(spark, s"$root/cdfsql", 5, Some(5))
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(f5 == Set((3L, "delete")), s"got $f5")
+    // replaying the whole feed from v2 reproduces the committed table
+    val feed = SnapshotTable.readChangeFeed(spark, s"$root/cdfsql", 2)
+      .select("id", "s", "n", "_change_type", "_commit_version")
+      .as[(Long, String, Long, String, Long)].collect().sortBy(_._5)
+    val replayed = feed.foldLeft(Map.empty[Long, (Long, String, Long)]) {
+      case (m, (id, s, n, ct, _)) => ct match {
+        case "insert" | "update_postimage" => m + (id -> ((id, s, n)))
+        case "delete" => m - id
+        case _ => m // update_preimage: superseded by its postimage
+      }
+    }.values.toSet
+    assert(replayed == spark.sql("SELECT * FROM tcat.cdfsql")
+      .as[(Long, String, Long)].collect().toSet)
+    // a no-op SQL UPDATE (matches nothing) feeds zero rows, loudly not
+    spark.sql("UPDATE tcat.cdfsql SET n = 0 WHERE id = 12345")
+    val last = SnapshotTable.versions(s"$root/cdfsql").last
+    assert(SnapshotTable.readChangeFeed(spark, s"$root/cdfsql",
+      last, Some(last)).count() == 0L)
+    spark.sql("DROP TABLE tcat.cdfsql")
+  }
+
   test("rename + listTables") {
     root
     spark.sql("CREATE TABLE tcat.rn1 (id BIGINT)")
