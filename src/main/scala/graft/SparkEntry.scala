@@ -277,6 +277,8 @@ object SparkEntry {
     "q243_snapshot_null_stats" -> IoQueries.snapshotNullStats,
     "q244_change_feed_incremental" -> IoQueries.changeFeedIncremental,
     "q245_sql_dml_change_feed" -> IoQueries.snapshotSqlDmlChangeFeed,
+    "q246_mor_dml" -> IoQueries.morDml,
+    "q247_mor_dsv2_compact" -> IoQueries.morDsv2,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3109,6 +3111,50 @@ SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
   count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""",
+    // q246: merge-on-read DML replayed as slice arithmetic — v2 drops
+    // a residue class (tombstones), v3 rewrites a slice's n_chars, v4
+    // merges a batch (matched updates, re-inserts of tombstoned keys,
+    // brand-new ids). A tombstone the scan fails to apply (or
+    // over-applies) moves a count or a sum.
+    "q246_mor_dml" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+v2 AS (SELECT doc_id, n_chars FROM d WHERE doc_id % 10 <> 3),
+v3 AS (SELECT doc_id,
+         CASE WHEN n_chars % 7 = 2 THEN 55555 ELSE n_chars END AS n_chars
+       FROM v2),
+srck AS (SELECT doc_id, n_chars + 100 AS n_chars FROM d
+         WHERE doc_id % 6 = 0
+         UNION ALL
+         SELECT doc_id + 100000000, n_chars FROM d WHERE doc_id % 13 = 0),
+v4 AS (SELECT doc_id, n_chars FROM v3
+       WHERE doc_id NOT IN (SELECT doc_id FROM srck)
+       UNION ALL SELECT doc_id, n_chars FROM srck),
+legs AS (
+  SELECT 1 AS leg, doc_id, n_chars FROM d
+  UNION ALL SELECT 2, doc_id, n_chars FROM v2
+  UNION ALL SELECT 3, doc_id, n_chars FROM v3
+  UNION ALL SELECT 4, doc_id, n_chars FROM v4)
+SELECT CAST(leg AS BIGINT) AS leg, count(*) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM legs GROUP BY 1 ORDER BY leg""",
+    // q247: the tombstoned table through the DSv2 scan, then OPTIMIZE
+    // folds the deletes — legs 1/3 (metadata count) and 2/4 (filtered
+    // aggregate) must be pairwise identical: merge-on-read is layout,
+    // never semantics.
+    "q247_mor_dsv2_compact" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents
+       WHERE doc_id % 5 <> 2),
+a AS (SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM d WHERE n_chars % 3 = 1)
+SELECT CAST(1 AS BIGINT) AS leg, (SELECT count(*) FROM d) AS n_docs,
+  CAST(0 AS BIGINT) AS sum_id, CAST(0 AS BIGINT) AS sum_chars
+UNION ALL SELECT CAST(2 AS BIGINT), n_docs, sum_id, sum_chars FROM a
+UNION ALL SELECT CAST(3 AS BIGINT), (SELECT count(*) FROM d),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+UNION ALL SELECT CAST(4 AS BIGINT), n_docs, sum_id, sum_chars FROM a
+ORDER BY leg""",
     // q231: UniMax water-filling replayed in integer arithmetic — the
     // threshold rule, the rank-(t+1) share, and the epoch-major kept
     // prefix (cum order = epoch, bucket, hash, doc_id flattened).

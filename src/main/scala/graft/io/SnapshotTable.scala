@@ -105,8 +105,22 @@ object SnapshotTable {
                             knownSizes: Map[String, Long] = Map.empty,
                             parts: Option[(Seq[String],
                               Seq[Seq[Option[String]]])] = None,
-                            nulls: Seq[(String, Seq[Long])] = Nil)
+                            nulls: Seq[(String, Seq[Long])] = Nil,
+                            dels: Seq[String] = Nil,
+                            dirty: Seq[String] = Nil,
+                            ndel: Long = 0L)
       : Unit = {
+    // MERGE-ON-READ positional deletes: `dels` lists the delete-sidecar
+    // parquet files ((file, pos) rows) in force at this version,
+    // `dirty` the data files they apply to (dirty ⊆ files — scans
+    // anti-join ONLY those; clean files keep the vectorized fast
+    // path), `ndel` the live deleted-row count (keeps count(*)
+    // pushdown exact). All three carry forward until a rewrite folds
+    // the deletes in.
+    require(dirty.forall(files.contains),
+      s"dirty files not in manifest: ${dirty.filterNot(files.contains)}")
+    require(dels.isEmpty == dirty.isEmpty,
+      "delete sidecars and dirty files must be recorded together")
     // MULTI-COLUMN min/max file stats: the FIRST column keeps the
     // original stats_col/mins/maxs spelling (pre-multi manifests parse
     // unchanged — it is also compact's range-cluster column); every
@@ -216,12 +230,17 @@ object SnapshotTable {
       s""","pcols":[${cols.map(c => "\"" + c + "\"").mkString(",")}]""" +
         s""","pvals":[${encoded.map(e => "\"" + e + "\"").mkString(",")}]"""
     }.getOrElse("")
+    val delsJson =
+      if (dels.isEmpty) ""
+      else s""","dels":[${dels.map(f => "\"" + f + "\"").mkString(",")}]""" +
+        s""","dirty":[${dirty.map(f => "\"" + f + "\"").mkString(",")}]""" +
+        s""","ndel":$ndel"""
     val dcJson = if (dataChange.value) "" else ""","dataChange":false"""
     val json = s"""{"version":$v,"action":"$action","ts":${clock.value()}""" +
       dcJson + s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
       xstatsJson + nullsJson + rowsJson + sizesJson + partsJson +
-      schemaJson + "}"
+      delsJson + schemaJson + "}"
     // PER-WRITER tmp name: two writers racing the same version must
     // not share a staging file — the winner's cleanup would delete the
     // loser's tmp out from under its link attempt, surfacing as a
@@ -306,6 +325,36 @@ object SnapshotTable {
   }
   private val PColsRe = """"pcols":\[([^\]]*)\]""".r.unanchored
   private val PValsRe = """"pvals":\[([^\]]*)\]""".r.unanchored
+  private val DelsRe = """"dels":\[([^\]]*)\]""".r.unanchored
+  private val DirtyRe = """"dirty":\[([^\]]*)\]""".r.unanchored
+  private val NdelRe = """"ndel":(\d+)""".r.unanchored
+
+  /** The MERGE-ON-READ delete-sidecar files in force at `v` (relative
+    * paths; empty when the version carries none — every scan then
+    * stays on the plain path). */
+  private[graft] def readDeletes(dir: String, v: Int): Seq[String] =
+    manifestJson(dir, v) match {
+      case DelsRe(list) if list.nonEmpty =>
+        list.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      case _ => Seq.empty
+    }
+
+  /** The data files at `v` with at least one positional delete — the
+    * only files whose scan pays the anti-join. */
+  private[graft] def readDirty(dir: String, v: Int): Seq[String] =
+    manifestJson(dir, v) match {
+      case DirtyRe(list) if list.nonEmpty =>
+        list.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      case _ => Seq.empty
+    }
+
+  /** Live positionally-deleted row count at `v` (keeps manifest
+    * count(*) answers exact on merge-on-read tables). */
+  private[graft] def readNdel(dir: String, v: Int): Long =
+    manifestJson(dir, v) match {
+      case NdelRe(n) => n.toLong
+      case _ => 0L
+    }
   private def xMinsRe(i: Int) =
     (""""xmins""" + i + """":\[([^\]]*)\]""").r.unanchored
   private def xMaxsRe(i: Int) =
@@ -633,7 +682,9 @@ object SnapshotTable {
     * never estimate). At 100 TB this answers a table count from a few
     * hundred manifest bytes instead of a full scan. */
   def manifestCount(dir: String, v: Int): Option[Long] =
-    readRows(dir, v).map(_.sum)
+    // merge-on-read: recorded per-file counts are PHYSICAL rows; the
+    // manifest's live tombstone count keeps the metadata answer exact
+    readRows(dir, v).map(_.sum - readNdel(dir, v))
 
   /** Manifest-only global (min, max) of the PRIMARY stats column at
     * `v`. Files with zero recorded rows are excluded (their stats slots
@@ -648,7 +699,11 @@ object SnapshotTable {
     * unrecorded or every file is empty; zero-row files' slots are
     * excluded per column. */
   def manifestMinMaxAll(dir: String, v: Int): Map[String, (Long, Long)] =
-    readRows(dir, v).fold(Map.empty[String, (Long, Long)]) { rs =>
+    // merge-on-read: a positionally-deleted row may hold the recorded
+    // extremum — decline the metadata answer while tombstones exist
+    // (compaction restores it); pruning stays sound (may-contain)
+    if (readDirty(dir, v).nonEmpty) Map.empty
+    else readRows(dir, v).fold(Map.empty[String, (Long, Long)]) { rs =>
       readAllStats(dir, v).flatMap { case (c, mm) =>
         if (rs.length != mm.length) None
         else {
@@ -1019,6 +1074,71 @@ object SnapshotTable {
     reader.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** The manifest-relative path + in-file row position of every row as
+    * Columns over a plain scan: `_metadata.file_path` is a URL-encoded
+    * URI, decoded through [[graft.functions.UriPath]] (codegen'd) and
+    * stripped of the table prefix; `row_index` is parquet's absolute
+    * row position (row-group skipping keeps it absolute). The MoR
+    * row-identity bridge between scans and delete sidecars. */
+  private def rowIdCols(dir: String)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val absDir = new File(dir).getAbsolutePath
+    val rel = bridge.column(graft.functions.UriPath(
+        bridge.expression(col("_metadata.file_path"))))
+      .substr(lit(absDir.length + 2), lit(1 << 20))
+    (rel, col("_metadata.row_index"))
+  }
+
+  /** [[planRead]] plus per-row identity (`__graft_rel`, `__graft_pos`)
+    * with the version's positional deletes APPLIED — the scan the MoR
+    * DML paths run (a row deleted at v must neither match a later
+    * predicate nor re-record its position). */
+  private def planReadRowId(spark: SparkSession, dir: String, v: Int,
+                            files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (rel, pos) = rowIdCols(dir)
+    val d0 = planRead(spark, dir, v, files)
+      .withColumn("__graft_rel", rel)
+      .withColumn("__graft_pos", pos)
+    val dirty = readDirty(dir, v).toSet
+    val dels = readDeletes(dir, v)
+    if (dels.isEmpty || !files.exists(dirty)) d0
+    else {
+      val delRows = spark.read.parquet(dels.map(f => s"$dir/$f"): _*)
+      d0.join(broadcast(delRows),
+        d0("__graft_rel") === delRows("file") &&
+          d0("__graft_pos") === delRows("pos"), "left_anti")
+    }
+  }
+
+  /** [[planRead]] with the version's MERGE-ON-READ positional deletes
+    * applied: CLEAN files (no recorded delete) keep the plain
+    * vectorized scan untouched; only DIRTY files pay the anti-join,
+    * and the delete side broadcasts — deletion vectors are
+    * point-delete-sized by design, and compaction / any CoW rewrite
+    * folds them back into clean files before they grow. Versions
+    * without deletes take the plain path with zero overhead. */
+  private[graft] def planReadLogical(spark: SparkSession, dir: String,
+                                     v: Int,
+                                     files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dirtyAll = readDirty(dir, v).toSet
+    val dirtySel = files.filter(dirtyAll)
+    if (dirtySel.isEmpty) planRead(spark, dir, v, files)
+    else {
+      val clean = files.filterNot(dirtyAll)
+      val dataCols = readSchema(dir, v)
+        .map(_.fieldNames.toSeq)
+        .getOrElse(planRead(spark, dir, v, dirtySel).columns.toSeq)
+      val applied = planReadRowId(spark, dir, v, dirtySel)
+        .select(dataCols.map(col): _*)
+      if (clean.isEmpty) applied
+      else planRead(spark, dir, v, clean).unionByName(applied)
+    }
+  }
+
   def commitWithStats(spark: SparkSession, df: DataFrame, dir: String,
                       overwrite: Boolean = false,
                       statsCol: Option[String] = None): Int =
@@ -1267,7 +1387,13 @@ object SnapshotTable {
       knownRows = carriedRows,
       knownSizes = if (base.isEmpty) Map.empty
                    else sizeMap(dir, prev.last),
-      parts = parts, nulls = nulls)
+      parts = parts, nulls = nulls,
+      // an append touches no existing file: merge-on-read delete
+      // state carries verbatim; an overwrite replaces the content and
+      // resets it
+      dels = if (base.isEmpty) Nil else readDeletes(dir, prev.last),
+      dirty = if (base.isEmpty) Nil else readDirty(dir, prev.last),
+      ndel = if (base.isEmpty) 0L else readNdel(dir, prev.last))
     v
   }
 
@@ -1297,7 +1423,8 @@ object SnapshotTable {
     * than publishing an anchorless manifest. Returns the new version. */
   def delete(spark: SparkSession, dir: String, predicate: Column): Int = {
     import org.apache.spark.sql.functions._
-    cowRewrite(spark, dir, predicate, "delete")(
+    if (mergeOnRead(dir)) morDelete(spark, dir, predicate)
+    else cowRewrite(spark, dir, predicate, "delete")(
       _.where(!coalesce(predicate, lit(false))))
   }
 
@@ -1314,6 +1441,7 @@ object SnapshotTable {
   def update(spark: SparkSession, dir: String, predicate: Column,
              assignments: Map[String, Column]): Int = {
     import org.apache.spark.sql.functions._
+    if (mergeOnRead(dir)) return morUpdate(spark, dir, predicate, assignments)
     cowRewrite(spark, dir, predicate, "update") { df =>
       assignments.keys.foreach { c =>
         require(df.columns.contains(c),
@@ -1354,6 +1482,8 @@ object SnapshotTable {
   def merge(spark: SparkSession, dir: String, source: DataFrame,
             keys: Seq[String]): Int = {
     import org.apache.spark.sql.functions._
+    if (mergeOnRead(dir) && versions(dir).nonEmpty)
+      return morMerge(spark, dir, source, keys)
     val vs = versions(dir)
     if (vs.isEmpty) {
       // merge into an empty table = the initial commit (every source row
@@ -1368,7 +1498,7 @@ object SnapshotTable {
     val prevV = vs.last
     val files = readManifest(dir, prevV)
     val schema = readSchema(dir, prevV)
-    val full = planRead(spark, dir, prevV, files)
+    val full = planReadLogical(spark, dir, prevV, files)
     require(source.columns.sorted.sameElements(full.columns.sorted),
       s"merge source columns ${source.columns.sorted.mkString(",")} != " +
         s"table columns ${full.columns.sorted.mkString(",")}")
@@ -1411,7 +1541,7 @@ object SnapshotTable {
     val scanBase =
       if (candidates.length == files.length) full
       else if (candidates.isEmpty) full.where(lit(false))
-      else planRead(spark, dir, prevV, candidates)
+      else planReadLogical(spark, dir, prevV, candidates)
     val touchedAbs = scanBase.withColumn("_f", input_file_name())
       .join(broadcast(keyRows), keys, "left_semi")
       .select("_f").distinct().collect().map(_.getString(0)).toSet
@@ -1422,10 +1552,7 @@ object SnapshotTable {
     val sub = f"data/v$v%05d"
     val base =
       if (touched.isEmpty) full.where(lit(false)) // all-insert merge
-      else {
-        val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        reader.parquet(touched.map(f => s"$dir/$f"): _*)
-      }
+      else planReadLogical(spark, dir, prevV, touched)
     // CHANGE-DATA-FEED sidecar: a source key that matches the base at
     // all matches inside a TOUCHED file (touched discovery is the
     // key-membership scan), so matched pre/postimages and the
@@ -1546,9 +1673,25 @@ object SnapshotTable {
     val nulls = readNullCounts(dir, prevV).toSeq.map { case (c, ns) =>
       (c, files.zip(ns).collect { case (f, n) if keepSet(f) => n })
     }
+    // merge-on-read carry: dirty files that survive keep their
+    // deletes; dropping a dirty partition re-counts the live
+    // tombstones (one metadata-scale job through the active session)
+    val prevDirty = readDirty(dir, prevV)
+    val dirtyNew = prevDirty.filter(keepSet)
+    val delsNew = if (dirtyNew.isEmpty) Nil else readDeletes(dir, prevV)
+    val ndelNew =
+      if (delsNew.isEmpty) 0L
+      else if (dirtyNew == prevDirty) readNdel(dir, prevV)
+      else {
+        import org.apache.spark.sql.functions.col
+        SparkSession.active.read
+          .parquet(delsNew.map(f => s"$dir/$f"): _*)
+          .where(col("file").isin(dirtyNew: _*)).count()
+      }
     writeManifest(dir, prevV + 1, "delete", keep, stats,
       readSchema(dir, prevV), knownRows = carriedRows,
-      knownSizes = sizeMap(dir, prevV), parts = parts, nulls = nulls)
+      knownSizes = sizeMap(dir, prevV), parts = parts, nulls = nulls,
+      dels = delsNew, dirty = dirtyNew, ndel = ndelNew)
     prevV + 1
   }
 
@@ -1562,7 +1705,7 @@ object SnapshotTable {
     require(vs.nonEmpty, s"no snapshot log at $dir")
     val prevV = vs.last
     val files = readManifest(dir, prevV)
-    val full = planRead(spark, dir, prevV, files)
+    val full = planReadLogical(spark, dir, prevV, files)
     val touchedAbs = full.where(predicate)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -1575,8 +1718,10 @@ object SnapshotTable {
       if (touched.isEmpty) Seq.empty
       else {
         val sub = f"data/v$v%05d"
-        val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        val src = reader.parquet(touched.map(f => s"$dir/$f"): _*)
+        // deletes-applied read: rewriting a DIRTY file folds its
+        // positional deletes into the clean rewrite (publish then
+        // drops it from the dirty set)
+        val src = planReadLogical(spark, dir, prevV, touched)
         val out = rewrite(src)
         // CHANGE-DATA-FEED sidecar (when the table enabled it): the
         // rewrite already reads exactly the touched rows, so the
@@ -1669,7 +1814,9 @@ object SnapshotTable {
                       v: Int,
                       untouched: Seq[String], written: Seq[String],
                       action: String, schema: Option[StructType],
-                      writtenSub: Option[String] = None): Int = {
+                      writtenSub: Option[String] = None,
+                      newDels: Seq[String] = Nil,
+                      newDirty: Seq[String] = Nil): Int = {
     val files = readManifest(dir, prevV)
     val untouchedSet = untouched.toSet
     val prevAll = readAllStats(dir, prevV)
@@ -1741,9 +1888,31 @@ object SnapshotTable {
     // file, and a rewritten file's fresh name is never in the old map
     val carriedRows = readRows(dir, prevV)
       .map(rs => files.zip(rs).toMap).getOrElse(Map.empty)
+    // MERGE-ON-READ carry: a dirty file that stays carries its deletes;
+    // one this commit REWROTE drops out (the rewrite read the logical
+    // rows, so its deletes are folded in — the dead positions reference
+    // a file name that no longer exists). Sidecars survive while any
+    // dirty file remains; the live deleted-row count recomputes only
+    // when the dirty set actually changed (one small metadata-scale
+    // job), else carries.
+    val prevDels = readDeletes(dir, prevV)
+    val prevDirty = readDirty(dir, prevV)
+    val dirtyNew = (prevDirty.filter(untouchedSet) ++ newDirty).distinct
+    val delsNew =
+      if (dirtyNew.isEmpty) Nil else (prevDels ++ newDels).distinct
+    val ndelNew =
+      if (delsNew.isEmpty) 0L
+      else if (delsNew == prevDels && dirtyNew == prevDirty)
+        readNdel(dir, prevV)
+      else {
+        import org.apache.spark.sql.functions.col
+        spark.read.parquet(delsNew.map(f => s"$dir/$f"): _*)
+          .where(col("file").isin(dirtyNew: _*)).count()
+      }
     writeManifest(dir, v, action, untouched ++ written, stats, schema,
       knownRows = carriedRows, knownSizes = sizeMap(dir, prevV),
-      parts = parts, nulls = nulls)
+      parts = parts, nulls = nulls,
+      dels = delsNew, dirty = dirtyNew, ndel = ndelNew)
     v
   }
 
@@ -1824,7 +1993,7 @@ object SnapshotTable {
     if (kept.isEmpty)
       // every file pruned: an empty frame with the table's real schema
       readSnapshot(spark, dir, Some(v)).where(lit(false))
-    else planRead(spark, dir, v, kept)
+    else planReadLogical(spark, dir, v, kept)
       .where(col(statsCol) >= lo && col(statsCol) <= hi)
   }
 
@@ -1853,7 +2022,7 @@ object SnapshotTable {
       if (x == null) col(c).isNull else col(c) === lit(x)
     }.reduce(_ && _)
     if (kept.isEmpty) readSnapshot(spark, dir, Some(v)).where(lit(false))
-    else planRead(spark, dir, v, kept).where(pred)
+    else planReadLogical(spark, dir, v, kept).where(pred)
   }
 
   /** [[readSnapshotPruned]] over SEVERAL columns at once: plans only
@@ -1870,7 +2039,7 @@ object SnapshotTable {
       col(c) >= lo && col(c) <= hi
     }.reduceOption(_ && _).getOrElse(lit(true))
     if (kept.isEmpty) readSnapshot(spark, dir, Some(v)).where(lit(false))
-    else planRead(spark, dir, v, kept).where(pred)
+    else planReadLogical(spark, dir, v, kept).where(pred)
   }
 
   /** The table as of `asOf` (default: latest). Plans a parquet scan over
@@ -1885,7 +2054,7 @@ object SnapshotTable {
     val v = resolveVersion(dir, asOf)
     val files = readManifest(dir, v)
     require(files.nonEmpty, s"manifest v$v lists no files")
-    planRead(spark, dir, v, files)
+    planReadLogical(spark, dir, v, files)
   }
 
   /** Compaction (`OPTIMIZE`): rewrite the CURRENT visible content into
@@ -1966,9 +2135,8 @@ object SnapshotTable {
     val v = prevV + 1
     val sub = f"data/v$v%05d"
     val schema = readSchema(dir, prevV)
-    val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
     writeMaybePartitioned(dir, prevV,
-      reader.parquet(touched.map(f => s"$dir/$f"): _*)
+      planReadLogical(spark, dir, prevV, touched)
         .repartition(numFiles), sub)
     publish(spark, dir, prevV, v, untouched, listWritten(dir, sub),
       "compact", schema)
@@ -2000,6 +2168,12 @@ object SnapshotTable {
     val live = retain.flatMap(readManifest(dir, _)).toSet
     val dead = (drop.flatMap(readManifest(dir, _)).toSet -- live).toSeq.sorted
     dead.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+    // positional-delete sidecars have the same liveness rule as data
+    // files: referenced by any retained manifest -> survives
+    val liveDels = retain.flatMap(readDeletes(dir, _)).toSet
+    val deadDels = (drop.flatMap(readDeletes(dir, _)).toSet -- liveDels)
+      .toSeq.sorted
+    deadDels.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
     // change-feed sidecars follow their version's retention: a
     // vacuumed version can no longer anchor a feed read, so its
     // recorded changes go with it
@@ -2194,6 +2368,221 @@ object SnapshotTable {
     changes.withColumn("_commit_version", lit(v.toLong))
   }
 
+  // ------------------------------------------------------------------
+  // MERGE-ON-READ DML (Iceberg positional deletes / Delta deletion
+  // vectors): copy-on-write rewrites each touched file IN FULL — at
+  // 100 TB a point delete touching one row per file rewrites the whole
+  // file set. A table opted in via [[enableMergeOnRead]] instead
+  // commits a DELETE SIDECAR of (file, pos) rows under
+  // `deletes/vNNNNN/`; scans apply it as a broadcast anti-join on ONLY
+  // the dirty files ([[planReadLogical]] / the DSv2 dirty-file
+  // reader), and any rewrite that touches a dirty file — compaction,
+  // OPTIMIZE, a CoW pass — folds its deletes back into clean files
+  // ([[publish]]'s carry rule). UPDATE/MERGE = one positional delete
+  // of the matched rows + one append of their rebuilt rows: write cost
+  // proportional to the CHANGED rows, not the touched files.
+  // ------------------------------------------------------------------
+
+  /** Opt this table into merge-on-read DML (marker file; the API
+    * delete/update/merge routes positional from the next call on;
+    * existing versions and the SQL row-level verbs stay copy-on-write
+    * — mixing modes is safe, the manifest records which files carry
+    * deletes). */
+  def enableMergeOnRead(dir: String): Unit = {
+    logDir(dir).mkdirs()
+    java.nio.file.Files.write(new File(logDir(dir), "_mor").toPath,
+      Array.emptyByteArray): Unit
+  }
+
+  def mergeOnRead(dir: String): Boolean =
+    new File(logDir(dir), "_mor").exists()
+
+  /** Stage the matched rows' (file, pos) identities as version `v`'s
+    * delete sidecar; returns (sidecar files, newly-dirty data files,
+    * deleted-row count). The dirty list derives from the sidecar
+    * itself (distinct file values — bounded by the file count) and is
+    * validated against the manifest: a rel-path derivation mismatch
+    * must fail the commit loudly, never record an unprunable name. */
+  private def stageDeleteSidecar(spark: SparkSession, dir: String,
+                                 files: Seq[String], v: Int,
+                                 matched: DataFrame)
+      : (Seq[String], Seq[String], Long) = {
+    import org.apache.spark.sql.functions._
+    val delSub = f"deletes/v$v%05d"
+    matched.select(col("__graft_rel").as("file"),
+        col("__graft_pos").as("pos"))
+      .write.mode("overwrite").parquet(s"$dir/$delSub")
+    val written = listWritten(dir, delSub)
+    val byFile = spark.read.parquet(s"$dir/$delSub")
+      .groupBy("file").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (byFile.isEmpty) {
+      // matched nothing: un-stage the empty sidecar (the no-op commit
+      // will never reference it — an orphan would dodge vacuum's
+      // manifest-driven liveness forever)
+      def rm(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        Files.deleteIfExists(f.toPath): Unit
+      }
+      rm(new File(dir, delSub))
+      return (Nil, Nil, 0L)
+    }
+    val fileSet = files.toSet
+    byFile.foreach { case (f, _) => require(fileSet.contains(f),
+      s"positional delete resolved to '$f', which is not in manifest " +
+        s"v${v - 1} — scan-path decoding and the manifest disagree") }
+    (written, byFile.map(_._1).toSeq.sorted, byFile.map(_._2).sum)
+  }
+
+  /** Merge-on-read DELETE: matched rows are tombstoned by position —
+    * zero data files rewritten. Publishes a normal commit whose file
+    * list is UNCHANGED; only the sidecar/dirty/ndel metadata moves. */
+  private def morDelete(spark: SparkSession, dir: String,
+                        predicate: Column): Int = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val files = readManifest(dir, prevV)
+    val v = prevV + 1
+    val matched = planReadRowId(spark, dir, prevV, files).where(predicate)
+    val (sidecar, touched, n) =
+      stageDeleteSidecar(spark, dir, files, v, matched)
+    if (touched.isEmpty)
+      // match-nothing delete: metadata no-op commit (CoW convention)
+      return publish(spark, dir, prevV, v, files, Nil, "delete",
+        readSchema(dir, prevV))
+    // tombstoning the last live row refuses like the CoW empty-table
+    // guard (use an overwrite commit to empty a table); decidable only
+    // when row counts are recorded — decline-never-guess otherwise
+    readRows(dir, prevV).foreach { rs =>
+      require(readNdel(dir, prevV) + n < rs.sum,
+        s"delete would tombstone every row at $dir; use an overwrite " +
+          "commit")
+    }
+    if (changeFeedEnabled(dir))
+      writeChanges(matched.drop("__graft_rel", "__graft_pos")
+        .withColumn("_change_type", lit("delete")), dir, v)
+    publish(spark, dir, prevV, v, files, Nil, "delete",
+      readSchema(dir, prevV), newDels = sidecar, newDirty = touched)
+  }
+
+  /** Merge-on-read UPDATE: the matched rows tombstone by position and
+    * their rebuilt images append as new files — write cost is the
+    * CHANGED rows, not the touched files (the CoW pain point at
+    * 100 TB). Same assignment validation as [[update]]. */
+  private def morUpdate(spark: SparkSession, dir: String,
+                        predicate: Column,
+                        assignments: Map[String, Column]): Int = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val files = readManifest(dir, prevV)
+    val v = prevV + 1
+    val schema = readSchema(dir, prevV)
+    val matched = planReadRowId(spark, dir, prevV, files)
+      .where(predicate)
+    val dataCols = matched.columns
+      .filterNot(c => c == "__graft_rel" || c == "__graft_pos").toSeq
+    assignments.keys.foreach { c =>
+      require(dataCols.contains(c),
+        s"UPDATE assigns unknown column '$c' (have ${dataCols.mkString(",")})")
+    }
+    val old = matched.select(dataCols.map(col): _*)
+    val rebuilt = old.select(dataCols.map { c =>
+      assignments.get(c).map(_.as(c)).getOrElse(col(c))
+    }: _*)
+    old.schema.fields.zip(rebuilt.schema.fields).foreach { case (a, b) =>
+      require(a.dataType.simpleString == b.dataType.simpleString,
+        s"UPDATE may not change '${a.name}' from " +
+          s"${a.dataType.simpleString} to ${b.dataType.simpleString}")
+    }
+    val (sidecar, touched, _) =
+      stageDeleteSidecar(spark, dir, files, v, matched)
+    if (touched.isEmpty)
+      return publish(spark, dir, prevV, v, files, Nil, "update", schema)
+    val sub = f"data/v$v%05d"
+    writeMaybePartitioned(dir, prevV, rebuilt, sub)
+    val written = listWritten(dir, sub)
+    if (changeFeedEnabled(dir))
+      writeChanges(old.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(rebuilt.withColumn("_change_type",
+          lit("update_postimage"))), dir, v)
+    publish(spark, dir, prevV, v, files, written, "update", schema,
+      newDels = sidecar, newDirty = touched)
+  }
+
+  /** Merge-on-read MERGE: matched base rows tombstone by position, the
+    * upserted images (matched keys coalesced column-wise with the
+    * source, unmatched source keys inserted) append as new files. Same
+    * source validation and stats-envelope candidate pruning as
+    * [[merge]]. */
+  private def morMerge(spark: SparkSession, dir: String,
+                       source: DataFrame, keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val files = readManifest(dir, prevV)
+    val schema = readSchema(dir, prevV)
+    val full = planReadLogical(spark, dir, prevV, files)
+    require(source.columns.sorted.sameElements(full.columns.sorted),
+      s"merge source columns ${source.columns.sorted.mkString(",")} != " +
+        s"table columns ${full.columns.sorted.mkString(",")}")
+    val src = source.select(full.columns.map(col): _*)
+    val dupKeys = src.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n")).where(col("_n") > 1).limit(1).count()
+    require(dupKeys == 0,
+      s"merge source has duplicate keys on (${keys.mkString(",")})")
+    val keyRows = src.select(keys.map(col): _*).distinct()
+    val statsKeys =
+      if (files.length < 16) Nil
+      else keys.filter(statsColumns(dir, prevV).contains)
+    val candidates: Seq[String] =
+      if (statsKeys.isEmpty) files
+      else {
+        val aggs = statsKeys.flatMap(k => Seq(
+          min(col(k)).cast("long").as(s"mn_$k"),
+          max(col(k)).cast("long").as(s"mx_$k")))
+        val env = src.agg(aggs.head, aggs.tail: _*).head()
+        val bounds = statsKeys.zipWithIndex.flatMap { case (k, i) =>
+          if (env.isNullAt(2 * i)) None
+          else Some(k -> ((env.getLong(2 * i), env.getLong(2 * i + 1))))
+        }.toMap
+        manifestFilesPruned(dir, prevV, bounds)
+      }
+    val v = prevV + 1
+    val dataCols = full.columns.toSeq
+    val matched =
+      (if (candidates.isEmpty) planReadRowId(spark, dir, prevV, files)
+          .where(lit(false))
+       else planReadRowId(spark, dir, prevV, candidates))
+        .join(broadcast(keyRows), keys, "left_semi")
+    val matchedData = matched.select(dataCols.map(col): _*)
+    val (sidecar, touched, _) =
+      stageDeleteSidecar(spark, dir, files, v, matched)
+    val upserted = graft.ops.Merge.upsert(matchedData, src, keys)
+      .select(dataCols.map(col): _*)
+    val sub = f"data/v$v%05d"
+    writeMaybePartitioned(dir, prevV, upserted, sub)
+    val written = listWritten(dir, sub)
+    if (changeFeedEnabled(dir)) {
+      val ct = "_change_type"
+      val touchedKeys = matchedData.select(keys.map(col): _*).distinct()
+      val pre = matchedData.withColumn(ct, lit("update_preimage"))
+      val post = graft.ops.Merge.upsert(matchedData,
+          src.join(touchedKeys, keys, "left_semi"), keys)
+        .select(dataCols.map(col): _*)
+        .withColumn(ct, lit("update_postimage"))
+      val ins = src.join(touchedKeys, keys, "left_anti")
+        .withColumn(ct, lit("insert"))
+      writeChanges(pre.unionByName(post).unionByName(ins), dir, v)
+    }
+    publish(spark, dir, prevV, v, files, written, "merge", schema,
+      newDels = sidecar, newDirty = touched)
+  }
+
   /** RESTORE to version `v` (Delta's `RESTORE TABLE ... TO VERSION AS
     * OF`): publishes a NEW commit whose content is exactly `v`'s.
     * Metadata-only — the manifest re-references `v`'s immutable data
@@ -2221,7 +2610,9 @@ object SnapshotTable {
     writeManifest(dir, next, s"overwrite@restore$v",
       files, stats, readSchema(dir, v), knownRows = carried,
       knownSizes = sizeMap(dir, v), parts = parts,
-      nulls = readNullCounts(dir, v).toSeq)
+      nulls = readNullCounts(dir, v).toSeq,
+      dels = readDeletes(dir, v), dirty = readDirty(dir, v),
+      ndel = readNdel(dir, v))
     next
   }
 

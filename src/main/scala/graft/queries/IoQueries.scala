@@ -1243,6 +1243,81 @@ object IoQueries {
     } finally s.sql(s"DROP TABLE graft_cat.$name")
   }
 
+  /** MERGE-ON-READ DML (q246, [[graft.io.SnapshotTable
+    * .enableMergeOnRead]]): the DML tier that makes point mutations
+    * affordable at 100 TB — copy-on-write rewrites every touched file
+    * in full, merge-on-read instead commits a positional-delete
+    * sidecar ((file, pos) rows) that scans anti-join on only the
+    * dirty files, and UPDATE/MERGE append just the CHANGED rows. The
+    * lifecycle: v1 commits the corpus, v2 tombstones a residue class
+    * (ZERO data files rewritten), v3 updates a slice (tombstone +
+    * appended rebuilt rows), v4 merges a batch that updates matched
+    * keys, RE-INSERTS keys v2 tombstoned, and inserts brand-new ids.
+    * Legs read each version's aggregates back through time travel —
+    * the oracle is pure slice arithmetic, so any tombstone the scan
+    * fails to apply (or over-applies) moves a sum. */
+  def morDml(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-mordml").toString
+    val st = graft.io.SnapshotTable
+    st.enableMergeOnRead(t)
+    st.commit(s, docs, t)                                        // v1
+    st.delete(s, t, col("doc_id") % 10 === 3)                    // v2
+    st.update(s, t, col("n_chars") % 7 === 2,
+      Map("n_chars" -> lit(55555L)))                             // v3
+    val src = docs.where(col("doc_id") % 6 === 0)
+      .withColumn("n_chars", col("n_chars") + 100L)
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000000L))
+    st.merge(s, t, src, Seq("doc_id"))                           // v4
+    (1 to 4).map { v =>
+      st.readSnapshot(s, t, Some(v))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(lit(v.toLong).as("leg"), col("n_docs"), col("sum_id"),
+          col("sum_chars"))
+    }.reduce(_.unionAll(_)).orderBy("leg")
+  }
+
+  /** MERGE-ON-READ through the DSv2 source + compaction folding
+    * (q247): a tombstoned table read through the SQL-reachable scan —
+    * dirty files take the position-filtered row path, clean files
+    * keep the vectorized/split path, `count(*)` still answers from
+    * MANIFEST BYTES (physical rows − live tombstones, a LocalTableScan
+    * plan) — then OPTIMIZE folds the deletes into clean files and the
+    * same aggregates re-read IDENTICALLY (legs 2 and 3 must hash
+    * equal): merge-on-read is a write-side layout choice, never a
+    * semantics change. */
+  def morDsv2(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-mords").toString
+    val st = graft.io.SnapshotTable
+    st.enableMergeOnRead(t)
+    st.commitMultiStats(s, docs, t, statsCols = Seq("doc_id"))
+    st.delete(s, t, col("doc_id") % 5 === 2)
+    def legs(leg1: Int, leg2: Int): DataFrame = {
+      val ds = s.read.format("graft.sources.SnapshotSource").load(t)
+      val c = ds.groupBy().count()
+        .select(lit(leg1.toLong).as("leg"), col("count").as("n_docs"),
+          lit(0L).as("sum_id"), lit(0L).as("sum_chars"))
+      val a = ds.where(col("n_chars") % 3 === 1)
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(lit(leg2.toLong).as("leg"), col("n_docs"), col("sum_id"),
+          col("sum_chars"))
+      c.unionAll(a)
+    }
+    val pre = legs(1, 2)
+    val preRows = pre.collect() // materialize before compaction
+    st.compact(s, t, numFiles = 4)
+    val preDf = s.createDataFrame(
+      s.sparkContext.parallelize(preRows.toSeq, 1), pre.schema)
+    preDf.unionAll(legs(3, 4)).orderBy("leg")
+  }
+
   /** Table history + OPTIMIZE through CALL (q234,
     * [[graft.io.SnapshotTable.history]] /
     * [[graft.sources.SnapshotCatalog]] `history`/`compact`

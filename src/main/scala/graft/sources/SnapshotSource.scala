@@ -145,6 +145,34 @@ object SnapshotSource {
     fs(path).delete(p, false): Unit
   }
 
+  /** The sorted positional-delete set of ONE data file (`rel` — the
+    * manifest-relative path the sidecars key on), read executor-side
+    * from the version's delete sidecars at partition open. Each dirty
+    * file's task re-reads the (small) sidecars; the alternative —
+    * shipping every file's positions through the driver — collects
+    * unbounded state at planning. */
+  private[sources] def deletedPositions(delFiles: Seq[String],
+                                        rel: String): Array[Long] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file", StringType),
+      org.apache.spark.sql.types.StructField("pos", LongType)))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    delFiles.foreach { f =>
+      val r = new ParquetGroupReader(f, schema)
+      try {
+        while (r.next()) {
+          val row = r.get()
+          if (!row.isNullAt(0) && !row.isNullAt(1) &&
+              row.getUTF8String(0).toString == rel)
+            buf += row.getLong(1)
+        }
+      } finally r.close()
+    }
+    val a = buf.toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
   /** Parquet MessageType → StructType for legacy manifests — the exact
     * inverse of [[SnapshotWrite.parquetType]], nested standard layouts
     * (LIST/MAP/group) included. */
@@ -479,7 +507,15 @@ private[sources] class SnapshotReplaceGroupsWrite(
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
             dataSchema)
         else reader.parquet(paths: _*)
-      val before = readOr(state.scanned)
+      // the scanned groups' ORIGINAL rows must be their LOGICAL rows:
+      // a dirty (merge-on-read) file's tombstoned positions are not
+      // part of the table and must not re-record as deleted here
+      val before =
+        if (state.scanned.isEmpty) readOr(Nil)
+        else SnapshotTable.planReadLogical(spark, dir, scanVersion,
+          state.scanned.map(_.stripPrefix(s"$dir/")))
+          .select(dataSchema.fieldNames.map(
+            org.apache.spark.sql.functions.col(_)): _*)
       val after = readOr(staged.map(f => s"$dir/$f"))
       val gone = before.exceptAll(after)
       val fresh = after.exceptAll(before)
@@ -757,7 +793,9 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       else new StructType(), // a column missing from the schema: decline
       partTuples,
       props.get("readChangeFeed").exists(_.trim.toBoolean),
-      props.get("endingVersion").map(_.trim.toInt))
+      props.get("endingVersion").map(_.trim.toInt),
+      SnapshotTable.readDeletes(dir, version).map(f => s"$dir/$f"),
+      SnapshotTable.readDirty(dir, version).toSet)
   }
 }
 
@@ -845,7 +883,9 @@ case class SnapshotScan(dir: String, files: Seq[String],
                         partTuples: Map[String, Seq[Option[String]]] =
                           Map.empty,
                         changeFeed: Boolean = false,
-                        endingVersion: Option[Int] = None)
+                        endingVersion: Option[Int] = None,
+                        delFiles: Seq[String] = Nil,
+                        dirtyRel: Set[String] = Set.empty)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -970,7 +1010,15 @@ case class SnapshotScan(dir: String, files: Seq[String],
         .toArray[InputPartition]
     } else activeFiles.flatMap { f =>
       val key = if (partSchema.isEmpty) null else typedKey(f)
-      SnapshotScan.split(f, maxSplitBytes, fileSizes.get(f))
+      val rel = f.stripPrefix(s"$dir/")
+      if (dirtyRel.contains(rel))
+        // a DIRTY file reads UNSPLIT through the position-filtered row
+        // reader: positional deletes are absolute in-file row indexes,
+        // and a sequential whole-file read is the cheapest exact
+        // counter (dirty files are the exception — compaction folds
+        // them back to the split/vectorized fast path)
+        Seq(SnapshotFilePartition(f, 0L, -1L, key, rel, delFiles))
+      else SnapshotScan.split(f, maxSplitBytes, fileSizes.get(f))
         .map(p => if (key == null) p else p.copy(partKey = key))
     }.toArray[InputPartition]
 
@@ -1001,6 +1049,15 @@ case class SnapshotScan(dir: String, files: Seq[String],
     val rows = SnapshotTable.readRows(dir, version).map { rs =>
       val byFile = SnapshotTable.manifestFiles(dir, version).zip(rs).toMap
       rel.flatMap(byFile.get).sum
+    }.flatMap { physical =>
+      // merge-on-read: recorded counts are physical rows; exact when
+      // every dirty file is planned (subtract the live tombstones),
+      // declined when pruning split the dirty set (per-file tombstone
+      // counts are not recorded — never hand the optimizer a guess)
+      if (dirtyRel.isEmpty) Some(physical)
+      else if (dirtyRel.subsetOf(rel.toSet))
+        Some(physical - SnapshotTable.readNdel(dir, version))
+      else None
     }
     def statLen(p: String): Option[Long] =
       try {
@@ -1032,7 +1089,15 @@ case class SnapshotScan(dir: String, files: Seq[String],
   private lazy val requiredWidth: Int = width(required)
   override def createReaderFactory(): PartitionReaderFactory =
     if (changeFeed) new CdfReaderFactory(required)
-    else new SnapshotReaderFactory(required, vectorized,
+    // Spark refuses MIXED row/columnar partitions in one scan: when any
+    // planned file is merge-on-read dirty (position-filtered = row
+    // path), the whole scan reads row-based. Dirty files are the
+    // transient exception — compaction folds them back and the scan
+    // re-vectorizes; a pruned scan that skips every dirty file keeps
+    // the columnar path even before that.
+    else new SnapshotReaderFactory(required, vectorized &&
+      !activeFiles.exists(f =>
+        dirtyRel.contains(f.stripPrefix(s"$dir/"))),
       SnapshotSource.sessionReadConfs())
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
@@ -1202,10 +1267,31 @@ private[graft] object SnapshotCdf {
         val sidecar = SnapshotTable.changeFiles(dir, v)
         if (sidecar.nonEmpty)
           sidecar.map(f => CdfFilePartition(f, None, v))
-        else if (action == "delete" && added.isEmpty)
+        else if (action == "delete" && added.isEmpty) {
+          // METADATA partition delete: the dropped files' rows ARE the
+          // deleted rows — unless a dropped file carried positional
+          // deletes, in which case its LOGICAL rows differ from its
+          // bytes and a constant-partition read would resurrect
+          // tombstoned rows into the feed. Refuse that edge loudly.
+          val prevDirty = SnapshotTable.readDirty(dir, v - 1).toSet
+          val droppedDirty = removed.filter(prevDirty)
+          if (droppedDirty.nonEmpty) throw new IllegalStateException(
+            s"version $v drops partition files with positional " +
+              s"deletes (${droppedDirty.mkString(", ")}) — their " +
+              "row-level delta is not derivable from file bytes; " +
+              s"start the feed above v$v")
           removed.map(f => CdfFilePartition(s"$dir/$f", Some("delete"), v))
-        else if (added.isEmpty && removed.isEmpty)
-          Seq.empty // no-op DML (matched nothing): no rows changed
+        }
+        else if (added.isEmpty && removed.isEmpty &&
+            SnapshotTable.readDeletes(dir, v) ==
+              SnapshotTable.readDeletes(dir, v - 1) &&
+            SnapshotTable.readNdel(dir, v) ==
+              SnapshotTable.readNdel(dir, v - 1))
+          // no-op DML (matched nothing): files AND positional-delete
+          // state unchanged — no rows changed. A MoR delete changes no
+          // files but DOES change the sidecar set, so it must not fall
+          // in here (it either recorded a CDF sidecar or refuses below)
+          Seq.empty
         else throw new IllegalStateException(
           s"version $v is '$action' but recorded no change sidecar — " +
             "call SnapshotTable.enableChangeFeed BEFORE the DML, or " +
@@ -1279,7 +1365,9 @@ class CdfReaderFactory(required: StructType) extends PartitionReaderFactory {
   * never asks. */
 case class SnapshotFilePartition(path: String, start: Long = 0L,
                                  length: Long = -1L,
-                                 partKey: InternalRow = null)
+                                 partKey: InternalRow = null,
+                                 relPath: String = null,
+                                 delFiles: Seq[String] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey
@@ -1298,7 +1386,14 @@ class SnapshotReaderFactory(required: StructType,
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
-    val base = new ParquetGroupReader(p.path, dataSchema, p.start, p.length)
+    val raw = new ParquetGroupReader(p.path, dataSchema, p.start, p.length)
+    // merge-on-read dirty file: skip its positionally-deleted rows
+    // (sequential whole-file read => the running counter IS the
+    // absolute row index)
+    val base =
+      if (p.delFiles.isEmpty) raw
+      else new PositionFilteredReader(raw,
+        SnapshotSource.deletedPositions(p.delFiles, p.relPath))
     if (fileIdx < 0) base
     else new PartitionReader[InternalRow] {
       private val path = UTF8String.fromString(p.path)
@@ -1332,7 +1427,10 @@ class SnapshotReaderFactory(required: StructType,
   // row path stays as the `.option("vectorizedRead", false)` escape and
   // the spec's parity baseline.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    vectorized && fileIdx < 0 // `_file` scans take the row path
+    vectorized && fileIdx < 0 && (partition match {
+      case f: SnapshotFilePartition => f.delFiles.isEmpty // dirty: row path
+      case _ => true
+    })
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
@@ -1401,6 +1499,28 @@ class SnapshotColumnarReader(path: String, required: StructType,
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
     reader.resultBatch()
   override def close(): Unit = reader.close()
+}
+
+/** Skips the positionally-deleted rows of a MERGE-ON-READ dirty file:
+  * wraps the sequential whole-file row reader with a running row
+  * counter (which IS parquet's absolute row index on an unsplit,
+  * non-skipping read) and a sorted-array binary search per row. The
+  * delete set is loaded once at open ([[SnapshotSource
+  * .deletedPositions]]) — sidecars are point-delete-sized by design,
+  * and compaction folds dirty files back to the vectorized path. */
+class PositionFilteredReader(base: PartitionReader[InternalRow],
+                             deleted: Array[Long])
+    extends PartitionReader[InternalRow] {
+  private var pos = -1L
+  override def next(): Boolean = {
+    while (base.next()) {
+      pos += 1
+      if (java.util.Arrays.binarySearch(deleted, pos) < 0) return true
+    }
+    false
+  }
+  override def get(): InternalRow = base.get()
+  override def close(): Unit = base.close()
 }
 
 /** Executor-side parquet record reader over the PUBLIC parquet-hadoop

@@ -870,6 +870,133 @@ class SnapshotTableSpec extends SparkSpec {
       Option(err2.getCause).exists(_.getMessage.contains("vacuumed")))
   }
 
+  test("MERGE-ON-READ DML: delete tombstones by position with ZERO " +
+    "data files rewritten, update/merge append only changed rows, " +
+    "every read path applies deletes, metadata count stays exact, " +
+    "compaction folds, vacuum reaps dead sidecars, CDF records") {
+    val dir = Files.createTempDirectory("snap-mor").toString
+    val st = SnapshotTable
+    st.enableChangeFeed(dir)
+    st.enableMergeOnRead(dir)
+    val v1 = (0L until 100L).map(i => (i, s"g${i % 4}", i * 2))
+      .toDF("id", "grp", "n")
+    st.commitMultiStats(spark, v1, dir, statsCols = Seq("id"))    // v1
+    val f1 = st.manifestFiles(dir, 1)
+    // v2: MoR DELETE — the file list is UNCHANGED (the whole point)
+    st.delete(spark, dir, col("id") < 10L)
+    assert(st.manifestFiles(dir, 2) == f1)
+    assert(st.readDeletes(dir, 2).nonEmpty && st.readNdel(dir, 2) == 10L)
+    assert(st.readSnapshot(spark, dir).count() == 90L)
+    assert(st.readSnapshot(spark, dir).agg(min(col("id")))
+      .head().getLong(0) == 10L)
+    // time travel: v1 still reads pre-delete
+    assert(st.readSnapshot(spark, dir, Some(1)).count() == 100L)
+    // metadata count subtracts tombstones; min/max declines while dirty
+    assert(st.manifestCount(dir, 2).contains(90L))
+    assert(st.manifestMinMaxAll(dir, 2).isEmpty)
+    // pruned read paths apply deletes too
+    assert(st.readSnapshotPruned(spark, dir, "id", 0L, 9L).count() == 0L)
+    assert(st.readSnapshotPruned(spark, dir, "id", 5L, 15L).count() == 6L)
+    // v3: MoR UPDATE — appends only the rebuilt row, carries all files
+    st.update(spark, dir, col("id") === 50L, Map("n" -> lit(999L)))
+    assert(f1.toSet.subsetOf(st.manifestFiles(dir, 3).toSet))
+    assert(st.readSnapshot(spark, dir).count() == 90L)
+    assert(st.readSnapshot(spark, dir).where(col("id") === 50L)
+      .select("n").as[Long].collect().toSeq == Seq(999L))
+    // v4: MoR MERGE — matched key updated in place, new key appended
+    val src = Seq((20L, "gX", -1L), (500L, "gN", 1L))
+      .toDF("id", "grp", "n")
+    st.merge(spark, dir, src, Seq("id"))
+    val t4 = st.readSnapshot(spark, dir)
+    assert(t4.count() == 91L)
+    assert(t4.where(col("id") === 20L).as[(Long, String, Long)]
+      .collect().toSeq == Seq((20L, "gX", -1L)))
+    assert(t4.where(col("id") === 500L).count() == 1L)
+    assert(st.readNdel(dir, 4) == 12L) // 10 deleted + id=50 + id=20
+    // v5: re-deleting already-tombstoned rows matches NOTHING (scans
+    // see logical rows) — a metadata no-op commit
+    st.delete(spark, dir, col("id") < 10L)
+    assert(st.readNdel(dir, 5) == 12L)
+    assert(st.readSnapshot(spark, dir).count() == 91L)
+    // CDF recorded every leg; replaying it reproduces the table
+    val feed = st.readChangeFeed(spark, dir, 1)
+      .select("id", "grp", "n", "_change_type", "_commit_version")
+      .as[(Long, String, Long, String, Long)].collect()
+    assert(feed.count(r => r._5 == 2L && r._4 == "delete") == 10)
+    assert(feed.filter(_._5 == 3L).map(r => (r._4, r._3)).toSet ==
+      Set(("update_preimage", 100L), ("update_postimage", 999L)))
+    assert(feed.filter(r => r._5 == 4L && r._4 == "insert")
+      .map(_._1).toSeq == Seq(500L))
+    val replayed = feed.sortBy(_._5)
+      .foldLeft(Map.empty[Long, (Long, String, Long)]) {
+        case (m, (id, g, n, ct, _)) => ct match {
+          case "insert" | "update_postimage" => m + (id -> ((id, g, n)))
+          case "delete" => m - id
+          case _ => m
+        }
+      }.values.toSet
+    assert(replayed == t4.as[(Long, String, Long)].collect().toSet)
+    // v6: compaction FOLDS the deletes — clean manifest, identical
+    // content, metadata min/max answers restored
+    val before = t4.as[(Long, String, Long)].collect().toSet
+    st.compact(spark, dir, numFiles = 2)
+    val v6 = st.versions(dir).last
+    assert(st.readDeletes(dir, v6).isEmpty && st.readDirty(dir, v6).isEmpty)
+    assert(st.readNdel(dir, v6) == 0L)
+    assert(st.readSnapshot(spark, dir).as[(Long, String, Long)]
+      .collect().toSet == before)
+    assert(st.manifestMinMaxAll(dir, v6).nonEmpty)
+    // vacuum to the compacted version reaps the dead sidecars
+    st.vacuum(dir, 1)
+    val delDir = new java.io.File(dir, "deletes")
+    def walkParquet(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+      kids.flatMap(k => if (k.isDirectory) walkParquet(k)
+        else if (k.getName.endsWith(".parquet")) Seq(k) else Nil)
+    }
+    assert(walkParquet(delDir).isEmpty)
+  }
+
+  test("MERGE-ON-READ on a PARTITIONED table: tombstones respect the " +
+    "layout, partition-pruned reads apply them, and a CoW rewrite " +
+    "through compactPartition folds only that partition's deletes") {
+    val dir = Files.createTempDirectory("snap-morp").toString
+    val st = SnapshotTable
+    st.enableMergeOnRead(dir)
+    val data = (0L until 120L).map(i => (i, s"s${i % 3}", i * 2))
+      .toDF("id", "src", "n")
+    st.commitPartitioned(spark, data, dir, Seq("src"))
+    st.delete(spark, dir, col("id") % 10 === 0L) // 12 tombstones across parts
+    assert(st.readSnapshot(spark, dir).count() == 108L)
+    assert(st.readSnapshotPartitioned(spark, dir, Map("src" -> "s0"))
+      .count() == 40L - 4L) // ids ≡ 0 mod 30 removed from s0's 40
+    // update moves a row ACROSS partition values: tombstone in s1,
+    // appended file lands value-pure under s2
+    st.update(spark, dir, col("id") === 1L, Map("src" -> lit("s2")))
+    assert(st.readSnapshotPartitioned(spark, dir, Map("src" -> "s2"))
+      .where(col("id") === 1L).count() == 1L)
+    assert(st.readSnapshotPartitioned(spark, dir, Map("src" -> "s1"))
+      .where(col("id") === 1L).count() == 0L)
+    // compacting ONE partition folds exactly its tombstones; others stay
+    val vBefore = st.versions(dir).last
+    val dirtyBefore = st.readDirty(dir, vBefore).toSet
+    st.compactPartition(spark, dir, Map("src" -> "s0"))
+    val vAfter = st.versions(dir).last
+    val dirtyAfter = st.readDirty(dir, vAfter).toSet
+    assert(dirtyAfter.nonEmpty && dirtyAfter.subsetOf(dirtyBefore))
+    assert(st.readSnapshot(spark, dir).count() == 108L)
+    assert(st.readSnapshotPartitioned(spark, dir, Map("src" -> "s0"))
+      .count() == 36L)
+    // metadata partition delete still works and drops a CLEAN slice;
+    // dropping a dirty partition would refuse the feed edge, so drop
+    // after compacting it clean
+    st.compactPartition(spark, dir, Map("src" -> "s1"))
+    st.deletePartitions(dir, Map("src" -> "s1"))
+    assert(st.readSnapshot(spark, dir)
+      .where(col("src") === "s1").count() == 0L)
+  }
+
   test("a DATA value equal to the reserved spec-evolution marker " +
     "(u0002) in a partition column refuses at commit — it would be " +
     "indistinguishable from a genuine UNKNOWN tuple") {

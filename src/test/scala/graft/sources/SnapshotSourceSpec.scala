@@ -958,6 +958,63 @@ class SnapshotSourceSpec extends SparkSpec {
       "i" -> IntegerType, "b" -> BooleanType))
   }
 
+  test("MERGE-ON-READ through the DSv2 source: dirty files read " +
+    "position-filtered on the row path, clean files keep the " +
+    "vectorized/split path, count(*) pushdown stays exact, SQL reads " +
+    "and SQL DML see logical rows and DML folds the touched deletes") {
+    val dir = Files.createTempDirectory("graft-dsv2mor").toString
+    val st = SnapshotTable
+    st.enableMergeOnRead(dir)
+    st.commitMultiStats(spark,
+      (0L until 200L).map(i => (i, i * 3)).toDF("id", "n"), dir,
+      statsCols = Seq("id"))
+    st.delete(spark, dir, col("id") % 4 === 1L) // 50 tombstones
+    // DSv2 batch read applies the tombstones (vectorized default)
+    val ds = load(dir)
+    assert(ds.count() == 150L)
+    assert(ds.where(col("id") % 4 === 1L).count() == 0L)
+    assert(ds.agg(sum(col("n"))).head().getLong(0) ==
+      (0L until 200L).filter(_ % 4 != 1L).map(_ * 3).sum)
+    // row-path escape agrees
+    assert(spark.read.format("graft.sources.SnapshotSource")
+      .option("vectorizedRead", "false").load(dir).count() == 150L)
+    // count(*) answers from the MANIFEST (rows − ndel): the plan is a
+    // local scan, zero file IO
+    val cnt = ds.groupBy().count()
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(cnt.as[Long].head() == 150L)
+    // min/max pushdown DECLINES while dirty (a tombstoned row may hold
+    // the extremum) — answered from data, still exact
+    assert(ds.agg(min(col("id"))).head().getLong(0) == 0L)
+    assert(ds.agg(max(col("id"))).head().getLong(0) == 199L)
+    // stats-pruned read over the dirty table stays exact
+    assert(ds.where(col("id") < 8L).as[(Long, Long)].collect()
+      .map(_._1).sorted.toSeq == Seq(0L, 2L, 3L, 4L, 6L, 7L))
+    // SQL DML (CoW row-level path) on the MoR table reads logical rows
+    // and FOLDS the touched files' deletes into its rewrite
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW mor_v USING " +
+      s"graft.sources.SnapshotSource OPTIONS (path '$dir')")
+    spark.conf.set("spark.sql.catalog.morcat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.morcat.root",
+      new java.io.File(dir).getParent)
+    val name = new java.io.File(dir).getName
+    val v2 = st.versions(dir).last
+    spark.sql(s"UPDATE morcat.`$name` SET n = -1 WHERE id = 100")
+    val v3 = st.versions(dir).last
+    // runtime group filtering scanned only the file holding id=100;
+    // rewriting it FOLDED its tombstones (dirty shrinks, ndel drops),
+    // every other dirty file carries its deletes
+    assert(st.readDirty(dir, v3).size < st.readDirty(dir, v2).size)
+    assert(st.readNdel(dir, v3) < st.readNdel(dir, v2))
+    val after = load(dir)
+    assert(after.count() == 150L)
+    assert(after.where(col("id") === 100L).select("n")
+      .as[Long].head() == -1L)
+    assert(after.where(col("id") % 4 === 1L).count() == 0L)
+  }
+
   test("vectorized read semantics follow the SESSION conf, not pinned " +
     "constants: sessionReadConfs captures overrides at scan build and " +
     "a non-default session still reads exactly") {
