@@ -241,20 +241,24 @@ object SnapshotTable {
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
       xstatsJson + nullsJson + rowsJson + sizesJson + partsJson +
       delsJson + schemaJson + "}"
-    // PER-WRITER tmp name: two writers racing the same version must
-    // not share a staging file — the winner's cleanup would delete the
-    // loser's tmp out from under its link attempt, surfacing as a
-    // spurious NoSuchFile instead of the loud CAS conflict
+    casPublish(dir, v, json)
+  }
+
+  /** The commit point shared by full and SEGMENTED manifests. PER-WRITER
+    * tmp name: two writers racing the same version must not share a
+    * staging file — the winner's cleanup would delete the loser's tmp
+    * out from under its link attempt, surfacing as a spurious
+    * NoSuchFile instead of the loud CAS conflict. Hard-link = a true
+    * COMPARE-AND-SWAP: link creation is atomic-exclusive (EEXIST if the
+    * target exists), so a second writer racing the same version fails
+    * LOUDLY here instead of silently clobbering the first writer's
+    * commit — rename(2), which ATOMIC_MOVE maps to on Linux, replaces
+    * an existing target and would lose the race winner's update without
+    * a trace. Readers still see all of v or none of it. */
+  private def casPublish(dir: String, v: Int, json: String): Unit = {
     val tmp = new File(logDir(dir),
       s".v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp.toPath, json.getBytes(UTF_8))
-    // hard-link = the commit point, and a true COMPARE-AND-SWAP: link
-    // creation is atomic-exclusive (EEXIST if the target exists), so a
-    // second writer racing the same version fails LOUDLY here instead
-    // of silently clobbering the first writer's commit — rename(2),
-    // which ATOMIC_MOVE maps to on Linux, replaces an existing target
-    // and would lose the race winner's update without a trace. Readers
-    // still see all of v or none of it.
     try Files.createLink(manifestFile(dir, v).toPath, tmp.toPath)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -387,11 +391,123 @@ object SnapshotTable {
       manifestCache.get(key) match {
         case (m, l, json) if m == mtime && l == len => json
         case _ =>
-          val json = new String(Files.readAllBytes(f.toPath), UTF_8)
+          val raw = new String(Files.readAllBytes(f.toPath), UTF_8)
+          // a SEGMENTED manifest (the O(delta)-per-commit append path)
+          // assembles into the legacy full shape ONCE here; every
+          // regex reader downstream is storage-agnostic, and the LRU
+          // caches the assembled view (segments are immutable)
+          val json = raw match {
+            case SegmentsRe(list) if list.nonEmpty =>
+              assembleSegments(dir, raw,
+                list.split(",").toSeq
+                  .map(_.stripPrefix("\"").stripSuffix("\"")))
+            case _ => raw
+          }
           manifestCache.put(key, (mtime, len, json))
           json
       }
     }
+  }
+
+  private val SegmentsRe = """"segments":\[([^\]]*)\]""".r.unanchored
+
+  /** The segment files a (raw) manifest-list references; empty for a
+    * full manifest. Reads the RAW bytes (never the assembled cache) —
+    * vacuum's segment-liveness sweep depends on it. */
+  private[io] def readSegments(dir: String, v: Int): Seq[String] = {
+    val f = manifestFile(dir, v)
+    if (!f.exists()) return Seq.empty
+    new String(Files.readAllBytes(f.toPath), UTF_8) match {
+      case SegmentsRe(list) if list.nonEmpty =>
+        list.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      case _ => Seq.empty
+    }
+  }
+
+  /** One raw `"key":[...]` array body out of a json fragment. */
+  private def rawArr(json: String, k: String): Option[String] =
+    ("\"" + k + "\":\\[([^\\]]*)\\]").r
+      .findFirstMatchIn(json).map(_.group(1))
+  private def rawStr(json: String, k: String): Option[String] =
+    ("\"" + k + "\":\"([^\"]*)\"").r
+      .findFirstMatchIn(json).map(_.group(1))
+
+  /** Concatenate the per-file arrays of every referenced segment into
+    * ONE legacy-shaped manifest json (global fields — action, ts,
+    * dataChange, schema, MoR delete state — come from the list
+    * itself). A per-file tier survives assembly only when EVERY
+    * segment records it (decline-never-guess — readers then skip that
+    * metadata answer, exactly as for a legacy manifest without the
+    * tier); column-NAME fields must be identical across segments (the
+    * segmented writer enforces it; a mismatch drops the tier). */
+  private def assembleSegments(dir: String, listJson: String,
+                               segs: Seq[String]): String = {
+    val bodies = segs.map { n =>
+      new String(Files.readAllBytes(
+        new File(logDir(dir), n).toPath), UTF_8)
+    }
+    def concat(k: String): Option[String] = {
+      val parts = bodies.map(rawArr(_, k))
+      if (parts.exists(_.isEmpty)) None
+      else Some(parts.flatten.filter(_.nonEmpty).mkString(","))
+    }
+    def same(k: String, arr: Boolean): Option[String] = {
+      val vs = bodies.map(b => if (arr) rawArr(b, k) else rawStr(b, k))
+      if (vs.exists(_.isEmpty) || vs.distinct.length != 1) None
+      else vs.head
+    }
+    val sb = new StringBuilder
+    sb ++= s"""{"version":${rawStr(listJson, "version").orElse(
+      ("\"version\":(\\d+)".r.findFirstMatchIn(listJson).map(_.group(1)))
+    ).getOrElse("0")}"""
+    rawStr(listJson, "action").foreach(a => sb ++= s""","action":"$a"""")
+    """"ts":(\d+)""".r.findFirstMatchIn(listJson)
+      .foreach(m => sb ++= s""","ts":${m.group(1)}""")
+    if (listJson.contains(""""dataChange":false"""))
+      sb ++= ""","dataChange":false"""
+    sb ++= s""","files":[${concat("files").getOrElse(
+      throw new IllegalStateException(
+        s"corrupt segmented manifest in $dir: a segment lost its file " +
+          s"list (${segs.mkString(",")})"))}]"""
+    for {
+      c <- same("stats_col", arr = false)
+      mins <- concat("mins"); maxs <- concat("maxs")
+    } {
+      sb ++= s""","stats_col":"$c","mins":[$mins],"maxs":[$maxs]"""
+      same("xcols", arr = true).foreach { xc =>
+        val n = if (xc.isEmpty) 0 else xc.split(",").length
+        val xs = (0 until n).map(i =>
+          (concat(s"xmins$i"), concat(s"xmaxs$i")))
+        if (xs.forall(p => p._1.isDefined && p._2.isDefined)) {
+          sb ++= s""","xcols":[$xc]"""
+          xs.zipWithIndex.foreach { case ((mn, mx), i) =>
+            sb ++= s""","xmins$i":[${mn.get}],"xmaxs$i":[${mx.get}]"""
+          }
+        }
+      }
+      same("ncols", arr = true).foreach { nc =>
+        val n = if (nc.isEmpty) 0 else nc.split(",").length
+        val ns = (0 until n).map(i => concat(s"nulls$i"))
+        if (ns.forall(_.isDefined)) {
+          sb ++= s""","ncols":[$nc]"""
+          ns.zipWithIndex.foreach { case (x, i) =>
+            sb ++= s""","nulls$i":[${x.get}]"""
+          }
+        }
+      }
+    }
+    concat("rows").foreach(r => sb ++= s""","rows":[$r]""")
+    concat("sizes").foreach(r => sb ++= s""","sizes":[$r]""")
+    for (pc <- same("pcols", arr = true); pv <- concat("pvals"))
+      sb ++= s""","pcols":[$pc],"pvals":[$pv]"""
+    for (ds <- rawArr(listJson, "dels"); dy <- rawArr(listJson, "dirty");
+         nd <- """"ndel":(\d+)""".r.findFirstMatchIn(listJson)
+           .map(_.group(1)))
+      sb ++= s""","dels":[$ds],"dirty":[$dy],"ndel":$nd"""
+    rawStr(listJson, "schema_b64").foreach(b =>
+      sb ++= s""","schema_b64":"$b"""")
+    sb += '}'
+    sb.toString
   }
 
   private[io] def readManifest(dir: String, v: Int): Seq[String] =
@@ -981,6 +1097,18 @@ object SnapshotTable {
         s"txn query id '$qid' would corrupt the manifest action field") }
     val action = (if (overwrite) "overwrite" else "append") +
       txn.fold("") { case (qid, e) => s"@txn$qid:epoch$e" }
+    // O(delta) segmented append for externally staged writers too —
+    // the STREAMING sink's per-epoch commits are the heaviest
+    // full-manifest-rewrite offenders (one commit per epoch, forever)
+    if (base.nonEmpty && !overwrite && {
+      val prevOrder = statsColumns(dir, prev.last).zipWithIndex.toMap
+      val newStats = stats.sortBy { case (c, _) =>
+        prevOrder.getOrElse(c, Int.MaxValue) }
+      val prevNullsCols = readNullCounts(dir, prev.last).keySet
+      trySegmentedAppend(dir, prev, v, action, relFiles, newStats,
+        nulls.filter(n => prevNullsCols.contains(n._1)), parts,
+        evolvedSchemaFrom(dir, prev, writeSchema, overwrite))
+    }) return v
     val carriedRows =
       if (base.isEmpty) Map.empty[String, Long]
       else readRows(dir, prev.last)
@@ -1285,6 +1413,166 @@ object SnapshotTable {
     -1 // unreachable
   }
 
+  /** Maximum segment-chain length before an append falls back to a
+    * full manifest rewrite — the metadata analog of data compaction:
+    * assembly cost is bounded at 64 small reads, and every 64th append
+    * amortizes one O(table) metadata write instead of every append
+    * paying it. */
+  private val MaxSegments = 64
+
+  /** Publish version `v` as a SEGMENTED append when shape allows: one
+    * new segment holding only the NEW files' per-file arrays + a tiny
+    * manifest-list referencing the carried segments (a full prev
+    * manifest is materialized as a segment once). Returns false — and
+    * writes nothing — when any shape condition fails (column-set
+    * drift, unreadable new-file rows/sizes where the base records
+    * them, chain at cap): the caller then takes the full-manifest
+    * path. Metadata IO per append becomes O(delta); readers are
+    * storage-agnostic (assembly in [[manifestJson]]). */
+  private def trySegmentedAppend(dir: String, prev: Seq[Int], v: Int,
+      action: String,
+      newFiles: Seq[String],
+      newStats: Seq[(String, Seq[(Long, Long)])],
+      newNulls: Seq[(String, Seq[Long])],
+      newParts: Option[(Seq[String], Seq[Seq[Option[String]]])],
+      schema: Option[StructType]): Boolean = {
+    val prevV = prev.last
+    if (statsColumns(dir, prevV) != newStats.map(_._1)) return false
+    if (partitionColumns(dir, prevV) !=
+        newParts.map(_._1).getOrElse(Nil)) return false
+    // nulls tier: the base's recorded columns (in their recorded
+    // order) must all be coverable from the new arrays
+    val prevNullCols = manifestJson(dir, prevV) match {
+      case NColsRe(list) if list.nonEmpty =>
+        list.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      case _ => Nil
+    }
+    val newNullsMap = newNulls.toMap
+    if (!prevNullCols.forall(newNullsMap.contains)) return false
+    // rows/sizes tiers: where the base records them, every new file
+    // must answer, else the tier would silently half-state
+    val rowsOpt: Option[Seq[Long]] =
+      if (readRows(dir, prevV).isEmpty) None
+      else {
+        val rs = newFiles.map(f => footerRows(dir, f))
+        if (rs.exists(_.isEmpty)) return false
+        Some(rs.flatten)
+      }
+    val sizesOpt: Option[Seq[Long]] =
+      if (readSizes(dir, prevV).isEmpty) None
+      else {
+        val ss = newFiles.map(f => fileLen(dir, f))
+        if (ss.exists(_.isEmpty)) return false
+        Some(ss.flatten)
+      }
+    val prevSegs = readSegments(dir, prevV)
+    if (prevSegs.length + 1 > MaxSegments) return false
+    // a full prev manifest becomes the chain's first segment (copied —
+    // the manifest file itself dies with its version at vacuum, the
+    // segment lives by reference-liveness)
+    val carriedSegs =
+      if (prevSegs.nonEmpty) prevSegs
+      else {
+        val pj = manifestJson(dir, prevV)
+        val sb = new StringBuilder
+        sb ++= s"""{"files":[${rawArr(pj, "files").getOrElse(
+          return false)}]"""
+        for (c <- rawStr(pj, "stats_col"); mn <- rawArr(pj, "mins");
+             mx <- rawArr(pj, "maxs"))
+          sb ++= s""","stats_col":"$c","mins":[$mn],"maxs":[$mx]"""
+        rawArr(pj, "xcols").foreach { xc =>
+          sb ++= s""","xcols":[$xc]"""
+          val n = if (xc.isEmpty) 0 else xc.split(",").length
+          (0 until n).foreach { i =>
+            for (mn <- rawArr(pj, s"xmins$i"); mx <- rawArr(pj, s"xmaxs$i"))
+              sb ++= s""","xmins$i":[$mn],"xmaxs$i":[$mx]"""
+          }
+        }
+        rawArr(pj, "ncols").foreach { nc =>
+          sb ++= s""","ncols":[$nc]"""
+          val n = if (nc.isEmpty) 0 else nc.split(",").length
+          (0 until n).foreach(i => rawArr(pj, s"nulls$i").foreach(x =>
+            sb ++= s""","nulls$i":[$x]"""))
+        }
+        rawArr(pj, "rows").foreach(r => sb ++= s""","rows":[$r]""")
+        rawArr(pj, "sizes").foreach(r => sb ++= s""","sizes":[$r]""")
+        for (pc <- rawArr(pj, "pcols"); pv <- rawArr(pj, "pvals"))
+          sb ++= s""","pcols":[$pc],"pvals":[$pv]"""
+        sb += '}'
+        Seq(writeSegmentFile(dir, sb.toString))
+      }
+    // the new files' segment, in the exact full-manifest field grammar
+    val sb = new StringBuilder
+    sb ++= s"""{"files":[${newFiles.map(f => "\"" + f + "\"")
+      .mkString(",")}]"""
+    newStats.headOption.foreach { case (c, mm) =>
+      sb ++= s""","stats_col":"$c","mins":[${mm.map(_._1).mkString(",")}]""" +
+        s""","maxs":[${mm.map(_._2).mkString(",")}]"""
+      if (newStats.length > 1) {
+        val extra = newStats.tail
+        sb ++= s""","xcols":[${extra.map(e => "\"" + e._1 + "\"")
+          .mkString(",")}]"""
+        extra.zipWithIndex.foreach { case ((_, mm2), i) =>
+          sb ++= s""","xmins$i":[${mm2.map(_._1).mkString(",")}]""" +
+            s""","xmaxs$i":[${mm2.map(_._2).mkString(",")}]"""
+        }
+      }
+      if (prevNullCols.nonEmpty) {
+        sb ++= s""","ncols":[${prevNullCols.map(n => "\"" + n + "\"")
+          .mkString(",")}]"""
+        prevNullCols.zipWithIndex.foreach { case (nc, i) =>
+          sb ++= s""","nulls$i":[${newNullsMap(nc).mkString(",")}]"""
+        }
+      }
+    }
+    rowsOpt.foreach(rs => sb ++= s""","rows":[${rs.mkString(",")}]""")
+    sizesOpt.foreach(ss => sb ++= s""","sizes":[${ss.mkString(",")}]""")
+    newParts.foreach { case (cols, vals) =>
+      val encoded = vals.map { tuple =>
+        require(tuple.length == cols.length,
+          s"partition tuple arity ${tuple.length} != ${cols.length}")
+        tuple.foreach(_.foreach(s => require(
+          !s.contains(PartNull) && !s.contains(PartSep) &&
+            (s == PartUnknown || !s.contains(PartUnknown)),
+          "partition values may not contain \\u0000/\\u0001/\\u0002")))
+        Base64.getEncoder.encodeToString(
+          tuple.map(_.getOrElse(PartNull)).mkString(PartSep)
+            .getBytes(UTF_8))
+      }
+      sb ++= s""","pcols":[${cols.map(c => "\"" + c + "\"")
+        .mkString(",")}]""" +
+        s""","pvals":[${encoded.map(e => "\"" + e + "\"").mkString(",")}]"""
+    }
+    sb += '}'
+    val newSeg = writeSegmentFile(dir, sb.toString)
+    // the list: globals only — this is the O(delta) write
+    val dcJson = if (dataChange.value) "" else ""","dataChange":false"""
+    val dels = readDeletes(dir, prevV)
+    val delsJson =
+      if (dels.isEmpty) ""
+      else s""","dels":[${dels.map(f => "\"" + f + "\"").mkString(",")}]""" +
+        s""","dirty":[${readDirty(dir, prevV)
+          .map(f => "\"" + f + "\"").mkString(",")}]""" +
+        s""","ndel":${readNdel(dir, prevV)}"""
+    val schemaJson = schema.map { st =>
+      s""","schema_b64":"${Base64.getEncoder.encodeToString(
+        st.json.getBytes(UTF_8))}""""
+    }.getOrElse("")
+    casPublish(dir, v,
+      s"""{"version":$v,"action":"$action","ts":${clock.value()}""" +
+        dcJson + s""","segments":[${(carriedSegs :+ newSeg)
+        .map(s => "\"" + s + "\"").mkString(",")}]""" +
+        delsJson + schemaJson + "}")
+    true
+  }
+
+  private def writeSegmentFile(dir: String, json: String): String = {
+    val name = s"seg-${java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)}.json"
+    Files.write(new File(logDir(dir), name).toPath, json.getBytes(UTF_8))
+    name
+  }
+
   private def publishStagedOnce(spark: SparkSession, df: DataFrame,
                                 dir: String, prev: Seq[Int], v: Int,
                                 sub: String, overwrite: Boolean,
@@ -1330,6 +1618,29 @@ object SnapshotTable {
         val prevOrder = statsColumns(dir, prev.last).zipWithIndex.toMap
         statsCols.sortBy(c => prevOrder.getOrElse(c, Int.MaxValue))
       }
+    // O(delta) METADATA COMMIT (Iceberg's manifest-list layering,
+    // flattened to one level): an append whose column sets match the
+    // base writes ONE SEGMENT with the new files' arrays plus a tiny
+    // list that references the carried segments — commit metadata IO
+    // proportional to the DELTA, not the table (the chronic cost of a
+    // daily-append 10^6-file log: every full manifest rewrite pays the
+    // whole history again). Shape-changing commits (overwrite, spec
+    // evolution, stats-set changes) and every 64th append fall through
+    // to the full manifest — bounded segment-chain length is the
+    // metadata analog of data compaction.
+    if (base.nonEmpty && !overwrite && prevP == partCols &&
+        ((ordered.isEmpty && partCols.isEmpty) ||
+          written.forall(meta.contains)) && {
+      val newStats = ordered.map(c =>
+        (c, written.map(f => meta(f)._1(statIdx(c)))))
+      val newNulls = ordered.map(c =>
+        (c, written.map(f => meta(f)._3(statIdx(c)))))
+      val newParts =
+        if (partCols.isEmpty) None
+        else Some((partCols, written.map(f => meta(f)._2)))
+      trySegmentedAppend(dir, prev, v, "append", written, newStats,
+        newNulls, newParts, evolvedSchema(dir, prev, df, overwrite))
+    }) return v
     val stats: Seq[(String, Seq[(Long, Long)])] =
       ordered.map { c =>
         val i = statIdx(c) // meta holds columns in CALLER order
@@ -2174,6 +2485,11 @@ object SnapshotTable {
     val deadDels = (drop.flatMap(readDeletes(dir, _)).toSet -- liveDels)
       .toSeq.sorted
     deadDels.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+    // ...and manifest SEGMENTS likewise (they live under _log, shared
+    // across versions by reference)
+    val liveSegs = retain.flatMap(readSegments(dir, _)).toSet
+    (drop.flatMap(readSegments(dir, _)).toSet -- liveSegs).foreach(n =>
+      Files.deleteIfExists(new File(logDir(dir), n).toPath))
     // change-feed sidecars follow their version's retention: a
     // vacuumed version can no longer anchor a feed read, so its
     // recorded changes go with it

@@ -560,10 +560,17 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.restore(dir, 2)
     assert(SnapshotTable.manifestCount(dir, 4).contains(15L))
     // a pre-upgrade manifest answers None — decline, never estimate
-    val mf = new java.io.File(dir, "_log/v00002.json")
-    val json = new String(Files.readAllBytes(mf.toPath))
-    Files.write(mf.toPath,
-      json.replaceAll(""","rows":\[[^\]]*\]""", "").getBytes)
+    // strip the field wherever it lives — the manifest list AND the
+    // segment files a segmented append moved the per-file arrays into
+    (new java.io.File(dir, "_log").listFiles().toSeq :+
+        new java.io.File(dir, "_log/v00002.json")).distinct
+      .filter(f => f.getName == "v00002.json" ||
+        f.getName.startsWith("seg-"))
+      .foreach { f =>
+        val j = new String(Files.readAllBytes(f.toPath))
+        Files.write(f.toPath,
+          j.replaceAll(""","rows":\[[^\]]*\]""", "").getBytes)
+      }
     assert(SnapshotTable.manifestCount(dir, 2).isEmpty)
     assert(SnapshotTable.manifestMinMax(dir, 2).isEmpty)
   }
@@ -868,6 +875,95 @@ class SnapshotTableSpec extends SparkSpec {
     }
     assert(err2.getMessage.contains("vacuumed") ||
       Option(err2.getCause).exists(_.getMessage.contains("vacuumed")))
+  }
+
+  test("SEGMENTED manifests: appends write O(delta) metadata (one new " +
+    "segment + a tiny list), every reader is storage-agnostic, DML " +
+    "folds back to a full manifest, the chain caps at 64, and vacuum " +
+    "reaps dead segments") {
+    val dir = Files.createTempDirectory("snap-seg").toString
+    val st = SnapshotTable
+    val mk = (lo: Long, hi: Long) =>
+      (lo until hi).map(i => (i, s"g${i % 4}", i * 2)).toDF("id", "grp", "n")
+    st.commitMultiStats(spark, mk(0L, 100L), dir, statsCols = Seq("id", "n"))
+    assert(st.readSegments(dir, 1).isEmpty) // v1: full manifest
+    st.commitMultiStats(spark, mk(100L, 200L), dir,
+      statsCols = Seq("id", "n"))
+    st.commitMultiStats(spark, mk(200L, 300L), dir,
+      statsCols = Seq("id", "n"))
+    // v2 onward: segmented — prev materialized once, one new segment
+    // per append
+    assert(st.readSegments(dir, 2).length == 2)
+    assert(st.readSegments(dir, 3).length == 3)
+    // every reader answers identically through the assembled view
+    assert(st.readSnapshot(spark, dir).count() == 300L)
+    assert(st.readSnapshot(spark, dir, Some(2)).count() == 200L)
+    assert(st.manifestCount(dir, 3).contains(300L))
+    assert(st.readAllStats(dir, 3).map(_._1) == Seq("id", "n"))
+    assert(st.readAllStats(dir, 3).head._2.length ==
+      st.manifestFiles(dir, 3).length)
+    assert(st.manifestMinMaxAll(dir, 3)("id") == ((0L, 299L)))
+    assert(st.readSnapshotPruned(spark, dir, "id", 150L, 160L)
+      .count() == 11L)
+    assert(st.readSizes(dir, 3).exists(_.forall(_ > 0L)))
+    assert(st.readSchema(dir, 3).nonEmpty)
+    // O(delta) witness: the list file's byte growth per append is
+    // segment-name-sized, independent of table file count — while the
+    // ASSEMBLED metadata keeps growing with the table
+    val l2 = new java.io.File(dir, "_log/v00002.json").length()
+    val l3 = new java.io.File(dir, "_log/v00003.json").length()
+    assert(l3 - l2 < 64, s"list grew ${l3 - l2} bytes per append")
+    // DSv2 reads plan from the assembled view (count via pushdown)
+    assert(spark.read.format("graft.sources.SnapshotSource").load(dir)
+      .groupBy().count().as[Long].head() == 300L)
+    // CoW DML on a segmented base folds to a full manifest and stays
+    // exact (publish carries per-file metadata through assembly)
+    st.delete(spark, dir, col("id") === 42L)
+    assert(st.readSegments(dir, 4).isEmpty)
+    assert(st.readSnapshot(spark, dir).count() == 299L)
+    assert(st.readAllStats(dir, 4).head._2.length ==
+      st.manifestFiles(dir, 4).length)
+    // hive-partitioned appends segment too, tuples carried exactly
+    val pd = Files.createTempDirectory("snap-segp").toString
+    st.commitPartitioned(spark, mk(0L, 60L), pd, Seq("grp"))
+    st.commitPartitioned(spark, mk(60L, 120L), pd, Seq("grp"))
+    assert(st.readSegments(pd, 2).length == 2)
+    assert(st.readSnapshotPartitioned(spark, pd, Map("grp" -> "g1"))
+      .count() == 30L)
+    assert(st.readPartValues(pd, 2).get.length ==
+      st.manifestFiles(pd, 2).length)
+    // the 64-segment cap: metadata-only appends via pre-staged files;
+    // the 64th+ append folds to a full manifest, then the chain restarts
+    val cd = Files.createTempDirectory("snap-segcap").toString
+    val staged = (0 until 70).map { i =>
+      Seq((i.toLong, i.toLong)).toDF("a", "b").coalesce(1)
+        .write.parquet(s"$cd/data/b$i")
+      val f = new java.io.File(s"$cd/data/b$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getName
+      s"data/b$i/$f"
+    }
+    val bulkSchema = spark.read.parquet(s"$cd/data/b0").schema
+    staged.foreach { f =>
+      SnapshotTable.commitStagedFiles(cd, Seq(f), bulkSchema)
+    }
+    val vs = st.versions(cd)
+    assert(vs.length == 70)
+    val segLens = vs.map(v => st.readSegments(cd, v).length)
+    assert(segLens.max <= 64, s"chain exceeded cap: ${segLens.max}")
+    assert(segLens.drop(1).contains(0), "no fold-to-full ever happened")
+    assert(st.readSnapshot(spark, cd).count() == 70L)
+    assert(st.manifestCount(cd, 70).contains(70L))
+    // vacuum: segments referenced by retained versions survive, the
+    // rest die; the retained table reads exactly
+    st.vacuum(cd, 3)
+    assert(st.readSnapshot(spark, cd).count() == 70L)
+    val segFiles = new java.io.File(cd, "_log").listFiles()
+      .map(_.getName).filter(_.startsWith("seg-")).toSet
+    val referenced = st.versions(cd)
+      .flatMap(v => st.readSegments(cd, v)).toSet
+    assert(referenced.subsetOf(segFiles))
+    assert((segFiles -- referenced).isEmpty,
+      s"dead segments survived vacuum: ${segFiles -- referenced}")
   }
 
   test("MERGE-ON-READ DML: delete tombstones by position with ZERO " +
@@ -1362,10 +1458,17 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.restore(dir, 2)
     sizesMatchDisk(5)
     // a pre-upgrade manifest answers None
-    val mf = new java.io.File(dir, "_log/v00002.json")
-    val json = new String(Files.readAllBytes(mf.toPath))
-    Files.write(mf.toPath,
-      json.replaceAll(""","sizes":\[[^\]]*\]""", "").getBytes)
+    // strip the field wherever it lives — the manifest list AND the
+    // segment files a segmented append moved the per-file arrays into
+    (new java.io.File(dir, "_log").listFiles().toSeq :+
+        new java.io.File(dir, "_log/v00002.json")).distinct
+      .filter(f => f.getName == "v00002.json" ||
+        f.getName.startsWith("seg-"))
+      .foreach { f =>
+        val j = new String(Files.readAllBytes(f.toPath))
+        Files.write(f.toPath,
+          j.replaceAll(""","sizes":\[[^\]]*\]""", "").getBytes)
+      }
     assert(SnapshotTable.readSizes(dir, 2).isEmpty)
   }
 

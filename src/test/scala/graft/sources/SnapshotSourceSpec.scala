@@ -59,10 +59,17 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(isLocal(pushedV1) &&
       pushedV1.as[(Long, Long)].head() == ((120L, 119L)))
     // a pre-upgrade manifest (no recorded rows) declines, never guesses
-    val mf = new java.io.File(dir, "_log/v00002.json")
-    val json = new String(Files.readAllBytes(mf.toPath))
-    Files.write(mf.toPath,
-      json.replaceAll(""","rows":\[[^\]]*\]""", "").getBytes)
+    // strip the field wherever it lives — the manifest list AND the
+    // segment files a segmented append moved the per-file arrays into
+    (new java.io.File(dir, "_log").listFiles().toSeq :+
+        new java.io.File(dir, "_log/v00002.json")).distinct
+      .filter(f => f.getName == "v00002.json" ||
+        f.getName.startsWith("seg-"))
+      .foreach { f =>
+        val j = new String(Files.readAllBytes(f.toPath))
+        Files.write(f.toPath,
+          j.replaceAll(""","rows":\[[^\]]*\]""", "").getBytes)
+      }
     load(dir).createOrReplaceTempView("agg_legacy")
     val legacy = spark.sql("SELECT count(*) AS n FROM agg_legacy")
     assert(!isLocal(legacy) && legacy.as[Long].head() == 200L)
