@@ -2453,6 +2453,50 @@ object SnapshotTable {
       "compact", schema)
   }
 
+  /** TARGETED partition-spec repair: rewrite ONLY the files whose
+    * recorded tuple carries the spec-evolution UNKNOWN marker,
+    * re-splitting them by the CURRENT partition columns into
+    * value-pure files with exact re-derived tuples; every known file
+    * carries by reference. After repair the table is SPJ-eligible
+    * again (the scan's all-files-keyed guard passes), metadata
+    * partition DELETE can decide every file, and partition pruning is
+    * exact everywhere — the surgical alternative to full-table
+    * OPTIMIZE, which rewrites everything for a problem only the
+    * pre-evolution slice has. Content-identical by construction and
+    * stamped `dataChange:false` (rewrite-only maintenance — the
+    * change feed skips it). Merge-on-read tombstones of the rewritten
+    * files fold in ([[planReadLogical]] + [[publish]]'s carry).
+    * Returns None (no commit) when nothing is unknown. */
+  def repairPartitionSpec(spark: SparkSession, dir: String,
+                          numFiles: Int = 1): Option[Int] = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val pcols = partitionColumns(dir, prevV)
+    require(pcols.nonEmpty,
+      s"repairPartitionSpec needs a partitioned table (v$prevV has " +
+        "no partition columns)")
+    val files = readManifest(dir, prevV)
+    val pvals = readPartValues(dir, prevV).getOrElse(
+      throw new IllegalStateException(
+        s"version $prevV declares partition columns but records no values"))
+    val touched = files.zip(pvals).collect {
+      case (f, t) if t.exists(isUnknownPart) => f
+    }
+    if (touched.isEmpty) return None
+    val untouched = files.filterNot(touched.toSet)
+    val v = prevV + 1
+    val sub = f"data/v$v%05d"
+    dataChange.withValue(false) {
+      writeMaybePartitioned(dir, prevV,
+        planReadLogical(spark, dir, prevV, touched)
+          .repartition(numFiles), sub)
+      Some(publish(spark, dir, prevV, v, untouched,
+        listWritten(dir, sub), "compact", readSchema(dir, prevV)))
+    }
+  }
+
   /** Retention: keep the newest `keep` versions, delete older manifests
     * and every data file ONLY they reference (an overwrite's orphaned
     * pre-image files, a compaction's replaced small files). Returns the

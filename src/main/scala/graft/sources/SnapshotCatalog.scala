@@ -255,6 +255,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       Identifier.of(Array.empty, "vacuum"),
       Identifier.of(Array.empty, "restore"),
       Identifier.of(Array.empty, "compact"),
+      Identifier.of(Array.empty, "repair_spec"),
       Identifier.of(Array.empty, "history"))
     else Array.empty
 
@@ -266,11 +267,13 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       case "compact" => new CompactProcedure(this)
       case "history" => new HistoryProcedure(this)
       case "partitions" => new PartitionsProcedure(this)
+      case "repair_spec" => new RepairSpecProcedure(this)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other — this catalog exposes partitions" +
           "(table), vacuum(table, " +
           "keep [, older_than_ms]), restore(table, version), " +
-          "compact(table, num_files [, stats_col]), and history(table)")
+          "compact(table, num_files [, stats_col]), " +
+          "repair_spec(table [, num_files]), and history(table)")
     }
   }
 
@@ -387,6 +390,48 @@ private[sources] class CompactProcedure(cat: SnapshotCatalog)
         StructField("n_files", IntegerType, nullable = false)))
       override def rows(): Array[InternalRow] = Array(
         InternalRow(v, SnapshotTable.manifestFiles(dir, v).length))
+    }
+    java.util.List.of(out).iterator()
+  }
+}
+
+/** `CALL <cat>.repair_spec(table => '...' [, num_files => n])` —
+  * targeted partition-spec repair ([[graft.io.SnapshotTable
+  * .repairPartitionSpec]]): rewrite ONLY the pre-evolution
+  * unknown-tuple files so the table is SPJ-eligible and
+  * metadata-DELETE-decidable again; returns the new version and how
+  * many files were repaired (version -1 = nothing to repair). */
+private[sources] class RepairSpecProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "repair_spec"
+  override def description(): String =
+    "rewrite only the pre-evolution UNKNOWN-tuple files"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build(),
+    ProcedureParameter.in("num_files", IntegerType).defaultValue("1")
+      .comment("target file count for the repaired slice").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    val n = if (input.isNullAt(1)) 1 else input.getInt(1)
+    val before = SnapshotTable.versions(dir).lastOption.getOrElse(0)
+    val repaired = SnapshotTable.repairPartitionSpec(
+      org.apache.spark.sql.SparkSession.active, dir, n)
+    val nFixed = repaired.fold(0)(v =>
+      SnapshotTable.manifestFiles(dir, v).length -
+        SnapshotTable.manifestFiles(dir, before).length +
+        SnapshotTable.readPartValues(dir, before)
+          .map(_.count(_.exists(SnapshotTable.isUnknownPart)))
+          .getOrElse(0))
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("new_version", IntegerType, nullable = false),
+        StructField("repaired_files", IntegerType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        InternalRow(repaired.getOrElse(-1), nFixed))
     }
     java.util.List.of(out).iterator()
   }

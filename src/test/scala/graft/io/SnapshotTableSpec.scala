@@ -877,6 +877,51 @@ class SnapshotTableSpec extends SparkSpec {
       Option(err2.getCause).exists(_.getMessage.contains("vacuumed")))
   }
 
+  test("repairPartitionSpec: only the UNKNOWN-tuple files rewrite — " +
+    "known files carry by identity, tuples re-derive exactly, content " +
+    "never changes, the feed skips it, and metadata partition DELETE " +
+    "works afterwards") {
+    val dir = Files.createTempDirectory("snap-repair").toString
+    val st = SnapshotTable
+    val mk = (lo: Long, hi: Long) => (lo until hi)
+      .map(i => (i, s"s${i % 3}", i * 2)).toDF("id", "src", "n")
+    st.commit(spark, mk(0L, 120L), dir)                       // v1 flat
+    st.commitPartitioned(spark, mk(120L, 240L), dir,
+      Seq("src"), evolveSpec = true)                          // v2 evolved
+    val v2files = st.manifestFiles(dir, 2)
+    val v2vals = st.readPartValues(dir, 2).get
+    val known = v2files.zip(v2vals).collect {
+      case (f, t) if !t.exists(st.isUnknownPart) => f
+    }
+    assert(known.length < v2files.length) // some unknowns exist
+    val before = st.readSnapshot(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(st.repairPartitionSpec(spark, dir, numFiles = 2)
+      .contains(3))
+    // known files carried BY IDENTITY; zero unknowns remain
+    val v3files = st.manifestFiles(dir, 3)
+    assert(known.toSet.subsetOf(v3files.toSet))
+    assert(st.readPartValues(dir, 3).get
+      .forall(t => !t.exists(st.isUnknownPart)))
+    assert(!st.partitionSummary(dir).exists(_._1.contains("__UNKNOWN__")))
+    // content identical; rewrite-only (the feed skips it)
+    assert(st.readSnapshot(spark, dir)
+      .as[(Long, String, Long)].collect().toSet == before)
+    assert(!st.isDataChange(dir, 3))
+    // partition pruning is EXACT now (the repaired files no longer
+    // survive every prune) and metadata DELETE can decide every file
+    val kept = st.manifestFilesPruned(dir, 3, Map.empty,
+      Map("src" -> Set(Option("s1"))))
+    assert(kept.length < v3files.length)
+    assert(st.readSnapshotPartitioned(spark, dir, Map("src" -> "s1"))
+      .count() == (0L until 240L).count(_ % 3 == 1))
+    st.deletePartitions(dir, Map("src" -> "s0")) // refused pre-repair
+    assert(st.readSnapshot(spark, dir)
+      .where(col("src") === "s0").count() == 0L)
+    // idempotent: nothing left to repair
+    assert(st.repairPartitionSpec(spark, dir).isEmpty)
+  }
+
   test("SEGMENTED manifests: appends write O(delta) metadata (one new " +
     "segment + a tiny list), every reader is storage-agnostic, DML " +
     "folds back to a full manifest, the chain caps at 64, and vacuum " +

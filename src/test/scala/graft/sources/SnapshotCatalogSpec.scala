@@ -359,6 +359,30 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE tcat.cdfsql")
   }
 
+  test("CALL repair_spec rewrites only the pre-evolution unknown-tuple " +
+    "files; a clean table answers -1") {
+    root
+    val mk = (lo: Long, hi: Long) => (lo until hi)
+      .map(i => (i, s"s${i % 3}", i * 2)).toDF("id", "src", "n")
+    val dir = s"$root/rsp"
+    SnapshotTable.commit(spark, mk(0L, 60L), dir)
+    SnapshotTable.commitPartitioned(spark, mk(60L, 120L), dir,
+      Seq("src"), evolveSpec = true)
+    val before = spark.sql("SELECT * FROM tcat.rsp")
+      .as[(Long, String, Long)].collect().toSet
+    val r = spark.sql("CALL tcat.repair_spec(table => 'rsp')")
+      .as[(Int, Int)].head()
+    assert(r._1 == 3 && r._2 > 0, s"got $r")
+    assert(SnapshotTable.readPartValues(dir, 3).get
+      .forall(t => !t.exists(SnapshotTable.isUnknownPart)))
+    assert(spark.sql("SELECT * FROM tcat.rsp")
+      .as[(Long, String, Long)].collect().toSet == before)
+    // nothing left: -1, zero repaired
+    assert(spark.sql("CALL tcat.repair_spec(table => 'rsp')")
+      .as[(Int, Int)].head() == ((-1, 0)))
+    spark.sql("DROP TABLE tcat.rsp")
+  }
+
   test("rename + listTables") {
     root
     spark.sql("CREATE TABLE tcat.rn1 (id BIGINT)")
