@@ -279,6 +279,7 @@ object SparkEntry {
     "q245_sql_dml_change_feed" -> IoQueries.snapshotSqlDmlChangeFeed,
     "q246_mor_dml" -> IoQueries.morDml,
     "q247_mor_dsv2_compact" -> IoQueries.morDsv2,
+    "q248_spec_repair" -> IoQueries.specRepair,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3111,6 +3112,21 @@ SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
   count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""",
+    // q248: the repair is content-identity — legs 1/3 are the whole
+    // corpus (post- and pre-repair), leg 2 the src3 slice (file-exact
+    // after repair; a misfiled tuple moves its counts).
+    "q248_spec_repair" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents)
+SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM d
+UNION ALL
+SELECT CAST(2 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(sum(n_chars) AS BIGINT) FROM d WHERE source = 'src3'
+UNION ALL
+SELECT CAST(3 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(sum(n_chars) AS BIGINT) FROM d
+ORDER BY leg""",
     // q246: merge-on-read DML replayed as slice arithmetic — v2 drops
     // a residue class (tombstones), v3 rewrites a slice's n_chars, v4
     // merges a batch (matched updates, re-inserts of tombstoned keys,

@@ -1318,6 +1318,38 @@ object IoQueries {
     preDf.unionAll(legs(3, 4)).orderBy("leg")
   }
 
+  /** TARGETED partition-spec repair (q248,
+    * [[graft.io.SnapshotTable.repairPartitionSpec]]): after q241's
+    * evolution the pre-evolution files carry UNKNOWN tuples — repair
+    * rewrites ONLY that slice into value-pure files with exact
+    * re-derived tuples (known files carry by identity, content never
+    * changes). Legs: (1) the full read after repair, (2) a
+    * partition-pruned read that is now FILE-EXACT over the whole
+    * table — a misfiled tuple moves its counts, (3) the pre-repair
+    * version time-traveled (content identity across the repair). */
+  def specRepair(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-repair").toString
+    val st = graft.io.SnapshotTable
+    st.commit(s, docs.where(col("doc_id") % 2 === 0), t)
+    st.commitPartitioned(s, docs.where(col("doc_id") % 2 === 1), t,
+      Seq("source"), evolveSpec = true)
+    require(st.repairPartitionSpec(s, t, numFiles = 2).contains(3),
+      "repair found nothing to rewrite")
+    def agg(leg: Int, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(leg.toLong).as("leg"), col("n_docs"), col("sum_id"),
+          col("sum_chars"))
+    agg(1, st.readSnapshot(s, t))
+      .unionAll(agg(2, st.readSnapshotPartitioned(s, t,
+        Map("source" -> "src3"))))
+      .unionAll(agg(3, st.readSnapshot(s, t, Some(2))))
+      .orderBy("leg")
+  }
+
   /** Table history + OPTIMIZE through CALL (q234,
     * [[graft.io.SnapshotTable.history]] /
     * [[graft.sources.SnapshotCatalog]] `history`/`compact`
