@@ -397,6 +397,53 @@ class SnapshotSourceSpec extends SparkSpec {
     }
   }
 
+  test("SPJ ACROSS SPEC EVOLUTION: a table whose spec evolution left " +
+    "UNKNOWN-tuple files declines the key-grouped report (sound), and " +
+    "repairPartitionSpec restores the ZERO-exchange plan — exact " +
+    "answers on both sides of the boundary") {
+    val dirA = Files.createTempDirectory("graft-spjEvA").toString
+    val dirB = Files.createTempDirectory("graft-spjEvB").toString
+    val mk = (lo: Long, hi: Long) => (lo until hi)
+      .map(i => (i, s"g${i % 5}", i * 2)).toDF("id", "grp", "n")
+    val dim = (0 until 5).map(k => (s"g$k", k * 100L)).toDF("grp", "bonus")
+    SnapshotTable.commit(spark, mk(0L, 200L), dirA)        // v1 flat
+    SnapshotTable.commitPartitioned(spark, mk(200L, 400L), dirA,
+      Seq("grp"), evolveSpec = true)                       // v2 evolved
+    SnapshotTable.commitPartitioned(spark, dim, dirB, Seq("grp"))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val before = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val want = (0 until 5).map { k =>
+        val ids = (0L until 400L).filter(_ % 5 == k)
+        (s"g$k", ids.size.toLong, ids.map(_ * 2 + k * 100L).sum)
+      }.toSet
+      def joined() = load(dirA).join(load(dirB), "grp")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"n" + $"bonus").as("s"))
+      // pre-repair: the v1 files carry the UNKNOWN marker, the scan
+      // must NOT claim key-grouped partitioning — but answers stay
+      // exact under whatever plan Spark picks
+      assert(joined().as[(String, Long, Long)].collect().toSet == want)
+      // repair rewrites ONLY the unknown-tuple files; the table is
+      // value-pure again and the SPJ report returns: the whole
+      // executed plan — join AND aggregate — runs with zero exchanges
+      assert(SnapshotTable.repairPartitionSpec(spark, dirA).contains(3))
+      val after = joined()
+      assert(after.as[(String, Long, Long)].collect().toSet == want)
+      val plan = after.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected zero exchanges after repair:\n$plan")
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SQL DELETE on a partition column is METADATA-ONLY (no data " +
     "file touched); non-partition deletes still rewrite copy-on-write") {
     val dir = Files.createTempDirectory("graft-dsv2pdel").toString
