@@ -108,7 +108,9 @@ object SnapshotTable {
                             nulls: Seq[(String, Seq[Long])] = Nil,
                             dels: Seq[String] = Nil,
                             dirty: Seq[String] = Nil,
-                            ndel: Long = 0L)
+                            ndel: Long = 0L,
+                            epochs: Seq[Seq[String]] = Nil,
+                            sepoch: Seq[Int] = Nil)
       : Unit = {
     // MERGE-ON-READ positional deletes: `dels` lists the delete-sidecar
     // parquet files ((file, pos) rows) in force at this version,
@@ -235,12 +237,36 @@ object SnapshotTable {
       else s""","dels":[${dels.map(f => "\"" + f + "\"").mkString(",")}]""" +
         s""","dirty":[${dirty.map(f => "\"" + f + "\"").mkString(",")}]""" +
         s""","ndel":$ndel"""
+    // COLUMN-ID RENAME epochs (Iceberg field IDs, flattened onto the
+    // add-column-only invariant: a column's SCHEMA POSITION is its
+    // stable id — positions never shift because evolution only
+    // appends). `epochs` lists each CLOSED rename epoch's full name
+    // list; `sepoch` says which epoch each file's columns were written
+    // under (epochs.length = the open epoch = current schema names).
+    // Readers resolve a file's physical column names by position
+    // through its epoch — rename rewrites ZERO data bytes.
+    val epochsJson =
+      if (epochs.isEmpty) ""
+      else {
+        require(sepoch.length == files.length,
+          s"sepoch/files length mismatch: ${sepoch.length} != " +
+            s"${files.length}")
+        require(sepoch.forall(e => e >= 0 && e <= epochs.length),
+          s"sepoch out of range [0, ${epochs.length}]")
+        epochs.foreach(_.foreach(n => require(
+          !n.contains(PartSep) && !n.contains("\"") && !n.contains("\\"),
+          s"epoch column name '$n' would corrupt the manifest")))
+        s""","epochs":[${epochs.map(e =>
+          "\"" + Base64.getEncoder.encodeToString(
+            e.mkString(PartSep).getBytes(UTF_8)) + "\"").mkString(",")}]""" +
+          s""","sepoch":[${sepoch.mkString(",")}]"""
+      }
     val dcJson = if (dataChange.value) "" else ""","dataChange":false"""
     val json = s"""{"version":$v,"action":"$action","ts":${clock.value()}""" +
       dcJson + s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
       xstatsJson + nullsJson + rowsJson + sizesJson + partsJson +
-      delsJson + schemaJson + "}"
+      delsJson + epochsJson + schemaJson + "}"
     casPublish(dir, v, json)
   }
 
@@ -504,6 +530,17 @@ object SnapshotTable {
          nd <- """"ndel":(\d+)""".r.findFirstMatchIn(listJson)
            .map(_.group(1)))
       sb ++= s""","dels":[$ds],"dirty":[$dy],"ndel":$nd"""
+    // rename epochs are CORRECTNESS-bearing (they name each file's
+    // physical columns): a chain that records them but cannot assemble
+    // the per-file indexes is corrupt — refuse, never tier-drop
+    rawArr(listJson, "epochs").foreach { eps =>
+      val sep = concat("sepoch").getOrElse(
+        throw new IllegalStateException(
+          s"corrupt segmented manifest in $dir: rename epochs " +
+            s"recorded but a segment lost its sepoch array " +
+            s"(${segs.mkString(",")})"))
+      sb ++= s""","epochs":[$eps],"sepoch":[$sep]"""
+    }
     rawStr(listJson, "schema_b64").foreach(b =>
       sb ++= s""","schema_b64":"$b"""")
     sb += '}'
@@ -526,6 +563,63 @@ object SnapshotTable {
         new String(Base64.getDecoder.decode(b64), UTF_8)).asInstanceOf[StructType])
       case _ => None
     }
+
+  /** The CLOSED rename-epoch name lists recorded at `v` (empty when no
+    * column was ever renamed — the overwhelmingly common case pays
+    * nothing). Epoch index `e` gives the full column-name list (by
+    * schema position = field id) that files of epoch `e` were written
+    * under; `epochs.length` is the OPEN epoch (current schema names). */
+  private[graft] def readEpochs(dir: String, v: Int): Seq[Seq[String]] =
+    rawArr(manifestJson(dir, v), "epochs") match {
+      case Some(list) if list.nonEmpty =>
+        list.split(",").toSeq.map(b => new String(
+          Base64.getDecoder.decode(b.stripPrefix("\"").stripSuffix("\"")),
+          UTF_8).split(PartSep, -1).toSeq)
+      case _ => Nil
+    }
+
+  /** Per-file schema-epoch indexes, aligned with [[readManifest]]'s
+    * file list. Present exactly when [[readEpochs]] is non-empty —
+    * epochs are correctness-bearing (they name the physical columns),
+    * so a manifest with epochs but no per-file indexes is corrupt and
+    * refuses loudly rather than mis-reading history. */
+  private[graft] def readSepoch(dir: String, v: Int): Seq[Int] =
+    rawArr(manifestJson(dir, v), "sepoch") match {
+      case Some(list) if list.nonEmpty =>
+        list.split(",").toSeq.map(_.trim.toInt)
+      case _ =>
+        if (readEpochs(dir, v).isEmpty) Nil
+        else throw new IllegalStateException(
+          s"corrupt manifest v$v in $dir: rename epochs recorded " +
+            "without per-file sepoch indexes")
+    }
+
+  /** The physical column names files of epoch `e` were written under,
+    * resolved BY POSITION against the current schema `cur`: positions
+    * the epoch covers take its recorded name, positions past its end
+    * are columns ADDED after the epoch closed — such files cannot
+    * contain them under any name, so the current name null-fills. */
+  private[graft] def epochNames(cur: StructType, epochs: Seq[Seq[String]],
+                                e: Int): Seq[String] =
+    if (e >= epochs.length) cur.fieldNames.toSeq
+    else cur.fieldNames.toSeq.zipWithIndex.map { case (n, i) =>
+      if (i < epochs(e).length) epochs(e)(i) else n
+    }
+
+  /** Epoch state to write for a commit onto `prevV` whose final file
+    * list is `finalFiles`: carried files keep their recorded epoch,
+    * files the commit wrote get the OPEN epoch. (Nil, Nil) when the
+    * table never renamed — manifests stay byte-identical to today. */
+  private def carryEpochs(dir: String, prevV: Int,
+                          finalFiles: Seq[String])
+      : (Seq[Seq[String]], Seq[Int]) = {
+    val eps = readEpochs(dir, prevV)
+    if (eps.isEmpty) (Nil, Nil)
+    else {
+      val m = readManifest(dir, prevV).zip(readSepoch(dir, prevV)).toMap
+      (eps, finalFiles.map(f => m.getOrElse(f, eps.length)))
+    }
+  }
 
   /** The stats column name recorded at `v`, if any. */
   private def readStatsCol(dir: String, v: Int): Option[String] =
@@ -1124,12 +1218,15 @@ object SnapshotTable {
           if (base.isEmpty) Some(Seq.empty) else prevNulls.get(c)
         carriedNs.map(cs => (c, cs ++ ns))
     }
+    val (eps, sep) =
+      if (base.isEmpty) (Nil, Nil)
+      else carryEpochs(dir, prev.last, base ++ relFiles)
     writeManifest(dir, v, action, base ++ relFiles, orderedStats,
       evolvedSchemaFrom(dir, prev, writeSchema, overwrite),
       knownRows = carriedRows,
       knownSizes = if (base.isEmpty) Map.empty
                    else sizeMap(dir, prev.last),
-      parts = fullParts, nulls = fullNulls)
+      parts = fullParts, nulls = fullNulls, epochs = eps, sepoch = sep)
     v
   }
 
@@ -1196,10 +1293,48 @@ object SnapshotTable {
     * FROM THE LOG (no footer sampling; per-file missing columns
     * null-fill), a legacy version falls back to footer inference. */
   private[io] def planRead(spark: SparkSession, dir: String, v: Int,
-                       files: Seq[String]): DataFrame = {
-    val reader = readSchema(dir, v).map(spark.read.schema(_))
-      .getOrElse(spark.read)
-    reader.parquet(files.map(f => s"$dir/$f"): _*)
+                       files: Seq[String]): DataFrame =
+    planReadLegs(spark, dir, v, files)(identity)
+
+  /** Epoch-aware scan core: files written before a column RENAME are
+    * read under their WRITTEN names (field id = schema position, so
+    * the physical schema is the current one with per-position names
+    * substituted) and surfaced under the current names positionally —
+    * one union leg per distinct epoch among the planned files, each
+    * leg a plain pushdown-friendly parquet scan. A never-renamed
+    * table takes the single-scan fast path unchanged. `hook` runs on
+    * each RAW leg before the rename: the MoR row-identity columns
+    * must bind to the leg's own scan relation (`_metadata` does not
+    * resolve across a union). */
+  private def planReadLegs(spark: SparkSession, dir: String, v: Int,
+                           files: Seq[String])
+                          (hook: DataFrame => DataFrame): DataFrame = {
+    val schemaOpt = readSchema(dir, v)
+    val eps = readEpochs(dir, v)
+    def plain(fs: Seq[String]): DataFrame =
+      hook(schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
+        .parquet(fs.map(f => s"$dir/$f"): _*))
+    if (eps.isEmpty || schemaOpt.isEmpty || files.isEmpty) plain(files)
+    else {
+      val cur = schemaOpt.get
+      val se = readManifest(dir, v).zip(readSepoch(dir, v)).toMap
+      val legs = files.groupBy(f => se.getOrElse(f, eps.length))
+        .toSeq.sortBy(_._1).map { case (e, fs) =>
+          val names = epochNames(cur, eps, e)
+          if (names == cur.fieldNames.toSeq) plain(fs)
+          else {
+            val physical = StructType(cur.fields.zip(names).map {
+              case (f0, n) => f0.copy(name = n) })
+            val raw = hook(spark.read.schema(physical)
+              .parquet(fs.map(f => s"$dir/$f"): _*))
+            // hook-added columns keep their names; data columns rename
+            // POSITIONALLY back to the current schema
+            val extras = raw.columns.drop(cur.length).toSeq
+            raw.toDF(cur.fieldNames.toSeq ++ extras: _*)
+          }
+        }
+      legs.reduce(_.unionByName(_))
+    }
   }
 
   /** The manifest-relative path + in-file row position of every row as
@@ -1227,9 +1362,8 @@ object SnapshotTable {
                             files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val (rel, pos) = rowIdCols(dir)
-    val d0 = planRead(spark, dir, v, files)
-      .withColumn("__graft_rel", rel)
-      .withColumn("__graft_pos", pos)
+    val d0 = planReadLegs(spark, dir, v, files)(
+      _.withColumn("__graft_rel", rel).withColumn("__graft_pos", pos))
     val dirty = readDirty(dir, v).toSet
     val dels = readDeletes(dir, v)
     if (dels.isEmpty || !files.exists(dirty)) d0
@@ -1498,9 +1632,11 @@ object SnapshotTable {
         rawArr(pj, "sizes").foreach(r => sb ++= s""","sizes":[$r]""")
         for (pc <- rawArr(pj, "pcols"); pv <- rawArr(pj, "pvals"))
           sb ++= s""","pcols":[$pc],"pvals":[$pv]"""
+        rawArr(pj, "sepoch").foreach(s => sb ++= s""","sepoch":[$s]""")
         sb += '}'
         Seq(writeSegmentFile(dir, sb.toString))
       }
+    val prevEpochs = rawArr(manifestJson(dir, prevV), "epochs")
     // the new files' segment, in the exact full-manifest field grammar
     val sb = new StringBuilder
     sb ++= s"""{"files":[${newFiles.map(f => "\"" + f + "\"")
@@ -1543,6 +1679,11 @@ object SnapshotTable {
         .mkString(",")}]""" +
         s""","pvals":[${encoded.map(e => "\"" + e + "\"").mkString(",")}]"""
     }
+    // renamed table: new files are written at the OPEN epoch
+    prevEpochs.foreach { eps =>
+      val cur = if (eps.isEmpty) 0 else eps.split(",").length
+      sb ++= s""","sepoch":[${newFiles.map(_ => cur).mkString(",")}]"""
+    }
     sb += '}'
     val newSeg = writeSegmentFile(dir, sb.toString)
     // the list: globals only — this is the O(delta) write
@@ -1558,11 +1699,15 @@ object SnapshotTable {
       s""","schema_b64":"${Base64.getEncoder.encodeToString(
         st.json.getBytes(UTF_8))}""""
     }.getOrElse("")
+    // epochs are GLOBAL (one name-list table per manifest) — they ride
+    // the list like the schema; per-file sepoch concatenates from the
+    // segments like every other per-file tier
+    val epochsJson = prevEpochs.fold("")(e => s""","epochs":[$e]""")
     casPublish(dir, v,
       s"""{"version":$v,"action":"$action","ts":${clock.value()}""" +
         dcJson + s""","segments":[${(carriedSegs :+ newSeg)
         .map(s => "\"" + s + "\"").mkString(",")}]""" +
-        delsJson + schemaJson + "}")
+        delsJson + epochsJson + schemaJson + "}")
     true
   }
 
@@ -1693,12 +1838,15 @@ object SnapshotTable {
       else readRows(dir, prev.last)
         .map(rs => readManifest(dir, prev.last).zip(rs).toMap)
         .getOrElse(Map.empty)
+    val (eps, sep) =
+      if (base.isEmpty) (Nil, Nil)
+      else carryEpochs(dir, prev.last, base ++ written)
     writeManifest(dir, v, if (overwrite) "overwrite" else "append",
       base ++ written, stats, evolvedSchema(dir, prev, df, overwrite),
       knownRows = carriedRows,
       knownSizes = if (base.isEmpty) Map.empty
                    else sizeMap(dir, prev.last),
-      parts = parts, nulls = nulls,
+      parts = parts, nulls = nulls, epochs = eps, sepoch = sep,
       // an append touches no existing file: merge-on-read delete
       // state carries verbatim; an overwrite replaces the content and
       // resets it
@@ -1999,10 +2147,12 @@ object SnapshotTable {
           .parquet(delsNew.map(f => s"$dir/$f"): _*)
           .where(col("file").isin(dirtyNew: _*)).count()
       }
+    val (eps, sep) = carryEpochs(dir, prevV, keep)
     writeManifest(dir, prevV + 1, "delete", keep, stats,
       readSchema(dir, prevV), knownRows = carriedRows,
       knownSizes = sizeMap(dir, prevV), parts = parts, nulls = nulls,
-      dels = delsNew, dirty = dirtyNew, ndel = ndelNew)
+      dels = delsNew, dirty = dirtyNew, ndel = ndelNew,
+      epochs = eps, sepoch = sep)
     prevV + 1
   }
 
@@ -2220,10 +2370,12 @@ object SnapshotTable {
         spark.read.parquet(delsNew.map(f => s"$dir/$f"): _*)
           .where(col("file").isin(dirtyNew: _*)).count()
       }
+    val (eps, sep) = carryEpochs(dir, prevV, untouched ++ written)
     writeManifest(dir, v, action, untouched ++ written, stats, schema,
       knownRows = carriedRows, knownSizes = sizeMap(dir, prevV),
       parts = parts, nulls = nulls,
-      dels = delsNew, dirty = dirtyNew, ndel = ndelNew)
+      dels = delsNew, dirty = dirtyNew, ndel = ndelNew,
+      epochs = eps, sepoch = sep)
     v
   }
 
@@ -2694,8 +2846,21 @@ object SnapshotTable {
     val range = vs.filter(v => v >= startingVersion && v <= hi)
     require(range.nonEmpty,
       s"no versions in [$startingVersion, $hi] at $dir")
-    range.map(v => changesOf(spark, dir, v))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    // a feed crossing a RENAME surfaces every version under the END
+    // version's names — positions are stable (field id = position),
+    // so each version's frame renames positionally; its own trailing
+    // _change_type/_commit_version stay put, and columns ADDED inside
+    // the range still null-fill through unionByName
+    val endNames = readSchema(dir, range.last).map(_.fieldNames.toSeq)
+    range.map { v =>
+      val df = changesOf(spark, dir, v)
+      endNames.fold(df) { en =>
+        val cols = df.columns.toSeq
+        val dataN = cols.length - 2 // ct + _commit_version trail
+        df.toDF(cols.zipWithIndex.map { case (c, i) =>
+          if (i < dataN && i < en.length) en(i) else c }: _*)
+      }
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def changesOf(spark: SparkSession, dir: String,
@@ -2708,8 +2873,7 @@ object SnapshotTable {
     // assembles its file lists into a DataFrame, so the three read
     // paths cannot drift on what a version feeds
     val parts = graft.sources.SnapshotCdf.partitions(dir, v)
-    val reader = readSchema(dir, v).map(spark.read.schema(_))
-      .getOrElse(spark.read)
+    val namesAtV = readSchema(dir, v).map(_.fieldNames.toSeq)
     val changes =
       if (parts.isEmpty)
         planRead(spark, dir, v, readManifest(dir, v)).where(lit(false))
@@ -2718,10 +2882,25 @@ object SnapshotTable {
         val (sidecars, consts) = parts.partition(_.changeType.isEmpty)
         val sidecarDf =
           if (sidecars.isEmpty) Nil
-          else Seq(spark.read.parquet(sidecars.map(_.path): _*))
+          else {
+            // sidecars were written at v under v's names; pin the
+            // column ORDER to v's schema so the cross-version
+            // positional rename in [[readChangeFeed]] stays sound
+            val raw = spark.read.parquet(sidecars.map(_.path): _*)
+            Seq(namesAtV.fold(raw)(ns =>
+              raw.select((ns :+ ct).map(col): _*)))
+          }
         val constDfs = consts.groupBy(_.changeType.get).toSeq
           .sortBy(_._1).map { case (t, ps) =>
-            reader.parquet(ps.map(_.path): _*).withColumn(ct, lit(t))
+            // constant-type partitions read DATA files: appends feed
+            // files written at v (open epoch), metadata deletes feed
+            // files DROPPED at v — members of v-1 possibly written
+            // epochs ago; the epoch-aware legs read each under its
+            // written names
+            val rel = ps.map(_.path.stripPrefix(s"$dir/"))
+            val vRef = if (t == "delete") v - 1 else v
+            planReadLegs(spark, dir, vRef, rel)(identity)
+              .withColumn(ct, lit(t))
           }
         (sidecarDf ++ constDfs).reduce(_.unionByName(_))
       }
@@ -2972,8 +3151,77 @@ object SnapshotTable {
       knownSizes = sizeMap(dir, v), parts = parts,
       nulls = readNullCounts(dir, v).toSeq,
       dels = readDeletes(dir, v), dirty = readDirty(dir, v),
-      ndel = readNdel(dir, v))
+      ndel = readNdel(dir, v),
+      // restore re-references v's files verbatim — its epoch state
+      // (including pre-rename names) carries with them
+      epochs = readEpochs(dir, v), sepoch = readSepoch(dir, v))
     next
+  }
+
+  /** RENAME a column WITHOUT rewriting a single data byte (Iceberg's
+    * field-id rename, flattened onto this log's add-column-only
+    * invariant: a column's SCHEMA POSITION is its stable field id —
+    * evolution only appends, so positions never shift). The commit is
+    * metadata-only: the open rename epoch CLOSES (its full name list
+    * joins the manifest's `epochs` table), every carried file keeps
+    * the epoch it was written under, and the table schema plus every
+    * column-keyed metadata tier — min/max stats, null counts,
+    * partition columns — moves to the new name, so stats pruning and
+    * partition pruning on the NEW name serve OLD files immediately.
+    * Reads resolve each file's physical column names by position
+    * through its epoch ([[planReadLegs]] / the DSv2 per-file name
+    * remap); time travel below this version shows the old name (each
+    * version keeps ITS schema). dataChange=false — the change feed
+    * skips it, and the streaming source feeds straight across it
+    * (positions are stable, so a running stream keeps its
+    * start-schema names). Writers from this version on must use the
+    * new name; a frame still carrying the old name ADDS a fresh
+    * column under add-only evolution — the Delta/Iceberg contract.
+    * Bloom sidecars are name-pinned per version: probes on the new
+    * name decline until the index is rebuilt (skipping is an
+    * optimization tier, never correctness). */
+  def renameColumn(dir: String, from: String, to: String): Int = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val schema = readSchema(dir, prevV).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $prevV of $dir records no schema — a pre-schema " +
+          "legacy log cannot resolve renames by position"))
+    require(schema.fieldNames.contains(from),
+      s"RENAME COLUMN: '$from' is not in the schema " +
+        s"(${schema.fieldNames.mkString(",")})")
+    require(!schema.fieldNames.contains(to),
+      s"RENAME COLUMN: '$to' already exists")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"RENAME COLUMN: '$to' is not a valid column name")
+    val files = readManifest(dir, prevV)
+    val eps = readEpochs(dir, prevV)
+    // files of the (now closing) open epoch were recorded with index
+    // eps.length — after the close that index denotes the same name
+    // list, so recorded values carry verbatim; a never-renamed table
+    // has no recorded sepoch and every file is epoch 0
+    val sep =
+      if (eps.isEmpty) files.map(_ => 0) else readSepoch(dir, prevV)
+    val ren = (n: String) => if (n == from) to else n
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    dataChange.withValue(false) {
+      writeManifest(dir, prevV + 1, "rename", files,
+        readAllStats(dir, prevV).map { case (c, mm) => (ren(c), mm) },
+        Some(newSchema),
+        knownRows = readRows(dir, prevV)
+          .map(rs => files.zip(rs).toMap).getOrElse(Map.empty),
+        knownSizes = sizeMap(dir, prevV),
+        parts = readPartValues(dir, prevV).map(pv =>
+          (partitionColumns(dir, prevV).map(ren), pv)),
+        nulls = readNullCounts(dir, prevV).toSeq.map {
+          case (c, ns) => (ren(c), ns) },
+        dels = readDeletes(dir, prevV), dirty = readDirty(dir, prevV),
+        ndel = readNdel(dir, prevV),
+        epochs = eps :+ schema.fieldNames.toSeq, sepoch = sep)
+    }
+    prevV + 1
   }
 
   /** Row-level change set between two versions, keyed by `idCol`:

@@ -1609,4 +1609,99 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.committedEpochs(dir, "someQuery") == Set(0L))
     assert(SnapshotTable.committedEpochs(dir, "otherQuery") == Set(0L))
   }
+
+  test("RENAME COLUMN without rewrite: a metadata-only commit moves " +
+    "the schema and every column-keyed tier to the new name, old " +
+    "files read AND stats-prune under it, time travel keeps the old " +
+    "name, and DML/appends/re-renames compose") {
+    val dir = Files.createTempDirectory("snap-rename").toString
+    val st = SnapshotTable
+    val mk = (lo: Long, hi: Long) => (lo until hi)
+      .map(i => (i, i * 10, s"s$i")).toDF("id", "n", "s")
+    st.commitMultiStats(spark, mk(0L, 40L).repartition(2), dir,
+      statsCols = Seq("n"))                                    // v1
+    st.commitMultiStats(spark, mk(40L, 80L).repartition(2), dir,
+      statsCols = Seq("n"))                                    // v2
+    val diskBefore = st.manifestFiles(dir, 2).toSet
+    assert(st.renameColumn(dir, "n", "metric") == 3)           // v3
+    // metadata-only: identical file list, rewrite-only for the feed
+    assert(st.manifestFiles(dir, 3).toSet == diskBefore)
+    assert(!st.isDataChange(dir, 3))
+    assert(st.readSchema(dir, 3).get.fieldNames.toSeq ==
+      Seq("id", "metric", "s"))
+    // old files surface their bytes under the NEW name
+    assert(st.readSnapshot(spark, dir)
+      .select("id", "metric").as[(Long, Long)].collect().toSet ==
+      (0L until 80L).map(i => (i, i * 10)).toSet)
+    // stats pruning on the new name serves OLD files from the manifest
+    assert(st.statsColumns(dir, 3) == Seq("metric"))
+    val pruned = st.readSnapshotPruned(spark, dir, "metric", 0L, 390L)
+    assert(pruned.agg(count(lit(1))).as[Long].head() == 40L)
+    assert(st.manifestFiles(dir, 3, Some((0L, 390L))).length <
+      st.manifestFiles(dir, 3).length)
+    // time travel below the rename keeps ITS name
+    assert(st.readSnapshot(spark, dir, Some(2)).columns.toSeq ==
+      Seq("id", "n", "s"))
+    // appends after the rename carry the new name; mixed epochs read
+    st.commitMultiStats(spark,
+      (80L until 120L).map(i => (i, i * 10, s"s$i"))
+        .toDF("id", "metric", "s").repartition(2), dir,
+      statsCols = Seq("metric"))                               // v4
+    assert(st.readSnapshot(spark, dir)
+      .agg(sum("metric")).as[Long].head() ==
+      (0L until 120L).map(_ * 10).sum)
+    // post-rename appends still take the O(delta) segmented path
+    assert(st.readSegments(dir, 4).nonEmpty)
+    // CoW DML across mixed epochs: delete by the new name
+    st.delete(spark, dir, col("metric") === 110L)              // v5
+    assert(st.readSnapshot(spark, dir)
+      .where(col("id") === 11L).count() == 0L)
+    assert(st.readSnapshot(spark, dir).count() == 119L)
+    // RE-rename: two closed epochs deep, reads stay exact
+    assert(st.renameColumn(dir, "metric", "m2") == 6)
+    assert(st.readEpochs(dir, 6).length == 2)
+    assert(st.readSnapshot(spark, dir)
+      .agg(sum("m2")).as[Long].head() ==
+      (0L until 120L).filterNot(_ == 11L).map(_ * 10).sum)
+    // restore below both renames resurrects the original name
+    val rv = st.restore(dir, 2)
+    assert(st.readSnapshot(spark, dir, Some(rv)).columns.toSeq ==
+      Seq("id", "n", "s"))
+    assert(st.readSnapshot(spark, dir, Some(rv)).count() == 80L)
+    // refusals
+    intercept[IllegalArgumentException](
+      st.renameColumn(dir, "nope", "x"))
+    intercept[IllegalArgumentException](
+      st.renameColumn(dir, "id", "s"))
+    intercept[IllegalArgumentException](
+      st.renameColumn(dir, "id", "bad name"))
+  }
+
+  test("RENAME of a PARTITION column: tuples and pruning move to the " +
+    "new name, partitioned appends and metadata DELETE keep working") {
+    val dir = Files.createTempDirectory("snap-renpart").toString
+    val st = SnapshotTable
+    val mk = (lo: Long, hi: Long) => (lo until hi)
+      .map(i => (i, s"g${i % 3}", i * 2)).toDF("id", "grp", "n")
+    st.commitPartitioned(spark, mk(0L, 90L), dir, Seq("grp"))  // v1
+    assert(st.renameColumn(dir, "grp", "bucket") == 2)         // v2
+    assert(st.partitionColumns(dir, 2) == Seq("bucket"))
+    // exact partition pruning + reads by the NEW name over OLD files
+    assert(st.readSnapshotPartitioned(spark, dir,
+      Map("bucket" -> "g1")).count() == (0L until 90L).count(_ % 3 == 1))
+    // partitioned append under the new spec name
+    st.commitPartitioned(spark, (90L until 120L)
+      .map(i => (i, s"g${i % 3}", i * 2)).toDF("id", "bucket", "n"),
+      dir, Seq("bucket"))                                      // v3
+    assert(st.readSnapshot(spark, dir).count() == 120L)
+    assert(st.readSnapshot(spark, dir)
+      .where(col("bucket") === "g2").count() ==
+      (0L until 120L).count(_ % 3 == 2))
+    // metadata partition DELETE decides every file under the new name
+    st.deletePartitions(dir, Map("bucket" -> "g0"))            // v4
+    assert(st.readSnapshot(spark, dir)
+      .where(col("bucket") === "g0").count() == 0L)
+    assert(st.readSnapshot(spark, dir).count() ==
+      (0L until 120L).count(_ % 3 != 0))
+  }
 }
