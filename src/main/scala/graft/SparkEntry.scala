@@ -280,6 +280,7 @@ object SparkEntry {
     "q246_mor_dml" -> IoQueries.morDml,
     "q247_mor_dsv2_compact" -> IoQueries.morDsv2,
     "q248_spec_repair" -> IoQueries.specRepair,
+    "q249_snapshot_rename" -> IoQueries.snapshotRename,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3112,6 +3113,27 @@ SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
   count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""",
+    // q249: the rename is metadata-only — every leg is a plain slice
+    // of the corpus, with the value column surfaced as `sum_len`
+    // whichever name its files physically store: leg 1 the whole
+    // table (mixed epochs), leg 2 the stats-bounded n_chars <= 500
+    // slice, leg 3 after deleting the n_chars % 7 = 3 class, leg 4
+    // the even-id pre-rename half.
+    "q249_snapshot_rename" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents)
+SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+  CAST(sum(n_chars) AS BIGINT) AS sum_len FROM d
+UNION ALL
+SELECT CAST(2 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(sum(n_chars) AS BIGINT) FROM d WHERE n_chars <= 500
+UNION ALL
+SELECT CAST(3 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(sum(n_chars) AS BIGINT) FROM d WHERE n_chars % 7 <> 3
+UNION ALL
+SELECT CAST(4 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(sum(n_chars) AS BIGINT) FROM d WHERE doc_id % 2 = 0
+ORDER BY leg""",
     // q248: the repair is content-identity — legs 1/3 are the whole
     // corpus (post- and pre-repair), leg 2 the src3 slice (file-exact
     // after repair; a misfiled tuple moves its counts).

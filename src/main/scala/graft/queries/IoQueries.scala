@@ -1350,6 +1350,51 @@ object IoQueries {
       .orderBy("leg")
   }
 
+  /** COLUMN-ID RENAME without rewrite (q249,
+    * [[graft.io.SnapshotTable.renameColumn]] — Iceberg's field-id
+    * rename flattened onto add-only evolution: a column's schema
+    * POSITION is its stable id, so a rename is a metadata-only commit
+    * that closes a name epoch; ZERO data bytes move). Lifecycle:
+    * stage the even-id docs with min/max stats on `n_chars`, rename
+    * it to `len`, append the odd-id docs under the NEW name (mixed
+    * epochs from here on — old files physically store `n_chars`, new
+    * files `len`), then CoW-delete a residue class BY the new name
+    * across both epochs. Legs, all through the DSv2 source:
+    * (1) full pre-DML read under the new name (per-file physical-name
+    * remap in the vectorized reader), (2) a stats-bounded slice on
+    * `len` — the manifest's renamed stats tier prunes files written
+    * under EITHER name, (3) the post-delete table, (4) the v1
+    * time-traveled read, which keeps its own epoch's name
+    * (`n_chars`, aliased for the oracle). */
+  def snapshotRename(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-rename").toString
+    val st = graft.io.SnapshotTable
+    st.commitMultiStats(s, docs.where(col("doc_id") % 2 === 0)
+      .repartition(4), t, statsCols = Seq("n_chars"))          // v1
+    require(st.renameColumn(t, "n_chars", "len") == 2, "rename != v2")
+    st.commitMultiStats(s, docs.where(col("doc_id") % 2 === 1)
+      .withColumnRenamed("n_chars", "len")
+      .repartition(4), t, statsCols = Seq("len"))              // v3
+    def load(asOf: Option[Int]) = {
+      val r = s.read.format("graft.sources.SnapshotSource")
+      asOf.fold(r)(v => r.option("versionAsOf", v.toString)).load(t)
+    }
+    def agg(leg: Int, df: DataFrame, valueCol: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"),
+          coalesce(sum(col(valueCol)), lit(0L)).as("sum_len"))
+        .select(lit(leg.toLong).as("leg"), col("n_docs"), col("sum_id"),
+          col("sum_len"))
+    val leg1 = agg(1, load(Some(3)), "len")
+    val leg2 = agg(2, load(Some(3)).where(col("len") <= 500L), "len")
+    st.delete(s, t, pmod(col("len"), lit(7L)) === 3)           // v4
+    val leg3 = agg(3, load(None), "len")
+    val leg4 = agg(4, load(Some(1)), "n_chars")
+    leg1.unionAll(leg2).unionAll(leg3).unionAll(leg4).orderBy("leg")
+  }
+
   /** Table history + OPTIMIZE through CALL (q234,
     * [[graft.io.SnapshotTable.history]] /
     * [[graft.sources.SnapshotCatalog]] `history`/`compact`

@@ -192,6 +192,22 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // ALTER TABLE ... RENAME COLUMN: the metadata-only field-id rename
+    // ([[graft.io.SnapshotTable.renameColumn]] — zero data bytes
+    // rewritten, old files read and prune under the new name)
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    if (renames.nonEmpty) {
+      require(renames.length == changes.length,
+        "ALTER TABLE: mixing RENAME COLUMN with other changes in one " +
+          "statement is not supported")
+      renames.foreach { r =>
+        require(r.fieldNames().length == 1,
+          "ALTER TABLE RENAME COLUMN: snapshot tables hold flat " +
+            s"columns (got nested path ${r.fieldNames().mkString(".")})")
+        SnapshotTable.renameColumn(dir, r.fieldNames().head, r.newName())
+      }
+      return table(ident, None)
+    }
     val added = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,

@@ -1005,22 +1005,54 @@ case class SnapshotScan(dir: String, files: Seq[String],
       val vs = SnapshotTable.versions(dir)
       val from = startingVersion.getOrElse(vs.headOption.getOrElse(1))
       val until = endingVersion.getOrElse(vs.lastOption.getOrElse(0))
+      // the consumer's names are the scan's pinned-version schema;
+      // each version's files remap to their written names per file
+      val curNames = SnapshotTable.readSchema(dir, version)
+        .map(_.fieldNames.toSeq).getOrElse(Nil)
       vs.filter(v => v >= from && v <= until)
-        .flatMap(v => SnapshotCdf.partitions(dir, v))
+        .flatMap(v => SnapshotCdf.partitions(dir, v, curNames))
         .toArray[InputPartition]
-    } else activeFiles.flatMap { f =>
-      val key = if (partSchema.isEmpty) null else typedKey(f)
-      val rel = f.stripPrefix(s"$dir/")
-      if (dirtyRel.contains(rel))
-        // a DIRTY file reads UNSPLIT through the position-filtered row
-        // reader: positional deletes are absolute in-file row indexes,
-        // and a sequential whole-file read is the cheapest exact
-        // counter (dirty files are the exception — compaction folds
-        // them back to the split/vectorized fast path)
-        Seq(SnapshotFilePartition(f, 0L, -1L, key, rel, delFiles))
-      else SnapshotScan.split(f, maxSplitBytes, fileSizes.get(f))
-        .map(p => if (key == null) p else p.copy(partKey = key))
-    }.toArray[InputPartition]
+    } else {
+      // COLUMN-ID RENAMES: files written before a rename store the old
+      // physical names; each partition carries its file's current→
+      // written map (by schema position through the file's epoch) and
+      // the reader factory remaps the requested schema per file. A
+      // never-renamed table computes nothing.
+      val eps = SnapshotTable.readEpochs(dir, version)
+      val renameOf: String => Map[String, String] =
+        if (eps.isEmpty) _ => Map.empty
+        else {
+          val cur = SnapshotTable.readSchema(dir, version).getOrElse(
+            throw new IllegalStateException(
+              s"v$version of $dir records rename epochs but no schema"))
+          val se = SnapshotTable.manifestFiles(dir, version)
+            .map(_.stripPrefix(s"$dir/"))
+            .zip(SnapshotTable.readSepoch(dir, version)).toMap
+          val byEpoch = eps.indices.map { e =>
+            cur.fieldNames.toSeq
+              .zip(SnapshotTable.epochNames(cur, eps, e))
+              .filter { case (a, b) => a != b }.toMap
+          }
+          rel => se.get(rel).filter(_ < eps.length)
+            .map(byEpoch).getOrElse(Map.empty)
+        }
+      activeFiles.flatMap { f =>
+        val key = if (partSchema.isEmpty) null else typedKey(f)
+        val rel = f.stripPrefix(s"$dir/")
+        val ren = renameOf(rel)
+        if (dirtyRel.contains(rel))
+          // a DIRTY file reads UNSPLIT through the position-filtered row
+          // reader: positional deletes are absolute in-file row indexes,
+          // and a sequential whole-file read is the cheapest exact
+          // counter (dirty files are the exception — compaction folds
+          // them back to the split/vectorized fast path)
+          Seq(SnapshotFilePartition(f, 0L, -1L, key, rel, delFiles, ren))
+        else SnapshotScan.split(f, maxSplitBytes, fileSizes.get(f))
+          .map(p => p.copy(
+            partKey = if (key == null) p.partKey else key,
+            renames = ren))
+      }.toArray[InputPartition]
+    }
 
   /** CBO-visible statistics SERVED FROM MANIFEST BYTES: exact row
     * counts (the per-file counts recorded at commit, summed over the
@@ -1108,7 +1140,9 @@ case class SnapshotScan(dir: String, files: Seq[String],
     new SnapshotMicroBatchStream(dir, required,
       startingVersion.orElse(startingTimestamp.map(
         SnapshotTable.resolveStartingTimestamp(dir, _))),
-      ignoreRewrites, vectorized, changeFeed)
+      ignoreRewrites, vectorized, changeFeed,
+      SnapshotTable.readSchema(dir, version)
+        .map(_.fieldNames.toSeq).getOrElse(Nil))
 }
 
 /** Offset = a snapshot VERSION — the log is already a totally-ordered
@@ -1157,8 +1191,19 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
                                startingVersion: Option[Int] = None,
                                ignoreRewrites: Boolean = false,
                                vectorized: Boolean = true,
-                               changeFeed: Boolean = false)
+                               changeFeed: Boolean = false,
+                               tableNames: Seq[String] = Nil)
     extends MicroBatchStream {
+  /** Current→written name map for files committed at `v`: a running
+    * stream keeps its START-schema names across a rename (positions
+    * are stable), so files written after the rename remap. Empty on
+    * never-renamed tables — names coincide. */
+  private def renamesAt(v: Int): Map[String, String] =
+    if (tableNames.isEmpty) Map.empty
+    else SnapshotTable.readSchema(dir, v).fold(
+      Map.empty[String, String])(sv =>
+      tableNames.zip(sv.fieldNames.toSeq)
+        .filter { case (a, b) => a != b }.toMap)
   override def initialOffset(): StreamingOffset =
     // startingVersion=v feeds FROM v (offsets are exclusive lower
     // bounds, so inclusive-of-v means positioning at v-1; clamped for
@@ -1191,7 +1236,8 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
     ((from + 1) to until).flatMap { v =>
       val action = SnapshotTable.readAction(dir, v)
       val feeds = action == "append" ||
-        (action == "overwrite" && v == 1) // initial commit in overwrite mode
+        (action == "overwrite" && v == 1) || // initial commit in overwrite mode
+        action == "rename" // metadata-only: adds no files, feeds empty
       if (!feeds && !ignoreRewrites)
         throw new IllegalStateException(
           s"version $v is '$action': the streaming source feeds " +
@@ -1203,13 +1249,14 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
         val prev: Set[String] =
           if (v == 1) Set.empty
           else SnapshotTable.manifestFiles(dir, v - 1).toSet
+        val ren = renamesAt(v)
         SnapshotTable.manifestFiles(dir, v).filterNot(prev)
-          .map(f => SnapshotFilePartition(s"$dir/$f"))
+          .map(f => SnapshotFilePartition(s"$dir/$f", renames = ren))
       }
     }.toArray[InputPartition]
   }
   private def cdfPartitions(v: Int): Seq[InputPartition] =
-    SnapshotCdf.partitions(dir, v)
+    SnapshotCdf.partitions(dir, v, tableNames)
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (changeFeed) new CdfReaderFactory(required)
@@ -1224,7 +1271,9 @@ class SnapshotMicroBatchStream(dir: String, required: StructType,
   * `_change_type` lives in the file bytes (`changeType = None`);
   * `version` is spliced in as `_commit_version` either way. */
 case class CdfFilePartition(path: String, changeType: Option[String],
-                            version: Long) extends InputPartition
+                            version: Long,
+                            renames: Map[String, String] = Map.empty)
+    extends InputPartition
 
 /** Change-feed planning shared by the STREAMING source, the SQL
   * `CALL changes(...)` procedure, and the batch API
@@ -1238,9 +1287,52 @@ case class CdfFilePartition(path: String, changeType: Option[String],
   * overwrite/restore — fails loudly: a silently wrong feed is the
   * unforgivable failure. */
 private[graft] object SnapshotCdf {
-  def partitions(dir: String, v: Int): Seq[CdfFilePartition] = {
+  /** `curNames` = the data-column names the feed CONSUMER sees (its
+    * end-version/stream-start schema, in position order). When the
+    * log holds column renames, each emitted partition carries the
+    * current→written map for its file so the reader factory remaps —
+    * files written at `v` use `v`'s open-epoch names, files DROPPED
+    * at `v` (metadata delete) use the epoch their manifest recorded.
+    * Empty `curNames` (the batch API, which renames frames itself)
+    * attaches nothing. */
+  def partitions(dir: String, v: Int,
+                 curNames: Seq[String] = Nil): Seq[CdfFilePartition] = {
     val action = SnapshotTable.readAction(dir, v)
     val files = SnapshotTable.manifestFiles(dir, v)
+    // names files committed AT v carry (sidecars and appended files):
+    // the consumer's end-version names may differ from v's even when v
+    // itself predates every rename — compare NAMES, never epochs
+    lazy val atV: Map[String, String] =
+      if (curNames.isEmpty) Map.empty
+      else SnapshotTable.readSchema(dir, v).fold(
+        Map.empty[String, String])(sv =>
+        curNames.zip(sv.fieldNames.toSeq)
+          .filter { case (a, b) => a != b }.toMap)
+    // per-file written names for members of manifest v-1 (the dropped
+    // files of a metadata delete may predate any number of renames)
+    lazy val atPrevOf: String => Map[String, String] =
+      if (curNames.isEmpty) _ => Map.empty
+      else {
+        val pv = v - 1
+        val eps = SnapshotTable.readEpochs(dir, pv)
+        val open: Map[String, String] =
+          SnapshotTable.readSchema(dir, pv).fold(
+            Map.empty[String, String])(sv =>
+            curNames.zip(sv.fieldNames.toSeq)
+              .filter { case (a, b) => a != b }.toMap)
+        if (eps.isEmpty) _ => open
+        else {
+          val cur = SnapshotTable.readSchema(dir, pv).get
+          val se = SnapshotTable.manifestFiles(dir, pv)
+            .zip(SnapshotTable.readSepoch(dir, pv)).toMap
+          val byEpoch = eps.indices.map { e =>
+            curNames.zip(SnapshotTable.epochNames(cur, eps, e))
+              .filter { case (a, b) => a != b }.toMap
+          }
+          f => se.get(f).filter(_ < eps.length)
+            .map(byEpoch).getOrElse(open)
+        }
+      }
     // a vacuumed v-1 means v's file-level delta is NOT derivable —
     // diffing against an empty base would feed every carried-forward
     // file as 'insert', silently duplicating history into the feed.
@@ -1259,14 +1351,14 @@ private[graft] object SnapshotCdf {
       case _ if !SnapshotTable.isDataChange(dir, v) =>
         Seq.empty // rewrite-only maintenance: no logical change
       case "append" =>
-        added.map(f => CdfFilePartition(s"$dir/$f", Some("insert"), v))
+        added.map(f => CdfFilePartition(s"$dir/$f", Some("insert"), v, atV))
       case "overwrite" if v == 1 =>
-        added.map(f => CdfFilePartition(s"$dir/$f", Some("insert"), v))
+        added.map(f => CdfFilePartition(s"$dir/$f", Some("insert"), v, atV))
       case "compact" => Seq.empty // rewrite-only: no logical change
       case "delete" | "update" | "merge" =>
         val sidecar = SnapshotTable.changeFiles(dir, v)
         if (sidecar.nonEmpty)
-          sidecar.map(f => CdfFilePartition(f, None, v))
+          sidecar.map(f => CdfFilePartition(f, None, v, atV))
         else if (action == "delete" && added.isEmpty) {
           // METADATA partition delete: the dropped files' rows ARE the
           // deleted rows — unless a dropped file carried positional
@@ -1280,7 +1372,8 @@ private[graft] object SnapshotCdf {
               s"deletes (${droppedDirty.mkString(", ")}) — their " +
               "row-level delta is not derivable from file bytes; " +
               s"start the feed above v$v")
-          removed.map(f => CdfFilePartition(s"$dir/$f", Some("delete"), v))
+          removed.map(f =>
+            CdfFilePartition(s"$dir/$f", Some("delete"), v, atPrevOf(f)))
         }
         else if (added.isEmpty && removed.isEmpty &&
             SnapshotTable.readDeletes(dir, v) ==
@@ -1327,7 +1420,8 @@ class CdfReaderFactory(required: StructType) extends PartitionReaderFactory {
     val fileSchema = StructType(required.zipWithIndex.collect {
       case (f, i) if i != cvIdx && !(i == ctIdx && spliceCt) => f
     })
-    val base = new ParquetGroupReader(p.path, fileSchema)
+    val base = new ParquetGroupReader(p.path,
+      SnapshotRename.phys(fileSchema, p.renames))
     if (ctIdx < 0 && cvIdx < 0) base
     else new PartitionReader[InternalRow] {
       private val ctVal =
@@ -1367,10 +1461,23 @@ case class SnapshotFilePartition(path: String, start: Long = 0L,
                                  length: Long = -1L,
                                  partKey: InternalRow = null,
                                  relPath: String = null,
-                                 delFiles: Seq[String] = Nil)
+                                 delFiles: Seq[String] = Nil,
+                                 renames: Map[String, String] = Map.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = partKey
+}
+
+private[sources] object SnapshotRename {
+  /** The requested schema with each field renamed to THIS file's
+    * physical (written) name — the executor-side half of column-id
+    * renames: a file written before a rename stores the old name, the
+    * batch columns are positional, so reading the right physical
+    * column under the requested slot is all there is to it. */
+  def phys(st: StructType, renames: Map[String, String]): StructType =
+    if (renames.isEmpty) st
+    else StructType(st.fields.map(f =>
+      renames.get(f.name).fold(f)(n => f.copy(name = n))))
 }
 
 class SnapshotReaderFactory(required: StructType,
@@ -1386,7 +1493,8 @@ class SnapshotReaderFactory(required: StructType,
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
-    val raw = new ParquetGroupReader(p.path, dataSchema, p.start, p.length)
+    val raw = new ParquetGroupReader(p.path,
+      SnapshotRename.phys(dataSchema, p.renames), p.start, p.length)
     // merge-on-read dirty file: skip its positionally-deleted rows
     // (sequential whole-file read => the running counter IS the
     // absolute row index)
@@ -1434,7 +1542,8 @@ class SnapshotReaderFactory(required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
-    new SnapshotColumnarReader(p.path, required, p.start, p.length,
+    new SnapshotColumnarReader(p.path,
+      SnapshotRename.phys(required, p.renames), p.start, p.length,
       readConfs)
   }
 }

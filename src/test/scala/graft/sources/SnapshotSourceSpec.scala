@@ -444,6 +444,97 @@ class SnapshotSourceSpec extends SparkSpec {
     }
   }
 
+  test("RENAME COLUMN through the DSv2 source: the vectorized AND row " +
+    "readers remap each file's physical names, stats pruning serves " +
+    "the new name, SQL ALTER TABLE RENAME COLUMN round-trips, and " +
+    "time travel keeps the version's own name") {
+    val dir = Files.createTempDirectory("graft-dsv2ren").toString
+    val mk = (lo: Long, hi: Long) => (lo until hi)
+      .map(i => (i, i * 10, s"s$i")).toDF("id", "n", "s")
+    SnapshotTable.commitMultiStats(spark, mk(0L, 40L).repartition(2),
+      dir, statsCols = Seq("n"))                              // v1
+    assert(SnapshotTable.renameColumn(dir, "n", "metric") == 2)
+    SnapshotTable.commitMultiStats(spark,
+      (40L until 80L).map(i => (i, i * 10, s"s$i"))
+        .toDF("id", "metric", "s").repartition(2), dir,
+      statsCols = Seq("metric"))                              // v3
+    // vectorized (default) read: old files surface under the new name
+    val got = load(dir)
+    assert(got.columns.toSeq == Seq("id", "metric", "s"))
+    assert(got.select("id", "metric").as[(Long, Long)].collect().toSet ==
+      (0L until 80L).map(i => (i, i * 10)).toSet)
+    // row-path parity
+    val rowPath = spark.read.format("graft.sources.SnapshotSource")
+      .option("vectorizedRead", "false").load(dir)
+    assert(rowPath.select("id", "metric").as[(Long, Long)]
+      .collect().toSet ==
+      (0L until 80L).map(i => (i, i * 10)).toSet)
+    // filter on the NEW name stays exact over OLD files
+    assert(got.where($"metric" === 110L).select("id")
+      .as[Long].collect().toSeq == Seq(11L))
+    // time travel below the rename keeps its own name
+    assert(load(dir, Some(1)).columns.toSeq == Seq("id", "n", "s"))
+    // SQL surface: ALTER TABLE RENAME COLUMN is the same metadata-only
+    // commit; reads and aggregate pushdown follow the new name
+    spark.conf.set("spark.sql.catalog.gren_cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gren_cat.root",
+      new java.io.File(dir).getParent)
+    val name = new java.io.File(dir).getName
+    spark.sql(s"ALTER TABLE gren_cat.`$name` RENAME COLUMN metric TO m2")
+    assert(SnapshotTable.readSchema(dir, 4).get.fieldNames.toSeq ==
+      Seq("id", "m2", "s"))
+    assert(spark.sql(s"SELECT sum(m2) AS t FROM gren_cat.`$name`")
+      .as[Long].head() == (0L until 80L).map(_ * 10).sum)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM gren_cat.`$name` WHERE m2 < 400")
+      .as[Long].head() == 40L)
+  }
+
+  test("CHANGE FEED across a rename: batch + DSv2 feed reads surface " +
+    "every version under the END names; a running stream keeps its " +
+    "start-schema names over post-rename appends") {
+    val dir = Files.createTempDirectory("graft-cdfren").toString
+    SnapshotTable.enableChangeFeed(dir)
+    val mk = (lo: Long, hi: Long) => (lo until hi)
+      .map(i => (i, i * 10)).toDF("id", "n")
+    SnapshotTable.commit(spark, mk(0L, 20L), dir)             // v1
+    SnapshotTable.delete(spark, dir, $"n" === 50L)            // v2 CoW
+    assert(SnapshotTable.renameColumn(dir, "n", "metric") == 3)
+    SnapshotTable.commit(spark,
+      (20L until 30L).map(i => (i, i * 10)).toDF("id", "metric"),
+      dir)                                                    // v4
+    // batch API: one frame, END names, rename version feeds nothing
+    val feed = SnapshotTable.readChangeFeed(spark, dir, 1)
+    assert(feed.columns.toSeq ==
+      Seq("id", "metric", "_change_type", "_commit_version"))
+    assert(feed.where($"_commit_version" === 3L).count() == 0L)
+    assert(feed.groupBy($"_change_type").count()
+      .as[(String, Long)].collect().toMap ==
+      Map("insert" -> 30L, "delete" -> 1L))
+    assert(feed.where($"_change_type" === "delete")
+      .select("metric").as[Long].head() == 50L)
+    // DSv2 feed read remaps per file (old files under end names)
+    val dsv2 = spark.read.format("graft.sources.SnapshotSource")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(dir)
+    assert(dsv2.where($"_change_type" === "insert")
+      .agg(sum("metric")).as[Long].head() ==
+      (0L until 30L).map(_ * 10).sum)
+    // streaming source ACROSS the rename: a stream whose schema is the
+    // END schema replays pre-rename appends remapped per file
+    val sq = spark.readStream.format("graft.sources.SnapshotSource")
+      .option("startingVersion", 1).option("ignoreRewrites", "true")
+      .load(dir)
+      .writeStream.format("memory").queryName("ren_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination(60000)
+    assert(spark.table("ren_stream").select("id", "metric")
+      .as[(Long, Long)].collect().toSet ==
+      (0L until 30L).map(i => (i, i * 10)).toSet)
+  }
+
   test("SQL DELETE on a partition column is METADATA-ONLY (no data " +
     "file touched); non-partition deletes still rewrite copy-on-write") {
     val dir = Files.createTempDirectory("graft-dsv2pdel").toString
