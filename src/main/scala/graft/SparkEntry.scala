@@ -281,6 +281,7 @@ object SparkEntry {
     "q247_mor_dsv2_compact" -> IoQueries.morDsv2,
     "q248_spec_repair" -> IoQueries.specRepair,
     "q249_snapshot_rename" -> IoQueries.snapshotRename,
+    "q250_hidden_partitioning" -> IoQueries.hiddenPartitioning,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3113,6 +3114,28 @@ SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
   count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""",
+    // q250: hidden partitioning changes WHICH FILES PLAN, never the
+    // rows — each leg is a plain slice of events: the full table, the
+    // raw-timestamp range, the min-user probe, and the table minus
+    // the dropped day cell.
+    "q250_hidden_partitioning" ->
+      """WITH e AS (SELECT event_id, ts, user_id FROM events)
+SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_events,
+  CAST(sum(event_id) AS BIGINT) AS sum_id,
+  CAST(sum(user_id) AS BIGINT) AS sum_user FROM e
+UNION ALL
+SELECT CAST(2 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT),
+  CAST(sum(user_id) AS BIGINT) FROM e
+  WHERE ts >= TIMESTAMP '2024-01-20 12:00:00'
+UNION ALL
+SELECT CAST(3 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT),
+  CAST(sum(user_id) AS BIGINT) FROM e
+  WHERE user_id = (SELECT min(user_id) FROM e)
+UNION ALL
+SELECT CAST(4 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT),
+  CAST(sum(user_id) AS BIGINT) FROM e
+  WHERE strftime(ts, '%Y-%m-%d') <> '2024-01-05'
+ORDER BY leg""",
     // q249: the rename is metadata-only — every leg is a plain slice
     // of the corpus, with the value column surfaced as `sum_len`
     // whichever name its files physically store: leg 1 the whole

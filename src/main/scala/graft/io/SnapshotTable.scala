@@ -110,7 +110,8 @@ object SnapshotTable {
                             dirty: Seq[String] = Nil,
                             ndel: Long = 0L,
                             epochs: Seq[Seq[String]] = Nil,
-                            sepoch: Seq[Int] = Nil)
+                            sepoch: Seq[Int] = Nil,
+                            ptrans: Seq[String] = Nil)
       : Unit = {
     // MERGE-ON-READ positional deletes: `dels` lists the delete-sidecar
     // parquet files ((file, pos) rows) in force at this version,
@@ -232,6 +233,18 @@ object SnapshotTable {
       s""","pcols":[${cols.map(c => "\"" + c + "\"").mkString(",")}]""" +
         s""","pvals":[${encoded.map(e => "\"" + e + "\"").mkString(",")}]"""
     }.getOrElse("")
+    // HIDDEN-PARTITIONING transform specs, parallel to pcols (Iceberg
+    // partition transforms): recorded values are TRANSFORM-space, and
+    // readers map source-column predicates through the spec. Omitted
+    // for all-identity tables — manifests stay byte-identical.
+    val ptransJson =
+      if (!ptrans.exists(_ != "id")) ""
+      else {
+        require(parts.exists(_._1.length == ptrans.length),
+          s"ptrans arity ${ptrans.length} != pcols arity " +
+            s"${parts.map(_._1.length).getOrElse(0)}")
+        s""","ptrans":[${ptrans.map(t => "\"" + t + "\"").mkString(",")}]"""
+      }
     val delsJson =
       if (dels.isEmpty) ""
       else s""","dels":[${dels.map(f => "\"" + f + "\"").mkString(",")}]""" +
@@ -266,7 +279,7 @@ object SnapshotTable {
       dcJson + s""","files":[""" +
       files.map(f => "\"" + f + "\"").mkString(",") + "]" + statsJson +
       xstatsJson + nullsJson + rowsJson + sizesJson + partsJson +
-      delsJson + epochsJson + schemaJson + "}"
+      ptransJson + delsJson + epochsJson + schemaJson + "}"
     casPublish(dir, v, json)
   }
 
@@ -524,8 +537,10 @@ object SnapshotTable {
     }
     concat("rows").foreach(r => sb ++= s""","rows":[$r]""")
     concat("sizes").foreach(r => sb ++= s""","sizes":[$r]""")
-    for (pc <- same("pcols", arr = true); pv <- concat("pvals"))
+    for (pc <- same("pcols", arr = true); pv <- concat("pvals")) {
       sb ++= s""","pcols":[$pc],"pvals":[$pv]"""
+      same("ptrans", arr = true).foreach(t => sb ++= s""","ptrans":[$t]""")
+    }
     for (ds <- rawArr(listJson, "dels"); dy <- rawArr(listJson, "dirty");
          nd <- """"ndel":(\d+)""".r.findFirstMatchIn(listJson)
            .map(_.group(1)))
@@ -763,6 +778,23 @@ object SnapshotTable {
       case _ => Nil
     }
 
+  /** HIDDEN-PARTITIONING transform specs at `v`, parallel to
+    * [[partitionColumns]] — `"id"`-filled when the manifest predates
+    * transforms or partitions by identity (the common case). */
+  def readPartTransforms(dir: String, v: Int): Seq[String] =
+    rawArr(manifestJson(dir, v), "ptrans") match {
+      case Some(list) if list.nonEmpty =>
+        list.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      case _ => partitionColumns(dir, v).map(_ => "id")
+    }
+
+  /** The parsed [[PartTransform]]s at `v` (source names from pcols). */
+  private[graft] def partTransformsOf(dir: String, v: Int)
+      : Seq[PartTransform] =
+    partitionColumns(dir, v).zip(readPartTransforms(dir, v)).map {
+      case (c, spec) => PartTransform.parse(c, spec)
+    }
+
   /** Per-file partition-value tuples at `v`, aligned with
     * [[readManifest]]'s file order (None = the version is not
     * partitioned). Each tuple is aligned with [[partitionColumns]];
@@ -794,9 +826,13 @@ object SnapshotTable {
                           partKeep: Map[String, Set[Option[String]]] =
                             Map.empty,
                           nullKeep: Map[String, Boolean] =
+                            Map.empty,
+                          partRange: Map[String,
+                            (Option[String], Option[String])] =
                             Map.empty): Seq[String] = {
     val files = readManifest(dir, v)
-    if (bounds.isEmpty && partKeep.isEmpty && nullKeep.isEmpty)
+    if (bounds.isEmpty && partKeep.isEmpty && nullKeep.isEmpty &&
+        partRange.isEmpty)
       return files
     val tracked = readAllStats(dir, v).toMap
     val active = bounds.toSeq.flatMap { case (c, b) =>
@@ -825,6 +861,21 @@ object SnapshotTable {
         val i = pcols.indexOf(c)
         if (i < 0) None else Some((i, keep))
       }
+    // TRANSFORM-space RANGE prune (monotone hidden-partitioning
+    // transforms — truncate/calendar): a file survives when its
+    // recorded cell value falls inside [lo, hi] under the transform's
+    // own ordering; NULL cells drop (a source comparison is never true
+    // on NULL rows), UNKNOWN markers survive (may-contain)
+    val ptrans = readPartTransforms(dir, v)
+    val activeRanges: Seq[(Int, Option[String], Option[String],
+        Ordering[String])] =
+      if (pvals.isEmpty) Nil
+      else partRange.toSeq.flatMap { case (c, (lo, hi)) =>
+        val i = pcols.indexOf(c)
+        if (i < 0) None
+        else Some((i, lo, hi,
+          PartTransform.parse(c, ptrans(i)).valueOrd))
+      }
     files.zipWithIndex.collect {
       case (f, i) if active.forall { case ((lo, hi), mm) =>
         val (mn, mx) = mm(i); mx >= lo && mn <= hi
@@ -833,6 +884,10 @@ object SnapshotTable {
         // file may hold any value of this column (may-contain stays
         // sound; callers keep answers exact with a residual row filter)
         keep.contains(pvals.get(i)(pi)) || isUnknownPart(pvals.get(i)(pi))
+      } && activeRanges.forall { case (pi, lo, hi, ord) =>
+        val cell = pvals.get(i)(pi)
+        isUnknownPart(cell) || cell.exists(s =>
+          lo.forall(l => ord.gteq(s, l)) && hi.forall(h => ord.lteq(s, h)))
       } && activeNulls.forall { case (ns, wantNull) =>
         if (wantNull) ns(i) > 0L
         else rowsRec.forall(rs => ns(i) < rs(i))
@@ -965,16 +1020,21 @@ object SnapshotTable {
     * file answers None), keyed by bare file name. A single pass
     * however many columns the table tracks. */
   private def fileMeta(spark: SparkSession, dir: String, sub: String,
-                       statsCols: Seq[String], partCols: Seq[String])
+                       statsCols: Seq[String], parts: Seq[PartTransform])
       : Map[String, (Seq[(Long, Long)], Seq[Option[String]], Seq[Long])] = {
     import org.apache.spark.sql.functions._
+    val partCols = parts.map(_.src)
     // NULL COUNTS ride the same single pass: count(*) - count(c) per
     // stats column — the IS NULL / IS NOT NULL pruning tier costs no
-    // extra job at commit
+    // extra job at commit. Partition values derive through each
+    // column's TRANSFORM (identity = plain cast) — files are
+    // value-pure in transform space by construction, so min() IS the
+    // file's value.
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"mn_$c"),
       max(col(c)).cast("long").as(s"mx_$c"))) ++
-      partCols.map(c => min(col(c).cast("string")).as(s"pv_$c")) ++
+      parts.zipWithIndex.map { case (t, i) =>
+        min(t.expr(col(t.src))).as(s"pv_$i") } ++
       (count(lit(1)).as("cnt") +:
         statsCols.map(c => count(col(c)).as(s"nn_$c")))
     spark.read.parquet(s"$dir/$sub")
@@ -1218,6 +1278,12 @@ object SnapshotTable {
           if (base.isEmpty) Some(Seq.empty) else prevNulls.get(c)
         carriedNs.map(cs => (c, cs ++ ns))
     }
+    if (base.nonEmpty)
+      require(readPartTransforms(dir, prev.last).forall(_ == "id"),
+        "staged/DSv2 writes onto a hidden-partition-transform table " +
+          "are not supported — append through " +
+          "commitPartitionedTransforms (the writer must derive " +
+          "transform-space tuples)")
     val (eps, sep) =
       if (base.isEmpty) (Nil, Nil)
       else carryEpochs(dir, prev.last, base ++ relFiles)
@@ -1501,7 +1567,55 @@ object SnapshotTable {
       .write.mode("overwrite").partitionBy(dups: _*)
       .parquet(s"$dir/$sub")
     publishStaged(spark, df, dir, sub, overwrite, statsCols,
-      partCols, evolveSpec)
+      partCols.map(PartTransform.Identity), evolveSpec)
+  }
+
+  /** Commit `df` HIDDEN-PARTITIONED by TRANSFORMS of source columns
+    * (Iceberg partition transforms: `bucket(N, c)`, `truncate(W, c)`,
+    * `day/month/year/hour(ts)` — [[PartTransform]]): the write lands
+    * one value-pure file set per DERIVED tuple, the derived column is
+    * dropped by the partitioned write (the user's schema is untouched
+    * — "hidden"), and the manifest records each file's transform-space
+    * tuple plus the spec. Readers then prune on predicates over the
+    * SOURCE column: equality/IN map through the transform, ranges
+    * prune on monotone transforms (truncate, calendar units) by
+    * transform-value comparison — the fix for hand-maintained `date`
+    * columns at 100 TB, where forgetting to filter on the derived
+    * column means a full scan. Appends must keep the same transforms;
+    * an overwrite may change them; spec evolution and the DSv2 write
+    * path stay identity-only (refused loudly). [[deletePartitions]] /
+    * [[deletePartitionsIn]] values are TRANSFORM-space — they drop
+    * whole cells ("the bad day"), which is exactly the metadata
+    * delete a cell represents. */
+  def commitPartitionedTransforms(spark: SparkSession, df: DataFrame,
+                                  dir: String,
+                                  transforms: Seq[PartTransform],
+                                  overwrite: Boolean = false,
+                                  statsCols: Seq[String] = Nil): Int = {
+    require(transforms.nonEmpty,
+      "commitPartitionedTransforms needs transforms")
+    require(transforms.map(_.src).distinct.length == transforms.length,
+      "duplicate transform source columns")
+    transforms.foreach { t =>
+      val f = df.schema.fields.find(_.name == t.src).getOrElse(
+        throw new IllegalArgumentException(
+          s"transform source '${t.src}' is not a column of the frame " +
+            s"(${df.schema.fieldNames.mkString(",")})"))
+      t.validate(f)
+    }
+    // identity columns still validate like plain hive partitioning
+    validatePartCols(df.schema, transforms.collect {
+      case PartTransform.Identity(c) => c })
+    logDir(dir).mkdirs()
+    val sub = stagingSub()
+    import org.apache.spark.sql.functions.col
+    val dups = transforms.map(t => PartDupPrefix + t.src)
+    df.select(df.columns.map(col) ++
+        transforms.zip(dups).map { case (t, d) =>
+          t.expr(col(t.src)).as(d) }: _*)
+      .write.mode("overwrite").partitionBy(dups: _*)
+      .parquet(s"$dir/$sub")
+    publishStaged(spark, df, dir, sub, overwrite, statsCols, transforms)
   }
 
   /** Publish a commit whose data files are already staged under `sub`:
@@ -1512,24 +1626,25 @@ object SnapshotTable {
                             sub: String,
                             overwrite: Boolean,
                             statsCols: Seq[String],
-                            partCols: Seq[String] = Nil,
+                            partTs: Seq[PartTransform] = Nil,
                             evolveSpec: Boolean = false): Int = {
     val written = listWritten(dir, sub)
+    val partCols = partTs.map(_.src)
     // the per-file metadata job runs ONCE (it reads only the staged
     // files, independent of the base version); everything derived from
     // the base recomputes per OPTIMISTIC-RETRY attempt below
     val statIdx = statsCols.zipWithIndex.toMap
     val meta: Map[String,
         (Seq[(Long, Long)], Seq[Option[String]], Seq[Long])] =
-      if (statsCols.isEmpty && partCols.isEmpty) Map.empty
-      else fileMeta(spark, dir, sub, statsCols, partCols)
+      if (statsCols.isEmpty && partTs.isEmpty) Map.empty
+      else fileMeta(spark, dir, sub, statsCols, partTs)
     var attempt = 0
     while (true) {
       val prev = versions(dir)
       val v = prev.lastOption.getOrElse(0) + 1
       try {
         return publishStagedOnce(spark, df, dir, prev, v, sub, overwrite,
-          statsCols, partCols, evolveSpec, written, statIdx, meta)
+          statsCols, partTs, evolveSpec, written, statIdx, meta)
       } catch {
         // OPTIMISTIC CONCURRENCY for APPENDS (the Delta retry): a
         // racing commit won the CAS — the staged files are untouched
@@ -1632,6 +1747,7 @@ object SnapshotTable {
         rawArr(pj, "sizes").foreach(r => sb ++= s""","sizes":[$r]""")
         for (pc <- rawArr(pj, "pcols"); pv <- rawArr(pj, "pvals"))
           sb ++= s""","pcols":[$pc],"pvals":[$pv]"""
+        rawArr(pj, "ptrans").foreach(t => sb ++= s""","ptrans":[$t]""")
         rawArr(pj, "sepoch").foreach(s => sb ++= s""","sepoch":[$s]""")
         sb += '}'
         Seq(writeSegmentFile(dir, sb.toString))
@@ -1678,6 +1794,10 @@ object SnapshotTable {
       sb ++= s""","pcols":[${cols.map(c => "\"" + c + "\"")
         .mkString(",")}]""" +
         s""","pvals":[${encoded.map(e => "\"" + e + "\"").mkString(",")}]"""
+      val prevTrans = readPartTransforms(dir, prevV)
+      if (prevTrans.exists(_ != "id"))
+        sb ++= s""","ptrans":[${prevTrans.map(t => "\"" + t + "\"")
+          .mkString(",")}]"""
     }
     // renamed table: new files are written at the OPEN epoch
     prevEpochs.foreach { eps =>
@@ -1722,12 +1842,14 @@ object SnapshotTable {
                                 dir: String, prev: Seq[Int], v: Int,
                                 sub: String, overwrite: Boolean,
                                 statsCols: Seq[String],
-                                partCols: Seq[String],
+                                partTs: Seq[PartTransform],
                                 evolveSpec: Boolean,
                                 written: Seq[String],
                                 statIdx: Map[String, Int],
                                 meta: Map[String, (Seq[(Long, Long)],
                                   Seq[Option[String]], Seq[Long])]): Int = {
+    val partCols = partTs.map(_.src)
+    val ptrans = partTs.map(_.spec)
     val base =
       if (overwrite || prev.isEmpty) Seq.empty
       else readManifest(dir, prev.last)
@@ -1746,6 +1868,7 @@ object SnapshotTable {
     // wrong; a later rewrite re-derives true values). Old data is
     // never rewritten — the point of spec evolution at 100 TB.
     val prevP = if (base.isEmpty) Nil else partitionColumns(dir, prev.last)
+    val prevT = if (base.isEmpty) Nil else readPartTransforms(dir, prev.last)
     if (base.nonEmpty && prevP != partCols) {
       require(evolveSpec,
         s"append partitioned by [${partCols.mkString(",")}] onto " +
@@ -1754,7 +1877,18 @@ object SnapshotTable {
           "(commitPartitioned with the same columns); only an " +
           "overwrite may repartition, or pass evolveSpec=true to " +
           "declare a NEW spec (old files keep their recorded tuples)")
+      // spec EVOLUTION stays an identity-spec feature: a transform
+      // cell is not a column value — the UNKNOWN-marker carry and the
+      // repair path have no sound meaning across transform specs
+      require(ptrans.forall(_ == "id") && prevT.forall(_ == "id"),
+        "evolveSpec with hidden-partition transforms is not supported")
     }
+    if (base.nonEmpty && prevP == partCols && prevT != ptrans)
+      throw new IllegalArgumentException(
+        s"append with transforms [${ptrans.mkString(",")}] onto " +
+          s"version ${prev.last} with [${prevT.mkString(",")}] — " +
+          "appends must keep the table's partition transforms; only " +
+          "an overwrite may change them")
     val prevAll: Map[String, Seq[(Long, Long)]] =
       if (base.isEmpty) Map.empty else readAllStats(dir, prev.last).toMap
     val ordered =
@@ -1847,6 +1981,7 @@ object SnapshotTable {
       knownSizes = if (base.isEmpty) Map.empty
                    else sizeMap(dir, prev.last),
       parts = parts, nulls = nulls, epochs = eps, sepoch = sep,
+      ptrans = ptrans,
       // an append touches no existing file: merge-on-read delete
       // state carries verbatim; an overwrite replaces the content and
       // resets it
@@ -2152,7 +2287,8 @@ object SnapshotTable {
       readSchema(dir, prevV), knownRows = carriedRows,
       knownSizes = sizeMap(dir, prevV), parts = parts, nulls = nulls,
       dels = delsNew, dirty = dirtyNew, ndel = ndelNew,
-      epochs = eps, sepoch = sep)
+      epochs = eps, sepoch = sep,
+      ptrans = readPartTransforms(dir, prevV))
     prevV + 1
   }
 
@@ -2240,13 +2376,16 @@ object SnapshotTable {
   private def writeMaybePartitioned(dir: String, prevV: Int,
                                     out: DataFrame, sub: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val pcols = partitionColumns(dir, prevV)
-    if (pcols.isEmpty) out.write.mode("overwrite").parquet(s"$dir/$sub")
+    val ts = partTransformsOf(dir, prevV)
+    if (ts.isEmpty) out.write.mode("overwrite").parquet(s"$dir/$sub")
     else {
-      val dups = pcols.map(c => PartDupPrefix + c)
+      // the dup column carries the TRANSFORM value (identity = cast),
+      // so rewrites of hidden-partitioned tables stay value-pure in
+      // transform space; publish re-derives tuples from the data
       out.select(out.columns.map(col) ++
-          pcols.zip(dups).map { case (c, d) => col(c).as(d) }: _*)
-        .write.mode("overwrite").partitionBy(dups: _*)
+          ts.map(t => t.expr(col(t.src)).as(PartDupPrefix + t.src)): _*)
+        .write.mode("overwrite")
+        .partitionBy(ts.map(t => PartDupPrefix + t.src): _*)
         .parquet(s"$dir/$sub")
     }
   }
@@ -2287,7 +2426,8 @@ object SnapshotTable {
         (Seq[(Long, Long)], Seq[Option[String]], Seq[Long])] =
       if ((cols.isEmpty && pcols.isEmpty) || written.isEmpty) Map.empty
       else fileMeta(spark, dir,
-        writtenSub.getOrElse(f"data/v$v%05d"), cols, pcols)
+        writtenSub.getOrElse(f"data/v$v%05d"), cols,
+        partTransformsOf(dir, prevV))
     // only the ZERO-ROW anchor file may legitimately miss the meta map
     // (no rows → no group); a data-bearing miss means the scan path and
     // the listing disagree on a file's name, and falling through to the
@@ -2375,7 +2515,8 @@ object SnapshotTable {
       knownRows = carriedRows, knownSizes = sizeMap(dir, prevV),
       parts = parts, nulls = nulls,
       dels = delsNew, dirty = dirtyNew, ndel = ndelNew,
-      epochs = eps, sepoch = sep)
+      epochs = eps, sepoch = sep,
+      ptrans = readPartTransforms(dir, prevV))
     v
   }
 
@@ -2436,7 +2577,7 @@ object SnapshotTable {
     } else {
       // publish the STAGED files — what was audited is what readers see
       (Some(publishStaged(spark, df, dir, sub, overwrite,
-        statsCol.toSeq, partCols)), report)
+        statsCol.toSeq, partCols.map(PartTransform.Identity))), report)
     }
   }
 
@@ -2477,8 +2618,14 @@ object SnapshotTable {
     partEq.keys.foreach(c => require(pcols.contains(c),
       s"'$c' is not a partition column of v$v (have " +
         s"${pcols.mkString(",")})"))
-    val keep = partEq.map { case (c, x) =>
-      c -> Set(Option(x).map(partValueString))
+    // hidden partitioning: the predicate is on the SOURCE column; the
+    // prune maps its literal through the column's transform (a literal
+    // the transform cannot map declines the prune — the residual row
+    // filter below keeps the answer exact)
+    val tOf = partTransformsOf(dir, v).map(t => t.src -> t).toMap
+    val keep = partEq.flatMap { case (c, x) =>
+      if (x == null) Some(c -> Set(Option.empty[String]))
+      else tOf(c).literal(x).map(s => c -> Set(Option(s)))
     }
     val kept = manifestFilesPruned(dir, v, Map.empty, keep)
     val pred = partEq.map { case (c, x) =>
@@ -3153,8 +3300,9 @@ object SnapshotTable {
       dels = readDeletes(dir, v), dirty = readDirty(dir, v),
       ndel = readNdel(dir, v),
       // restore re-references v's files verbatim — its epoch state
-      // (including pre-rename names) carries with them
-      epochs = readEpochs(dir, v), sepoch = readSepoch(dir, v))
+      // (including pre-rename names) and transform spec carry with them
+      epochs = readEpochs(dir, v), sepoch = readSepoch(dir, v),
+      ptrans = readPartTransforms(dir, v))
     next
   }
 
@@ -3219,7 +3367,8 @@ object SnapshotTable {
           case (c, ns) => (ren(c), ns) },
         dels = readDeletes(dir, prevV), dirty = readDirty(dir, prevV),
         ndel = readNdel(dir, prevV),
-        epochs = eps :+ schema.fieldNames.toSeq, sepoch = sep)
+        epochs = eps :+ schema.fieldNames.toSeq, sepoch = sep,
+        ptrans = readPartTransforms(dir, prevV))
     }
     prevV + 1
   }

@@ -1395,6 +1395,53 @@ object IoQueries {
     leg1.unionAll(leg2).unionAll(leg3).unionAll(leg4).orderBy("leg")
   }
 
+  /** HIDDEN PARTITIONING (q250, Iceberg partition transforms —
+    * [[graft.io.SnapshotTable.commitPartitionedTransforms]]): the
+    * events stream lands day-partitioned by a TRANSFORM of its raw
+    * `ts` (no hand-maintained date column — the failure mode hidden
+    * partitioning exists to kill: a 100 TB table where analysts must
+    * remember to filter the derived column), and a second table
+    * bucket-partitions by `user_id` through the portable hash. Legs,
+    * all DSv2 reads: (1) the full day-partitioned table, (2) a raw
+    * `ts >=` range — the scan plans only the matching day cells
+    * (plan-asserted in SnapshotSourceSpec; here the oracle pins
+    * row-exactness), (3) a point-user probe on the bucketed table —
+    * one cell's files plan, the residual keeps it row-exact, (4) the
+    * table after `deletePartitions` drops one day CELL — "delete the
+    * bad day" as one metadata commit, zero data IO. */
+  def hiddenPartitioning(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.PartTransform
+    val ev = table(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val tA = Files.createTempDirectory("graft-hidA").toString
+    val tB = Files.createTempDirectory("graft-hidB").toString
+    val st = graft.io.SnapshotTable
+    st.commitPartitionedTransforms(s, ev, tA,
+      Seq(PartTransform.DateUnit("ts", "day")))
+    st.commitPartitionedTransforms(s, ev, tB,
+      Seq(PartTransform.Bucket("user_id", 8)))
+    // legs pin their VERSION explicitly: the delete below runs at
+    // build time, the legs execute later — an unpinned read would see
+    // the post-delete table
+    def load(t: String, v: Int) =
+      s.read.format("graft.sources.SnapshotSource")
+        .option("versionAsOf", v.toString).load(t)
+    def agg(leg: Int, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("event_id")), lit(0L)).as("sum_id"),
+          coalesce(sum(col("user_id")), lit(0L)).as("sum_user"))
+        .select(lit(leg.toLong).as("leg"), col("n_events"),
+          col("sum_id"), col("sum_user"))
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-20 12:00:00")
+    val probe = ev.agg(min(col("user_id"))).head().getLong(0)
+    val leg1 = agg(1, load(tA, 1))
+    val leg2 = agg(2, load(tA, 1).where(col("ts") >= lit(cutoff)))
+    val leg3 = agg(3, load(tB, 1).where(col("user_id") === probe))
+    st.deletePartitions(tA, Map("ts" -> "2024-01-05"))
+    val leg4 = agg(4, load(tA, 2))
+    leg1.unionAll(leg2).unionAll(leg3).unionAll(leg4).orderBy("leg")
+  }
+
   /** Table history + OPTIMIZE through CALL (q234,
     * [[graft.io.SnapshotTable.history]] /
     * [[graft.sources.SnapshotCatalog]] `history`/`compact`

@@ -300,7 +300,12 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
     // lists, repeated columns — falls back to the partition-aware
     // copy-on-write rewrite, which is always correct.
     val latest = SnapshotTable.resolveVersion(dir)
-    val pcols = SnapshotTable.partitionColumns(dir, latest).toSet
+    // hidden partitioning: "src = v" must NOT drop the whole transform
+    // CELL (it holds other rows) — only identity columns may take the
+    // metadata path; everything else falls to copy-on-write
+    val pcols = SnapshotTable.partitionColumns(dir, latest)
+      .zip(SnapshotTable.readPartTransforms(dir, latest))
+      .collect { case (c, "id") => c }.toSet
     val partIn: Option[Map[String, Seq[Any]]] =
       if (pcols.isEmpty || filters.isEmpty) None
       else {
@@ -585,12 +590,22 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
 
   private val statsCols = SnapshotTable.statsColumns(dir, version).toSet
   private val partCols = SnapshotTable.partitionColumns(dir, version).toSet
+  // HIDDEN-PARTITIONING transforms: predicates arrive on the SOURCE
+  // column; pruning maps literals through the column's transform
+  // (identity included — its literal() is the old partValueString)
+  private val partT: Map[String, graft.io.PartTransform] =
+    graft.io.SnapshotTable.partTransformsOf(dir, version)
+      .map(t => t.src -> t).toMap
   private val bounds =
     scala.collection.mutable.Map.empty[String, (Long, Long)]
   // partition column -> surviving value set (None = the NULL partition);
   // successive predicates intersect
   private val partKeep =
     scala.collection.mutable.Map.empty[String, Set[Option[String]]]
+  // partition column -> transform-space [lo, hi] (monotone transforms:
+  // a range on the source prunes cells by transform-value comparison)
+  private val partRange = scala.collection.mutable.Map.empty[String,
+    (Option[String], Option[String])]
   // stats column -> null-predicate prune (true = IS NULL keeps files
   // with nulls, false = IS NOT NULL keeps files with non-nulls). A
   // contradictory conjunction (both on one column) matches no rows;
@@ -615,6 +630,21 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
   private def keepVals(c: String, vs: Set[Option[String]]): Unit =
     partKeep(c) = partKeep.get(c).map(_.intersect(vs)).getOrElse(vs)
 
+  private def narrowPart(c: String, lo: Option[String],
+                         hi: Option[String]): Unit = {
+    val ord = partT(c).valueOrd
+    val (l0, h0) = partRange.getOrElse(c, (None, None))
+    def maxO(a: Option[String], b: Option[String]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(if (ord.gteq(x, y)) x else y)
+      case _ => a.orElse(b)
+    }
+    def minO(a: Option[String], b: Option[String]) = (a, b) match {
+      case (Some(x), Some(y)) => Some(if (ord.lteq(x, y)) x else y)
+      case _ => a.orElse(b)
+    }
+    partRange(c) = (maxO(l0, lo), minO(h0, hi))
+  }
+
   private def partLit(v: Any): Option[String] =
     Option(v).map(SnapshotTable.partValueString)
 
@@ -631,18 +661,44 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
       // PARTITION pruning first (exact — files are value-pure); a
       // column that is both partition and stats prunes by value here
       case EqualTo(a, v) if isPart(a) && v != null =>
-        keepVals(a, Set(partLit(v))); true
+        partT(a).literal(v) match {
+          case Some(s) => keepVals(a, Set(Some(s))); true
+          case None => false // unmappable literal: residual only
+        }
       case EqualNullSafe(a, v) if isPart(a) =>
-        keepVals(a, Set(partLit(v))); true
+        if (v == null) { keepVals(a, Set(None)); true }
+        else partT(a).literal(v) match {
+          case Some(s) => keepVals(a, Set(Some(s))); true
+          case None => false
+        }
       // SQL `a IN (..., NULL)` never matches NULL rows — drop null
       // elements (keeping them would retain the NULL partition's
       // files: sound but needlessly over-inclusive, and inconsistent
       // with the deleteWhere fast path). An all-NULL list keeps zero
       // partitions — exactly the rows the predicate matches.
       case In(a, vs) if isPart(a) && vs.nonEmpty =>
-        keepVals(a, vs.filter(_ != null).map(partLit).toSet); true
+        val mapped = vs.filter(_ != null).map(partT(a).literal)
+        if (mapped.exists(_.isEmpty)) false // one unmappable: decline
+        else { keepVals(a, mapped.flatten.map(Option(_)).toSet); true }
       case IsNull(a) if isPart(a) =>
         keepVals(a, Set(None)); true
+      // RANGE predicates on a MONOTONE transform's source (truncate /
+      // calendar units — hidden partitioning's headline prune: "WHERE
+      // ts >= X" skips to the right days): a source bound maps to an
+      // INCLUSIVE transform-cell bound — the boundary cell may hold
+      // rows on both sides, the residual row filter keeps it exact
+      case GreaterThan(a, v) if isPart(a) && v != null &&
+          partT(a).monotone =>
+        partT(a).literal(v).exists { s => narrowPart(a, Some(s), None); true }
+      case GreaterThanOrEqual(a, v) if isPart(a) && v != null &&
+          partT(a).monotone =>
+        partT(a).literal(v).exists { s => narrowPart(a, Some(s), None); true }
+      case LessThan(a, v) if isPart(a) && v != null &&
+          partT(a).monotone =>
+        partT(a).literal(v).exists { s => narrowPart(a, None, Some(s)); true }
+      case LessThanOrEqual(a, v) if isPart(a) && v != null &&
+          partT(a).monotone =>
+        partT(a).literal(v).exists { s => narrowPart(a, None, Some(s)); true }
       // NULL-predicate file pruning from the manifest's per-column
       // null counts: IS NULL skips files recording zero nulls,
       // IS NOT NULL skips all-null files (Spark pushes an IsNotNull
@@ -750,7 +806,7 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
 
   private def buildFileScan(): Scan = {
     val files = SnapshotTable.manifestFilesPruned(dir, version,
-        bounds.toMap, partKeep.toMap, nullKeep.toMap)
+        bounds.toMap, partKeep.toMap, nullKeep.toMap, partRange.toMap)
       .map(f => s"$dir/$f")
     // recorded per-file byte sizes (absolute-path-keyed): splits and
     // statistics plan from manifest bytes — zero status calls
@@ -764,7 +820,15 @@ class SnapshotScanBuilder(dir: String, version: Int, tableSchema: StructType,
     // partition tuples for the storage-partitioned-join report: typed
     // per-file keys let two same-keyed snapshot tables join (and the
     // key-grouped aggregate run) with zero exchanges
-    val pcolsSeq = SnapshotTable.partitionColumns(dir, version)
+    // a TRANSFORM-partitioned scan must not report key-grouped
+    // partitioning on the source columns: rows in one cell do NOT
+    // share a source value, so the identity-clustering claim would
+    // mis-key a join — decline (bucket-transform SPJ needs the V2
+    // function-catalog plumbing; a sound decline beats a wrong join)
+    val pcolsSeq =
+      if (SnapshotTable.readPartTransforms(dir, version)
+          .exists(_ != "id")) Nil
+      else SnapshotTable.partitionColumns(dir, version)
     val partSchema = StructType(pcolsSeq.flatMap(c =>
       tableSchema.fields.find(_.name == c)))
     val partTuples: Map[String, Seq[Option[String]]] =

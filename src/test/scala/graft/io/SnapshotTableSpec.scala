@@ -1677,6 +1677,125 @@ class SnapshotTableSpec extends SparkSpec {
       st.renameColumn(dir, "id", "bad name"))
   }
 
+  test("HIDDEN PARTITIONING (truncate + bucket): the derived column " +
+    "never exists in the data, predicates on the SOURCE column prune " +
+    "cells, DML stays value-pure, appends must keep the transforms, " +
+    "and the DSv2 write path refuses") {
+    val dir = Files.createTempDirectory("snap-hidtrunc").toString
+    val st = SnapshotTable
+    val mk = (lo: Long, hi: Long) => (lo until hi)
+      .map(i => (i, i % 250, s"s${i % 7}")).toDF("id", "n", "s")
+    st.commitPartitionedTransforms(spark, mk(0L, 300L), dir,
+      Seq(PartTransform.Trunc("n", 100L)))                     // v1
+    assert(st.readPartTransforms(dir, 1) == Seq("trunc:100"))
+    assert(st.partitionColumns(dir, 1) == Seq("n"))
+    // hidden: the data files carry the user's schema only
+    assert(st.readSnapshot(spark, dir).columns.toSeq ==
+      Seq("id", "n", "s"))
+    assert(st.readSnapshot(spark, dir).count() == 300L)
+    // cells are value-pure in transform space: 0 / 100 / 200
+    assert(st.readPartValues(dir, 1).get.flatten.flatten.toSet ==
+      Set("0", "100", "200"))
+    // source-equality prune: n=150 keeps only the 100-cell's files,
+    // and the residual filter keeps the answer row-exact
+    val all = st.manifestFiles(dir, 1)
+    val kept = st.manifestFilesPruned(dir, 1, Map.empty,
+      Map("n" -> Set(Option("100"))))
+    assert(kept.nonEmpty && kept.length < all.length)
+    assert(st.readSnapshotPartitioned(spark, dir, Map("n" -> 150L))
+      .as[(Long, Long, String)].collect().toSet ==
+      (0L until 300L).filter(_ % 250 == 150)
+        .map(i => (i, 150L, s"s${i % 7}")).toSet)
+    // transform-space RANGE prune (monotone)
+    val ranged = st.manifestFilesPruned(dir, 1, Map.empty, Map.empty,
+      Map.empty, Map("n" -> (Some("100"), Some("100"))))
+    assert(ranged.toSet == kept.toSet)
+    // appends must keep the transforms; identity/other specs refuse
+    intercept[IllegalArgumentException](
+      st.commitPartitioned(spark, mk(300L, 310L), dir, Seq("n")))
+    intercept[IllegalArgumentException](
+      st.commitPartitionedTransforms(spark, mk(300L, 310L), dir,
+        Seq(PartTransform.Trunc("n", 50L))))
+    // a matching append SEGMENTS (O(delta) metadata) and carries specs
+    st.commitPartitionedTransforms(spark, mk(300L, 400L), dir,
+      Seq(PartTransform.Trunc("n", 100L)))                     // v2
+    assert(st.readSegments(dir, 2).nonEmpty)
+    assert(st.readPartTransforms(dir, 2) == Seq("trunc:100"))
+    assert(st.readSnapshot(spark, dir).count() == 400L)
+    // CoW DML re-derives pure transform tuples for rewritten files
+    st.delete(spark, dir, col("n") === 150L)                   // v3
+    assert(st.readPartValues(dir, 3).get.flatten.flatten.toSet
+      .subsetOf(Set("0", "100", "200")))
+    assert(st.readSnapshot(spark, dir).count() ==
+      (0L until 400L).count(_ % 250 != 150))
+    // metadata CELL delete: transform-space value drops the whole cell
+    st.deletePartitions(dir, Map("n" -> "200"))                // v4
+    assert(st.readSnapshot(spark, dir)
+      .agg(max(col("n"))).as[Long].head() < 200L)
+    // the DSv2/staged write path cannot derive transform tuples: refuse
+    // refused either as an undeclared-partitioning staged write or —
+    // when the writer declares matching column names — by the
+    // transform guard itself
+    val e = intercept[IllegalArgumentException](
+      st.commitStagedFiles(dir, Seq("data/nope.parquet"),
+        st.readSchema(dir, 4).get))
+    assert(e.getMessage.contains("transform") ||
+      e.getMessage.contains("declare the table's partitioning"))
+    val e2 = intercept[IllegalArgumentException](
+      st.commitStagedFiles(dir, Seq("data/nope.parquet"),
+        st.readSchema(dir, 4).get,
+        parts = Some((Seq("n"), Seq(Seq(Option("0")))))))
+    assert(e2.getMessage.contains("transform"))
+    // BUCKET transform on a string source: exact membership through
+    // the portable hash, value-pure cells, exact reads
+    val dirB = Files.createTempDirectory("snap-hidbkt").toString
+    st.commitPartitionedTransforms(spark, mk(0L, 300L), dirB,
+      Seq(PartTransform.Bucket("s", 4)))
+    val cells = st.readPartValues(dirB, 1).get.flatten.flatten.toSet
+    assert(cells.subsetOf(Set("0", "1", "2", "3")) && cells.size > 1)
+    val keptB = st.manifestFilesPruned(dirB, 1, Map.empty,
+      Map("s" -> Set(PartTransform.Bucket("s", 4).literal("s3"))))
+    assert(keptB.length < st.manifestFiles(dirB, 1).length)
+    assert(st.readSnapshotPartitioned(spark, dirB, Map("s" -> "s3"))
+      .count() == (0L until 300L).count(_ % 7 == 3))
+  }
+
+  test("HIDDEN PARTITIONING (day transform): a filter on the raw " +
+    "TIMESTAMP prunes to the day's cells — no hand-maintained date " +
+    "column — and dropping a day is one metadata delete") {
+    val dir = Files.createTempDirectory("snap-hidday").toString
+    val st = SnapshotTable
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val rows = (0L until 240L)
+      .map(i => (i, new Timestamp(t0 + i * 30L * 60_000L), i * 2))
+      .toDF("id", "ts", "n")                       // 48 half-hours/day
+    st.commitPartitionedTransforms(spark, rows, dir,
+      Seq(PartTransform.DateUnit("ts", "day")))
+    assert(st.readPartTransforms(dir, 1) == Seq("day"))
+    assert(st.readPartValues(dir, 1).get.flatten.flatten.toSet ==
+      (1 to 5).map(d => f"2026-01-0$d").toSet)
+    // range on the RAW timestamp prunes by day cell and stays exact
+    val lo = Timestamp.valueOf("2026-01-03 06:00:00")
+    val keep = st.manifestFilesPruned(dir, 1, Map.empty, Map.empty,
+      Map.empty, Map("ts" -> (Some("2026-01-03"), None)))
+    assert(keep.nonEmpty && keep.length < st.manifestFiles(dir, 1).length)
+    assert(st.readSnapshot(spark, dir).where(col("ts") >= lo).count() ==
+      (0L until 240L).count(i => t0 + i * 30L * 60_000L >= lo.getTime))
+    // equality on a day member maps to its cell
+    assert(st.readSnapshotPartitioned(spark, dir,
+      Map("ts" -> Timestamp.valueOf("2026-01-02 12:00:00")))
+      .count() == 1L)
+    // "drop the bad day" = ONE metadata commit, zero data IO
+    val before = st.manifestFiles(dir, 1).toSet
+    st.deletePartitions(dir, Map("ts" -> "2026-01-02"))
+    assert(st.manifestFiles(dir, 2).toSet.subsetOf(before))
+    assert(st.readSnapshot(spark, dir).count() == 240L - 48L)
+    assert(st.readSnapshot(spark, dir)
+      .where(date_format(col("ts"), "yyyy-MM-dd") === "2026-01-02")
+      .count() == 0L)
+  }
+
   test("RENAME of a PARTITION column: tuples and pruning move to the " +
     "new name, partitioned appends and metadata DELETE keep working") {
     val dir = Files.createTempDirectory("snap-renpart").toString

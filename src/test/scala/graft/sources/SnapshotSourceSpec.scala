@@ -535,6 +535,58 @@ class SnapshotSourceSpec extends SparkSpec {
       (0L until 30L).map(i => (i, i * 10)).toSet)
   }
 
+  test("HIDDEN PARTITIONING through DSv2: source-column filters prune " +
+    "the planned file set through the transform (equality AND range), " +
+    "answers stay row-exact, and SQL DELETE on the source falls to " +
+    "copy-on-write — never a cell drop") {
+    import graft.io.PartTransform
+    val dir = Files.createTempDirectory("graft-dsv2hid").toString
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2026-03-01 00:00:00").getTime
+    val rows = (0L until 240L)
+      .map(i => (i, new Timestamp(t0 + i * 30L * 60_000L), i % 90))
+      .toDF("id", "ts", "n")                       // 5 days, n in 0..89
+    SnapshotTable.commitPartitionedTransforms(spark, rows, dir,
+      Seq(PartTransform.DateUnit("ts", "day"),
+        PartTransform.Trunc("n", 30L)))
+    def planned(df: DataFrame): Int = {
+      val d = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString
+      """files=(\d+)""".r.findFirstMatchIn(d).map(_.group(1).toInt)
+        .getOrElse(fail(s"no snapshot scan leaf in:\n$d"))
+    }
+    val all = planned(load(dir))
+    // range on the RAW timestamp: only the matching days' cells plan
+    val lo = Timestamp.valueOf("2026-03-04 06:00:00")
+    val ranged = load(dir).where($"ts" >= lit(lo))
+    assert(planned(ranged) < all)
+    assert(ranged.count() ==
+      (0L until 240L).count(i => t0 + i * 30L * 60_000L >= lo.getTime))
+    // equality on the truncated source: one cell's files plan
+    val eq = load(dir).where($"n" === 42L)
+    assert(planned(eq) < all)
+    assert(eq.select("id").as[Long].collect().toSet ==
+      (0L until 240L).filter(_ % 90 == 42).toSet)
+    // compound: both transforms prune together
+    val both = load(dir).where($"ts" >= lit(lo) && $"n" < 30L)
+    assert(planned(both) <= planned(ranged))
+    assert(both.count() == (0L until 240L).count(i =>
+      t0 + i * 30L * 60_000L >= lo.getTime && i % 90 < 30))
+    // SQL DELETE with equality on the SOURCE column: the metadata
+    // cell-drop would delete the whole day — it must fall to the
+    // row-exact copy-on-write path instead
+    spark.conf.set("spark.sql.catalog.ghid_cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.ghid_cat.root",
+      new java.io.File(dir).getParent)
+    val name = new java.io.File(dir).getName
+    val victim = new Timestamp(t0 + 99L * 30L * 60_000L) // inside day 3
+    spark.sql(s"DELETE FROM ghid_cat.`$name` WHERE ts = " +
+      s"TIMESTAMP'${victim.toString.stripSuffix(".0")}'")
+    assert(load(dir).count() == 239L) // exactly ONE row gone
+    assert(load(dir).where($"id" === 99L).count() == 0L)
+  }
+
   test("SQL DELETE on a partition column is METADATA-ONLY (no data " +
     "file touched); non-partition deletes still rewrite copy-on-write") {
     val dir = Files.createTempDirectory("graft-dsv2pdel").toString
