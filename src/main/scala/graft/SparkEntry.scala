@@ -282,6 +282,7 @@ object SparkEntry {
     "q248_spec_repair" -> IoQueries.specRepair,
     "q249_snapshot_rename" -> IoQueries.snapshotRename,
     "q250_hidden_partitioning" -> IoQueries.hiddenPartitioning,
+    "q251_tags_binpack" -> IoQueries.snapshotTagsBinpack,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3114,6 +3115,21 @@ SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
   count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_id,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM feed GROUP BY 1, 2 ORDER BY commit_version, change_type""",
+    // q251: tags + binpack are content-neutral — legs 1/3 are the
+    // even-id half (the tagged v1, re-read AFTER vacuum would have
+    // dropped it), leg 2 the whole corpus after the binpack.
+    "q251_tags_binpack" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents)
+SELECT CAST(1 AS BIGINT) AS leg, count(*) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM d WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(sum(n_chars) AS BIGINT) FROM d
+UNION ALL
+SELECT CAST(3 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT),
+  CAST(sum(n_chars) AS BIGINT) FROM d WHERE doc_id % 2 = 0
+ORDER BY leg""",
     // q250: hidden partitioning changes WHICH FILES PLAN, never the
     // rows — each leg is a plain slice of events: the full table, the
     // raw-timestamp range, the min-user probe, and the table minus

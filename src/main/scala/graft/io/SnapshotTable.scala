@@ -2752,6 +2752,47 @@ object SnapshotTable {
       "compact", schema)
   }
 
+  /** SMALL-FILE BINPACK (Delta's default OPTIMIZE mode): rewrite ONLY
+    * the files below `smallBytes`, carrying every adequately-sized
+    * file by reference — at 100 TB this is the difference between an
+    * affordable nightly OPTIMIZE and a full-table rewrite for a
+    * problem only the streaming tail has (per-epoch sinks append
+    * small files forever; the big compacted files from LAST night's
+    * run must not be rewritten again tonight). Sizes come from
+    * MANIFEST BYTES (the per-file size tier — zero status calls);
+    * a log without recorded sizes refuses loudly rather than stat
+    * 10^6 files. Partitioned tables rewrite through the partitioned
+    * stager so cells stay value-pure (hidden transforms included);
+    * merge-on-read tombstones on rewritten files fold in; stamped
+    * rewrite-only so the change feed skips it. Returns None when
+    * fewer than two small files exist — nothing to gain. */
+  def compactSmall(spark: SparkSession, dir: String,
+                   smallBytes: Long, numFiles: Int = 1): Option[Int] = {
+    require(smallBytes > 0, "smallBytes must be positive")
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val prevV = vs.last
+    val files = readManifest(dir, prevV)
+    val sizes = sizeMap(dir, prevV)
+    require(files.forall(sizes.contains),
+      s"version $prevV records no byte size for some files — " +
+        "compactSmall plans from manifest sizes only (commit through " +
+        "the current writers to record them)")
+    val touched = files.filter(f => sizes(f) < smallBytes)
+    if (touched.length < 2) return None
+    val untouched = files.filterNot(touched.toSet)
+    val v = prevV + 1
+    val sub = f"data/v$v%05d"
+    dataChange.withValue(false) {
+      writeMaybePartitioned(dir, prevV,
+        planReadLogical(spark, dir, prevV, touched)
+          .repartition(numFiles), sub)
+      Some(publish(spark, dir, prevV, v, untouched,
+        listWritten(dir, sub), "compact", readSchema(dir, prevV)))
+    }
+  }
+
   /** TARGETED partition-spec repair: rewrite ONLY the files whose
     * recorded tuple carries the spec-evolution UNKNOWN marker,
     * re-splitting them by the CURRENT partition columns into
@@ -2818,7 +2859,15 @@ object SnapshotTable {
     require(keep >= 1,
       "vacuum must keep at least the current version (keep >= 1)")
     val vs = versions(dir)
-    val (drop, retain) = vs.splitAt(math.max(0, vs.length - keep))
+    // TAGGED versions are pinned: a tag exists to make "the training
+    // snapshot" reproducible, so retention must never eat it — the
+    // retained set may be non-contiguous (every liveness sweep below
+    // derives from the retained manifests, not from contiguity; a
+    // change-feed read across the vacuumed gap refuses as always)
+    val tagged = tags(dir).values.toSet
+    val (dropCand, _) = vs.splitAt(math.max(0, vs.length - keep))
+    val drop = dropCand.filterNot(tagged)
+    val retain = vs.filterNot(drop.toSet)
     val live = retain.flatMap(readManifest(dir, _)).toSet
     val dead = (drop.flatMap(readManifest(dir, _)).toSet -- live).toSeq.sorted
     dead.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
@@ -2845,6 +2894,73 @@ object SnapshotTable {
     drop.foreach(v => Files.delete(manifestFile(dir, v).toPath))
     dead
   }
+
+  // ------------------------------------------------------------------
+  // NAMED TAGS (Iceberg refs, the tag half): a tag pins a VERSION
+  // under a stable name — "the v2.1 training snapshot" — readable via
+  // `tagAsOf` and, critically, RETAINED: vacuum never drops a tagged
+  // version, however old, until the tag is removed. Reproducibility
+  // for 100-TB training runs costs one name in one small JSON file,
+  // not a frozen copy of the table.
+  // ------------------------------------------------------------------
+
+  private def tagsFile(dir: String) = new File(logDir(dir), "tags.json")
+
+  /** All tags: name -> pinned version. */
+  def tags(dir: String): Map[String, Int] = {
+    val f = tagsFile(dir)
+    if (!f.exists()) Map.empty
+    else """"([^"]+)":(\d+)""".r
+      .findAllMatchIn(new String(Files.readAllBytes(f.toPath), UTF_8))
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+  }
+
+  private def writeTags(dir: String, m: Map[String, Int]): Unit = {
+    val json = m.toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+    val tmp = new File(logDir(dir),
+      s".tags-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp.toPath, json.getBytes(UTF_8))
+    Files.move(tmp.toPath, tagsFile(dir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Pin `name` to version `v` (default: latest). Re-tagging an
+    * existing name refuses loudly — a tag that silently moves defeats
+    * the reproducibility it exists for; remove it first. */
+  def tag(dir: String, name: String, v: Option[Int] = None): Int = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag '$name': use [A-Za-z0-9._-]+")
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no snapshot log at $dir")
+    val target = v.getOrElse(vs.last)
+    require(vs.contains(target),
+      s"tag '$name': version $target is not in the log (retained: " +
+        s"${vs.mkString(", ")})")
+    val cur = tags(dir)
+    require(!cur.contains(name),
+      s"tag '$name' already pins v${cur(name)} — removeTag first " +
+        "(tags do not silently move)")
+    writeTags(dir, cur + (name -> target))
+    target
+  }
+
+  /** Drop a tag (the version becomes vacuumable again). Loud on an
+    * unknown name — a typo must not read as success. */
+  def removeTag(dir: String, name: String): Unit = {
+    val cur = tags(dir)
+    require(cur.contains(name),
+      s"tag '$name' does not exist (have: " +
+        s"${cur.keys.toSeq.sorted.mkString(", ")})")
+    writeTags(dir, cur - name)
+  }
+
+  /** The version a tag pins; loud on an unknown name. */
+  def resolveTag(dir: String, name: String): Int =
+    tags(dir).getOrElse(name, throw new IllegalArgumentException(
+      s"tag '$name' does not exist at $dir (have: " +
+        s"${tags(dir).keys.toSeq.sorted.mkString(", ")})"))
 
   /** [[vacuum]] by AGE (`VACUUM ... RETAIN`): drops versions whose
     * recorded commit timestamp is <= `olderThanMillis`, always

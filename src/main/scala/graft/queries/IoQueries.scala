@@ -1442,6 +1442,48 @@ object IoQueries {
     leg1.unionAll(leg2).unionAll(leg3).unionAll(leg4).orderBy("leg")
   }
 
+  /** NAMED TAGS + SMALL-FILE BINPACK (q251,
+    * [[graft.io.SnapshotTable.tag]] /
+    * [[graft.io.SnapshotTable.compactSmall]]): the reproducibility +
+    * maintenance pair a 100-TB training pipeline runs daily. The
+    * even-id docs land as v1 and get TAGGED `base` (the frozen
+    * training snapshot); the odd ids drip in as three small appends
+    * (the streaming-tail shape); `compactSmall` binpacks ONLY the
+    * small files — the adequately-sized v1 files carry by reference
+    * (identity-carry is spec-pinned; here the oracle pins content
+    * neutrality); then VACUUM keeps just one version by count, and
+    * the tagged v1 SURVIVES it — leg 3 re-reads the tag after
+    * retention would have eaten it. */
+  def snapshotTagsBinpack(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = Files.createTempDirectory("graft-tags").toString
+    val st = graft.io.SnapshotTable
+    st.commit(s, docs.where(col("doc_id") % 2 === 0).coalesce(2), t)
+    require(st.tag(t, "base") == 1, "tag != v1")
+    (0 to 2).foreach(r => st.commit(s,
+      docs.where(col("doc_id") % 2 === 1 &&
+        pmod(col("doc_id"), lit(3L)) === r).coalesce(1), t))
+    val sizes = st.manifestFiles(t, 4).zip(st.readSizes(t, 4).get)
+    val smallMax = sizes.map(_._2).sorted.take(3).max
+    require(st.compactSmall(s, t, smallMax + 1).contains(5),
+      "binpack did not commit")
+    def agg(leg: Int, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .select(lit(leg.toLong).as("leg"), col("n_docs"), col("sum_id"),
+          col("sum_chars"))
+    def tagRead() = s.read.format("graft.sources.SnapshotSource")
+      .option("tagAsOf", "base").load(t)
+    val leg1 = agg(1, tagRead()).localCheckpoint()
+    val leg2 = agg(2, st.readSnapshot(s, t, Some(5))).localCheckpoint()
+    st.vacuum(t, 1) // keeps v5 by count — and v1 ONLY via the tag
+    require(st.versions(t) == Seq(1, 5), s"vacuum kept ${st.versions(t)}")
+    val leg3 = agg(3, tagRead())
+    leg1.unionAll(leg2).unionAll(leg3).orderBy("leg")
+  }
+
   /** Table history + OPTIMIZE through CALL (q234,
     * [[graft.io.SnapshotTable.history]] /
     * [[graft.sources.SnapshotCatalog]] `history`/`compact`

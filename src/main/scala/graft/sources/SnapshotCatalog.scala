@@ -272,6 +272,10 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       Identifier.of(Array.empty, "restore"),
       Identifier.of(Array.empty, "compact"),
       Identifier.of(Array.empty, "repair_spec"),
+      Identifier.of(Array.empty, "compact_small"),
+      Identifier.of(Array.empty, "tag"),
+      Identifier.of(Array.empty, "remove_tag"),
+      Identifier.of(Array.empty, "tags"),
       Identifier.of(Array.empty, "history"))
     else Array.empty
 
@@ -284,6 +288,10 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       case "history" => new HistoryProcedure(this)
       case "partitions" => new PartitionsProcedure(this)
       case "repair_spec" => new RepairSpecProcedure(this)
+      case "compact_small" => new CompactSmallProcedure(this)
+      case "tag" => new TagProcedure(this)
+      case "remove_tag" => new RemoveTagProcedure(this)
+      case "tags" => new TagsProcedure(this)
       case other => throw new IllegalArgumentException(
         s"unknown procedure $other — this catalog exposes partitions" +
           "(table), vacuum(table, " +
@@ -448,6 +456,125 @@ private[sources] class RepairSpecProcedure(cat: SnapshotCatalog)
         StructField("repaired_files", IntegerType, nullable = false)))
       override def rows(): Array[InternalRow] = Array(
         InternalRow(repaired.getOrElse(-1), nFixed))
+    }
+    java.util.List.of(out).iterator()
+  }
+}
+
+/** `CALL <cat>.compact_small(table [, small_bytes, num_files])` —
+  * the binpack OPTIMIZE ([[SnapshotTable.compactSmall]]): rewrite
+  * only the files under the size threshold, carry the rest. */
+private[sources] class CompactSmallProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "compact_small"
+  override def description(): String =
+    "binpack OPTIMIZE: rewrite only files below the size threshold"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build(),
+    ProcedureParameter.in("small_bytes", LongType)
+      .defaultValue("134217728")
+      .comment("files below this byte size rewrite (default 128 MiB)")
+      .build(),
+    ProcedureParameter.in("num_files", IntegerType).defaultValue("1")
+      .comment("target file count for the binpacked slice").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    val bytes = if (input.isNullAt(1)) 134217728L else input.getLong(1)
+    val n = if (input.isNullAt(2)) 1 else input.getInt(2)
+    val v = SnapshotTable.compactSmall(
+      org.apache.spark.sql.SparkSession.active, dir, bytes, n)
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("new_version", IntegerType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(
+        InternalRow(v.getOrElse(-1)))
+    }
+    java.util.List.of(out).iterator()
+  }
+}
+
+/** `CALL <cat>.tag(table, name [, version])` /
+  * `remove_tag(table, name)` / `tags(table)` — named refs
+  * ([[SnapshotTable.tag]]): a tag pins a version for `tagAsOf` reads
+  * and against vacuum until removed. */
+private[sources] class TagProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "tag"
+  override def description(): String = "pin a named tag to a version"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("tag name ([A-Za-z0-9._-]+)").build(),
+    ProcedureParameter.in("version", IntegerType).defaultValue("-1")
+      .comment("version to pin (default: latest)").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    val nm = input.getUTF8String(1).toString
+    val ver = if (input.isNullAt(2) || input.getInt(2) < 0) None
+              else Some(input.getInt(2))
+    val pinned = SnapshotTable.tag(dir, nm, ver)
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("pinned_version", IntegerType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(InternalRow(pinned))
+    }
+    java.util.List.of(out).iterator()
+  }
+}
+
+private[sources] class RemoveTagProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "remove_tag"
+  override def description(): String = "drop a named tag"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("tag name").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    SnapshotTable.removeTag(dir, input.getUTF8String(1).toString)
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("removed", BooleanType, nullable = false)))
+      override def rows(): Array[InternalRow] = Array(InternalRow(true))
+    }
+    java.util.List.of(out).iterator()
+  }
+}
+
+private[sources] class TagsProcedure(cat: SnapshotCatalog)
+    extends UnboundProcedure with BoundProcedure {
+  import org.apache.spark.sql.types._
+  override def name(): String = "tags"
+  override def description(): String = "list named tags"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to the catalog root").build())
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = cat.tableDir(input.getUTF8String(0).toString)
+    val tagRows = SnapshotTable.tags(dir).toSeq.sortBy(_._1).map {
+      case (n, v) => InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(n), v)
+    }.toArray
+    val out: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))
+      override def rows(): Array[InternalRow] = tagRows
     }
     java.util.List.of(out).iterator()
   }

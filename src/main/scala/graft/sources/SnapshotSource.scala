@@ -69,7 +69,9 @@ class SnapshotSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = SnapshotSource.dir(options.asScala.toMap)
     val v = SnapshotTable.resolveVersion(dir,
-      Option(options.get("versionAsOf")).map(_.toInt))
+      Option(options.get("versionAsOf")).map(_.toInt)
+        .orElse(Option(options.get("tagAsOf"))
+          .map(SnapshotTable.resolveTag(dir, _))))
     val base = SnapshotTable.readSchema(dir, v).getOrElse(
       // legacy pre-schema manifest: infer from the first file's footer
       SnapshotSource.footerSchema(
@@ -264,15 +266,19 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // version resolution happens HERE, not at table construction — a
     // write-path table may target a directory whose log does not exist yet
-    require(!(props.contains("versionAsOf") && props.contains("timestampAsOf")),
-      "versionAsOf and timestampAsOf are mutually exclusive")
+    require(Seq("versionAsOf", "timestampAsOf", "tagAsOf")
+        .count(props.contains) <= 1,
+      "versionAsOf, timestampAsOf and tagAsOf are mutually exclusive")
     // timestampAsOf: epoch millis, resolved to the latest version whose
     // commit timestamp is <= it (the Delta TIMESTAMP AS OF contract —
-    // see SnapshotTable.resolveTimestamp for the refusal cases)
+    // see SnapshotTable.resolveTimestamp for the refusal cases);
+    // tagAsOf: a named ref pinned by SnapshotTable.tag
     val v = props.get("timestampAsOf")
       .map(t => SnapshotTable.resolveTimestamp(dir, t.trim.toLong))
       .getOrElse(SnapshotTable.resolveVersion(dir,
-        props.get("versionAsOf").map(_.toInt)))
+        props.get("versionAsOf").map(_.toInt)
+          .orElse(props.get("tagAsOf")
+            .map(SnapshotTable.resolveTag(dir, _)))))
     new SnapshotScanBuilder(dir, v, tableSchema, props)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -287,11 +293,12 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
     * a row-level plan otherwise), and a version-pinned table refuses
     * (history is immutable — DML targets the latest version). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    props.get("versionAsOf").isEmpty &&
+    props.get("versionAsOf").isEmpty && props.get("tagAsOf").isEmpty &&
       filters.forall(SnapshotDelete.toColumn(_).isDefined)
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(props.get("versionAsOf").isEmpty,
-      "DELETE on a VERSION AS OF read: history is immutable")
+    require(props.get("versionAsOf").isEmpty &&
+        props.get("tagAsOf").isEmpty,
+      "DELETE on a VERSION/TAG AS OF read: history is immutable")
     // METADATA-ONLY fast path: a delete whose every filter is an
     // equality / IS NULL on a distinct PARTITION column drops whole
     // value-pure partitions from the manifest — zero data IO, no scan
@@ -371,7 +378,7 @@ class SnapshotDsTable(tableSchema: StructType, props: Map[String, String])
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(!props.contains("versionAsOf") &&
-      !props.contains("timestampAsOf"),
+      !props.contains("timestampAsOf") && !props.contains("tagAsOf"),
       s"${info.command()} on a time-traveled read: history is immutable")
     // the SQL rewrite writes through the DSv2 writer, which records no
     // partition values — publishing its files onto a partitioned table

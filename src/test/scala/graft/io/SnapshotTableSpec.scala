@@ -1677,6 +1677,78 @@ class SnapshotTableSpec extends SparkSpec {
       st.renameColumn(dir, "id", "bad name"))
   }
 
+  test("compactSmall binpacks ONLY the files under the threshold: " +
+    "adequate files carry by identity, content is unchanged, the feed " +
+    "skips it, and tombstones on rewritten files fold in") {
+    val dir = Files.createTempDirectory("snap-binpack").toString
+    val st = SnapshotTable
+    // one BIG file (v1, 4k rows) + a drip of small appends (v2..v5)
+    st.commit(spark, (0L until 4000L).map(i => (i, s"x$i"))
+      .toDF("id", "s").coalesce(1), dir)
+    (0 until 4).foreach(k =>
+      st.commit(spark, Seq((10000L + k, "tiny")).toDF("id", "s")
+        .coalesce(1), dir))
+    val files5 = st.manifestFiles(dir, 5)
+    val sizes = st.readSizes(dir, 5).get
+    val big = files5.zip(sizes).maxBy(_._2)._1
+    val threshold = files5.zip(sizes).map(_._2).max // big file >= this
+    val v = st.compactSmall(spark, dir, threshold)
+    assert(v.contains(6))
+    val files6 = st.manifestFiles(dir, 6)
+    // the big file carried BY IDENTITY; the four tiny ones binpacked
+    assert(files6.contains(big))
+    assert(files6.length < files5.length)
+    assert(!st.isDataChange(dir, 6))
+    assert(st.readSnapshot(spark, dir).count() == 4004L)
+    assert(st.readSnapshot(spark, dir)
+      .where(col("id") >= 10000L).count() == 4L)
+    // idempotent: one binpacked file left under threshold -> None
+    assert(st.compactSmall(spark, dir, threshold).isEmpty)
+    // MoR tombstones on a small file fold into the binpacked rewrite
+    val dirM = Files.createTempDirectory("snap-binpackm").toString
+    st.commit(spark, (0L until 100L).map(i => (i, i * 2))
+      .toDF("id", "n").coalesce(1), dirM)
+    st.commit(spark, (100L until 200L).map(i => (i, i * 2))
+      .toDF("id", "n").coalesce(1), dirM)
+    st.enableMergeOnRead(dirM)
+    st.delete(spark, dirM, col("id") === 150L) // positional tombstone
+    assert(st.readDirty(dirM, 3).nonEmpty)
+    assert(st.compactSmall(spark, dirM, 1L << 20).contains(4))
+    assert(st.readDirty(dirM, 4).isEmpty) // folded
+    assert(st.readSnapshot(spark, dirM).count() == 199L)
+  }
+
+  test("TAGS pin versions: tagAsOf reads, vacuum retains tagged " +
+    "versions until the tag is removed, and re-tagging refuses") {
+    val dir = Files.createTempDirectory("snap-tags").toString
+    val st = SnapshotTable
+    st.commit(spark, Seq((1L, "a")).toDF("id", "s"), dir)       // v1
+    st.commit(spark, Seq((2L, "b")).toDF("id", "s"), dir)       // v2
+    st.commit(spark, Seq((3L, "c")).toDF("id", "s"), dir)       // v3
+    assert(st.tag(dir, "train-v1", Some(1)) == 1)
+    assert(st.tag(dir, "latest-blessed") == 3) // default: latest
+    assert(st.tags(dir) == Map("train-v1" -> 1, "latest-blessed" -> 3))
+    // tagAsOf through the DSv2 source
+    val viaTag = spark.read.format("graft.sources.SnapshotSource")
+      .option("tagAsOf", "train-v1").load(dir)
+    assert(viaTag.count() == 1L)
+    intercept[Exception](spark.read
+      .format("graft.sources.SnapshotSource")
+      .option("tagAsOf", "nope").load(dir).count())
+    // re-tagging refuses (tags never silently move)
+    intercept[IllegalArgumentException](st.tag(dir, "train-v1", Some(2)))
+    // vacuum keeps the TAGGED v1 while untagged v2 drops
+    st.commit(spark, Seq((4L, "d")).toDF("id", "s"), dir)       // v4
+    st.vacuum(dir, 2)                        // would keep v3,v4 only
+    assert(st.versions(dir) == Seq(1, 3, 4)) // v1 pinned by tag
+    assert(st.readSnapshot(spark, dir, Some(1)).count() == 1L)
+    // removing the tag releases the pin
+    st.removeTag(dir, "train-v1")
+    intercept[IllegalArgumentException](st.removeTag(dir, "train-v1"))
+    st.vacuum(dir, 2)
+    assert(st.versions(dir) == Seq(3, 4))
+  }
+
   test("HIDDEN PARTITIONING (truncate + bucket): the derived column " +
     "never exists in the data, predicates on the SOURCE column prune " +
     "cells, DML stays value-pure, appends must keep the transforms, " +

@@ -425,6 +425,38 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE tcat.alt")
   }
 
+  test("CALL tag/tags/remove_tag/compact_small round-trip: the SQL " +
+    "spelling of named refs and binpack OPTIMIZE") {
+    root
+    spark.sql("CREATE TABLE tcat.tagt (id BIGINT, s STRING)")
+    val dir = s"$root/tagt"
+    (0 until 3).foreach(k => spark.sql(
+      s"INSERT INTO tcat.tagt VALUES (${k}L, 'r$k')"))
+    assert(spark.sql(
+      "CALL tcat.tag(`table` => 'tagt', name => 'rel1', version => 2)")
+      .as[Int].head() == 2)
+    assert(spark.sql("CALL tcat.tag(`table` => 'tagt', name => 'head')")
+      .as[Int].head() == 4)
+    assert(spark.sql("CALL tcat.tags(`table` => 'tagt')")
+      .as[(String, Int)].collect().toMap ==
+      Map("rel1" -> 2, "head" -> 4))
+    // tagAsOf read through the source
+    assert(spark.read.format("graft.sources.SnapshotSource")
+      .option("tagAsOf", "rel1").load(dir).count() == 1L)
+    assert(spark.sql("CALL tcat.remove_tag(`table` => 'tagt', " +
+      "name => 'rel1')").as[Boolean].head())
+    assert(spark.sql("CALL tcat.tags(`table` => 'tagt')").count() == 1L)
+    // binpack: three one-row files fold into one; count unchanged
+    val before = SnapshotTable.manifestFiles(dir,
+      SnapshotTable.versions(dir).last).length
+    assert(spark.sql("CALL tcat.compact_small(`table` => 'tagt')")
+      .as[Int].head() == 5)
+    assert(SnapshotTable.manifestFiles(dir, 5).length < before)
+    assert(spark.sql("SELECT count(*) FROM tcat.tagt")
+      .as[Long].head() == 3L)
+    spark.sql("DROP TABLE tcat.tagt"): Unit
+  }
+
   test("DROP TABLE refuses to delete a non-table directory under root") {
     root
     val stray = new java.io.File(s"$root/stray_dir")
