@@ -5767,7 +5767,8 @@ GROUP BY method ORDER BY method"""
       |tgt AS (SELECT vec_id, embedding FROM embeddings
       |    WHERE vec_id % 2 = 1),
       |fs AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
-      |    CAST(round(list_cosine_similarity(s.embedding, t.embedding)
+      |    CAST(round(list_cosine_similarity(
+      |        CAST(s.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[]))
       |      * 10000, 0) AS BIGINT) AS si
       |  FROM src s, tgt t),
       |f4 AS (SELECT * FROM (SELECT src_id, tgt_id, si, row_number()
