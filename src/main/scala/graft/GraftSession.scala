@@ -38,6 +38,16 @@ object GraftSession {
     builder
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE inside cached plans: without it every .persist() freezes its
+      // shuffles at the static partition count and each stage over the
+      // cache inherits that task count whatever the cached data's size —
+      // wrong in both directions at scale (a vocab-sized round frame
+      // fans 1000s of empty tasks; a skewed cached join never splits).
+      // The default is false only to keep cache output partitioning
+      // stable for consumers that depend on it; nothing here does
+      // (EnsureRequirements re-establishes any needed distribution).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // storage-partitioned joins: a DSv2 scan reporting
       // KeyGroupedPartitioning (the snapshot source over a partitioned

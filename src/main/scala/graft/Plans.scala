@@ -16,6 +16,14 @@ object Plans {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE size shuffles INSIDE cached plans too: with the default
+      // (false) every .persist() materializes at the static
+      // shuffle-partition count and each downstream stage over the cache
+      // pays that task count whatever the data size — the cached-frame
+      // operators (LSH signatures, token frames, round state) showed
+      // 8-10x the task count of their data's natural parallelism
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -264,12 +264,24 @@ object LanguageModel {
         col("tok") === col("w1") && col("nxt") === col("w2"), "left")
       .select(col(keyCol) +: col("pos") +: col("tok") +: col("nxt") +:
         coalesce(col("in_vocab"), lit(false)).as("mergeable") +: carried: _*)
-    val grouped = marked.withColumn("grp",
-      sum(when(col("mergeable"), lit(0)).otherwise(lit(1))).over(byKey))
-    val byRun = Window.partitionBy(keyCol, "grp").orderBy("pos")
-    val flagged = grouped
+    // Run-relative mergeable index WITHOUT a (key, grp)-partitioned
+    // window: partitioning by (key, grp) would force an extra
+    // Exchange+Sort of the full token frame per merge round (and the
+    // following `lag` a second one back to key-partitioning). Instead:
+    // with mtot = running count of mergeable rows and base = mtot at the
+    // last NON-mergeable row at-or-before this one (a running max over
+    // the same key window — mtot is non-decreasing, so max picks the
+    // latest; 0 when the key starts with mergeable rows), the within-run
+    // index is mtot − base — identical to the per-run running count,
+    // because a run is exactly "one non-mergeable row plus the mergeable
+    // rows after it" (or the key's mergeable prefix). All windows then
+    // share ONE (key, pos) exchange+sort.
+    val flagged = marked
+      .withColumn("mtot",
+        sum(when(col("mergeable"), lit(1)).otherwise(lit(0))).over(byKey))
       .withColumn("midx",
-        sum(when(col("mergeable"), lit(1)).otherwise(lit(0))).over(byRun))
+        col("mtot") - coalesce(
+          max(when(!col("mergeable"), col("mtot"))).over(byKey), lit(0L)))
       .withColumn("merge_pos", col("mergeable") && col("midx") % 2 === 1)
       .withColumn("consumed",
         coalesce(lag("merge_pos", 1).over(byKey), lit(false)))

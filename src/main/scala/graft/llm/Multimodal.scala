@@ -69,6 +69,115 @@ object Multimodal {
   def withFakeMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
 
+  /** Fan the heavy per-row codec work out to every core. The REAL-codec
+    * generators are fed by a doc_id projection whose parallelism is the
+    * SCAN's — and a small/compacted corpus (the bench parquet is one
+    * row group, hence ONE split) would otherwise run the whole
+    * encode→decode chain in a single task while the rest of the cluster
+    * idles (guide §2.5, the unsplittable-input case). Repartitioning the
+    * 8-byte ids before the codec is ~free at any scale (the heavy media
+    * bytes are MADE after the exchange, never shuffled — §8's "move
+    * decisions on small rows"); the `max(current, cores)` guard never
+    * shrinks an already-well-partitioned production scan. */
+  private def fanOutIds(ids: DataFrame): DataFrame = {
+    // a streaming frame cannot be probed via .rdd (and its parallelism
+    // is the micro-batch planner's concern) — pass it through untouched
+    if (ids.isStreaming) return ids
+    val target = ids.sparkSession.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions < target) ids.repartition(target) else ids
+  }
+
+  /** JDK ImageIO plumbing for the image codec paths. The
+    * `ImageIO.read`/`ImageIO.write` conveniences pay two hidden costs
+    * per CALL: a scan of the global plugin registry (a shared structure
+    * every concurrent codec task serializes on) and a DISK-backed
+    * stream cache — a temp file created and deleted per encode/decode
+    * (the reason the codec stages showed taskTime ≫ cpuTime once
+    * fanned out to every core). Cache the PNG reader/writer service
+    * providers once per JVM and run the streams memory-backed: the
+    * emitted bytes are identical (same PNGImageWriter, default params),
+    * there is no registry walk per row, and no temp-file IO. Non-PNG
+    * payloads still fall back to the sniffing `ImageIO.read`, keeping
+    * [[decodeImages]]' any-format contract. */
+  private[llm] object Png {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val wSpi: javax.imageio.spi.ImageWriterSpi =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        .getOriginatingProvider
+    private val rSpi: javax.imageio.spi.ImageReaderSpi =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+        .getOriginatingProvider
+    def write(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = wSpi.createWriterInstance()
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try { w.setOutput(out); w.write(img); out.flush() }
+      finally { w.dispose(); out.close() }
+      bos.toByteArray
+    }
+    /** null when undecodable (mirrors `ImageIO.read`'s contract). */
+    def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        if (rSpi.canDecodeInput(in)) {
+          val r = rSpi.createReaderInstance()
+          try { r.setInput(in); r.read(0) } finally { r.dispose() }
+        } else javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+      } finally in.close()
+    }
+  }
+
+  /** JDK sound plumbing for the audio codec paths —
+    * `AudioSystem.write`/`getAudioInputStream` walk the sound provider
+    * registry per CALL through a synchronized lookup
+    * (fanned out to every core, the codec tasks serialize on it exactly
+    * like [[Png]]'s registry case). Materialize the provider lists once
+    * per JVM and dispatch directly: same bytes, no shared lock. The
+    * read side tries every cached reader (format sniffing preserved)
+    * and falls back to `AudioSystem` for exotic providers. */
+  private[llm] object Wav {
+    import javax.sound.sampled._
+    import scala.jdk.CollectionConverters._
+    private val writers: List[spi.AudioFileWriter] =
+      java.util.ServiceLoader.load(classOf[spi.AudioFileWriter])
+        .iterator().asScala.toList
+    private val readers: List[spi.AudioFileReader] = {
+      val all = java.util.ServiceLoader.load(classOf[spi.AudioFileReader])
+        .iterator().asScala.toList
+      // probe order matters: the JDK's MIDI readers also implement
+      // AudioFileReader and their probe walks the synchronized
+      // MidiSystem provider registry PER CALL (sampled as the top frame
+      // across every codec task) — try wave-family readers first, midi
+      // probes last, so WAV payloads never touch the midi registry
+      val (midi, nonMidi) = all.partition(
+        _.getClass.getName.toLowerCase.contains("midi"))
+      val (wave, rest) = nonMidi.partition(
+        _.getClass.getName.toLowerCase.contains("wave"))
+      wave ::: rest ::: midi
+    }
+    def writeWave(ais: AudioInputStream): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      writers.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE)) match {
+        case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, bos)
+        case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      }
+      bos.toByteArray
+    }
+    /** throws `UnsupportedAudioFileException` when no reader accepts the
+      * bytes (mirrors `AudioSystem.getAudioInputStream`). */
+    def read(bytes: Array[Byte]): AudioInputStream = {
+      readers.foreach { r =>
+        try return r.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: UnsupportedAudioFileException => () }
+      }
+      AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+  }
+
   /** Partition-wise batch decode: one codec invocation per row, iterator →
     * iterator, no per-row task overhead, no driver involvement. This is
     * the seam where a Pandas-UDF / JNI decoder would plug in. */
@@ -92,7 +201,7 @@ object Multimodal {
     * without touching a codec. */
   def encodePng(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fanOutIds(ids.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (8 + id % 25).toInt
         val h = (8 + (id * 7) % 25).toInt
@@ -112,9 +221,7 @@ object Multimodal {
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaRow(id, bos.toByteArray)
+        MediaRow(id, Png.write(img))
       }
     }
   }
@@ -130,8 +237,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.flatMap { row =>
         try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(row.media))
+          val img = Png.read(row.media)
           if (img == null) None
           else {
             val w = img.getWidth; val h = img.getHeight
@@ -162,7 +268,7 @@ object Multimodal {
     * without touching a codec (the q98 image playbook, audio edition). */
   def encodeWav(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fanOutIds(ids.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val ns = (32 + id % 97).toInt
         val pcm = new Array[Byte](ns * 2)
@@ -177,10 +283,7 @@ object Multimodal {
           8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        MediaRow(id, bos.toByteArray)
+        MediaRow(id, Wav.writeWave(ais))
       }
     }
   }
@@ -197,8 +300,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.flatMap { row =>
         try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(row.media))
+          val ais = Wav.read(row.media)
           val fmt = ais.getFormat
           if (fmt.getSampleSizeInBits != 16) None
           else {
@@ -236,7 +338,7 @@ object Multimodal {
     * predicts the decoded metadata without touching the container. */
   def encodeAvi(spark: SparkSession, ids: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+    fanOutIds(ids.select(col("doc_id"))).as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (8 + 4 * (id % 12)).toInt
         val h = (8 + (id * 3) % 17).toInt
@@ -316,8 +418,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.flatMap { row =>
         try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(row.media))
+          val img = Png.read(row.media)
           if (img == null) None
           else {
             val rw = img.getWidth / factor
@@ -347,9 +448,7 @@ object Multimodal {
                 }
                 yo += 1
               }
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(out, "png", bos)
-              Some(MediaRow(row.doc_id, bos.toByteArray))
+              Some(MediaRow(row.doc_id, Png.write(out)))
             }
           }
         } catch { case _: Exception => None }
@@ -369,8 +468,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.flatMap { row =>
         try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(row.media))
+          val img = Png.read(row.media)
           if (img == null) None
           else {
             val raster = img.getRaster
