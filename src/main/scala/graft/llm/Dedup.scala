@@ -90,12 +90,12 @@ object Dedup {
                                       threshold: Double,
                                       storageLevel: StorageLevel,
                                       maxDf: Int = 1 << 12): DataFrame = {
-    val sh0 = docs
+    val sh0 = Par.fanOutScan(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextAnalysis.hashedShinglesFromTokens(col("toks"), n).as("sh"))
     val sh = if (storageLevel == StorageLevel.NONE) sh0
-             else sh0.persist(storageLevel)
+             else sh0.repartition(col("doc_id")).persist(storageLevel)
     // sz = |FULL shingle set| (hot included), carried through the explode
     val ex = sh.select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
       explode(col("sh")).as("sg"))
@@ -171,13 +171,13 @@ object Dedup {
                                        threshold: Double,
                                        storageLevel: StorageLevel): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh0 = docs
+    val sh0 = Par.fanOutScan(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextAnalysis.hashedShinglesFromTokens(col("toks"), n).as("sh"))
     // consumed by candidate generation AND both verify joins
     val sh = if (storageLevel == StorageLevel.NONE) sh0
-             else sh0.persist(storageLevel)
+             else sh0.repartition(col("doc_id")).persist(storageLevel)
     // carry |doc| through the explode — a count() window would cost a
     // second full sort of the postings (different window spec than the
     // ranking window below)
@@ -286,12 +286,12 @@ object Dedup {
   private def shingleFrames(docs: DataFrame, n: Int,
                             storageLevel: StorageLevel)
       : (DataFrame, DataFrame, DataFrame) = {
-    val sh0 = docs
+    val sh0 = Par.fanOutScan(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextAnalysis.hashedShinglesFromTokens(col("toks"), n).as("sh"))
     val sh = if (storageLevel == StorageLevel.NONE) sh0
-             else sh0.persist(storageLevel)
+             else sh0.repartition(col("doc_id")).persist(storageLevel)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("sg"))
     val freq = ex.groupBy("sg").agg(count(lit(1)).as("df"))
     (sh, ex, freq)
@@ -818,6 +818,7 @@ object Dedup {
     // exploded spelling below (asserted in DedupSpec on real documents).
     // Docs with fewer than n tokens return null == the exploded
     // spelling's "no shingles, no row" — filtered to keep that contract.
+    val docsPar = Par.fanOutScan(docs)
     if (kernel) {
       val md5 = hasher match {
         case PortableSeededHash => true
@@ -827,7 +828,7 @@ object Dedup {
         graft.functions.ShingleMinHash(
           org.apache.spark.sql.graft.ColumnBridge.expression(
             TextAnalysis.tokens(col("text"))), n, k, md5))
-      return docs.select(col("doc_id"), mhs.as("mhs"))
+      return docsPar.select(col("doc_id"), mhs.as("mhs"))
         .where(col("mhs").isNotNull)
         .select(col("doc_id") +:
           (0 until k).map(i => col("mhs")(i).as(s"mh$i")): _*)
@@ -839,7 +840,7 @@ object Dedup {
     // plain integer arithmetic in any engine (ANSI-safe: 33·2^31 < 2^63).
     // Base-space collisions (~|shingles|²/2^32) merge a handful of
     // shingle pairs corpus-wide — the standard near-dup trade-off.
-    val ex = docs
+    val ex = docsPar
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextAnalysis.distinctShinglesFromTokens(col("toks"), n))
@@ -871,8 +872,14 @@ object Dedup {
                  storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
                  maxBucket: Int = 1 << 12): DataFrame = {
     val sig0 = minHashSignatures(docs, n, k, hasher)
+    // right-size the cache: the fanned-out hashing pass leaves the frame
+    // at core-count round-robin partitions, and every downstream cache
+    // scan would pay that task count however small the signatures are.
+    // A keyed repartition (no explicit N) is AQE-coalescible, so the
+    // cache lands at data-sized partitions locally AND at scale; doc_id
+    // keying is also the verify-join side's distribution.
     val sig = if (storageLevel == StorageLevel.NONE) sig0
-              else sig0.persist(storageLevel)
+              else sig0.repartition(col("doc_id")).persist(storageLevel)
     val banded = dropHotBuckets(bandSignatures(sig, k, bands), maxBucket)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -914,7 +921,7 @@ object Dedup {
         case PortableSeededHash => true
         case XxSeededHash => false
       }
-      return docs.select(col("doc_id"),
+      return Par.fanOutScan(docs).select(col("doc_id"),
           org.apache.spark.sql.graft.ColumnBridge.column(
             graft.functions.SimHashSig(
               org.apache.spark.sql.graft.ColumnBridge.expression(
@@ -967,7 +974,7 @@ object Dedup {
                    maxBucket: Int = 1 << 12): DataFrame = {
     val sig0 = simHash(docs, hasher, bits)
     val sig = if (storageLevel == StorageLevel.NONE) sig0
-              else sig0.persist(storageLevel)
+              else sig0.repartition(col("doc_id")).persist(storageLevel)
     val bandWidth = bits / 4
     val bandMask = (1L << bandWidth) - 1
     val banded0 = (0 until 4).map { b =>

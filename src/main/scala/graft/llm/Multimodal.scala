@@ -79,13 +79,7 @@ object Multimodal {
     * bytes are MADE after the exchange, never shuffled — §8's "move
     * decisions on small rows"); the `max(current, cores)` guard never
     * shrinks an already-well-partitioned production scan. */
-  private def fanOutIds(ids: DataFrame): DataFrame = {
-    // a streaming frame cannot be probed via .rdd (and its parallelism
-    // is the micro-batch planner's concern) — pass it through untouched
-    if (ids.isStreaming) return ids
-    val target = ids.sparkSession.sparkContext.defaultParallelism
-    if (ids.rdd.getNumPartitions < target) ids.repartition(target) else ids
-  }
+  private def fanOutIds(ids: DataFrame): DataFrame = Par.fanOutScan(ids)
 
   /** JDK ImageIO plumbing for the image codec paths. The
     * `ImageIO.read`/`ImageIO.write` conveniences pay two hidden costs

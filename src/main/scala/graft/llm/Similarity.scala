@@ -86,7 +86,7 @@ object Similarity {
         aggregate(col("qvec"), lit(0L), (acc, v) => acc + v).as("s1"),
         aggregate(col("qvec"), lit(0L),
           (acc, v) => acc + v.cast("long") * v.cast("long")).as("s2"))
-    val c = stats(corpus)
+    val c = stats(Par.fanOutScan(corpus))
     // NOTE: names must stay unique case-INsensitively (Spark's resolver):
     // e.g. a "QA" column would collide with "qa".
     val q = stats(queries).select(
@@ -129,7 +129,8 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = Par.fanOutScan(corpus)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("q_emb"), col("embedding")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
@@ -159,7 +160,8 @@ object Similarity {
                     loSim: Double, hiSim: Double): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = Par.fanOutScan(corpus)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("q_emb"), col("embedding")), 4).as("sim"))
       .where(col("sim").between(loSim, hiSim))
@@ -197,7 +199,7 @@ object Similarity {
                    threshold: Double): DataFrame = {
     val q = src.select(col("vec_id").as("src_id"),
       col("embedding").as("s_emb"))
-    val scored = tgt.crossJoin(broadcast(q))
+    val scored = Par.fanOutScan(tgt).crossJoin(broadcast(q))
       .select(col("src_id"), col("vec_id").as("tgt_id"),
         round(cosine(col("s_emb"), col("embedding")) * 10000, 0)
           .cast("long").as("si"))
@@ -360,19 +362,20 @@ object Similarity {
                           k: Int = 16,
                           hasher: SeededHash = XxSeededHash): DataFrame = {
     val spark = docs.sparkSession
+    val docsPar = Par.fanOutScan(docs)
     // fast default: the compiled positional-shingle kernel — gram hashes
     // in one pass, no gram STRING ever materialized (the md5 leg exists
     // for the cross-engine oracle; its bucket values differ, embeddings
     // are a different but equally valid draw of the same family)
     val bc = (if (isMd5(hasher)) {
-      docs.select(col("doc_id"),
+      docsPar.select(col("doc_id"),
           explode(TextAnalysis.shinglesFromTokens(
             TextAnalysis.tokens(col("text")), n)).as("g"))
         .select(col("doc_id"),
           pmod(PortableSeededHash.hash(col("g"), 13), lit(buckets.toLong))
             .as("b"))
     } else {
-      docs.select(col("doc_id"),
+      docsPar.select(col("doc_id"),
           explode(ColumnBridge.column(graft.functions.PositionalShingles(
             ColumnBridge.expression(TextAnalysis.tokens(col("text"))), n)))
             .as("g"))

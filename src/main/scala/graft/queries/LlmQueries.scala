@@ -1141,7 +1141,10 @@ object LlmQueries {
     * way. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = table(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    // the streamed side of the all-pairs BNLJ carries the scan's
+    // parallelism — fan it out so the O(n^2) cosines use every core
+    val a = graft.llm.Par.fanOutScan(
+      e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     // bind sim to a column before filtering so the O(n²) cosine is
     // evaluated once per pair, not once in the filter and again in the
