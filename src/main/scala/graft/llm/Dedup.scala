@@ -1164,7 +1164,7 @@ object Dedup {
                          maxBucket: Int = 1 << 12): DataFrame = {
     val sigN0 = minHashSignatures(newDocs, n, k, hasher)
     val sigN = if (storageLevel == StorageLevel.NONE) sigN0
-               else sigN0.persist(storageLevel)
+               else sigN0.repartition(col("doc_id")).persist(storageLevel)
     val bN = dropHotBuckets(bandSignatures(sigN, k, bands), maxBucket)
     val bC = dropHotBuckets(bandSignatures(corpusSigs, k, bands), maxBucket)
     incrementalJoin(bN, bC, sigN, corpusSigs, k, estThreshold)
@@ -1237,12 +1237,20 @@ object Dedup {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+    // align write tasks with the bucket hash BEFORE the bucketed write:
+    // without it every writer task emits one file per bucket it sees —
+    // numBuckets x writer-parallelism small files that every future
+    // probe re-opens (guide §6: coalesce on write). repartition on the
+    // bucket columns is the same HashPartitioning bucketBy uses, so each
+    // task owns whole buckets and writes one file per bucket.
     dropHotBuckets(bandSignatures(corpusSigs, k, bands), maxBucket)
+      .repartition(numBuckets, col("band"), col("bucket"))
       .write.mode("overwrite")
       .bucketBy(numBuckets, "band", "bucket")
       .sortBy("band", "bucket")
       .saveAsTable(s"${name}_bands")
-    corpusSigs.write.mode("overwrite")
+    corpusSigs.repartition(numBuckets, col("doc_id"))
+      .write.mode("overwrite")
       .bucketBy(numBuckets, "doc_id")
       .sortBy("doc_id")
       .saveAsTable(s"${name}_sigs")
@@ -1268,6 +1276,8 @@ object Dedup {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     exact(corpus).select(col("fp"), col("keep_id"))
+      .repartition(numBuckets, col("fp")) // one file per bucket (see
+      // writeSignatureIndex) — not a fan-out, a writer/bucket alignment
       .write.mode("overwrite")
       .bucketBy(numBuckets, "fp")
       .sortBy("fp")
@@ -1304,7 +1314,7 @@ object Dedup {
                                 maxBucket: Int = 1 << 12): DataFrame = {
     val sigN0 = minHashSignatures(newDocs, n, k, hasher)
     val sigN = if (storageLevel == StorageLevel.NONE) sigN0
-               else sigN0.persist(storageLevel)
+               else sigN0.repartition(col("doc_id")).persist(storageLevel)
     val bN = dropHotBuckets(bandSignatures(sigN, k, bands), maxBucket)
     incrementalJoin(bN, spark.table(s"${name}_bands"), sigN,
       spark.table(s"${name}_sigs"), k, estThreshold)

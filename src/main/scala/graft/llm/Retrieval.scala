@@ -112,11 +112,17 @@ object Retrieval {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     val (tf, dl, df_, stats) = buildIndex(docs)
-    tf.write.mode("overwrite").bucketBy(numBuckets, "term").sortBy("term")
+    // repartition on the bucket key before each bucketed write — writer
+    // tasks then own whole buckets and emit one file per bucket instead
+    // of numBuckets x parallelism small files (guide §6)
+    tf.repartition(numBuckets, col("term"))
+      .write.mode("overwrite").bucketBy(numBuckets, "term").sortBy("term")
       .saveAsTable(s"${name}_postings")
-    df_.write.mode("overwrite").bucketBy(numBuckets, "term").sortBy("term")
+    df_.repartition(numBuckets, col("term"))
+      .write.mode("overwrite").bucketBy(numBuckets, "term").sortBy("term")
       .saveAsTable(s"${name}_df")
-    dl.write.mode("overwrite").bucketBy(numBuckets, "doc_id")
+    dl.repartition(numBuckets, col("doc_id"))
+      .write.mode("overwrite").bucketBy(numBuckets, "doc_id")
       .sortBy("doc_id").saveAsTable(s"${name}_dl")
     stats.write.mode("overwrite").saveAsTable(s"${name}_stats")
   }

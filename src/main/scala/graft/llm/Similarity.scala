@@ -333,7 +333,7 @@ object Similarity {
     * downstream shuffle at (1±ε) L2 distortion, ε ~ sqrt(8·ln n / k). */
   def jlProject(corpus: DataFrame, k: Int,
                 hasher: SeededHash = XxSeededHash): DataFrame =
-    corpus.select(col("vec_id"),
+    Par.fanOutScan(corpus).select(col("vec_id"),
         ColumnBridge.column(graft.functions.JlProject(
           ColumnBridge.expression(col("embedding")),
           outDims = k, seed = 11, md5Family = isMd5(hasher))).as("proj"))

@@ -57,16 +57,33 @@ object Windows {
     val hourly = df
       .groupBy(key.as("key"), date_trunc("hour", ts).as("bucket"))
       .agg(max_by(value, order).as("v"), count(lit(1)).as("n_events"))
-    val bounds = hourly.groupBy("key")
-      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
-    val grid = bounds.select(col("key"),
-      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
-        .as("bucket"))
+    // Expand each event-hour's RUN (up to the next event hour) directly,
+    // instead of densifying a per-key [lo, hi] grid and left-joining the
+    // hourly frame back onto it: the grid spelling costs a bounds
+    // aggregation, a second explode of the same cells, and a
+    // (key, bucket) sort-merge join of the LARGEST frame in the query —
+    // the run spelling is one window pass over the hourly frame (the
+    // ffill value and the run end are two expressions over the same
+    // (key, bucket) sort) and one explode. Same rows: every grid cell
+    // lies in exactly one run [bucket, next−1h] (the last run is the
+    // single cell [hi, hi]), the carried `value_ffill` is the
+    // last-non-null-at-or-before value exactly as the joined window
+    // computed it, and gap cells get n_events = 0 from the run expansion
+    // rather than from the null side of the join.
     val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("key", "bucket"), "left")
-      .select(col("key"), col("bucket"),
-        last(col("v"), ignoreNulls = true).over(w).as("value_ffill"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val runs = hourly.select(col("key"), col("bucket").as("b0"),
+      last(col("v"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("value_ffill"),
+      col("n_events"),
+      lead(col("bucket"), 1).over(w).as("nxt"))
+    runs
+      .select(col("key"), col("b0"), col("value_ffill"), col("n_events"),
+        explode(sequence(col("b0"),
+          coalesce(col("nxt") - expr("INTERVAL 1 HOUR"), col("b0")),
+          expr("INTERVAL 1 HOUR"))).as("bucket"))
+      .select(col("key"), col("bucket"), col("value_ffill"),
+        when(col("bucket") === col("b0"), col("n_events")).otherwise(lit(0L))
+          .as("n_events"))
   }
 }

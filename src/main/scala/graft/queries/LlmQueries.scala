@@ -1658,7 +1658,11 @@ object LlmQueries {
     * shuffles except the audit orderBy). Audit shape: every document
     * with its signal values, per-rule booleans and the final `keep`. */
   def webFilter(s: SparkSession, dir: String): DataFrame =
-    webFilterAudit(table(s, dir, "documents")).orderBy("doc_id")
+    // the gate is md5-gram-heavy per row and otherwise Project-over-Scan
+    // — fan the batch entry out of the single-split scan (q140's
+    // streaming twin keeps the micro-batch planner's parallelism)
+    webFilterAudit(graft.llm.Par.fanOutScan(table(s, dir, "documents")))
+      .orderBy("doc_id")
 
   /** The q123 gate as a frame-in/frame-out Column pipeline — shared by
     * the batch query and the q140 streaming form (every signal is a
