@@ -818,7 +818,7 @@ object Dedup {
     // exploded spelling below (asserted in DedupSpec on real documents).
     // Docs with fewer than n tokens return null == the exploded
     // spelling's "no shingles, no row" — filtered to keep that contract.
-    val docsPar = Par.fanOutScan(docs)
+    val docsPar = docs
     if (kernel) {
       val md5 = hasher match {
         case PortableSeededHash => true
@@ -879,7 +879,7 @@ object Dedup {
     // cache lands at data-sized partitions locally AND at scale; doc_id
     // keying is also the verify-join side's distribution.
     val sig = if (storageLevel == StorageLevel.NONE) sig0
-              else sig0.repartition(col("doc_id")).persist(storageLevel)
+              else sig0.persist(storageLevel)
     val banded = dropHotBuckets(bandSignatures(sig, k, bands), maxBucket)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -921,7 +921,7 @@ object Dedup {
         case PortableSeededHash => true
         case XxSeededHash => false
       }
-      return Par.fanOutScan(docs).select(col("doc_id"),
+      return docs.select(col("doc_id"),
           org.apache.spark.sql.graft.ColumnBridge.column(
             graft.functions.SimHashSig(
               org.apache.spark.sql.graft.ColumnBridge.expression(
@@ -974,7 +974,7 @@ object Dedup {
                    maxBucket: Int = 1 << 12): DataFrame = {
     val sig0 = simHash(docs, hasher, bits)
     val sig = if (storageLevel == StorageLevel.NONE) sig0
-              else sig0.repartition(col("doc_id")).persist(storageLevel)
+              else sig0.persist(storageLevel)
     val bandWidth = bits / 4
     val bandMask = (1L << bandWidth) - 1
     val banded0 = (0 until 4).map { b =>
@@ -1073,8 +1073,14 @@ object Dedup {
     // self-loops make "min over self + neighbors" a single join+groupBy
     // per round instead of a join+union (fewer ops, and a per-round union
     // whose children share attribute ids trips Union constraint rewriting)
+    // materialize the (static) join side PARTITIONED on its join key:
+    // localCheckpoint preserves outputPartitioning, so every round's
+    // edgesSelf ⋈ labels reuses this one exchange instead of
+    // re-shuffling the edge frame per round (labels still exchange —
+    // their content changes each round; the edges never do)
     val edgesSelf = ckpt(edges
-      .union(nodes.select(col("node").as("src"), col("node").as("dst"))))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(col("src")))
     var labels = ckpt(nodes.select(col("node"), col("node").as("label")))
     var prevSum: java.math.BigDecimal = null
     // no edges: skip the loop (the sum-based check can't converge on an
@@ -1164,7 +1170,7 @@ object Dedup {
                          maxBucket: Int = 1 << 12): DataFrame = {
     val sigN0 = minHashSignatures(newDocs, n, k, hasher)
     val sigN = if (storageLevel == StorageLevel.NONE) sigN0
-               else sigN0.repartition(col("doc_id")).persist(storageLevel)
+               else sigN0.persist(storageLevel)
     val bN = dropHotBuckets(bandSignatures(sigN, k, bands), maxBucket)
     val bC = dropHotBuckets(bandSignatures(corpusSigs, k, bands), maxBucket)
     incrementalJoin(bN, bC, sigN, corpusSigs, k, estThreshold)
@@ -1314,7 +1320,7 @@ object Dedup {
                                 maxBucket: Int = 1 << 12): DataFrame = {
     val sigN0 = minHashSignatures(newDocs, n, k, hasher)
     val sigN = if (storageLevel == StorageLevel.NONE) sigN0
-               else sigN0.repartition(col("doc_id")).persist(storageLevel)
+               else sigN0.persist(storageLevel)
     val bN = dropHotBuckets(bandSignatures(sigN, k, bands), maxBucket)
     incrementalJoin(bN, spark.table(s"${name}_bands"), sigN,
       spark.table(s"${name}_sigs"), k, estThreshold)

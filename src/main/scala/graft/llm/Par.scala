@@ -27,9 +27,12 @@ object Par {
   def fanOutScan(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     import org.apache.spark.sql.catalyst.plans.logical._
+    // Union stays probe-safe (a union of scans has no stages to
+    // materialize); any member containing a join/aggregate still trips
+    // the walk below
     val scanShaped = !df.queryExecution.analyzed.exists {
       case _: Join | _: Aggregate | _: Sort | _: Window => true
-      case _: RepartitionOperation | _: GlobalLimit | _: Union => true
+      case _: RepartitionOperation | _: GlobalLimit => true
       case _ => false
     }
     if (!scanShaped) return df

@@ -362,7 +362,10 @@ object Similarity {
                           k: Int = 16,
                           hasher: SeededHash = XxSeededHash): DataFrame = {
     val spark = docs.sparkSession
-    val docsPar = Par.fanOutScan(docs)
+    // md5 grams are ~10x the xx64 kernel's per-row cost — fan out only
+    // that leg; the compiled kernel loses more to exchange overhead
+    // than it gains (measured both ways at sf0.1)
+    def docsPar = Par.fanOutScan(docs)
     // fast default: the compiled positional-shingle kernel — gram hashes
     // in one pass, no gram STRING ever materialized (the md5 leg exists
     // for the cross-engine oracle; its bucket values differ, embeddings
@@ -375,7 +378,7 @@ object Similarity {
           pmod(PortableSeededHash.hash(col("g"), 13), lit(buckets.toLong))
             .as("b"))
     } else {
-      docsPar.select(col("doc_id"),
+      docs.select(col("doc_id"),
           explode(ColumnBridge.column(graft.functions.PositionalShingles(
             ColumnBridge.expression(TextAnalysis.tokens(col("text"))), n)))
             .as("g"))
