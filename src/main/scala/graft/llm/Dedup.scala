@@ -380,6 +380,25 @@ object Dedup {
     containmentPairsSketchCore(sh, ex, freq, threshold, k, maxDf)
   }
 
+  /** BOTH containment paths over ONE set of shingle frames — for audits
+    * that compare the exact count-filter result against the bottom-k
+    * sketch (q96): calling [[containmentPairs]] and
+    * [[containmentPairsSketch]] separately tokenizes, shingles, persists
+    * and df-counts the corpus twice; the shared front half is
+    * path-independent, so the audit pays it once. Each returned frame is
+    * value-identical to its standalone builder (same cores, same
+    * frames). */
+  def containmentPairsBoth(docs: DataFrame, n: Int, threshold: Double,
+                           k: Int = 32,
+                           storageLevel: StorageLevel =
+                             StorageLevel.MEMORY_AND_DISK,
+                           maxDf: Int = 1 << 12)
+      : (DataFrame, DataFrame) = {
+    val (sh, ex, freq) = shingleFrames(docs, n, storageLevel)
+    (containmentPairsCore(sh, ex, freq, threshold, maxDf),
+      containmentPairsSketchCore(sh, ex, freq, threshold, k, maxDf))
+  }
+
   private def containmentPairsSketchCore(sh: DataFrame, ex: DataFrame,
                                          freq: DataFrame, threshold: Double,
                                          k: Int, maxDf: Int): DataFrame = {
@@ -1066,26 +1085,41 @@ object Dedup {
     val pr = ckpt(pairs
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst")))
-    val edges = ckpt(pr
-      .union(pr.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
-    val nodes = ckpt(edges.select(col("src").as("node")).distinct())
     // self-loops make "min over self + neighbors" a single join+groupBy
     // per round instead of a join+union (fewer ops, and a per-round union
     // whose children share attribute ids trips Union constraint rewriting)
-    // materialize the (static) join side PARTITIONED on its join key:
-    // localCheckpoint preserves outputPartitioning, so every round's
-    // edgesSelf ⋈ labels reuses this one exchange instead of
-    // re-shuffling the edge frame per round (labels still exchange —
-    // their content changes each round; the edges never do)
-    val edgesSelf = ckpt(edges
-      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
-      .repartition(col("src")))
-    var labels = ckpt(nodes.select(col("node"), col("node").as("label")))
+    // ONE materialized setup frame replaces the former edges/nodes/
+    // edgesSelf trio: both edge directions plus a self-loop at every
+    // endpoint, deduped — the same multiset the per-round min aggregation
+    // saw before (duplicate self-loops can't move a MIN), at two fewer
+    // materialization actions per call. It is PERSISTED (not
+    // checkpointed) PARTITIONED on its join key: under AQE a
+    // checkpointed Dataset records UnknownPartitioning (the adaptive
+    // plan exposes none), while InMemoryRelation keeps the cached plan's
+    // HashPartitioning — so every round's edgesSelf ⋈ labels reuses this
+    // one exchange instead of re-shuffling the edge frame per round
+    // (labels still exchange — their content changes each round; the
+    // edges never do). The frame is static and derives from the
+    // checkpointed `pr`, so the unpersist-cascade concern that keeps
+    // round STATE on checkpoints does not apply; reliable mode keeps the
+    // durable checkpoint (recovery is the point there).
+    val both = pr
+      .union(pr.select(col("dst").as("src"), col("src").as("dst")))
+    val edgesSelfPlan = both
+      .union(both.select(col("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+    val edgesSelf =
+      if (reliable) ckpt(edgesSelfPlan)
+      else edgesSelfPlan.persist(StorageLevel.MEMORY_AND_DISK)
+    // exactly one self-loop row per node survives the distinct — the
+    // node/label seed frame, read straight from the checkpoint blocks
+    var labels = edgesSelf.where(col("src") === col("dst"))
+      .select(col("src").as("node"), col("src").as("label"))
     var prevSum: java.math.BigDecimal = null
     // no edges: skip the loop (the sum-based check can't converge on an
     // empty frame — its scalar is NULL every round)
-    var converged = edges.isEmpty
+    var converged = edgesSelf.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edgesSelf.join(labels, col("src") === col("node"))
@@ -1095,12 +1129,20 @@ object Dedup {
       // pointer jump: l(v) <- min(l(v), l(l(v))). Every label IS a node id
       // present in nbrMin (labels start as node ids and min-merge), so the
       // inner self-join is total.
-      // eager checkpoint: materializes this round, truncates lineage
-      val next = ckpt(nbrMin.as("x")
+      val nextPlan = nbrMin.as("x")
         .join(nbrMin.select(col("node").as("ln"), col("label").as("ll")),
           col("x.label") === col("ln"))
         .select(col("x.node").as("node"),
-          least(col("x.label"), col("ll")).as("label")))
+          least(col("x.label"), col("ll")).as("label"))
+      // LAZY local checkpoint + the convergence aggregate as the
+      // materializing action: the sum job computes every partition of the
+      // round's RDD and persists it as a side effect, so the round costs
+      // one action instead of two (eager-materialize THEN aggregate).
+      // AQE still runs the round's shuffle stages at plan time; only the
+      // result stage rides the aggregate. Reliable mode keeps the eager
+      // checkpoint — there the durable write IS the point.
+      val next =
+        if (reliable) ckpt(nextPlan) else nextPlan.localCheckpoint(false)
       val s = next.agg(sum(col("label").cast("decimal(38,0)")))
         .head().getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0

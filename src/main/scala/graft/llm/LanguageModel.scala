@@ -474,22 +474,50 @@ object LanguageModel {
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     var frame = ckpt(bpeSymbolFrame(words, eow))
+    // the per-round winner is ONE row — an argmax the driver reads like
+    // the connected-components convergence scalar (bounded by `merges`,
+    // never data-scale). Collecting it makes the merge table a literal
+    // LocalRelation (broadcast is driver-local — no per-round broadcast
+    // build job, no checkpoint action for a 1-row frame) and the final
+    // merge-table union a LocalRelation too (zero jobs at materialization
+    // instead of one scan per round). A round with no pair over
+    // `minPairCount` short-circuits every later round — the documented
+    // stopping rule, previously re-verified round after round.
+    import docs.sparkSession.implicits._
+    var exhausted = false
     val rows = (1 to merges).map { r =>
-      val pairs = frame.select(col("cnt"), col("tok"),
-          lead("tok", 1).over(byWord).as("nxt"))
-        .where(col("nxt").isNotNull)
-      val best = ckpt(pairs
-        .groupBy(col("tok").as("s1"), col("nxt").as("s2"))
-        .agg(sum("cnt").as("pair_count"))
-        .where(col("pair_count") >= minPairCount)
-        .orderBy(col("pair_count").desc, col("s1"), col("s2"))
-        .limit(1))
-      if (r < merges)
-        frame = ckpt(mergeBigrams(frame,
-          best.select(col("s1").as("w1"), col("s2").as("w2")),
-          joiner = "", byWord, keyCol = "w", carry = Seq("cnt")))
-      best.select(lit(r).cast("long").as("merge_round"),
-        col("s1"), col("s2"), col("pair_count"))
+      val bestRow =
+        if (exhausted) None
+        else frame.select(col("cnt"), col("tok"),
+            lead("tok", 1).over(byWord).as("nxt"))
+          .where(col("nxt").isNotNull)
+          .groupBy(col("tok").as("s1"), col("nxt").as("s2"))
+          .agg(sum("cnt").as("pair_count"))
+          .where(col("pair_count") >= minPairCount)
+          .orderBy(col("pair_count").desc, col("s1"), col("s2"))
+          .limit(1)
+          .collect().headOption
+      bestRow match {
+        case None =>
+          exhausted = true
+          Seq.empty[(Long, String, String, Long)]
+            .toDF("merge_round", "s1", "s2", "pair_count")
+        case Some(row) =>
+          val (s1, s2, cnt) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          // per-round checkpoint kept: the next round's winner aggregate
+          // re-reads the merged frame, and deferring materialization was
+          // MEASURED NEGATIVE (each round's collect re-executed the
+          // un-checkpointed window chain and re-planned the growing tree —
+          // q215 2.7 → 3.8 s, q224 5.1 → 6.7 s under ProfileQuery), so the
+          // lazy-chain variant was reverted (guide §1.2, both directions)
+          if (r < merges)
+            frame = ckpt(mergeBigrams(frame,
+              Seq((s1, s2)).toDF("w1", "w2"),
+              joiner = "", byWord, keyCol = "w", carry = Seq("cnt")))
+          Seq((r.toLong, s1, s2, cnt))
+            .toDF("merge_round", "s1", "s2", "pair_count")
+      }
     }
     rows.reduce(_ unionByName _)
   }
@@ -623,7 +651,7 @@ object LanguageModel {
         .where(length(col("piece")) === 1))
       .dropDuplicates("piece"))
     var lastSeg: DataFrame = null
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       // fixed-point log-prob scores; total via the broadcast-1-row
       // pattern (no driver action on the data path)
       val totals = vocab.agg(sum("freq").as("total"))
@@ -705,6 +733,11 @@ object LanguageModel {
           |  st -> st.ps)""".stripMargin
       val seg = arr.withColumn("dp", expr(dpExpr))
         .withColumn("pieces", expr(walkExpr))
+      // per-round materialization kept here: folding the DP into the
+      // vocab checkpoint (the soft-EM core's layout below) measured flat
+      // on this hard core (BenchSome A/B q223/q233 — the Viterbi DP is
+      // cheap enough that the saved action is noise), so the simpler
+      // two-action round stays
       lastSeg = ckpt(seg.select(col("w"), col("cnt"),
         explode(col("pieces")).as("piece")))
       val counts = lastSeg.groupBy("piece").agg(sum("cnt").as("freq"))
@@ -880,7 +913,7 @@ object LanguageModel {
         |        AS DOUBLE) / 1000000.0D) * 1000000.0D, 0) AS BIGINT)))
         |END""".stripMargin
     var lastSeg: DataFrame = null
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val totals = vocab.agg(sum("freq").as("total"))
       val scored = vocab.crossJoin(broadcast(totals))
         .select(col("piece"),
@@ -894,8 +927,13 @@ object LanguageModel {
       val seg = arr.withColumn("dp", expr(fwdExpr))
         .withColumn("bp", expr(bwdExpr))
         .withColumn("es", expr(eExpr))
-      lastSeg = ckpt(seg.select(col("w"), col("cnt"),
-        explode(col("es")).as("e")))
+      // materialize the segmentation only on the FINAL round (the
+      // returned mass frame reads it); earlier rounds fold the DP into
+      // the vocab checkpoint — one action per round, the hard-EM
+      // convention above
+      val segPieces = seg.select(col("w"), col("cnt"),
+        explode(col("es")).as("e"))
+      lastSeg = if (r == rounds) ckpt(segPieces) else segPieces
       val counts = lastSeg
         .groupBy(col("e.piece").as("piece"))
         .agg(sum(col("cnt") * col("e.efp")).as("freq"))

@@ -665,14 +665,31 @@ object Similarity {
   def kmeansTrain(corpus: DataFrame, k: Int = 8, iters: Int = 2,
                   hasher: SeededHash = XxSeededHash)
       : (DataFrame, DataFrame) = {
+    // ONE corpus shuffle for the whole trainer: hash-partition on vec_id
+    // BEFORE the explode (array rows are narrower than exploded rows) and
+    // PERSIST with that partitioning. persist (not localCheckpoint) is
+    // deliberate: under AQE a checkpointed Dataset records
+    // UnknownPartitioning (AdaptiveSparkPlanExec exposes no output
+    // partitioning), while InMemoryRelation keeps the cached plan's —
+    // so every per-round operator keyed by vec_id or a superset (the
+    // dot-product groupBy(vec_id, cid) after the broadcast centroid
+    // join, the nx equi-join, the argmax topK, the centroid-recompute
+    // join) reuses this single exchange, where the former layout
+    // re-shuffled the exploded frame (and the k-way dot frame) once per
+    // EM round. The static frames never re-enter their own lineage, so
+    // the checkpointing-vs-caching loop concern (see the round state
+    // below) does not apply to them.
     val ex = corpus
+      .repartition(col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d"),
         round(col("x").cast("double") * 1000).cast("long").as("xi"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // derived from ex's cached blocks without an exchange — co-partitioned
+    // with ex by construction, so the per-round join back is shuffle-free
     val nx = ex.groupBy("vec_id")
       .agg(sum(col("xi") * col("xi")).as("nx"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val seeds = corpus
       .select(col("vec_id").as("cid"))
       .orderBy(hasher.hash(col("cid"), 5).asc, col("cid").asc)
@@ -829,14 +846,18 @@ object Similarity {
   def kmeansTrainKeyed(sub: DataFrame, k: Int = 8, iters: Int = 2,
                        hasher: SeededHash = XxSeededHash)
       : (DataFrame, DataFrame) = {
+    // same one-shuffle persisted layout as [[kmeansTrain]], keyed by
+    // (s, vec_id): every round's aggregation/join/window clusters on a
+    // superset of these keys, so the rounds reuse this single exchange
     val ex = sub
+      .repartition(col("s"), col("vec_id"))
       .select(col("s"), col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("s"), col("vec_id"), col("d"),
         round(col("x").cast("double") * 1000).cast("long").as("xi"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nx = ex.groupBy("s", "vec_id")
       .agg(sum(col("xi") * col("xi")).as("nx"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wSeed = Window.partitionBy(col("s"))
       .orderBy(hasher.hash(col("cid"), 5).asc, col("cid").asc)
     val seeds = sub.select(col("s"), col("vec_id").as("cid"))

@@ -58,15 +58,21 @@ object WebGraph {
       col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
     // out-weight folded onto each edge once: the per-round join then
     // needs only the rank frame
+    // static per-round join sides PERSISTED partitioned on their join
+    // keys (persist, not localCheckpoint: under AQE a checkpointed
+    // Dataset records UnknownPartitioning, a cached plan keeps its
+    // HashPartitioning) — each power-iteration round then re-shuffles
+    // only the rank frame, never the edge list or the node set
     val ew = e.join(
         e.groupBy(col("src").as("osrc")).agg(sum("w").as("ow")),
         col("src") === col("osrc"))
       .select(col("src"), col("dst"), col("w"), col("ow"))
-      .localCheckpoint()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = ew.select(col("src").as("node"))
       .union(ew.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val teleport = ((100 - dampingPct) * Fp) / 100
     var ranks = nodes.select(col("node"), lit(Fp).as("rank_fp"))
     var i = 0
@@ -108,10 +114,16 @@ object WebGraph {
   def labelPropagate(edges: DataFrame, seeds: DataFrame, rounds: Int = 3)
       : DataFrame = {
     require(rounds >= 1, "labelPropagate needs at least one round")
+    // the static edge list is joined on `dst` every round — persisted
+    // partitioned on it (see [[pageRank]] for the persist-vs-checkpoint
+    // rationale); the seed frame is tiny and read three ways, a plain
+    // persist suffices
     val e = edges.select(col("src"), col("dst"),
-      col("w").cast("long").as("w")).localCheckpoint()
+        col("w").cast("long").as("w"))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s0 = seeds.select(col("vec_id"), col("lab").cast("long").as("lab"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = s0
     var r = 0
     while (r < rounds) {
@@ -146,11 +158,13 @@ object WebGraph {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val e = edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst"), col("w").cast("long").as("w"))
+    // same persisted-static layout as [[pageRank]]
     val ew = e.join(
         e.groupBy(col("src").as("osrc")).agg(sum("w").as("ow")),
         col("src") === col("osrc"))
       .select(col("src"), col("dst"), col("w"), col("ow"))
-      .localCheckpoint()
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val teleport = ((100 - dampingPct) * Fp) / 100
     val nodesT = ew.select(col("src").as("node"))
       .union(ew.select(col("dst").as("node")))
@@ -159,7 +173,7 @@ object WebGraph {
         .distinct().withColumn("_t", lit(true)), Seq("node"), "left")
       .select(col("node"),
         when(col("_t"), lit(teleport)).otherwise(lit(0L)).as("tele"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = nodesT.select(col("node"),
       when(col("tele") > 0, lit(Fp)).otherwise(lit(0L)).as("rank_fp"))
     var i = 0

@@ -76,6 +76,15 @@ case class TopKPerKeyExec(
     if (isFinal) ClusteredDistribution(groupKeys) :: Nil
     else UnspecifiedDistribution :: Nil
 
+  // this operator never moves rows between partitions (pure
+  // mapPartitions), so the child's partitioning survives it. Without this
+  // override SparkPlan's default (UnknownPartitioning) applies and
+  // EnsureRequirements inserts a key-hash exchange between partial and
+  // final EVEN WHEN the input is already clustered on the keys — and
+  // re-exchanges every downstream consumer keyed the same way.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = groupKeys
     val sortOrder = order

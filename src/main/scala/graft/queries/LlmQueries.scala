@@ -163,10 +163,12 @@ object LlmQueries {
     * null exact side, which the oracle cannot produce. */
   def containmentSketch(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
-    val exact = Dedup.containmentPairs(docs, n = 3, threshold = 0.5)
-      .withColumnRenamed("containment", "c_exact")
-    val sketch = Dedup.containmentPairsSketch(docs, n = 3, threshold = 0.5)
-      .withColumnRenamed("containment", "c_sketch")
+    // one shared shingle/postings/df build for both paths (the audit ran
+    // the whole tokenize+shingle+persist front half twice)
+    val (exact0, sketch0) =
+      Dedup.containmentPairsBoth(docs, n = 3, threshold = 0.5)
+    val exact = exact0.withColumnRenamed("containment", "c_exact")
+    val sketch = sketch0.withColumnRenamed("containment", "c_sketch")
     exact.join(sketch, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),
         coalesce(col("c_exact"), col("c_sketch")).as("containment"),
