@@ -464,6 +464,12 @@ object LanguageModel {
     require(merges >= 1, s"merges=$merges must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val byWord = Window.partitionBy("w").orderBy("pos")
+    // round state is localCheckpointed, NOT persisted: a persisted-chain
+    // variant (which would keep hash(w) partitioning and delete the
+    // per-round window exchange) was MEASURED NEGATIVE — the nested
+    // cached-plan trees made per-round planning dominate (q215 2.9 → 4.2,
+    // q224 5.2 → 8.6 under ProfileQuery, driverGap ~2×) despite 30% fewer
+    // jobs and zero shuffle; reverted (guide §1.2, both directions)
     def ckpt(df: DataFrame): DataFrame =
       if (storageLevel == StorageLevel.NONE) df else df.localCheckpoint()
     // the ONLY corpus-scale pass: one map-side-combined word-count shuffle
@@ -542,7 +548,8 @@ object LanguageModel {
     import org.apache.spark.sql.expressions.Window
     val byWord = Window.partitionBy("w").orderBy("pos")
     // localCheckpoint per round, same reason as in [[trainBpe]] — the
-    // vocab side re-enters every round's plan
+    // vocab side re-enters every round's plan (and the persisted-chain
+    // variant measured negative there; see trainBpe)
     def ckpt(df: DataFrame): DataFrame =
       if (storageLevel == StorageLevel.NONE) df else df.localCheckpoint()
     val occ = docs.select(col("doc_id"),

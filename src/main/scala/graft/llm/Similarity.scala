@@ -1450,7 +1450,14 @@ object Similarity {
         .crossJoin(entry.select(col("node")))))
       .localCheckpoint()
     (1 to rounds).foreach { _ =>
-      val nbrs = beamDf.select("query_id", "node")
+      // the beam is ≤ Q·beam rows BY CONSTRUCTION (topB caps it), but it
+      // sits behind a checkpoint whose size the planner cannot estimate —
+      // unhinted, the expansion planned as a sort-merge join that
+      // re-shuffled the (static, |edges|-sized) adjacency list every
+      // round. Broadcasting the beam makes the expansion a map-side
+      // lookup: the adjacency list never moves (guide §3.1 — hint the
+      // side you KNOW is small).
+      val nbrs = broadcast(beamDf.select("query_id", "node"))
         .join(adj.withColumnRenamed("src", "node"), "node")
         .select(col("query_id"), col("dst").as("node")).distinct()
       val all = beamDf.unionByName(score(nbrs))
